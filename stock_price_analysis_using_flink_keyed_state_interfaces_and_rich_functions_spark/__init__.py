@@ -1,0 +1,28 @@
+"""PySpark-native analytics engine with the query and data-processing
+capabilities of kundan59/Stock-Price-Analysis-using-Flink-Keyed-state-interfaces-and-Rich-Functions
+(reference surveyed in SURVEY.md), rebuilt Spark-first.
+
+The reference is four Flink DataStream jobs over daily OHLCV stock quotes,
+each demonstrating one keyed-state primitive inside a RichFlatMapFunction
+(reference: src/main/java/org/knoldus/flink/state/*.java). This engine
+re-expresses that capability surface — stateful keyed aggregation over
+time series — as declarative DataFrame / SQL plans that Catalyst optimizes,
+plus Structured Streaming for incremental execution, plus the relational
+and LLM-data-pipeline operator families in SURVEY.md §2.6.
+
+Package layout:
+  session    — SparkSession factory (AQE on, UTC, Arrow)
+  schemas    — canonical StructTypes (quotes, TPC-H-ish, events, documents,
+               embeddings)
+  sources    — readers (CSV w/ header+ragged-null tolerance, Parquet, JSON;
+               streaming file sources) and sinks
+  operators  — stateful (W1–W4 batch forms), windows, joins (incl. as-of /
+               range), topk, setops, rollup, dedup, similarity, text,
+               multimodal
+  functions  — scalar date/string/json helpers
+  plans      — plan-inspection helpers (pushdown / broadcast assertions)
+  streaming  — applyInPandasWithState ports of W1–W4, watermarked
+               time/session windows
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,131 @@
+"""Join operators (SURVEY.md §2.6 — pure extension; the reference has no
+joins of any kind, §2.5).
+
+Equi-joins delegate to Catalyst (broadcast / sort-merge / shuffled-hash
+selection + AQE skew handling). The value-add here is the two time-series
+joins Spark lacks natively: as-of join and range join — both designed so
+the big (fact) side is never re-shuffled more than once.
+
+Scale notes:
+- ``broadcast()`` the dimension side when it fits (< ~8 GB hard limit,
+  keep well under); at 100 TB the fact table never broadcasts.
+- As-of join: implemented with union + window (one shuffle on the key,
+  no per-row range probe) — the standard scalable formulation.
+- Range join: bucketize the range key to turn an inequality join into an
+  equi-join on (key, bucket) + residual filter, avoiding the
+  O(n·m) cross-product Catalyst would otherwise plan for pure
+  inequality predicates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["equi_join", "broadcast_join", "semi_join", "anti_join", "asof_join", "range_join_bucketed"]
+
+
+def equi_join(left: DataFrame, right: DataFrame, on: Sequence[str], how: str = "inner") -> DataFrame:
+    return left.join(right, list(on), how)
+
+
+def broadcast_join(big: DataFrame, small: DataFrame, on: Sequence[str], how: str = "inner") -> DataFrame:
+    """Explicit broadcast of the small side — no shuffle of the big side."""
+    return big.join(F.broadcast(small), list(on), how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """EXISTS semantics; right columns never materialize."""
+    return left.join(right, list(on), "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """NOT EXISTS semantics."""
+    return left.join(right, list(on), "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    right_value_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: attach to each left row the most recent right row at or
+    before its timestamp (``backward``; ``forward`` = next at-or-after),
+    per key. The canonical quote × corporate-actions enrichment.
+
+    Formulation: tag both sides, union on (key, ts), and carry the right
+    side's values with ``last(ignorenulls)`` (resp. ``first``) over an
+    ordered per-key window — exactly one shuffle on the key, no range
+    probe, no skew beyond what the key distribution already has. Right
+    rows sort before left rows at equal ts so an exact-ts match is taken.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(*lcols).withColumn("_side", F.lit(1))
+    for c in right_value_cols:
+        tagged_left = tagged_left.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    tagged_right = right.select(*keys, ts_col, *right_value_cols).withColumn("_side", F.lit(0))
+    for c in lcols:
+        if c not in keys and c != ts_col and c not in right_value_cols:
+            tagged_right = tagged_right.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = tagged_left.unionByName(tagged_right)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in right_value_cols]
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = [F.first(c, ignorenulls=True).over(w).alias(c) for c in right_value_cols]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    out_cols = [F.col(c) for c in lcols] + carried
+    return unioned.select(*out_cols, F.col("_side")).filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Join left rows to right intervals containing their value
+    (right_lo <= left_val < right_hi), via bucketization: explode each
+    interval into the buckets it overlaps, equi-join on (keys, bucket),
+    then apply the residual range filter. Turns an inequality join into a
+    shuffle-hash/sort-merge equi-join. ``bucket_width`` should be ≈ the
+    typical interval width so each interval covers O(1) buckets.
+    """
+    keys = list(key_cols)
+    lb = left.withColumn("_bucket", F.floor(F.col(left_val) / bucket_width))
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bucket_width),
+                F.floor((F.col(right_hi) - F.lit(1e-9)) / bucket_width),
+            )
+        ),
+    )
+    joined = lb.join(rb, keys + ["_bucket"], "inner").filter(
+        (F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) < F.col(right_hi))
+    )
+    return joined.drop("_bucket")

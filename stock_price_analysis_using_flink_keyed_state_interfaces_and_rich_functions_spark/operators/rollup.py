@@ -1,0 +1,45 @@
+"""Multi-dimensional aggregation: rollup / cube / grouping sets / pivot
+(SURVEY.md §2.6 "Keyed aggregation" — extension; the reference only has
+hand-built per-key state, §2.4).
+
+rollup/cube expand to a union of grouping sets planned as a single Expand
++ HashAggregate — one shuffle regardless of the number of sets. Pivot is
+exposed both as the native ``.pivot()`` (needs the pivot values — one
+extra job to collect them if omitted) and as explicit conditional
+aggregation, which is the portable / oracle-checkable form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["rollup_agg", "cube_agg", "pivot_agg", "pivot_conditional"]
+
+
+def rollup_agg(df: DataFrame, dims: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    return df.rollup(*dims).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, dims: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    return df.cube(*dims).agg(*aggs)
+
+
+def pivot_agg(
+    df: DataFrame, group_cols: Sequence[str], pivot_col: str, values: Sequence[str], agg: Column
+) -> DataFrame:
+    return df.groupBy(*group_cols).pivot(pivot_col, list(values)).agg(agg)
+
+
+def pivot_conditional(
+    df: DataFrame, group_cols: Sequence[str], pivot_col: str, values: Sequence[str], value_expr: Column
+) -> DataFrame:
+    """Pivot as conditional aggregation — identical plan shape to native
+    pivot (single HashAggregate), but ANSI-portable."""
+    aggs = [
+        F.sum(F.when(F.col(pivot_col) == v, value_expr).otherwise(F.lit(0))).alias(f"{pivot_col}_{v}")
+        for v in values
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)

@@ -1,0 +1,170 @@
+"""Batch forms of the reference's four keyed-state operators (SURVEY.md §2.4).
+
+The reference builds each of these by hand inside a RichFlatMapFunction with
+a managed-state primitive; here each is a declarative window/agg composition
+that Catalyst plans (hash exchange on the key + per-partition sorted window
+evaluation — the same single-shuffle topology the Flink jobs had, but
+vectorized and codegen'd).
+
+Ordering: the reference is arrival-order-defined and therefore
+nondeterministic under parallel reads (SURVEY.md §3). Every operator here
+takes explicit ``order_cols``; callers pass (event-time, unique-id) so
+results are deterministic at any parallelism.
+
+Scale notes (100 TB posture):
+- All four are one hash exchange on the key followed by a per-key sorted
+  window — the minimal shuffle count for keyed ordered state.
+- WindowExec sorts within partitions; with millions of keys the sort is
+  (key, order) over each shuffle partition — spillable, no driver state.
+- A single hot key (the reference's single-ticker keyBy degenerates to
+  parallelism 1) is fundamental to *running* semantics; for final
+  (order-insensitive) aggregates we instead use groupBy, which does
+  map-side partial aggregation and is skew-tolerant under AQE.
+
+Streaming equivalents with exact per-row emission live in
+``streaming/stateful.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "running_max",
+    "running_agg",
+    "final_max",
+    "tumbling_count_window_avg",
+    "rows_between_breaches",
+]
+
+ColsLike = Sequence[str | Column]
+
+
+def _ordered_window(key_cols: ColsLike, order_cols: ColsLike):
+    return Window.partitionBy(*key_cols).orderBy(*order_cols)
+
+
+def running_agg(
+    df: DataFrame,
+    key_cols: ColsLike,
+    order_cols: ColsLike,
+    agg: Column,
+    out_col: str,
+) -> DataFrame:
+    """Generic running (prefix) aggregate per key — one output per input row.
+
+    Generalizes the reference's ValueState pattern: state ← f(state, x),
+    emit state on every element.
+    """
+    w = _ordered_window(key_cols, order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, agg.over(w))
+
+
+def running_max(
+    df: DataFrame,
+    key_cols: ColsLike,
+    order_cols: ColsLike,
+    value_col: str,
+    out_col: str = "running_max",
+) -> DataFrame:
+    """W1/W4 — running max per key, emitted on every row.
+
+    Reference parity: ValueState running max
+    (MaximumClosingPrice.java:47-82, key = year) and its MapState twin
+    (MaxTradeVolumePerYearPerMonth.java:53-91, key = (year, month) — the
+    MapState there holds at most one entry per key, i.e. ValueState in
+    disguise; SURVEY.md §2.4 W4). Composite keys are just multiple columns.
+    """
+    return running_agg(df, key_cols, order_cols, F.max(value_col), out_col)
+
+
+def final_max(
+    df: DataFrame,
+    key_cols: ColsLike,
+    value_col: str,
+    out_col: str = "max_value",
+) -> DataFrame:
+    """Order-insensitive final per-key max — the end-of-stream view of W1/W4.
+
+    groupBy gives partial (map-side) + final aggregation, so this scales to
+    arbitrarily skewed keys, unlike the running variant.
+    """
+    return df.groupBy(*key_cols).agg(F.max(value_col).alias(out_col))
+
+
+def tumbling_count_window_avg(
+    df: DataFrame,
+    key_cols: ColsLike,
+    order_cols: ColsLike,
+    value_col: str,
+    window_size: int = 50,
+    *,
+    key_out: Sequence[str] | None = None,
+    out_col: str = "avg_value",
+    cycle_col: str = "cycle",
+    emit_incomplete: bool = False,
+) -> DataFrame:
+    """W2 — average over non-overlapping count windows per key.
+
+    Exact reference semantics (RollingAverageHighPrice.java:56-113):
+    rows 1..N of a cycle accumulate; row N+1 *triggers* the emission of
+    sum/N and is itself discarded — cycle length is ``window_size + 1``
+    and the trigger row's value never enters any window (SURVEY.md §2.4
+    W2; FIXTURES.md pins (HDFC, 352.888) first under file order).
+    Incomplete trailing cycles emit nothing unless ``emit_incomplete``.
+
+    Plan shape: row_number (shuffle on key + sort) → integer-div cycle id →
+    filter pos < window_size → groupBy(key, cycle) avg. AQE coalesces the
+    second exchange; at scale the first sort dominates, same cost class as
+    any ordered per-key pass.
+    """
+    cycle_len = window_size + 1
+    rn = F.row_number().over(_ordered_window(key_cols, order_cols)) - 1
+    with_cycle = df.withColumn(cycle_col, F.floor(rn / cycle_len)).withColumn("_pos", rn % cycle_len)
+    in_window = with_cycle.filter(F.col("_pos") < window_size)
+    agged = in_window.groupBy(*key_cols, cycle_col).agg(
+        F.avg(value_col).alias(out_col), F.count(F.lit(1)).alias("_n")
+    )
+    if not emit_incomplete:
+        agged = agged.filter(F.col("_n") == window_size)
+    out = agged.drop("_n")
+    if key_out:
+        for old, new in zip([str(c) for c in key_cols], key_out):
+            out = out.withColumnRenamed(old, new)
+    return out
+
+
+def rows_between_breaches(
+    df: DataFrame,
+    key_cols: ColsLike,
+    order_cols: ColsLike,
+    breach: Column,
+    *,
+    emit_cols: Sequence[str] | None = None,
+    out_col: str = "rows_since_prev_breach",
+) -> DataFrame:
+    """W3 — for each row satisfying ``breach``, the number of non-breach
+    rows since the previous breach (marker-based sessionization).
+
+    Exact reference semantics (DaysSincePriceThreshold.java:61-102,
+    threshold hard-coded ≥300 at :71): non-breach rows accumulate in a
+    ListState; a breach emits the list *length* and clears. Consecutive
+    breaches emit 0; rows before the first breach count toward it.
+
+    The ListState is over-retention — only its length is used
+    (DaysSincePriceThreshold.java:73-79) — so the declarative form keeps a
+    count, not a list: number the rows per key, keep breach rows, and the
+    gap to the previous breach's row number (minus one) IS the emission.
+    One window pass + one lag — no per-key list materialization, O(1)
+    state per key at any scale.
+    """
+    w = _ordered_window(key_cols, order_cols)
+    numbered = df.withColumn("_rn", F.row_number().over(w)).withColumn("_breach", breach)
+    breaches = numbered.filter(F.col("_breach"))
+    prev_rn = F.lag("_rn", 1, 0).over(_ordered_window(key_cols, ["_rn"]))
+    out = breaches.withColumn(out_col, (F.col("_rn") - prev_rn - 1).cast("long"))
+    keep = list(emit_cols) if emit_cols else [str(c) for c in key_cols]
+    return out.select(*keep, out_col)

@@ -1,0 +1,119 @@
+"""Window analytics — the idiomatic generalization of the reference's
+running-emission pattern (SURVEY.md §2.6 "Running/window analytics").
+
+The reference emits running state on every row (W1/W4,
+MaximumClosingPrice.java:57-64). The general family is ordered-partition
+window functions: ranking, offsets, running and moving aggregates, and
+gap-based sessionization (the time-gap cousin of W3's marker sessions).
+
+Scale: WindowExec = one hash exchange on the partition keys + in-partition
+sort; sort is spillable. Moving frames (rowsBetween(-k, 0)) evaluate
+incrementally. rangeBetween frames need the order column physically sorted
+anyway — no extra cost over rowsBetween.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_row_number",
+    "with_rank_columns",
+    "with_lag_lead",
+    "moving_avg",
+    "running_sum",
+    "range_running_sum",
+    "sessionize_by_gap",
+]
+
+ColsLike = Sequence[str | Column]
+
+
+def _w(key_cols: ColsLike, order_cols: ColsLike):
+    return Window.partitionBy(*key_cols).orderBy(*order_cols)
+
+
+def with_row_number(df: DataFrame, key_cols: ColsLike, order_cols: ColsLike, out_col: str = "rn") -> DataFrame:
+    return df.withColumn(out_col, F.row_number().over(_w(key_cols, order_cols)))
+
+
+def with_rank_columns(df: DataFrame, key_cols: ColsLike, order_cols: ColsLike) -> DataFrame:
+    w = _w(key_cols, order_cols)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("cdist", F.cume_dist().over(w))
+    )
+
+
+def with_lag_lead(
+    df: DataFrame, key_cols: ColsLike, order_cols: ColsLike, value_col: str, offset: int = 1
+) -> DataFrame:
+    w = _w(key_cols, order_cols)
+    return df.withColumn("prev_value", F.lag(value_col, offset).over(w)).withColumn(
+        "next_value", F.lead(value_col, offset).over(w)
+    )
+
+
+def moving_avg(
+    df: DataFrame,
+    key_cols: ColsLike,
+    order_cols: ColsLike,
+    value_col: str,
+    window_rows: int = 50,
+    out_col: str = "moving_avg",
+) -> DataFrame:
+    """True *rolling* k-row average — what the reference's
+    'RollingAverageHighPrice' name promises but doesn't implement (its
+    windows are disjoint; SURVEY.md §2.4 W2 note). Frame: current row and
+    the k-1 preceding rows, partial at the head of each key."""
+    w = _w(key_cols, order_cols).rowsBetween(-(window_rows - 1), Window.currentRow)
+    return df.withColumn(out_col, F.avg(value_col).over(w))
+
+
+def running_sum(
+    df: DataFrame, key_cols: ColsLike, order_cols: ColsLike, value_col: str, out_col: str = "running_sum"
+) -> DataFrame:
+    w = _w(key_cols, order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def range_running_sum(
+    df: DataFrame,
+    key_cols: ColsLike,
+    order_col: str,
+    value_col: str,
+    preceding: int,
+    out_col: str = "range_sum",
+) -> DataFrame:
+    """Value-range frame: sum over rows whose order value lies within
+    ``preceding`` of the current row's (RANGE BETWEEN n PRECEDING AND
+    CURRENT ROW)."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col).rangeBetween(-preceding, 0)
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def sessionize_by_gap(
+    df: DataFrame,
+    key_cols: ColsLike,
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization (batch): a new session starts when the gap
+    to the previous event exceeds ``gap_seconds``. Classic lag + prefix-sum
+    — the same construction as W3's marker sessions with the marker derived
+    from time instead of value (SURVEY.md §2.6 "Count & marker windows").
+    Streaming equivalent: ``session_window`` in streaming/windows.py."""
+    w = _w(key_cols, [ts_col])
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = (
+        prev_ts.isNull() | (F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_seconds)
+    ).cast("long")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(session_col, F.sum(new_session).over(wsum))

@@ -1,0 +1,102 @@
+"""Sources and sinks.
+
+Replaces the reference's single source/sink pair:
+- S1 text-file source ``readTextFile(...)`` + P1 header content-filter
+  (MaximumClosingPrice.java:28-30 and clones) → a schema'd CSV reader with
+  ``header=True``; ragged trailing empties parse to NULL natively.
+- S2 print sink ``.print()`` (MaximumClosingPrice.java:42) → show/collect/
+  parquet write; streaming console/memory sinks live in ``streaming/``.
+
+Every reader takes an explicit schema — no inference in the hot path, so
+scans stay prunable and streaming sources are declarable.
+
+Scale note: at 100 TB the sources are partitioned parquet/orc directories;
+``read_table`` reads a directory or single file identically. CSV is kept
+for reference parity only — columnar formats are the real input path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import QUOTES_SCHEMA, EVENTS_SCHEMA, TABLE_SCHEMAS
+
+__all__ = [
+    "read_quotes_csv",
+    "read_table",
+    "read_tables",
+    "read_quotes_stream",
+    "read_events_stream",
+    "write_parquet",
+]
+
+#: All driver-generated synthetic tables (TESTDATA.md).
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_quotes_csv(spark: SparkSession, path: str, with_row_id: bool = True) -> DataFrame:
+    """Read an OHLCV quotes CSV in the reference's HDFC.csv shape.
+
+    The reference drops the header with a substring filter and parses
+    positionally (MaximumClosingPrice.java:29-39); here the reader owns
+    both concerns. ``row_id`` gives a stable per-file arrival-order
+    tiebreak so the W1–W4 replays are deterministic (SURVEY.md §3
+    ordering caveat) — HDFC.csv is date-sorted, so (date, row_id) order
+    equals file order.
+    """
+    df = (
+        spark.read.schema(QUOTES_SCHEMA)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")  # ragged trailing fields → NULL
+        .csv(path)
+    )
+    if with_row_id:
+        # monotonically_increasing_id is increasing within a partition;
+        # a single CSV file read is one split here, giving file order.
+        df = df.withColumn("row_id", F.monotonically_increasing_id())
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic parquet table from a scale-factor directory."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def read_quotes_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """File-source streaming read of quotes CSVs (schema required up front)."""
+    return (
+        spark.readStream.schema(QUOTES_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(directory)
+    )
+
+
+def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """File-source streaming read of events parquet."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(directory)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
