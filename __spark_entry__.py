@@ -1,38 +1,1027 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pricing-summary aggregation on
+sf0.001. ``queries()`` registers every implemented operator family from
+SURVEY.md §2 (reference W1–W4 parity translated onto the synthetic
+tables, plus the §2.6 relational extensions and the LLM-data operators);
+``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL for each.
+
+Determinism contract (how every query is made hash-comparable):
+- Orderings always include a unique tiebreak (e.g. (l_shipdate,
+  l_orderkey, l_linenumber)).
+- Floating-point SUMs/AVGs are computed from EXACT DECIMAL(18,2) sums
+  cast to double at the end — bit-identical in both engines regardless
+  of summation order. Ratios of integers are identical IEEE divisions.
+- Any residually-rounded value is rounded to 4 dp on BOTH sides.
+- Integer-typed results are cast so Spark and DuckDB dtypes agree
+  (DuckDB year()/row_number() return BIGINT; Spark returns INT — the
+  oracle casts to INT).
+
+Non-SQL-expressible entries (MinHash-LSH, SimHash, hyperplane LSH,
+mapInPandas multimodal ops, approx_count_distinct) intentionally omit
+the oracle — the driver records rows-only checks; their semantics are
+pinned by pytest instead (tests/).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+    anti_join,
+    asof_join,
+    attach_payload,
+    broadcast_join,
+    brute_force_topk,
+    cosine_dup_pairs,
+    cube_agg,
+    decode_features,
+    dedup_keep_first,
+    equi_join,
+    exact_dedup,
+    fingerprint_md5,
+    fingerprint_ngram_min,
+    final_max,
+    frame_sample,
+    lang_distribution,
+    language_id,
+    lsh_bucketed_topk,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    payload_metadata,
+    pivot_conditional,
+    range_join_bucketed,
+    rollup_agg,
+    rows_between_breaches,
+    running_max,
+    semi_join,
+    sessionize_by_gap,
+    simhash,
+    simhash_pairs,
+    top_k_per_group,
+    top_n,
+    tumbling_count_window_avg,
+    with_lag_lead,
+    with_quality_score,
+    with_text_stats,
+)
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.functions import (
+    json_field,
+)
+
+DEC = "decimal(18,2)"
+# The synthetic lineitem has DUPLICATE (l_orderkey, l_linenumber) pairs
+# (and even 8 duplicate (shipdate, orderkey, linenumber) triples at
+# sf0.01); only the full row is unique. Window orderings therefore use
+# the full column tuple — anything less leaves row_number ties broken
+# arbitrarily and the W1–W4 hashes flaky across runs.
+_LI_ORDER = [
+    "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus",
+]
+_LI_ORDER_SQL = ", ".join(_LI_ORDER)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        read_table,
+    )
+
+    return read_table(spark, sf_dir, name)
+
+
+def _dsum(col: str | F.Column, alias: str) -> F.Column:
+    """Exact decimal sum surfaced as double (deterministic at any
+    parallelism / summation order)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # Cast FACTORS to decimal before multiplying (not the double product):
+    # discount/tax are 2-dp grid values, so every factor cast is
+    # unambiguous and the products/sums are exact decimal arithmetic —
+    # bit-identical across engines. Rounding a double *product* to 2 dp
+    # instead hits engine-specific tie rules (~cents of drift per 10k rows).
+    price = F.col("l_extendedprice").cast(DEC)
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax_f = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    disc = price * disc_f
+    charge = price * disc_f * tax_f
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+       ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# W1–W4 reference parity (SURVEY.md §2.4) on the synthetic tables
+# --------------------------------------------------------------------------
+
+def w1_running_max_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn("yr", F.year("l_shipdate"))
+    out = running_max(li, ["yr"], _LI_ORDER, "l_extendedprice", "running_max")
+    return out.select("yr", "l_orderkey", "l_linenumber", "running_max")
+
+
+_W1_RUNNING_SQL = f"""
+SELECT CAST(year(l_shipdate) AS INT) AS yr, l_orderkey, l_linenumber,
+       max(l_extendedprice) OVER (
+           PARTITION BY year(l_shipdate)
+           ORDER BY {_LI_ORDER_SQL}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max
+FROM lineitem
+"""
+
+
+def w1_final_max_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn("yr", F.year("l_shipdate"))
+    return final_max(li, ["yr"], "l_extendedprice", "max_price")
+
+
+_W1_FINAL_SQL = """
+SELECT CAST(year(l_shipdate) AS INT) AS yr, max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY 1
+"""
+
+
+def w2_count_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn("price_dec", F.col("l_extendedprice").cast(DEC))
+    out = tumbling_count_window_avg(
+        li, ["l_returnflag"], _LI_ORDER, "price_dec", window_size=50, out_col="avg_value"
+    )
+    # avg over DECIMAL is exact (scale 2 / 50 needs ≤ 4 digits); cast to
+    # double + round 4 matches the oracle's sum-based derivation bitwise.
+    return out.withColumn("avg_value", F.round(F.col("avg_value").cast("double"), 4))
+
+
+_W2_SQL = f"""
+WITH numbered AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY {_LI_ORDER_SQL}) - 1 AS rn0
+  FROM lineitem
+), cycles AS (
+  SELECT l_returnflag, l_extendedprice, rn0 // 51 AS cycle, rn0 % 51 AS pos
+  FROM numbered
+)
+SELECT l_returnflag, CAST(cycle AS BIGINT) AS cycle,
+       ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 50, 4) AS avg_value
+FROM cycles WHERE pos < 50
+GROUP BY l_returnflag, cycle HAVING count(*) = 50
+"""
+
+
+def w3_rows_between_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return rows_between_breaches(
+        li,
+        ["l_returnflag"],
+        _LI_ORDER,
+        breach=F.col("l_extendedprice") >= 95000.0,
+        emit_cols=["l_returnflag", "l_orderkey", "l_linenumber"],
+        out_col="rows_since_prev_breach",
+    )
+
+
+_W3_SQL = f"""
+WITH numbered AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY {_LI_ORDER_SQL}) AS rn,
+         l_extendedprice >= 95000.0 AS breach
+  FROM lineitem
+), breaches AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber, rn,
+         lag(rn, 1, 0) OVER (PARTITION BY l_returnflag ORDER BY rn) AS prev_rn
+  FROM numbered WHERE breach
+)
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       CAST(rn - prev_rn - 1 AS BIGINT) AS rows_since_prev_breach
+FROM breaches
+"""
+
+
+def w4_running_max_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("yr", F.year("l_shipdate"))
+        .withColumn("mo", F.month("l_shipdate"))
+    )
+    out = running_max(li, ["yr", "mo"], _LI_ORDER, "l_quantity", "running_max")
+    return out.select("yr", "mo", "l_orderkey", "l_linenumber", "running_max")
+
+
+_W4_SQL = f"""
+SELECT CAST(year(l_shipdate) AS INT) AS yr, CAST(month(l_shipdate) AS INT) AS mo,
+       l_orderkey, l_linenumber,
+       max(l_quantity) OVER (
+           PARTITION BY year(l_shipdate), month(l_shipdate)
+           ORDER BY {_LI_ORDER_SQL}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# joins (SURVEY.md §2.6)
+# --------------------------------------------------------------------------
+
+def join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return equi_join(orders, cust, ["c_custkey"], "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+_JOIN_OC_SQL = """
+SELECT o_orderkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def join_broadcast_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    region = _t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    joined = broadcast_join(broadcast_join(cust, nation, ["c_nationkey"]), region, ["n_regionkey"])
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"), _dsum("c_acctbal", "sum_acctbal")
+    )
+
+
+_JOIN_BCAST_SQL = """
+SELECT r_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return semi_join(cust, orders, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+_JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(cust, orders, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+_JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def join_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click, the value of the user's most recent purchase at or
+    before the click (reference-style time-series enrichment)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    out = asof_join(clicks, purchases, ["user_id"], "ts", ["last_purchase_value"], "backward")
+    return out.select("event_id", "last_purchase_value")
+
+
+_JOIN_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, max(value) AS last_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, p.last_purchase_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bands = (
+        spark.range(25)
+        .withColumnRenamed("id", "band_id")
+        .withColumn("lo", (F.col("band_id") * 5000).cast("double"))
+        .withColumn("hi", (F.col("band_id") * 5000 + 5000).cast("double"))
+    )
+    out = range_join_bucketed(li, bands, "l_extendedprice", "lo", "hi", bucket_width=5000.0)
+    return out.select("l_orderkey", "l_linenumber", "band_id")
+
+
+_JOIN_RANGE_SQL = """
+SELECT l_orderkey, l_linenumber, b.band_id
+FROM lineitem
+JOIN (SELECT band_id, CAST(band_id * 5000 AS DOUBLE) AS lo,
+             CAST(band_id * 5000 + 5000 AS DOUBLE) AS hi
+      FROM range(25) t(band_id)) b
+  ON l_extendedprice >= b.lo AND l_extendedprice < b.hi
+"""
+
+
+# --------------------------------------------------------------------------
+# top-k / set ops / dedup-keep-first
+# --------------------------------------------------------------------------
+
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return top_n(orders, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 100).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def topk_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    out = top_k_per_group(
+        cust, ["c_mktsegment"], [F.col("c_acctbal").desc(), F.col("c_custkey").asc()], 5
+    )
+    return out.select("c_mktsegment", "c_custkey", "c_acctbal", "rk")
+
+
+_TOPK_GROUP_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       CAST(row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rk
+FROM customer
+QUALIFY rk <= 5
+"""
+
+
+def setops_union_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import union_distinct
+
+    return union_distinct(c, s)
+
+
+_SETOPS_UNION_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+"""
+
+
+def setops_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import intersect
+
+    building = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    with_orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return intersect(building, with_orders)
+
+
+_SETOPS_INTERSECT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders
+"""
+
+
+def setops_except_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import except_distinct
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return except_distinct(c, s)
+
+
+_SETOPS_EXCEPT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+"""
+
+
+def dedup_keep_first_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    out = dedup_keep_first(cust, ["c_nationkey"], [F.col("c_custkey").asc()])
+    return out.select("c_nationkey", "c_custkey", "c_name")
+
+
+_DEDUP_FIRST_SQL = """
+SELECT c_nationkey, c_custkey, c_name FROM customer
+QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey ASC) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# rollup / cube / pivot
+# --------------------------------------------------------------------------
+
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return rollup_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice", "sum_price")],
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return cube_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice", "sum_price")],
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = pivot_conditional(
+        orders,
+        ["o_orderpriority"],
+        "o_orderstatus",
+        ["O", "F", "P"],
+        F.col("o_totalprice").cast(DEC),
+    )
+    for v in ("O", "F", "P"):
+        out = out.withColumn(f"o_orderstatus_{v}", F.col(f"o_orderstatus_{v}").cast("double"))
+    return out
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS o_orderstatus_O,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS o_orderstatus_F,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS o_orderstatus_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# window analytics
+# --------------------------------------------------------------------------
+
+def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+_WINDOW_RANK_SQL = """
+SELECT c_custkey, c_nationkey,
+       CAST(row_number() OVER w AS INT) AS rn,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+def window_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = with_lag_lead(
+        orders, ["o_custkey"], [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()], "o_totalprice"
+    )
+    return out.select("o_orderkey", "prev_value", "next_value")
+
+
+_WINDOW_LAG_SQL = """
+SELECT o_orderkey,
+       lag(o_totalprice) OVER w AS prev_value,
+       lead(o_totalprice) OVER w AS next_value
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def window_moving_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumn("price_dec", F.col("o_totalprice").cast(DEC))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.round(F.sum("price_dec").over(w).cast("double") / F.count(F.lit(1)).over(w), 4).alias(
+            "moving_avg"
+        ),
+    )
+
+
+_WINDOW_MOVAVG_SQL = """
+SELECT o_orderkey,
+       ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / count(*) OVER w, 4) AS moving_avg
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_by_gap(ev, ["user_id"], "ts", 3600, "session_id")
+    return out.select("event_id", "session_id")
+
+
+_WINDOW_SESSION_SQL = """
+WITH lagged AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 3600
+              THEN 1 ELSE 0 END AS new_session
+  FROM lagged
+)
+SELECT event_id,
+       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+FROM marked
+"""
+
+
+# --------------------------------------------------------------------------
+# scalar functions (events.props JSON, dates, strings)
+# --------------------------------------------------------------------------
+
+def events_json_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(json_field("props", "$.k", "long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def functions_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_1995"
+        ),
+    )
+
+
+_FUNC_DATE_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(day(o_orderdate) AS INT) AS day,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_1995
+FROM orders
+"""
+
+
+def functions_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.functions import (
+        extract_int,
+        slug,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        slug("c_name").alias("name_slug"),
+        extract_int("c_name").alias("name_number"),
+        F.length("c_name").cast("int").alias("name_len"),
+    )
+
+
+_FUNC_STRING_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g'), '(^-|-$)', '', 'g') AS name_slug,
+       CAST(nullif(regexp_extract(c_name, '(\\d+)', 1), '') AS BIGINT) AS name_number,
+       CAST(length(c_name) AS INT) AS name_len
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis (documents)
+# --------------------------------------------------------------------------
+
+def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = with_quality_score(docs, "text")
+    return out.select("doc_id", "n_tokens", "avg_token_len", "punct_ratio", "quality_score")
+
+
+_TEXT_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS tk,
+         CAST(length(text) AS BIGINT) AS n_char
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         ROUND(CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk), 4) AS avg_token_len,
+         ROUND(CAST(n_char - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / n_char, 4) AS punct_ratio,
+         ROUND(CAST(n_char - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_char, 4) AS digit_ratio
+  FROM toks
+)
+SELECT doc_id, n_tokens, avg_token_len, punct_ratio,
+       ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+             + 0.5 * (1.0 - least(punct_ratio * 5 + digit_ratio * 5, 1.0)), 4) AS quality_score
+FROM stats
+"""
+
+
+def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return lang_distribution(docs, "lang")
+
+
+_TEXT_LANG_SQL = """
+SELECT lang, count(*) AS n_docs,
+       ROUND(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents), 4) AS share
+FROM documents GROUP BY lang
+"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs, "text").select("doc_id", "predicted_lang")
+
+
+# Marker hit counts are single digits (5 markers/lang), so encoding each
+# (hits, lang) candidate as the string hits||lang makes lexicographic
+# greatest() equal to the Spark struct array_max tie rule.
+_TEXT_LANGID_SQL = """
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CAST(len(list_intersect(tok, ['der','die','und','das','ist'])) AS VARCHAR) || 'de' AS s_de,
+    CAST(len(list_intersect(tok, ['the','and','of','to','is'])) AS VARCHAR) || 'en' AS s_en,
+    CAST(len(list_intersect(tok, ['el','la','de','que','es'])) AS VARCHAR) || 'es' AS s_es,
+    CAST(len(list_intersect(tok, ['le','la','et','les','est'])) AS VARCHAR) || 'fr' AS s_fr,
+    CAST(len(list_intersect(tok, ['的','是','了','在','和'])) AS VARCHAR) || 'zh' AS s_zh
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN substr(greatest(s_de, s_en, s_es, s_fr, s_zh), 1, 1) = '0' THEN 'und'
+            ELSE substr(greatest(s_de, s_en, s_es, s_fr, s_zh), 2) END AS predicted_lang
+FROM s
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = fingerprint_ngram_min(fingerprint_md5(docs, "text"), "text", k=8)
+    return out.select("doc_id", "fingerprint", "ngram_fingerprint")
+
+
+_TEXT_FP_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fingerprint,
+       list_min(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+                               i -> md5(substr(text, i, 8)))) AS ngram_fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup family (documents)
+# --------------------------------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id").select("doc_id", "n_chars")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1
+"""
+
+
+def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, shingle_k=2)
+
+
+_DEDUP_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+              ELSE [array_to_string(tk, ' ')] END) AS shs
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shs) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, len(shs) AS sz FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.7999
+  AND ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.8
+"""
+
+
+def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7, num_hashes=128, num_bands=32, shingle_k=2)
+
+
+def dedup_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = simhash(docs, "doc_id", "text", bits=32)
+    return simhash_pairs(sigs, "doc_id", max_hamming=3, bits=32)
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+_COS_SQL_FRAGMENT = """
+  list_sum(list_transform(range(1, len({a}) + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
+"""
+
+
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+_SIM_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_COS_SQL_FRAGMENT.format(a="q.qe", b="e.embedding")}, 4) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rk
+FROM scored
+QUALIFY rk <= 5
+"""
+
+
+def similarity_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, exact=True)
+
+
+_SIM_DUP_SQL = f"""
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({_COS_SQL_FRAGMENT.format(a="a.embedding", b="b.embedding")}, 4) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.4
+"""
+
+
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(emb, queries, "vec_id", "embedding", k=5, num_planes=8)
+
+
+# --------------------------------------------------------------------------
+# multimodal (binary payload plumbing)
+# --------------------------------------------------------------------------
+
+def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return payload_metadata(attach_payload(docs, "text")).select(
+        "doc_id", "byte_len", "content_sha256", "mime"
+    )
+
+
+_MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       sha256(text) AS content_sha256,
+       'application/octet-stream' AS mime
+FROM documents
+"""
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_features(attach_payload(docs, "text"), "doc_id", "payload")
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return frame_sample(attach_payload(docs, "text"), "doc_id", "payload", n_frames=4)
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "w1_running_max_price": w1_running_max_price,
+        "w1_final_max_per_year": w1_final_max_per_year,
+        "w2_count_window_avg": w2_count_window_avg,
+        "w3_rows_between_breaches": w3_rows_between_breaches,
+        "w4_running_max_month": w4_running_max_month,
+        "join_orders_customer": join_orders_customer,
+        "join_broadcast_region_rollup": join_broadcast_region_rollup,
+        "join_semi_customers_with_orders": join_semi_customers_with_orders,
+        "join_anti_customers_without_orders": join_anti_customers_without_orders,
+        "join_asof_click_purchase": join_asof_click_purchase,
+        "join_range_price_band": join_range_price_band,
+        "topk_orders_by_price": topk_orders_by_price,
+        "topk_customers_per_segment": topk_customers_per_segment,
+        "setops_union_nation_keys": setops_union_nation_keys,
+        "setops_intersect_custkeys": setops_intersect_custkeys,
+        "setops_except_nation_keys": setops_except_nation_keys,
+        "dedup_keep_first_per_nation": dedup_keep_first_per_nation,
+        "rollup_order_status": rollup_order_status,
+        "cube_order_status": cube_order_status,
+        "pivot_status_by_priority": pivot_status_by_priority,
+        "window_rank_customers": window_rank_customers,
+        "window_lag_lead_orders": window_lag_lead_orders,
+        "window_moving_avg_orders": window_moving_avg_orders,
+        "window_sessionize_events": window_sessionize_events,
+        "events_json_sum": events_json_sum,
+        "functions_date_parts": functions_date_parts,
+        "functions_string_ops": functions_string_ops,
+        "text_stats_quality": text_stats_quality,
+        "text_lang_distribution": text_lang_distribution,
+        "text_language_id": text_language_id,
+        "text_fingerprint": text_fingerprint,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard_docs,
+        "dedup_minhash_lsh": dedup_minhash_lsh_docs,
+        "dedup_simhash_pairs": dedup_simhash_pairs_docs,
+        "similarity_bruteforce_topk": similarity_bruteforce_topk,
+        "similarity_embedding_dup_pairs": similarity_embedding_dup_pairs,
+        "similarity_lsh_topk": similarity_lsh_topk,
+        "multimodal_payload_meta": multimodal_payload_meta,
+        "multimodal_decode_features": multimodal_decode_features,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "agg_approx_distinct": agg_approx_distinct,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query. Entries absent here
+    (MinHash/SimHash/LSH/mapInPandas/approx sketches) are not
+    SQL-expressible with engine-identical results; the driver records
+    rows-only checks and pytest pins their semantics."""
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "w1_running_max_price": _W1_RUNNING_SQL,
+        "w1_final_max_per_year": _W1_FINAL_SQL,
+        "w2_count_window_avg": _W2_SQL,
+        "w3_rows_between_breaches": _W3_SQL,
+        "w4_running_max_month": _W4_SQL,
+        "join_orders_customer": _JOIN_OC_SQL,
+        "join_broadcast_region_rollup": _JOIN_BCAST_SQL,
+        "join_semi_customers_with_orders": _JOIN_SEMI_SQL,
+        "join_anti_customers_without_orders": _JOIN_ANTI_SQL,
+        "join_asof_click_purchase": _JOIN_ASOF_SQL,
+        "join_range_price_band": _JOIN_RANGE_SQL,
+        "topk_orders_by_price": _TOPK_SQL,
+        "topk_customers_per_segment": _TOPK_GROUP_SQL,
+        "setops_union_nation_keys": _SETOPS_UNION_SQL,
+        "setops_intersect_custkeys": _SETOPS_INTERSECT_SQL,
+        "setops_except_nation_keys": _SETOPS_EXCEPT_SQL,
+        "dedup_keep_first_per_nation": _DEDUP_FIRST_SQL,
+        "rollup_order_status": _ROLLUP_SQL,
+        "cube_order_status": _CUBE_SQL,
+        "pivot_status_by_priority": _PIVOT_SQL,
+        "window_rank_customers": _WINDOW_RANK_SQL,
+        "window_lag_lead_orders": _WINDOW_LAG_SQL,
+        "window_moving_avg_orders": _WINDOW_MOVAVG_SQL,
+        "window_sessionize_events": _WINDOW_SESSION_SQL,
+        "events_json_sum": _EVENTS_JSON_SQL,
+        "functions_date_parts": _FUNC_DATE_SQL,
+        "functions_string_ops": _FUNC_STRING_SQL,
+        "text_stats_quality": _TEXT_STATS_SQL,
+        "text_lang_distribution": _TEXT_LANG_SQL,
+        "text_language_id": _TEXT_LANGID_SQL,
+        "text_fingerprint": _TEXT_FP_SQL,
+        "dedup_exact_docs": _DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
+        "similarity_bruteforce_topk": _SIM_TOPK_SQL,
+        "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
+        "multimodal_payload_meta": _MULTIMODAL_META_SQL,
+    }

@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a count() (no driver-side row materialization —
+the measurement is plan execution, not toPandas transfer). A warmup query
+first absorbs JVM/codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.session import (
+    get_spark,
+)
+
+# Headline set: flagship + reference W1-W4 + one representative per
+# extension family. Everything else is covered by the correctness gate;
+# bench tracks the queries whose plans carry the scale story.
+HEADLINE = [
+    "q1_pricing_summary",
+    "w1_running_max_price",
+    "w2_count_window_avg",
+    "w3_rows_between_breaches",
+    "w4_running_max_month",
+    "join_orders_customer",
+    "join_broadcast_region_rollup",
+    "join_asof_click_purchase",
+    "join_range_price_band",
+    "topk_customers_per_segment",
+    "rollup_order_status",
+    "window_moving_avg_orders",
+    "window_sessionize_events",
+    "events_json_sum",
+    "text_stats_quality",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+    "similarity_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    # warmup: touch every table + spin up codegen/shuffle machinery
+    queries["q1_pricing_summary"](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -10,19 +10,21 @@ time series — as declarative DataFrame / SQL plans that Catalyst optimizes,
 plus Structured Streaming for incremental execution, plus the relational
 and LLM-data-pipeline operator families in SURVEY.md §2.6.
 
-Package layout:
+Package layout (all modules listed here ship and are tested):
   session    — SparkSession factory (AQE on, UTC, Arrow)
   schemas    — canonical StructTypes (quotes, TPC-H-ish, events, documents,
                embeddings)
-  sources    — readers (CSV w/ header+ragged-null tolerance, Parquet, JSON;
+  sources    — readers (CSV w/ header+ragged-null tolerance, Parquet;
                streaming file sources) and sinks
   operators  — stateful (W1–W4 batch forms), windows, joins (incl. as-of /
-               range), topk, setops, rollup, dedup, similarity, text,
-               multimodal
-  functions  — scalar date/string/json helpers
+               range), topk, setops, rollup, dedup (exact / MinHash-LSH /
+               SimHash / n-gram Jaccard), similarity (cosine top-k,
+               hyperplane LSH), text (tokens, quality, lang-id,
+               fingerprints), multimodal (binary payloads + mapInPandas)
+  functions  — scalar date/string/json helpers (events.props extraction)
   plans      — plan-inspection helpers (pushdown / broadcast assertions)
   streaming  — applyInPandasWithState ports of W1–W4, watermarked
-               time/session windows
+               time/session windows, memory-sink test harness
 """
 
 __version__ = "0.1.0"

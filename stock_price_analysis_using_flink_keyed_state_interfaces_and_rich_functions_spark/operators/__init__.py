@@ -1,6 +1,64 @@
 from .stateful import (  # noqa: F401
     running_max,
+    running_agg,
     final_max,
     tumbling_count_window_avg,
     rows_between_breaches,
+)
+from .windows import (  # noqa: F401
+    with_row_number,
+    with_rank_columns,
+    with_lag_lead,
+    moving_avg,
+    running_sum,
+    range_running_sum,
+    sessionize_by_gap,
+)
+from .joins import (  # noqa: F401
+    equi_join,
+    broadcast_join,
+    semi_join,
+    anti_join,
+    asof_join,
+    range_join_bucketed,
+)
+from .topk import top_n, top_k_per_group  # noqa: F401
+from .setops import (  # noqa: F401
+    union_all,
+    union_distinct,
+    intersect,
+    except_all,
+    except_distinct,
+    dedup_keep_first,
+)
+from .rollup import rollup_agg, cube_agg, pivot_agg, pivot_conditional  # noqa: F401
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    exact_dup_groups,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_candidate_pairs,
+    minhash_dedup_pairs,
+    simhash,
+    simhash_pairs,
+)
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    cosine_dup_pairs,
+    lsh_bucketed_topk,
+)
+from .text import (  # noqa: F401
+    token_count,
+    with_text_stats,
+    with_quality_score,
+    lang_distribution,
+    language_id,
+    fingerprint_md5,
+    fingerprint_ngram_min,
+)
+from .multimodal import (  # noqa: F401
+    attach_payload,
+    payload_metadata,
+    decode_features,
+    frame_sample,
 )

@@ -1,0 +1,316 @@
+"""Deduplication operators for LLM training-data pipelines
+(brief-mandated; SURVEY.md §2.6 "LLM-data ops").
+
+Four tiers, cheapest-first, as a real 100 TB pipeline would run them:
+
+1. **Exact** — content-hash groupBy. One shuffle on a 128-bit digest;
+   survivor pinned deterministically (min id) so results are
+   reproducible (and oracle-checkable).
+2. **N-gram Jaccard** — exact set-similarity via a token-postings
+   self-join. Correct but candidate generation is bounded by document
+   frequency of the rarest shared token; this is the small-scale oracle
+   path and the ground truth the approximate tiers are tested against.
+3. **MinHash + LSH** — the scale path: per-doc signature (one explode +
+   one groupBy), banded bucket equi-join for candidates (never
+   all-pairs), signature-overlap estimate to confirm. All Catalyst
+   expressions; hash arithmetic stays below 2^62 so ANSI mode (Spark 4
+   default) never overflows.
+4. **SimHash** — near-dup by Hamming distance on a compact bit
+   signature; candidates via the pigeonhole chunk trick (hamming ≤ k ⇒
+   at least one of k+1 chunks equal), confirmed with bit_count(xor).
+
+No tier ever builds a cartesian product; tests assert the plans are
+CartesianProduct-free.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_groups",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "minhash_dedup_pairs",
+    "simhash",
+    "simhash_pairs",
+]
+
+# Mersenne prime 2^31 - 1: (a * (h mod p) + b) with a,b < p stays < 2^62,
+# safe under ANSI overflow checking.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Keep exactly one row (min ``id_col``) per distinct content.
+
+    Hashes content to md5 so the shuffle key is 32 bytes regardless of
+    document size — at 100 TB you shuffle digests, not documents.
+    """
+    from pyspark.sql import Window
+
+    digest = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    w = Window.partitionBy("_digest").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_digest", digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_digest", "_rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Duplicate groups: one row per content value occurring ≥ 2 times,
+    with the group size and surviving (min) id."""
+    digest = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    return (
+        df.withColumn("digest", digest)
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("survivor_id"))
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def _word_shingles(text_col: str, k: int) -> Column:
+    """Distinct word k-shingles as strings (docs shorter than k words
+    contribute their full token string as a single shingle)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct word k-shingles, for all
+    pairs sharing ≥1 shingle. Returns (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard ≥ threshold (rounded to 4 dp).
+
+    Postings-list self-join: |pairs| is Σ_shingle df(shingle)², so this
+    is the exact/oracle path for modest corpora; at 100 TB use the
+    MinHash tier for candidates and this only to confirm them.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.explode(_word_shingles(text_col, shingle_k)).alias("_sh"))
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = sh.select(F.col("_id").alias("id_a"), "_sh")
+    b = sh.select(F.col("_id").alias("id_b"), "_sh")
+    inter = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("_inter").cast("double") / (F.col("_sza") + F.col("_szb") - F.col("_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature: array<long> of length
+    ``num_hashes``.
+
+    Plan: explode distinct shingles → xxhash64 once per shingle →
+    groupBy(id) with ``num_hashes`` min-aggregates over universal-hash
+    permutations (a·h+b mod p). One shuffle, map-side partial agg, no
+    python.
+    """
+    params = _hash_params(num_hashes, seed)
+    base = F.pmod(F.xxhash64(F.col("_sh")), F.lit(_MERSENNE_P))
+    exploded = df.select(
+        F.col(id_col), F.explode(_word_shingles(text_col, shingle_k)).alias("_sh")
+    ).withColumn("_h", base)
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MERSENNE_P))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    agged = exploded.groupBy(id_col).agg(*mins)
+    return agged.select(F.col(id_col), F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int = 32,
+) -> DataFrame:
+    """LSH banding: split each signature into ``num_bands`` bands, hash
+    each band, equi-join docs sharing any (band_idx, band_hash) bucket.
+    Returns distinct candidate (id_a, id_b) with id_a < id_b — never an
+    all-pairs product; the join key is (band, hash) so Catalyst plans a
+    plain shuffled equi-join.
+    """
+    sig_len_row = signatures.select(F.size("signature").alias("n")).first()
+    if sig_len_row is None:
+        return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
+    rows_per_band = max(1, sig_len_row["n"] // num_bands)
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(F.concat_ws(",", F.transform(
+                    F.slice("signature", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")
+                ))),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: signatures → banded
+    candidates → signature-overlap Jaccard estimate ≥ threshold.
+    Returns (id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
+    cands = minhash_candidate_pairs(sigs, id_col, num_bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sb"))
+    est = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.aggregate(
+                    F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.size("_sa"),
+                4,
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return est
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """SimHash bit signature over word tokens (≤ 62 bits so the
+    assembled value fits a signed long without ANSI overflow).
+
+    Per token: xxhash64(seed‖token); bit b of the signature is the sign
+    of Σ_tokens (±1 depending on the token hash's bit b). Explode +
+    groupBy — one shuffle, ``bits`` conditional-sum aggregates.
+    """
+    if not 1 <= bits <= 62:
+        raise ValueError("bits must be in [1, 62]")
+    toked = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("_t"))
+    h = F.xxhash64(F.lit(str(seed)), F.col("_t"))
+    votes = [
+        F.sum(F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    agged = toked.groupBy(id_col).agg(*votes)
+    sig = F.aggregate(
+        F.array(*[
+            F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b in range(bits)
+        ]),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return agged.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole candidates: split the signature into ``max_hamming + 1``
+    chunks; any pair within the distance budget must agree on ≥1 chunk →
+    equi-join on (chunk_idx, chunk_value), confirm with
+    bit_count(a XOR b). No all-pairs product at any scale.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = (bits + n_chunks - 1) // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunked = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
+                for i in range(n_chunks)
+            ])
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"), "chunk_idx", "chunk_val")
+    b = chunked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"), "chunk_idx", "chunk_val")
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

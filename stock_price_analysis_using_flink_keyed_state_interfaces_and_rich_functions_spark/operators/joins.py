@@ -68,6 +68,12 @@ def asof_join(
 
     keys = list(key_cols)
     lcols = [c for c in left.columns]
+    collisions = [c for c in right_value_cols if c in lcols]
+    if collisions:
+        raise ValueError(
+            f"asof_join: right_value_cols {collisions} collide with left columns; "
+            "rename the right-side columns before joining"
+        )
     tagged_left = left.select(*lcols).withColumn("_side", F.lit(1))
     for c in right_value_cols:
         tagged_left = tagged_left.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
@@ -116,14 +122,13 @@ def range_join_bucketed(
     """
     keys = list(key_cols)
     lb = left.withColumn("_bucket", F.floor(F.col(left_val) / bucket_width))
-    rb = right.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(right_lo) / bucket_width),
-                F.floor((F.col(right_hi) - F.lit(1e-9)) / bucket_width),
-            )
-        ),
+    # Empty / sub-epsilon intervals (hi <= lo) would make F.sequence run
+    # DESCENDING (start > stop) and assign wrong buckets — drop them; they
+    # can match nothing under lo <= v < hi anyway.
+    lo_bucket = F.floor(F.col(right_lo) / bucket_width)
+    hi_bucket = F.greatest(lo_bucket, F.floor((F.col(right_hi) - F.lit(1e-9)) / bucket_width))
+    rb = right.filter(F.col(right_hi) > F.col(right_lo)).withColumn(
+        "_bucket", F.explode(F.sequence(lo_bucket, hi_bucket))
     )
     joined = lb.join(rb, keys + ["_bucket"], "inner").filter(
         (F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) < F.col(right_hi))

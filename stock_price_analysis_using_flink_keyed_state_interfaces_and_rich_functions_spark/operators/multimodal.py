@@ -1,0 +1,137 @@
+"""Multimodal columns — image/audio/video as opaque ``binary`` payloads
+with typed metadata (brief-mandated; SURVEY.md §2.6 "LLM-data ops").
+
+The container has no image/audio codecs, so the DECODE step is stubbed:
+``decode_features`` uses a clearly-marked deterministic fake (byte-value
+histogram) unless a real decoder is injected. Everything around it — the
+schema (binary + metadata struct), Arrow batching via ``mapInPandas``,
+partition-sized batches, one-row-in/many-rows-out frame sampling — is
+real Spark plumbing and is tested.
+
+Scale notes: payloads never enter a shuffle key; metadata (small) is
+what joins/groupBys touch. ``mapInPandas`` processes Arrow batches of
+``spark.sql.execution.arrow.maxRecordsPerBatch`` rows so executor memory
+is bounded by batch_size × payload_size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "attach_payload",
+    "payload_metadata",
+    "decode_features",
+    "frame_sample",
+    "FAKE_FEATURE_DIM",
+]
+
+FAKE_FEATURE_DIM = 16
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", mime: str = "application/octet-stream") -> DataFrame:
+    """Materialize an opaque binary payload column + metadata struct.
+
+    On the synthetic tables the payload is the UTF-8 encoding of a text
+    column (the only bytes available in-container); in production this
+    is the raw image/audio blob read from object storage. Metadata is
+    computed JVM-side: byte length, sha256 content id, mime tag.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.octet_length(payload).alias("byte_len"),
+            F.sha2(payload, 256).alias("content_sha256"),
+            F.lit(mime).alias("mime"),
+        ),
+    )
+
+
+def payload_metadata(df: DataFrame) -> DataFrame:
+    """Flatten the metadata struct for relational consumption (what a
+    catalog/manifest table would store — never the payload itself)."""
+    return df.select(
+        *[c for c in df.columns if c not in ("payload", "media_meta")],
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.content_sha256").alias("content_sha256"),
+        F.col("media_meta.mime").alias("mime"),
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """DETERMINISTIC FAKE decoder — byte-value histogram, 16 bins,
+    L1-normalized. Stands in for image decode + feature extraction;
+    replace via the ``decoder`` parameter when codecs are available."""
+    counts = [0] * FAKE_FEATURE_DIM
+    for byte in payload:
+        counts[byte % FAKE_FEATURE_DIM] += 1
+    total = len(payload) or 1
+    return [round(c / total, 6) for c in counts]
+
+
+def decode_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], list[float]] | None = None,
+) -> DataFrame:
+    """Decode payloads to fixed-width feature vectors via
+    ``mapInPandas`` (Arrow batches; only id + payload are scanned —
+    column pruning keeps the batch narrow).
+
+    ``decoder`` defaults to the deterministic fake; a real implementation
+    (PIL/librosa/ffmpeg) plugs in with no change to the Spark plumbing.
+    """
+    fn = decoder or _fake_decode
+    out_schema = f"{id_col} long, features array<double>"
+    narrow = df.select(id_col, payload_col)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [fn(bytes(p)) for p in pdf[payload_col]],
+                }
+            )
+
+    return narrow.mapInPandas(_decode, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+) -> DataFrame:
+    """Frame sampling shape: one input payload → ``n_frames`` output
+    rows, each a contiguous byte-range "frame" with its offset and
+    sha256. Models video frame extraction (the codec is the fake: real
+    frame decode replaces the byte slicing only)."""
+    import hashlib
+
+    out_schema = f"{id_col} long, frame_idx int, frame_offset long, frame_len long, frame_sha256 string"
+    narrow = df.select(id_col, payload_col)
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[payload_col])
+                step = max(1, len(data) // n_frames)
+                for i in range(n_frames):
+                    chunk = data[i * step : (i + 1) * step]
+                    if not chunk:
+                        break
+                    rows.append(
+                        (r[id_col], i, i * step, len(chunk), hashlib.sha256(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_offset", "frame_len", "frame_sha256"])
+
+    return narrow.mapInPandas(_sample, schema=out_schema)

@@ -13,7 +13,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["union_all", "union_distinct", "intersect", "except_all", "dedup_keep_first"]
+__all__ = ["union_all", "union_distinct", "intersect", "except_all", "except_distinct", "dedup_keep_first"]
 
 
 def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -28,8 +28,14 @@ def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.intersect(b)
 
 
-def except_all(a: DataFrame, b: DataFrame, distinct: bool = True) -> DataFrame:
-    return a.exceptAll(b) if not distinct else a.subtract(b)
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """EXCEPT ALL — multiset difference, duplicates preserved."""
+    return a.exceptAll(b)
+
+
+def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """EXCEPT (DISTINCT) — set difference."""
+    return a.subtract(b)
 
 
 def dedup_keep_first(

@@ -47,6 +47,24 @@ def _ordered_window(key_cols: ColsLike, order_cols: ColsLike):
     return Window.partitionBy(*key_cols).orderBy(*order_cols)
 
 
+def _key_names(key_cols: ColsLike, context: str) -> list[str]:
+    """Extract plain column names, rejecting Column objects.
+
+    ``str(Column)`` yields ``Column<'...'>`` which silently no-ops in
+    ``withColumnRenamed`` / breaks ``select`` — so paths that need *names*
+    (key_out renaming, emit-column fallbacks) require string keys.
+    """
+    names: list[str] = []
+    for c in key_cols:
+        if not isinstance(c, str):
+            raise TypeError(
+                f"{context} requires string key column names (got {type(c).__name__}); "
+                "pass names, not Column expressions, when using key_out/emit fallbacks"
+            )
+        names.append(c)
+    return names
+
+
 def running_agg(
     df: DataFrame,
     key_cols: ColsLike,
@@ -132,7 +150,7 @@ def tumbling_count_window_avg(
         agged = agged.filter(F.col("_n") == window_size)
     out = agged.drop("_n")
     if key_out:
-        for old, new in zip([str(c) for c in key_cols], key_out):
+        for old, new in zip(_key_names(key_cols, "tumbling_count_window_avg(key_out=...)"), key_out):
             out = out.withColumnRenamed(old, new)
     return out
 
@@ -166,5 +184,5 @@ def rows_between_breaches(
     breaches = numbered.filter(F.col("_breach"))
     prev_rn = F.lag("_rn", 1, 0).over(_ordered_window(key_cols, ["_rn"]))
     out = breaches.withColumn(out_col, (F.col("_rn") - prev_rn - 1).cast("long"))
-    keep = list(emit_cols) if emit_cols else [str(c) for c in key_cols]
+    keep = list(emit_cols) if emit_cols else _key_names(key_cols, "rows_between_breaches emit fallback")
     return out.select(*keep, out_col)

@@ -1,0 +1,149 @@
+"""Text-analysis operators for LLM training-data pipelines over the
+``documents`` table (brief-mandated extension; SURVEY.md §2.6 "LLM-data
+ops").
+
+Everything is Catalyst expressions — tokenization via regexp split,
+higher-order array functions for per-document statistics — so the hot
+path stays JVM-side and whole-stage-codegen'd; no Python UDFs. At 100 TB
+these are embarrassingly parallel map-side ops: no shuffle except the
+final aggregations, which do map-side partial agg.
+
+Tokenization contract (shared with the DuckDB oracle SQL): tokens are
+maximal runs of non-whitespace in the trimmed text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "with_text_stats",
+    "with_quality_score",
+    "lang_distribution",
+    "language_id",
+    "fingerprint_md5",
+    "fingerprint_ngram_min",
+    "DEFAULT_LANG_MARKERS",
+]
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokens of the trimmed text ('' → empty array)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(c), r"\s+")
+    )
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document statistics: token count, char count, average token
+    length, punctuation/digit/whitespace ratios — the standard quality
+    features (length / punctuation / stopword-style heuristics)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_char = F.length(c).cast("long")
+    n_tok = F.size(toks).cast("long")
+    total_tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    punct = n_char - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    digits = n_char - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    ws = n_char - F.length(F.regexp_replace(c, r"\s", ""))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_measured", n_char)
+        .withColumn(
+            "avg_token_len",
+            F.round(F.when(n_tok > 0, total_tok_chars.cast("double") / n_tok).otherwise(F.lit(0.0)), 4),
+        )
+        .withColumn("punct_ratio", F.round(F.when(n_char > 0, punct.cast("double") / n_char).otherwise(F.lit(0.0)), 4))
+        .withColumn("digit_ratio", F.round(F.when(n_char > 0, digits.cast("double") / n_char).otherwise(F.lit(0.0)), 4))
+        .withColumn("ws_ratio", F.round(F.when(n_char > 0, ws.cast("double") / n_char).otherwise(F.lit(0.0)), 4))
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic [0,1] quality score from the text stats: rewards
+    mid-length documents and plain prose, penalizes punctuation/digit
+    density. The exact formula is part of the operator contract (the
+    oracle replays it)."""
+    stats = with_text_stats(df, text_col)
+    length_score = F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+    clean_score = F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0 + F.col("digit_ratio") * 5.0, F.lit(1.0))
+    return stats.withColumn("quality_score", F.round(0.5 * length_score + 0.5 * clean_score, 4))
+
+
+def lang_distribution(df: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Corpus language histogram with share-of-total (single shuffle +
+    a scalar subquery-free window total)."""
+    counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return counts.withColumn("share", F.round(F.col("n_docs").cast("double") / total, 4))
+
+
+#: Tiny per-language marker vocabularies for the n-gram/stopword
+#: language-ID heuristic. Deliberately small and deterministic; real
+#: pipelines plug in fastText-style models via the pandas-UDF slot.
+DEFAULT_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "es"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    markers: dict[str, list[str]] | None = None,
+    out_col: str = "predicted_lang",
+) -> DataFrame:
+    """Stopword-marker language ID: count distinct marker hits per
+    language, predict the argmax (ties & zero-hits → 'und'). Pure
+    expression — array_intersect over the distinct token set — so it is
+    oracle-replayable and runs JVM-side at any scale."""
+    markers = markers or DEFAULT_LANG_MARKERS
+    tok_set = F.array_distinct(tokens(text_col))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(tok_set, F.array(*[F.lit(m) for m in ms]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ms in sorted(markers.items())
+    ]
+    # argmax by (hits, then reverse-alphabetical lang for a fixed tie rule);
+    # array_max on structs compares fields in order.
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Exact-content fingerprint: md5 of the whitespace-normalized text."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(norm))
+
+
+def fingerprint_ngram_min(
+    df: DataFrame, text_col: str = "text", k: int = 8, out_col: str = "ngram_fingerprint"
+) -> DataFrame:
+    """Winnowing-style rolling fingerprint: the lexicographic minimum of
+    the md5 digests of all character k-grams. Robust to small local
+    edits (a single edit only perturbs k of the n-k+1 grams); md5 makes
+    it engine-portable (identical in the DuckDB oracle). Expression-only:
+    transform over an index sequence — no explode, no shuffle."""
+    # substr with a per-element dynamic start needs the SQL lambda form.
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> md5(substr({text_col}, i, {k})))"
+    )
+    return df.withColumn(out_col, F.array_min(grams))

@@ -1,0 +1,82 @@
+"""Plan-inspection helpers — make "the plan you'd want at 100×" a
+regression test instead of an opinion (SURVEY.md §4.2).
+
+The reference has no optimizer and nothing to inspect; on Spark the
+physical plan IS the scale story, so tests assert on it: filters reach
+the scan, small dims broadcast, no accidental cartesian products, and
+whole-stage codegen covers the hot path.
+
+All helpers work off the formatted explain string (public
+``DataFrame.explain`` output), captured without printing.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "explain_str",
+    "has_pushed_filters",
+    "has_broadcast_hash_join",
+    "has_cartesian_product",
+    "has_sort_merge_join",
+    "wholestage_codegen_count",
+    "scan_read_schema",
+    "assert_no_cartesian",
+    "assert_broadcast_join",
+]
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """Capture ``df.explain(mode)`` output as a string."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def has_pushed_filters(df: DataFrame, fragment: str | None = None) -> bool:
+    """True if the scan node advertises pushed filters (optionally one
+    mentioning ``fragment``, e.g. a column name)."""
+    plan = explain_str(df)
+    for line in plan.splitlines():
+        if "PushedFilters" in line and "PushedFilters: []" not in line:
+            if fragment is None or fragment in line:
+                return True
+    return False
+
+
+def has_broadcast_hash_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df)
+
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in explain_str(df)
+
+
+def has_cartesian_product(df: DataFrame) -> bool:
+    plan = explain_str(df)
+    return "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def wholestage_codegen_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans — wider/fewer is better."""
+    return explain_str(df).count("WholeStageCodegen")
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """ReadSchema lines from file scans — verifies column pruning."""
+    return [ln.strip() for ln in explain_str(df).splitlines() if "ReadSchema" in ln]
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    if has_cartesian_product(df):
+        raise AssertionError("plan contains a cartesian/nested-loop join:\n" + explain_str(df))
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    if not has_broadcast_hash_join(df):
+        raise AssertionError("expected BroadcastHashJoin in plan:\n" + explain_str(df))

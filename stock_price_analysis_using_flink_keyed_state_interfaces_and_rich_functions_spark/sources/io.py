@@ -57,6 +57,13 @@ def read_quotes_csv(spark: SparkSession, path: str, with_row_id: bool = True) ->
     tiebreak so the W1–W4 replays are deterministic (SURVEY.md §3
     ordering caveat) — HDFC.csv is date-sorted, so (date, row_id) order
     equals file order.
+
+    CONTRACT: ``with_row_id`` file-order semantics hold only for a
+    SINGLE input file smaller than ``spark.sql.files.maxPartitionBytes``
+    (one split → one partition → monotonic ids in file order). For
+    multi-file globs or files large enough to split, ids remain unique
+    but only per-split-ordered; callers needing global order over large
+    inputs must carry an explicit order column in the data instead.
     """
     df = (
         spark.read.schema(QUOTES_SCHEMA)
@@ -72,8 +79,28 @@ def read_quotes_csv(spark: SparkSession, path: str, with_row_id: bool = True) ->
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic parquet table from a scale-factor directory."""
+    """Read one synthetic parquet table from a scale-factor directory.
+
+    ``events.parquet`` is written with TIMESTAMP(NANOS) — a physical type
+    Spark's vectorized parquet reader rejects outright. We read it via the
+    ``nanosAsLong`` escape hatch and truncate to microseconds with integer
+    division (``div``, not ``/`` — epoch-nanos exceed 2^53, so a double
+    round-trip would corrupt low digits). Truncation matches what DuckDB's
+    reader does, so both engines see identical microsecond timestamps.
+    """
+    if name == "events":
+        return read_events(spark, os.path.join(sf_dir, "events.parquet"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def read_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:

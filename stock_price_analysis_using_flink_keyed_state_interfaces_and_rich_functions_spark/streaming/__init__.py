@@ -1,0 +1,11 @@
+from .stateful import (  # noqa: F401
+    running_max_stream,
+    tumbling_count_window_avg_stream,
+    rows_between_breaches_stream,
+)
+from .windows import (  # noqa: F401
+    tumbling_window_agg,
+    sliding_window_agg,
+    session_window_agg,
+    run_stream_to_memory,
+)

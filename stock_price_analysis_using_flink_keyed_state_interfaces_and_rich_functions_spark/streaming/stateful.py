@@ -1,0 +1,180 @@
+"""Streaming ports of the reference's four keyed-state operators with
+exact per-row emission semantics, via ``applyInPandasWithState``
+(SURVEY.md §2.4; the batch window-function forms live in
+``operators/stateful.py``).
+
+The reference emits incrementally as rows arrive — e.g. the running max
+is emitted on EVERY input row (MaximumClosingPrice.java:57-64), and the
+count-window average is emitted mid-stream when the 51st row of a cycle
+arrives (RollingAverageHighPrice.java:80-87). Batch window functions
+reproduce the final values; these functions reproduce the *emission
+stream*: one micro-batch at a time, per-key state carried in Spark's
+state store exactly as Flink carried it in its keyed state backend.
+
+Ordering: within each micro-batch, rows are sorted by ``order_cols``
+before the state fold (Flink gives arrival order; we make the order
+explicit). Cross-batch order is the micro-batch sequence — same
+contract as any at-least-once streaming ingestion sorted at source.
+
+State size is O(1) per key for all four operators (the W3 ListState is
+deliberately reduced to a counter — only the length was ever used,
+DaysSincePriceThreshold.java:73-79).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "running_max_stream",
+    "tumbling_count_window_avg_stream",
+    "rows_between_breaches_stream",
+]
+
+
+def _key_fields(df: DataFrame, key_cols: Sequence[str]) -> list[StructField]:
+    by_name = {f.name: f for f in df.schema.fields}
+    return [StructField(k, by_name[k].dataType) for k in key_cols]
+
+
+def running_max_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "running_max",
+) -> DataFrame:
+    """W1/W4 streaming: per-key running max, ONE OUTPUT ROW PER INPUT ROW
+    (ValueState fold; MaximumClosingPrice.java:47-82 / the MapState twin
+    MaxTradeVolumePerYearPerMonth.java:53-91 — composite key = more key
+    columns)."""
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [StructField(value_col, DoubleType()), StructField(out_col, DoubleType())]
+    )
+    state_schema = StructType([StructField("cur_max", DoubleType())])
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (cur,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order)
+            outs = []
+            for v in pdf[value_col].astype(float):
+                cur = v if cur is None else max(cur, v)
+                outs.append(cur)
+            out = pd.DataFrame({k: [kv] * len(pdf) for k, kv in zip(keys, key)})
+            out[value_col] = pdf[value_col].astype(float).to_numpy()
+            out[out_col] = outs
+            yield out
+        state.update((cur,))
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def tumbling_count_window_avg_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    window_size: int = 50,
+    out_col: str = "avg_value",
+) -> DataFrame:
+    """W2 streaming: per-key (count, sum) state; rows 1..N accumulate,
+    row N+1 triggers emission of sum/N and resets — the trigger row's
+    value never enters any window (RollingAverageHighPrice.java:68-88).
+    Emission is mid-stream and data-driven, exactly like the reference.
+    """
+    out_schema = StructType(
+        _key_fields(df, key_cols) + [StructField(out_col, DoubleType())]
+    )
+    state_schema = StructType(
+        [StructField("cnt", LongType()), StructField("acc", DoubleType())]
+    )
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        cnt, acc = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order)
+            emitted = []
+            for v in pdf[value_col].astype(float):
+                if cnt < window_size:
+                    cnt += 1
+                    acc += v
+                else:  # (window_size+1)-th row: emit & reset; v is discarded
+                    emitted.append(acc / window_size)
+                    cnt, acc = 0, 0.0
+            if emitted:
+                out = pd.DataFrame({k: [kv] * len(emitted) for k, kv in zip(keys, key)})
+                out[out_col] = emitted
+                yield out
+        state.update((cnt, acc))
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def rows_between_breaches_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    threshold: float,
+    emit_col: str,
+    out_col: str = "rows_since_prev_breach",
+) -> DataFrame:
+    """W3 streaming: per-key counter state; a breach (value ≥ threshold)
+    emits the count of non-breach rows since the previous breach and
+    resets; non-breach rows increment (DaysSincePriceThreshold.java:61-102
+    — the reference's ListState is over-retention, only its length is
+    read, so the state here is a single counter). ``emit_col`` is the
+    column carried through on emission (the reference emits the date)."""
+    by_name = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [StructField(emit_col, by_name[emit_col].dataType), StructField(out_col, LongType())]
+    )
+    state_schema = StructType([StructField("cnt", LongType())])
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (cnt,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order)
+            emit_vals, counts = [], []
+            for v, tag in zip(pdf[value_col].astype(float), pdf[emit_col]):
+                if v >= threshold:
+                    emit_vals.append(tag)
+                    counts.append(cnt)
+                    cnt = 0
+                else:
+                    cnt += 1
+            if emit_vals:
+                out = pd.DataFrame({k: [kv] * len(emit_vals) for k, kv in zip(keys, key)})
+                out[emit_col] = emit_vals
+                out[out_col] = counts
+                yield out
+        state.update((cnt,))
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,86 @@
+"""Watermarked time/session windows over streams — the idiomatic
+generalization of the reference's time-series domain (SURVEY.md §2.6
+"Time windows"; the reference itself has no event-time handling at all,
+everything is arrival-order — SURVEY.md §1.1).
+
+Built-ins only: ``window()`` for tumbling/sliding, ``session_window()``
+for gap sessions, ``withWatermark`` for bounded state + late-data drop.
+State store size is bounded by (watermark horizon / slide) × |keys| —
+the knob that makes these safe on unbounded streams.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "run_stream_to_memory",
+]
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    aggs: Sequence[Column],
+    key_cols: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Non-overlapping event-time windows; with a watermark, late rows
+    beyond the horizon are dropped and window state is finalized."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(F.window(ts_col, duration), *key_cols).agg(*aggs)
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    aggs: Sequence[Column],
+    key_cols: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows (each row lands in duration/slide windows)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(F.window(ts_col, duration, slide), *key_cols).agg(*aggs)
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: Sequence[Column],
+    key_cols: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based session windows (dynamic extent; closes after ``gap``
+    of inactivity). The streaming counterpart of the batch
+    ``sessionize_by_gap`` prefix-sum construction (operators/windows.py).
+    """
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(F.session_window(ts_col, gap), *key_cols).agg(*aggs)
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drain a (bounded) stream into the in-memory sink and return the
+    result table — processes everything available, then stops. Test/
+    debug utility, mirroring the reference's print() sink role."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
