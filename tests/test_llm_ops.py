@@ -1,0 +1,192 @@
+"""Tests for the LLM-data operator families: dedup (exact, Jaccard,
+MinHash-LSH, SimHash), similarity search (brute-force + hyperplane LSH),
+text analysis, and multimodal plumbing — handcrafted ground truths plus
+plan assertions that no tier ever builds a cartesian product.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark import plans
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+    attach_payload,
+    brute_force_topk,
+    cosine_dup_pairs,
+    decode_features,
+    exact_dedup,
+    exact_dup_groups,
+    fingerprint_md5,
+    fingerprint_ngram_min,
+    frame_sample,
+    language_id,
+    lsh_bucketed_topk,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    payload_metadata,
+    simhash,
+    simhash_pairs,
+    with_quality_score,
+    with_text_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),   # near dup of 1
+        (4, "completely different text about spark engines"),
+        (5, "el gato es muy bonito y la casa es grande"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ----------------------------------------------------------------- dedup
+
+def test_exact_dedup_and_groups(spark, docs):
+    kept = exact_dedup(docs, ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4, 5]  # min id survives
+    groups = exact_dup_groups(docs, ["text"], "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2 and groups[0]["survivor_id"] == 1
+
+
+def test_ngram_jaccard_ground_truth(spark, docs):
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, shingle_k=1)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(1, 2)] == 1.0
+    # docs 1 and 3: 8 distinct tokens each ("the" repeats), 7 shared → 7/9
+    assert got[(1, 3)] == round(7 / 9, 4)
+    assert (1, 4) not in got
+    plans.assert_no_cartesian(out)
+
+
+def test_minhash_agrees_with_jaccard(spark, docs):
+    out = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5, num_hashes=64, num_bands=16, shingle_k=1)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in out.collect()}
+    assert got[(1, 2)] == 1.0          # identical docs always collide & estimate 1.0
+    assert (1, 3) in got               # 7/9 true Jaccard → well above banding threshold
+    assert abs(got[(1, 3)] - 7 / 9) < 0.25  # estimator tolerance at 64 hashes
+    assert (1, 4) not in got
+    plans.assert_no_cartesian(out)
+
+
+def test_minhash_signature_shape_and_determinism(spark, docs):
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_k=1)
+    rows = {r["doc_id"]: r["signature"] for r in sigs.collect()}
+    assert all(len(s) == 32 for s in rows.values())
+    assert rows[1] == rows[2]          # identical text → identical signature
+    rows2 = {r["doc_id"]: r["signature"] for r in
+             minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_k=1).collect()}
+    assert rows == rows2               # seeded → run-to-run deterministic
+
+
+def test_simhash_pairs(spark, docs):
+    sigs = simhash(docs, "doc_id", "text", bits=32)
+    vals = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert vals[1] == vals[2]
+    out = simhash_pairs(sigs, "doc_id", max_hamming=3, bits=32)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert got[(1, 2)] == 0
+    assert all(h <= 3 for h in got.values())
+    plans.assert_no_cartesian(out)
+
+
+# ------------------------------------------------------------ similarity
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0]),   # nearly parallel to 1
+        (3, [0.0, 1.0, 0.0]),    # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0]),   # opposite of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(spark, vectors):
+    out = brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 1), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rk"])
+    assert [r["neighbor_id"] for r in rows] == [2, 3]
+    assert rows[0]["cosine"] == 1.0    # rounds to 1.0 at 4 dp
+    assert rows[1]["cosine"] == 0.0
+
+
+def test_cosine_dup_pairs_exact_vs_lsh(spark, vectors):
+    exact = cosine_dup_pairs(vectors, threshold=0.99, exact=True)
+    assert {(r["id_a"], r["id_b"]) for r in exact.collect()} == {(1, 2)}
+    approx = cosine_dup_pairs(vectors, threshold=0.99, num_planes=8, exact=False)
+    assert {(r["id_a"], r["id_b"]) for r in approx.collect()} == {(1, 2)}
+    plans.assert_no_cartesian(approx)
+
+
+def test_lsh_topk_subset_of_bruteforce(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 1)
+    brute = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(vectors, q, k=3).collect()}
+    lsh = lsh_bucketed_topk(vectors, q, k=3, num_planes=4)
+    got = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
+    assert got <= brute | {(1, 3), (1, 4)}  # candidates are a bucket-restricted subset
+    assert (1, 2) in got                    # near-identical vector shares every sign bit
+
+
+# ------------------------------------------------------------------ text
+
+def test_text_stats_and_quality(spark):
+    df = spark.createDataFrame([(1, "ab cd!! 12"), (2, ""), (3, "   ")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_quality_score(with_text_stats(df, "text").drop(
+        "n_tokens", "n_chars_measured", "avg_token_len", "punct_ratio", "digit_ratio", "ws_ratio"
+    ), "text").collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 3
+    assert r1["punct_ratio"] == 0.2       # "!!" of 10 chars
+    assert r1["digit_ratio"] == 0.2       # "12" of 10 chars
+    assert out[2]["n_tokens"] == 0 and out[3]["n_tokens"] == 0
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r["predicted_lang"] for r in language_id(docs, "text").collect()}
+    assert out[1] == "en" and out[5] == "es"
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "hello   world"), (2, "hello world"), (3, "goodbye world")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint_md5(df, "text").collect()}
+    assert fp[1] == fp[2]              # whitespace-normalized
+    assert fp[1] != fp[3]
+    ng = {r["doc_id"]: r["ngram_fingerprint"] for r in fingerprint_ngram_min(df, "text", k=4).collect()}
+    assert ng[2] is not None and len(ng[2]) == 32
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_payload_metadata(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    out = payload_metadata(attach_payload(df, "text")).collect()[0]
+    assert out["byte_len"] == 3
+    assert out["content_sha256"] == hashlib.sha256(b"abc").hexdigest()
+    assert out["mime"] == "application/octet-stream"
+
+
+def test_decode_features_deterministic_fake(spark):
+    df = spark.createDataFrame([(1, "abcd"), (2, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r["features"] for r in decode_features(attach_payload(df, "text")).collect()}
+    assert len(out[1]) == 16 and abs(sum(out[1]) - 1.0) < 1e-6
+    assert sum(out[2]) == 0.0          # empty payload → zero histogram
+
+
+def test_frame_sample_shape(spark):
+    df = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    rows = sorted(frame_sample(attach_payload(df, "text"), n_frames=4).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert [r["frame_offset"] for r in rows] == [0, 2, 4, 6]
+    assert all(r["frame_len"] == 2 for r in rows)
+    assert rows[0]["frame_sha256"] == hashlib.sha256(b"ab").hexdigest()

@@ -1,0 +1,172 @@
+"""Direct tests for the relational operator families (joins, top-k,
+set ops, rollup/cube/pivot, window analytics) on small handcrafted
+inputs with hand-computed expectations, plus physical-plan assertions
+via ``plans`` — the "would this survive 100×" checks as regressions.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark import plans
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+    anti_join,
+    asof_join,
+    broadcast_join,
+    cube_agg,
+    dedup_keep_first,
+    equi_join,
+    except_all,
+    except_distinct,
+    intersect,
+    pivot_conditional,
+    range_join_bucketed,
+    rollup_agg,
+    semi_join,
+    sessionize_by_gap,
+    top_k_per_group,
+    top_n,
+    union_all,
+    union_distinct,
+    with_lag_lead,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 5.0), (5, "c", 7.0)],
+        "id int, grp string, val double",
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+def test_equi_and_broadcast_join(spark, people):
+    dims = spark.createDataFrame([("a", "alpha"), ("b", "beta")], "grp string, name string")
+    out = equi_join(people, dims, ["grp"], "inner")
+    assert out.count() == 4
+    bout = broadcast_join(people, dims, ["grp"])
+    assert sorted(r["name"] for r in bout.collect()) == ["alpha", "alpha", "beta", "beta"]
+    plans.assert_broadcast_join(bout)
+
+
+def test_semi_anti_join(spark, people):
+    dims = spark.createDataFrame([("a",), ("c",)], "grp string")
+    assert sorted(r["id"] for r in semi_join(people, dims, ["grp"]).collect()) == [1, 2, 5]
+    assert sorted(r["id"] for r in anti_join(people, dims, ["grp"]).collect()) == [3, 4]
+
+
+def test_asof_join_backward_forward(spark):
+    trades = spark.createDataFrame(
+        [("x", 10, 1), ("x", 25, 2), ("y", 5, 3)], "sym string, ts long, trade_id int"
+    )
+    quotes = spark.createDataFrame(
+        [("x", 5, 1.0), ("x", 10, 2.0), ("x", 20, 3.0), ("y", 9, 9.0)],
+        "sym string, ts long, px double",
+    )
+    back = asof_join(trades, quotes, ["sym"], "ts", ["px"], "backward")
+    got = {r["trade_id"]: r["px"] for r in back.collect()}
+    # exact-ts match taken; y@5 has no quote at-or-before → NULL
+    assert got == {1: 2.0, 2: 3.0, 3: None}
+    fwd = asof_join(trades, quotes, ["sym"], "ts", ["px"], "forward")
+    got_f = {r["trade_id"]: r["px"] for r in fwd.collect()}
+    assert got_f == {1: 2.0, 2: None, 3: 9.0}
+
+
+def test_asof_join_collision_raises(spark):
+    left = spark.createDataFrame([(1, 10, 5.0)], "k int, ts int, v double")
+    right = spark.createDataFrame([(1, 9, 7.0)], "k int, ts int, v double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["k"], "ts", ["v"])
+
+
+def test_range_join_bucketed(spark):
+    vals = spark.createDataFrame([(1, 3.0), (2, 7.5), (3, 15.0)], "id int, v double")
+    bands = spark.createDataFrame(
+        [(10, 0.0, 5.0), (20, 5.0, 10.0), (30, 10.0, 10.0)],  # third is degenerate
+        "band int, lo double, hi double",
+    )
+    out = range_join_bucketed(vals, bands, "v", "lo", "hi", bucket_width=5.0)
+    got = {(r["id"], r["band"]) for r in out.collect()}
+    assert got == {(1, 10), (2, 20)}  # 15.0 matches nothing; degenerate band matches nothing
+    plans.assert_no_cartesian(out)
+
+
+def test_range_join_interval_spanning_buckets(spark):
+    vals = spark.createDataFrame([(1, 0.5), (2, 9.5), (3, 12.0)], "id int, v double")
+    wide = spark.createDataFrame([(1, 0.0, 10.0)], "band int, lo double, hi double")
+    out = range_join_bucketed(vals, wide, "v", "lo", "hi", bucket_width=2.0)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+# ---------------------------------------------------------- topk / setops
+
+def test_top_n_and_per_group(spark, people):
+    top = top_n(people, [F.col("val").desc()], 2)
+    assert [r["id"] for r in top.collect()] == [3, 2]
+    assert "TakeOrderedAndProject" in plans.explain_str(top)
+
+    per = top_k_per_group(people, ["grp"], [F.col("val").desc(), F.col("id").asc()], 1)
+    got = {(r["grp"], r["id"]) for r in per.collect()}
+    assert got == {("a", 2), ("b", 3), ("c", 5)}
+
+
+def test_setops(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "v int")
+    b = spark.createDataFrame([(1,), (3,), (4,)], "v int")
+    assert union_all(a, b).count() == 7
+    assert sorted(r["v"] for r in union_distinct(a, b).collect()) == [1, 2, 3, 4]
+    assert sorted(r["v"] for r in intersect(a, b).collect()) == [1, 3]
+    # EXCEPT ALL keeps the surviving duplicate of 1; EXCEPT DISTINCT drops it
+    assert sorted(r["v"] for r in except_all(a, b).collect()) == [1, 2]
+    assert sorted(r["v"] for r in except_distinct(a, b).collect()) == [2]
+
+
+def test_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [("k", 3, "c"), ("k", 1, "a"), ("k", 2, "b"), ("j", 9, "z")],
+        "grp string, ord int, tag string",
+    )
+    out = dedup_keep_first(df, ["grp"], [F.col("ord").asc()])
+    got = {(r["grp"], r["tag"]) for r in out.collect()}
+    assert got == {("k", "a"), ("j", "z")}
+
+
+# ------------------------------------------------- rollup / cube / pivot
+
+def test_rollup_cube_pivot(spark, people):
+    roll = rollup_agg(people, ["grp"], [F.count(F.lit(1)).alias("n")])
+    rows = {(r["grp"], r["n"]) for r in roll.collect()}
+    assert rows == {("a", 2), ("b", 2), ("c", 1), (None, 5)}
+
+    cube = cube_agg(people, ["grp"], [F.count(F.lit(1)).alias("n")])
+    assert cube.count() == 4  # same as rollup for one dim
+
+    piv = pivot_conditional(people, ["grp"], "id", [1, 2], F.col("val"))
+    r = {row["grp"]: (row["id_1"], row["id_2"]) for row in piv.collect()}
+    assert r["a"] == (10.0, 20.0)
+    assert r["b"] == (0.0, 0.0) or r["b"] == (None, None)  # no id 1/2 in grp b
+
+
+# -------------------------------------------------------------- windows
+
+def test_with_lag_lead(spark, people):
+    out = with_lag_lead(people, ["grp"], [F.col("id").asc()], "val")
+    row = {r["id"]: (r["prev_value"], r["next_value"]) for r in out.collect()}
+    assert row[1] == (None, 20.0)
+    assert row[2] == (10.0, None)
+    assert row[5] == (None, None)
+
+
+def test_sessionize_by_gap(spark):
+    ev = spark.createDataFrame(
+        [(1, "u", 0), (2, "u", 100), (3, "u", 5000), (4, "v", 0)],
+        "eid int, user string, sec long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    out = sessionize_by_gap(ev, ["user"], "ts", 3600, "session_id")
+    got = {r["eid"]: r["session_id"] for r in out.collect()}
+    assert got[1] == got[2] == 1
+    assert got[3] == 2
+    assert got[4] == 1

@@ -1,0 +1,166 @@
+"""Streaming tests: batch↔stream equivalence for the W1–W3 stateful
+ports (SURVEY.md §5.2 item 3) and watermarked time/session windows.
+
+Equivalence harness: the same rows are written as MULTIPLE parquet
+files; the stream reads them with ``maxFilesPerTrigger=1`` so state
+genuinely carries across micro-batches, then drains into the memory
+sink with availableNow. Stream results must equal the batch operator
+on the union of the files.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+    rows_between_breaches,
+    running_max,
+    tumbling_count_window_avg,
+)
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+    rows_between_breaches_stream,
+    running_max_stream,
+    session_window_agg,
+    tumbling_count_window_avg_stream,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    """60 rows over 2 keys, staged as 3 parquet files (3 micro-batches).
+
+    seq is globally ordered across files so micro-batch order (file 0,
+    then 1, then 2) extends the per-batch ``order_cols`` sort to a
+    deterministic global order — required for exact equivalence checks.
+    """
+    root = str(tmp_path_factory.mktemp("stream_in"))
+    rows = []
+    for i in range(60):
+        key = "a" if i % 2 == 0 else "b"
+        rows.append((key, i, float((i * 37) % 101)))
+    df = spark.createDataFrame(rows, "k string, seq long, v double")
+    for part in range(3):
+        chunk = df.filter((F.col("seq") >= part * 20) & (F.col("seq") < (part + 1) * 20))
+        chunk.coalesce(1).write.parquet(os.path.join(root, f"part={part}"))
+    batch = spark.read.parquet(os.path.join(root, "part=*")).select("k", "seq", "v")
+    return root, batch
+
+
+def _stream(spark, root):
+    return (
+        spark.readStream.schema("k string, seq long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "part=*"))
+        .select("k", "seq", "v")
+    )
+
+
+def _drain(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def test_running_max_stream_equals_batch(spark, staged):
+    root, batch = staged
+    out = _drain(running_max_stream(_stream(spark, root), ["k"], ["seq"], "v"), "w1_stream")
+    got = out.collect()
+    assert len(got) == 60  # one emission per input row (reference W1 semantics)
+    expected = {
+        (r["k"], r["v"]): r["rm"]
+        for r in running_max(batch, ["k"], ["seq"], "v", "rm").collect()
+    }
+    # (k, v) is unique here: v = (seq*37)%101 distinct per parity class
+    for r in got:
+        assert expected[(r["k"], r["v"])] == r["running_max"]
+
+
+def test_count_window_stream_equals_batch(spark, staged):
+    root, batch = staged
+    out = _drain(
+        tumbling_count_window_avg_stream(_stream(spark, root), ["k"], ["seq"], "v", window_size=10),
+        "w2_stream",
+    )
+    got = sorted((r["k"], r["avg_value"]) for r in out.collect())
+    exp_df = tumbling_count_window_avg(batch, ["k"], ["seq"], "v", window_size=10)
+    expected = sorted((r["k"], r["avg_value"]) for r in exp_df.collect())
+    # 30 rows per key → cycles of 11 → 2 complete windows per key
+    assert len(got) == 4
+    assert got == expected
+
+
+def test_breach_stream_equals_batch(spark, staged):
+    root, batch = staged
+    out = _drain(
+        rows_between_breaches_stream(_stream(spark, root), ["k"], ["seq"], "v", 80.0, "seq"),
+        "w3_stream",
+    )
+    got = sorted((r["k"], r["seq"], r["rows_since_prev_breach"]) for r in out.collect())
+    exp = rows_between_breaches(
+        batch, ["k"], ["seq"], breach=F.col("v") >= 80.0, emit_cols=["k", "seq"]
+    )
+    expected = sorted((r["k"], r["seq"], r["rows_since_prev_breach"]) for r in exp.collect())
+    assert got == expected and len(got) > 0
+
+
+def test_tumbling_window_agg_stream_watermark_finalization(spark):
+    """Append mode only emits windows the watermark has passed: the
+    window containing the stream's tail stays open (withheld) until a
+    later micro-batch advances the watermark beyond its end."""
+    with tempfile.TemporaryDirectory() as root:
+        rows = [(i, "u", float(i)) for i in range(20)]
+        df = spark.createDataFrame(rows, "sec long, k string, v double").withColumn(
+            "ts", F.timestamp_seconds(F.col("sec"))
+        )
+        df.coalesce(1).write.parquet(os.path.join(root, "f0"))
+        # second micro-batch: a single event far in the future advances
+        # the watermark to 55s, finalizing both earlier windows.
+        late = spark.createDataFrame([(60, "u", 0.0)], "sec long, k string, v double").withColumn(
+            "ts", F.timestamp_seconds(F.col("sec"))
+        )
+        late.coalesce(1).write.parquet(os.path.join(root, "f1"))
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(root, "f*"))
+        )
+        agged = tumbling_window_agg(
+            stream, "ts", "10 seconds",
+            [F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n")],
+            key_cols=["k"], watermark="5 seconds",
+        )
+        out = _drain(agged, "tumble_stream")
+        got = {int(r["window"]["start"].timestamp()): (r["sum_v"], r["n"]) for r in out.collect()}
+        assert got.get(0) == (45.0, 10)    # 0..9, finalized
+        assert got.get(10) == (145.0, 10)  # 10..19, finalized by the 60s event
+        assert len(got) == 2               # the 60s window itself is still open → withheld
+
+
+def test_session_window_agg_stream(spark):
+    """Sessions merge within the 30s gap; only sessions the watermark
+    has closed are emitted in append mode (the 100s session stays open)."""
+    with tempfile.TemporaryDirectory() as root:
+        rows = [(0, "u"), (5, "u"), (100, "u"), (3, "w")]
+        df = spark.createDataFrame(rows, "sec long, k string").withColumn(
+            "ts", F.timestamp_seconds(F.col("sec"))
+        )
+        df.coalesce(1).write.parquet(os.path.join(root, "f0"))
+        stream = spark.readStream.schema(df.schema).parquet(os.path.join(root, "f*"))
+        agged = session_window_agg(
+            stream, "ts", "30 seconds", [F.count(F.lit(1)).alias("n")],
+            key_cols=["k"], watermark="10 seconds",
+        )
+        out = _drain(agged, "session_stream")
+        got = sorted((r["k"], r["n"]) for r in out.collect())
+        assert got == [("u", 2), ("w", 1)]
