@@ -925,6 +925,201 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# additional coverage: full outer join, stats aggs, grouping sets,
+# range frames, first/last, SQL-layer queries
+# --------------------------------------------------------------------------
+
+def join_full_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER customer × per-customer order counts: nations with
+    customers but no orders and vice versa both surface."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        equi_join(cust, per_cust, ["c_custkey"], "full_outer")
+        .select("c_custkey", "c_nationkey", F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+    )
+
+
+_JOIN_FULL_SQL = """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+       c.c_nationkey,
+       COALESCE(o.n, 0) AS n_orders
+FROM customer c
+FULL OUTER JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+def agg_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-aggregate family: count, distinct count, min/max, and a
+    deterministic sample stddev derived from EXACT decimal Σx and Σx²
+    (the engine-native stddev sums doubles in partition order —
+    non-deterministic across engines; this form is bit-stable)."""
+    orders = _t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast(DEC)
+    n = F.count(F.lit(1))
+    sx = F.sum(x).cast("double")
+    sx2 = F.sum(x * x).cast("double")
+    return orders.groupBy("o_orderpriority").agg(
+        n.alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(F.sqrt((sx2 - sx * sx / n) / (n - 1)), 4).alias("stddev_price"),
+    )
+
+
+_AGG_STATS_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       ROUND(sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                  / (count(*) - 1)), 4) AS stddev_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL layer (finer control than
+    rollup/cube: exactly the two single-dim sets, no grand total)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+_AGG_GSETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+def window_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a value axis: per customer, the exact decimal
+    sum of order totals in the trailing 30-day window (frame bounds are
+    event-time values, not row counts — order-insensitive, so no
+    tiebreak is needed)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "day", F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    return orders.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("sum_30d"),
+    )
+
+
+_WINDOW_RANGE_SQL = """
+SELECT o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d
+FROM orders
+"""
+
+
+def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over the full partition (explicit
+    unbounded frame — last_value's default frame ends at CURRENT ROW,
+    a classic portability trap both engines share)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+    )
+
+
+_WINDOW_FIRSTLAST_SQL = """
+SELECT o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped query through the SQL layer: 3-way join +
+    filtered aggregation + deterministic top-10."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_q3_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q3_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q3_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate
+        FROM _q3_customer JOIN _q3_orders ON c_custkey = o_custkey
+        JOIN _q3_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+        """
+    )
+
+
+_SQL_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def sql_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped predicate-pushdown showcase: tight scan filter,
+    single global aggregate."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q6_lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        FROM _q6_lineitem
+        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """
+    )
+
+
+_SQL_Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -978,6 +1173,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_features": multimodal_decode_features,
         "multimodal_frame_sample": multimodal_frame_sample,
         "agg_approx_distinct": agg_approx_distinct,
+        "join_full_outer_order_counts": join_full_outer_order_counts,
+        "agg_order_stats": agg_order_stats,
+        "agg_grouping_sets": agg_grouping_sets,
+        "window_range_frame_sum": window_range_frame_sum,
+        "window_first_last_order": window_first_last_order,
+        "sql_shipping_priority": sql_shipping_priority,
+        "sql_filtered_revenue": sql_filtered_revenue,
     }
 
 
@@ -1024,4 +1226,11 @@ def oracle_sql() -> dict[str, str]:
         "similarity_bruteforce_topk": _SIM_TOPK_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "multimodal_payload_meta": _MULTIMODAL_META_SQL,
+        "join_full_outer_order_counts": _JOIN_FULL_SQL,
+        "agg_order_stats": _AGG_STATS_SQL,
+        "agg_grouping_sets": _AGG_GSETS_SQL,
+        "window_range_frame_sum": _WINDOW_RANGE_SQL,
+        "window_first_last_order": _WINDOW_FIRSTLAST_SQL,
+        "sql_shipping_priority": _SQL_Q3_SQL,
+        "sql_filtered_revenue": _SQL_Q6_SQL,
     }

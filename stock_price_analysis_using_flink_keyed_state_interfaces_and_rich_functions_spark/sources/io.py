@@ -28,9 +28,14 @@ __all__ = [
     "read_quotes_csv",
     "read_table",
     "read_tables",
+    "read_json",
     "read_quotes_stream",
     "read_events_stream",
+    "read_rate_stream",
     "write_parquet",
+    "write_stream_console",
+    "write_stream_memory",
+    "write_stream_parquet",
 ]
 
 #: All driver-generated synthetic tables (TESTDATA.md).
@@ -120,6 +125,57 @@ def read_quotes_stream(spark: SparkSession, directory: str) -> DataFrame:
 def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
     """File-source streaming read of events parquet."""
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(directory)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None, multiline: bool = False) -> DataFrame:
+    """Read newline-delimited (or ``multiline``) JSON with an explicit
+    schema when given — schema inference is a full extra pass over the
+    data, unacceptable at scale, so production callers always pass one.
+    """
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """Synthetic load-generator stream (``(timestamp, value)`` rows) —
+    the dev/test stand-in for a message-bus source."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def write_stream_console(df: DataFrame, output_mode: str = "append", truncate: bool = False):
+    """Streaming console sink — the reference's ``print()``
+    (MaximumClosingPrice.java:42) in its streaming form. Returns the
+    started StreamingQuery (caller owns awaitTermination/stop)."""
+    return (
+        df.writeStream.format("console")
+        .option("truncate", truncate)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def write_stream_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Streaming memory sink (queryable as ``spark.table(name)``) —
+    bounded test/debug sink, not for production volumes."""
+    return df.writeStream.format("memory").queryName(name).outputMode(output_mode).start()
+
+
+def write_stream_parquet(df: DataFrame, path: str, checkpoint_dir: str, output_mode: str = "append"):
+    """Durable streaming parquet sink with exactly-once file commits via
+    the checkpoint log — the production path for streaming ETL output."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .start()
+    )
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:

@@ -1,0 +1,89 @@
+"""Tests for the extended source/sink surface (JSON read, streaming
+sinks, rate source) and the UDF/pandas-UDF/UDTF registration surface."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+    read_json,
+    read_rate_stream,
+    write_parquet,
+    write_stream_memory,
+    write_stream_parquet,
+)
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.udfs import (
+    register_pandas_udf,
+    register_python_udf,
+    register_tokens_udtf,
+)
+
+
+def test_read_json_with_schema(spark, tmp_path):
+    p = tmp_path / "rows.json"
+    with open(p, "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"id": i, "name": f"n{i}", "score": i * 1.5}) + "\n")
+    df = read_json(spark, str(p), schema="id long, name string, score double")
+    assert df.count() == 3
+    assert df.schema.simpleString() == "struct<id:bigint,name:string,score:double>"
+    assert df.filter(F.col("id") == 2).first()["score"] == 3.0
+
+
+def test_write_parquet_partitioned(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id int, part string")
+    out = str(tmp_path / "out")
+    write_parquet(df, out, partition_by=["part"])
+    assert os.path.isdir(os.path.join(out, "part=a"))
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+
+
+def test_streaming_parquet_sink_and_memory_sink(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(i, float(i)) for i in range(5)], "id long, v double").coalesce(
+        1
+    ).write.parquet(str(src / "f0"))
+    stream = spark.readStream.schema("id long, v double").parquet(str(src / "f*"))
+
+    q = write_stream_parquet(
+        stream, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == 5
+
+    q2 = write_stream_memory(stream.filter(F.col("id") >= 3), "mem_sink_test")
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.table("mem_sink_test").count() == 2
+
+
+def test_rate_stream_schema(spark):
+    df = read_rate_stream(spark, rows_per_second=5)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["timestamp", "value"]
+
+
+def test_python_udf_and_pandas_udf(spark):
+    register_python_udf(spark, "py_double_it", lambda x: x * 2, "int")
+
+    def vec_square(s: pd.Series) -> pd.Series:
+        return s * s
+
+    register_pandas_udf(spark, "pd_square", vec_square, "double")
+    spark.createDataFrame([(3, 4.0)], "a int, b double").createOrReplaceTempView("udf_src")
+    row = spark.sql("SELECT py_double_it(a) AS d, pd_square(b) AS sq FROM udf_src").first()
+    assert row["d"] == 6 and row["sq"] == 16.0
+
+
+def test_tokens_udtf(spark):
+    register_tokens_udtf(spark, "split_tokens_t")
+    rows = spark.sql("SELECT * FROM split_tokens_t('hello spark world')").collect()
+    assert [(r["pos"], r["token"]) for r in rows] == [(0, "hello"), (1, "spark"), (2, "world")]
