@@ -22,6 +22,7 @@ Package layout (all modules listed here ship and are tested):
                hyperplane LSH), text (tokens, quality, lang-id,
                fingerprints), multimodal (binary payloads + mapInPandas)
   functions  — scalar date/string/json helpers (events.props extraction)
+  udfs       — UDF surface: Python UDF / pandas UDF / UDTF registration
   plans      — plan-inspection helpers (pushdown / broadcast assertions)
   streaming  — applyInPandasWithState ports of W1–W4, watermarked
                time/session windows, memory-sink test harness

@@ -24,6 +24,7 @@ __all__ = [
     "has_cartesian_product",
     "has_sort_merge_join",
     "wholestage_codegen_count",
+    "has_partial_aggregation",
     "scan_read_schema",
     "assert_no_cartesian",
     "assert_broadcast_join",
@@ -63,8 +64,20 @@ def has_cartesian_product(df: DataFrame) -> bool:
 
 
 def wholestage_codegen_count(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans — wider/fewer is better."""
-    return explain_str(df).count("WholeStageCodegen")
+    """Number of WholeStageCodegen subtrees. Uses codegen explain mode:
+    under AQE the formatted plan hides codegen markers until execution,
+    so counting them there always returns 0 pre-run."""
+    import re
+
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", explain_str(df, "codegen"))
+    return int(m.group(1)) if m else 0
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """True if the plan does map-side partial aggregation before the
+    exchange (the skew-tolerant two-phase agg shape)."""
+    plan = explain_str(df, "simple")
+    return "partial_" in plan
 
 
 def scan_read_schema(df: DataFrame) -> list[str]:

@@ -1,0 +1,68 @@
+"""Physical-plan regression tests over the driver-contract queries —
+the 100 TB scale properties (pushdown, pruning, broadcast, no cartesian
+products, top-k without global sort) asserted as code, per SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q():
+    return entry.queries()
+
+
+def test_q6_filter_pushed_to_scan(spark, q):
+    df = q["sql_filtered_revenue"](spark, SF)
+    assert plans.has_pushed_filters(df, "l_discount")
+
+
+def test_q6_scan_prunes_columns(spark, q):
+    df = q["sql_filtered_revenue"](spark, SF)
+    schemas = plans.scan_read_schema(df)
+    assert schemas, "no scan ReadSchema found"
+    for line in schemas:
+        # only the three referenced columns may be read from lineitem
+        assert "l_orderkey" not in line and "l_shipdate" not in line
+
+
+def test_broadcast_join_plan(spark, q):
+    df = q["join_broadcast_region_rollup"](spark, SF)
+    assert plans.has_broadcast_hash_join(df)
+
+
+def test_lsh_paths_no_cartesian(spark, q):
+    for name in ("dedup_minhash_lsh", "dedup_simhash_pairs", "similarity_lsh_topk"):
+        plans.assert_no_cartesian(q[name](spark, SF))
+
+
+def test_range_join_no_cartesian(spark, q):
+    plans.assert_no_cartesian(q["join_range_price_band"](spark, SF))
+
+
+def test_topk_uses_take_ordered(spark, q):
+    df = q["topk_orders_by_price"](spark, SF)
+    assert "TakeOrderedAndProject" in plans.explain_str(df)
+
+
+def test_q1_wholestage_codegen_and_partial_agg(spark, q):
+    df = q["q1_pricing_summary"](spark, SF)
+    assert plans.has_partial_aggregation(df)
+    # AQE defers physical planning, so codegen subtrees only materialize
+    # in the explain with AQE off — toggle it just for the assertion.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert plans.wholestage_codegen_count(q["q1_pricing_summary"](spark, SF)) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_asof_join_single_shuffle_no_cartesian(spark, q):
+    df = q["join_asof_click_purchase"](spark, SF)
+    plans.assert_no_cartesian(df)
