@@ -2,6 +2,7 @@ from .stateful import (  # noqa: F401
     running_max_stream,
     tumbling_count_window_avg_stream,
     rows_between_breaches_stream,
+    running_max_transform_with_state,
 )
 from .windows import (  # noqa: F401
     tumbling_window_agg,

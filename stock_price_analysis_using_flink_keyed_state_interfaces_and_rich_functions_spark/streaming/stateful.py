@@ -41,6 +41,7 @@ __all__ = [
     "running_max_stream",
     "tumbling_count_window_avg_stream",
     "rows_between_breaches_stream",
+    "running_max_transform_with_state",
 ]
 
 
@@ -84,6 +85,74 @@ def running_max_stream(
 
     return df.groupBy(*keys).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def running_max_transform_with_state(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "running_max",
+) -> DataFrame:
+    """W1 on the Spark 4 ``transformWithStateInPandas`` API — the
+    closest structural analog to the reference's RichFlatMapFunction:
+    an ``init``/``handleInputRows``/``close`` lifecycle with typed state
+    handles registered up front (``getValueState`` ↔ the
+    ``ValueStateDescriptor`` dance in MaximumClosingPrice.java:68-81).
+
+    Semantically identical to :func:`running_max_stream`; exists so both
+    stateful-streaming APIs are exercised (applyInPandasWithState is the
+    3.4+ surface, transformWithState the 4.x one with finer state
+    kinds + timers).
+
+    Runtime requirements: RocksDB state store (set below) and a working
+    ``google.protobuf`` install for the TWS driver worker — environments
+    without protobuf should use :func:`running_max_stream`, which has no
+    extra dependencies and identical semantics.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # transformWithState requires the RocksDB state store provider (the
+    # default HDFS-backed store cannot host its typed state handles).
+    df.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    keys = list(key_cols)
+    order = list(order_cols)
+    out_schema = StructType(
+        _key_fields(df, keys)
+        + [StructField(value_col, DoubleType()), StructField(out_col, DoubleType())]
+    )
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._max = handle.getValueState("cur_max", "cur double")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N803
+            cur = self._max.get()[0] if self._max.exists() else None
+            for pdf in rows:
+                pdf = pdf.sort_values(order)
+                outs = []
+                for v in pdf[value_col].astype(float):
+                    cur = v if cur is None else max(cur, v)
+                    outs.append(cur)
+                out = pd.DataFrame({k: [kv] * len(pdf) for k, kv in zip(keys, key)})
+                out[value_col] = pdf[value_col].astype(float).to_numpy()
+                out[out_col] = outs
+                yield out
+            self._max.update((cur,))
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(*keys).transformWithStateInPandas(
+        RunningMax(), outputStructType=out_schema, outputMode="Append", timeMode="None"
     )
 
 

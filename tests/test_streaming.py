@@ -24,6 +24,7 @@ from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_
 from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
     rows_between_breaches_stream,
     running_max_stream,
+    running_max_transform_with_state,
     session_window_agg,
     tumbling_count_window_avg_stream,
     tumbling_window_agg,
@@ -112,6 +113,87 @@ def test_breach_stream_equals_batch(spark, staged):
     )
     expected = sorted((r["k"], r["seq"], r["rows_since_prev_breach"]) for r in exp.collect())
     assert got == expected and len(got) > 0
+
+
+def test_running_max_transform_with_state_equals_batch(spark, staged):
+    """Same equivalence as the applyInPandasWithState form, through the
+    Spark 4 transformWithStateInPandas API (typed state handles).
+
+    Requires a working protobuf install (the TWS driver worker speaks
+    protobuf to the JVM); skipped where the dependency is absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    root, batch = staged
+    out = _drain(
+        running_max_transform_with_state(_stream(spark, root), ["k"], ["seq"], "v"), "w1_tws"
+    )
+    got = out.collect()
+    assert len(got) == 60
+    expected = {
+        (r["k"], r["v"]): r["rm"]
+        for r in running_max(batch, ["k"], ["seq"], "v", "rm").collect()
+    }
+    for r in got:
+        assert expected[(r["k"], r["v"])] == r["running_max"]
+
+
+def test_late_data_dropped_by_watermark(spark):
+    """A late row whose window was already finalized and EVICTED in a
+    prior micro-batch is dropped. (A late row arriving in the same batch
+    that closes its window still merges before emission — eviction, not
+    watermark comparison alone, is the drop boundary.)"""
+    import time
+
+    with tempfile.TemporaryDirectory() as root:
+        batches = [
+            [(5, "u", 1.0), (200, "u", 1.0)],   # b0: window 0 gets 1.0; wm → 190
+            [(400, "u", 1.0)],                  # b1: window 0 emitted + evicted; wm → 390
+            [(6, "u", 100.0), (600, "u", 1.0)], # b2: 6s is late beyond eviction → dropped
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, "sec long, k string, v double").withColumn(
+                "ts", F.timestamp_seconds(F.col("sec"))
+            ).coalesce(1).write.parquet(os.path.join(root, f"f{i}"))
+            time.sleep(1.1)  # distinct mod times → stable batch order
+        stream = (
+            spark.readStream.schema("sec long, k string, v double, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(root, "f*"))
+        )
+        agged = tumbling_window_agg(
+            stream, "ts", "10 seconds",
+            [F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n")],
+            key_cols=["k"], watermark="10 seconds",
+        )
+        out = _drain(agged, "late_drop_stream")
+        got = {int(r["window"]["start"].timestamp()): (r["sum_v"], r["n"]) for r in out.collect()}
+        assert got.get(0) == (1.0, 1)  # the late 100.0 never lands anywhere
+        assert not any(v[0] == 100.0 or v[0] == 101.0 for v in got.values())
+
+
+def test_stream_stream_join_with_watermarks(spark):
+    """Watermarked stream-stream inner equi-join with a time-range
+    predicate (the bounded-state join; SURVEY.md §2.6 joins row)."""
+    with tempfile.TemporaryDirectory() as root:
+        clicks = spark.createDataFrame(
+            [(1, "u", 10), (2, "v", 20)], "cid long, user string, csec long"
+        ).withColumn("cts", F.timestamp_seconds(F.col("csec")))
+        views = spark.createDataFrame(
+            [(11, "u", 8), (12, "u", 300), (13, "v", 19)], "vid long, vuser string, vsec long"
+        ).withColumn("vts", F.timestamp_seconds(F.col("vsec")))
+        clicks.coalesce(1).write.parquet(os.path.join(root, "c"))
+        views.coalesce(1).write.parquet(os.path.join(root, "v"))
+        cs = spark.readStream.schema(clicks.schema).parquet(os.path.join(root, "c")).withWatermark("cts", "30 seconds")
+        vs = spark.readStream.schema(views.schema).parquet(os.path.join(root, "v")).withWatermark("vts", "30 seconds")
+        joined = cs.join(
+            vs,
+            (F.col("user") == F.col("vuser"))
+            & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 5 SECONDS"))
+            & (F.col("vts") <= F.col("cts")),
+            "inner",
+        ).select("cid", "vid")
+        out = _drain(joined, "ss_join")
+        got = sorted((r["cid"], r["vid"]) for r in out.collect())
+        assert got == [(1, 11), (2, 13)]  # the 300s view is outside every click's range
 
 
 def test_tumbling_window_agg_stream_watermark_finalization(spark):
