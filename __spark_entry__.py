@@ -1119,6 +1119,42 @@ WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """
 
 
+def llm_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: exact-dedup → quality filter →
+    language distribution of the surviving corpus — the three cheapest
+    tiers a real 100 TB cleanup runs first, composed end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    deduped = exact_dedup(docs, ["text"], "doc_id")
+    scored = with_quality_score(deduped, "text")
+    kept = scored.filter(F.col("quality_score") >= 0.5)
+    return lang_distribution(kept, "lang")
+
+
+_LLM_PIPELINE_SQL = """
+WITH deduped AS (
+  SELECT * FROM documents
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1
+), toks AS (
+  SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS tk,
+         CAST(length(text) AS BIGINT) AS n_char, text
+  FROM deduped
+), stats AS (
+  SELECT lang,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         ROUND(CAST(n_char - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / n_char, 4) AS punct_ratio,
+         ROUND(CAST(n_char - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_char, 4) AS digit_ratio
+  FROM toks
+), kept AS (
+  SELECT lang FROM stats
+  WHERE ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+              + 0.5 * (1.0 - least(punct_ratio * 5 + digit_ratio * 5, 1.0)), 4) >= 0.5
+)
+SELECT lang, count(*) AS n_docs,
+       ROUND(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM kept), 4) AS share
+FROM kept GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1180,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_first_last_order": window_first_last_order,
         "sql_shipping_priority": sql_shipping_priority,
         "sql_filtered_revenue": sql_filtered_revenue,
+        "llm_pipeline_clean_corpus": llm_pipeline_clean_corpus,
     }
 
 
@@ -1233,4 +1270,5 @@ def oracle_sql() -> dict[str, str]:
         "window_first_last_order": _WINDOW_FIRSTLAST_SQL,
         "sql_shipping_priority": _SQL_Q3_SQL,
         "sql_filtered_revenue": _SQL_Q6_SQL,
+        "llm_pipeline_clean_corpus": _LLM_PIPELINE_SQL,
     }

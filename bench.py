@@ -46,6 +46,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_bruteforce_topk",
     "similarity_lsh_topk",
+    "sql_shipping_priority",
+    "sql_filtered_revenue",
+    "llm_pipeline_clean_corpus",
 ]
 
 

@@ -21,6 +21,7 @@ from .joins import (  # noqa: F401
     anti_join,
     asof_join,
     range_join_bucketed,
+    salted_join,
 )
 from .topk import top_n, top_k_per_group  # noqa: F401
 from .setops import (  # noqa: F401

@@ -24,7 +24,15 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["equi_join", "broadcast_join", "semi_join", "anti_join", "asof_join", "range_join_bucketed"]
+__all__ = [
+    "equi_join",
+    "broadcast_join",
+    "semi_join",
+    "anti_join",
+    "asof_join",
+    "range_join_bucketed",
+    "salted_join",
+]
 
 
 def equi_join(left: DataFrame, right: DataFrame, on: Sequence[str], how: str = "inner") -> DataFrame:
@@ -44,6 +52,38 @@ def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame
 def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
     """NOT EXISTS semantics."""
     return left.join(right, list(on), "left_anti")
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: a hot key on the ``skewed`` side is split
+    across ``num_salts`` reducers by appending a deterministic salt
+    derived from the row (xxhash64 of all columns — no ``rand()``, so
+    retries/speculative tasks stay consistent); the ``other`` side is
+    replicated once per salt value. Use when one side has a key whose
+    row count dwarfs the rest and AQE's skew-join split isn't available
+    (e.g. the join feeds a window, or the skew is in a streaming side).
+
+    Cost model: |other| × num_salts extra rows vs. eliminating the
+    straggler task — worth it when the hot key is ≫ num_salts × the
+    median key size.
+    """
+    keys = list(on)
+    if any(c in ("_salt",) for c in skewed.columns + other.columns):
+        raise ValueError("salted_join: '_salt' column name is reserved")
+    salted = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts))
+    )
+    replicated = other.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(num_salts - 1).cast("long"))),
+    )
+    return salted.join(replicated, keys + ["_salt"], how).drop("_salt")
 
 
 def asof_join(

@@ -6,6 +6,8 @@ via ``plans`` — the "would this survive 100×" checks as regressions.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -80,6 +82,53 @@ def test_asof_join_collision_raises(spark):
     right = spark.createDataFrame([(1, 9, 7.0)], "k int, ts int, v double")
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, ["k"], "ts", ["v"])
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join results — only the key distribution."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        salted_join,
+    )
+
+    skewed = spark.createDataFrame(
+        [("hot", i) for i in range(50)] + [("cold", 0)], "k string, i int"
+    )
+    dim = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, tag string")
+    plain = {(r["k"], r["i"], r["tag"]) for r in skewed.join(dim, "k").collect()}
+    salted = {(r["k"], r["i"], r["tag"]) for r in salted_join(skewed, dim, ["k"], num_salts=4).collect()}
+    assert salted == plain and len(salted) == 51
+
+
+def test_bucketed_table_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must join without an Exchange
+    on either side (the storage-level co-location contract)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        write_bucketed_table,
+    )
+
+    import shutil
+
+    a = spark.range(1000).withColumnRenamed("id", "k").withColumn("va", F.col("k") * 2)
+    b = spark.range(1000).withColumnRenamed("id", "k").withColumn("vb", F.col("k") + 1)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    try:
+        for t in ("bkt_a", "bkt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        write_bucketed_table(a, "bkt_a", ["k"], 4, sort_cols=["k"])
+        write_bucketed_table(b, "bkt_b", ["k"], 4, sort_cols=["k"])
+        # disable broadcast so the bucketing (not the small size) is what
+        # eliminates the exchange in the sort-merge join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        p = plans.explain_str(joined, "simple")
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in ("bkt_a", "bkt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_range_join_bucketed(spark):
