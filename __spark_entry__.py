@@ -1119,6 +1119,49 @@ WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """
 
 
+def functions_math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface over IEEE-exact operations only (sqrt is
+    correctly rounded per IEEE 754 and portable; log/exp are libm-
+    dependent and deliberately excluded from oracle checks)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_centered"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("long").alias("price_k"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qty_floor"),
+        F.ceil(F.col("l_tax") * 100).cast("long").alias("tax_pct_ceil"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
+    )
+
+
+_FUNC_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 50000.0) AS abs_centered,
+       CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+       sqrt(l_extendedprice) AS price_sqrt,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+       l_orderkey % 7 AS key_mod7
+FROM lineitem
+"""
+
+
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch family (KLL/GK-style approx_percentile): grouped
+    p50/p95 with exact min/max rails. Sketch internals differ across
+    engines, so this is a rows-only check; pytest pins the rails."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("approx_p50_p95"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
 def llm_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline: exact-dedup → quality filter →
     language distribution of the surviving corpus — the three cheapest
@@ -1217,6 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_shipping_priority": sql_shipping_priority,
         "sql_filtered_revenue": sql_filtered_revenue,
         "llm_pipeline_clean_corpus": llm_pipeline_clean_corpus,
+        "functions_math_ops": functions_math_ops,
+        "agg_approx_quantiles": agg_approx_quantiles,
     }
 
 
@@ -1271,4 +1316,5 @@ def oracle_sql() -> dict[str, str]:
         "sql_shipping_priority": _SQL_Q3_SQL,
         "sql_filtered_revenue": _SQL_Q6_SQL,
         "llm_pipeline_clean_corpus": _LLM_PIPELINE_SQL,
+        "functions_math_ops": _FUNC_MATH_SQL,
     }

@@ -160,6 +160,8 @@ def range_join_bucketed(
     shuffle-hash/sort-merge equi-join. ``bucket_width`` should be ≈ the
     typical interval width so each interval covers O(1) buckets.
     """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     keys = list(key_cols)
     lb = left.withColumn("_bucket", F.floor(F.col(left_val) / bucket_width))
     # Empty / sub-epsilon intervals (hi <= lo) would make F.sequence run

@@ -139,6 +139,8 @@ def tumbling_count_window_avg(
     second exchange; at scale the first sort dominates, same cost class as
     any ordered per-key pass.
     """
+    if window_size < 1:
+        raise ValueError(f"window_size must be >= 1, got {window_size}")
     cycle_len = window_size + 1
     rn = F.row_number().over(_ordered_window(key_cols, order_cols)) - 1
     with_cycle = df.withColumn(cycle_col, F.floor(rn / cycle_len)).withColumn("_pos", rn % cycle_len)
