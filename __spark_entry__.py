@@ -177,27 +177,33 @@ FROM lineitem GROUP BY 1
 
 
 def w2_count_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").withColumn("price_dec", F.col("l_extendedprice").cast(DEC))
-    out = tumbling_count_window_avg(
-        li, ["l_returnflag"], _LI_ORDER, "price_dec", window_size=50, out_col="avg_value"
+    # Prices have 2 decimal digits, so integer cents carry exact sums:
+    # every partial sum stays < 2^53, making the double-typed sum/avg
+    # bit-exact in BOTH engines. (A DECIMAL avg is equally exact but
+    # measured ~30× slower — decimal aggregation buffers don't stay in
+    # whole-stage codegen.)
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "price_cents", F.round(F.col("l_extendedprice") * 100).cast("long")
     )
-    # avg over DECIMAL is exact (scale 2 / 50 needs ≤ 4 digits); cast to
-    # double + round 4 matches the oracle's sum-based derivation bitwise.
-    return out.withColumn("avg_value", F.round(F.col("avg_value").cast("double"), 4))
+    out = tumbling_count_window_avg(
+        li, ["l_returnflag"], _LI_ORDER, "price_cents", window_size=50, out_col="avg_value"
+    )
+    return out.withColumn("avg_value", F.round(F.col("avg_value") / 100, 4))
 
 
 _W2_SQL = f"""
 WITH numbered AS (
-  SELECT l_returnflag, l_extendedprice,
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
          row_number() OVER (PARTITION BY l_returnflag
                             ORDER BY {_LI_ORDER_SQL}) - 1 AS rn0
   FROM lineitem
 ), cycles AS (
-  SELECT l_returnflag, l_extendedprice, rn0 // 51 AS cycle, rn0 % 51 AS pos
+  SELECT l_returnflag, price_cents, rn0 // 51 AS cycle, rn0 % 51 AS pos
   FROM numbered
 )
 SELECT l_returnflag, CAST(cycle AS BIGINT) AS cycle,
-       ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 50, 4) AS avg_value
+       ROUND(CAST(sum(price_cents) AS DOUBLE) / 50 / 100, 4) AS avg_value
 FROM cycles WHERE pos < 50
 GROUP BY l_returnflag, cycle HAVING count(*) = 50
 """
@@ -1067,11 +1073,15 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "customer").createOrReplaceTempView("_q3_customer")
     _t(spark, sf_dir, "orders").createOrReplaceTempView("_q3_orders")
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q3_lineitem")
+    # price (2 dp) × (1−discount) (2 dp) = an exact multiple of 1e-4:
+    # integer units of 1e-4 keep the sum exact and the aggregation in
+    # whole-stage codegen (DECIMAL buffers are ~5× slower here).
     return spark.sql(
         """
         SELECT l_orderkey,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+                 / 10000 AS revenue,
                date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate
         FROM _q3_customer JOIN _q3_orders ON c_custkey = o_custkey
         JOIN _q3_lineitem ON l_orderkey = o_orderkey
@@ -1085,8 +1095,9 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_Q3_SQL = """
 SELECT l_orderkey,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+         / 10000 AS revenue,
        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -1103,8 +1114,9 @@ def sql_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q6_lineitem")
     return spark.sql(
         """
-        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                 / 10000 AS revenue
         FROM _q6_lineitem
         WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
         """
@@ -1112,8 +1124,9 @@ def sql_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_Q6_SQL = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+         / 10000 AS revenue
 FROM lineitem
 WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """

@@ -60,8 +60,14 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entrymod.queries()
 
-    # warmup: touch every table + spin up codegen/shuffle machinery
+    # warmup: touch every table + spin up codegen/shuffle machinery,
+    # then one trivial pandas UDF so Python worker processes (reused by
+    # every Arrow-UDF query) aren't billed to the first UDF query.
     queries["q1_pricing_summary"](spark, sf_dir).count()
+    from pyspark.sql import functions as _F
+
+    _noop = _F.pandas_udf(lambda s: s, "long")
+    spark.range(32, numPartitions=32).select(_noop("id")).count()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

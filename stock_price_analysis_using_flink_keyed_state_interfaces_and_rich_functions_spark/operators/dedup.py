@@ -160,43 +160,58 @@ def minhash_signatures(
     100 TB this is an embarrassingly parallel scan, vs. the naive
     explode→groupBy formulation that shuffles every (doc, shingle) pair.
 
-    ``impl="pandas"`` (default): Arrow-vectorized numpy — one (num_hashes
-    × num_shingles) modular matmul per document. This is the sanctioned
-    pandas-UDF slow-path exception, and it is ~2× FASTER than the pure
-    expression form because Spark evaluates higher-order array lambdas
-    interpreted (never whole-stage-codegen'd). Base hash: crc32
+    ``impl="pandas"`` (default): the WHOLE tokenize→shingle→hash→min
+    chain runs inside one Arrow-batched UDF — raw text in, compact
+    ``array<long>`` signature out. This is the sanctioned pandas-UDF
+    slow-path exception, chosen on measurement: Spark evaluates
+    higher-order array lambdas interpreted (never whole-stage codegen),
+    so building shingles with ``transform``+``slice``+``concat_ws``
+    JVM-side costs ~15µs per shingle and dominated the entire MinHash
+    pipeline; Python set-building plus a vectorized (num_hashes ×
+    num_shingles) modular matmul is ~10× faster. Base hash: crc32
     (deterministic across executors/runs — never Python ``hash``).
 
-    ``impl="expr"``: pure Catalyst higher-order functions (xxhash64 base
-    hash). Same banding/estimation behavior, different hash family, so
-    signatures are not byte-identical between impls.
+    ``impl="expr"``: pure Catalyst higher-order functions (xxhash64
+    base hash). Same banding/estimation behavior, different hash
+    family, so signatures are not byte-identical between impls.
     """
     params = _hash_params(num_hashes, seed)
-    shingles = _word_shingles(text_col, shingle_k)
     if impl == "pandas":
         from pyspark.sql.types import ArrayType, LongType
 
         a_vec = np.array([p[0] for p in params], dtype=np.uint64)[:, None]
         b_vec = np.array([p[1] for p in params], dtype=np.uint64)[:, None]
         p_mod = np.uint64(_MERSENNE_P)
+        k = shingle_k
 
         @F.pandas_udf(ArrayType(LongType()))
-        def _sig(sh: pd.Series) -> pd.Series:
+        def _sig(texts: pd.Series) -> pd.Series:
             out = []
-            for arr in sh:
+            for txt in texts:
+                # Same shingle semantics as _word_shingles: whitespace
+                # tokens of the trimmed text, distinct word k-shingles,
+                # short docs contribute their full token string.
+                toks = txt.split() if txt else []
+                if len(toks) >= k:
+                    shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                else:
+                    shingles = {" ".join(toks)}
+                # crc32 < 2^32 and a < 2^31 keep a*h+b < 2^63: no
+                # uint64 overflow in the permutation arithmetic.
                 h = np.fromiter(
-                    (zlib.crc32(s.encode("utf-8")) for s in arr),
+                    (zlib.crc32(s.encode("utf-8")) for s in shingles),
                     dtype=np.uint64,
-                    count=len(arr),
+                    count=len(shingles),
                 )
                 mins = ((a_vec * h[None, :] + b_vec) % p_mod).min(axis=1)
                 out.append(mins.astype(np.int64))
             return pd.Series(out)
 
-        return df.select(F.col(id_col), _sig(shingles).alias("signature"))
+        return df.select(F.col(id_col), _sig(F.col(text_col)).alias("signature"))
 
     if impl != "expr":
         raise ValueError(f"impl must be 'pandas' or 'expr', got {impl!r}")
+    shingles = _word_shingles(text_col, shingle_k)
     params_arr = F.array(
         *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
     )
@@ -231,6 +246,11 @@ def minhash_candidate_pairs(
 
     Pass ``num_hashes`` (the signature length) to keep the plan fully
     lazy; omitting it costs one small driver job to probe the length.
+
+    Band hashes are a flat ``xxhash64(sig[b*r+1], …, sig[b*r+r])`` per
+    band — plain codegen'd expressions. The equivalent higher-order
+    ``transform``+``slice``+``concat_ws`` formulation is evaluated
+    interpreted and measured ~6× slower on the banding stage.
     """
     if num_hashes is None:
         sig_len_row = signatures.select(F.size("signature").alias("n")).first()
@@ -238,16 +258,15 @@ def minhash_candidate_pairs(
             return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
         num_hashes = sig_len_row["n"]
     rows_per_band = max(1, num_hashes // num_bands)
+    band_hashes = F.array(*[
+        F.xxhash64(*[
+            F.element_at("signature", b * rows_per_band + i + 1) for i in range(rows_per_band)
+        ])
+        for b in range(num_bands)
+    ])
     banded = signatures.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.xxhash64(F.concat_ws(",", F.transform(
-                    F.slice("signature", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")
-                ))),
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
@@ -268,17 +287,31 @@ def minhash_dedup_pairs(
     num_bands: int = 32,
     shingle_k: int = 3,
     seed: int = 42,
+    persist_signatures: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
     candidates → signature-overlap Jaccard estimate ≥ threshold.
-    Returns (id_a, id_b, est_jaccard)."""
-    # One explicit exchange on id materializes the (id, signature) pairs
-    # so all three consumers below read a ReusedExchange instead of
-    # recomputing the signature scan — the shuffled payload is the
-    # compact signature (num_hashes longs), never the documents.
+    Returns (id_a, id_b, est_jaccard).
+
+    The signature table feeds FOUR subtrees (both sides of the band
+    self-join + both sides of the estimate join). The explicit
+    repartition on id materializes the compact (id, num_hashes longs)
+    rows — ~1 KB/doc, never the documents — as one shuffle that AQE's
+    stage reuse shares across the consumers (measured ~40% faster than
+    the exchange-free form, which recomputes the signature UDF per
+    consumer). For corpora where even one signature scan is expensive
+    pass ``persist_signatures=True`` to cache instead. Off by default:
+    below a few hundred MB of text the cache/stage round-trips cost
+    more than they save (measured 2× slower end-to-end at sf0.1).
+    """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed).repartition(
         F.col(id_col)
     )
+    if persist_signatures:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs.count()
     cands = minhash_candidate_pairs(sigs, id_col, num_bands, num_hashes=num_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sa"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sb"))
