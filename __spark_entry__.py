@@ -43,6 +43,7 @@ from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_
     dedup_keep_first,
     equi_join,
     exact_dedup,
+    ivf_topk,
     fingerprint_md5,
     fingerprint_ngram_min,
     final_max,
@@ -892,6 +893,14 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, "vec_id", "embedding", k=5, num_planes=8)
 
 
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with 4-of-16 cell probing — rows-only check (the recall
+    trade-off is data-dependent; pytest pins nprobe=num_cells == exact)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, "vec_id", "embedding", k=5, num_cells=16, nprobe=4)
+
+
 # --------------------------------------------------------------------------
 # multimodal (binary payload plumbing)
 # --------------------------------------------------------------------------
@@ -1261,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_bruteforce_topk": similarity_bruteforce_topk,
         "similarity_embedding_dup_pairs": similarity_embedding_dup_pairs,
         "similarity_lsh_topk": similarity_lsh_topk,
+        "similarity_ivf_topk": similarity_ivf_topk,
         "multimodal_payload_meta": multimodal_payload_meta,
         "multimodal_decode_features": multimodal_decode_features,
         "multimodal_frame_sample": multimodal_frame_sample,

@@ -46,6 +46,7 @@ from .dedup import (  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,
     cosine_dup_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from .text import (  # noqa: F401

@@ -1,7 +1,7 @@
 """Similarity search over embedding columns (``array<float>``) —
 brief-mandated LLM-data operator family (SURVEY.md §2.6).
 
-Two tiers:
+Three tiers:
 
 - **Brute-force cosine top-k** — exact; the query side broadcasts
   (BroadcastNestedLoopJoin), so the big side streams once with no
@@ -11,6 +11,10 @@ Two tiers:
   workloads (near-dup by cosine, all-pairs-ish search): bucket by sign
   signature, equi-join buckets, rank within bucket. Candidate
   generation never builds a cartesian product.
+- **IVF (inverted-file)** — the scale path for query-time ANN: a
+  driver-trained coarse quantizer assigns every vector to a cell
+  map-side; queries probe their ``nprobe`` nearest cells through a
+  plain equi-join. ``nprobe == num_cells`` degenerates to exact.
 
 Dot products are Catalyst higher-order functions (``zip_with`` +
 ``aggregate``) accumulating in double — JVM-side, no Python. The LSH
@@ -34,6 +38,7 @@ __all__ = [
     "cosine_dup_pairs",
     "hyperplane_signature_udf",
     "lsh_bucketed_topk",
+    "ivf_topk",
 ]
 
 
@@ -166,6 +171,98 @@ def lsh_bucketed_topk(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), sig(F.col(vec_col)).alias("_bucket"))
     scored = (
         v.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_nv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Index build: ``num_cells`` centroid vectors are drawn as a seeded
+    uniform sample (order by ``xxhash64(seed, id)``, take first — a
+    one-pass TakeOrdered, no full sort) and collected to the driver.
+    Centroids living driver-side is inherent to IVF — at scale you
+    train them offline on a sample exactly like this, then broadcast.
+
+    Search: every vector is assigned map-side to its nearest centroid
+    by cosine (Arrow-vectorized argmax — one scan, no shuffle of the
+    vectors); each query probes its ``nprobe`` nearest cells. The
+    candidate join is a plain equi-join on cell id, so the plan never
+    goes quadratic; cost per query is ~``nprobe/num_cells`` of the
+    corpus. ``nprobe == num_cells`` degenerates to exact search (every
+    cell probed), which is what the equivalence test pins against
+    :func:`brute_force_topk`.
+
+    Output schema matches the other top-k operators:
+    (query_id, neighbor_id, cosine, rk).
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType
+
+    if not 1 <= nprobe <= num_cells:
+        raise ValueError(f"nprobe must be in [1, num_cells={num_cells}], got {nprobe}")
+
+    sample = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.lit(str(seed)), F.col(id_col)))
+        .limit(num_cells)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("ivf_topk: vectors DataFrame is empty")
+    cents = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    norms = np.linalg.norm(cents, axis=1)
+    norms[norms == 0] = 1.0
+    cents = cents / norms[:, None]  # unit rows: dot == cosine ranking
+
+    def _scores(vecs: pd.Series) -> "np.ndarray":
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return np.empty((0, cents.shape[0]))
+        vn = np.linalg.norm(mat, axis=1)
+        vn[vn == 0] = 1.0
+        return (mat / vn[:, None]) @ cents.T
+
+    @F.pandas_udf(LongType())
+    def _cell(vecs: pd.Series) -> pd.Series:
+        s = _scores(vecs)
+        return pd.Series(s.argmax(axis=1) if s.size else [], dtype="int64")
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _probe_cells(vecs: pd.Series) -> pd.Series:
+        s = _scores(vecs)
+        if not s.size:
+            return pd.Series([], dtype="object")
+        order = np.argsort(-s, axis=1)[:, :nprobe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"), _cell(F.col(vec_col)).alias("_cell")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(_probe_cells(F.col(vec_col))).alias("_cell"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "_cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_nv")), 4))
     )

@@ -22,6 +22,7 @@ from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_
     fingerprint_md5,
     fingerprint_ngram_min,
     frame_sample,
+    ivf_topk,
     language_id,
     lsh_bucketed_topk,
     minhash_dedup_pairs,
@@ -133,6 +134,26 @@ def test_lsh_topk_subset_of_bruteforce(spark, vectors):
     got = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
     assert got <= brute | {(1, 3), (1, 4)}  # candidates are a bucket-restricted subset
     assert (1, 2) in got                    # near-identical vector shares every sign bit
+
+
+def test_ivf_topk_full_probe_equals_bruteforce(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 1)
+    brute = {(r["neighbor_id"], r["cosine"], r["rk"]) for r in brute_force_topk(vectors, q, k=3).collect()}
+    # probing every cell makes IVF exact regardless of centroid choice
+    full = ivf_topk(vectors, q, k=3, num_cells=2, nprobe=2)
+    assert {(r["neighbor_id"], r["cosine"], r["rk"]) for r in full.collect()} == brute
+    plans.assert_no_cartesian(full)
+
+
+def test_ivf_topk_partial_probe_subset(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 1)
+    brute = {r["neighbor_id"] for r in brute_force_topk(vectors, q, k=3).collect()}
+    part = ivf_topk(vectors, q, k=3, num_cells=4, nprobe=1)
+    rows = part.collect()
+    assert {r["neighbor_id"] for r in rows} <= brute | {3, 4}
+    assert all(r["query_id"] == 1 for r in rows)
+    with pytest.raises(ValueError):
+        ivf_topk(vectors, q, num_cells=4, nprobe=5)
 
 
 # ------------------------------------------------------------------ text

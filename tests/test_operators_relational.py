@@ -150,6 +150,13 @@ def test_range_join_interval_spanning_buckets(spark):
     assert sorted(r["id"] for r in out.collect()) == [1, 2]
 
 
+def test_range_join_rejects_nonpositive_bucket_width(spark):
+    vals = spark.createDataFrame([(1, 0.5)], "id int, v double")
+    wide = spark.createDataFrame([(1, 0.0, 10.0)], "band int, lo double, hi double")
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_join_bucketed(vals, wide, "v", "lo", "hi", bucket_width=0.0)
+
+
 # ---------------------------------------------------------- topk / setops
 
 def test_top_n_and_per_group(spark, people):

@@ -80,6 +80,11 @@ def test_w1_final_max_per_year(quotes):
 # --- W2: tumbling 50-row average High (RollingAverageHighPrice.java:56-113) ---
 
 
+def test_w2_rejects_nonpositive_window(quotes):
+    with pytest.raises(ValueError, match="window_size"):
+        tumbling_count_window_avg(quotes, ["symbol"], ["date", "row_id"], "high", 0)
+
+
 def test_w2_count_window_avg(quotes, rows):
     got = (
         tumbling_count_window_avg(quotes, ["symbol"], ["date", "row_id"], "high", 50)
