@@ -43,6 +43,7 @@ from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_
     dedup_keep_first,
     equi_join,
     exact_dedup,
+    exact_dup_groups,
     ivf_topk,
     fingerprint_md5,
     fingerprint_ngram_min,
@@ -59,6 +60,8 @@ from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_
     rollup_agg,
     rows_between_breaches,
     running_max,
+    running_sum,
+    salted_join,
     semi_join,
     sessionize_by_gap,
     simhash,
@@ -68,6 +71,7 @@ from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_
     tumbling_count_window_avg,
     with_lag_lead,
     with_quality_score,
+    with_rank_columns,
     with_text_stats,
 )
 from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.functions import (
@@ -1184,6 +1188,118 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (skew-busting): result is identical to the plain
+    join — the oracle checks exactly that — while the plan splits any
+    hot o_custkey across 8 reducers."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return salted_join(orders, cust, ["o_custkey"], num_salts=8)
+
+
+_JOIN_SALTED_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_name
+FROM orders JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def setops_union_all_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import union_all
+
+    return union_all(c, s)
+
+
+_SETOPS_UNION_ALL_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION ALL
+SELECT s_nationkey FROM supplier
+"""
+
+
+def setops_except_all_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (duplicates preserved), the
+    counterpart of the EXCEPT DISTINCT query."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import except_all
+
+    return except_all(c, s)
+
+
+_SETOPS_EXCEPT_ALL_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey FROM supplier
+"""
+
+
+def dedup_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group inventory: one row per content value occurring
+    ≥2 times with group size and surviving (min) id — the reporting
+    companion of exact_dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, ["text"], "doc_id")
+
+
+_DEDUP_GROUPS_SQL = """
+SELECT md5(coalesce(text, '')) AS digest,
+       count(*) AS n_dups,
+       min(doc_id) AS survivor_id
+FROM documents
+GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def window_running_sum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend (prefix sum). Integer-cents keeps the
+    prefix sums exact, so the hash check doesn't depend on both engines
+    accumulating doubles in the same order (DuckDB's segment-tree
+    window sum visits a different addition order than Spark's
+    incremental frame)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    out = running_sum(o, ["o_custkey"], ["o_orderdate", "o_orderkey"], "price_cents", "running_cents")
+    return out.select(
+        "o_custkey", "o_orderkey", (F.col("running_cents") / 100).alias("running_spend")
+    )
+
+
+_WINDOW_RUNNING_SUM_SQL = """
+SELECT o_custkey, o_orderkey,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100
+         AS running_spend
+FROM orders
+"""
+
+
+def window_pct_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full rank-function family (row_number/rank/dense_rank/
+    percent_rank/cume_dist) in one pass over one window spec."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    return with_rank_columns(
+        s, ["s_nationkey"], [F.col("s_acctbal").desc(), F.col("s_suppkey").asc()]
+    )
+
+
+_WINDOW_PCT_RANK_SQL = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cdist
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+"""
+
+
 def llm_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline: exact-dedup → quality filter →
     language distribution of the surviving corpus — the three cheapest
@@ -1285,6 +1401,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_pipeline_clean_corpus": llm_pipeline_clean_corpus,
         "functions_math_ops": functions_math_ops,
         "agg_approx_quantiles": agg_approx_quantiles,
+        "join_salted_skew": join_salted_skew,
+        "setops_union_all_nationkeys": setops_union_all_nationkeys,
+        "setops_except_all_nationkeys": setops_except_all_nationkeys,
+        "dedup_dup_groups": dedup_dup_groups,
+        "window_running_sum_orders": window_running_sum_orders,
+        "window_pct_rank_suppliers": window_pct_rank_suppliers,
     }
 
 
@@ -1340,4 +1462,10 @@ def oracle_sql() -> dict[str, str]:
         "sql_filtered_revenue": _SQL_Q6_SQL,
         "llm_pipeline_clean_corpus": _LLM_PIPELINE_SQL,
         "functions_math_ops": _FUNC_MATH_SQL,
+        "join_salted_skew": _JOIN_SALTED_SQL,
+        "setops_union_all_nationkeys": _SETOPS_UNION_ALL_SQL,
+        "setops_except_all_nationkeys": _SETOPS_EXCEPT_ALL_SQL,
+        "dedup_dup_groups": _DEDUP_GROUPS_SQL,
+        "window_running_sum_orders": _WINDOW_RUNNING_SUM_SQL,
+        "window_pct_rank_suppliers": _WINDOW_PCT_RANK_SQL,
     }

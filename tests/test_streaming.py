@@ -1,4 +1,4 @@
-"""Streaming tests: batch↔stream equivalence for the W1–W3 stateful
+"""Streaming tests: batch↔stream equivalence for the W1–W4 stateful
 ports (SURVEY.md §5.2 item 3) and watermarked time/session windows.
 
 Equivalence harness: the same rows are written as MULTIPLE parquet
@@ -85,6 +85,26 @@ def test_running_max_stream_equals_batch(spark, staged):
     # (k, v) is unique here: v = (seq*37)%101 distinct per parity class
     for r in got:
         assert expected[(r["k"], r["v"])] == r["running_max"]
+
+
+def test_running_max_stream_composite_key_w4(spark, staged):
+    """W4 = W1 with a composite key (MaxTradeVolumePerYearPerMonth's
+    (year, month) ↔ (k, k2) here); the MapState collapses to ValueState
+    per composite key, so the same fold must hold per (k, k2) group."""
+    root, batch = staged
+    stream_in = _stream(spark, root).withColumn("k2", F.col("seq") % 3)
+    out = _drain(
+        running_max_stream(stream_in, ["k", "k2"], ["seq"], "v"), "w4_stream"
+    )
+    got = out.collect()
+    assert len(got) == 60
+    batch2 = batch.withColumn("k2", F.col("seq") % 3)
+    expected = {
+        (r["k"], r["k2"], r["v"]): r["rm"]
+        for r in running_max(batch2, ["k", "k2"], ["seq"], "v", "rm").collect()
+    }
+    for r in got:
+        assert expected[(r["k"], r["k2"], r["v"])] == r["running_max"]
 
 
 def test_count_window_stream_equals_batch(spark, staged):
