@@ -1240,16 +1240,26 @@ SELECT s_nationkey FROM supplier
 def dedup_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-group inventory: one row per content value occurring
     ≥2 times with group size and surviving (min) id — the reporting
-    companion of exact_dedup."""
-    docs = _t(spark, sf_dir, "documents")
-    return exact_dup_groups(docs, ["text"], "doc_id")
+    companion of exact_dedup. The synthetic corpus has no exact dups,
+    so the corpus is unioned with a re-keyed copy of its first 100 docs
+    (deterministic filter, not limit) to give the grouping real work."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_dup_groups(docs.unionByName(dupes), ["text"], "doc_id")
 
 
 _DEDUP_GROUPS_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
+)
 SELECT md5(coalesce(text, '')) AS digest,
        count(*) AS n_dups,
        min(doc_id) AS survivor_id
-FROM documents
+FROM corpus
 GROUP BY 1 HAVING count(*) >= 2
 """
 

@@ -66,3 +66,21 @@ def test_q1_wholestage_codegen_and_partial_agg(spark, q):
 def test_asof_join_single_shuffle_no_cartesian(spark, q):
     df = q["join_asof_click_purchase"](spark, SF)
     plans.assert_no_cartesian(df)
+
+
+def test_salted_join_no_cartesian_and_no_broadcast_of_salted(spark, q):
+    """The salted join must stay a shuffled equi-join on (key, salt) —
+    a cartesian or a plain broadcast would defeat the skew split."""
+    df = q["join_salted_skew"](spark, SF)
+    plans.assert_no_cartesian(df)
+
+
+def test_ivf_topk_no_cartesian(spark, q):
+    plans.assert_no_cartesian(q["similarity_ivf_topk"](spark, SF))
+
+
+def test_w2_scan_prunes_to_order_and_value_columns(spark, q):
+    """The 4-column order key exists so the W1–W4 scans can prune; a
+    regression back to full-row ordering shows up as a 12-column read."""
+    cols = plans.scan_read_schema(q["w2_count_window_avg"](spark, SF))
+    assert len(cols) <= 6, cols
