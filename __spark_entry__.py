@@ -208,9 +208,10 @@ WITH numbered AS (
   FROM numbered
 )
 SELECT l_returnflag, CAST(cycle AS BIGINT) AS cycle,
-       ROUND(CAST(sum(price_cents) AS DOUBLE) / 50 / 100, 4) AS avg_value
-FROM cycles WHERE pos < 50
-GROUP BY l_returnflag, cycle HAVING count(*) = 50
+       ROUND(CAST(sum(CASE WHEN pos < 50 THEN price_cents END) AS DOUBLE) / 50 / 100, 4)
+         AS avg_value
+FROM cycles
+GROUP BY l_returnflag, cycle HAVING count(*) = 51
 """
 
 

@@ -132,24 +132,30 @@ def tumbling_count_window_avg(
     sum/N and is itself discarded — cycle length is ``window_size + 1``
     and the trigger row's value never enters any window (SURVEY.md §2.4
     W2; FIXTURES.md pins (HDFC, 352.888) first under file order).
-    Incomplete trailing cycles emit nothing unless ``emit_incomplete``.
+    A window emits only when its TRIGGER row has arrived: a key with
+    exactly ``window_size`` trailing rows has a full window's worth of
+    data but no trigger, and the reference emits nothing for it — so
+    the cycle must contain all ``window_size + 1`` rows (per-key
+    emission count is floor(n / (window_size+1)), the property pinned
+    in tests/test_properties.py). Incomplete trailing cycles emit
+    nothing unless ``emit_incomplete``.
 
     Plan shape: row_number (shuffle on key + sort) → integer-div cycle id →
-    filter pos < window_size → groupBy(key, cycle) avg. AQE coalesces the
-    second exchange; at scale the first sort dominates, same cost class as
-    any ordered per-key pass.
+    groupBy(key, cycle) conditional avg over non-trigger rows. AQE
+    coalesces the second exchange; at scale the first sort dominates, same
+    cost class as any ordered per-key pass.
     """
     if window_size < 1:
         raise ValueError(f"window_size must be >= 1, got {window_size}")
     cycle_len = window_size + 1
     rn = F.row_number().over(_ordered_window(key_cols, order_cols)) - 1
     with_cycle = df.withColumn(cycle_col, F.floor(rn / cycle_len)).withColumn("_pos", rn % cycle_len)
-    in_window = with_cycle.filter(F.col("_pos") < window_size)
-    agged = in_window.groupBy(*key_cols, cycle_col).agg(
-        F.avg(value_col).alias(out_col), F.count(F.lit(1)).alias("_n")
+    agged = with_cycle.groupBy(*key_cols, cycle_col).agg(
+        F.avg(F.when(F.col("_pos") < window_size, F.col(value_col))).alias(out_col),
+        F.count(F.lit(1)).alias("_n"),
     )
     if not emit_incomplete:
-        agged = agged.filter(F.col("_n") == window_size)
+        agged = agged.filter(F.col("_n") == cycle_len)
     out = agged.drop("_n")
     if key_out:
         for old, new in zip(_key_names(key_cols, "tumbling_count_window_avg(key_out=...)"), key_out):

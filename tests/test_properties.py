@@ -1,0 +1,78 @@
+"""Property tests (SURVEY.md §5.2 item 4): laws the reference
+semantics impose regardless of data.
+
+- W1/W4 final aggregates are order-insensitive (hypothesis-shuffled
+  inputs).
+- W2 per-key emission count is floor(n / (window_size+1)) — the trigger
+  row must ARRIVE before its window emits (a key with exactly
+  window_size trailing rows emits nothing; RollingAverageHighPrice.java
+  emits in the else-branch on the (window_size+1)-th row). Boundary
+  n ≡ window_size (mod window_size+1) is exactly where a filter-first
+  formulation over-emits, so it is enumerated explicitly.
+- W3 emits exactly one row per breach row.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+    final_max,
+    rows_between_breaches,
+    tumbling_count_window_avg,
+)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_vals = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False)
+_rows = st.lists(st.tuples(st.sampled_from(["a", "b", "c"]), _vals), min_size=1, max_size=80)
+
+
+@_settings
+@given(rows=_rows, seed=st.integers(0, 2**16))
+def test_w1_w4_final_max_order_insensitive(spark, rows, seed):
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+
+    def run(rs):
+        df = spark.createDataFrame(
+            [(k, i, v) for i, (k, v) in enumerate(rs)], "k string, seq long, v double"
+        )
+        return {r["k"]: r["m"] for r in final_max(df, ["k"], "v", "m").collect()}
+
+    assert run(rows) == run(shuffled)
+
+
+@pytest.mark.parametrize("n", [1, 4, 5, 6, 10, 11, 12, 17, 50, 51, 122])
+def test_w2_emission_count_is_reference_law(spark, n):
+    """window_size=5 → cycle length 6; emissions = n // 6. n=5, 11, 17
+    are the trigger-not-yet-arrived boundaries."""
+    df = spark.createDataFrame(
+        [("k", i, float(i)) for i in range(n)], "k string, seq long, v double"
+    )
+    out = tumbling_count_window_avg(df, ["k"], ["seq"], "v", window_size=5).collect()
+    assert len(out) == n // 6
+    if n >= 6:
+        first = min(out, key=lambda r: r["cycle"])
+        assert first["avg_value"] == pytest.approx(sum(range(5)) / 5)  # row 5 is the trigger
+
+
+@_settings
+@given(rows=st.lists(_vals, min_size=0, max_size=60))
+def test_w3_emits_one_row_per_breach(spark, rows):
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(rows)], "k string, seq long, v double"
+    )
+    out = rows_between_breaches(
+        df, ["k"], ["seq"], breach=F.col("v") >= 0.0, emit_cols=["k", "seq"]
+    )
+    assert out.count() == sum(1 for v in rows if v >= 0.0)
