@@ -1311,6 +1311,49 @@ WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
 """
 
 
+def sql_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped query through the SQL layer: 6-way join with a
+    region filter Catalyst should push through two broadcastable dims,
+    local-supplier correlation (c_nationkey = s_nationkey), grouped
+    integer-cents revenue."""
+    for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q5_{name}")
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+                 / 10000 AS revenue
+        FROM _q5_customer
+        JOIN _q5_orders   ON c_custkey = o_custkey
+        JOIN _q5_lineitem ON l_orderkey = o_orderkey
+        JOIN _q5_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN _q5_nation   ON s_nationkey = n_nationkey
+        JOIN _q5_region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )
+
+
+_SQL_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+         / 10000 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 def llm_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline: exact-dedup → quality filter →
     language distribution of the surviving corpus — the three cheapest
@@ -1418,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_dup_groups": dedup_dup_groups,
         "window_running_sum_orders": window_running_sum_orders,
         "window_pct_rank_suppliers": window_pct_rank_suppliers,
+        "sql_local_supplier_revenue": sql_local_supplier_revenue,
     }
 
 
@@ -1479,4 +1523,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_dup_groups": _DEDUP_GROUPS_SQL,
         "window_running_sum_orders": _WINDOW_RUNNING_SUM_SQL,
         "window_pct_rank_suppliers": _WINDOW_PCT_RANK_SQL,
+        "sql_local_supplier_revenue": _SQL_Q5_SQL,
     }

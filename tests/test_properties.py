@@ -22,6 +22,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+    asof_join,
     final_max,
     rows_between_breaches,
     tumbling_count_window_avg,
@@ -76,3 +77,41 @@ def test_w3_emits_one_row_per_breach(spark, rows):
         df, ["k"], ["seq"], breach=F.col("v") >= 0.0, emit_cols=["k", "seq"]
     )
     assert out.count() == sum(1 for v in rows if v >= 0.0)
+
+
+_ts = st.integers(min_value=0, max_value=60)
+_asof_left = st.lists(st.tuples(st.sampled_from(["a", "b"]), _ts), min_size=1, max_size=40)
+_asof_right = st.dictionaries(
+    st.tuples(st.sampled_from(["a", "b"]), _ts), _vals, min_size=1, max_size=30
+)
+
+
+@_settings
+@given(left_rows=_asof_left, right_map=_asof_right, direction=st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_map, direction):
+    """asof_join (union + last/first-ignorenulls window) must agree with
+    pandas.merge_asof row-for-row, both directions. Right (key, ts)
+    pairs are unique by construction — with duplicates the reference
+    semantics itself is order-undefined."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], "lid long, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in right_map.items()], "k string, ts long, rv double"
+    )
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(left, right, ["k"], "ts", ["rv"], direction=direction).collect()
+    }
+
+    lpdf = pd.DataFrame([(i, k, t) for i, (k, t) in enumerate(left_rows)], columns=["lid", "k", "ts"])
+    rpdf = pd.DataFrame([(k, t, v) for (k, t), v in right_map.items()], columns=["k", "ts", "rv"])
+    merged = pd.merge_asof(
+        lpdf.sort_values(["ts", "lid"]), rpdf.sort_values("ts"),
+        on="ts", by="k", direction=direction,
+    )
+    for _, row in merged.iterrows():
+        exp = None if pd.isna(row["rv"]) else row["rv"]
+        assert got[row["lid"]] == exp, (row["lid"], got[row["lid"]], exp)
