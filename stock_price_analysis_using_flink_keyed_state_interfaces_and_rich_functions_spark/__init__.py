@@ -19,7 +19,7 @@ Package layout (all modules listed here ship and are tested):
   operators  — stateful (W1–W4 batch forms), windows, joins (incl. as-of /
                range), topk, setops, rollup, dedup (exact / MinHash-LSH /
                SimHash / n-gram Jaccard), similarity (cosine top-k,
-               hyperplane LSH), text (tokens, quality, lang-id,
+               hyperplane LSH, IVF), text (tokens, quality, lang-id,
                fingerprints), multimodal (binary payloads + mapInPandas)
   functions  — scalar date/string/json helpers (events.props extraction)
   udfs       — UDF surface: Python UDF / pandas UDF / UDTF registration

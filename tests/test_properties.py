@@ -10,6 +10,9 @@ semantics impose regardless of data.
   n ≡ window_size (mod window_size+1) is exactly where a filter-first
   formulation over-emits, so it is enumerated explicitly.
 - W3 emits exactly one row per breach row.
+- asof_join agrees with pandas.merge_asof, both directions.
+- range_join_bucketed equals the naive lo <= v < hi filter for any
+  bucket width, including degenerate intervals.
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ from pyspark.sql import functions as F
 
 from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
     asof_join,
+    range_join_bucketed,
     final_max,
     rows_between_breaches,
     tumbling_count_window_avg,
@@ -115,3 +119,34 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_map, direct
     for _, row in merged.iterrows():
         exp = None if pd.isna(row["rv"]) else row["rv"]
         assert got[row["lid"]] == exp, (row["lid"], got[row["lid"]], exp)
+
+
+_interval = st.tuples(_ts, _ts).map(lambda p: (min(p), max(p)))
+
+
+@_settings
+@given(
+    vals=st.lists(_ts, min_size=1, max_size=30),
+    intervals=st.lists(_interval, min_size=1, max_size=15),
+    width=st.sampled_from([1.0, 3.0, 7.5, 100.0]),
+)
+def test_range_join_bucketed_matches_naive(spark, vals, intervals, width):
+    """Bucketized range join must equal the naive lo <= v < hi product
+    filter for any bucket width — including degenerate (lo == hi)
+    intervals and widths far larger/smaller than the interval span."""
+    left = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)], "lid long, v double")
+    right = spark.createDataFrame(
+        [(j, float(lo), float(hi)) for j, (lo, hi) in enumerate(intervals)],
+        "rid long, lo double, hi double",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join_bucketed(left, right, "v", "lo", "hi", bucket_width=width).collect()
+    }
+    expected = {
+        (i, j)
+        for i, v in enumerate(vals)
+        for j, (lo, hi) in enumerate(intervals)
+        if lo <= v < hi
+    }
+    assert got == expected
