@@ -1311,6 +1311,40 @@ WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
 """
 
 
+def text_subword_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token-budget proxy: BPE-ish pre-token counts (letter runs /
+    digit runs / punctuation marks) vs whitespace words, with fertility
+    = subwords per word."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        subword_count,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n_sub = subword_count("text")
+    n_ws = token_count("text")
+    return docs.select(
+        "doc_id",
+        n_sub.alias("n_subwords"),
+        n_ws.alias("n_words"),
+        F.round(n_sub.cast("double") / F.greatest(n_ws, F.lit(1)), 4).alias("fertility"),
+    )
+
+
+_TEXT_SUBWORD_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+         CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT doc_id, n_subwords, n_words,
+       ROUND(CAST(n_subwords AS DOUBLE) / greatest(n_words, 1), 4) AS fertility
+FROM t
+"""
+
+
 def sql_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped query through the SQL layer: 6-way join with a
     region filter Catalyst should push through two broadcastable dims,
@@ -1462,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum_orders": window_running_sum_orders,
         "window_pct_rank_suppliers": window_pct_rank_suppliers,
         "sql_local_supplier_revenue": sql_local_supplier_revenue,
+        "text_subword_budget": text_subword_budget,
     }
 
 
@@ -1524,4 +1559,5 @@ def oracle_sql() -> dict[str, str]:
         "window_running_sum_orders": _WINDOW_RUNNING_SUM_SQL,
         "window_pct_rank_suppliers": _WINDOW_PCT_RANK_SQL,
         "sql_local_supplier_revenue": _SQL_Q5_SQL,
+        "text_subword_budget": _TEXT_SUBWORD_SQL,
     }

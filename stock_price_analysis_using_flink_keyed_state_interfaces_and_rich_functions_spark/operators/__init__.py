@@ -50,6 +50,8 @@ from .similarity import (  # noqa: F401
     lsh_bucketed_topk,
 )
 from .text import (  # noqa: F401
+    subword_count,
+    subword_tokens,
     token_count,
     with_text_stats,
     with_quality_score,

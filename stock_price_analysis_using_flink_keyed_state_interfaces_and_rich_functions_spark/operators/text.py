@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "token_count",
+    "subword_tokens",
+    "subword_count",
     "with_text_stats",
     "with_quality_score",
     "lang_distribution",
@@ -40,6 +42,25 @@ def tokens(text: str | Column) -> Column:
 
 def token_count(text: str | Column) -> Column:
     return F.size(tokens(text)).cast("long")
+
+
+#: BPE-style pre-tokenization classes: letter runs, digit runs, and
+#: single non-alphanumeric marks — the coarse split every byte-pair
+#: tokenizer applies before merges. Class-based, so the pattern means
+#: the same thing in Java regex (Spark) and RE2 (DuckDB oracle).
+SUBWORD_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def subword_tokens(text: str | Column) -> Column:
+    """BPE-ish pre-tokens of the text ('' and NULL → empty array)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(SUBWORD_RE), 0)
+
+
+def subword_count(text: str | Column) -> Column:
+    """Pre-token count — the standard proxy for LLM token budgets
+    (whitespace words under-count punctuation-heavy text)."""
+    return F.size(subword_tokens(text)).cast("long")
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

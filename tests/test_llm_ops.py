@@ -158,6 +158,20 @@ def test_ivf_topk_partial_probe_subset(spark, vectors):
 
 # ------------------------------------------------------------------ text
 
+def test_subword_count_bpe_classes(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        subword_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "don't stop!"), (2, "abc123"), (3, ""), (4, None), (5, "a.b.c")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", subword_count("text").alias("n")).collect()}
+    # don/'/t/stop/! = 5; abc/123 = 2; a/./b/./c = 5
+    assert got == {1: 5, 2: 2, 3: 0, 4: 0, 5: 5}
+
+
 def test_text_stats_and_quality(spark):
     df = spark.createDataFrame([(1, "ab cd!! 12"), (2, ""), (3, "   ")], "doc_id long, text string")
     out = {r["doc_id"]: r for r in with_quality_score(with_text_stats(df, "text").drop(
