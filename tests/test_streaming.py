@@ -266,3 +266,57 @@ def test_session_window_agg_stream(spark):
         out = _drain(agged, "session_stream")
         got = sorted((r["k"], r["n"]) for r in out.collect())
         assert got == [("u", 2), ("w", 1)]
+
+
+def test_stateful_stream_recovers_from_checkpoint(spark, tmp_path):
+    """Keyed state must survive a query restart — the Structured
+    Streaming analog of Flink's checkpointed keyed state (the reference
+    relies on Flink state being durable across failures). Run 1 drains
+    two files through running_max_stream with a checkpoint; run 2 adds a
+    third file and restarts FROM THE SAME CHECKPOINT: it must process
+    only the new file, with per-key maxima carried over, and the union
+    of both runs' emissions must equal the batch operator on all rows."""
+    root = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    sink = str(tmp_path / "out")
+    rows = [("a" if i % 2 == 0 else "b", i, float((i * 53) % 97)) for i in range(45)]
+    df = spark.createDataFrame(rows, "k string, seq long, v double")
+    for part, (lo, hi) in enumerate([(0, 15), (15, 30)]):
+        df.filter((F.col("seq") >= lo) & (F.col("seq") < hi)).coalesce(1).write.parquet(
+            os.path.join(root, f"part={part}")
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema("k string, seq long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(root, "part=*"))
+            .select("k", "seq", "v")
+        )
+        q = (
+            running_max_stream(stream, ["k"], ["seq"], "v")
+            .writeStream.format("parquet")  # memory sink can't recover; file sink can
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).collect()
+
+    first = run()
+    assert len(first) == 30
+    df.filter(F.col("seq") >= 30).coalesce(1).write.parquet(os.path.join(root, "part=2"))
+    both = run()
+    assert len(both) == 45  # 15 new emissions appended — no reprocessing of files 0-1
+
+    batch = spark.read.parquet(os.path.join(root, "part=*")).select("k", "seq", "v")
+    expected = {
+        (r["k"], r["v"]): r["rm"]
+        for r in running_max(batch, ["k"], ["seq"], "v", "rm").collect()
+    }
+    # every emission across BOTH runs reflects state carried over the
+    # restart (the second run's per-key maxima start from run 1's state)
+    for r in both:
+        assert expected[(r["k"], r["v"])] == r["running_max"]
