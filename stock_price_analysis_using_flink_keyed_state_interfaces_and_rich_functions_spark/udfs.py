@@ -22,6 +22,7 @@ __all__ = [
     "register_python_udf",
     "register_pandas_udf",
     "register_tokens_udtf",
+    "register_grouped_agg_udf",
     "pandas_scalar",
 ]
 
@@ -75,3 +76,17 @@ def register_tokens_udtf(spark: SparkSession, name: str = "split_tokens"):
 
     spark.udtf.register(name, SplitTokens)
     return SplitTokens
+
+
+def register_grouped_agg_udf(spark: SparkSession, name: str, fn: Callable, return_type: str):
+    """Register a GROUPED_AGG pandas UDF — a vectorized user-defined
+    aggregate usable in ``groupBy().agg()`` and as a SQL aggregate.
+    ``fn`` receives whole-group ``pd.Series`` columns and returns one
+    scalar; Spark handles the group shuffling, so the UDAF distributes
+    like any built-in aggregate (one exchange on the grouping key).
+    """
+    from pyspark.sql.functions import PandasUDFType
+
+    udf = F.pandas_udf(fn, return_type, PandasUDFType.GROUPED_AGG)
+    spark.udf.register(name, udf)
+    return udf

@@ -87,3 +87,25 @@ def test_tokens_udtf(spark):
     register_tokens_udtf(spark, "split_tokens_t")
     rows = spark.sql("SELECT * FROM split_tokens_t('hello spark world')").collect()
     assert [(r["pos"], r["token"]) for r in rows] == [(0, "hello"), (1, "spark"), (2, "world")]
+
+
+def test_grouped_agg_pandas_udf(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.udfs import (
+        register_grouped_agg_udf,
+    )
+
+    def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    wm = register_grouped_agg_udf(spark, "wmean", weighted_mean, "double")
+    df = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 2.0)], "k string, v double, w double"
+    )
+    got = {r["k"]: r["m"] for r in df.groupBy("k").agg(wm("v", "w").alias("m")).collect()}
+    assert got["a"] == pytest.approx(17.5)
+    assert got["b"] == pytest.approx(5.0)
+    df.createOrReplaceTempView("_wm_src")
+    sql_got = {r["k"]: r["m"] for r in spark.sql(
+        "SELECT k, wmean(v, w) AS m FROM _wm_src GROUP BY k"
+    ).collect()}
+    assert sql_got == got
