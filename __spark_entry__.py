@@ -1399,6 +1399,43 @@ def llm_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_distribution(kept, "lang")
 
 
+def similarity_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of embedding near-dup: multi-table hyperplane-LSH
+    candidates instead of all pairs (rows-only; the exact twin
+    similarity_embedding_dup_pairs is the hash-checked oracle — this
+    finds a recall-bounded subset of its pairs, pinned by pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, num_planes=6, num_tables=8, exact=False
+    )
+
+
+def llm_pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pretraining-data pipeline composed end-to-end: exact dedup →
+    MinHash-LSH near-dup removal (drop the higher id of every pair) →
+    quality floor → per-language doc counts and summed BPE-ish token
+    budget. Every stage is the operator users call standalone; rows-only
+    check (MinHash is not SQL-expressible), stages pinned separately."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        subword_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = exact_dedup(docs, ["text"], "doc_id")
+    near = minhash_dedup_pairs(exact, "doc_id", "text", threshold=0.7, num_hashes=128, num_bands=32, shingle_k=2)
+    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = exact.join(drop, "doc_id", "left_anti")
+    scored = with_quality_score(kept, "text").filter(F.col("quality_score") >= 0.4)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(subword_count("text")).alias("token_budget"),
+        )
+        .orderBy("lang")
+    )
+
+
 _LLM_PIPELINE_SQL = """
 WITH deduped AS (
   SELECT * FROM documents
@@ -1497,6 +1534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_pct_rank_suppliers": window_pct_rank_suppliers,
         "sql_local_supplier_revenue": sql_local_supplier_revenue,
         "text_subword_budget": text_subword_budget,
+        "similarity_dup_pairs_lsh": similarity_dup_pairs_lsh,
+        "llm_pipeline_pretrain_corpus": llm_pipeline_pretrain_corpus,
     }
 
 

@@ -140,24 +140,33 @@ def cosine_dup_pairs(
     seed: int = 42,
     exact: bool = False,
     impl: str = "pandas",
+    num_tables: int = 1,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
 
     ``exact=True`` runs the all-pairs check (oracle path, small data
-    only). Default routes candidates through the hyperplane-LSH bucket
-    join: only pairs with identical sign signature are compared —
-    sound for very high thresholds where near-dups almost surely agree
-    on every hyperplane, and never quadratic.
+    only). Default routes candidates through hyperplane-LSH bucket
+    joins — only pairs with an identical sign signature in SOME table
+    are cosine-checked, never a quadratic product. This is the standard
+    AND-OR construction: each table ANDs ``num_planes`` sign bits
+    (collision prob (1-θ/π)^planes), and ``num_tables`` independent
+    tables OR together (recall 1-(1-p)^tables). One table with many
+    planes suits very high thresholds; moderate thresholds need fewer
+    planes and more tables to keep recall.
     """
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if exact:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        sig = hyperplane_signature_udf(num_planes=num_planes, seed=seed)
-        sa = vectors.select(F.col(id_col).alias("id_a"), sig(F.col(vec_col)).alias("_bucket"))
-        sb = vectors.select(F.col(id_col).alias("id_b"), sig(F.col(vec_col)).alias("_bucket"))
-        cand = sa.join(sb, "_bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cand = None
+        for t in range(num_tables):
+            sig = hyperplane_signature_udf(num_planes=num_planes, seed=seed + 1000 * t)
+            sa = vectors.select(F.col(id_col).alias("id_a"), sig(F.col(vec_col)).alias("_bucket"))
+            sb = vectors.select(F.col(id_col).alias("id_b"), sig(F.col(vec_col)).alias("_bucket"))
+            one = sa.join(sb, "_bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+            cand = one if cand is None else cand.unionByName(one)
+        cand = cand.distinct()
         pairs = cand.join(a, "id_a").join(b, "id_b")
     return (
         pairs.withColumn("cosine", F.round(_cosine(F.col("_va"), F.col("_vb"), impl), 4))

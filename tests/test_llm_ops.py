@@ -125,6 +125,12 @@ def test_cosine_dup_pairs_exact_vs_lsh(spark, vectors):
     approx = cosine_dup_pairs(vectors, threshold=0.99, num_planes=8, exact=False)
     assert {(r["id_a"], r["id_b"]) for r in approx.collect()} == {(1, 2)}
     plans.assert_no_cartesian(approx)
+    # multi-table OR construction: recall can only grow with tables, and
+    # every reported pair must be a true pair (subset of exact)
+    multi = cosine_dup_pairs(vectors, threshold=0.99, num_planes=4, num_tables=4, exact=False)
+    got = {(r["id_a"], r["id_b"]) for r in multi.collect()}
+    assert got == {(1, 2)}
+    plans.assert_no_cartesian(multi)
 
 
 def test_lsh_topk_subset_of_bruteforce(spark, vectors):
