@@ -231,3 +231,27 @@ def test_frame_sample_shape(spark):
     assert [r["frame_offset"] for r in rows] == [0, 2, 4, 6]
     assert all(r["frame_len"] == 2 for r in rows)
     assert rows[0]["frame_sha256"] == hashlib.sha256(b"ab").hexdigest()
+
+
+def test_multi_table_lsh_subset_and_recall_on_testdata(spark):
+    """On the driver's embeddings table: every LSH pair is a true pair
+    (soundness — same threshold, same scorer) and multi-table recall
+    clears a floor. Deterministic: seeded planes, fixed data."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        read_table,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, exact=True).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, num_planes=6, num_tables=8, exact=False
+        ).collect()
+    }
+    assert lsh <= exact
+    assert exact  # the corpus does contain 0.4-cosine pairs
+    assert len(lsh) / len(exact) >= 0.3  # AND-OR recall floor, seeds fixed
