@@ -936,6 +936,17 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(attach_payload(docs, "text"), "doc_id", "payload", n_frames=4)
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (stubbed codec): every payload lands at exactly
+    16x16 bytes; rows-only check, byte-level contract pinned in pytest."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        resize_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return resize_payload(attach_payload(docs, "text"), "doc_id", "payload", target_w=16, target_h=16)
+
+
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -1536,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_subword_budget": text_subword_budget,
         "similarity_dup_pairs_lsh": similarity_dup_pairs_lsh,
         "llm_pipeline_pretrain_corpus": llm_pipeline_pretrain_corpus,
+        "multimodal_resize": multimodal_resize,
     }
 
 

@@ -63,6 +63,7 @@ from .text import (  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_payload,
     payload_metadata,
+    resize_payload,
     decode_features,
     frame_sample,
 )

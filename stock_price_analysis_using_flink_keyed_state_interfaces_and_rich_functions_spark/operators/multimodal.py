@@ -28,6 +28,7 @@ __all__ = [
     "payload_metadata",
     "decode_features",
     "frame_sample",
+    "resize_payload",
     "FAKE_FEATURE_DIM",
 ]
 
@@ -135,3 +136,46 @@ def frame_sample(
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_offset", "frame_len", "frame_sha256"])
 
     return narrow.mapInPandas(_sample, schema=out_schema)
+
+
+def resize_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target_w: int = 32,
+    target_h: int = 32,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize shape: payload in → resized payload + (width, height)
+    out, via ``mapInPandas``. The default resizer is a DETERMINISTIC
+    FAKE — nearest-neighbor byte sampling to exactly target_w*target_h
+    bytes (this container ships no image codecs); a real PIL/opencv
+    ``resizer(payload, w, h) -> bytes`` plugs in without touching the
+    Spark plumbing. Output payload length is part of the contract and
+    is what the tests pin."""
+    if target_w < 1 or target_h < 1:
+        raise ValueError(f"target dims must be >= 1, got {target_w}x{target_h}")
+
+    def _fake_resize(data: bytes, w: int, h: int) -> bytes:
+        n = w * h
+        if not data:
+            return bytes(n)
+        step = len(data) / n
+        return bytes(data[min(int(i * step), len(data) - 1)] for i in range(n))
+
+    fn = resizer or _fake_resize
+    out_schema = f"{id_col} long, payload binary, width int, height int"
+    narrow = df.select(id_col, payload_col)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [fn(bytes(p), target_w, target_h) for p in pdf[payload_col]],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return narrow.mapInPandas(_resize, schema=out_schema)

@@ -255,3 +255,22 @@ def test_multi_table_lsh_subset_and_recall_on_testdata(spark):
     assert lsh <= exact
     assert exact  # the corpus does contain 0.4-cosine pairs
     assert len(lsh) / len(exact) >= 0.3  # AND-OR recall floor, seeds fixed
+
+
+def test_resize_payload_contract(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        resize_payload,
+    )
+
+    df = spark.createDataFrame([(1, "hello world"), (2, "")], "doc_id long, text string")
+    out = resize_payload(attach_payload(df, "text"), "doc_id", "payload", target_w=4, target_h=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert all(len(r["payload"]) == 8 and r["width"] == 4 and r["height"] == 2 for r in rows.values())
+    assert bytes(rows[2]["payload"]) == bytes(8)  # empty input → zero bytes
+    # deterministic: same input → same resized bytes
+    again = {r["doc_id"]: bytes(r["payload"]) for r in resize_payload(
+        attach_payload(df, "text"), "doc_id", "payload", target_w=4, target_h=2
+    ).collect()}
+    assert again == {k: bytes(v["payload"]) for k, v in rows.items()}
+    with pytest.raises(ValueError):
+        resize_payload(attach_payload(df, "text"), target_w=0)
