@@ -927,8 +927,12 @@ FROM documents
 
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode plumbing, exploded to (doc_id, bin_idx, share) scalar rows
+    so the deterministic-fake histogram is fully DuckDB-oracle-checkable
+    (IEEE count/len division is bit-exact in both engines)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return decode_features(attach_payload(docs, "text"), "doc_id", "payload")
+    feats = decode_features(attach_payload(docs, "text"), "doc_id", "payload")
+    return feats.select("doc_id", F.posexplode("features").alias("bin_idx", "share"))
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -938,13 +942,69 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing (stubbed codec): every payload lands at exactly
-    16x16 bytes; rows-only check, byte-level contract pinned in pytest."""
+    16x16 bytes; byte-level contract pinned in pytest AND oracle-checked
+    (documents.text is pure ASCII, so char ops == byte ops in DuckDB)."""
     from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
         resize_payload,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return resize_payload(attach_payload(docs, "text"), "doc_id", "payload", target_w=16, target_h=16)
+    out = resize_payload(attach_payload(docs, "text"), "doc_id", "payload", target_w=16, target_h=16)
+    # hex at the comparison boundary: binary columns round-trip as
+    # bytearray through toPandas, which value-hashers treat as != bytes
+    return out.select("doc_id", F.hex("payload").alias("payload_hex"), "width", "height")
+
+
+# The three multimodal oracles below exploit that documents.text is pure
+# ASCII at every sf (verified: octet_length(encode(text)) == length(text)
+# for all rows), so DuckDB VARCHAR functions reproduce the byte-level
+# fakes exactly: ascii(ch) is the byte value, substr slices bytes, and
+# sha256(VARCHAR) hashes the UTF-8 bytes like hashlib does.
+
+_MULTIMODAL_DECODE_SQL = """
+WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+e AS (SELECT doc_id, text, unnest(range(1, len + 1)) AS i FROM d),
+b AS (SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) % 16 AS bin FROM e),
+cnt AS (SELECT doc_id, bin, count(*) AS c FROM b GROUP BY doc_id, bin),
+grid AS (SELECT doc_id, len, unnest(range(0, 16)) AS bin FROM d)
+SELECT g.doc_id,
+       CAST(g.bin AS INT) AS bin_idx,
+       coalesce(c.c, 0) / greatest(g.len, 1) AS share
+FROM grid g
+LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.bin = c.bin
+"""
+
+_MULTIMODAL_FRAME_SQL = """
+WITH d AS (SELECT doc_id, text, length(text) AS len,
+                  greatest(1, length(text) // 4) AS step
+           FROM documents),
+f AS (SELECT doc_id, text, len, step, unnest(range(0, 4)) AS i FROM d)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       i * step AS frame_offset,
+       least(step, len - i * step) AS frame_len,
+       sha256(substr(text, CAST(i * step + 1 AS INT), CAST(step AS INT))) AS frame_sha256
+FROM f
+WHERE i * step < len
+"""
+
+_MULTIMODAL_RESIZE_SQL = """
+WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+i AS (SELECT doc_id, text, len, unnest(range(0, 256)) AS i FROM d),
+b AS (SELECT doc_id, i,
+             CASE WHEN len = 0 THEN '00'
+                  ELSE hex(encode(substr(
+                         text,
+                         CAST(least(trunc(i * (len / 256.0)), len - 1) AS INT) + 1,
+                         1)))
+             END AS hx
+      FROM i)
+SELECT doc_id,
+       string_agg(hx, '' ORDER BY i) AS payload_hex,
+       16 AS width, 16 AS height
+FROM b
+GROUP BY doc_id
+"""
 
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1594,6 +1654,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_bruteforce_topk": _SIM_TOPK_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "multimodal_payload_meta": _MULTIMODAL_META_SQL,
+        "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,
+        "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,
+        "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
         "join_full_outer_order_counts": _JOIN_FULL_SQL,
         "agg_order_stats": _AGG_STATS_SQL,
         "agg_grouping_sets": _AGG_GSETS_SQL,

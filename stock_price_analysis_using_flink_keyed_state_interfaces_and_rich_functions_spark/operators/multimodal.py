@@ -68,12 +68,14 @@ def payload_metadata(df: DataFrame) -> DataFrame:
 def _fake_decode(payload: bytes) -> list[float]:
     """DETERMINISTIC FAKE decoder — byte-value histogram, 16 bins,
     L1-normalized. Stands in for image decode + feature extraction;
-    replace via the ``decoder`` parameter when codecs are available."""
+    replace via the ``decoder`` parameter when codecs are available.
+    No rounding: plain IEEE division keeps the values bit-for-bit
+    reproducible by any engine (the DuckDB oracle relies on this)."""
     counts = [0] * FAKE_FEATURE_DIM
     for byte in payload:
         counts[byte % FAKE_FEATURE_DIM] += 1
     total = len(payload) or 1
-    return [round(c / total, 6) for c in counts]
+    return [c / total for c in counts]
 
 
 def decode_features(

@@ -43,8 +43,8 @@ def _canon_cell(v):
         if v == int(v) and abs(v) < 1e15:
             return repr(v)
         return repr(v)
-    if isinstance(v, bytes):
-        return "0x" + v.hex()
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     return str(v)
