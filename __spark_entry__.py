@@ -1161,16 +1161,22 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # price (2 dp) × (1−discount) (2 dp) = an exact multiple of 1e-4:
     # integer units of 1e-4 keep the sum exact and the aggregation in
     # whole-stage codegen (DECIMAL buffers are ~5× slower here).
+    # BROADCAST(co): without the hint AQE builds the hash relation on the
+    # *lineitem* projection (largest side, but under the size threshold) —
+    # a 600k-entry single-threaded build. The filtered customer⋈orders
+    # side is ~5% of orders; broadcasting it streams lineitem instead,
+    # and at 100 TB it is the only side that still fits in memory.
     return spark.sql(
         """
-        SELECT l_orderkey,
+        SELECT /*+ BROADCAST(co) */ l_orderkey,
                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                         * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
                  / 10000 AS revenue,
                date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate
-        FROM _q3_customer JOIN _q3_orders ON c_custkey = o_custkey
+        FROM (SELECT o_orderkey, o_orderdate
+              FROM _q3_customer JOIN _q3_orders ON c_custkey = o_custkey
+              WHERE c_mktsegment = 'BUILDING') co
         JOIN _q3_lineitem ON l_orderkey = o_orderkey
-        WHERE c_mktsegment = 'BUILDING'
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
