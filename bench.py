@@ -76,15 +76,20 @@ def main() -> None:
     _noop = _F.pandas_udf(lambda s: s, "long")
     spark.range(32, numPartitions=32).select(_noop("id")).count()
 
+    # Median of 3 timed runs: single-run times vary ±20% on this box
+    # (GC, thread scheduling); the median is stable run-to-run.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
         fn(spark, sf_dir).count()  # untimed: fill the codegen cache
-        t0 = time.time()
-        fn(spark, sf_dir).count()  # timed: fresh plan build + execution
-        per_query[name] = round(time.time() - t0, 3)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).count()  # timed: fresh plan build + execution
+            times.append(time.time() - t0)
+        per_query[name] = round(sorted(times)[1], 3)
 
     total = round(sum(per_query.values()), 3)
     print(
