@@ -37,13 +37,16 @@ from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_
     attach_payload,
     broadcast_join,
     brute_force_topk,
+    contamination_hits,
     cosine_dup_pairs,
     cube_agg,
     decode_features,
     dedup_keep_first,
+    dup_clusters,
     equi_join,
     exact_dedup,
     exact_dup_groups,
+    hash_sample_stratified,
     ivf_topk,
     fingerprint_md5,
     fingerprint_ngram_min,
@@ -72,7 +75,11 @@ from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_
     with_lag_lead,
     with_quality_score,
     with_rank_columns,
+    with_repetition_stats,
     with_text_stats,
+)
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+    rate_to_hex,
 )
 from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.functions import (
     json_field,
@@ -839,6 +846,144 @@ def dedup_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sigs = simhash(docs, "doc_id", "text", bits=32)
     return simhash_pairs(sigs, "doc_id", max_hamming=3, bits=32)
+
+
+def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise near-dup edges (2-gram Jaccard ≥ 0.8) resolved into
+    connected components — canonical one-survivor-per-cluster dedup;
+    pair-dropping under-merges transitive chains. Oracle: recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, shingle_k=2)
+    return dup_clusters(edges)
+
+
+# Same jaccard-pair CTEs as _DEDUP_JACCARD_SQL, then hash-min's fixpoint
+# as a recursive reachability closure: min reachable id == component min.
+_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+              ELSE [array_to_string(tk, ' ')] END) AS shs
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shs) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, len(shs) AS sz FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+)
+SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+# --------------------------------------------------------------------------
+# pipeline ops: mixture sampling, repetition quality, decontamination
+# --------------------------------------------------------------------------
+
+_MIX_RATES = {"en": 0.5, "es": 0.3, "zh": 0.1}
+_MIX_DEFAULT = 0.05
+_MIX_SEED = 7
+
+
+def sample_stratified_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mixture sampling: per-language keep-rates
+    decided by an md5 key hash — reproducible across engines,
+    partitionings, and retries (the oracle replays the exact sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample_stratified(
+        docs, "lang", _MIX_RATES, ["doc_id"], seed=_MIX_SEED, default_rate=_MIX_DEFAULT
+    ).select("doc_id", "lang", "source")
+
+
+_SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|' || '{_MIX_SEED}'), 1, 8) <
+      CASE lang
+        WHEN 'en' THEN '{rate_to_hex(_MIX_RATES["en"])}'
+        WHEN 'es' THEN '{rate_to_hex(_MIX_RATES["es"])}'
+        WHEN 'zh' THEN '{rate_to_hex(_MIX_RATES["zh"])}'
+        ELSE '{rate_to_hex(_MIX_DEFAULT)}'
+      END
+"""
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return with_repetition_stats(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac"
+    )
+
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         ROUND(CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS dup_token_frac
+  FROM toks
+), big AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+  FROM toks WHERE len(tk) >= 2
+), cnt AS (
+  SELECT doc_id, bg, count(*) AS n FROM big GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(n) AS top_n, sum(n) AS n_big FROM cnt GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+       COALESCE(ROUND(CAST(t.top_n AS DOUBLE) / t.n_big, 4), 0.0) AS top_bigram_frac
+FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+"""
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 distinct word
+    3-gram with the held-out set (doc_id % 20 == 0 stands in for the
+    benchmark), with the shared-shingle count."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_hits(corpus, bench, "doc_id", "text", shingle_k=3)
+
+
+_CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(tk) >= 3
+              THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+              ELSE [array_to_string(tk, ' ')] END) AS shs
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shs) AS s FROM sh
+), bench AS (
+  SELECT DISTINCT s FROM ex WHERE doc_id % 20 = 0
+)
+SELECT e.doc_id, count(*) AS n_shared_shingles
+FROM ex e JOIN bench b ON e.s = b.s
+WHERE e.doc_id % 20 <> 0
+GROUP BY e.doc_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1614,6 +1759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_dup_pairs_lsh": similarity_dup_pairs_lsh,
         "llm_pipeline_pretrain_corpus": llm_pipeline_pretrain_corpus,
         "multimodal_resize": multimodal_resize,
+        "dedup_dup_clusters": dedup_dup_clusters,
+        "sample_stratified_langs": sample_stratified_langs,
+        "text_repetition_stats": text_repetition_stats,
+        "text_contamination": text_contamination,
     }
 
 
@@ -1680,4 +1829,8 @@ def oracle_sql() -> dict[str, str]:
         "window_pct_rank_suppliers": _WINDOW_PCT_RANK_SQL,
         "sql_local_supplier_revenue": _SQL_Q5_SQL,
         "text_subword_budget": _TEXT_SUBWORD_SQL,
+        "dedup_dup_clusters": _DUP_CLUSTERS_SQL,
+        "sample_stratified_langs": _SAMPLE_STRATIFIED_SQL,
+        "text_repetition_stats": _REPETITION_SQL,
+        "text_contamination": _CONTAMINATION_SQL,
     }

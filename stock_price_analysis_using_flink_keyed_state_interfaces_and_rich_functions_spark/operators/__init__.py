@@ -40,8 +40,14 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     minhash_candidate_pairs,
     minhash_dedup_pairs,
+    dup_clusters,
     simhash,
     simhash_pairs,
+)
+from .sampling import (  # noqa: F401
+    hash_bucket_hex,
+    hash_sample,
+    hash_sample_stratified,
 )
 from .similarity import (  # noqa: F401
     brute_force_topk,
@@ -57,6 +63,8 @@ from .text import (  # noqa: F401
     with_quality_score,
     lang_distribution,
     language_id,
+    with_repetition_stats,
+    contamination_hits,
     fingerprint_md5,
     fingerprint_ngram_min,
 )

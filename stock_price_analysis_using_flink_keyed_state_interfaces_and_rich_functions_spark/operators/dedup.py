@@ -42,6 +42,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_candidate_pairs",
     "minhash_dedup_pairs",
+    "dup_clusters",
     "simhash",
     "simhash_pairs",
 ]
@@ -339,6 +340,69 @@ def minhash_dedup_pairs(
         .select("id_a", "id_b", "est_jaccard")
     )
     return est
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve pairwise duplicate edges into connected components:
+    (id, cluster_id) with cluster_id = the component's minimum id.
+
+    Dropping "the higher id of every pair" under-merges transitive
+    chains (a~b, b~c but a≁c leaves two survivors of one cluster);
+    canonical dedup keeps ONE doc per component. Algorithm: hash-min
+    label propagation — every node repeatedly takes the min label among
+    itself and its neighbors until a fixpoint. Each iteration is one
+    equi-join + groupBy-min (all distributed, no driver data); rounds
+    needed = graph diameter, which for near-dup clusters is small
+    (dup clusters are near-cliques). The driver only checks the
+    converged-yet counter, never touches rows. Raises RuntimeError if
+    ``max_iter`` rounds don't converge rather than returning a
+    silently-partial clustering.
+    """
+    from pyspark import StorageLevel
+
+    fwd = pairs.select(F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(labels["label"], F.coalesce(F.col("_nbr"), labels["label"])).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"dup_clusters did not converge in {max_iter} iterations")
 
 
 def simhash(

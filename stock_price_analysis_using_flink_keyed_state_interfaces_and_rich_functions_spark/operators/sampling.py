@@ -1,0 +1,76 @@
+"""Deterministic hash-based sampling — the data-mixture primitive of a
+training-data pipeline.
+
+``df.sample()`` is non-deterministic across partitionings/retries and
+not reproducible between engines, which makes a sampled corpus
+impossible to audit. These operators decide membership from a hash of
+the ROW KEY alone: the same row is kept or dropped regardless of
+partition layout, executor count, task retries, or engine. Sampling a
+100 TB corpus is then an embarrassingly parallel scan — no shuffle, no
+state, fully pushdown-friendly — and any engine that can compute md5
+reproduces the exact sample (the DuckDB oracle does).
+
+Mechanism: the first 8 hex chars of ``md5(key₁|key₂|…|seed)`` are
+uniform over 16^8 values; a row is kept iff that substring is
+lexicographically below ``hex(rate · 16^8)``. Fixed-length lowercase
+hex compares identically as string and as number, so BOTH engines
+evaluate the predicate with plain string comparison — no
+engine-specific hex→int conversion anywhere. Rate resolution is
+1/16^8 ≈ 6e-10.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket_hex", "hash_sample", "hash_sample_stratified", "rate_to_hex"]
+
+_HEX_SPACE = 16**8
+
+
+def rate_to_hex(rate: float) -> str:
+    """Lowercase hex threshold for a keep-rate in [0, 1]. rate=1 maps
+    to "g", which is > every hex char, so `bucket < threshold` keeps
+    all rows (a "ffffffff" threshold would drop hash-maximal keys)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return "g"
+    return format(min(int(rate * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+
+
+def hash_bucket_hex(key_cols: Sequence[str], seed: int = 42) -> Column:
+    """The 8-hex-char uniform bucket of a row key. Exposed so callers
+    can build custom split logic (e.g. train/val/test partitioning by
+    disjoint hex ranges) on the same portable primitive."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    return F.substring(F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed)))), 1, 8)
+
+
+def hash_sample(df: DataFrame, rate: float, key_cols: Sequence[str], seed: int = 42) -> DataFrame:
+    """Keep ~``rate`` of rows, decided per-row by key hash. Deterministic
+    under repartitioning, retries, and across engines."""
+    return df.filter(hash_bucket_hex(key_cols, seed) < F.lit(rate_to_hex(rate)))
+
+
+def hash_sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    key_cols: Sequence[str],
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum keep-rates — the corpus-mixture operator (e.g.
+    upsample low-resource languages, downsample crawl dumps). A row in
+    stratum s survives iff bucket < hex(rates[s]); unlisted strata get
+    ``default_rate``. Still a pure scan: the stratum threshold is a
+    CASE expression, no shuffle, no per-stratum pass."""
+    threshold = F.lit(rate_to_hex(default_rate))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(F.col(strata_col) == value, F.lit(rate_to_hex(rate))).otherwise(threshold)
+    return df.filter(hash_bucket_hex(key_cols, seed) < threshold)

@@ -26,6 +26,8 @@ __all__ = [
     "with_quality_score",
     "lang_distribution",
     "language_id",
+    "with_repetition_stats",
+    "contamination_hits",
     "fingerprint_md5",
     "fingerprint_ngram_min",
     "DEFAULT_LANG_MARKERS",
@@ -145,6 +147,93 @@ def language_id(
     best = F.array_max(F.array(*scores))
     return df.withColumn(
         out_col, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def with_repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rule family):
+    per document, the fraction of tokens that are repeats of an earlier
+    token and the fraction of all bigrams claimed by the single most
+    frequent bigram. High values flag boilerplate / generated spam that
+    length and punctuation ratios miss.
+
+    dup_token_frac is pure expressions (distinct count over the token
+    array). top_bigram_frac counts per-(doc, bigram) via explode +
+    groupBy — a real shuffle, but of (id, bigram-hash) pairs with
+    map-side partial aggregation, the same cost class as any token-level
+    corpus statistic; the per-doc higher-order-function alternative is
+    O(n²) per document and degrades on exactly the long documents this
+    filter exists to catch.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("long")
+    dup_frac = F.when(
+        n_tok > 0,
+        F.round((n_tok - F.size(F.array_distinct(toks))).cast("double") / n_tok, 4),
+    ).otherwise(F.lit(0.0))
+    base = df.withColumn("n_tokens", n_tok).withColumn("dup_token_frac", dup_frac)
+
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), (n_tok - 1).cast("int")),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("_bg"))
+        .groupBy(id_col, "_bg")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy(id_col)
+        .agg(F.max("_n").alias("_top_n"), F.sum("_n").alias("_n_bigrams"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .withColumn(
+            "top_bigram_frac",
+            F.when(
+                F.col("_n_bigrams") > 0,
+                F.round(F.col("_top_n").cast("double") / F.col("_n_bigrams"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_top_n", "_n_bigrams")
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus document, the number
+    of distinct word ``shingle_k``-grams it shares with ANY benchmark
+    document. Docs with hits ≥ 1 are contamination suspects to drop
+    before training.
+
+    Shape: explode corpus shingles (distinct per doc), inner-join the
+    distinct benchmark shingle set, count per doc. The benchmark side
+    is collapsed to distinct shingles first — typically millions of
+    rows against a 100 TB corpus, so Catalyst picks a broadcast join
+    when it fits and a plain shuffled equi-join (never a product) when
+    it doesn't. Only docs with ≥ 1 hit appear in the output (join is
+    inner; anti-join the result to get the clean set).
+    """
+    from .dedup import _word_shingles
+
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(_word_shingles(text_col, shingle_k)).alias("_sh")
+    )
+    bench_sh = benchmark.select(
+        F.explode(_word_shingles(text_col, shingle_k)).alias("_sh")
+    ).distinct()
+    return (
+        corpus_sh.join(bench_sh, "_sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
 
 

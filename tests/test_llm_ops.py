@@ -274,3 +274,99 @@ def test_resize_payload_contract(spark):
     assert again == {k: bytes(v["payload"]) for k, v in rows.items()}
     with pytest.raises(ValueError):
         resize_payload(attach_payload(df, "text"), target_w=0)
+
+
+# --------------------------------------------- dup clusters / sampling /
+# repetition / contamination (pipeline ops)
+
+def test_dup_clusters_transitive_chain(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        dup_clusters,
+    )
+
+    # chain 1-2-3-4 (one component; 1~4 never directly paired) + island 8-9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (8, 9)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
+def test_dup_clusters_empty_and_nonconvergence(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        dup_clusters,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dup_clusters(empty).count() == 0
+    # a 5-node path needs >1 hash-min round; max_iter=1 must raise, not
+    # return a silently partial clustering
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError):
+        dup_clusters(path, max_iter=1)
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        hash_sample,
+        hash_sample_stratified,
+    )
+
+    df = spark.range(0, 2000).withColumn(
+        "stratum", F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+    )
+    s1 = {r["id"] for r in hash_sample(df, 0.5, ["id"], seed=3).collect()}
+    # same sample regardless of partitioning
+    s2 = {r["id"] for r in hash_sample(df.repartition(17), 0.5, ["id"], seed=3).collect()}
+    assert s1 == s2
+    assert 0.4 < len(s1) / 2000 < 0.6
+    # different seed -> different sample
+    s3 = {r["id"] for r in hash_sample(df, 0.5, ["id"], seed=4).collect()}
+    assert s1 != s3
+    assert {r["id"] for r in hash_sample(df, 1.0, ["id"]).collect()} == set(range(2000))
+    assert hash_sample(df, 0.0, ["id"]).count() == 0
+
+    strat = hash_sample_stratified(df, "stratum", {"a": 0.8}, ["id"], default_rate=0.1)
+    by = {r["stratum"]: r["n"] for r in strat.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert 0.7 < by["a"] / 1000 < 0.9
+    assert 0.05 < by["b"] / 1000 < 0.2
+    # stratified membership == per-stratum plain sampling (same key hash)
+    only_a = {r["id"] for r in hash_sample(df.filter("stratum = 'a'"), 0.8, ["id"]).collect()}
+    assert {r["id"] for r in strat.filter("stratum = 'a'").collect()} == only_a
+
+
+def test_repetition_stats_ground_truth(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        with_repetition_stats,
+    )
+
+    rows = [
+        (1, "a b a b a"),      # 5 tokens, 2 distinct: dup 3/5; bigrams [ab,ba,ab,ba] top 2/4
+        (2, "x y z"),          # no repeats: dup 0; bigrams [xy,yz] top 1/2
+        (3, "solo"),           # 1 token: no bigrams -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert got[1]["dup_token_frac"] == 0.6 and got[1]["top_bigram_frac"] == 0.5
+    assert got[2]["dup_token_frac"] == 0.0 and got[2]["top_bigram_frac"] == 0.5
+    assert got[3]["dup_token_frac"] == 0.0 and got[3]["top_bigram_frac"] == 0.0
+
+
+def test_contamination_hits_ground_truth(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        contamination_hits,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox sleeps"),   # shares 3-grams: "the quick brown", "quick brown fox"
+            (2, "a completely unrelated doc"),   # no shared 3-gram
+            (3, "quick brown fox jumps high"),   # shares "quick brown fox", "brown fox jumps"
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_shared_shingles"] for r in contamination_hits(corpus, bench).collect()}
+    assert got == {1: 2, 3: 2}  # doc 2 absent: inner join keeps hits only
