@@ -18,9 +18,12 @@ Package layout (all modules listed here ship and are tested):
                streaming file sources) and sinks
   operators  — stateful (W1–W4 batch forms), windows, joins (incl. as-of /
                range), topk, setops, rollup, dedup (exact / MinHash-LSH /
-               SimHash / n-gram Jaccard), similarity (cosine top-k,
-               hyperplane LSH, IVF), text (tokens, quality, lang-id,
-               fingerprints), multimodal (binary payloads + mapInPandas)
+               SimHash / n-gram Jaccard / dup-cluster connected
+               components), sampling (deterministic md5-bucket, plain +
+               stratified mixture), similarity (cosine top-k, hyperplane
+               LSH, IVF), text (tokens, quality, lang-id, fingerprints,
+               repetition stats, decontamination), multimodal (binary
+               payloads + mapInPandas)
   functions  — scalar date/string/json helpers (events.props extraction)
   udfs       — UDF surface: Python UDF / pandas UDF / UDTF registration
   plans      — plan-inspection helpers (pushdown / broadcast assertions)
