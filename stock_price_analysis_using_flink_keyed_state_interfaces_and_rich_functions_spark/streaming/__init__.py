@@ -8,5 +8,6 @@ from .windows import (  # noqa: F401
     tumbling_window_agg,
     sliding_window_agg,
     session_window_agg,
+    streaming_dedup,
     run_stream_to_memory,
 )

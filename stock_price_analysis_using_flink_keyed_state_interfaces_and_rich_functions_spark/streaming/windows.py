@@ -20,6 +20,7 @@ __all__ = [
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",
+    "streaming_dedup",
     "run_stream_to_memory",
 ]
 
@@ -69,6 +70,31 @@ def session_window_agg(
     if watermark:
         df = df.withWatermark(ts_col, watermark)
     return df.groupBy(F.session_window(ts_col, gap), *key_cols).agg(*aggs)
+
+
+def streaming_dedup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact-dedup: emit the FIRST row per key, drop later
+    duplicates — the on-ingest face of the batch ``exact_dedup``
+    operator (dedup as data arrives instead of as a later corpus pass).
+
+    Without a watermark the seen-keys state grows forever; with
+    ``ts_col`` + ``watermark`` Spark uses ``dropDuplicatesWithinWatermark``
+    so a key's state is evicted once the watermark passes it — bounded
+    state on unbounded streams, at the cost that a duplicate arriving
+    later than the horizon is re-emitted. That trade (horizon-bounded
+    dedup) is exactly how production ingest dedup works; full-history
+    exact dedup of an unbounded stream is unbounded state by definition.
+    """
+    if (ts_col is None) != (watermark is None):
+        raise ValueError("ts_col and watermark must be provided together")
+    if ts_col is not None and watermark is not None:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
+    return df.dropDuplicates(list(key_cols))
 
 
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:

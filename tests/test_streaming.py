@@ -320,3 +320,80 @@ def test_stateful_stream_recovers_from_checkpoint(spark, tmp_path):
     # restart (the second run's per-key maxima start from run 1's state)
     for r in both:
         assert expected[(r["k"], r["v"])] == r["running_max"]
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        streaming_dedup,
+    )
+
+    # the same digests recur across files: state must carry between
+    # micro-batches for the second occurrence to be dropped
+    root = str(tmp_path / "dedup_in")
+    rows0 = [(1, "aaa"), (2, "bbb"), (3, "aaa")]
+    rows1 = [(4, "aaa"), (5, "ccc"), (6, "bbb")]
+    for part, rows in enumerate((rows0, rows1)):
+        spark.createDataFrame(rows, "doc_id long, digest string").coalesce(1).write.parquet(
+            os.path.join(root, f"part={part}")
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, digest string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "part=*"))
+        .select("doc_id", "digest")
+    )
+    out = _drain(streaming_dedup(stream, ["digest"]), "dedup_stream")
+    got = {r["digest"]: r["doc_id"] for r in out.collect()}
+    # one survivor per digest, and survivors come from the first
+    # micro-batch that saw the digest
+    assert set(got) == {"aaa", "bbb", "ccc"}
+    assert got["aaa"] in (1, 3) and got["bbb"] == 2 and got["ccc"] == 5
+    assert out.count() == 3
+
+
+def test_streaming_dedup_arg_validation(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        streaming_dedup,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, digest string")
+    with pytest.raises(ValueError):
+        streaming_dedup(df, ["digest"], ts_col="ts")  # watermark missing
+    # batch DataFrame + no watermark degrades to plain dropDuplicates
+    assert streaming_dedup(df, ["digest"]).count() == 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        streaming_dedup,
+    )
+
+    root = str(tmp_path / "dedup_wm_in")
+    # batch 0: digest d at 10:00.  batch 1: dup of d at 10:05 (inside
+    # horizon, dropped) + watermark advancer.  batch 2: second advancer —
+    # the watermark (11:00 − 10 min) now exceeds d's expiry, and state
+    # cleanup runs at the end of this batch.  batch 3: d again — its
+    # state is gone, so it RE-EMITS: horizon-bounded dedup semantics,
+    # asserted explicitly rather than left as a surprise.
+    batches = [
+        [("d", "2024-01-01 10:00:00")],
+        [("d", "2024-01-01 10:05:00"), ("adv", "2024-01-01 11:00:00")],
+        [("adv2", "2024-01-01 12:00:00")],
+        [("d", "2024-01-01 12:30:00")],
+    ]
+    for part, rows in enumerate(batches):
+        spark.createDataFrame(rows, "digest string, ts_s string").withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).select("digest", "ts").coalesce(1).write.parquet(os.path.join(root, f"part={part}"))
+    stream = (
+        spark.readStream.schema("digest string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "part=*"))
+    )
+    out = _drain(
+        streaming_dedup(stream, ["digest"], ts_col="ts", watermark="10 minutes"),
+        "dedup_wm_stream",
+    )
+    per_digest = {r["digest"]: r["n"] for r in out.groupBy("digest").agg(F.count("*").alias("n")).collect()}
+    assert per_digest["adv"] == 1 and per_digest["adv2"] == 1
+    assert per_digest["d"] == 2  # emitted at 10:00 and again after eviction
