@@ -47,6 +47,7 @@ from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_
     exact_dedup,
     exact_dup_groups,
     hash_sample_stratified,
+    hash_split,
     ivf_topk,
     fingerprint_md5,
     fingerprint_ngram_min,
@@ -927,6 +928,31 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|' || '{_MIX_SEED}'), 1, 8) <
 """
 
 
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint 80/10/10 train/val/test split by doc_id hash — every row
+    gets exactly one label; keys never migrate between splits as the
+    corpus grows."""
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"], seed=_MIX_SEED
+    ).select("doc_id", "split")
+
+
+# hash_split assigns contiguous hex bands in sorted-split-name order:
+# test [0, 0.1) → train [0.1, 0.9) → val [0.9, 1].
+_SAMPLE_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE
+         WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|' || '{_MIX_SEED}'), 1, 8)
+              < '{rate_to_hex(0.1)}' THEN 'test'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|' || '{_MIX_SEED}'), 1, 8)
+              < '{rate_to_hex(0.9)}' THEN 'train'
+         ELSE 'val'
+       END AS split
+FROM documents
+"""
+
+
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return with_repetition_stats(docs, "doc_id", "text").select(
@@ -1761,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": multimodal_resize,
         "dedup_dup_clusters": dedup_dup_clusters,
         "sample_stratified_langs": sample_stratified_langs,
+        "sample_train_val_test": sample_train_val_test,
         "text_repetition_stats": text_repetition_stats,
         "text_contamination": text_contamination,
     }
@@ -1831,6 +1858,7 @@ def oracle_sql() -> dict[str, str]:
         "text_subword_budget": _TEXT_SUBWORD_SQL,
         "dedup_dup_clusters": _DUP_CLUSTERS_SQL,
         "sample_stratified_langs": _SAMPLE_STRATIFIED_SQL,
+        "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "text_repetition_stats": _REPETITION_SQL,
         "text_contamination": _CONTAMINATION_SQL,
     }

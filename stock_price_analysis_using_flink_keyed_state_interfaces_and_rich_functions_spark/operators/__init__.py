@@ -48,6 +48,7 @@ from .sampling import (  # noqa: F401
     hash_bucket_hex,
     hash_sample,
     hash_sample_stratified,
+    hash_split,
 )
 from .similarity import (  # noqa: F401
     brute_force_topk,

@@ -26,7 +26,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket_hex", "hash_sample", "hash_sample_stratified", "rate_to_hex"]
+__all__ = ["hash_bucket_hex", "hash_sample", "hash_sample_stratified", "hash_split", "rate_to_hex"]
 
 _HEX_SPACE = 16**8
 
@@ -55,6 +55,39 @@ def hash_sample(df: DataFrame, rate: float, key_cols: Sequence[str], seed: int =
     """Keep ~``rate`` of rows, decided per-row by key hash. Deterministic
     under repartitioning, retries, and across engines."""
     return df.filter(hash_bucket_hex(key_cols, seed) < F.lit(rate_to_hex(rate)))
+
+
+def hash_split(
+    df: DataFrame,
+    splits: Mapping[str, float],
+    key_cols: Sequence[str],
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Disjoint train/val/test partitioning: every row gets exactly one
+    split label, decided by which hex range its key bucket falls in.
+    Weights must sum to 1 (±1e-9). Deterministic and engine-portable
+    like :func:`hash_sample`; a row can never land in two splits, and
+    re-running with more data never moves an existing key between
+    splits — the property that keeps eval sets uncontaminated as the
+    corpus grows.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    bucket = hash_bucket_hex(key_cols, seed)
+    expr = None
+    cum = 0.0
+    items = sorted(splits.items())
+    for name, w in items[:-1]:
+        cum += w
+        cond = bucket < F.lit(rate_to_hex(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)
 
 
 def hash_sample_stratified(

@@ -370,3 +370,26 @@ def test_contamination_hits_ground_truth(spark):
     )
     got = {r["doc_id"]: r["n_shared_shingles"] for r in contamination_hits(corpus, bench).collect()}
     assert got == {1: 2, 3: 2}  # doc 2 absent: inner join keeps hits only
+
+
+def test_hash_split_disjoint_exhaustive(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        hash_sample,
+        hash_split,
+    )
+
+    df = spark.range(0, 3000)
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, ["id"], seed=5)
+    by = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by.values()) == 3000  # every row exactly one label
+    assert 0.75 < by["train"] / 3000 < 0.85
+    assert 0.06 < by["val"] / 3000 < 0.14
+    assert 0.06 < by["test"] / 3000 < 0.14
+    # stable under growth: the same keys keep their split in a superset
+    small = {r["id"]: r["split"] for r in hash_split(
+        spark.range(0, 1000), {"train": 0.8, "val": 0.1, "test": 0.1}, ["id"], seed=5
+    ).collect()}
+    big = {r["id"]: r["split"] for r in out.collect()}
+    assert all(big[k] == v for k, v in small.items())
+    with pytest.raises(ValueError):
+        hash_split(df, {"train": 0.5, "val": 0.1}, ["id"])
