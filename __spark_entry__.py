@@ -1660,7 +1660,9 @@ def similarity_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def llm_pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pretraining-data pipeline composed end-to-end: exact dedup →
-    MinHash-LSH near-dup removal (drop the higher id of every pair) →
+    MinHash-LSH near-dup pairs → connected-component cluster resolution
+    (keep exactly the min-id doc per dup cluster — pair-dropping keeps
+    extra docs whenever a doc's only smaller neighbor is indirect) →
     quality floor → per-language doc counts and summed BPE-ish token
     budget. Every stage is the operator users call standalone; rows-only
     check (MinHash is not SQL-expressible), stages pinned separately."""
@@ -1671,7 +1673,8 @@ def llm_pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     exact = exact_dedup(docs, ["text"], "doc_id")
     near = minhash_dedup_pairs(exact, "doc_id", "text", threshold=0.7, num_hashes=128, num_bands=32, shingle_k=2)
-    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+    clusters = dup_clusters(near)
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(F.col("id").alias("doc_id"))
     kept = exact.join(drop, "doc_id", "left_anti")
     scored = with_quality_score(kept, "text").filter(F.col("quality_score") >= 0.4)
     return (
