@@ -371,10 +371,12 @@ def dup_clusters(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Seed with one propagation folded in: label = min(id, min neighbor)
+    # — one round cheaper than all-self labels for the common star shape.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nbr"))
+        .select(F.col("src").alias("id"), F.least(F.col("src"), F.col("_nbr")).alias("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     for _ in range(max_iter):
@@ -383,22 +385,20 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("_nbr"))
         )
+        # _improved rides along so convergence needs no second join
+        # against the old labels — one action per round.
         new_labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
                 labels["id"],
                 F.least(labels["label"], F.coalesce(F.col("_nbr"), labels["label"])).alias("label"),
+                (F.coalesce(F.col("_nbr"), labels["label"]) < labels["label"]).alias("_improved"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("_improved")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("_improved")
         if changed == 0:
             edges.unpersist()
             return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
