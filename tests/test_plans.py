@@ -84,3 +84,30 @@ def test_w2_scan_prunes_to_order_and_value_columns(spark, q):
     regression back to full-row ordering shows up as a 12-column read."""
     cols = plans.scan_read_schema(q["w2_count_window_avg"](spark, SF))
     assert len(cols) <= 6, cols
+
+
+def test_contamination_no_cartesian(spark, q):
+    # shingle overlap must resolve via an equi-join on the shingle, never
+    # a doc x doc product
+    plans.assert_no_cartesian(q["text_contamination"](spark, SF))
+
+
+def test_sampling_is_pure_scan(spark, q):
+    # sampling ops are single-scan filters/projections: no exchange at
+    # all in the plan (the property that makes them free at 100 TB)
+    for name in ("sample_stratified_langs", "sample_train_val_test"):
+        s = plans.explain_str(q[name](spark, SF))
+        assert "Exchange" not in s, f"{name} plan shuffles:\n{s}"
+        assert "Scan parquet" in s
+
+
+def test_q3_broadcasts_filtered_side_not_lineitem(spark, q):
+    # the BROADCAST(co) hint must put the hash relation on the filtered
+    # customer x orders side; a lineitem-side broadcast means the big
+    # table is being built into memory
+    df = q["sql_shipping_priority"](spark, SF)
+    s = plans.explain_str(df)
+    assert plans.has_broadcast_hash_join(df)
+    # lineitem feeds the probe side exactly once; a second occurrence
+    # would mean it was duplicated under a BroadcastExchange subtree
+    assert s.count("lineitem.parquet") == 1
