@@ -44,6 +44,7 @@ from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_
     dedup_keep_first,
     dup_clusters,
     equi_join,
+    embedding_centroids,
     exact_dedup,
     exact_dup_groups,
     hash_sample_stratified,
@@ -1069,6 +1070,24 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, "vec_id", "embedding", k=5, num_planes=8)
 
 
+def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, flattened to (label, pos, centroid)
+    — the IVF codebook-training aggregation as a standalone query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_centroids(emb, "label", "embedding")
+
+
+_SIM_CENTROIDS_SQL = """
+WITH ex AS (
+  SELECT label, unnest(range(1, len(embedding) + 1)) AS i, embedding
+  FROM embeddings
+)
+SELECT label, CAST(i - 1 AS INT) AS pos,
+       ROUND(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+FROM ex GROUP BY 1, 2
+"""
+
+
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with 4-of-16 cell probing — rows-only check (the recall
     trade-off is data-dependent; pytest pins nprobe=num_cells == exact)."""
@@ -1791,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_dup_clusters": dedup_dup_clusters,
         "sample_stratified_langs": sample_stratified_langs,
         "sample_train_val_test": sample_train_val_test,
+        "similarity_label_centroids": similarity_label_centroids,
         "text_repetition_stats": text_repetition_stats,
         "text_contamination": text_contamination,
     }
@@ -1862,6 +1882,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_dup_clusters": _DUP_CLUSTERS_SQL,
         "sample_stratified_langs": _SAMPLE_STRATIFIED_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
+        "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "text_repetition_stats": _REPETITION_SQL,
         "text_contamination": _CONTAMINATION_SQL,
     }

@@ -53,6 +53,7 @@ from .sampling import (  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,
     cosine_dup_pairs,
+    embedding_centroids,
     ivf_topk,
     lsh_bucketed_topk,
 )

@@ -41,6 +41,7 @@ __all__ = [
     "hyperplane_signature_udf",
     "lsh_bucketed_topk",
     "ivf_topk",
+    "embedding_centroids",
 ]
 
 
@@ -227,6 +228,30 @@ def lsh_bucketed_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def embedding_centroids(
+    vectors: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-group element-wise mean of embedding vectors, flattened to
+    (group, pos, centroid) rows — corpus analysis and the training step
+    of the IVF coarse quantizer.
+
+    posexplode → groupBy(group, pos) avg: one shuffle of (group, pos,
+    float) triples with map-side partial aggregation, so the full
+    vectors never shuffle and no group must fit in one task. Flattened
+    output (instead of re-assembled arrays) keeps the result a plain
+    scalar table — exactly aggregable, oracle-comparable, and directly
+    joinable as a quantizer codebook.
+    """
+    return (
+        vectors.select(F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "_v"))
+        .groupBy(group_col, "pos")
+        .agg(F.round(F.avg(F.col("_v").cast("double")), round_dp).alias("centroid"))
     )
 
 

@@ -393,3 +393,20 @@ def test_hash_split_disjoint_exhaustive(spark):
     assert all(big[k] == v for k, v in small.items())
     with pytest.raises(ValueError):
         hash_split(df, {"train": 0.5, "val": 0.1}, ["id"])
+
+
+def test_embedding_centroids_ground_truth(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        embedding_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0]),
+            (0, [3.0, 4.0]),
+            (1, [10.0, -10.0]),
+        ],
+        "label int, embedding array<float>",
+    )
+    got = {(r["label"], r["pos"]): r["centroid"] for r in embedding_centroids(df, "label").collect()}
+    assert got == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 10.0, (1, 1): -10.0}
