@@ -74,6 +74,7 @@ from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_
     top_k_per_group,
     top_n,
     tumbling_count_window_avg,
+    unpivot_longform,
     with_lag_lead,
     with_quality_score,
     with_rank_columns,
@@ -537,6 +538,28 @@ SELECT o_orderpriority,
        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS o_orderstatus_F,
        CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS o_orderstatus_P
 FROM orders GROUP BY o_orderpriority
+"""
+
+
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot's inverse: melt four lineitem measures into long form —
+    one Expand node, map-side only, no shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return unpivot_longform(
+        li,
+        ["l_orderkey", "l_linenumber", "l_partkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_partkey, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_partkey, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_partkey, 'l_tax', l_tax FROM lineitem
 """
 
 
@@ -1763,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_status": rollup_order_status,
         "cube_order_status": cube_order_status,
         "pivot_status_by_priority": pivot_status_by_priority,
+        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "window_rank_customers": window_rank_customers,
         "window_lag_lead_orders": window_lag_lead_orders,
         "window_moving_avg_orders": window_moving_avg_orders,
@@ -1883,6 +1907,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified_langs": _SAMPLE_STRATIFIED_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
+        "unpivot_lineitem_metrics": _UNPIVOT_SQL,
         "text_repetition_stats": _REPETITION_SQL,
         "text_contamination": _CONTAMINATION_SQL,
     }

@@ -32,7 +32,7 @@ from .setops import (  # noqa: F401
     except_distinct,
     dedup_keep_first,
 )
-from .rollup import rollup_agg, cube_agg, pivot_agg, pivot_conditional  # noqa: F401
+from .rollup import rollup_agg, cube_agg, pivot_agg, pivot_conditional, unpivot_longform  # noqa: F401
 from .dedup import (  # noqa: F401
     exact_dedup,
     exact_dup_groups,

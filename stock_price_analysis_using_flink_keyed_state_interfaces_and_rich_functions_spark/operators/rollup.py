@@ -16,7 +16,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["rollup_agg", "cube_agg", "pivot_agg", "pivot_conditional"]
+__all__ = ["rollup_agg", "cube_agg", "pivot_agg", "pivot_conditional", "unpivot_longform"]
 
 
 def rollup_agg(df: DataFrame, dims: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
@@ -31,6 +31,24 @@ def pivot_agg(
     df: DataFrame, group_cols: Sequence[str], pivot_col: str, values: Sequence[str], agg: Column
 ) -> DataFrame:
     return df.groupBy(*group_cols).pivot(pivot_col, list(values)).agg(agg)
+
+
+def unpivot_longform(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_col: str = "metric",
+    val_col: str = "value",
+) -> DataFrame:
+    """Pivot's inverse: melt ``value_cols`` into (id…, metric, value)
+    long-form rows. Plans as a single Expand node — a map-side row
+    multiplication with NO shuffle and no per-column passes, so wide→
+    long reshaping of a 100 TB table is still one scan. Values are cast
+    to a common type (Spark requires it; mixed-type melts must cast
+    explicitly first)."""
+    return df.unpivot(
+        list(id_cols), list(value_cols), variableColumnName=var_col, valueColumnName=val_col
+    )
 
 
 def pivot_conditional(

@@ -226,3 +226,20 @@ def test_sessionize_by_gap(spark):
     assert got[1] == got[2] == 1
     assert got[3] == 2
     assert got[4] == 1
+
+
+def test_unpivot_longform_roundtrip(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        unpivot_longform,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark import plans
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 0.5), (2, 20.0, 1.5)], "id long, a double, b double"
+    )
+    out = unpivot_longform(df, ["id"], ["a", "b"])
+    rows = {(r["id"], r["metric"]): r["value"] for r in out.collect()}
+    assert rows == {(1, "a"): 10.0, (1, "b"): 0.5, (2, "a"): 20.0, (2, "b"): 1.5}
+    # single Expand, no shuffle
+    s = plans.explain_str(out)
+    assert "Expand" in s and "Exchange" not in s
