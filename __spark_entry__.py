@@ -1582,10 +1582,10 @@ FROM orders
 
 def window_pct_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full rank-function family (row_number/rank/dense_rank/
-    percent_rank/cume_dist) in one pass over one window spec."""
+    percent_rank/cume_dist/ntile) in one pass over one window spec."""
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
     return with_rank_columns(
-        s, ["s_nationkey"], [F.col("s_acctbal").desc(), F.col("s_suppkey").asc()]
+        s, ["s_nationkey"], [F.col("s_acctbal").desc(), F.col("s_suppkey").asc()], ntile=4
     )
 
 
@@ -1595,7 +1595,8 @@ SELECT s_suppkey, s_nationkey, s_acctbal,
        rank() OVER w AS rnk,
        dense_rank() OVER w AS drnk,
        percent_rank() OVER w AS pct_rank,
-       cume_dist() OVER w AS cdist
+       cume_dist() OVER w AS cdist,
+       ntile(4) OVER w AS bucket
 FROM supplier
 WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
 """

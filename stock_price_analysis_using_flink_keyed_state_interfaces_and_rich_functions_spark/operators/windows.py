@@ -40,15 +40,24 @@ def with_row_number(df: DataFrame, key_cols: ColsLike, order_cols: ColsLike, out
     return df.withColumn(out_col, F.row_number().over(_w(key_cols, order_cols)))
 
 
-def with_rank_columns(df: DataFrame, key_cols: ColsLike, order_cols: ColsLike) -> DataFrame:
+def with_rank_columns(
+    df: DataFrame, key_cols: ColsLike, order_cols: ColsLike, ntile: int | None = None
+) -> DataFrame:
+    """The full rank-function family in one window pass; pass ``ntile``
+    to add an n-bucket assignment (equal-frequency binning)."""
     w = _w(key_cols, order_cols)
-    return (
+    out = (
         df.withColumn("rn", F.row_number().over(w))
         .withColumn("rnk", F.rank().over(w))
         .withColumn("drnk", F.dense_rank().over(w))
         .withColumn("pct_rank", F.percent_rank().over(w))
         .withColumn("cdist", F.cume_dist().over(w))
     )
+    if ntile is not None:
+        if ntile < 1:
+            raise ValueError(f"ntile must be >= 1, got {ntile}")
+        out = out.withColumn("bucket", F.ntile(ntile).over(w))
+    return out
 
 
 def with_lag_lead(
