@@ -235,7 +235,7 @@ def embedding_centroids(
     vectors: DataFrame,
     group_col: str,
     vec_col: str = "embedding",
-    round_dp: int = 4,
+    round_dp: int | None = 4,
 ) -> DataFrame:
     """Per-group element-wise mean of embedding vectors, flattened to
     (group, pos, centroid) rows — corpus analysis and the training step
@@ -248,10 +248,13 @@ def embedding_centroids(
     scalar table — exactly aggregable, oracle-comparable, and directly
     joinable as a quantizer codebook.
     """
+    mean = F.avg(F.col("_v").cast("double"))
+    if round_dp is not None:
+        mean = F.round(mean, round_dp)
     return (
         vectors.select(F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "_v"))
         .groupBy(group_col, "pos")
-        .agg(F.round(F.avg(F.col("_v").cast("double")), round_dp).alias("centroid"))
+        .agg(mean.alias("centroid"))
     )
 
 
@@ -265,6 +268,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     impl: str = "pandas",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -273,6 +277,10 @@ def ivf_topk(
     one-pass TakeOrdered, no full sort) and collected to the driver.
     Centroids living driver-side is inherent to IVF — at scale you
     train them offline on a sample exactly like this, then broadcast.
+    ``lloyd_iters`` adds distributed k-means refinement rounds (spherical
+    Lloyd: assign map-side, re-average via the centroid aggregation,
+    collect only the cells×dim codebook) — tighter cells mean better
+    recall at the same ``nprobe``.
 
     Search: every vector is assigned map-side to its nearest centroid
     by cosine (Arrow-vectorized argmax — one scan, no shuffle of the
@@ -302,9 +310,41 @@ def ivf_topk(
     if not sample:
         raise ValueError("ivf_topk: vectors DataFrame is empty")
     cents = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
-    norms = np.linalg.norm(cents, axis=1)
-    norms[norms == 0] = 1.0
-    cents = cents / norms[:, None]  # unit rows: dot == cosine ranking
+
+    def _unit(rows: "np.ndarray") -> "np.ndarray":
+        norms = np.linalg.norm(rows, axis=1)
+        norms[norms == 0] = 1.0
+        return rows / norms[:, None]  # unit rows: dot == cosine ranking
+
+    cents = _unit(cents)
+
+    def _make_cell(carr: "np.ndarray"):
+        @F.pandas_udf(LongType())
+        def _assign(vecs: pd.Series) -> pd.Series:
+            mat = np.asarray([np.asarray(x, dtype=np.float64) for x in vecs])
+            if mat.size == 0:
+                return pd.Series([], dtype="int64")
+            vn = np.linalg.norm(mat, axis=1)
+            vn[vn == 0] = 1.0
+            return pd.Series(((mat / vn[:, None]) @ carr.T).argmax(axis=1), dtype="int64")
+
+        return _assign
+
+    # Optional distributed Lloyd refinement: each round is one map-side
+    # cell assignment + the embedding_centroids aggregation (scalar
+    # triples, partial agg) + a cells×dim collect — the full corpus
+    # never leaves the executors. Empty cells keep their old centroid.
+    for _ in range(lloyd_iters):
+        assign = vectors.select(
+            F.col(vec_col).alias("_v"), _make_cell(cents)(F.col(vec_col)).alias("_cell")
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in embedding_centroids(assign, "_cell", "_v", round_dp=None).collect():
+            by_cell.setdefault(r["_cell"], {})[r["pos"]] = r["centroid"]
+        new = cents.copy()
+        for c, d in by_cell.items():
+            new[c] = np.asarray([d[p] for p in range(cents.shape[1])], dtype=np.float64)
+        cents = _unit(new)
 
     def _scores(vecs: pd.Series) -> "np.ndarray":
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])

@@ -151,6 +151,15 @@ def test_ivf_topk_full_probe_equals_bruteforce(spark, vectors):
     plans.assert_no_cartesian(full)
 
 
+def test_ivf_topk_lloyd_refinement_stays_exact_under_full_probe(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 1)
+    brute = {(r["neighbor_id"], r["cosine"], r["rk"]) for r in brute_force_topk(vectors, q, k=3).collect()}
+    # Lloyd rounds move the codebook but full probing is exact for ANY
+    # codebook — refinement must never change a full-probe result
+    refined = ivf_topk(vectors, q, k=3, num_cells=2, nprobe=2, lloyd_iters=2)
+    assert {(r["neighbor_id"], r["cosine"], r["rk"]) for r in refined.collect()} == brute
+
+
 def test_ivf_topk_partial_probe_subset(spark, vectors):
     q = vectors.filter(F.col("vec_id") == 1)
     brute = {r["neighbor_id"] for r in brute_force_topk(vectors, q, k=3).collect()}
