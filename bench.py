@@ -56,6 +56,9 @@ HEADLINE = [
     "sql_shipping_priority",
     "sql_filtered_revenue",
     "llm_pipeline_clean_corpus",
+    "sample_stratified_langs",
+    "text_contamination",
+    "unpivot_lineitem_metrics",
 ]
 
 
