@@ -1106,7 +1106,7 @@ WITH ex AS (
   FROM embeddings
 )
 SELECT label, CAST(i - 1 AS INT) AS pos,
-       ROUND(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+       ROUND(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS centroid
 FROM ex GROUP BY 1, 2
 """
 

@@ -250,7 +250,9 @@ def embedding_centroids(
     """
     mean = F.avg(F.col("_v").cast("double"))
     if round_dp is not None:
-        mean = F.round(mean, round_dp)
+        # + 0.0 canonicalizes IEEE -0.0 (a tiny negative mean rounds to
+        # -0.0, which hash-compares unequal to 0.0 across engines)
+        mean = F.round(mean, round_dp) + F.lit(0.0)
     return (
         vectors.select(F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "_v"))
         .groupBy(group_col, "pos")
