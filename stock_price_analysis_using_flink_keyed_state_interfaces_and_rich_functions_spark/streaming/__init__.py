@@ -9,5 +9,6 @@ from .windows import (  # noqa: F401
     sliding_window_agg,
     session_window_agg,
     streaming_dedup,
+    run_stream_foreach_batch,
     run_stream_to_memory,
 )

@@ -21,6 +21,7 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "streaming_dedup",
+    "run_stream_foreach_batch",
     "run_stream_to_memory",
 ]
 
@@ -95,6 +96,18 @@ def streaming_dedup(
     if ts_col is not None and watermark is not None:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
     return df.dropDuplicates(list(key_cols))
+
+
+def run_stream_foreach_batch(df: DataFrame, fn, output_mode: str = "update") -> None:
+    """Drain a (bounded) stream through ``foreachBatch`` — the escape
+    hatch for sinks Structured Streaming lacks natively (JDBC upserts,
+    multi-table writes, merge-into). ``fn(batch_df, batch_id)`` runs on
+    the driver once per micro-batch with a BATCH DataFrame, so every
+    batch writer in this engine works unchanged inside it. Idempotence
+    contract: ``batch_id`` is stable across retries — dedup/merge on it
+    for exactly-once sinks."""
+    q = df.writeStream.foreachBatch(fn).outputMode(output_mode).trigger(availableNow=True).start()
+    q.awaitTermination()
 
 
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:

@@ -397,3 +397,33 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     per_digest = {r["digest"]: r["n"] for r in out.groupBy("digest").agg(F.count("*").alias("n")).collect()}
     assert per_digest["adv"] == 1 and per_digest["adv2"] == 1
     assert per_digest["d"] == 2  # emitted at 10:00 and again after eviction
+
+
+def test_foreach_batch_sink_writes_all_batches(spark, tmp_path):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        run_stream_foreach_batch,
+    )
+
+    root = str(tmp_path / "fb_in")
+    for part in range(3):
+        spark.createDataFrame(
+            [(part * 10 + i, float(i)) for i in range(5)], "id long, v double"
+        ).coalesce(1).write.parquet(os.path.join(root, f"part={part}"))
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "part=*"))
+    )
+    out_dir = str(tmp_path / "fb_out")
+    seen_batches = []
+
+    def sink(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        # any batch writer works unchanged inside foreachBatch
+        batch_df.write.mode("append").parquet(out_dir)
+
+    run_stream_foreach_batch(stream.filter(F.col("v") >= 1), sink, output_mode="append")
+    assert len(seen_batches) == 3 and seen_batches == sorted(seen_batches)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 12  # 4 rows (v>=1) x 3 files
+    assert got.agg(F.min("v")).first()[0] == 1.0
