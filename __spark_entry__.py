@@ -929,6 +929,37 @@ _MIX_DEFAULT = 0.05
 _MIX_SEED = 7
 
 
+def udf_registered_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDF registration surface exercised end-to-end through SQL:
+    an Arrow-vectorized pandas UDF registered by name and invoked from
+    a SQL string. Integer-cents arithmetic only — exact in both engines
+    (prices carry 2 decimals, so price*100 is never a rounding-mode
+    boundary; libm functions are deliberately excluded per
+    functions_math_ops)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.udfs import (
+        register_pandas_udf,
+    )
+
+    register_pandas_udf(
+        spark, "price_cents_v", lambda s: (s * 100).round().astype("int64"), "long"
+    )
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_udf_li")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               price_cents_v(l_extendedprice) AS price_cents
+        FROM _udf_li
+        """
+    )
+
+
+_UDF_CENTS_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM lineitem
+"""
+
+
 def sample_stratified_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus-mixture sampling: per-language keep-rates
     decided by an md5 key hash — reproducible across engines,
@@ -1838,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_label_centroids": similarity_label_centroids,
         "text_repetition_stats": text_repetition_stats,
         "text_contamination": text_contamination,
+        "udf_registered_cents": udf_registered_cents,
     }
 
 
@@ -1911,4 +1943,5 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_lineitem_metrics": _UNPIVOT_SQL,
         "text_repetition_stats": _REPETITION_SQL,
         "text_contamination": _CONTAMINATION_SQL,
+        "udf_registered_cents": _UDF_CENTS_SQL,
     }
