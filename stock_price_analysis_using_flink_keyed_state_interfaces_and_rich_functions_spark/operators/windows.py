@@ -120,9 +120,10 @@ def sessionize_by_gap(
     from time instead of value (SURVEY.md §2.6 "Count & marker windows").
     Streaming equivalent: ``session_window`` in streaming/windows.py."""
     w = _w(key_cols, [ts_col])
-    prev_ts = F.lag(ts_col).over(w)
-    new_session = (
-        prev_ts.isNull() | (F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_seconds)
-    ).cast("long")
+    # TIMESTAMP_NTZ refuses a direct bigint cast (Spark 4); route through
+    # TIMESTAMP, which the session's UTC timezone makes an epoch-faithful hop.
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    prev_epoch = F.lag(epoch).over(w)
+    new_session = (prev_epoch.isNull() | (epoch - prev_epoch > gap_seconds)).cast("long")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(session_col, F.sum(new_session).over(wsum))
