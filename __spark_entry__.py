@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
     anti_join,
     asof_join,
+    intersect_all,
     attach_payload,
     broadcast_join,
     brute_force_topk,
@@ -1786,6 +1787,169 @@ FROM kept GROUP BY lang
 """
 
 
+def setops_intersect_all_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (each nationkey survives
+    min(customer-count, supplier-count) times), completing the set-op
+    family alongside UNION/EXCEPT [ALL]."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return intersect_all(c, s)
+
+
+_SETOPS_INTERSECT_ALL_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey FROM supplier
+"""
+
+
+def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: revenue lost to returned items per customer —
+    3-fact join plus a broadcastable nation dim, grouped integer-cents
+    revenue, deterministic top-20 (revenue DESC with c_custkey
+    tiebreak → TakeOrderedAndProject, no global sort)."""
+    for name in ("customer", "orders", "lineitem", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q10_{name}")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+                 / 10000 AS revenue
+        FROM _q10_customer
+        JOIN _q10_orders   ON c_custkey = o_custkey
+        JOIN _q10_lineitem ON l_orderkey = o_orderkey
+        JOIN _q10_nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
+    )
+
+
+_SQL_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+         / 10000 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def sql_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders priced >1.5× their customer's
+    average. Catalyst decorrelates this into an aggregate + join — the
+    plan a hand-written self-join would produce, for free. Integer-cents
+    AVG (exact BIGINT sum / exact count) keeps the predicate boundary
+    bit-identical across engines."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_corr_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM _corr_orders o
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 1.5 * (
+            SELECT avg(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+            FROM _corr_orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+_SQL_CORR_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 1.5 * (
+    SELECT avg(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+    FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: CTE revenue-per-supplier, then the argmax
+    supplier(s) via an uncorrelated scalar-subquery MAX over the same
+    CTE. Exact BIGINT cents make the MAX equality safe to hash."""
+    for name in ("supplier", "lineitem"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q15_{name}")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS total_cents
+          FROM _q15_lineitem
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(total_cents AS DOUBLE) / 10000 AS total_revenue
+        FROM _q15_supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+_SQL_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS total_cents
+  FROM lineitem
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(total_cents AS DOUBLE) / 10000 AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def window_time_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling time window (§2.6 "Time windows") — the batch twin
+    of streaming/windows.py's watermarked form: 6-hour buckets per
+    event_type via ``F.window``, exact-decimal value sums. The bucket
+    start is emitted as a formatted string so both engines hash the
+    same bytes (epoch-aligned 6 h boundaries match DuckDB's
+    midnight-origin time_bucket)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_WINDOW_TIME_TUMBLING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1870,6 +2034,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": text_repetition_stats,
         "text_contamination": text_contamination,
         "udf_registered_cents": udf_registered_cents,
+        "setops_intersect_all_nationkeys": setops_intersect_all_nationkeys,
+        "sql_returned_items": sql_returned_items,
+        "sql_above_avg_orders": sql_above_avg_orders,
+        "sql_top_supplier": sql_top_supplier,
+        "window_time_tumbling_events": window_time_tumbling_events,
     }
 
 
@@ -1944,4 +2113,9 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition_stats": _REPETITION_SQL,
         "text_contamination": _CONTAMINATION_SQL,
         "udf_registered_cents": _UDF_CENTS_SQL,
+        "setops_intersect_all_nationkeys": _SETOPS_INTERSECT_ALL_SQL,
+        "sql_returned_items": _SQL_Q10_SQL,
+        "sql_above_avg_orders": _SQL_CORR_AVG_SQL,
+        "sql_top_supplier": _SQL_Q15_SQL,
+        "window_time_tumbling_events": _WINDOW_TIME_TUMBLING_SQL,
     }

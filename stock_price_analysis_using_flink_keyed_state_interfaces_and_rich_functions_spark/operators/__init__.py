@@ -28,6 +28,7 @@ from .setops import (  # noqa: F401
     union_all,
     union_distinct,
     intersect,
+    intersect_all,
     except_all,
     except_distinct,
     dedup_keep_first,

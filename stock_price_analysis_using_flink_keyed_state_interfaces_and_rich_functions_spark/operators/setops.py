@@ -13,7 +13,15 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["union_all", "union_distinct", "intersect", "except_all", "except_distinct", "dedup_keep_first"]
+__all__ = [
+    "union_all",
+    "union_distinct",
+    "intersect",
+    "intersect_all",
+    "except_all",
+    "except_distinct",
+    "dedup_keep_first",
+]
 
 
 def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -26,6 +34,12 @@ def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.intersect(b)
+
+
+def intersect_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """INTERSECT ALL — multiset intersection: each row survives
+    min(count_a, count_b) times."""
+    return a.intersectAll(b)
 
 
 def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
