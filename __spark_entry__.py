@@ -1950,6 +1950,75 @@ GROUP BY 1, 2
 """
 
 
+def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promo-type revenue share for one ship-month —
+    lineitem ⋈ part with conditional aggregation. ``part`` scales far
+    slower than the fact table, so AQE broadcasts it; the month filter
+    prunes the lineitem scan before the join. Ratio of two exact BIGINT
+    cent-sums → one IEEE division, identical in both engines."""
+    for name in ("lineitem", "part"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q14_{name}")
+    return spark.sql(
+        """
+        SELECT CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE)
+               / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                 AS promo_revenue_pct
+        FROM _q14_lineitem
+        JOIN _q14_part ON l_partkey = p_partkey
+        WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 6
+        """
+    )
+
+
+_SQL_Q14_SQL = """
+SELECT CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100) AS BIGINT)
+             ELSE 0 END) AS DOUBLE)
+       / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100) AS BIGINT))
+         AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 6
+"""
+
+
+def sql_exists_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: count orders per priority having at least
+    one returned lineitem. Catalyst rewrites the EXISTS into a left-semi
+    hash join (no decorrelation cliff, no row explosion on multi-match
+    orders)."""
+    for name in ("orders", "lineitem"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q4_{name}")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM _q4_orders
+        WHERE EXISTS (
+            SELECT 1 FROM _q4_lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_SQL_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2039,6 +2108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_above_avg_orders": sql_above_avg_orders,
         "sql_top_supplier": sql_top_supplier,
         "window_time_tumbling_events": window_time_tumbling_events,
+        "sql_promo_revenue": sql_promo_revenue,
+        "sql_exists_returned_orders": sql_exists_returned_orders,
     }
 
 
@@ -2118,4 +2189,6 @@ def oracle_sql() -> dict[str, str]:
         "sql_above_avg_orders": _SQL_CORR_AVG_SQL,
         "sql_top_supplier": _SQL_Q15_SQL,
         "window_time_tumbling_events": _WINDOW_TIME_TUMBLING_SQL,
+        "sql_promo_revenue": _SQL_Q14_SQL,
+        "sql_exists_returned_orders": _SQL_Q4_SQL,
     }
