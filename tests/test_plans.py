@@ -101,6 +101,39 @@ def test_sampling_is_pure_scan(spark, q):
         assert "Scan parquet" in s
 
 
+def test_q14_broadcasts_part_and_prunes_by_month(spark, q):
+    # part scales ~1000x slower than lineitem: it must be the broadcast
+    # build side, and the ship-month predicate must reach the scan
+    df = q["sql_promo_revenue"](spark, SF)
+    assert plans.has_broadcast_hash_join(df)
+    assert plans.has_partial_aggregation(df)
+    s = plans.explain_str(df)
+    assert "l_shipdate" in s and "PushedFilters" in s
+
+
+def test_q4_exists_becomes_semi_join(spark, q):
+    # EXISTS must compile to a left-semi join (one probe per order),
+    # never a decorrelated aggregate-then-join row explosion
+    s = plans.explain_str(q["sql_exists_returned_orders"](spark, SF))
+    assert "LeftSemi" in s, s
+    plans.assert_no_cartesian(q["sql_exists_returned_orders"](spark, SF))
+
+
+def test_correlated_avg_single_orders_pass_per_side(spark, q):
+    # Catalyst decorrelates the scalar subquery into agg + join; the
+    # orders scan appears exactly twice (outer + aggregated inner),
+    # not once per outer row
+    s = plans.explain_str(q["sql_above_avg_orders"](spark, SF))
+    assert s.count("orders.parquet") == 2, s
+
+
+def test_time_tumbling_has_partial_agg(spark, q):
+    # window-bucketed agg must keep the map-side combine (partial sum
+    # before the exchange) — the property that bounds shuffle volume
+    # by bucket count, not row count
+    assert plans.has_partial_aggregation(q["window_time_tumbling_events"](spark, SF))
+
+
 def test_q3_broadcasts_filtered_side_not_lineitem(spark, q):
     # the BROADCAST(co) hint must put the hash relation on the filtered
     # customer x orders side; a lineitem-side broadcast means the big
