@@ -2019,6 +2019,36 @@ GROUP BY o_orderpriority
 """
 
 
+def rollup_time_hierarchy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass over events
+    producing day, month, and year grains via ROLLUP(year, month, day) —
+    the batch analog of a time-series DB's multi-resolution downsample.
+    Plans as a single Expand + partial/final HashAggregate pair: rows are
+    expanded 4× map-side but shuffled already-aggregated."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.year("ts").alias("yr"),
+            F.month("ts").alias("mo"),
+            F.dayofmonth("ts").alias("dy"),
+            "value",
+        )
+        .rollup("yr", "mo", "dy")
+        .agg(F.count("*").cast("long").alias("n_events"), _dsum(F.col("value"), "sum_value"))
+    )
+
+
+_ROLLUP_TIME_SQL = """
+SELECT CAST(year(ts) AS INT) AS yr,
+       CAST(month(ts) AS INT) AS mo,
+       CAST(day(ts) AS INT) AS dy,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (yr, mo, dy)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2110,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_time_tumbling_events": window_time_tumbling_events,
         "sql_promo_revenue": sql_promo_revenue,
         "sql_exists_returned_orders": sql_exists_returned_orders,
+        "rollup_time_hierarchy_events": rollup_time_hierarchy_events,
     }
 
 
@@ -2191,4 +2222,5 @@ def oracle_sql() -> dict[str, str]:
         "window_time_tumbling_events": _WINDOW_TIME_TUMBLING_SQL,
         "sql_promo_revenue": _SQL_Q14_SQL,
         "sql_exists_returned_orders": _SQL_Q4_SQL,
+        "rollup_time_hierarchy_events": _ROLLUP_TIME_SQL,
     }
