@@ -134,6 +134,16 @@ def test_time_tumbling_has_partial_agg(spark, q):
     assert plans.has_partial_aggregation(q["window_time_tumbling_events"](spark, SF))
 
 
+def test_time_rollup_single_expand_pass(spark, q):
+    # ROLLUP(yr, mo, dy) must be one Expand + one partial/final agg pair
+    # (shuffles aggregated states), not one scan per grain
+    df = q["rollup_time_hierarchy_events"](spark, SF)
+    s = plans.explain_str(df)
+    assert s.count("events.parquet") == 1, s
+    assert "Expand" in s
+    assert plans.has_partial_aggregation(df)
+
+
 def test_q3_broadcasts_filtered_side_not_lineitem(spark, q):
     # the BROADCAST(co) hint must put the hash relation on the filtered
     # customer x orders side; a lineitem-side broadcast means the big
