@@ -150,3 +150,42 @@ def test_range_join_bucketed_matches_naive(spark, vals, intervals, width):
         if lo <= v < hi
     }
     assert got == expected
+
+
+@_settings
+@given(
+    gaps=st.lists(st.integers(min_value=0, max_value=9000), min_size=1, max_size=40),
+    gap_seconds=st.sampled_from([1, 3600, 7200]),
+)
+def test_sessionize_by_gap_matches_replay(spark, gaps, gap_seconds):
+    """sessionize_by_gap must equal a sequential replay: session id
+    increments exactly when the inter-event gap exceeds gap_seconds.
+    Timestamps are built as TIMESTAMP_NTZ — the driver's parquet type,
+    which once broke the operator's epoch cast (bigint-cast regression)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    ts, acc = [], 0
+    for g in gaps:
+        acc += g
+        ts.append(base + datetime.timedelta(seconds=acc))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts)], "eid long, ts timestamp_ntz"
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        sessionize_by_gap,
+    )
+
+    got = {
+        r["eid"]: r["sid"]
+        for r in sessionize_by_gap(
+            df.withColumn("k", F.lit("u")), ["k"], "ts", gap_seconds, "sid"
+        ).collect()
+    }
+
+    sid, prev = 0, None
+    for i, t in enumerate(ts):  # replay in event order
+        if prev is None or (t - prev).total_seconds() > gap_seconds:
+            sid += 1
+        prev = t
+        assert got[i] == sid, (i, got[i], sid)
