@@ -38,6 +38,7 @@ from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_
     attach_payload,
     broadcast_join,
     brute_force_topk,
+    contamination_bloom,
     contamination_hits,
     cosine_dup_pairs,
     cube_agg,
@@ -2019,6 +2020,18 @@ GROUP BY o_orderpriority
 """
 
 
+def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-free decontamination scale path: benchmark shingles →
+    broadcast Bloom filter → map-side membership counts (no corpus
+    shuffle). Same held-out split as text_contamination; its exact
+    counterpart is the no-false-negative lower bound, pinned by pytest
+    (rows-only here — a Bloom filter is not SQL-expressible)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_bloom(corpus, bench, "doc_id", "text", shingle_k=3)
+
+
 def rollup_time_hierarchy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous-aggregate rollup: one pass over events
     producing day, month, and year grains via ROLLUP(year, month, day) —
@@ -2141,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_promo_revenue": sql_promo_revenue,
         "sql_exists_returned_orders": sql_exists_returned_orders,
         "rollup_time_hierarchy_events": rollup_time_hierarchy_events,
+        "text_contamination_bloom": text_contamination_bloom,
     }
 
 

@@ -68,6 +68,7 @@ from .text import (  # noqa: F401
     language_id,
     with_repetition_stats,
     contamination_hits,
+    contamination_bloom,
     fingerprint_md5,
     fingerprint_ngram_min,
 )

@@ -30,6 +30,7 @@ __all__ = [
     "language_id",
     "with_repetition_stats",
     "contamination_hits",
+    "contamination_bloom",
     "fingerprint_md5",
     "fingerprint_ngram_min",
     "DEFAULT_LANG_MARKERS",
@@ -284,6 +285,104 @@ def contamination_hits(
         corpus_sh.join(bench_sh, "_sh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+def _bloom_build(hashes, fp_rate: float):
+    """Deterministic Bloom filter over signed-64 shingle hashes: numpy
+    uint8 bit array + probe count. Double hashing g_i(x) = h1 + i·h2
+    (Kirsch–Mitzenmacher) so each membership test is k cheap probes of
+    two derived hashes, not k independent hash passes."""
+    import math
+
+    import numpy as np
+
+    n = max(1, len(hashes))
+    m_bits = max(64, int(math.ceil(-n * math.log(fp_rate) / (math.log(2) ** 2))))
+    m_bits = (m_bits + 7) // 8 * 8
+    k = max(1, round(m_bits / n * math.log(2)))
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(hashes):
+        h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+        h1 = h % np.uint64(m_bits)
+        h2 = (((h >> np.uint64(33)) ^ h) * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64), (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8))
+    return bits, k, m_bits
+
+
+def contamination_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    fp_rate: float = 1e-3,
+) -> DataFrame:
+    """Join-free decontamination: a Bloom filter over the benchmark's
+    distinct shingle hashes, broadcast once, membership-tested map-side.
+
+    ``contamination_hits`` shuffles every corpus shingle into an
+    equi-join. This variant never shuffles the corpus at all: the
+    benchmark (the small side by definition — a held-out eval set vs a
+    100 TB corpus) collapses to distinct 64-bit shingle hashes, the
+    driver packs them into a ~1.2 bytes/shingle-at-1e-3 bit array
+    (same collect-small-broadcast precedent as the IVF codebook), and
+    ONE fused Arrow UDF shingles each corpus doc and counts filter
+    hits. Corpus-side plan: scan → project. Nothing else.
+
+    Guarantees: NO false negatives — every doc ``contamination_hits``
+    flags is flagged here with ``n_bloom_hits >= n_shared_shingles``.
+    False positives inflate counts (or add clean docs) at ≈``fp_rate``
+    per distinct shingle; the output is deterministic for fixed inputs
+    (blake2b shingles, fixed mix constants). Use it as the cheap first
+    pass, with the exact join as the confirm tier on survivors — or
+    alone when an ≈0.1% over-drop is an acceptable trade for removing
+    the corpus-side shuffle entirely.
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    sh = _hashed_shingles_udf(shingle_k)
+    bench_rows = benchmark.select(F.explode(sh(F.col(text_col))).alias("_sh")).distinct().collect()
+    bits, k, m_bits = _bloom_build([r["_sh"] for r in bench_rows], fp_rate)
+    bc = corpus.sparkSession.sparkContext.broadcast((bits.tobytes(), k, m_bits))
+
+    @F.pandas_udf(LongType())
+    def _bloom_hits(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        blob, kk, mm = bc.value
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        out = []
+        for t in texts:
+            toks = t.split() if t else []
+            if len(toks) >= shingle_k:
+                ss = {" ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)}
+            else:
+                ss = {" ".join(toks)}
+            hs = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big", signed=True
+                    )
+                    for s in ss
+                ],
+                dtype=np.int64,
+            ).view(np.uint64)
+            h1 = hs % np.uint64(mm)
+            h2 = (((hs >> np.uint64(33)) ^ hs) * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+            member = np.ones(len(hs), dtype=bool)
+            for i in range(kk):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(mm)
+                member &= (arr[(idx >> np.uint64(3)).astype(np.int64)] & (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8)) != 0
+            out.append(int(member.sum()))
+        return pd.Series(out)
+
+    return (
+        corpus.select(F.col(id_col), _bloom_hits(F.col(text_col)).alias("n_bloom_hits"))
+        .filter(F.col("n_bloom_hits") >= 1)
     )
 
 

@@ -381,6 +381,49 @@ def test_contamination_hits_ground_truth(spark):
     assert got == {1: 2, 3: 2}  # doc 2 absent: inner join keeps hits only
 
 
+def test_contamination_bloom_no_false_negatives(spark):
+    """The Bloom path must flag every doc the exact join flags, with
+    per-doc counts >= the exact shared-shingle counts (FPs can only
+    inflate), and a map-side plan: no join, no Exchange on the corpus."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark import plans
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        contamination_bloom,
+        contamination_hits,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"), (101, "large language models memorize data")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox sleeps"),
+            (2, "a completely unrelated doc"),
+            (3, "quick brown fox jumps high"),
+            (4, "language models memorize data easily"),
+            (5, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {r["doc_id"]: r["n_shared_shingles"] for r in contamination_hits(corpus, bench).collect()}
+    bloom_df = contamination_bloom(corpus, bench, fp_rate=1e-4)
+    bloom = {r["doc_id"]: r["n_bloom_hits"] for r in bloom_df.collect()}
+    for did, n in exact.items():
+        assert bloom.get(did, 0) >= n, (did, bloom.get(did), n)
+    s = plans.explain_str(bloom_df)
+    assert "Join" not in s and "Exchange" not in s, s
+
+
+def test_contamination_bloom_empty_benchmark(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        contamination_bloom,
+    )
+
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
+    assert contamination_bloom(corpus, bench).count() == 0
+
+
 def test_hash_split_disjoint_exhaustive(spark):
     from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
         hash_sample,
