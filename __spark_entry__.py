@@ -2062,6 +2062,53 @@ GROUP BY ROLLUP (yr, mo, dy)
 """
 
 
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order prices via width_bucket — one
+    partial-agg pass, shuffle bounded by bucket count. Bucket edges are
+    exact integers so both engines assign boundary values identically."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(20)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+_AGG_HISTOGRAM_SQL = """
+-- DuckDB has no width_bucket; spelled out (width 500000/20 = 25000)
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                 WHEN o_totalprice >= 500000 THEN 21
+                 ELSE floor(o_totalprice / 25000) + 1 END AS BIGINT) AS bucket,
+       count(*) AS n_orders
+FROM orders
+GROUP BY bucket
+"""
+
+
+def agg_median_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated median + p90 per order priority on integer
+    cents ((1-f)·a + f·b on exact BIGINTs → identical IEEE doubles in
+    both engines). Exact grouped percentiles sort each group — the
+    oracle-checkable baseline; agg_approx_quantiles is the mergeable
+    KLL-sketch path a 100 TB job would run instead."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        (F.percentile("price_cents", F.lit(0.5)) / 100).alias("median_price"),
+        (F.percentile("price_cents", F.lit(0.9)) / 100).alias("p90_price"),
+    )
+
+
+_AGG_MEDIAN_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) / 100 AS median_price,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) / 100 AS p90_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2155,6 +2202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_exists_returned_orders": sql_exists_returned_orders,
         "rollup_time_hierarchy_events": rollup_time_hierarchy_events,
         "text_contamination_bloom": text_contamination_bloom,
+        "agg_price_histogram": agg_price_histogram,
+        "agg_median_order_price": agg_median_order_price,
     }
 
 
@@ -2237,4 +2286,6 @@ def oracle_sql() -> dict[str, str]:
         "sql_promo_revenue": _SQL_Q14_SQL,
         "sql_exists_returned_orders": _SQL_Q4_SQL,
         "rollup_time_hierarchy_events": _ROLLUP_TIME_SQL,
+        "agg_price_histogram": _AGG_HISTOGRAM_SQL,
+        "agg_median_order_price": _AGG_MEDIAN_SQL,
     }
