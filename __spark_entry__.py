@@ -2109,6 +2109,56 @@ GROUP BY o_orderpriority
 """
 
 
+def agg_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per returnflag from EXACT integer co-moments:
+    the five sums accumulate as BIGINTs (associative, order-free), and
+    the closed-form corr is evaluated from those exact integers with
+    the same double expression in both engines — sidestepping the
+    order-dependent drift of a native corr() over doubles. One
+    partial-agg pass, same scale shape as any groupBy sum."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+    )
+    mom = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qc").alias("sx"),
+        F.sum("pc").alias("sy"),
+        F.sum(F.col("qc") * F.col("qc")).alias("sxx"),
+        F.sum(F.col("pc") * F.col("pc")).alias("syy"),
+        F.sum(F.col("qc") * F.col("pc")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return mom.select("l_returnflag", F.round(corr, 6).alias("price_qty_corr"))
+
+
+_AGG_CORR_SQL = """
+WITH mom AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+         sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+         sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS price_qty_corr
+FROM mom
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2204,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination_bloom": text_contamination_bloom,
         "agg_price_histogram": agg_price_histogram,
         "agg_median_order_price": agg_median_order_price,
+        "agg_price_qty_corr": agg_price_qty_corr,
     }
 
 
@@ -2288,4 +2339,5 @@ def oracle_sql() -> dict[str, str]:
         "rollup_time_hierarchy_events": _ROLLUP_TIME_SQL,
         "agg_price_histogram": _AGG_HISTOGRAM_SQL,
         "agg_median_order_price": _AGG_MEDIAN_SQL,
+        "agg_price_qty_corr": _AGG_CORR_SQL,
     }

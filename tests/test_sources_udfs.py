@@ -44,6 +44,21 @@ def test_write_parquet_partitioned(spark, tmp_path):
     assert back.count() == 3
 
 
+def test_partitioned_read_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilters
+    entry (directory pruning — at 100 TB the difference between reading
+    one partition and reading all of them), not a post-scan filter."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark import plans
+
+    df = spark.range(100).withColumn("part", (F.col("id") % 4).cast("string"))
+    out = str(tmp_path / "pp")
+    write_parquet(df, out, partition_by=["part"])
+    back = spark.read.parquet(out).filter(F.col("part") == "2")
+    s = plans.explain_str(back)
+    assert "PartitionFilters" in s and "part#" in s.split("PartitionFilters", 1)[1][:200], s
+    assert back.count() == 25
+
+
 def test_streaming_parquet_sink_and_memory_sink(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
