@@ -394,7 +394,12 @@ def dup_clusters(
                 F.least(labels["label"], F.coalesce(F.col("_nbr"), labels["label"])).alias("label"),
                 (F.coalesce(F.col("_nbr"), labels["label"]) < labels["label"]).alias("_improved"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            # localCheckpoint, not persist: it CUTS the lineage, so the
+            # logical plan stays one join deep instead of doubling every
+            # round (unchecked, round ~15 re-optimizes a 2^15-node tree
+            # and the driver dies before any executor does). On a real
+            # cluster prefer reliable checkpoint() for fault tolerance.
+            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("_improved")).count()
         labels.unpersist()

@@ -41,6 +41,10 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # local mode = ONE JVM for driver + all executor threads; Spark's
+        # 1g default heap OOMs 32 concurrent hash aggregates long before
+        # the box runs out (on a cluster, spark-submit sizes this instead)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
