@@ -131,6 +131,38 @@ def test_bucketed_table_join_no_exchange(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_bucketed_table_keyed_window_no_exchange(spark, tmp_path):
+    """W1-shaped running max over a table bucketed on the window key
+    needs NO shuffle at all: the scan's hash distribution satisfies the
+    window's requirement. This is the recurring-stateful-query story at
+    100 TB — bucket once, every later W1–W4 run is shuffle-free."""
+    import shutil
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        running_max,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        write_bucketed_table,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("seq"), (F.col("id") % 131).alias("v")
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    try:
+        spark.sql("DROP TABLE IF EXISTS bkt_quotes")
+        shutil.rmtree(os.path.join(warehouse, "bkt_quotes"), ignore_errors=True)
+        write_bucketed_table(df, "bkt_quotes", ["k"], 4, sort_cols=["k", "seq"])
+        out = running_max(spark.table("bkt_quotes"), ["k"], ["seq"], "v", "run_max")
+        p = plans.explain_str(out, "simple")
+        assert "Window" in p and "Exchange" not in p, p
+        # spot-check semantics survive the storage path
+        got = {(r["k"], r["seq"]): r["run_max"] for r in out.collect()}
+        assert got[(0, 0)] == 0 and got[(0, 7)] == 7 and got[(0, 1960)] == 130
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_quotes")
+
+
 def test_range_join_bucketed(spark):
     vals = spark.createDataFrame([(1, 3.0), (2, 7.5), (3, 15.0)], "id int, v double")
     bands = spark.createDataFrame(
