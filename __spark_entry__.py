@@ -2159,6 +2159,72 @@ FROM mom
 """
 
 
+def window_time_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sliding time window: 12-hour windows every 6 hours, so each
+    event lands in exactly two buckets. Spark's ``F.window`` plans this
+    as a 2-row Expand before the partial agg (shuffle stays bounded by
+    bucket count × 2); the oracle reproduces the overlap with an
+    explicit two-offset UNION ALL."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "12 hours", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"), _dsum(F.col("value"), "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_WINDOW_TIME_SLIDING_SQL = """
+WITH buckets AS (
+  SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT strftime(time_bucket(INTERVAL '6 hours', ts) - INTERVAL '6 hours', '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, value
+  FROM events
+)
+SELECT win_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM buckets
+GROUP BY win_start, event_type
+"""
+
+
+def functions_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe scalar surface: try_divide / try_cast return NULL
+    on division-by-zero and bad casts instead of failing the 100 TB job
+    on one malformed row (Spark 4 runs ANSI by default — the unguarded
+    forms now THROW)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.try_divide(F.col("l_extendedprice"), F.round(F.col("l_discount") * 100)).alias(
+            "price_per_disc_pct"
+        ),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.round(F.col("l_quantity")).cast("long").cast("string").try_cast("int").alias(
+            "qty_roundtrip"
+        ),
+    )
+
+
+_FUNC_SAFE_ARITH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN round(l_discount * 100) = 0 THEN NULL
+            ELSE l_extendedprice / round(l_discount * 100) END AS price_per_disc_pct,
+       TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+       TRY_CAST(CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR) AS INT) AS qty_roundtrip
+FROM lineitem
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2255,6 +2321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_price_histogram": agg_price_histogram,
         "agg_median_order_price": agg_median_order_price,
         "agg_price_qty_corr": agg_price_qty_corr,
+        "window_time_sliding_events": window_time_sliding_events,
+        "functions_safe_arithmetic": functions_safe_arithmetic,
     }
 
 
@@ -2340,4 +2408,6 @@ def oracle_sql() -> dict[str, str]:
         "agg_price_histogram": _AGG_HISTOGRAM_SQL,
         "agg_median_order_price": _AGG_MEDIAN_SQL,
         "agg_price_qty_corr": _AGG_CORR_SQL,
+        "window_time_sliding_events": _WINDOW_TIME_SLIDING_SQL,
+        "functions_safe_arithmetic": _FUNC_SAFE_ARITH_SQL,
     }
