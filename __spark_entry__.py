@@ -2225,6 +2225,67 @@ FROM lineitem
 """
 
 
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical distributed wordcount: explode whitespace tokens,
+    partial-agg count, deterministic top-50 (count DESC, token ASC →
+    TakeOrderedAndProject, no global sort)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+_TEXT_TOP_TOKENS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+  WHERE length(trim(text)) > 0
+)
+SELECT token, count(*) AS n
+FROM toks
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 50
+"""
+
+
+def similarity_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: L2 norm
+    from EXACT integer micro-units (each float scaled to round(x·1e6),
+    squared and summed as BIGINTs — associative, so both engines fold
+    in any order and still agree bit-for-bit on the final sqrt)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 1000000).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.sqrt(sq_sum.cast("double")) / 1000000, 6).alias("l2_norm"),
+    )
+
+
+_SIM_NORMS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(sqrt(CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                     * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE)) / 1000000, 6)
+         AS l2_norm
+FROM embeddings
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2323,6 +2384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_price_qty_corr": agg_price_qty_corr,
         "window_time_sliding_events": window_time_sliding_events,
         "functions_safe_arithmetic": functions_safe_arithmetic,
+        "text_top_tokens": text_top_tokens,
+        "similarity_vector_norms": similarity_vector_norms,
     }
 
 
@@ -2410,4 +2473,6 @@ def oracle_sql() -> dict[str, str]:
         "agg_price_qty_corr": _AGG_CORR_SQL,
         "window_time_sliding_events": _WINDOW_TIME_SLIDING_SQL,
         "functions_safe_arithmetic": _FUNC_SAFE_ARITH_SQL,
+        "text_top_tokens": _TEXT_TOP_TOKENS_SQL,
+        "similarity_vector_norms": _SIM_NORMS_SQL,
     }
