@@ -65,15 +65,15 @@ def payload_metadata(df: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> list[float]:
+def _fake_decode(payload: bytes, _dim: int = FAKE_FEATURE_DIM) -> list[float]:
     """DETERMINISTIC FAKE decoder — byte-value histogram, 16 bins,
     L1-normalized. Stands in for image decode + feature extraction;
     replace via the ``decoder`` parameter when codecs are available.
     No rounding: plain IEEE division keeps the values bit-for-bit
     reproducible by any engine (the DuckDB oracle relies on this)."""
-    counts = [0] * FAKE_FEATURE_DIM
+    counts = [0] * _dim
     for byte in payload:
-        counts[byte % FAKE_FEATURE_DIM] += 1
+        counts[byte % _dim] += 1
     total = len(payload) or 1
     return [c / total for c in counts]
 
@@ -91,7 +91,21 @@ def decode_features(
     ``decoder`` defaults to the deterministic fake; a real implementation
     (PIL/librosa/ffmpeg) plugs in with no change to the Spark plumbing.
     """
-    fn = decoder or _fake_decode
+    if decoder is None:
+        # Re-declare the fake as a CLOSURE: cloudpickle serializes
+        # module-level functions by reference, which breaks on executors
+        # that don't have this package on PYTHONPATH (the driver's
+        # vanilla-session harness); a closure ships by value.
+        dim = FAKE_FEATURE_DIM
+
+        def decoder(payload: bytes) -> list[float]:
+            counts = [0] * dim
+            for byte in payload:
+                counts[byte % dim] += 1
+            total = len(payload) or 1
+            return [c / total for c in counts]
+
+    fn = decoder
     out_schema = f"{id_col} long, features array<double>"
     narrow = df.select(id_col, payload_col)
 
