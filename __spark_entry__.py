@@ -2286,6 +2286,37 @@ FROM embeddings
 """
 
 
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props column to map<string,long>,
+    explode to (key, value) rows, aggregate per dynamic key — schema-free
+    ingestion of semi-structured props (no key list hardcoded anywhere).
+    The oracle mirrors it with json_keys + a dynamic json_extract path."""
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,long>")).alias("key", "value")
+    )
+    return kv.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_EVENTS_PROPS_MAP_SQL = """
+WITH kv AS (
+  SELECT unnest(json_keys(props)) AS key, props FROM events WHERE props IS NOT NULL
+)
+SELECT key,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS BIGINT) AS sum_value,
+       min(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS min_value,
+       max(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS max_value
+FROM kv
+GROUP BY key
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2386,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functions_safe_arithmetic": functions_safe_arithmetic,
         "text_top_tokens": text_top_tokens,
         "similarity_vector_norms": similarity_vector_norms,
+        "events_props_map": events_props_map,
     }
 
 
@@ -2475,4 +2507,5 @@ def oracle_sql() -> dict[str, str]:
         "functions_safe_arithmetic": _FUNC_SAFE_ARITH_SQL,
         "text_top_tokens": _TEXT_TOP_TOKENS_SQL,
         "similarity_vector_norms": _SIM_NORMS_SQL,
+        "events_props_map": _EVENTS_PROPS_MAP_SQL,
     }
