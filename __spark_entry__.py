@@ -2121,13 +2121,18 @@ def agg_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
     )
+    # Each product fits int64 (pc² ≤ ~1.2e14) but the SUMS do not: syy
+    # is at 80% of int64 max already at sf0.1, so accumulate in
+    # DECIMAL(38,0) — exact, associative, overflow-free to ~1e38 (the
+    # DuckDB side gets the same headroom from its HUGEINT sums).
+    d38 = "decimal(38,0)"
     mom = li.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("qc").alias("sx"),
         F.sum("pc").alias("sy"),
-        F.sum(F.col("qc") * F.col("qc")).alias("sxx"),
-        F.sum(F.col("pc") * F.col("pc")).alias("syy"),
-        F.sum(F.col("qc") * F.col("pc")).alias("sxy"),
+        F.sum((F.col("qc") * F.col("qc")).cast(d38)).alias("sxx"),
+        F.sum((F.col("pc") * F.col("pc")).cast(d38)).alias("syy"),
+        F.sum((F.col("qc") * F.col("pc")).cast(d38)).alias("sxy"),
     )
     n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, syy, sxy = (
@@ -2309,9 +2314,9 @@ WITH kv AS (
 )
 SELECT key,
        count(*) AS n,
-       CAST(sum(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS BIGINT) AS sum_value,
-       min(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS min_value,
-       max(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS max_value
+       CAST(sum(CAST(json_extract(props, '$."' || key || '"') AS BIGINT)) AS BIGINT) AS sum_value,
+       min(CAST(json_extract(props, '$."' || key || '"') AS BIGINT)) AS min_value,
+       max(CAST(json_extract(props, '$."' || key || '"') AS BIGINT)) AS max_value
 FROM kv
 GROUP BY key
 """

@@ -132,10 +132,11 @@ def ngram_jaccard_pairs(
     else:
         raise ValueError(f"impl must be 'hash' or 'expr', got {impl!r}")
     # The postings table feeds FOUR subtrees (both join sides + two size
-    # lookups); materialize the UDF+explode once instead of four times
-    # (measured 45 s → 11 s at sf0.1).
+    # lookups); checkpoint so the UDF+explode computes once instead of
+    # four times (measured 45 s → 31 s at sf0.1). eager=False keeps plan
+    # construction lazy — schema/explain inspection must not run a job.
     sh = df.select(F.col(id_col).alias("_id"), F.explode(shingles).alias("_sh")).localCheckpoint(
-        eager=True
+        eager=False
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = sh.select(F.col("_id").alias("id_a"), "_sh")
@@ -419,7 +420,10 @@ def dup_clusters(
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("_improved")).count()
-        labels.unpersist()
+        # No unpersist: a localCheckpointed frame's blocks live in an
+        # internal RDD persist that DataFrame.unpersist can't reach; they
+        # free on GC. Bounded exposure — rounds = component diameter and
+        # the label table is 3 narrow columns, a sliver of the corpus.
         labels = new_labels.drop("_improved")
         if changed == 0:
             edges.unpersist()

@@ -65,19 +65,6 @@ def payload_metadata(df: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes, _dim: int = FAKE_FEATURE_DIM) -> list[float]:
-    """DETERMINISTIC FAKE decoder — byte-value histogram, 16 bins,
-    L1-normalized. Stands in for image decode + feature extraction;
-    replace via the ``decoder`` parameter when codecs are available.
-    No rounding: plain IEEE division keeps the values bit-for-bit
-    reproducible by any engine (the DuckDB oracle relies on this)."""
-    counts = [0] * _dim
-    for byte in payload:
-        counts[byte % _dim] += 1
-    total = len(payload) or 1
-    return [c / total for c in counts]
-
-
 def decode_features(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -92,10 +79,14 @@ def decode_features(
     (PIL/librosa/ffmpeg) plugs in with no change to the Spark plumbing.
     """
     if decoder is None:
-        # Re-declare the fake as a CLOSURE: cloudpickle serializes
-        # module-level functions by reference, which breaks on executors
-        # that don't have this package on PYTHONPATH (the driver's
-        # vanilla-session harness); a closure ships by value.
+        # DETERMINISTIC FAKE decoder — byte-value histogram, 16 bins,
+        # L1-normalized; stands in for image decode + feature extraction
+        # until real codecs plug in. No rounding: plain IEEE division is
+        # bit-for-bit reproducible (the DuckDB oracle relies on this).
+        # Deliberately a CLOSURE: cloudpickle serializes module-level
+        # functions by reference, which breaks on executors that don't
+        # have this package on PYTHONPATH (the driver's vanilla-session
+        # harness); a closure ships by value.
         dim = FAKE_FEATURE_DIM
 
         def decoder(payload: bytes) -> list[float]:

@@ -327,7 +327,7 @@ def contamination_bloom(
     equi-join. This variant never shuffles the corpus at all: the
     benchmark (the small side by definition — a held-out eval set vs a
     100 TB corpus) collapses to distinct 64-bit shingle hashes, the
-    driver packs them into a ~1.2 bytes/shingle-at-1e-3 bit array
+    driver packs them into a ~1.8 bytes/shingle-at-1e-3 bit array
     (same collect-small-broadcast precedent as the IVF codebook), and
     ONE fused Arrow UDF shingles each corpus doc and counts filter
     hits. Corpus-side plan: scan → project. Nothing else.

@@ -120,10 +120,12 @@ def sessionize_by_gap(
     from time instead of value (SURVEY.md §2.6 "Count & marker windows").
     Streaming equivalent: ``session_window`` in streaming/windows.py."""
     w = _w(key_cols, [ts_col])
-    # TIMESTAMP_NTZ refuses a direct bigint cast (Spark 4); route through
-    # TIMESTAMP, which the session's UTC timezone makes an epoch-faithful hop.
-    epoch = F.col(ts_col).cast("timestamp").cast("long")
-    prev_epoch = F.lag(epoch).over(w)
-    new_session = (prev_epoch.isNull() | (epoch - prev_epoch > gap_seconds)).cast("long")
+    # timestampdiff is wall-clock arithmetic on the operands themselves —
+    # no session-timezone hop, so NTZ inputs behave identically in UTC
+    # and DST-shifting sessions (a cast-to-epoch formulation merges
+    # sessions across fall-back and splits them across spring-forward).
+    prev_ts = F.lag(ts_col).over(w)
+    gap = F.timestamp_diff("SECOND", prev_ts, F.col(ts_col))
+    new_session = (prev_ts.isNull() | (gap > gap_seconds)).cast("long")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(session_col, F.sum(new_session).over(wsum))

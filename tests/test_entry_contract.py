@@ -7,8 +7,10 @@ is TIMESTAMP_NTZ (and raw ``events.parquet`` is TIMESTAMP(NANOS)). A query
 can pass every unit test and still throw AnalysisException on the driver's
 tables (exactly what happened to ``sessionize_by_gap``'s bigint cast).
 
-Forcing ``df.schema`` runs the full analyzer against the real files without
-executing a single task, so this covers all ~73 queries in seconds.
+Forcing ``df.schema`` runs the full analyzer against the real files, so
+this covers the whole contract quickly. (Not strictly job-free: a few
+operators collect a small driver-side model — the IVF codebook, the Bloom
+benchmark side — and lazy localCheckpoints materialize on first action.)
 """
 
 from __future__ import annotations
