@@ -2322,6 +2322,47 @@ GROUP BY key
 """
 
 
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_MAP pandas-UDF surface (``applyInPandas``): per-priority
+    z-scores of order prices, whole-group-in-pandas semantics. Exact
+    integer moments with a SQL-identical float rounding path keep even
+    this Python-side op hash-checkable against the oracle."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.udfs import (
+        grouped_zscore,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    z = grouped_zscore(o, ["o_orderpriority"], "o_totalprice", "zscore")
+    return z.select(
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round("zscore", 6).alias("zscore"),
+    )
+
+
+_UDF_ZSCORE_SQL = """
+WITH c AS (
+  SELECT o_orderpriority, o_totalprice,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), mom AS (
+  SELECT o_orderpriority,
+         count(*) AS n, sum(cents) AS sx, sum(cents * cents) AS sxx
+  FROM c GROUP BY o_orderpriority
+), stats AS (
+  SELECT o_orderpriority,
+         CAST(sx AS DOUBLE) / n AS mean,
+         sqrt(greatest(CAST(sxx AS DOUBLE) / n
+                       - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0)) AS std
+  FROM mom
+)
+SELECT c.o_orderpriority,
+       round(c.o_totalprice, 2) AS price,
+       round(CASE WHEN std > 0 THEN (c.cents - mean) / std ELSE 0.0 END, 6) AS zscore
+FROM c JOIN stats USING (o_orderpriority)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2423,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_tokens": text_top_tokens,
         "similarity_vector_norms": similarity_vector_norms,
         "events_props_map": events_props_map,
+        "udf_grouped_zscore": udf_grouped_zscore,
     }
 
 
@@ -2513,4 +2555,5 @@ def oracle_sql() -> dict[str, str]:
         "text_top_tokens": _TEXT_TOP_TOKENS_SQL,
         "similarity_vector_norms": _SIM_NORMS_SQL,
         "events_props_map": _EVENTS_PROPS_MAP_SQL,
+        "udf_grouped_zscore": _UDF_ZSCORE_SQL,
     }

@@ -23,6 +23,7 @@ __all__ = [
     "register_pandas_udf",
     "register_tokens_udtf",
     "register_grouped_agg_udf",
+    "grouped_zscore",
     "pandas_scalar",
 ]
 
@@ -90,3 +91,52 @@ def register_grouped_agg_udf(spark: SparkSession, name: str, fn: Callable, retur
     udf = F.pandas_udf(fn, return_type, PandasUDFType.GROUPED_AGG)
     spark.udf.register(name, udf)
     return udf
+
+
+def grouped_zscore(
+    df,
+    key_cols,
+    value_col: str,
+    out_col: str = "zscore",
+    scale: int = 100,
+):
+    """GROUPED_MAP surface (``applyInPandas``): per-group z-scores with
+    whole-group pandas semantics — each group arrives as ONE DataFrame,
+    the shape window functions can't give Python (quantile fits, model
+    scoring, per-group regressions all ride this exact plumbing).
+
+    Mean/std are derived from EXACT integer sums of ``round(v·scale)``
+    (population std), so the emitted doubles are bit-identical to a SQL
+    engine computing the same closed form — keeping even the UDF path
+    oracle-checkable. Distributes as one exchange on the key; group =
+    unit of memory (a group must fit in one executor's pandas frame —
+    for billion-row keys use the window-function form instead).
+    """
+    keys = list(key_cols)
+    out_schema = ", ".join(
+        [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys]
+        + [f"`{value_col}` double", f"`{out_col}` double"]
+    )
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        import numpy as np
+
+        cents = np.rint(pdf[value_col].to_numpy(dtype="float64") * scale).astype("int64")
+        n = len(cents)
+        sx = int(cents.sum())
+        sxx = int((cents.astype(object) ** 2).sum())  # object: unbounded ints, no int64 overflow
+        # float() BEFORE dividing — the same rounding path as a SQL
+        # engine's CAST(sum AS DOUBLE)/n, so z-scores stay bit-identical
+        # (sxx exceeds 2^53; exact-rational-then-round would differ in
+        # the last ulp from round-then-divide).
+        mean = float(sx) / n
+        var = max(float(sxx) / n - mean * mean, 0.0)
+        std = math.sqrt(var)
+        out = pdf[keys].copy()
+        out[value_col] = pdf[value_col].astype("float64")
+        out[out_col] = (cents - mean) / std if std > 0 else 0.0
+        return out
+
+    return df.select(*keys, value_col).groupBy(*keys).applyInPandas(_z, schema=out_schema)
