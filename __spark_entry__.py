@@ -2363,6 +2363,51 @@ FROM c JOIN stats USING (o_orderpriority)
 """
 
 
+def sql_month_spine_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x) date-spine densification: generate every
+    month between the first and last order date, left-join monthly order
+    counts so zero-order months appear explicitly — the time-series gap
+    fill a plain GROUP BY can't produce. Recursion depth = month span
+    (bounded, driver-side plan growth only)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_spine_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine (m, hi) AS (
+          SELECT date_trunc('MONTH', min(o_orderdate)),
+                 date_trunc('MONTH', max(o_orderdate))
+          FROM _spine_orders
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH, hi FROM spine WHERE m < hi
+        ),
+        monthly AS (
+          SELECT date_trunc('MONTH', o_orderdate) AS mm, count(*) AS n
+          FROM _spine_orders GROUP BY 1
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        FROM spine LEFT JOIN monthly ON m = mm
+        """
+    )
+
+
+_SQL_SPINE_SQL = """
+WITH RECURSIVE spine (m, hi) AS (
+  SELECT date_trunc('month', min(o_orderdate)),
+         date_trunc('month', max(o_orderdate))
+  FROM orders
+  UNION ALL
+  SELECT m + INTERVAL '1 month', hi FROM spine WHERE m < hi
+),
+monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS mm, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT strftime(m, '%Y-%m') AS month,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+FROM spine LEFT JOIN monthly ON m = mm
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2465,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_vector_norms": similarity_vector_norms,
         "events_props_map": events_props_map,
         "udf_grouped_zscore": udf_grouped_zscore,
+        "sql_month_spine_density": sql_month_spine_density,
     }
 
 
@@ -2556,4 +2602,5 @@ def oracle_sql() -> dict[str, str]:
         "similarity_vector_norms": _SIM_NORMS_SQL,
         "events_props_map": _EVENTS_PROPS_MAP_SQL,
         "udf_grouped_zscore": _UDF_ZSCORE_SQL,
+        "sql_month_spine_density": _SQL_SPINE_SQL,
     }
