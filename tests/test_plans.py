@@ -144,6 +144,25 @@ def test_time_rollup_single_expand_pass(spark, q):
     assert plans.has_partial_aggregation(df)
 
 
+def test_grouped_zscore_single_exchange(spark, q):
+    # applyInPandas grouped-map distributes like any keyed agg: exactly
+    # one hash exchange on the grouping key
+    s = plans.explain_str(q["udf_grouped_zscore"](spark, SF), "simple")
+    assert s.count("Exchange") == 1, s
+    assert "FlatMapGroupsInPandas" in s, s
+
+
+def test_sliding_window_partial_agg_and_single_scan(spark, q):
+    df = q["window_time_sliding_events"](spark, SF)
+    assert plans.has_partial_aggregation(df)
+    s = plans.explain_str(df)
+    assert s.count("events.parquet") == 1, s  # overlap via Expand, not a second scan
+
+
+def test_month_spine_no_cartesian(spark, q):
+    plans.assert_no_cartesian(q["sql_month_spine_density"](spark, SF))
+
+
 def test_q3_broadcasts_filtered_side_not_lineitem(spark, q):
     # the BROADCAST(co) hint must put the hash relation on the filtered
     # customer x orders side; a lineitem-side broadcast means the big
