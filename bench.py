@@ -59,6 +59,11 @@ HEADLINE = [
     "sample_stratified_langs",
     "text_contamination",
     "unpivot_lineitem_metrics",
+    "rollup_time_hierarchy_events",
+    "window_time_sliding_events",
+    "agg_price_histogram",
+    "sql_promo_revenue",
+    "udf_grouped_zscore",
 ]
 
 

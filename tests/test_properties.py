@@ -189,3 +189,56 @@ def test_sessionize_by_gap_matches_replay(spark, gaps, gap_seconds):
             sid += 1
         prev = t
         assert got[i] == sid, (i, got[i], sid)
+
+
+@_settings
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=1e4, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_grouped_zscore_moments(spark, vals):
+    """Per-group z-scores must have mean ≈ 0 and population std ≈ 1
+    whenever the group has any variance (0 everywhere otherwise)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.udfs import (
+        grouped_zscore,
+    )
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "k string, v double")
+    zs = [r["z"] for r in grouped_zscore(df, ["k"], "v", "z").collect()]
+    assert len(zs) == len(vals)
+    cents = [round(v * 100) for v in vals]
+    if len(set(cents)) == 1:
+        assert all(z == 0.0 for z in zs)
+    else:
+        n = len(zs)
+        assert abs(sum(zs) / n) < 1e-9
+        assert abs(sum(z * z for z in zs) / n - 1.0) < 1e-9
+
+
+@_settings
+@given(
+    bench_texts=st.lists(
+        st.text(alphabet="ab ", min_size=5, max_size=40), min_size=1, max_size=10
+    ),
+    corpus_texts=st.lists(
+        st.text(alphabet="ab ", min_size=5, max_size=40), min_size=1, max_size=15
+    ),
+)
+def test_contamination_bloom_superset_of_exact(spark, bench_texts, corpus_texts):
+    """Bloom decontamination can never miss a truly contaminated doc:
+    for every doc the exact join flags, the Bloom path must report at
+    least as many shingle hits (FPs only inflate)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        contamination_bloom,
+        contamination_hits,
+    )
+
+    bench = spark.createDataFrame(list(enumerate(bench_texts)), "doc_id long, text string")
+    corpus = spark.createDataFrame(list(enumerate(corpus_texts)), "doc_id long, text string")
+    exact = {r["doc_id"]: r["n_shared_shingles"] for r in contamination_hits(corpus, bench).collect()}
+    bloom = {r["doc_id"]: r["n_bloom_hits"] for r in contamination_bloom(corpus, bench).collect()}
+    for did, n in exact.items():
+        assert bloom.get(did, 0) >= n, (did, bloom.get(did), n)
