@@ -11,10 +11,19 @@ reproduce the final values; these functions reproduce the *emission
 stream*: one micro-batch at a time, per-key state carried in Spark's
 state store exactly as Flink carried it in its keyed state backend.
 
-Ordering: within each micro-batch, rows are sorted by ``order_cols``
-before the state fold (Flink gives arrival order; we make the order
-explicit). Cross-batch order is the micro-batch sequence — same
-contract as any at-least-once streaming ingestion sorted at source.
+Ordering: within each micro-batch, a key's rows are CONCATENATED across
+Arrow chunks and sorted by ``order_cols`` once before the state fold
+(Flink gives arrival order; we make the order explicit). Chunk-wise
+sorting would silently misorder keys whose per-batch volume exceeds
+``spark.sql.execution.arrow.maxRecordsPerBatch``. The concat bounds
+memory at one key's micro-batch volume — exactly what a sort needs
+anyway. Cross-batch order is the micro-batch sequence — same contract
+as any at-least-once streaming ingestion sorted at source.
+
+NULL values follow the batch operators' semantics: running max ignores
+them (emitting the unchanged max, like ``F.max``), W2's average skips
+them in numerator and denominator (like ``F.avg``), W3 counts them as
+non-breach rows (NULL ≥ threshold is false in both forms).
 
 State size is O(1) per key for all four operators (the W3 ListState is
 deliberately reduced to a counter — only the length was ever used,
@@ -70,13 +79,17 @@ def running_max_stream(
     order = list(order_cols)
 
     def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import math
+
         (cur,) = state.get if state.exists else (None,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
             outs = []
             for v in pdf[value_col].astype(float):
-                cur = v if cur is None else max(cur, v)
-                outs.append(cur)
+                if not math.isnan(v):
+                    cur = v if cur is None else max(cur, v)
+                outs.append(float("nan") if cur is None else cur)
             out = pd.DataFrame({k: [kv] * len(pdf) for k, kv in zip(keys, key)})
             out[value_col] = pdf[value_col].astype(float).to_numpy()
             out[out_col] = outs
@@ -118,10 +131,15 @@ def running_max_transform_with_state(
 
     # transformWithState requires the RocksDB state store provider (the
     # default HDFS-backed store cannot host its typed state handles).
-    df.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    # SIDE EFFECT: this is a session-wide conf — streaming queries
+    # started afterwards also get RocksDB. Only set when the session is
+    # still on the default provider; a session already pinned elsewhere
+    # is respected (start such sessions with RocksDB yourself).
+    _prov_key = "spark.sql.streaming.stateStore.providerClass"
+    _rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    _cur = df.sparkSession.conf.get(_prov_key, "")
+    if "RocksDB" not in _cur and ("HDFSBackedStateStoreProvider" in _cur or not _cur):
+        df.sparkSession.conf.set(_prov_key, _rocks)
 
     keys = list(key_cols)
     order = list(order_cols)
@@ -135,13 +153,17 @@ def running_max_transform_with_state(
             self._max = handle.getValueState("cur_max", "cur double")
 
         def handleInputRows(self, key, rows, timerValues):  # noqa: N803
+            import math
+
             cur = self._max.get()[0] if self._max.exists() else None
-            for pdf in rows:
-                pdf = pdf.sort_values(order)
+            chunks = [c for c in rows if len(c)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
                 outs = []
                 for v in pdf[value_col].astype(float):
-                    cur = v if cur is None else max(cur, v)
-                    outs.append(cur)
+                    if not math.isnan(v):
+                        cur = v if cur is None else max(cur, v)
+                    outs.append(float("nan") if cur is None else cur)
                 out = pd.DataFrame({k: [kv] * len(pdf) for k, kv in zip(keys, key)})
                 out[value_col] = pdf[value_col].astype(float).to_numpy()
                 out[out_col] = outs
@@ -173,28 +195,40 @@ def tumbling_count_window_avg_stream(
         _key_fields(df, key_cols) + [StructField(out_col, DoubleType())]
     )
     state_schema = StructType(
-        [StructField("cnt", LongType()), StructField("acc", DoubleType())]
+        [
+            StructField("cnt", LongType()),
+            StructField("nn", LongType()),
+            StructField("acc", DoubleType()),
+        ]
     )
     keys = list(key_cols)
     order = list(order_cols)
 
     def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        cnt, acc = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order)
+        import math
+
+        # cnt = window position (every row advances it, NULL or not);
+        # nn/acc = non-null count and sum, so the emitted average skips
+        # NULLs exactly like the batch form's F.avg.
+        cnt, nn, acc = state.get if state.exists else (0, 0, 0.0)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
             emitted = []
             for v in pdf[value_col].astype(float):
                 if cnt < window_size:
                     cnt += 1
-                    acc += v
+                    if not math.isnan(v):
+                        nn += 1
+                        acc += v
                 else:  # (window_size+1)-th row: emit & reset; v is discarded
-                    emitted.append(acc / window_size)
-                    cnt, acc = 0, 0.0
+                    emitted.append(acc / nn if nn else float("nan"))
+                    cnt, nn, acc = 0, 0, 0.0
             if emitted:
                 out = pd.DataFrame({k: [kv] * len(emitted) for k, kv in zip(keys, key)})
                 out[out_col] = emitted
                 yield out
-        state.update((cnt, acc))
+        state.update((cnt, nn, acc))
 
     return df.groupBy(*keys).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
@@ -227,11 +261,12 @@ def rows_between_breaches_stream(
 
     def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (cnt,) = state.get if state.exists else (0,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
             emit_vals, counts = [], []
             for v, tag in zip(pdf[value_col].astype(float), pdf[emit_col]):
-                if v >= threshold:
+                if v >= threshold:  # NaN compares False: NULL = non-breach, as in batch
                     emit_vals.append(tag)
                     counts.append(cnt)
                     cnt = 0

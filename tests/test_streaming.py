@@ -427,3 +427,34 @@ def test_foreach_batch_sink_writes_all_batches(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 12  # 4 rows (v>=1) x 3 files
     assert got.agg(F.min("v")).first()[0] == 1.0
+
+
+def test_running_max_stream_multi_chunk_ordering(spark, tmp_path):
+    """A key whose micro-batch volume exceeds the Arrow batch size
+    arrives at the fold as MULTIPLE pandas chunks; the fold must sort
+    across chunks, not per-chunk. Shrinking maxRecordsPerBatch to 7
+    forces a 40-row batch through ~6 chunks, with rows written in
+    REVERSED seq order so any chunk-local sort gives wrong maxima."""
+    root = str(tmp_path / "chunked")
+    rows = [("a", i, float((i * 37) % 101)) for i in range(40)]
+    df = spark.createDataFrame(list(reversed(rows)), "k string, seq long, v double")
+    df.coalesce(1).write.parquet(os.path.join(root, "part=0"))
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        out = _drain(
+            running_max_stream(_stream(spark, root), ["k"], ["seq"], "v"),
+            "chunked_runmax",
+        )
+        got = {(r["k"], r["v"]): r["running_max"] for r in out.collect()}
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+    # sequential replay in seq order
+    cur, expected = None, {}
+    for k, seq, v in rows:
+        cur = v if cur is None else max(cur, v)
+        expected[(k, v)] = cur
+    assert len(got) == len(expected)
+    for kk, exp in expected.items():
+        assert got[kk] == exp, (kk, got[kk], exp)
