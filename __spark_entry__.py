@@ -975,7 +975,7 @@ def sample_stratified_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_STRATIFIED_SQL = f"""
 SELECT doc_id, lang, source
 FROM documents
-WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|' || '{_MIX_SEED}'), 1, 8) <
+WHERE substr(md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || '{_MIX_SEED}'), 1, 8) <
       CASE lang
         WHEN 'en' THEN '{rate_to_hex(_MIX_RATES["en"])}'
         WHEN 'es' THEN '{rate_to_hex(_MIX_RATES["es"])}'
@@ -1000,9 +1000,9 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_SPLIT_SQL = f"""
 SELECT doc_id,
        CASE
-         WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|' || '{_MIX_SEED}'), 1, 8)
+         WHEN substr(md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || '{_MIX_SEED}'), 1, 8)
               < '{rate_to_hex(0.1)}' THEN 'test'
-         WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|' || '{_MIX_SEED}'), 1, 8)
+         WHEN substr(md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || '{_MIX_SEED}'), 1, 8)
               < '{rate_to_hex(0.9)}' THEN 'train'
          ELSE 'val'
        END AS split

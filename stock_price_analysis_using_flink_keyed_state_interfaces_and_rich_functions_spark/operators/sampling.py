@@ -45,10 +45,29 @@ def rate_to_hex(rate: float) -> str:
 def hash_bucket_hex(key_cols: Sequence[str], seed: int = 42) -> Column:
     """The 8-hex-char uniform bucket of a row key. Exposed so callers
     can build custom split logic (e.g. train/val/test partitioning by
-    disjoint hex ranges) on the same portable primitive."""
+    disjoint hex ranges) on the same portable primitive.
+
+    Keys are LENGTH-PREFIXED per column ('3:abc', NULL → 'n:') before
+    hashing — self-delimiting, so NULLs stay distinct from empty/other
+    columns and no delimiter character inside a value can make two
+    different multi-column keys collide (concat_ws would silently drop
+    NULLs and let embedded delimiters alias).
+
+    Engine-portability caveat: int/string keys render identically in
+    every engine; FLOAT keys do not (Spark '1.0E-7' vs DuckDB '1e-07')
+    — cast floats to a fixed-precision decimal or string yourself if a
+    float must be part of the sampling key."""
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
-    return F.substring(F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed)))), 1, 8)
+    tokens = []
+    for c in key_cols:
+        s = F.col(c).cast("string")
+        tokens.append(
+            F.when(s.isNull(), F.lit("n:")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return F.substring(F.md5(F.concat(*tokens, F.lit(str(seed)))), 1, 8)
 
 
 def hash_sample(df: DataFrame, rate: float, key_cols: Sequence[str], seed: int = 42) -> DataFrame:
@@ -72,11 +91,11 @@ def hash_split(
     splits — the property that keeps eval sets uncontaminated as the
     corpus grows.
     """
+    if not splits:
+        raise ValueError("splits must be non-empty")
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    if not splits:
-        raise ValueError("splits must be non-empty")
     bucket = hash_bucket_hex(key_cols, seed)
     expr = None
     cum = 0.0

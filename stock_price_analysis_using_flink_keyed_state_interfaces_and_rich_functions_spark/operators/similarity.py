@@ -45,6 +45,35 @@ __all__ = [
 ]
 
 
+def _batch_matrix(series, expect_dim=None):
+    """Stack an Arrow batch of vectors into (matrix, validity mask):
+    NULL vectors become all-zero rows with mask=False instead of the
+    TypeError ``np.asarray(None)`` raises — so every numpy UDF in this
+    module degrades to NULL output on NULL input, matching the
+    ``impl="expr"`` Catalyst forms row-for-row. Raises a clear error on
+    a dimension mismatch (expect_dim or first valid row wins)."""
+    import numpy as np
+
+    arrs, mask, dim = [], [], expect_dim
+    for x in series:
+        if x is None:
+            arrs.append(None)
+            mask.append(False)
+            continue
+        a = np.asarray(x, dtype=np.float64)
+        if dim is None:
+            dim = a.shape[0]
+        elif a.shape[0] != dim:
+            raise ValueError(f"embedding dim mismatch: expected {dim}, got {a.shape[0]}")
+        arrs.append(a)
+        mask.append(True)
+    mat = np.zeros((len(arrs), dim or 0), dtype=np.float64)
+    for i, a in enumerate(arrs):
+        if a is not None:
+            mat[i] = a
+    return mat, np.asarray(mask, dtype=bool)
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ with a double accumulator (element order = array order,
     so the result is bit-deterministic)."""
@@ -78,11 +107,22 @@ def cosine_pairs_udf():
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype="float64")
-        A = np.asarray([np.asarray(x, dtype=np.float64) for x in a])
-        B = np.asarray([np.asarray(x, dtype=np.float64) for x in b])
+        A, ma = _batch_matrix(a)
+        B, mb = _batch_matrix(b)
+        # an all-NULL side stacks to dim 0 — pad it to the other side's
+        # dim (its rows are masked out below either way)
+        if A.shape[1] != B.shape[1]:
+            if A.shape[1] == 0:
+                A = np.zeros((len(a), B.shape[1]))
+            elif B.shape[1] == 0:
+                B = np.zeros((len(b), A.shape[1]))
+            else:
+                raise ValueError(
+                    f"embedding dim mismatch: {A.shape[1]} vs {B.shape[1]}"
+                )
         num = (A * B).sum(axis=1)
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        mask = den > 0
+        mask = ma & mb & (den > 0)
         out = np.divide(num, den, out=np.zeros_like(num), where=mask)
         s = pd.Series(out).astype("Float64")
         s[~mask] = pd.NA
@@ -163,8 +203,15 @@ def cosine_dup_pairs(
         cand = None
         for t in range(num_tables):
             sig = hyperplane_signature_udf(num_planes=num_planes, seed=seed + 1000 * t)
-            sa = vectors.select(F.col(id_col).alias("id_a"), sig(F.col(vec_col)).alias("_bucket"))
-            sb = vectors.select(F.col(id_col).alias("id_b"), sig(F.col(vec_col)).alias("_bucket"))
+            # checkpoint the per-table signature frame: both self-join
+            # sides read the computed table instead of each re-running
+            # the signature UDF over the full corpus (2× fewer UDF scans
+            # per table; same shape as dedup.py's postings materialization)
+            sigt = vectors.select(F.col(id_col).alias("_id"), sig(F.col(vec_col)).alias("_bucket")).localCheckpoint(
+                eager=False
+            )
+            sa = sigt.select(F.col("_id").alias("id_a"), "_bucket")
+            sb = sigt.select(F.col("_id").alias("id_b"), "_bucket")
             one = sa.join(sb, "_bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
             cand = one if cand is None else cand.unionByName(one)
         cand = cand.distinct()
@@ -180,7 +227,9 @@ def hyperplane_signature_udf(num_planes: int = 16, seed: int = 42, dim: int | No
     """Seeded random-hyperplane signature as an Arrow-vectorized pandas
     UDF: sign bits of V·P packed into an int64 bucket id. The plane
     matrix is derived from ``numpy.random.RandomState(seed)`` at worker
-    import time — deterministic across executors and runs."""
+    import time — deterministic across executors and runs. Pass ``dim``
+    to fail fast (clear ValueError) on vectors of the wrong dimension;
+    NULL vectors yield a NULL bucket and drop out of bucket joins."""
     import numpy as np
 
     if not 1 <= num_planes <= 62:
@@ -188,13 +237,15 @@ def hyperplane_signature_udf(num_planes: int = 16, seed: int = 42, dim: int | No
 
     @F.pandas_udf(LongType())
     def _sig(vecs: pd.Series) -> pd.Series:
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat, mask = _batch_matrix(vecs, expect_dim=dim)
         if mat.size == 0:
-            return pd.Series([], dtype="int64")
+            return pd.Series([None] * len(vecs), dtype="Int64")
         planes = np.random.RandomState(seed).standard_normal((mat.shape[1], num_planes))
         bits = (mat @ planes) > 0
         weights = (1 << np.arange(num_planes, dtype=np.int64))
-        return pd.Series(bits @ weights, dtype="int64")
+        s = pd.Series(bits @ weights).astype("Int64")
+        s[~mask] = pd.NA  # NULL vector → NULL bucket → drops out of the equi-join
+        return s
 
     return _sig
 
@@ -323,12 +374,14 @@ def ivf_topk(
     def _make_cell(carr: "np.ndarray"):
         @F.pandas_udf(LongType())
         def _assign(vecs: pd.Series) -> pd.Series:
-            mat = np.asarray([np.asarray(x, dtype=np.float64) for x in vecs])
+            mat, mask = _batch_matrix(vecs)
             if mat.size == 0:
-                return pd.Series([], dtype="int64")
+                return pd.Series([None] * len(vecs), dtype="Int64")
             vn = np.linalg.norm(mat, axis=1)
             vn[vn == 0] = 1.0
-            return pd.Series(((mat / vn[:, None]) @ carr.T).argmax(axis=1), dtype="int64")
+            s = pd.Series(((mat / vn[:, None]) @ carr.T).argmax(axis=1)).astype("Int64")
+            s[~mask] = pd.NA
+            return s
 
         return _assign
 
@@ -339,7 +392,7 @@ def ivf_topk(
     for _ in range(lloyd_iters):
         assign = vectors.select(
             F.col(vec_col).alias("_v"), _make_cell(cents)(F.col(vec_col)).alias("_cell")
-        )
+        ).filter(F.col("_cell").isNotNull())  # NULL vectors can't vote for a centroid
         by_cell: dict[int, dict[int, float]] = {}
         for r in embedding_centroids(assign, "_cell", "_v", round_dp=None).collect():
             by_cell.setdefault(r["_cell"], {})[r["pos"]] = r["centroid"]
@@ -348,26 +401,30 @@ def ivf_topk(
             new[c] = np.asarray([d[p] for p in range(cents.shape[1])], dtype=np.float64)
         cents = _unit(new)
 
-    def _scores(vecs: pd.Series) -> "np.ndarray":
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+    def _scores(vecs: pd.Series):
+        mat, mask = _batch_matrix(vecs)
         if mat.size == 0:
-            return np.empty((0, cents.shape[0]))
+            return np.empty((0, cents.shape[0])), mask
         vn = np.linalg.norm(mat, axis=1)
         vn[vn == 0] = 1.0
-        return (mat / vn[:, None]) @ cents.T
+        return (mat / vn[:, None]) @ cents.T, mask
 
     @F.pandas_udf(LongType())
     def _cell(vecs: pd.Series) -> pd.Series:
-        s = _scores(vecs)
-        return pd.Series(s.argmax(axis=1) if s.size else [], dtype="int64")
+        s, mask = _scores(vecs)
+        if not s.size:
+            return pd.Series([None] * len(vecs), dtype="Int64")
+        out = pd.Series(s.argmax(axis=1)).astype("Int64")
+        out[~mask] = pd.NA
+        return out
 
     @F.pandas_udf(ArrayType(LongType()))
     def _probe_cells(vecs: pd.Series) -> pd.Series:
-        s = _scores(vecs)
+        s, mask = _scores(vecs)
         if not s.size:
-            return pd.Series([], dtype="object")
+            return pd.Series([None] * len(vecs), dtype="object")
         order = np.argsort(-s, axis=1)[:, :nprobe]
-        return pd.Series(list(order.astype(np.int64)))
+        return pd.Series([row if ok else None for row, ok in zip(order.astype(np.int64), mask)])
 
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"), _cell(F.col(vec_col)).alias("_cell")

@@ -462,3 +462,33 @@ def test_embedding_centroids_ground_truth(spark):
     )
     got = {(r["label"], r["pos"]): r["centroid"] for r in embedding_centroids(df, "label").collect()}
     assert got == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 10.0, (1, 1): -10.0}
+
+
+def test_similarity_udfs_tolerate_null_embeddings(spark):
+    """A NULL embedding must degrade to NULL output (matching the
+    Catalyst expr forms) in every numpy-batched similarity UDF — not
+    crash the task."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.similarity import (
+        cosine_pairs_udf,
+        hyperplane_signature_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, None, [1.0, 0.0]), (3, [0.0, 1.0], None)],
+        "id long, a array<double>, b array<double>",
+    )
+    cos = {r["id"]: r["c"] for r in df.select("id", cosine_pairs_udf()(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert cos[1] == 1.0 and cos[2] is None and cos[3] is None
+    sig = {r["id"]: r["s"] for r in df.select("id", hyperplane_signature_udf(4)(F.col("a")).alias("s")).collect()}
+    assert sig[2] is None and sig[1] is not None
+
+
+def test_hyperplane_signature_dim_validation(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.similarity import (
+        hyperplane_signature_udf,
+    )
+
+    df = spark.createDataFrame([(1, [1.0, 0.0, 0.0])], "id long, v array<double>")
+    out = df.select(hyperplane_signature_udf(4, dim=2)(F.col("v")).alias("s"))
+    with pytest.raises(Exception, match="dim mismatch"):
+        out.collect()
