@@ -458,3 +458,47 @@ def test_running_max_stream_multi_chunk_ordering(spark, tmp_path):
     assert len(got) == len(expected)
     for kk, exp in expected.items():
         assert got[kk] == exp, (kk, got[kk], exp)
+
+
+def test_w1_reference_csv_streamed_equals_batch(spark, hdfc_path, tmp_path):
+    """The reference-parity closure: stream the reference's own HDFC.csv
+    through the W1 streaming port and require the FULL per-row emission
+    stream (all 5,204 rows, keyed by year) to match the batch
+    window-function form row-for-row — the same dataflow the Flink job
+    runs (MaximumClosingPrice.java:47-82), on the same file, with the
+    arrival order made explicit (HDFC.csv dates are unique and sorted)."""
+    import shutil
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        running_max,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        read_quotes_csv,
+        read_quotes_stream,
+    )
+
+    stream_dir = str(tmp_path / "quotes_in")
+    os.makedirs(stream_dir)
+    shutil.copy(hdfc_path, os.path.join(stream_dir, "HDFC.csv"))
+
+    stream = read_quotes_stream(spark, stream_dir).withColumn("yr", F.year("date"))
+    out = _drain(
+        running_max_stream(stream, ["yr"], ["date"], "close"),
+        "hdfc_w1_stream",
+    )
+    from collections import Counter
+
+    got = Counter(
+        (r["yr"], round(r["close"], 4), round(r["running_max"], 4)) for r in out.collect()
+    )
+    assert sum(got.values()) == 5204
+
+    batch = read_quotes_csv(spark, hdfc_path).withColumn("yr", F.year("date"))
+    expected = Counter(
+        (r["yr"], round(r["close"], 4), round(r["m"], 4))
+        for r in running_max(batch, ["yr"], ["date", "row_id"], "close", "m")
+        .select("yr", "close", "m")
+        .collect()
+    )
+    assert sum(expected.values()) == 5204
+    assert got == expected
