@@ -124,3 +124,37 @@ def test_grouped_agg_pandas_udf(spark):
         "SELECT k, wmean(v, w) AS m FROM _wm_src GROUP BY k"
     ).collect()}
     assert sql_got == got
+
+
+def test_merge_schema_evolution_read(spark, tmp_path):
+    """Schema drift across parquet files (a new column appears mid-corpus)
+    must be readable with mergeSchema: old files surface NULL for the new
+    column instead of failing or silently dropping it."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(out + "/f=1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double").write.parquet(out + "/f=2")
+    back = spark.read.option("mergeSchema", True).parquet(out)
+    rows = {r["id"]: (r["v"], r["score"]) for r in back.collect()}
+    assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
+
+
+def test_stream_static_dim_join(spark, tmp_path):
+    """Stream-static join: enrich a stream with a batch dimension table —
+    no watermark needed on the static side, per-batch hash join."""
+    root = str(tmp_path / "ss_in")
+    spark.createDataFrame(
+        [(1, "click"), (2, "buy"), (3, "click")], "id long, etype string"
+    ).coalesce(1).write.parquet(root + "/part=0")
+    dim = spark.createDataFrame([("click", 0.1), ("buy", 5.0)], "etype string, weight double")
+    stream = spark.readStream.schema("id long, etype string").parquet(root + "/part=*")
+    joined = stream.join(dim, "etype")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["id"]: r["weight"] for r in spark.table("ss_join").collect()}
+    assert got == {1: 0.1, 2: 5.0, 3: 0.1}
