@@ -724,7 +724,7 @@ _FUNC_STRING_SQL = """
 SELECT c_custkey,
        upper(c_name) AS name_upper,
        regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g'), '(^-|-$)', '', 'g') AS name_slug,
-       CAST(nullif(regexp_extract(c_name, '(\\d+)', 1), '') AS BIGINT) AS name_number,
+       TRY_CAST(nullif(regexp_extract(c_name, '(\\d+)', 1), '') AS BIGINT) AS name_number,
        CAST(length(c_name) AS INT) AS name_len
 FROM customer
 """
@@ -750,7 +750,7 @@ WITH toks AS (
   SELECT doc_id,
          CAST(len(tk) AS BIGINT) AS n_tokens,
          ROUND(CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk), 4) AS avg_token_len,
-         ROUND(CAST(n_char - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / n_char, 4) AS punct_ratio,
+         ROUND(CAST(n_char - length(regexp_replace(text, '[^\\p{L}\\p{N}_\\s]', '', 'g')) AS DOUBLE) / n_char, 4) AS punct_ratio,
          ROUND(CAST(n_char - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_char, 4) AS digit_ratio
   FROM toks
 )
@@ -1580,7 +1580,8 @@ WITH corpus AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
 )
-SELECT md5(coalesce(text, '')) AS digest,
+SELECT md5(CASE WHEN text IS NULL THEN 'n:'
+                ELSE CAST(length(text) AS VARCHAR) || ':' || text END) AS digest,
        count(*) AS n_dups,
        min(doc_id) AS survivor_id
 FROM corpus
@@ -1774,7 +1775,7 @@ WITH deduped AS (
 ), stats AS (
   SELECT lang,
          CAST(len(tk) AS BIGINT) AS n_tokens,
-         ROUND(CAST(n_char - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / n_char, 4) AS punct_ratio,
+         ROUND(CAST(n_char - length(regexp_replace(text, '[^\\p{L}\\p{N}_\\s]', '', 'g')) AS DOUBLE) / n_char, 4) AS punct_ratio,
          ROUND(CAST(n_char - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_char, 4) AS digit_ratio
   FROM toks
 ), kept AS (

@@ -76,7 +76,9 @@ def slug(text: str | Column) -> Column:
 def extract_int(text: str | Column, pattern: str = r"(\d+)", group: int = 1) -> Column:
     """First integer matched by ``pattern`` (NULL if none)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.nullif(F.regexp_extract(c, pattern, group), F.lit("")).cast("long")
+    # try_cast: a >19-digit run overflows bigint — NULL (the documented
+    # "no match" contract) beats an ANSI CAST_OVERFLOW killing the job
+    return F.nullif(F.regexp_extract(c, pattern, group), F.lit("")).try_cast("long")
 
 
 def safe_div(num: Column, den: Column) -> Column:

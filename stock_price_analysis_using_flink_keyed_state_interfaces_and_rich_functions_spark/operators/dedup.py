@@ -26,6 +26,7 @@ CartesianProduct-free.
 from __future__ import annotations
 
 import random
+import re
 import zlib
 from collections.abc import Sequence
 
@@ -52,6 +53,22 @@ __all__ = [
 _MERSENNE_P = (1 << 31) - 1
 
 
+def _content_digest(content_cols: Sequence[str]) -> Column:
+    """md5 over LENGTH-PREFIXED column tokens ('3:abc', NULL → 'n:') —
+    self-delimiting, so NULL vs empty vs shifted column boundaries
+    ('ab','c' vs 'a','bc') can never alias to one digest. Same encoding
+    as sampling.hash_bucket_hex (a plain concat would collapse them)."""
+    tokens = []
+    for c in content_cols:
+        s = F.col(c).cast("string")
+        tokens.append(
+            F.when(s.isNull(), F.lit("n:")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return F.md5(F.concat(*tokens))
+
+
 def exact_dedup(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataFrame:
     """Keep exactly one row (min ``id_col``) per distinct content.
 
@@ -60,7 +77,7 @@ def exact_dedup(df: DataFrame, content_cols: Sequence[str], id_col: str) -> Data
     """
     from pyspark.sql import Window
 
-    digest = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    digest = _content_digest(content_cols)
     w = Window.partitionBy("_digest").orderBy(F.col(id_col).asc())
     return (
         df.withColumn("_digest", digest)
@@ -73,7 +90,7 @@ def exact_dedup(df: DataFrame, content_cols: Sequence[str], id_col: str) -> Data
 def exact_dup_groups(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataFrame:
     """Duplicate groups: one row per content value occurring ≥ 2 times,
     with the group size and surviving (min) id."""
-    digest = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    digest = _content_digest(content_cols)
     return (
         df.withColumn("digest", digest)
         .groupBy("digest")
@@ -210,7 +227,7 @@ def minhash_signatures(
                 # Same shingle semantics as _word_shingles: whitespace
                 # tokens of the trimmed text, distinct word k-shingles,
                 # short docs contribute their full token string.
-                toks = txt.split() if txt else []
+                toks = [x for x in re.split("[ \t\n\x0b\f\r]+", txt) if x] if txt else []
                 if len(toks) >= k:
                     shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
                 else:
@@ -276,7 +293,17 @@ def minhash_candidate_pairs(
         if sig_len_row is None:
             return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
         num_hashes = sig_len_row["n"]
-    rows_per_band = max(1, num_hashes // num_bands)
+    if not 1 <= num_bands <= num_hashes:
+        # bands beyond the signature length would index past the array:
+        # ANSI (Spark 4 default) errors; legacy mode silently NULLs the
+        # band hash for EVERY doc — i.e. an accidental all-pairs join
+        raise ValueError(f"num_bands must be in [1, num_hashes={num_hashes}], got {num_bands}")
+    if num_hashes % num_bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by num_bands ({num_bands}); "
+            "a remainder would silently drop the tail hashes from every band"
+        )
+    rows_per_band = num_hashes // num_bands
     band_hashes = F.array(*[
         F.xxhash64(*[
             F.element_at("signature", b * rows_per_band + i + 1) for i in range(rows_per_band)
@@ -397,38 +424,42 @@ def dup_clusters(
         .select(F.col("src").alias("id"), F.least(F.col("src"), F.col("_nbr")).alias("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("_nbr"))
-        )
-        # _improved rides along so convergence needs no second join
-        # against the old labels — one action per round.
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-            .select(
-                labels["id"],
-                F.least(labels["label"], F.coalesce(F.col("_nbr"), labels["label"])).alias("label"),
-                (F.coalesce(F.col("_nbr"), labels["label"]) < labels["label"]).alias("_improved"),
+    seed_labels = labels
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("label").alias("_nbr"))
             )
-            # localCheckpoint, not persist: it CUTS the lineage, so the
-            # logical plan stays one join deep instead of doubling every
-            # round (unchecked, round ~15 re-optimizes a 2^15-node tree
-            # and the driver dies before any executor does). On a real
-            # cluster prefer reliable checkpoint() for fault tolerance.
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter(F.col("_improved")).count()
-        # No unpersist: a localCheckpointed frame's blocks live in an
-        # internal RDD persist that DataFrame.unpersist can't reach; they
-        # free on GC. Bounded exposure — rounds = component diameter and
-        # the label table is 3 narrow columns, a sliver of the corpus.
-        labels = new_labels.drop("_improved")
-        if changed == 0:
-            edges.unpersist()
-            return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
-    raise RuntimeError(f"dup_clusters did not converge in {max_iter} iterations")
+            # _improved rides along so convergence needs no second join
+            # against the old labels — one action per round.
+            new_labels = (
+                labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+                .select(
+                    labels["id"],
+                    F.least(labels["label"], F.coalesce(F.col("_nbr"), labels["label"])).alias("label"),
+                    (F.coalesce(F.col("_nbr"), labels["label"]) < labels["label"]).alias("_improved"),
+                )
+                # localCheckpoint, not persist: it CUTS the lineage, so the
+                # logical plan stays one join deep instead of doubling every
+                # round (unchecked, round ~15 re-optimizes a 2^15-node tree
+                # and the driver dies before any executor does). On a real
+                # cluster prefer reliable checkpoint() for fault tolerance.
+                .localCheckpoint(eager=True)
+            )
+            changed = new_labels.filter(F.col("_improved")).count()
+            if labels is seed_labels:
+                labels.unpersist()  # round-1 checkpoint replaced the persisted seed
+            # (checkpointed rounds have no reachable persist handle —
+            # their blocks free on GC; bounded: rounds = component
+            # diameter and the label table is 3 narrow columns)
+            labels = new_labels.drop("_improved")
+            if changed == 0:
+                return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+        raise RuntimeError(f"dup_clusters did not converge in {max_iter} iterations")
+    finally:
+        edges.unpersist()
 
 
 def simhash(

@@ -14,6 +14,8 @@ maximal runs of non-whitespace in the trimmed text.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -38,8 +40,9 @@ __all__ = [
 
 
 def tokens(text: str | Column) -> Column:
-    """Whitespace tokens of the trimmed text ('' → empty array)."""
-    c = F.col(text) if isinstance(text, str) else text
+    """Whitespace tokens of the trimmed text ('' and NULL → empty
+    array, so token counts are 0 — not NULL — for missing docs)."""
+    c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
     return F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")).otherwise(
         F.split(F.trim(c), r"\s+")
     )
@@ -72,12 +75,18 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document statistics: token count, char count, average token
     length, punctuation/digit/whitespace ratios — the standard quality
     features (length / punctuation / stopword-style heuristics)."""
-    c = F.col(text_col)
+    # NULL text behaves as '' end-to-end (counts 0, ratios 0) — without
+    # the coalesce a NULL doc gets NULL stats, and least() then skips
+    # them into a PERFECT quality score downstream.
+    c = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens(c)
     n_char = F.length(c).cast("long")
     n_tok = F.size(toks).cast("long")
     total_tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-    punct = n_char - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    # \p{L}\p{N}_ not \w: Java-regex \w is ASCII-only, which would count
+    # every CJK/accented letter as punctuation and score non-English
+    # prose as garbage. RE2 (the DuckDB oracle) accepts \p{L}\p{N} too.
+    punct = n_char - F.length(F.regexp_replace(c, r"[^\p{L}\p{N}_\s]", ""))
     digits = n_char - F.length(F.regexp_replace(c, r"[0-9]", ""))
     ws = n_char - F.length(F.regexp_replace(c, r"\s", ""))
     return (
@@ -217,7 +226,7 @@ def _hashed_shingles_udf(shingle_k: int):
     def _sh(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = t.split() if t else []
+            toks = [x for x in re.split("[ \t\n\x0b\f\r]+", t) if x] if t else []
             if len(toks) >= shingle_k:
                 ss = {" ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)}
             else:
@@ -357,7 +366,7 @@ def contamination_bloom(
         arr = np.frombuffer(blob, dtype=np.uint8)
         out = []
         for t in texts:
-            toks = t.split() if t else []
+            toks = [x for x in re.split("[ \t\n\x0b\f\r]+", t) if x] if t else []
             if len(toks) >= shingle_k:
                 ss = {" ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)}
             else:
@@ -400,9 +409,10 @@ def fingerprint_ngram_min(
     edits (a single edit only perturbs k of the n-k+1 grams); md5 makes
     it engine-portable (identical in the DuckDB oracle). Expression-only:
     transform over an index sequence — no explode, no shuffle."""
-    # substr with a per-element dynamic start needs the SQL lambda form.
+    # substr with a per-element dynamic start needs the SQL lambda form;
+    # backticks keep spaced/keyword column names parseable.
     grams = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
-        f"i -> md5(substr({text_col}, i, {k})))"
+        f"transform(sequence(1, greatest(length(`{text_col}`) - {k - 1}, 1)), "
+        f"i -> md5(substr(`{text_col}`, i, {k})))"
     )
     return df.withColumn(out_col, F.array_min(grams))

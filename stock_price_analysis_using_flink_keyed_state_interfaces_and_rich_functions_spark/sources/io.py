@@ -96,6 +96,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader does, so both engines see identical microsecond timestamps.
     """
     if name == "events":
+        # NOTE: read_events sets spark.sql.legacy.parquet.nanosAsLong for
+        # the session (it must hold at scan EXECUTION, so a set-restore
+        # around the lazy read would be a race); later third-party
+        # TIMESTAMP(NANOS) parquet reads will surface raw longs instead
+        # of erroring — route them through read_events too.
         return read_events(spark, os.path.join(sf_dir, "events.parquet"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

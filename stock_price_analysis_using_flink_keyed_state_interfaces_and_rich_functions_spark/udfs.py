@@ -70,9 +70,14 @@ def register_tokens_udtf(spark: SparkSession, name: str = "split_tokens"):
     @udtf(returnType="pos int, token string")
     class SplitTokens:
         def eval(self, text: str):
+            import re
+
             if text is None:
                 return
-            for i, tok in enumerate(text.split()):
+            # ASCII whitespace, matching Java-regex \s (the posexplode/
+            # split expression form this UDTF demonstrates against)
+            toks = [x for x in re.split("[ \t\n\x0b\f\r]+", text) if x]
+            for i, tok in enumerate(toks):
                 yield i, tok
 
     spark.udtf.register(name, SplitTokens)

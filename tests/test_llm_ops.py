@@ -492,3 +492,32 @@ def test_hyperplane_signature_dim_validation(spark):
     out = df.select(hyperplane_signature_udf(4, dim=2)(F.col("v")).alias("s"))
     with pytest.raises(Exception, match="dim mismatch"):
         out.collect()
+
+
+def test_null_text_quality_and_dedup_digest(spark):
+    """NULL text must score like empty text (0.5), never a perfect 1.0
+    (least() skips NULLs — the bug class this pins); and the content
+    digest must keep NULL, empty, and boundary-shifted contents distinct."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        token_count,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "plain words here")], "doc_id long, text string")
+    got = {r["doc_id"]: r["quality_score"] for r in with_quality_score(df, "text").collect()}
+    assert got[1] == 0.5 and got[2] == 0.5 and got[3] > 0.5
+    counts = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count("text").alias("n")).collect()}
+    assert counts[1] == 0 and counts[2] == 0 and counts[3] == 3
+
+    two_col = spark.createDataFrame(
+        [(1, "ab", "c"), (2, "a", "bc"), (3, "x", None), (4, None, "x"), (5, "x", ""), (6, "x", None)],
+        "id long, t string, b string",
+    )
+    kept = sorted(r["id"] for r in exact_dedup(two_col, ["t", "b"], "id").collect())
+    assert kept == [1, 2, 3, 4, 5]  # only (3,6) truly duplicate
+
+
+def test_minhash_band_validation(spark, docs):
+    with pytest.raises(ValueError, match="num_bands"):
+        minhash_dedup_pairs(docs, "doc_id", "text", num_hashes=16, num_bands=32)
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_dedup_pairs(docs, "doc_id", "text", num_hashes=30, num_bands=16)
