@@ -528,6 +528,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         ["O", "F", "P"],
         F.col("o_totalprice").cast(DEC),
+        fill=F.lit(0),  # oracle 0-fills empty cells (ELSE 0)
     )
     for v in ("O", "F", "P"):
         out = out.withColumn(f"o_orderstatus_{v}", F.col(f"o_orderstatus_{v}").cast("double"))

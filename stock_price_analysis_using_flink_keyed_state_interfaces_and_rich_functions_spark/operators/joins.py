@@ -74,6 +74,11 @@ def salted_join(
     median key size.
     """
     keys = list(on)
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        # right/full joins would emit each unmatched replica of the
+        # ``other`` side once PER SALT — num_salts spurious NULL-padded
+        # rows per missing key
+        raise ValueError(f"salted_join supports inner/left/semi/anti joins, got how={how!r}")
     if any(c in ("_salt",) for c in skewed.columns + other.columns):
         raise ValueError("salted_join: '_salt' column name is reserved")
     salted = skewed.withColumn(
@@ -99,10 +104,20 @@ def asof_join(
     per key. The canonical quote × corporate-actions enrichment.
 
     Formulation: tag both sides, union on (key, ts), and carry the right
-    side's values with ``last(ignorenulls)`` (resp. ``first``) over an
-    ordered per-key window — exactly one shuffle on the key, no range
-    probe, no skew beyond what the key distribution already has. Right
-    rows sort before left rows at equal ts so an exact-ts match is taken.
+    side's values as ONE STRUCT with ``last(ignorenulls)`` (resp.
+    ``first``) over an ordered per-key window — exactly one shuffle on
+    the key, no range probe, no skew beyond what the key distribution
+    already has. Right rows sort before left rows at equal ts so an
+    exact-ts match is taken.
+
+    The struct carry matters for correctness: carrying each value column
+    independently would (a) skip a right row whose value is genuinely
+    NULL (ignorenulls can't tell it from a left-row placeholder, so a
+    STALE older value leaks through) and (b) mix columns from different
+    right rows. The struct is non-null whenever a right row exists, so
+    NULL values inside it carry faithfully and all columns come from the
+    same row. Ties on (key, ts) among right rows break deterministically
+    on a value hash.
     """
     from pyspark.sql import Window
 
@@ -114,33 +129,47 @@ def asof_join(
             f"asof_join: right_value_cols {collisions} collide with left columns; "
             "rename the right-side columns before joining"
         )
-    tagged_left = left.select(*lcols).withColumn("_side", F.lit(1))
-    for c in right_value_cols:
-        tagged_left = tagged_left.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    tagged_right = right.select(*keys, ts_col, *right_value_cols).withColumn("_side", F.lit(0))
+    reserved = {"_side", "_rv", "_tb"} & set(lcols) | {"_side", "_rv", "_tb"} & set(right.columns)
+    if reserved:
+        raise ValueError(f"asof_join: column names {sorted(reserved)} are reserved")
+    rv_struct = F.struct(*[F.col(c) for c in right_value_cols])
+    tagged_right = (
+        right.select(*keys, ts_col, *right_value_cols)
+        .withColumn("_side", F.lit(0))
+        .withColumn("_rv", rv_struct)
+        .withColumn("_tb", F.xxhash64(*[F.col(c) for c in right_value_cols]))
+        .drop(*right_value_cols)
+    )
+    rv_type = tagged_right.schema["_rv"].dataType
+    tagged_left = (
+        left.select(*lcols)
+        .withColumn("_side", F.lit(1))
+        .withColumn("_rv", F.lit(None).cast(rv_type))
+        .withColumn("_tb", F.lit(0).cast("long"))
+    )
     for c in lcols:
-        if c not in keys and c != ts_col and c not in right_value_cols:
+        if c not in keys and c != ts_col:
             tagged_right = tagged_right.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = tagged_left.unionByName(tagged_right)
 
     if direction == "backward":
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+            .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tb").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in right_value_cols]
+        carried = F.last("_rv", ignorenulls=True).over(w)
     elif direction == "forward":
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+            .orderBy(F.col(ts_col).asc(), F.col("_side").desc(), F.col("_tb").desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        carried = [F.first(c, ignorenulls=True).over(w).alias(c) for c in right_value_cols]
+        carried = F.first("_rv", ignorenulls=True).over(w)
     else:
         raise ValueError(f"direction must be backward|forward, got {direction}")
 
-    out_cols = [F.col(c) for c in lcols] + carried
+    out_cols = [F.col(c) for c in lcols] + [carried[c].alias(c) for c in right_value_cols]
     return unioned.select(*out_cols, F.col("_side")).filter(F.col("_side") == 1).drop("_side")
 
 
@@ -167,8 +196,12 @@ def range_join_bucketed(
     # Empty / sub-epsilon intervals (hi <= lo) would make F.sequence run
     # DESCENDING (start > stop) and assign wrong buckets — drop them; they
     # can match nothing under lo <= v < hi anyway.
+    # No epsilon on hi: subtracting one would DROP the last bucket when
+    # hi sits within epsilon above a boundary (a real missed match); a
+    # plain floor at worst generates one extra bucket whose false
+    # candidates the residual filter removes anyway.
     lo_bucket = F.floor(F.col(right_lo) / bucket_width)
-    hi_bucket = F.greatest(lo_bucket, F.floor((F.col(right_hi) - F.lit(1e-9)) / bucket_width))
+    hi_bucket = F.floor(F.col(right_hi) / bucket_width)
     rb = right.filter(F.col(right_hi) > F.col(right_lo)).withColumn(
         "_bucket", F.explode(F.sequence(lo_bucket, hi_bucket))
     )

@@ -52,12 +52,23 @@ def unpivot_longform(
 
 
 def pivot_conditional(
-    df: DataFrame, group_cols: Sequence[str], pivot_col: str, values: Sequence[str], value_expr: Column
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pivot_col: str,
+    values: Sequence[str],
+    value_expr: Column,
+    fill: Column | None = None,
 ) -> DataFrame:
     """Pivot as conditional aggregation — identical plan shape to native
-    pivot (single HashAggregate), but ANSI-portable."""
-    aggs = [
-        F.sum(F.when(F.col(pivot_col) == v, value_expr).otherwise(F.lit(0))).alias(f"{pivot_col}_{v}")
-        for v in values
-    ]
+    pivot (single HashAggregate), but ANSI-portable. Default semantics
+    match native pivot: a cell with NO matching rows is NULL (sum skips
+    the unmatched NULLs). Pass ``fill`` (e.g. ``F.lit(0)``) to 0-fill
+    empty cells instead — then 'no rows' and 'summed to zero' are
+    indistinguishable, which native pivot would not do."""
+    cell = (
+        (lambda v: F.when(F.col(pivot_col) == v, value_expr))
+        if fill is None
+        else (lambda v: F.when(F.col(pivot_col) == v, value_expr).otherwise(fill))
+    )
+    aggs = [F.sum(cell(v)).alias(f"{pivot_col}_{v}") for v in values]
     return df.groupBy(*group_cols).agg(*aggs)

@@ -59,5 +59,7 @@ def dedup_keep_first(
 ) -> DataFrame:
     """Deterministic dropDuplicates: per key, keep the first row under
     ``order_cols``. One shuffle + per-key sort."""
+    if "_rn" in df.columns:
+        raise ValueError("dedup_keep_first: '_rn' column name is reserved")
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -158,7 +158,12 @@ def tumbling_count_window_avg(
         agged = agged.filter(F.col("_n") == cycle_len)
     out = agged.drop("_n")
     if key_out:
-        for old, new in zip(_key_names(key_cols, "tumbling_count_window_avg(key_out=...)"), key_out):
+        names = _key_names(key_cols, "tumbling_count_window_avg(key_out=...)")
+        if len(key_out) != len(names):
+            raise ValueError(
+                f"key_out has {len(key_out)} names for {len(names)} key columns"
+            )
+        for old, new in zip(names, key_out):
             out = out.withColumnRenamed(old, new)
     return out
 

@@ -81,6 +81,8 @@ def moving_avg(
     'RollingAverageHighPrice' name promises but doesn't implement (its
     windows are disjoint; SURVEY.md §2.4 W2 note). Frame: current row and
     the k-1 preceding rows, partial at the head of each key."""
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
     w = _w(key_cols, order_cols).rowsBetween(-(window_rows - 1), Window.currentRow)
     return df.withColumn(out_col, F.avg(value_col).over(w))
 
@@ -124,8 +126,10 @@ def sessionize_by_gap(
     # no session-timezone hop, so NTZ inputs behave identically in UTC
     # and DST-shifting sessions (a cast-to-epoch formulation merges
     # sessions across fall-back and splits them across spring-forward).
+    # MICROSECOND, not SECOND: whole-second truncation would merge a
+    # gap of gap_seconds + 0.9s into one session.
     prev_ts = F.lag(ts_col).over(w)
-    gap = F.timestamp_diff("SECOND", prev_ts, F.col(ts_col))
-    new_session = (prev_ts.isNull() | (gap > gap_seconds)).cast("long")
+    gap_us = F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts_col))
+    new_session = (prev_ts.isNull() | (gap_us > int(gap_seconds) * 1_000_000)).cast("long")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(session_col, F.sum(new_session).over(wsum))

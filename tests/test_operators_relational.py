@@ -275,3 +275,26 @@ def test_unpivot_longform_roundtrip(spark):
     # single Expand, no shuffle
     s = plans.explain_str(out)
     assert "Expand" in s and "Exchange" not in s
+
+
+def test_asof_join_carries_genuine_null_values(spark):
+    """A right row whose VALUE is NULL is still the as-of row — the join
+    must carry its NULL (and all columns from that same row), never leak
+    a stale older value or mix columns across right rows."""
+    left = spark.createDataFrame([("x", 25)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("x", 10, 2.0, 7.0), ("x", 20, None, 5.0)], "k string, ts long, px double, sz double"
+    )
+    row = asof_join(left, right, ["k"], "ts", ["px", "sz"]).first()
+    assert row["px"] is None and row["sz"] == 5.0  # both from the ts=20 row
+
+
+def test_salted_join_rejects_right_outer(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        salted_join,
+    )
+
+    a = spark.createDataFrame([("k", 1)], "k string, i int")
+    b = spark.createDataFrame([("k", "x")], "k string, t string")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(a, b, ["k"], num_salts=4, how="right")
