@@ -45,33 +45,45 @@ __all__ = [
 ]
 
 
-def _batch_matrix(series, expect_dim=None):
-    """Stack an Arrow batch of vectors into (matrix, validity mask):
-    NULL vectors become all-zero rows with mask=False instead of the
-    TypeError ``np.asarray(None)`` raises — so every numpy UDF in this
-    module degrades to NULL output on NULL input, matching the
-    ``impl="expr"`` Catalyst forms row-for-row. Raises a clear error on
-    a dimension mismatch (expect_dim or first valid row wins)."""
-    import numpy as np
+def _make_batch_matrix():
+    """Build the vector-batch stacker as a CLOSURE-shippable function.
 
-    arrs, mask, dim = [], [], expect_dim
-    for x in series:
-        if x is None:
-            arrs.append(None)
-            mask.append(False)
-            continue
-        a = np.asarray(x, dtype=np.float64)
-        if dim is None:
-            dim = a.shape[0]
-        elif a.shape[0] != dim:
-            raise ValueError(f"embedding dim mismatch: expected {dim}, got {a.shape[0]}")
-        arrs.append(a)
-        mask.append(True)
-    mat = np.zeros((len(arrs), dim or 0), dtype=np.float64)
-    for i, a in enumerate(arrs):
-        if a is not None:
-            mat[i] = a
-    return mat, np.asarray(mask, dtype=bool)
+    The stacker turns an Arrow batch of vectors into (matrix, validity
+    mask): NULL vectors become all-zero rows with mask=False instead of
+    the TypeError ``np.asarray(None)`` raises — so every numpy UDF in
+    this module degrades to NULL output on NULL input, matching the
+    ``impl="expr"`` Catalyst forms row-for-row. Raises a clear error on
+    a dimension mismatch (expect_dim or first valid row wins).
+
+    Each UDF factory calls this and closes over the RESULT: a function
+    object cloudpickle serializes BY VALUE. Referencing a module-level
+    helper directly from a UDF would pickle a by-reference stub that
+    executors without this package on PYTHONPATH (the driver's vanilla
+    harness) cannot import."""
+
+    def _batch_matrix(series, expect_dim=None):
+        import numpy as np
+
+        arrs, mask, dim = [], [], expect_dim
+        for x in series:
+            if x is None:
+                arrs.append(None)
+                mask.append(False)
+                continue
+            a = np.asarray(x, dtype=np.float64)
+            if dim is None:
+                dim = a.shape[0]
+            elif a.shape[0] != dim:
+                raise ValueError(f"embedding dim mismatch: expected {dim}, got {a.shape[0]}")
+            arrs.append(a)
+            mask.append(True)
+        mat = np.zeros((len(arrs), dim or 0), dtype=np.float64)
+        for i, a in enumerate(arrs):
+            if a is not None:
+                mat[i] = a
+        return mat, np.asarray(mask, dtype=bool)
+
+    return _batch_matrix
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -103,12 +115,14 @@ def cosine_pairs_udf():
     fixed-dim)."""
     import numpy as np
 
+    _bm = _make_batch_matrix()
+
     @F.pandas_udf(DoubleType())
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype="float64")
-        A, ma = _batch_matrix(a)
-        B, mb = _batch_matrix(b)
+        A, ma = _bm(a)
+        B, mb = _bm(b)
         # an all-NULL side stacks to dim 0 — pad it to the other side's
         # dim (its rows are masked out below either way)
         if A.shape[1] != B.shape[1]:
@@ -235,9 +249,11 @@ def hyperplane_signature_udf(num_planes: int = 16, seed: int = 42, dim: int | No
     if not 1 <= num_planes <= 62:
         raise ValueError("num_planes must be in [1, 62]")
 
+    _bm = _make_batch_matrix()
+
     @F.pandas_udf(LongType())
     def _sig(vecs: pd.Series) -> pd.Series:
-        mat, mask = _batch_matrix(vecs, expect_dim=dim)
+        mat, mask = _bm(vecs, expect_dim=dim)
         if mat.size == 0:
             return pd.Series([None] * len(vecs), dtype="Int64")
         planes = np.random.RandomState(seed).standard_normal((mat.shape[1], num_planes))
@@ -370,11 +386,12 @@ def ivf_topk(
         return rows / norms[:, None]  # unit rows: dot == cosine ranking
 
     cents = _unit(cents)
+    _bm = _make_batch_matrix()
 
     def _make_cell(carr: "np.ndarray"):
         @F.pandas_udf(LongType())
         def _assign(vecs: pd.Series) -> pd.Series:
-            mat, mask = _batch_matrix(vecs)
+            mat, mask = _bm(vecs)
             if mat.size == 0:
                 return pd.Series([None] * len(vecs), dtype="Int64")
             vn = np.linalg.norm(mat, axis=1)
@@ -402,7 +419,7 @@ def ivf_topk(
         cents = _unit(new)
 
     def _scores(vecs: pd.Series):
-        mat, mask = _batch_matrix(vecs)
+        mat, mask = _bm(vecs)
         if mat.size == 0:
             return np.empty((0, cents.shape[0])), mask
         vn = np.linalg.norm(mat, axis=1)
