@@ -25,7 +25,6 @@ pinned by pytest instead (tests/).
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -943,8 +942,11 @@ def udf_registered_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_pandas_udf,
     )
 
+    # nullable Int64, not int64: a NULL price arrives as NaN and a plain
+    # astype would throw 'cannot convert non-finite values' — the oracle
+    # CAST yields NULL for that row, so must we
     register_pandas_udf(
-        spark, "price_cents_v", lambda s: (s * 100).round().astype("int64"), "long"
+        spark, "price_cents_v", lambda s: (s * 100).round().astype("Int64"), "long"
     )
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_udf_li")
     return spark.sql(
@@ -1307,7 +1309,9 @@ def agg_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_custkey").alias("n_customers"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
-        F.round(F.sqrt((sx2 - sx * sx / n) / (n - 1)), 4).alias("stddev_price"),
+        # n>1 guard: a single-row group would divide by zero — NULL in
+        # Spark but IEEE inf in DuckDB, so the engines must agree on NULL
+        F.when(n > 1, F.round(F.sqrt((sx2 - sx * sx / n) / (n - 1)), 4)).alias("stddev_price"),
     )
 
 
@@ -1317,10 +1321,12 @@ SELECT o_orderpriority,
        count(DISTINCT o_custkey) AS n_customers,
        min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price,
-       ROUND(sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                   - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                     * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
-                  / (count(*) - 1)), 4) AS stddev_price
+       CASE WHEN count(*) > 1 THEN
+         ROUND(sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                    / (count(*) - 1)), 4)
+       END AS stddev_price
 FROM orders GROUP BY o_orderpriority
 """
 

@@ -7,12 +7,13 @@ Each query is forced with a count() (no driver-side row materialization —
 the measurement is plan execution, not toPandas transfer). Steady-state
 protocol: a global warmup absorbs JVM/Python-worker startup, then each
 query runs ONCE untimed (populates the Janino codegen cache for its
-generated stages) and the timed run is a FRESH build of the same query —
-so the measurement still includes plan construction, analysis, AQE
-optimization, and full execution, and only excludes one-time JIT
-compilation. First-run compile cost is a per-query-shape constant that
-amortizes to zero on a long-lived cluster; timing it would benchmark
-Janino, not the engine.
+generated stages), then THREE timed runs — each a FRESH build of the
+same query — and the reported number is their MEDIAN (single runs vary
+±20% on this box). Every timed run still includes plan construction,
+analysis, AQE optimization, and full execution; only one-time JIT
+compilation is excluded. First-run compile cost is a per-query-shape
+constant that amortizes to zero on a long-lived cluster; timing it
+would benchmark Janino, not the engine.
 """
 
 from __future__ import annotations
@@ -86,11 +87,12 @@ def main() -> None:
 
     # Median of 3 timed runs: single-run times vary ±20% on this box
     # (GC, thread scheduling); the median is stable run-to-run.
+    missing = [n for n in HEADLINE if n not in queries]
+    if missing:
+        raise SystemExit(f"HEADLINE names missing from queries(): {missing}")
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
+        fn = queries[name]
         fn(spark, sf_dir).count()  # untimed: fill the codegen cache
         times = []
         for _ in range(3):

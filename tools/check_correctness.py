@@ -40,9 +40,7 @@ def _canon_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "\0NULL"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return repr(v)
-        return repr(v)
+        return repr(v)  # repr round-trips doubles exactly, inf included
     if isinstance(v, (bytes, bytearray)):
         return "0x" + bytes(v).hex()
     if isinstance(v, (list, tuple)):
@@ -66,6 +64,12 @@ def canon_hash(df: pd.DataFrame) -> tuple[int, list[str], str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        # a typo'd name would otherwise run ZERO checks and exit green
+        print(f"FAIL unknown query names: {sorted(unknown)}")
+        print(json.dumps({"n": 0, "failed": sorted(unknown)}))
+        return 1
 
     spark = get_spark("correctness_check")
     con = duckdb.connect()
@@ -96,9 +100,13 @@ def main() -> int:
         sql = oracles.get(name)
         if sql is None:
             rec["oracle"] = "rows_only"
-            rec["ok"] = rec["spark_rows"] >= 0
+            rec["ok"] = rec["spark_rows"] > 0  # 0 rows = broken filter/join, not a pass
             results[name] = rec
-            print(f"ok   {name}: rows-only ({rec['spark_rows']} rows, {rec['spark_sec']}s)")
+            if rec["ok"]:
+                print(f"ok   {name}: rows-only ({rec['spark_rows']} rows, {rec['spark_sec']}s)")
+            else:
+                failed.append(name)
+                print(f"FAIL {name}: rows-only returned 0 rows")
             continue
         try:
             odf = con.execute(sql).fetchdf()
@@ -134,8 +142,9 @@ def main() -> int:
                     tuple(_canon_cell(v) for v in r)
                     for r in odf[sorted(odf.columns)].itertuples(index=False, name=None)
                 )
-                s_only = [r for r in s_rows if r not in set(o_rows)][:5]
-                o_only = [r for r in o_rows if r not in set(s_rows)][:5]
+                o_set, s_set = set(o_rows), set(s_rows)
+                s_only = [r for r in s_rows if r not in o_set][:5]
+                o_only = [r for r in o_rows if r not in s_set][:5]
                 print(f"     cols: {s_cols}")
                 for r in s_only:
                     print(f"     spark-only:  {r}")
