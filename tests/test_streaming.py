@@ -502,3 +502,84 @@ def test_w1_reference_csv_streamed_equals_batch(spark, hdfc_path, tmp_path):
     )
     assert sum(expected.values()) == 5204
     assert got == expected
+
+
+def test_w2_w3_w4_reference_csv_streamed_equal_batch(spark, hdfc_path, tmp_path):
+    """Parity closure for the remaining three reference queries: stream
+    the reference's own HDFC.csv through the W2/W3/W4 streaming ports
+    and require each full emission multiset to equal its batch
+    window-function form (RollingAverageHighPrice.java:56-113,
+    DaysSincePriceThreshold.java:61-102,
+    MaxTradeVolumePerYearPerMonth.java:53-91)."""
+    import shutil
+    from collections import Counter
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        rows_between_breaches,
+        running_max,
+        tumbling_count_window_avg,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        read_quotes_csv,
+        read_quotes_stream,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.stateful import (
+        rows_between_breaches_stream,
+    )
+
+    stream_dir = str(tmp_path / "quotes_in")
+    os.makedirs(stream_dir)
+    shutil.copy(hdfc_path, os.path.join(stream_dir, "HDFC.csv"))
+    batch = read_quotes_csv(spark, hdfc_path)
+
+    # W2: 50-row tumbling average of high, keyed by symbol
+    s2 = _drain(
+        tumbling_count_window_avg_stream(
+            read_quotes_stream(spark, stream_dir), ["symbol"], ["date"], "high"
+        ),
+        "hdfc_w2_stream",
+    )
+    got2 = Counter((r["symbol"], round(r["avg_value"], 4)) for r in s2.collect())
+    exp2 = Counter(
+        (r["symbol"], round(r["avg_value"], 4))
+        for r in tumbling_count_window_avg(
+            batch, ["symbol"], ["date", "row_id"], "high", 50
+        ).collect()
+    )
+    assert sum(got2.values()) == 102 and got2 == exp2
+
+    # W3: rows between close >= 300 breaches, emitting the date
+    s3 = _drain(
+        rows_between_breaches_stream(
+            read_quotes_stream(spark, stream_dir), ["symbol"], ["date"], "close", 300.0, "date"
+        ),
+        "hdfc_w3_stream",
+    )
+    got3 = Counter((r["symbol"], r["date"], r["rows_since_prev_breach"]) for r in s3.collect())
+    exp3 = Counter(
+        (r["symbol"], r["date"], r["rows_since_prev_breach"])
+        for r in rows_between_breaches(
+            batch, ["symbol"], ["date", "row_id"], F.col("close") >= 300.0,
+            emit_cols=["symbol", "date"],
+        ).collect()
+    )
+    assert sum(got3.values()) == 5191 and got3 == exp3
+
+    # W4: running max volume per (year, month) composite key
+    stream4 = (
+        read_quotes_stream(spark, stream_dir)
+        .withColumn("yr", F.year("date"))
+        .withColumn("mo", F.month("date"))
+    )
+    s4 = _drain(
+        running_max_stream(stream4, ["yr", "mo"], ["date"], "volume"), "hdfc_w4_stream"
+    )
+    got4 = Counter(
+        (r["yr"], r["mo"], round(r["volume"], 4), round(r["running_max"], 4)) for r in s4.collect()
+    )
+    batch4 = batch.withColumn("yr", F.year("date")).withColumn("mo", F.month("date"))
+    exp4 = Counter(
+        (r["yr"], r["mo"], round(r["volume"], 4), round(r["m"], 4))
+        for r in running_max(batch4, ["yr", "mo"], ["date", "row_id"], "volume", "m").collect()
+    )
+    assert sum(got4.values()) == 5204 and got4 == exp4
