@@ -2416,6 +2416,46 @@ FROM spine LEFT JOIN monthly ON m = mm
 """
 
 
+def sql_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: customers holding orders whose total lineitem
+    quantity exceeds a threshold — IN-subquery with HAVING, which
+    Catalyst plans as aggregate → left-semi join (one probe per order,
+    no decorrelation blowup). Quantities are exact in half-units, so
+    the HAVING boundary is engine-stable."""
+    for name in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q18_{name}")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, count(*) AS n_big_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                 AS total_spend
+        FROM _q18_customer
+        JOIN _q18_orders ON c_custkey = o_custkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM _q18_lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(round(l_quantity * 2) AS BIGINT)) > 300
+        )
+        GROUP BY c_custkey, c_name
+        """
+    )
+
+
+_SQL_Q18_SQL = """
+SELECT c_custkey, c_name, count(*) AS n_big_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_spend
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(round(l_quantity * 2) AS BIGINT)) > 300
+)
+GROUP BY c_custkey, c_name
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2519,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_map": events_props_map,
         "udf_grouped_zscore": udf_grouped_zscore,
         "sql_month_spine_density": sql_month_spine_density,
+        "sql_large_volume_orders": sql_large_volume_orders,
     }
 
 
@@ -2611,4 +2652,5 @@ def oracle_sql() -> dict[str, str]:
         "events_props_map": _EVENTS_PROPS_MAP_SQL,
         "udf_grouped_zscore": _UDF_ZSCORE_SQL,
         "sql_month_spine_density": _SQL_SPINE_SQL,
+        "sql_large_volume_orders": _SQL_Q18_SQL,
     }
