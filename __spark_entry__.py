@@ -2456,6 +2456,36 @@ GROUP BY c_custkey, c_name
 """
 
 
+def functions_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family: day difference to a fixed anchor,
+    +30-day shift, quarter, ISO weekday, month index. Functions with
+    engine-specific conventions are avoided or normalized (Spark
+    ``weekday``+1 == DuckDB ``isodow``; ``months_between``'s 31-day
+    fraction rule has no DuckDB twin, so month INDEX arithmetic is used
+    instead)."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("1998-01-01").cast("date"), d).cast("long").alias("days_to_anchor"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.quarter(d).cast("int").alias("qtr"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+        (F.year(d) * 12 + F.month(d)).cast("long").alias("month_idx"),
+    )
+
+
+_FUNC_DATE_ARITH_SQL = """
+SELECT o_orderkey,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_anchor,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+       CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS month_idx
+FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2560,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udf_grouped_zscore": udf_grouped_zscore,
         "sql_month_spine_density": sql_month_spine_density,
         "sql_large_volume_orders": sql_large_volume_orders,
+        "functions_date_arithmetic": functions_date_arithmetic,
     }
 
 
@@ -2653,4 +2684,5 @@ def oracle_sql() -> dict[str, str]:
         "udf_grouped_zscore": _UDF_ZSCORE_SQL,
         "sql_month_spine_density": _SQL_SPINE_SQL,
         "sql_large_volume_orders": _SQL_Q18_SQL,
+        "functions_date_arithmetic": _FUNC_DATE_ARITH_SQL,
     }
