@@ -2486,6 +2486,31 @@ FROM orders
 """
 
 
+def agg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: the distinct nation names of each region as a
+    SORTED array (collect_set is partition-order-dependent; sort_array
+    restores a canonical form both engines agree on byte-for-byte)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_set("n_name")).alias("nations"),
+            F.count_distinct("n_name").cast("long").alias("n_nations"),
+        )
+    )
+
+
+_AGG_NATIONS_SQL = """
+SELECT r_name,
+       list_sort(list(DISTINCT n_name)) AS nations,
+       count(DISTINCT n_name) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2591,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_month_spine_density": sql_month_spine_density,
         "sql_large_volume_orders": sql_large_volume_orders,
         "functions_date_arithmetic": functions_date_arithmetic,
+        "agg_nations_per_region": agg_nations_per_region,
     }
 
 
@@ -2685,4 +2711,5 @@ def oracle_sql() -> dict[str, str]:
         "sql_month_spine_density": _SQL_SPINE_SQL,
         "sql_large_volume_orders": _SQL_Q18_SQL,
         "functions_date_arithmetic": _FUNC_DATE_ARITH_SQL,
+        "agg_nations_per_region": _AGG_NATIONS_SQL,
     }
