@@ -1,5 +1,6 @@
 from .stateful import (  # noqa: F401
     running_max,
+    running_max_segmented,
     running_agg,
     final_max,
     tumbling_count_window_avg,
@@ -41,6 +42,7 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     minhash_candidate_pairs,
     minhash_dedup_pairs,
+    minhash_verified_pairs,
     dup_clusters,
     simhash,
     simhash_pairs,

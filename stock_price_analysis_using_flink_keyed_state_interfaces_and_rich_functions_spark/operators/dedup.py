@@ -43,6 +43,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_candidate_pairs",
     "minhash_dedup_pairs",
+    "minhash_verified_pairs",
     "dup_clusters",
     "simhash",
     "simhash_pairs",
@@ -125,7 +126,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float,
     shingle_k: int = 1,
-    impl: str = "hash",
+    impl: str = "expr",
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word k-shingles, for all
     pairs sharing ≥1 shingle. Returns (id_a, id_b, jaccard) with
@@ -135,11 +136,13 @@ def ngram_jaccard_pairs(
     is the exact/oracle path for modest corpora; at 100 TB use the
     MinHash tier for candidates and this only to confirm them.
 
-    ``impl="hash"`` (default) carries shingles as 64-bit blake2b hashes
-    (same trade as contamination_hits: ~8-byte join keys instead of
-    ~30-byte strings, Arrow-built; intersections/sizes drift only on a
-    64-bit collision, <1 expected up to ~10⁹ distinct shingles).
-    ``impl="expr"`` keeps exact string shingles JVM-side."""
+    ``impl="expr"`` (default — this function's role is the exact tier,
+    so collision-free string shingles are the default semantics) keeps
+    exact string shingles JVM-side. ``impl="hash"`` is the explicit
+    scale opt-in: shingles carried as 64-bit blake2b hashes (same trade
+    as contamination_hits: ~8-byte join keys instead of ~30-byte
+    strings, Arrow-built; intersections/sizes drift only on a 64-bit
+    collision, <1 expected up to ~10⁹ distinct shingles)."""
     if impl == "hash":
         from .text import _hashed_shingles_udf
 
@@ -385,6 +388,57 @@ def minhash_dedup_pairs(
         .select("id_a", "id_b", "est_jaccard")
     )
     return est
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    num_bands: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidates confirmed by EXACT Jaccard — the
+    canonical candidate→confirm production shape, and the form whose
+    output is oracle-checkable against an all-pairs exact-Jaccard SQL.
+
+    :func:`minhash_dedup_pairs` confirms with the signature-overlap
+    *estimate* (±1/√num_hashes noise — inherently un-oracle-able).
+    This variant instead joins each candidate pair back to its exact
+    string shingle sets and computes true Jaccard, so the output equals
+    the exact tier's output restricted to LSH candidates. With banding
+    tuned for recall ~1 at the target threshold (default r = 128/64 = 2
+    rows/band: P[candidate | J=0.7] = 1-(1-0.49)^64 ≈ 1-2e-19) the
+    restriction is vacuous and the result hash-matches the all-pairs
+    oracle — which is exactly what the driver verifies.
+
+    Scale: candidates come from the banded equi-join (never all-pairs);
+    the confirm joins shingle ARRAYS only for candidate rows —
+    |candidates| × avg-doc-shingles, not corpus².
+    """
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = minhash_candidate_pairs(sigs, id_col, num_bands, num_hashes=num_hashes)
+    shs = df.select(F.col(id_col).alias("_id"), _word_shingles(text_col, shingle_k).alias("_shs"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cands.join(shs.select(F.col("_id").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
+        .join(shs.select(F.col("_id").alias("id_b"), F.col("_shs").alias("_sb")), "id_b")
+        .withColumn("_i", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_i").cast("double") / (F.size("_sa") + F.size("_sb") - F.col("_i")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def dup_clusters(

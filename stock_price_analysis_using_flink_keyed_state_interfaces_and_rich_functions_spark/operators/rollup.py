@@ -62,13 +62,15 @@ def pivot_conditional(
     """Pivot as conditional aggregation — identical plan shape to native
     pivot (single HashAggregate), but ANSI-portable. Default semantics
     match native pivot: a cell with NO matching rows is NULL (sum skips
-    the unmatched NULLs). Pass ``fill`` (e.g. ``F.lit(0)``) to 0-fill
-    empty cells instead — then 'no rows' and 'summed to zero' are
-    indistinguishable, which native pivot would not do."""
-    cell = (
-        (lambda v: F.when(F.col(pivot_col) == v, value_expr))
-        if fill is None
-        else (lambda v: F.when(F.col(pivot_col) == v, value_expr).otherwise(fill))
-    )
-    aggs = [F.sum(cell(v)).alias(f"{pivot_col}_{v}") for v in values]
+    the unmatched NULLs). Pass ``fill`` (e.g. ``F.lit(0)``) to fill
+    empty cells instead — applied once per empty CELL via
+    ``coalesce(sum, fill)``, never per non-matching row — then 'no rows'
+    and 'summed to fill' are indistinguishable, which native pivot would
+    not do."""
+
+    def cell(v):
+        s = F.sum(F.when(F.col(pivot_col) == v, value_expr))
+        return s if fill is None else F.coalesce(s, fill)
+
+    aggs = [cell(v).alias(f"{pivot_col}_{v}") for v in values]
     return df.groupBy(*group_cols).agg(*aggs)

@@ -275,21 +275,55 @@ def lsh_bucketed_topk(
     num_planes: int = 8,
     seed: int = 42,
     impl: str = "pandas",
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: restrict each query's candidates to vectors in
-    the same hyperplane bucket, then exact-rank within the bucket.
-    Recall < 1 by construction (tested against :func:`brute_force_topk`);
-    cost is |bucket| per query instead of |vectors|."""
+    """Approximate top-k: restrict each query's candidates to vectors
+    sharing a hyperplane bucket in SOME table, then exact-rank the
+    candidates. Recall < 1 by construction (tested against
+    :func:`brute_force_topk`); cost is Σ|bucket| per query instead of
+    |vectors|.
+
+    ``num_tables`` is the standard OR-construction: each table ANDs
+    ``num_planes`` sign bits (per-neighbor collision prob
+    (1-θ/π)^planes) and tables OR together (recall 1-(1-p)^tables).
+    One table keeps the plan a single bucket equi-join; multiple tables
+    union ids-only candidate sets (distinct on (query, neighbor) — the
+    vectors never ride through the union) and join vectors back for
+    scoring. Tune planes DOWN / tables UP for recall, the reverse for
+    cost; e.g. on near-uniform embeddings (θ≈65°) 8 planes × 1 table
+    gives ~2% recall@5 while 4 planes × 16 tables gives ~90%.
+    """
     from pyspark.sql import Window
 
-    sig = hyperplane_signature_udf(num_planes=num_planes, seed=seed)
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"), sig(F.col(vec_col)).alias("_bucket"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), sig(F.col(vec_col)).alias("_bucket"))
-    scored = (
-        v.join(F.broadcast(q), "_bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(_cosine(F.col("_qv"), F.col("_nv"), impl), 4))
-    )
+    v_vec = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    if num_tables == 1:
+        sig = hyperplane_signature_udf(num_planes=num_planes, seed=seed)
+        v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"), sig(F.col(vec_col)).alias("_bucket"))
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), sig(F.col(vec_col)).alias("_bucket"))
+        scored = (
+            v.join(F.broadcast(q), "_bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cosine", F.round(_cosine(F.col("_qv"), F.col("_nv"), impl), 4))
+        )
+    else:
+        cand = None
+        for t in range(num_tables):
+            sig = hyperplane_signature_udf(num_planes=num_planes, seed=seed + 1000 * t)
+            vt = vectors.select(F.col(id_col).alias("neighbor_id"), sig(F.col(vec_col)).alias("_bucket"))
+            qt = queries.select(F.col(id_col).alias("query_id"), sig(F.col(vec_col)).alias("_bucket"))
+            one = (
+                vt.join(F.broadcast(qt), "_bucket")
+                .filter(F.col("neighbor_id") != F.col("query_id"))
+                .select("query_id", "neighbor_id")
+            )
+            cand = one if cand is None else cand.unionByName(one)
+        scored = (
+            cand.distinct()
+            .join(v_vec, "neighbor_id")
+            .join(F.broadcast(q_vec), "query_id")
+            .withColumn("cosine", F.round(_cosine(F.col("_qv"), F.col("_nv"), impl), 4))
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))

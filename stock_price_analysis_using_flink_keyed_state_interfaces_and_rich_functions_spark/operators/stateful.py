@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "running_max",
+    "running_max_segmented",
     "running_agg",
     "final_max",
     "tumbling_count_window_avg",
@@ -97,6 +98,67 @@ def running_max(
     disguise; SURVEY.md §2.4 W4). Composite keys are just multiple columns.
     """
     return running_agg(df, key_cols, order_cols, F.max(value_col), out_col)
+
+
+def running_max_segmented(
+    df: DataFrame,
+    key_cols: ColsLike,
+    order_cols: ColsLike,
+    value_col: str,
+    segment_col: str,
+    out_col: str = "running_max",
+) -> DataFrame:
+    """W1/W4 running max with the hot-key ceiling removed: a two-pass
+    segmented prefix max whose parallelism is |keys| × |segments|
+    instead of |keys|.
+
+    The plain :func:`running_max` sorts each key's entire history in ONE
+    task (the reference degenerates identically — its keyBy(year) runs
+    each year through one subtask, MaximumClosingPrice.java:40-42). At
+    100 TB with ~7 distinct years that is a 7-core plan. This form:
+
+    1. *Local pass* — running max within each (key, segment) partition
+       (parallelism = keys × segments, each sort bounded by one
+       segment's rows).
+    2. *Carry pass* — per-(key, segment) final max (map-side partial
+       agg), then an EXCLUSIVE prefix max over segments within the key
+       — a window over the tiny (key, segment) aggregate table, never
+       the data.
+    3. *Merge* — broadcast the carry table back and take
+       ``greatest(local, carry)``; ``greatest`` skips NULLs, so a
+       segment's all-NULL prefix inherits the carry and the first
+       segment (NULL carry) keeps the local value — exactly the plain
+       form's NULL semantics.
+
+    PRECONDITION: ``segment_col`` must be non-decreasing along
+    ``order_cols`` within each key (e.g. key=year, segment=month,
+    order=(shipdate, …)). A segment column uncorrelated with the order
+    silently computes a different (wrong) prefix — pick the segment
+    FROM the leading order column.
+
+    Bit-identical to :func:`running_max` on the same inputs (pinned by
+    the ``w1_running_max_segmented`` oracle row, which shares the plain
+    form's SQL).
+    """
+    keys = _key_names(key_cols, "running_max_segmented")
+    local_w = Window.partitionBy(*keys, segment_col).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = df.withColumn("_local_max", F.max(value_col).over(local_w))
+    seg_max = df.groupBy(*keys, segment_col).agg(F.max(value_col).alias("_seg_max"))
+    carry_w = Window.partitionBy(*keys).orderBy(segment_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # |keys|×|segments| rows — an aggregate of the data, broadcastable by
+    # construction (e.g. years×months over a century is ~1200 rows).
+    carry = seg_max.select(
+        *keys, segment_col, F.max("_seg_max").over(carry_w).alias("_carry")
+    )
+    return (
+        local.join(F.broadcast(carry), [*keys, segment_col], "left")
+        .withColumn(out_col, F.greatest("_local_max", "_carry"))
+        .drop("_local_max", "_carry")
+    )
 
 
 def final_max(

@@ -328,6 +328,7 @@ def contamination_bloom(
     text_col: str = "text",
     shingle_k: int = 3,
     fp_rate: float = 1e-3,
+    max_benchmark_shingles: int = 100_000_000,
 ) -> DataFrame:
     """Join-free decontamination: a Bloom filter over the benchmark's
     distinct shingle hashes, broadcast once, membership-tested map-side.
@@ -349,12 +350,35 @@ def contamination_bloom(
     pass, with the exact join as the confirm tier on survivors — or
     alone when an ≈0.1% over-drop is an acceptable trade for removing
     the corpus-side shuffle entirely.
+
+    The benchmark's distinct shingles are COLLECTED to the driver to
+    build the filter — sound only while the benchmark is a genuinely
+    small held-out set. ``max_benchmark_shingles`` (default 10⁸ ≈ a
+    ~21 MB filter at 1e-3) is a hard budget: a "benchmark" defined as a
+    fraction of the corpus grows with it and would OOM the driver at
+    100 TB, so exceeding the budget raises instead of silently
+    collecting — switch to ``contamination_hits`` (distributed join)
+    for benchmark sets that big. The probe collects at most
+    ``budget + 1`` rows, so the guard itself never materializes an
+    oversized set.
     """
     import numpy as np
     from pyspark.sql.types import LongType
 
     sh = _hashed_shingles_udf(shingle_k)
-    bench_rows = benchmark.select(F.explode(sh(F.col(text_col))).alias("_sh")).distinct().collect()
+    bench_rows = (
+        benchmark.select(F.explode(sh(F.col(text_col))).alias("_sh"))
+        .distinct()
+        .limit(max_benchmark_shingles + 1)
+        .collect()
+    )
+    if len(bench_rows) > max_benchmark_shingles:
+        raise ValueError(
+            f"contamination_bloom: benchmark has > {max_benchmark_shingles} distinct "
+            "shingles — too large to collect/broadcast as a Bloom filter; use "
+            "contamination_hits (distributed equi-join) or raise max_benchmark_shingles "
+            "only if the driver is sized for it"
+        )
     bits, k, m_bits = _bloom_build([r["_sh"] for r in bench_rows], fp_rate)
     bc = corpus.sparkSession.sparkContext.broadcast((bits.tobytes(), k, m_bits))
 

@@ -38,13 +38,10 @@ def get_spark(
     default to ``local[$SPARK_GRAFT_CPUS]``.
     """
     cpus = default_parallelism()
+    resolved_master = master or f"local[{cpus}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
-        # local mode = ONE JVM for driver + all executor threads; Spark's
-        # 1g default heap OOMs 32 concurrent hash aggregates long before
-        # the box runs out (on a cluster, spark-submit sizes this instead)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .master(resolved_master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -56,6 +53,14 @@ def get_spark(
         # keep split sizes default but cap in-memory batches sanely.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     )
+    if resolved_master.startswith("local"):
+        # local mode = ONE JVM for driver + all executor threads; Spark's
+        # 1g default heap OOMs 32 concurrent hash aggregates long before
+        # the box runs out. Cluster deployments size the driver via
+        # spark-submit, so the default is gated to local masters only.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -23,7 +23,11 @@ as any at-least-once streaming ingestion sorted at source.
 NULL values follow the batch operators' semantics: running max ignores
 them (emitting the unchanged max, like ``F.max``), W2's average skips
 them in numerator and denominator (like ``F.avg``), W3 counts them as
-non-breach rows (NULL ≥ threshold is false in both forms).
+non-breach rows (NULL ≥ threshold is false in both forms). Emitted
+"no value yet" cells are genuine NULLs, not float NaN: outputs are
+built as pandas nullable ``Float64`` arrays so ``pd.NA`` round-trips
+to a Spark NULL through Arrow (NaN and NULL are distinct in Spark
+joins/sorts/aggregates, so batch↔stream parity requires real NULLs).
 
 State size is O(1) per key for all four operators (the W3 ListState is
 deliberately reduced to a counter — only the length was ever used,
@@ -52,6 +56,17 @@ __all__ = [
     "rows_between_breaches_stream",
     "running_max_transform_with_state",
 ]
+
+
+def _nullable_float(values: Sequence[float | None]) -> pd.arrays.FloatingArray:
+    """NaN→NULL-preserving output column: Arrow maps ``pd.NA`` in a
+    nullable Float64 array to a Spark NULL, where a plain float64 NaN
+    would surface as NaN (a distinct value in Spark semantics)."""
+    import math
+
+    return pd.array(
+        [None if v is None or math.isnan(v) else v for v in values], dtype="Float64"
+    )
 
 
 def _key_fields(df: DataFrame, key_cols: Sequence[str]) -> list[StructField]:
@@ -86,13 +101,14 @@ def running_max_stream(
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
             outs = []
-            for v in pdf[value_col].astype(float):
+            vals = pdf[value_col].astype(float)
+            for v in vals:
                 if not math.isnan(v):
                     cur = v if cur is None else max(cur, v)
-                outs.append(float("nan") if cur is None else cur)
+                outs.append(cur)
             out = pd.DataFrame({k: [kv] * len(pdf) for k, kv in zip(keys, key)})
-            out[value_col] = pdf[value_col].astype(float).to_numpy()
-            out[out_col] = outs
+            out[value_col] = _nullable_float(vals)
+            out[out_col] = _nullable_float(outs)
             yield out
         state.update((cur,))
 
@@ -160,13 +176,14 @@ def running_max_transform_with_state(
             if chunks:
                 pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
                 outs = []
-                for v in pdf[value_col].astype(float):
+                vals = pdf[value_col].astype(float)
+                for v in vals:
                     if not math.isnan(v):
                         cur = v if cur is None else max(cur, v)
-                    outs.append(float("nan") if cur is None else cur)
+                    outs.append(cur)
                 out = pd.DataFrame({k: [kv] * len(pdf) for k, kv in zip(keys, key)})
-                out[value_col] = pdf[value_col].astype(float).to_numpy()
-                out[out_col] = outs
+                out[value_col] = _nullable_float(vals)
+                out[out_col] = _nullable_float(outs)
                 yield out
             self._max.update((cur,))
 
@@ -222,11 +239,11 @@ def tumbling_count_window_avg_stream(
                         nn += 1
                         acc += v
                 else:  # (window_size+1)-th row: emit & reset; v is discarded
-                    emitted.append(acc / nn if nn else float("nan"))
+                    emitted.append(acc / nn if nn else None)
                     cnt, nn, acc = 0, 0, 0.0
             if emitted:
                 out = pd.DataFrame({k: [kv] * len(emitted) for k, kv in zip(keys, key)})
-                out[out_col] = emitted
+                out[out_col] = _nullable_float(emitted)
                 yield out
         state.update((cnt, nn, acc))
 

@@ -116,6 +116,12 @@ def grouped_zscore(
     oracle-checkable. Distributes as one exchange on the key; group =
     unit of memory (a group must fit in one executor's pandas frame —
     for billion-row keys use the window-function form instead).
+
+    Precondition: ``value_col`` must be non-NULL and finite. A NULL
+    arrives in pandas as NaN, and ``rint(NaN).astype(int64)`` is
+    undefined behavior that would silently poison the whole group's
+    mean/std — so non-finite inputs raise instead (filter NULLs out
+    upstream, or use the window-function z-score which propagates them).
     """
     keys = list(key_cols)
     out_schema = ", ".join(
@@ -128,7 +134,13 @@ def grouped_zscore(
 
         import numpy as np
 
-        cents = np.rint(pdf[value_col].to_numpy(dtype="float64") * scale).astype("int64")
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        if not np.isfinite(vals).all():
+            raise ValueError(
+                f"grouped_zscore: {value_col} contains NULL/NaN/inf values; "
+                "the int64 cast would be undefined — filter them out first"
+            )
+        cents = np.rint(vals * scale).astype("int64")
         n = len(cents)
         sx = int(cents.sum())
         sxx = int((cents.astype(object) ** 2).sum())  # object: unbounded ints, no int64 overflow

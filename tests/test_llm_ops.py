@@ -521,3 +521,66 @@ def test_minhash_band_validation(spark, docs):
         minhash_dedup_pairs(docs, "doc_id", "text", num_hashes=16, num_bands=32)
     with pytest.raises(ValueError, match="divisible"):
         minhash_dedup_pairs(docs, "doc_id", "text", num_hashes=30, num_bands=16)
+
+
+def test_minhash_verified_equals_exact_tier(spark, docs):
+    """LSH candidates + exact-Jaccard confirm must reproduce the exact
+    postings-join tier exactly (same pairs, same jaccard values) when
+    banding is tuned for recall 1 — the property the driver's oracle
+    row (dedup_minhash_verified) hash-checks at sf0.01."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        minhash_verified_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, shingle_k=1).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_verified_pairs(
+            docs, "doc_id", "text", threshold=0.5, num_hashes=128, num_bands=64, shingle_k=1
+        ).collect()
+    }
+    assert got == exact and len(exact) > 0
+
+
+def test_lsh_topk_multi_table_recall_dominates_single(spark):
+    """The OR-construction: every single-table result is found by the
+    multi-table run with the same seed for table 0... recall against
+    brute force must be monotonically ≥ the single-table recall, and
+    repeated runs are deterministic."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def recall(df):
+        exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, queries, k=3).collect()}
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(exact & got) / len(exact)
+
+    single = lsh_bucketed_topk(emb, queries, k=3, num_planes=4, num_tables=1)
+    multi = lsh_bucketed_topk(emb, queries, k=3, num_planes=4, num_tables=8)
+    r1, r8 = recall(single), recall(multi)
+    assert r8 >= r1
+    assert r8 >= 0.5  # 8 tables of 4 planes must find at least half
+    again = recall(lsh_bucketed_topk(emb, queries, k=3, num_planes=4, num_tables=8))
+    assert again == r8
+
+
+def test_contamination_bloom_benchmark_budget_guard(spark, docs):
+    """A benchmark bigger than the shingle budget must raise instead of
+    silently collecting an unbounded set to the driver."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        contamination_bloom,
+    )
+
+    with pytest.raises(ValueError, match="distinct"):
+        contamination_bloom(docs, docs, shingle_k=1, max_benchmark_shingles=3).collect()
+    # within budget: runs fine
+    out = contamination_bloom(docs, docs.limit(1), shingle_k=1, max_benchmark_shingles=10_000)
+    assert out.count() >= 1

@@ -298,3 +298,67 @@ def test_salted_join_rejects_right_outer(spark):
     b = spark.createDataFrame([("k", "x")], "k string, t string")
     with pytest.raises(ValueError, match="salted_join supports"):
         salted_join(a, b, ["k"], num_salts=4, how="right")
+
+
+def test_pivot_conditional_fill_applied_once_per_empty_cell(spark, people):
+    """A non-zero fill lands ONCE per empty cell (coalesce over the
+    conditional sum), never once per non-matching row — fill=5 on grp b
+    (two rows, neither id 1 nor 2... ids 3,4 don't match pivot values)
+    must give exactly 5, not 10."""
+    piv = pivot_conditional(people, ["grp"], "id", [1, 2], F.col("val"), fill=F.lit(5.0))
+    r = {row["grp"]: (row["id_1"], row["id_2"]) for row in piv.collect()}
+    assert r["a"] == (10.0, 20.0)       # matched cells keep their sums
+    assert r["b"] == (5.0, 5.0)         # empty cells: fill exactly once
+    assert r["c"] == (5.0, 5.0)
+
+
+def test_running_max_segmented_equals_plain(spark):
+    """Two-pass segmented prefix max is bit-identical to the plain
+    windowed form — including NULL handling (leading NULLs stay NULL,
+    an all-NULL segment inherits the carry)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        running_max,
+        running_max_segmented,
+    )
+
+    rows = []
+    vals = [None, None, 3.0, 1.0, None, 7.0, 2.0, None, 9.0, 4.0, 8.0, None]
+    for k in ("a", "b"):
+        for i, v in enumerate(vals):
+            rows.append((k, i, i // 3, v if k == "a" else (None if v is None else v * 2)))
+    df = spark.createDataFrame(rows, "k string, seq int, seg int, v double")
+    plain = {
+        (r["k"], r["seq"]): r["rm"]
+        for r in running_max(df, ["k"], ["seq"], "v", "rm").collect()
+    }
+    seg = {
+        (r["k"], r["seq"]): r["rm"]
+        for r in running_max_segmented(df, ["k"], ["seq"], "v", "seg", "rm").collect()
+    }
+    assert seg == plain
+    # leading all-NULL prefix really is NULL in both
+    assert plain[("a", 0)] is None and seg[("a", 1)] is None
+
+
+def test_running_max_segmented_plan_shape(spark):
+    """The local pass partitions on (key, segment) — parallelism =
+    keys×segments — and the carry merge is a broadcast join, never a
+    shuffled join of the data against the carry table."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        running_max_segmented,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, i // 4, float(i % 7)) for i in range(32)],
+        "k string, seq int, seg int, v double",
+    )
+    out = running_max_segmented(df, ["k"], ["seq"], "v", "seg", "rm")
+    s = plans.explain_str(out)
+    assert plans.has_broadcast_hash_join(out)
+    plans.assert_no_cartesian(out)
+    # the data-side window partitions by BOTH key and segment
+    assert any(
+        "k#" in line and "seg#" in line
+        for line in s.splitlines()
+        if "windowspecdefinition" in line
+    ), s

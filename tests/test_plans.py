@@ -173,3 +173,26 @@ def test_q3_broadcasts_filtered_side_not_lineitem(spark, q):
     # lineitem feeds the probe side exactly once; a second occurrence
     # would mean it was duplicated under a BroadcastExchange subtree
     assert s.count("lineitem.parquet") == 1
+
+
+def test_w1_segmented_broadcast_carry_and_dual_key_window(spark, q):
+    """The segmented running max must broadcast the carry table and run
+    its data-side window partitioned by (year, month) — the 100×-scale
+    fix for the 7-partition plain form."""
+    df = q["w1_running_max_segmented"](spark, SF)
+    assert plans.has_broadcast_hash_join(df)
+    plans.assert_no_cartesian(df)
+    s = plans.explain_str(df)
+    assert any(
+        "yr#" in line and "mo#" in line
+        for line in s.splitlines()
+        if "windowspecdefinition" in line
+    ), "data-side window must partition by (yr, mo)"
+
+
+def test_new_approx_oracle_queries_no_cartesian(spark, q):
+    # similarity_lsh_recall is excluded: its exact baseline side IS
+    # brute_force_topk, whose broadcast nested-loop (small queries ×
+    # streamed corpus) is the documented intended plan.
+    for name in ("dedup_minhash_verified", "similarity_ivf_full_probe"):
+        plans.assert_no_cartesian(q[name](spark, SF))

@@ -158,3 +158,19 @@ def test_stream_static_dim_join(spark, tmp_path):
     q.awaitTermination()
     got = {r["id"]: r["weight"] for r in spark.table("ss_join").collect()}
     assert got == {1: 0.1, 2: 5.0, 3: 0.1}
+
+
+def test_grouped_zscore_rejects_null_values(spark):
+    """NULL arrives in pandas as NaN and rint(NaN)→int64 is undefined —
+    the UDF must raise loudly instead of silently poisoning the group."""
+    import pytest as _pytest
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.udfs import (
+        grouped_zscore,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", None), ("g", 3.0)], "k string, v double"
+    )
+    with _pytest.raises(Exception, match="NULL|NaN"):
+        grouped_zscore(df, ["k"], "v", "z").collect()

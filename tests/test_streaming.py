@@ -583,3 +583,37 @@ def test_w2_w3_w4_reference_csv_streamed_equal_batch(spark, hdfc_path, tmp_path)
         for r in running_max(batch4, ["yr", "mo"], ["date", "row_id"], "volume", "m").collect()
     )
     assert sum(got4.values()) == 5204 and got4 == exp4
+
+
+def test_stream_emits_null_not_nan(spark, tmp_path):
+    """Batch↔stream NULL parity: before any non-null value the running
+    max is a genuine Spark NULL (not float NaN — distinct in joins/
+    sorts/aggs), NULL inputs round-trip as NULLs, and a W2 window of
+    all NULLs averages to NULL."""
+    root = str(tmp_path / "null_in")
+    rows = [("a", 0, None), ("a", 1, None), ("a", 2, 5.0), ("a", 3, None), ("a", 4, 2.0)]
+    spark.createDataFrame(rows, "k string, seq long, v double").coalesce(1).write.parquet(
+        os.path.join(root, "part=0")
+    )
+    out = _drain(running_max_stream(_stream(spark, root), ["k"], ["seq"], "v"), "null_w1")
+    got = {r["seq"] if "seq" in r else i: r for i, r in enumerate(out.collect())}
+    rows_out = out.orderBy("v", ascending=False).collect()
+    # NULL-ness probed through Spark SQL itself: isnan must be false everywhere
+    assert out.filter(F.isnan("running_max")).count() == 0
+    assert out.filter(F.col("running_max").isNull()).count() == 2  # the two leading rows
+    assert out.filter(F.col("v").isNull()).count() == 3            # NULL inputs stay NULL
+
+    # W2: a full window of NULL values emits a NULL average
+    root2 = str(tmp_path / "null_w2_in")
+    rows2 = [("a", i, None) for i in range(5)] + [("a", 5, 9.0)]
+    spark.createDataFrame(rows2, "k string, seq long, v double").coalesce(1).write.parquet(
+        os.path.join(root2, "part=0")
+    )
+    out2 = _drain(
+        tumbling_count_window_avg_stream(_stream(spark, root2), ["k"], ["seq"], "v", window_size=5),
+        "null_w2",
+    )
+    vals = out2.collect()
+    assert len(vals) == 1
+    assert vals[0]["avg_value"] is None
+    assert out2.filter(F.isnan("avg_value")).count() == 0
