@@ -243,6 +243,44 @@ GROUP BY l_returnflag, cycle HAVING count(*) = 51
 """
 
 
+def w2_count_window_avg_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 with the numbering ceiling removed: segmented_row_number over
+    (l_returnflag × ship-year) instead of one task per returnflag.
+    Bit-identical to w2_count_window_avg; shares its oracle SQL."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("price_cents", F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .withColumn("_seg", F.year("l_shipdate"))
+    )
+    out = tumbling_count_window_avg(
+        li,
+        ["l_returnflag"],
+        _LI_ORDER,
+        "price_cents",
+        window_size=50,
+        out_col="avg_value",
+        segment_col="_seg",
+    )
+    return out.select(
+        "l_returnflag", "cycle", F.round(F.col("avg_value") / 100, 4).alias("avg_value")
+    )
+
+
+def w3_rows_between_breaches_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 with the numbering ceiling removed (segment = ship-year).
+    Bit-identical to w3_rows_between_breaches; shares its oracle SQL."""
+    li = _t(spark, sf_dir, "lineitem").withColumn("_seg", F.year("l_shipdate"))
+    return rows_between_breaches(
+        li,
+        ["l_returnflag"],
+        _LI_ORDER,
+        breach=F.col("l_extendedprice") >= 95000.0,
+        emit_cols=["l_returnflag", "l_orderkey", "l_linenumber"],
+        out_col="rows_since_prev_breach",
+        segment_col="_seg",
+    )
+
+
 def w3_rows_between_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return rows_between_breaches(
@@ -1131,6 +1169,60 @@ _COS_SQL_FRAGMENT = """
      * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
            i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
 """
+
+
+def pack_concat_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing of the documents corpus into
+    256-token training sequences over 8 shards — one row per
+    (doc, chunk) overlap, all-Catalyst (windowed cumsum + explode)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        pack_concat_chunks,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_concat_chunks(docs, "doc_id", "n_tokens", seq_len=256, num_shards=8)
+
+
+_PACK_CONCAT_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM documents
+), sh AS (
+  SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id, n FROM toks WHERE n > 0
+), st AS (
+  SELECT shard, doc_id, n,
+         CAST(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s
+  FROM sh
+), ex AS (
+  SELECT shard, doc_id, n, s, s + n AS e,
+         unnest(range(s // 256, (s + n - 1) // 256 + 1)) AS chunk_id
+  FROM st
+)
+SELECT shard, CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+       CAST(least(e, (chunk_id + 1) * 256) - greatest(s, chunk_id * 256) AS BIGINT) AS n_tok
+FROM ex
+"""
+
+
+def pack_greedy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit packing (whole docs, 256-token budget) — the
+    sequential fold is not SQL-expressible without recursion, so this
+    is a rows-only row; properties are pinned in pytest."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        pack_greedy_nextfit,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_greedy_nextfit(docs, "doc_id", "n_tokens", budget=256, num_shards=8)
 
 
 def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2627,9 +2719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     join kinds, set ops, rollup/pivot/unpivot/grouping-sets, window
     analytics + time windows, scalar/UDF functions, the SQL layer,
     sampling, multimodal, text/dedup/similarity LLM-data ops, and the
-    pipeline composite). Exactly two top-50 entries are rows-only by
-    design (agg_approx_distinct, dedup_simhash_pairs — sketch outputs
-    with no engine-identical SQL form); everything else is oracle'd.
+    pipeline composite). Exactly one top-50 entry is rows-only by
+    design (dedup_simhash_pairs — a hamming sketch with no
+    engine-identical SQL form); everything else is oracle'd.
     Entries past #50 are additional variants of already-checked
     families, pinned by pytest and exercised by bench.
     """
@@ -2661,7 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status_by_priority": pivot_status_by_priority,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "agg_order_stats": agg_order_stats,
-        "agg_approx_distinct": agg_approx_distinct,  # rows-only (sketch)
+        "pack_concat_chunks": pack_concat_chunks_docs,
         # -- window analytics + time windows ------------------------------
         "window_rank_customers": window_rank_customers,
         "window_sessionize_events": window_sessionize_events,
@@ -2693,6 +2785,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_recall": similarity_lsh_recall,
         "dedup_dup_clusters": dedup_dup_clusters,
         # ====== end of the driver's 50-entry check window ======
+        "w2_count_window_avg_segmented": w2_count_window_avg_segmented,
+        "w3_rows_between_breaches_segmented": w3_rows_between_breaches_segmented,
+        "pack_greedy_nextfit": pack_greedy_docs,
+        "agg_approx_distinct": agg_approx_distinct,
         "topk_orders_by_price": topk_orders_by_price,
         "setops_intersect_custkeys": setops_intersect_custkeys,
         "setops_except_nation_keys": setops_except_nation_keys,
@@ -2757,7 +2853,9 @@ def oracle_sql() -> dict[str, str]:
         "w1_running_max_segmented": _W1_RUNNING_SQL,
         "w1_final_max_per_year": _W1_FINAL_SQL,
         "w2_count_window_avg": _W2_SQL,
+        "w2_count_window_avg_segmented": _W2_SQL,
         "w3_rows_between_breaches": _W3_SQL,
+        "w3_rows_between_breaches_segmented": _W3_SQL,
         "w4_running_max_month": _W4_SQL,
         "join_orders_customer": _JOIN_OC_SQL,
         "join_broadcast_region_rollup": _JOIN_BCAST_SQL,
@@ -2788,6 +2886,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_minhash_verified": _DEDUP_MINHASH_VERIFIED_SQL,
+        "pack_concat_chunks": _PACK_CONCAT_SQL,
         "similarity_bruteforce_topk": _SIM_TOPK_SQL,
         # full-probe IVF is exact by construction — brute-force oracle
         "similarity_ivf_full_probe": _SIM_TOPK_SQL,

@@ -3,6 +3,7 @@ from .stateful import (  # noqa: F401
     running_max_segmented,
     running_agg,
     final_max,
+    segmented_row_number,
     tumbling_count_window_avg,
     rows_between_breaches,
 )
@@ -47,6 +48,7 @@ from .dedup import (  # noqa: F401
     simhash,
     simhash_pairs,
 )
+from .packing import pack_concat_chunks, pack_greedy_nextfit  # noqa: F401
 from .sampling import (  # noqa: F401
     hash_bucket_hex,
     hash_sample,

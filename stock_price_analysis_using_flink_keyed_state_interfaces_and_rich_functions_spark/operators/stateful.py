@@ -37,6 +37,7 @@ __all__ = [
     "running_max_segmented",
     "running_agg",
     "final_max",
+    "segmented_row_number",
     "tumbling_count_window_avg",
     "rows_between_breaches",
 ]
@@ -175,6 +176,45 @@ def final_max(
     return df.groupBy(*key_cols).agg(F.max(value_col).alias(out_col))
 
 
+def segmented_row_number(
+    df: DataFrame,
+    key_cols: ColsLike,
+    order_cols: ColsLike,
+    segment_col: str,
+    out_col: str = "_rn",
+) -> DataFrame:
+    """Per-key row_number (1-based) computed with |keys| × |segments|
+    parallelism instead of |keys| — the numbering primitive behind the
+    segmented W2/W3 forms.
+
+    Plain ``row_number() OVER (PARTITION BY key ORDER BY ...)`` sorts
+    each key's entire history in one task. This form: (1) local
+    row_number within (key, segment); (2) per-(key, segment) row COUNTS
+    (map-side partial agg) with an EXCLUSIVE prefix sum over segments —
+    a window over the tiny aggregate table; (3) broadcast the offsets
+    back and add. Same precondition as :func:`running_max_segmented`:
+    ``segment_col`` must be non-decreasing along ``order_cols`` within
+    each key. Bit-identical to the plain numbering (pinned by the
+    segmented W2/W3 equivalence tests).
+    """
+    keys = _key_names(key_cols, "segmented_row_number")
+    local_w = Window.partitionBy(*keys, segment_col).orderBy(*order_cols)
+    counts = df.groupBy(*keys, segment_col).agg(F.count(F.lit(1)).alias("_seg_n"))
+    carry_w = Window.partitionBy(*keys).orderBy(segment_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        *keys,
+        segment_col,
+        F.coalesce(F.sum("_seg_n").over(carry_w), F.lit(0)).alias("_seg_off"),
+    )
+    return (
+        df.join(F.broadcast(offsets), [*keys, segment_col], "inner")
+        .withColumn(out_col, F.row_number().over(local_w) + F.col("_seg_off"))
+        .drop("_seg_off")
+    )
+
+
 def tumbling_count_window_avg(
     df: DataFrame,
     key_cols: ColsLike,
@@ -186,6 +226,7 @@ def tumbling_count_window_avg(
     out_col: str = "avg_value",
     cycle_col: str = "cycle",
     emit_incomplete: bool = False,
+    segment_col: str | None = None,
 ) -> DataFrame:
     """W2 — average over non-overlapping count windows per key.
 
@@ -206,12 +247,29 @@ def tumbling_count_window_avg(
     groupBy(key, cycle) conditional avg over non-trigger rows. AQE
     coalesces the second exchange; at scale the first sort dominates, same
     cost class as any ordered per-key pass.
+
+    ``segment_col`` lifts the per-key single-task numbering ceiling via
+    :func:`segmented_row_number` (parallelism keys×segments; segment
+    must be non-decreasing along ``order_cols`` within each key) —
+    output is bit-identical to the plain form.
     """
     if window_size < 1:
         raise ValueError(f"window_size must be >= 1, got {window_size}")
     cycle_len = window_size + 1
-    rn = F.row_number().over(_ordered_window(key_cols, order_cols)) - 1
-    with_cycle = df.withColumn(cycle_col, F.floor(rn / cycle_len)).withColumn("_pos", rn % cycle_len)
+    if segment_col is None:
+        numbered = df.withColumn(
+            "_rn0", F.row_number().over(_ordered_window(key_cols, order_cols)) - 1
+        )
+    else:
+        numbered = segmented_row_number(df, key_cols, order_cols, segment_col).withColumn(
+            "_rn0", F.col("_rn") - 1
+        ).drop("_rn")
+    rn = F.col("_rn0")
+    with_cycle = (
+        numbered.withColumn(cycle_col, F.floor(rn / cycle_len))
+        .withColumn("_pos", rn % cycle_len)
+        .drop("_rn0")
+    )
     agged = with_cycle.groupBy(*key_cols, cycle_col).agg(
         F.avg(F.when(F.col("_pos") < window_size, F.col(value_col))).alias(out_col),
         F.count(F.lit(1)).alias("_n"),
@@ -238,6 +296,7 @@ def rows_between_breaches(
     *,
     emit_cols: Sequence[str] | None = None,
     out_col: str = "rows_since_prev_breach",
+    segment_col: str | None = None,
 ) -> DataFrame:
     """W3 — for each row satisfying ``breach``, the number of non-breach
     rows since the previous breach (marker-based sessionization).
@@ -253,9 +312,21 @@ def rows_between_breaches(
     gap to the previous breach's row number (minus one) IS the emission.
     One window pass + one lag — no per-key list materialization, O(1)
     state per key at any scale.
+
+    ``segment_col`` routes the numbering through
+    :func:`segmented_row_number` (parallelism keys×segments instead of
+    keys; same monotone-segment precondition). The lag still windows on
+    the key alone, but only over BREACH rows — a small fraction of the
+    data — so the numbering pass was the ceiling that mattered.
     """
-    w = _ordered_window(key_cols, order_cols)
-    numbered = df.withColumn("_rn", F.row_number().over(w)).withColumn("_breach", breach)
+    if segment_col is None:
+        numbered = df.withColumn(
+            "_rn", F.row_number().over(_ordered_window(key_cols, order_cols))
+        ).withColumn("_breach", breach)
+    else:
+        numbered = segmented_row_number(df, key_cols, order_cols, segment_col).withColumn(
+            "_breach", breach
+        )
     breaches = numbered.filter(F.col("_breach"))
     prev_rn = F.lag("_rn", 1, 0).over(_ordered_window(key_cols, ["_rn"]))
     out = breaches.withColumn(out_col, (F.col("_rn") - prev_rn - 1).cast("long"))

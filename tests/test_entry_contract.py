@@ -45,3 +45,25 @@ def test_oracles_have_matching_queries():
 def test_entry_runs(spark):
     out = entrymod.entry(spark)
     assert out.count() >= 0
+
+
+def test_first_50_queries_are_the_curated_check_window():
+    """The driver correctness harness checks the FIRST 50 queries()
+    entries. Pin the curation: exactly one rows-only entry inside the
+    window (the simhash hamming sketch), every other top-50 entry
+    oracle'd — so a careless registry edit can't silently push a family
+    out of the checked window."""
+    q = list(entrymod.queries())
+    o = entrymod.oracle_sql()
+    window = q[:50]
+    missing = [n for n in window if n not in o]
+    assert missing == ["dedup_simhash_pairs"], missing
+    # representatives of every family are inside the window
+    for required in (
+        "w1_running_max_segmented", "join_salted_skew", "window_time_tumbling_events",
+        "multimodal_payload_meta", "sample_train_val_test", "functions_math_ops",
+        "sql_shipping_priority", "llm_pipeline_clean_corpus", "udf_registered_cents",
+        "udf_grouped_zscore", "text_contamination", "dedup_minhash_verified",
+        "similarity_ivf_full_probe", "similarity_lsh_recall", "pack_concat_chunks",
+    ):
+        assert required in window, f"{required} fell out of the 50-entry check window"

@@ -584,3 +584,75 @@ def test_contamination_bloom_benchmark_budget_guard(spark, docs):
     # within budget: runs fine
     out = contamination_bloom(docs, docs.limit(1), shingle_k=1, max_benchmark_shingles=10_000)
     assert out.count() >= 1
+
+
+# ------------------------------------------------------------- packing
+
+def test_pack_concat_chunks_invariants(spark):
+    """Every doc's tokens are fully assigned across its chunk rows, and
+    every chunk except each shard's last carries exactly seq_len."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        pack_concat_chunks,
+    )
+
+    rows = [(i, (i * 13) % 40 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_concat_chunks(df, "doc_id", "n", seq_len=32, num_shards=4).collect()
+    per_doc = {}
+    per_chunk = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tok"]
+        per_chunk[(r["shard"], r["chunk_id"])] = (
+            per_chunk.get((r["shard"], r["chunk_id"]), 0) + r["n_tok"]
+        )
+        assert 1 <= r["n_tok"] <= 32
+    assert per_doc == {i: (i * 13) % 40 + 1 for i in range(50)}
+    for shard in {s for s, _ in per_chunk}:
+        chunks = sorted(c for s, c in per_chunk if s == shard)
+        assert chunks == list(range(len(chunks)))  # contiguous ids from 0
+        for c in chunks[:-1]:
+            assert per_chunk[(shard, c)] == 32  # all but the tail are full
+
+
+def test_pack_concat_chunks_doc_spans_chunks(spark):
+    """A doc longer than seq_len must span consecutive chunks with the
+    right split sizes."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        pack_concat_chunks,
+    )
+
+    df = spark.createDataFrame([(0, 10), (1, 70)], "doc_id long, n long")
+    out = sorted(
+        (r["chunk_id"], r["n_tok"])
+        for r in pack_concat_chunks(df, "doc_id", "n", seq_len=32, num_shards=1)
+        .filter(F.col("doc_id") == 1)
+        .collect()
+    )
+    # doc 1 starts at offset 10: 22 in chunk 0, 32 in chunk 1, 16 in chunk 2
+    assert out == [(0, 22), (1, 32), (2, 16)]
+
+
+def test_pack_greedy_nextfit_invariants(spark):
+    """Each doc packed exactly once; no pack exceeds the budget unless
+    it is a single oversize doc; packing is deterministic."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        pack_greedy_nextfit,
+    )
+
+    rows = [(i, (i * 29) % 90 + 1) for i in range(60)] + [(100, 500)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_greedy_nextfit(df, "doc_id", "n", budget=100, num_shards=4).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(i for i, _ in rows)
+    fills = {}
+    members = {}
+    for r in out:
+        key = (r["shard"], r["pack_id"])
+        fills[key] = fills.get(key, 0) + r["n_tokens"]
+        members.setdefault(key, []).append(r)
+    for key, fill in fills.items():
+        if fill > 100:
+            assert len(members[key]) == 1 and members[key][0]["oversize"]
+    oversize = [r for r in out if r["doc_id"] == 100]
+    assert len(oversize) == 1 and oversize[0]["oversize"]
+    again = pack_greedy_nextfit(df, "doc_id", "n", budget=100, num_shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

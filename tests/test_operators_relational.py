@@ -362,3 +362,60 @@ def test_running_max_segmented_plan_shape(spark):
         for line in s.splitlines()
         if "windowspecdefinition" in line
     ), s
+
+
+def test_segmented_row_number_and_w2_w3_equivalence(spark):
+    """segmented_row_number is bit-identical to the plain per-key
+    numbering, and the W2/W3 forms built on it emit identical results."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        rows_between_breaches,
+        segmented_row_number,
+        tumbling_count_window_avg,
+    )
+    from pyspark.sql import Window
+
+    rows = [
+        (k, i, i // 7, float((i * 37 + ord(k)) % 101))
+        for k in ("a", "b")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, seg int, v double")
+
+    plain_rn = {
+        (r["k"], r["seq"]): r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("k").orderBy("seq"))
+        ).collect()
+    }
+    seg_rn = {
+        (r["k"], r["seq"]): r["_rn"]
+        for r in segmented_row_number(df, ["k"], ["seq"], "seg").collect()
+    }
+    assert seg_rn == plain_rn
+
+    w2_plain = sorted(
+        (r["k"], r["cycle"], r["avg_value"])
+        for r in tumbling_count_window_avg(df, ["k"], ["seq"], "v", window_size=10).collect()
+    )
+    w2_seg = sorted(
+        (r["k"], r["cycle"], r["avg_value"])
+        for r in tumbling_count_window_avg(
+            df, ["k"], ["seq"], "v", window_size=10, segment_col="seg"
+        ).collect()
+    )
+    assert w2_seg == w2_plain and len(w2_plain) > 0
+
+    breach = F.col("v") >= 60.0
+    w3_plain = sorted(
+        (r["k"], r["seq"], r["rows_since_prev_breach"])
+        for r in rows_between_breaches(
+            df, ["k"], ["seq"], breach=breach, emit_cols=["k", "seq"]
+        ).collect()
+    )
+    w3_seg = sorted(
+        (r["k"], r["seq"], r["rows_since_prev_breach"])
+        for r in rows_between_breaches(
+            df, ["k"], ["seq"], breach=breach, emit_cols=["k", "seq"], segment_col="seg"
+        ).collect()
+    )
+    assert w3_seg == w3_plain and len(w3_plain) > 0

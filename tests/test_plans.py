@@ -196,3 +196,12 @@ def test_new_approx_oracle_queries_no_cartesian(spark, q):
     # streamed corpus) is the documented intended plan.
     for name in ("dedup_minhash_verified", "similarity_ivf_full_probe"):
         plans.assert_no_cartesian(q[name](spark, SF))
+
+
+def test_pack_concat_chunks_no_join_single_window(spark, q):
+    """Concat-and-chunk packing is cumsum + explode: no join anywhere,
+    and the only exchange is the shard hash partitioning."""
+    df = q["pack_concat_chunks"](spark, SF)
+    s = plans.explain_str(df)
+    assert "Join" not in s, s
+    plans.assert_no_cartesian(df)
