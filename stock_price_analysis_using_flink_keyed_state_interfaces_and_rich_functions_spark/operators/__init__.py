@@ -61,6 +61,7 @@ from .similarity import (  # noqa: F401
     embedding_centroids,
     ivf_topk,
     lsh_bucketed_topk,
+    quantize_embeddings,
 )
 from .text import (  # noqa: F401
     subword_count,

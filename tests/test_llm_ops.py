@@ -656,3 +656,51 @@ def test_pack_greedy_nextfit_invariants(spark):
     assert len(oversize) == 1 and oversize[0]["oversize"]
     again = pack_greedy_nextfit(df, "doc_id", "n", budget=100, num_shards=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_quantize_embeddings_roundtrip_and_edge_cases(spark):
+    """Quantized components stay within ±levels, dequantization error is
+    bounded by scale/2 per component, zero vectors quantize to zeros
+    (scale 0) and NULL vectors stay NULL."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+    r1 = out[1]
+    assert r1["scale"] == 1.0 / 127
+    assert all(abs(q) <= 127 for q in r1["qvec"])
+    for orig, q in zip(rows[0][1], r1["qvec"]):
+        assert abs(q * r1["scale"] - orig) <= r1["scale"] / 2 + 1e-12
+    assert out[2]["scale"] == 0.0 and out[2]["qvec"] == [0, 0, 0, 0]
+    assert out[3]["scale"] is None and out[3]["qvec"] is None
+
+
+def test_quantized_topk_preserves_neighbors(spark):
+    """Re-ranking over dequantized vectors must agree with the exact
+    top-k on the overwhelming majority of neighbor slots — the quality
+    claim that justifies the 4x storage saving."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        brute_force_topk,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    deq = (
+        quantize_embeddings(emb, "vec_id", "embedding")
+        .select(
+            "vec_id",
+            F.transform("qvec", lambda q: q.cast("double") * F.col("scale")).alias("embedding"),
+        )
+    )
+    queries_exact = emb.filter(F.col("vec_id") < 5)
+    queries_deq = deq.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, queries_exact, k=5).collect()}
+    quant = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(deq, queries_deq, k=5).collect()}
+    assert len(exact & quant) / len(exact) >= 0.8

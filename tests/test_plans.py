@@ -205,3 +205,20 @@ def test_pack_concat_chunks_no_join_single_window(spark, q):
     s = plans.explain_str(df)
     assert "Join" not in s, s
     plans.assert_no_cartesian(df)
+
+
+def test_q19_disjunction_pushed_and_single_equi_join(spark, q):
+    """The OR-of-bands predicate must not explode into a union of scans:
+    one lineitem scan, one part scan, one equi-join on partkey, with the
+    part-side brand/size disjunction pushed to the part scan."""
+    df = q["sql_disjunctive_bands"](spark, SF)
+    s = plans.explain_str(df)
+    assert s.count("lineitem.parquet") == 1 and s.count("part.parquet") == 1, s
+    plans.assert_no_cartesian(df)
+    assert "PushedFilters" in s and "Brand#" in s, "part disjunction not pushed"
+
+
+def test_q22_not_exists_is_anti_join(spark, q):
+    s = plans.explain_str(q["sql_idle_rich_customers"](spark, SF))
+    assert "LeftAnti" in s, s
+    plans.assert_no_cartesian(q["sql_idle_rich_customers"](spark, SF))
