@@ -27,13 +27,17 @@ from ..schemas import QUOTES_SCHEMA, EVENTS_SCHEMA, TABLE_SCHEMAS
 
 __all__ = [
     "read_quotes_csv",
+    "read_text_lines",
+    "parse_quotes_lines",
     "read_table",
     "read_tables",
     "read_json",
+    "read_orc",
     "read_quotes_stream",
     "read_events_stream",
     "read_rate_stream",
     "write_parquet",
+    "write_orc",
     "write_bucketed_table",
     "write_stream_console",
     "write_stream_memory",
@@ -83,6 +87,39 @@ def read_quotes_csv(spark: SparkSession, path: str, with_row_id: bool = True) ->
         # a single CSV file read is one split here, giving file order.
         df = df.withColumn("row_id", F.monotonically_increasing_id())
     return df
+
+
+def read_text_lines(spark: SparkSession, path: str, with_row_id: bool = True) -> DataFrame:
+    """The reference's literal source: one row per raw text line
+    (``readTextFile``, MaximumClosingPrice.java:27-30), column ``value``.
+    Same single-file ``row_id`` contract as :func:`read_quotes_csv`."""
+    df = spark.read.text(path)
+    if with_row_id:
+        df = df.withColumn("row_id", F.monotonically_increasing_id())
+    return df
+
+
+def parse_quotes_lines(lines: DataFrame) -> DataFrame:
+    """The reference's parse stage, declaratively: drop the header by
+    content filter (``!line.contains("Date")`` —
+    MaximumClosingPrice.java:31-33), split on commas, cast positionally
+    (:35-39). Composed with :func:`read_text_lines` this IS the
+    reference's dataflow; :func:`read_quotes_csv` is the idiomatic
+    schema'd reader that replaces it. Both are pinned equal on the
+    reference CSV in pytest. Malformed/empty fields become NULL via
+    ``try_cast`` -- the PERMISSIVE-CSV behavior, without tripping ANSI
+    mode's cast errors; the column order follows QUOTES_SCHEMA."""
+    parts = F.split(F.col("value"), ",")
+    casts = []
+    for i, field in enumerate(QUOTES_SCHEMA.fields):
+        c = parts.getItem(i)
+        if field.dataType.typeName() == "string":
+            out = F.when(c == "", None).otherwise(c).cast(field.dataType)
+        else:
+            out = c.try_cast(field.dataType)
+        casts.append(out.alias(field.name))
+    keep = [c for c in lines.columns if c != "value"]
+    return lines.filter(~F.col("value").contains("Date")).select(*casts, *keep)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -183,6 +220,25 @@ def write_stream_parquet(df: DataFrame, path: str, checkpoint_dir: str, output_m
         .outputMode(output_mode)
         .start()
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC reader — same columnar posture as parquet (predicate pushdown,
+    column pruning, vectorized read). Pass a schema to skip footer
+    inference on wide directories."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:

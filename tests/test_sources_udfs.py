@@ -174,3 +174,48 @@ def test_grouped_zscore_rejects_null_values(spark):
     )
     with _pytest.raises(Exception, match="NULL|NaN"):
         grouped_zscore(df, ["k"], "v", "z").collect()
+
+
+def test_text_lines_parse_equals_csv_reader(spark, hdfc_path):
+    """The reference's literal dataflow (readTextFile → header content
+    filter → positional split/cast) must produce exactly what the
+    schema'd CSV reader produces, row for row, on the reference's own
+    file."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources import (
+        parse_quotes_lines,
+        read_quotes_csv,
+        read_text_lines,
+    )
+
+    raw = parse_quotes_lines(read_text_lines(spark, hdfc_path))
+    csv = read_quotes_csv(spark, hdfc_path)
+    assert raw.count() == csv.count() == 5204
+    cols = [f.name for f in csv.schema.fields if f.name != "row_id"]
+    a = sorted(map(tuple, raw.select(*cols).collect()))
+    b = sorted(map(tuple, csv.select(*cols).collect()))
+    assert a == b
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC round-trips the lineitem table exactly and keeps the columnar
+    contract: a filtered, projected read pushes the predicate into the
+    ORC scan."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark import plans
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources import (
+        read_orc,
+        read_table,
+        write_orc,
+    )
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    assert sorted(back.columns) == sorted(li.columns)
+    a = li.agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))).first()[0]
+    b = back.agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))).first()[0]
+    assert a == b
+    filtered = back.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    s = plans.explain_str(filtered)
+    assert "PushedFilters" in s and "l_quantity" in s, s
