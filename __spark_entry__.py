@@ -1210,10 +1210,35 @@ FROM ex
 """
 
 
+_PACK_GREEDY_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM documents
+), sh AS (
+  SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id, n,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM toks
+), fold(shard, rn, doc_id, n, pack_id, fill) AS (
+  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT), n
+  FROM sh WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.n,
+         CASE WHEN f.fill + s.n > 256 THEN f.pack_id + 1 ELSE f.pack_id END,
+         CASE WHEN f.fill + s.n > 256 THEN s.n ELSE f.fill + s.n END
+  FROM sh s JOIN fold f ON s.shard = f.shard AND s.rn = f.rn + 1
+)
+SELECT shard, pack_id, doc_id, n AS n_tokens, n > 256 AS oversize
+FROM fold
+"""
+
+
 def pack_greedy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy next-fit packing (whole docs, 256-token budget) — the
-    sequential fold is not SQL-expressible without recursion, so this
-    is a rows-only row; properties are pinned in pytest."""
+    """Greedy next-fit packing (whole docs, 256-token budget). The
+    sequential per-shard fold runs in applyInPandas on the Spark side
+    and as a linear recursive CTE in the DuckDB oracle — so even the
+    imperative packing state machine is hash-cross-checked row for
+    row."""
     from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
         pack_greedy_nextfit,
         token_count,
@@ -1845,6 +1870,42 @@ SELECT o_custkey, o_orderkey,
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100
          AS running_spend
 FROM orders
+"""
+
+
+def functions_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function family in one pass over the
+    embedding column: filter (count of positive components), exists
+    (any component above 0.9), forall (all above -1), transform +
+    aggregate (sum of squares), array_max/min. All pure Catalyst;
+    sums accumulate in array order so both engines produce identical
+    doubles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    dbl = F.transform(v, lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(dbl, lambda x: x > 0)).alias("n_pos"),
+        F.exists(dbl, lambda x: x > 0.9).alias("any_big"),
+        F.forall(dbl, lambda x: x > -1.0).alias("all_gt_neg1"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sum_sq"),
+        F.round(F.array_max(dbl), 4).alias("vmax"),
+        F.round(F.array_min(dbl), 4).alias("vmin"),
+    )
+
+
+_FUNC_ARRAY_SQL = """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS INT) AS n_pos,
+       len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.9)) > 0 AS any_big,
+       len(list_filter(embedding, x -> NOT (CAST(x AS DOUBLE) > -1.0))) = 0 AS all_gt_neg1,
+       ROUND(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq,
+       ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vmax,
+       ROUND(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vmin
+FROM embeddings
 """
 
 
@@ -2931,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functions_date_parts": functions_date_parts,
         "functions_string_ops": functions_string_ops,
         "functions_safe_arithmetic": functions_safe_arithmetic,
+        "functions_array_ops": functions_array_ops,
         "text_lang_distribution": text_lang_distribution,
         "text_fingerprint": text_fingerprint,
         "text_repetition_stats": text_repetition_stats,
@@ -3016,6 +3078,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_minhash_verified": _DEDUP_MINHASH_VERIFIED_SQL,
         "pack_concat_chunks": _PACK_CONCAT_SQL,
+        "pack_greedy_nextfit": _PACK_GREEDY_SQL,
         "similarity_bruteforce_topk": _SIM_TOPK_SQL,
         # full-probe IVF is exact by construction — brute-force oracle
         "similarity_ivf_full_probe": _SIM_TOPK_SQL,
@@ -3064,6 +3127,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_price_qty_corr": _AGG_CORR_SQL,
         "window_time_sliding_events": _WINDOW_TIME_SLIDING_SQL,
         "functions_safe_arithmetic": _FUNC_SAFE_ARITH_SQL,
+        "functions_array_ops": _FUNC_ARRAY_SQL,
         "text_top_tokens": _TEXT_TOP_TOKENS_SQL,
         "similarity_vector_norms": _SIM_NORMS_SQL,
         "events_props_map": _EVENTS_PROPS_MAP_SQL,

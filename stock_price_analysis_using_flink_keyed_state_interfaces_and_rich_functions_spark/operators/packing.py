@@ -109,8 +109,8 @@ def pack_greedy_nextfit(
     ``applyInPandas`` group — the loop touches only (id, n_tokens)
     pairs. Properties (every doc packed exactly once; no pack over
     budget except single-oversize-doc packs; determinism) are pinned in
-    pytest; the fold itself is not SQL-expressible without recursion,
-    so the driver records a rows-only check for the demo query.
+    pytest, and the demo query is additionally hash-checked against a
+    DuckDB recursive-CTE implementation of the same fold.
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")

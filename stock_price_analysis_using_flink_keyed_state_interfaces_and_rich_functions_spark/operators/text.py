@@ -114,13 +114,18 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_distribution(df: DataFrame, lang_col: str = "lang") -> DataFrame:
-    """Corpus language histogram with share-of-total (single shuffle +
-    a scalar subquery-free window total)."""
+    """Corpus language histogram with share-of-total. The total rides
+    in as a broadcast one-row cross join against the per-language
+    aggregate — not an unpartitioned window, which would funnel the
+    (already tiny) aggregate through a single-partition WindowExec and
+    trip Spark's single-partition warning."""
     counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_docs"))
-    from pyspark.sql import Window
-
-    total = F.sum("n_docs").over(Window.partitionBy())
-    return counts.withColumn("share", F.round(F.col("n_docs").cast("double") / total, 4))
+    total = counts.agg(F.sum("n_docs").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_docs").cast("double") / F.col("_total"), 4))
+        .drop("_total")
+    )
 
 
 #: Tiny per-language marker vocabularies for the n-gram/stopword

@@ -242,3 +242,103 @@ def test_contamination_bloom_superset_of_exact(spark, bench_texts, corpus_texts)
     bloom = {r["doc_id"]: r["n_bloom_hits"] for r in contamination_bloom(corpus, bench).collect()}
     for did, n in exact.items():
         assert bloom.get(did, 0) >= n, (did, bloom.get(did), n)
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.one_of(st.none(), _vals)),
+        min_size=1,
+        max_size=60,
+    ),
+    seg_every=st.integers(1, 10),
+)
+def test_segmented_forms_equal_plain_for_any_monotone_segmentation(spark, rows, seg_every):
+    """For ANY segment column that is non-decreasing along the order
+    (here seq // seg_every), the segmented running max and row_number
+    must be bit-identical to the plain windowed forms — NULLs included."""
+    from pyspark.sql import Window
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        running_max,
+        running_max_segmented,
+        segmented_row_number,
+    )
+
+    data = [(k, i, i // seg_every, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, seq int, seg int, v double")
+    plain = {
+        (r["k"], r["seq"]): r["rm"]
+        for r in running_max(df, ["k"], ["seq"], "v", "rm").collect()
+    }
+    seg = {
+        (r["k"], r["seq"]): r["rm"]
+        for r in running_max_segmented(df, ["k"], ["seq"], "v", "seg", "rm").collect()
+    }
+    assert seg == plain
+    rn_plain = {
+        (r["k"], r["seq"]): r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("k").orderBy("seq"))
+        ).collect()
+    }
+    rn_seg = {
+        (r["k"], r["seq"]): r["_rn"]
+        for r in segmented_row_number(df, ["k"], ["seq"], "seg").collect()
+    }
+    assert rn_seg == rn_plain
+
+
+@_settings
+@given(
+    counts=st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    seq_len=st.integers(1, 40),
+)
+def test_pack_concat_chunks_conservation_law(spark, counts, seq_len):
+    """Token conservation: Σ n_tok per doc == the doc's count (0-token
+    docs vanish), and per shard the chunk fills are seq_len everywhere
+    but the tail."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        pack_concat_chunks,
+    )
+
+    df = spark.createDataFrame(list(enumerate(counts)), "doc_id long, n long")
+    out = pack_concat_chunks(df, "doc_id", "n", seq_len=seq_len, num_shards=3).collect()
+    per_doc, per_chunk = {}, {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tok"]
+        per_chunk[(r["shard"], r["chunk_id"])] = (
+            per_chunk.get((r["shard"], r["chunk_id"]), 0) + r["n_tok"]
+        )
+    assert per_doc == {i: n for i, n in enumerate(counts) if n > 0}
+    for shard in {s for s, _ in per_chunk}:
+        chunks = sorted(c for s, c in per_chunk if s == shard)
+        for c in chunks[:-1]:
+            assert per_chunk[(shard, c)] == seq_len
+
+
+@_settings
+@given(
+    counts=st.lists(st.integers(0, 120), min_size=1, max_size=40),
+    budget=st.integers(1, 100),
+)
+def test_pack_greedy_nextfit_budget_law(spark, counts, budget):
+    """Every doc lands exactly once; a pack exceeds the budget only when
+    it is one oversize doc; pack ids are contiguous from 0 per shard."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        pack_greedy_nextfit,
+    )
+
+    df = spark.createDataFrame(list(enumerate(counts)), "doc_id long, n long")
+    out = pack_greedy_nextfit(df, "doc_id", "n", budget=budget, num_shards=2).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(counts)))
+    packs = {}
+    for r in out:
+        packs.setdefault((r["shard"], r["pack_id"]), []).append(r)
+    for (shard, pid), rows_in in packs.items():
+        fill = sum(r["n_tokens"] for r in rows_in)
+        if fill > budget:
+            assert len(rows_in) == 1 and rows_in[0]["oversize"]
+    for shard in {s for s, _ in packs}:
+        ids = sorted(p for s, p in packs if s == shard)
+        assert ids == list(range(len(ids)))
