@@ -2019,6 +2019,66 @@ def llm_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_distribution(kept, "lang")
 
 
+def llm_pipeline_packed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end packed-pretraining prep, fully driver-checkable:
+    quality-score the corpus → keep docs ≥ 0.5 → concat-and-chunk the
+    surviving token stream into 512-token sequences over 4 shards →
+    per-shard chunk/doc/token totals. Every stage is an operator users
+    call standalone; the whole composition is one oracle SQL."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        pack_concat_chunks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = with_quality_score(docs, "text").filter(F.col("quality_score") >= 0.5)
+    toks = kept.select("doc_id", F.col("n_tokens"))
+    chunks = pack_concat_chunks(toks, "doc_id", "n_tokens", seq_len=512, num_shards=4)
+    return chunks.groupBy("shard").agg(
+        F.count_distinct("chunk_id").alias("n_chunks"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+_LLM_PACKED_SQL = """
+WITH toks AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS tk,
+         CAST(length(text) AS BIGINT) AS n_char
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(n_char - length(regexp_replace(text, '[^\\p{L}\\p{N}_\\s]', '', 'g')) AS DOUBLE) / n_char AS punct_ratio,
+         CAST(n_char - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_char AS digit_ratio
+  FROM toks
+), kept AS (
+  SELECT doc_id, n_tokens FROM stats
+  WHERE ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+              + 0.5 * (1.0 - least(punct_ratio * 5 + digit_ratio * 5, 1.0)), 4) >= 0.5
+), sh AS (
+  SELECT CAST(doc_id % 4 AS INT) AS shard, doc_id, n_tokens AS n
+  FROM kept WHERE n_tokens > 0
+), st AS (
+  SELECT shard, doc_id, n,
+         CAST(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s
+  FROM sh
+), ex AS (
+  SELECT shard, doc_id, n, s, s + n AS e,
+         unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS chunk_id
+  FROM st
+)
+SELECT shard,
+       CAST(count(DISTINCT chunk_id) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(least(e, (chunk_id + 1) * 512) - greatest(s, chunk_id * 512)) AS BIGINT) AS n_tokens
+FROM ex
+GROUP BY shard
+"""
+
+
 def similarity_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path of embedding near-dup: multi-table hyperplane-LSH
     candidates instead of all pairs (rows-only; the exact twin
@@ -2319,12 +2379,16 @@ GROUP BY o_orderpriority
 def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-free decontamination scale path: benchmark shingles →
     broadcast Bloom filter → map-side membership counts (no corpus
-    shuffle). Same held-out split as text_contamination; its exact
-    counterpart is the no-false-negative lower bound, pinned by pytest
-    (rows-only here — a Bloom filter is not SQL-expressible)."""
+    shuffle). The benchmark here is a FIXED-SIZE set (≤100 docs at any
+    sf) — a benchmark defined as a corpus fraction would grow with the
+    corpus and eventually trip the operator's driver-collect budget,
+    which is exactly the failure mode the budget guards against. The
+    exact join counterpart is the no-false-negative lower bound, pinned
+    by pytest (rows-only here — a Bloom filter is not
+    SQL-expressible)."""
     docs = _t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 20 == 0)
-    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter((F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 2000))
+    corpus = docs.filter(~((F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 2000)))
     return contamination_bloom(corpus, bench, "doc_id", "text", shingle_k=3)
 
 
@@ -3028,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_time_hierarchy_events": rollup_time_hierarchy_events,
         "events_props_map": events_props_map,
         "llm_pipeline_pretrain_corpus": llm_pipeline_pretrain_corpus,
+        "llm_pipeline_packed_corpus": llm_pipeline_packed_corpus,
         "sample_stratified_langs": sample_stratified_langs,
     }
 
@@ -3079,6 +3144,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_verified": _DEDUP_MINHASH_VERIFIED_SQL,
         "pack_concat_chunks": _PACK_CONCAT_SQL,
         "pack_greedy_nextfit": _PACK_GREEDY_SQL,
+        "llm_pipeline_packed_corpus": _LLM_PACKED_SQL,
         "similarity_bruteforce_topk": _SIM_TOPK_SQL,
         # full-probe IVF is exact by construction — brute-force oracle
         "similarity_ivf_full_probe": _SIM_TOPK_SQL,

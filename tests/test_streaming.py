@@ -617,3 +617,43 @@ def test_stream_emits_null_not_nan(spark, tmp_path):
     assert len(vals) == 1
     assert vals[0]["avg_value"] is None
     assert out2.filter(F.isnan("avg_value")).count() == 0
+
+
+def test_running_agg_update_mode_converges_to_batch(spark, staged):
+    """The idiomatic update-mode W1: the LAST update per key across all
+    micro-batches must equal the batch final max, and earlier updates
+    must be monotonically non-decreasing (state carried, never reset)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        running_agg_update_stream,
+    )
+
+    root, batch = staged
+    agged = running_agg_update_stream(
+        _stream(spark, root), ["k"], [F.max("v").alias("max_v"), F.count(F.lit(1)).alias("n")]
+    )
+    q = (
+        agged.writeStream.format("memory")
+        .queryName("w1_update_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("w1_update_stream").collect()
+    # one update row per (key, micro-batch that touched it): 2 keys x 3 files
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["k"], []).append((r["n"], r["max_v"]))
+    expected = {
+        r["k"]: (r["n"], r["max_v"])
+        for r in batch.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.max("v").alias("max_v")
+        ).collect()
+    }
+    assert set(per_key) == set(expected)
+    for k, updates in per_key.items():
+        updates.sort()  # n grows with each micro-batch that touched the key
+        assert updates[-1] == expected[k]
+        maxes = [m for _, m in updates]
+        assert maxes == sorted(maxes)  # running max never decreases
+        assert len(updates) == 3
