@@ -419,3 +419,46 @@ def test_segmented_row_number_and_w2_w3_equivalence(spark):
         ).collect()
     )
     assert w3_seg == w3_plain and len(w3_plain) > 0
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """Empty-input law: every batch operator family returns an empty
+    (0-row) result with the right schema on empty input — no
+    first()/None crashes, no degenerate plans. (ivf_topk is the
+    documented exception: an empty corpus cannot train a quantizer and
+    raises ValueError.)"""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        exact_dedup,
+        minhash_dedup_pairs,
+        minhash_verified_pairs,
+        ngram_jaccard_pairs,
+        pack_concat_chunks,
+        pack_greedy_nextfit,
+        quantize_embeddings,
+        running_max,
+        running_max_segmented,
+        rows_between_breaches,
+        segmented_row_number,
+        simhash,
+        tumbling_count_window_avg,
+        with_quality_score,
+    )
+
+    li = spark.createDataFrame([], "k string, seq int, seg int, v double")
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+
+    assert running_max(li, ["k"], ["seq"], "v").count() == 0
+    assert running_max_segmented(li, ["k"], ["seq"], "v", "seg").count() == 0
+    assert segmented_row_number(li, ["k"], ["seq"], "seg").count() == 0
+    assert tumbling_count_window_avg(li, ["k"], ["seq"], "v", 5).count() == 0
+    assert rows_between_breaches(li, ["k"], ["seq"], breach=F.col("v") > 0, emit_cols=["k", "seq"]).count() == 0
+    assert exact_dedup(docs, ["text"], "doc_id").count() == 0
+    assert ngram_jaccard_pairs(docs, "doc_id", "text", 0.5, shingle_k=1).count() == 0
+    assert minhash_dedup_pairs(docs, "doc_id", "text").count() == 0
+    assert minhash_verified_pairs(docs, "doc_id", "text").count() == 0
+    assert simhash(docs, "doc_id", "text").count() == 0
+    assert with_quality_score(docs, "text").count() == 0
+    assert pack_concat_chunks(docs.selectExpr("doc_id", "doc_id AS n"), "doc_id", "n", 16).count() == 0
+    assert pack_greedy_nextfit(docs.selectExpr("doc_id", "doc_id AS n"), "doc_id", "n", 16).count() == 0
+    assert quantize_embeddings(emb).count() == 0

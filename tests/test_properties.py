@@ -342,3 +342,27 @@ def test_pack_greedy_nextfit_budget_law(spark, counts, budget):
     for shard in {s for s, _ in packs}:
         ids = sorted(p for s, p in packs if s == shard)
         assert ids == list(range(len(ids)))
+
+
+def test_results_invariant_to_shuffle_partitioning(spark):
+    """Determinism across parallelism: the same query must produce the
+    same multiset at 1 and at 7 shuffle partitions (summation order and
+    partition boundaries must never leak into results — the property
+    that makes sf0.01 correctness transfer to a 1000-executor layout)."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    names = ["q1_pricing_summary", "w2_count_window_avg", "dedup_exact_docs", "pack_concat_chunks"]
+    q = entrymod.queries()
+    results = {}
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("1", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            results[parts] = {
+                name: sorted(map(tuple, q[name](spark, sf).collect())) for name in names
+            }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    for name in names:
+        assert results["1"][name] == results["7"][name], name
