@@ -2953,6 +2953,224 @@ GROUP BY r_name
 """
 
 
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity features (type-token ratio, hapax
+    count) — pure higher-order array expressions, map-side, no shuffle
+    (operators/text.py:with_vocab_stats)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        with_vocab_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_vocab_stats(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "type_token_ratio", "n_hapax"
+    )
+
+
+# Oracle avoids nested list lambdas: explode + per-(doc, token)
+# frequency + aggregation replays the same contract relationally.
+_TEXT_VOCAB_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+freq AS (
+  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM freq GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_distinct_tokens, 0) AS n_distinct_tokens,
+       round(CASE WHEN coalesce(a.n_tokens, 0) > 0
+                  THEN CAST(a.n_distinct_tokens AS DOUBLE) / a.n_tokens
+                  ELSE 0.0 END, 6) AS type_token_ratio,
+       coalesce(a.n_hapax, 0) AS n_hapax
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per source by tf-idf
+    (operators/text.py:tfidf_top_terms): explode → two vocabulary-sized
+    aggregations → broadcast joins → per-group top-k window. The corpus
+    text is never shuffled; only (group, token) count rows are."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, group_col="source", k=5)
+
+
+_TEXT_TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (SELECT grp, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY grp, token),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+ng AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_groups FROM documents),
+scored AS (
+  SELECT tf.grp, tf.token, tf.tf, dfreq.df,
+         round(tf.tf * ln(ng.n_groups / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN ng
+),
+ranked AS (
+  SELECT grp, token, tf, df, score,
+         CAST(row_number() OVER (
+           PARTITION BY grp ORDER BY score DESC, tf DESC, token ASC
+         ) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT grp AS source, token, tf, df, score, rk FROM ranked WHERE rk <= 5
+"""
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality score per document
+    (operators/text.py:unigram_logprob_scores). Per-token log-probs are
+    snapped to integer micro-nats before the per-doc sum, so the
+    aggregation is exact integer math — order-independent and
+    hash-stable across engines."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs)
+
+
+_TEXT_UNIGRAM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+lp AS (
+  SELECT token, CAST(round(ln(cnt / tot.total) * 1e6) AS BIGINT) AS lp_micro
+  FROM vocab CROSS JOIN tot
+),
+per AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(lp.lp_micro) AS BIGINT) AS s
+  FROM tok t JOIN lp USING (token) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_tokens, 0) AS n_tokens,
+       round(CASE WHEN per.n_tokens > 0
+                  THEN CAST(per.s AS DOUBLE) / 1e6 / per.n_tokens END, 6) AS avg_logprob
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped distribution-of-counts: left join customer ←
+    orders, count orders per customer (0 preserved), then histogram the
+    counts. Two shuffles (join + final small groupBy on the count
+    value); the first is a plain equi-join on o_custkey that AQE can
+    skew-split. All-integer output: exactly hash-stable."""
+    for name in ("customer", "orders"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q13_{name}")
+    return spark.sql(
+        """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM _q13_customer c LEFT JOIN _q13_orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        """
+    )
+
+
+_SQL_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+def sql_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-variety count: distinct suppliers able
+    to ship each (brand, type) bucket, via the lineitem link table.
+    part is the small side → broadcast; count(DISTINCT) runs as a
+    two-phase partial/final aggregate with the (brand, type, suppkey)
+    de-dup pushed map-side."""
+    for name in ("part", "lineitem"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q16_{name}")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(_q16_part) */
+               p_brand, p_type,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM _q16_part JOIN _q16_lineitem ON p_partkey = l_partkey
+        WHERE p_size BETWEEN 10 AND 40
+        GROUP BY p_brand, p_type
+        """
+    )
+
+
+_SQL_Q16_SQL = """
+SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size BETWEEN 10 AND 40
+GROUP BY p_brand, p_type
+"""
+
+
+def sql_fully_shipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-quantifier shape (Q4's dual): orders where EVERY lineitem
+    shipped within 60 days of the order date, counted per priority.
+    Expressed as NOT EXISTS over the violating rows — Catalyst plans a
+    left-anti hash join on l_orderkey with the non-equi date predicate
+    as a join residual (no row explosion, no decorrelation cliff), then
+    a semi join to require at least one lineitem."""
+    for name in ("orders", "lineitem"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_qall_{name}")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM _qall_orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM _qall_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > date_add(o.o_orderdate, 60)
+        )
+        AND EXISTS (
+            SELECT 1 FROM _qall_lineitem l WHERE l.l_orderkey = o.o_orderkey
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_SQL_FULLY_SHIPPED_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+AND EXISTS (
+    SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+)
+GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3094,6 +3312,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_pipeline_pretrain_corpus": llm_pipeline_pretrain_corpus,
         "llm_pipeline_packed_corpus": llm_pipeline_packed_corpus,
         "sample_stratified_langs": sample_stratified_langs,
+        "text_vocab_stats": text_vocab_stats,
+        "text_tfidf_top_terms": text_tfidf_top_terms,
+        "text_unigram_logprob": text_unigram_logprob,
+        "sql_customer_distribution": sql_customer_distribution,
+        "sql_supplier_part_variety": sql_supplier_part_variety,
+        "sql_fully_shipped_orders": sql_fully_shipped_orders,
     }
 
 
@@ -3173,6 +3397,12 @@ def oracle_sql() -> dict[str, str]:
         "text_subword_budget": _TEXT_SUBWORD_SQL,
         "dedup_dup_clusters": _DUP_CLUSTERS_SQL,
         "sample_stratified_langs": _SAMPLE_STRATIFIED_SQL,
+        "text_vocab_stats": _TEXT_VOCAB_SQL,
+        "text_tfidf_top_terms": _TEXT_TFIDF_SQL,
+        "text_unigram_logprob": _TEXT_UNIGRAM_SQL,
+        "sql_customer_distribution": _SQL_Q13_SQL,
+        "sql_supplier_part_variety": _SQL_Q16_SQL,
+        "sql_fully_shipped_orders": _SQL_FULLY_SHIPPED_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,

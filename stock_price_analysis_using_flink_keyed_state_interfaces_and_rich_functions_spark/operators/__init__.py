@@ -76,6 +76,9 @@ from .text import (  # noqa: F401
     contamination_bloom,
     fingerprint_md5,
     fingerprint_ngram_min,
+    with_vocab_stats,
+    tfidf_top_terms,
+    unigram_logprob_scores,
 )
 from .multimodal import (  # noqa: F401
     attach_payload,

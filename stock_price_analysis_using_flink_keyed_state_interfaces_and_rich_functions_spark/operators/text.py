@@ -35,6 +35,9 @@ __all__ = [
     "contamination_bloom",
     "fingerprint_md5",
     "fingerprint_ngram_min",
+    "with_vocab_stats",
+    "tfidf_top_terms",
+    "unigram_logprob_scores",
     "DEFAULT_LANG_MARKERS",
 ]
 
@@ -445,3 +448,140 @@ def fingerprint_ngram_min(
         f"i -> md5(substr(`{text_col}`, i, {k})))"
     )
     return df.withColumn(out_col, F.array_min(grams))
+
+
+def with_vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document vocabulary statistics: token count, distinct-token
+    count, type-token ratio, and hapax-legomena count (tokens occurring
+    exactly once in the document) — the classic lexical-diversity
+    features for corpus curation.
+
+    Pure higher-order array expressions, fully map-side: no explode, no
+    shuffle, whole-stage-codegen'd. The hapax count is O(n^2) per doc in
+    the worst case (nested filter), fine for prose-length documents; for
+    book-length texts use the exploded ``unigram_logprob_scores`` path
+    and aggregate instead.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    # hapax: distinct tokens whose in-document frequency is exactly 1.
+    hapax = F.size(
+        F.filter(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda u: u == t)) == 1,
+        )
+    ).cast("long")
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_distinct_tokens", n_distinct)
+        .withColumn(
+            "type_token_ratio",
+            F.round(
+                F.when(n_tok > 0, n_distinct.cast("double") / n_tok).otherwise(F.lit(0.0)), 6
+            ),
+        )
+        .withColumn("n_hapax", hapax)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k distinctive terms per group by tf-idf: tf = term count
+    within the group, df = number of distinct groups containing the
+    term, score = tf * ln(N/df) with N = number of groups.
+
+    Shape at 100 TB: one explode + two hash aggregations (both with
+    map-side partial agg on small keys — the token strings), a join of
+    two *aggregated* (vocabulary-sized, not corpus-sized) tables, and a
+    per-group top-k window over vocabulary-sized input. The corpus text
+    itself is never shuffled; N arrives via a broadcast single-row cross
+    join, never a driver collect.
+
+    Determinism: rank orders by (score DESC, tf DESC, token ASC); score
+    ties across *different* (tf, df) pairs would need ln values equal to
+    the last ulp, so the integer tiebreak makes the top-k stable across
+    engines. Score is emitted rounded to 6 decimals.
+    """
+    toks = df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("token"))
+    tf = toks.groupBy("grp", "token").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    n_groups = df.select(F.count_distinct(F.col(group_col)).cast("double").alias("n_groups"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn("score", F.round(F.col("tf") * F.log(F.col("n_groups") / F.col("df")), 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.desc("tf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(F.col("grp").alias(group_col), "token", "tf", "df", "score", "rk")
+    )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style unigram language-model quality score: build corpus
+    unigram probabilities p(t) = count(t) / total, then score each
+    document by the average log-probability of its tokens. Lower (more
+    negative) = rarer vocabulary = flagged for review; higher = common
+    prose.
+
+    Numeric determinism contract: per-token log-probs are snapped to
+    integer micro-nats (round(ln(p) * 1e6) as BIGINT) *before* the
+    per-document sum, so the aggregation is exact integer arithmetic —
+    associative, order-independent, and bit-identical across engines;
+    only the final display division returns to double. A float sum here
+    would make the hash depend on Spark's vs the oracle's reduction
+    order.
+
+    Shape at 100 TB: explode → vocabulary aggregation (map-side partial
+    agg; output is vocabulary-sized) → broadcast join of the vocabulary
+    back onto the exploded tokens → per-doc integer sum. The only
+    all-corpus shuffle is the per-doc groupBy, which is the output
+    cardinality. Total token count arrives via broadcast cross join.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    total = vocab.select(F.sum("cnt").cast("double").alias("total"))
+    vocab_lp = (
+        vocab.crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp_micro",
+            F.round(F.log(F.col("cnt") / F.col("total")) * 1e6).cast("long"),
+        )
+        .select("token", "lp_micro")
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab_lp), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lp_micro").cast("long").alias("lp_micro_sum"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("lp_micro_sum").cast("double") / 1e6 / F.col("n_tokens"),
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

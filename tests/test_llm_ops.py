@@ -704,3 +704,98 @@ def test_quantized_topk_preserves_neighbors(spark):
     exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, queries_exact, k=5).collect()}
     quant = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(deq, queries_deq, k=5).collect()}
     assert len(exact & quant) / len(exact) >= 0.8
+
+
+# ------------------------------------------- vocab / tfidf / unigram-LM
+
+def test_vocab_stats_ground_truth(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        with_vocab_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "x x x"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in with_vocab_stats(df).collect()}
+    # doc 1: tokens [a b a c] → 4 tokens, 3 distinct, hapax {b, c} = 2
+    assert got[1]["n_tokens"] == 4 and got[1]["n_distinct_tokens"] == 3
+    assert got[1]["n_hapax"] == 2
+    assert got[1]["type_token_ratio"] == 0.75
+    # doc 2: all same token → 0 hapax
+    assert got[2]["n_tokens"] == 3 and got[2]["n_distinct_tokens"] == 1 and got[2]["n_hapax"] == 0
+    # empty / NULL text → all-zero stats, never NULL
+    for d in (3, 4):
+        assert got[d]["n_tokens"] == 0 and got[d]["n_hapax"] == 0
+        assert got[d]["type_token_ratio"] == 0.0
+
+
+def test_tfidf_unique_term_ranks_first(spark):
+    import math
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "g1", "shared shared zebra zebra zebra"),
+            (2, "g2", "shared shared yak"),
+            (3, "g3", "shared quokka"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = tfidf_top_terms(df, group_col="source", k=2).collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["source"], []).append(r)
+    for g in by_grp:
+        by_grp[g].sort(key=lambda r: r["rk"])
+    # 'shared' appears in all 3 groups → idf = ln(3/3) = 0 → score 0;
+    # each group's unique term must outrank it.
+    assert by_grp["g1"][0]["token"] == "zebra"
+    assert by_grp["g2"][0]["token"] == "yak"
+    assert by_grp["g3"][0]["token"] == "quokka"
+    z = by_grp["g1"][0]
+    assert z["tf"] == 3 and z["df"] == 1
+    assert z["score"] == round(3 * math.log(3.0), 6)
+    shared = by_grp["g2"][1]
+    assert shared["token"] == "shared" and shared["score"] == 0.0
+
+
+def test_unigram_logprob_uniform_and_skewed(spark):
+    import math
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        unigram_logprob_scores,
+    )
+
+    # corpus: 4 tokens total — 'a' x3 (p=3/4), 'b' x1 (p=1/4)
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob_scores(df).collect()}
+    lp = lambda p: round(math.log(p) * 1e6) / 1e6  # noqa: E731 — micro-nat snap
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["avg_logprob"] == round(lp(0.75), 6)
+    assert got[2]["avg_logprob"] == round(lp(0.25), 6)
+    # empty doc survives the left join with 0 tokens and NULL score
+    assert got[3]["n_tokens"] == 0 and got[3]["avg_logprob"] is None
+
+
+def test_tfidf_and_unigram_plans_have_no_cartesian_blowup(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        tfidf_top_terms,
+        unigram_logprob_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g1", "a b c"), (2, "g2", "b c d")],
+        "doc_id long, source string, text string",
+    )
+    # the single-row N / total cross joins must plan as broadcast
+    # nested loop over ONE row, never a shuffled cartesian product.
+    for plan_df in (tfidf_top_terms(df), unigram_logprob_scores(df)):
+        p = plan_df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p
