@@ -3171,6 +3171,133 @@ GROUP BY o_orderpriority
 """
 
 
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixture (n^0.75 smoothing, the
+    multilingual-pretraining standard): per-language keep-rates computed
+    FROM the data entirely in-plan (tiny count aggregate broadcast back
+    onto the scan — no collect), membership by deterministic key hash
+    (operators/sampling.py:temperature_mixture_sample)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mixture_sample(
+        docs, "lang", ["doc_id"], target_rows=250, alpha=0.75, seed=_MIX_SEED
+    ).select("doc_id", "lang", "source", "keep_rate_micro")
+
+
+_SAMPLE_TEMPERATURE_SQL = f"""
+WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+z AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.75)) AS z FROM counts),
+rates AS (
+  SELECT lang, n,
+         CAST(round(least(250.0 * pow(CAST(n AS DOUBLE), 0.75) / z.z / n, 1.0) * 1e6) AS BIGINT)
+           AS keep_rate_micro
+  FROM counts CROSS JOIN z
+),
+thr AS (
+  SELECT lang, keep_rate_micro,
+         printf('%08x', keep_rate_micro * 4294967296 // 1000000) AS thr_hex
+  FROM rates
+)
+SELECT d.doc_id, d.lang, d.source, t.keep_rate_micro
+FROM documents d JOIN thr t USING (lang)
+WHERE t.keep_rate_micro >= 1000000
+   OR substr(md5(CAST(length(CAST(d.doc_id AS VARCHAR)) AS VARCHAR) || ':' ||
+                 CAST(d.doc_id AS VARCHAR) || '{_MIX_SEED}'), 1, 8) < t.thr_hex
+"""
+
+
+def text_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering by per-language quantile: drop each language's
+    bottom quartile by quality score. The cutoff is the EXACT
+    interpolated 25th percentile over integer micro-unit scores — with
+    p = 0.25 every interpolation term ((n-1)/4 fraction, (b-a)·f
+    product) is exactly representable in binary, so both engines derive
+    the identical cutoff and the filter boundary cannot flip. Shape:
+    one #langs-row aggregate broadcast back onto a map-side scan."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        with_quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(docs).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("quality_score") * 1e4).cast("long").alias("q_micro"),
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.percentile(F.col("q_micro"), F.lit(0.25)).alias("_cut")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .filter(F.col("q_micro") >= F.col("_cut"))
+        .select(
+            "doc_id",
+            "lang",
+            "q_micro",
+            F.round(F.col("_cut") * 4).cast("long").alias("cutoff_q4"),
+        )
+    )
+
+
+# replays the exact quality formula (the operator contract) inline, then
+# the same type-7 interpolated quartile via quantile_cont.
+_TEXT_QUALITY_QUANTILE_SQL = r"""
+WITH stats AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         length(coalesce(text, '')) AS n_char,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[^\p{L}\p{N}_\s]', '', 'g')) AS punct,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS digits
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(round(round(
+           0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         + 0.5 * (1.0 - least(
+             round(CASE WHEN n_char > 0 THEN CAST(punct AS DOUBLE) / n_char ELSE 0.0 END, 4) * 5.0
+           + round(CASE WHEN n_char > 0 THEN CAST(digits AS DOUBLE) / n_char ELSE 0.0 END, 4) * 5.0,
+             1.0)), 4) * 1e4) AS BIGINT) AS q_micro
+  FROM stats
+),
+cuts AS (
+  SELECT lang, quantile_cont(q_micro, 0.25) AS _cut FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.q_micro, CAST(round(c._cut * 4) AS BIGINT) AS cutoff_q4
+FROM scored s JOIN cuts c USING (lang)
+WHERE s.q_micro >= c._cut
+"""
+
+
+def window_ntile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment per order priority (ntile — the remaining
+    standard window function): deterministic total order via the
+    (totalprice, orderkey) tiebreak. All-integer output."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+_WINDOW_NTILE_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(10) OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY o_totalprice DESC, o_orderkey ASC
+       ) AS BIGINT) AS decile
+FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3318,6 +3445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_customer_distribution": sql_customer_distribution,
         "sql_supplier_part_variety": sql_supplier_part_variety,
         "sql_fully_shipped_orders": sql_fully_shipped_orders,
+        "sample_temperature_mix": sample_temperature_mix,
+        "text_quality_quantile_filter": text_quality_quantile_filter,
+        "window_ntile_orders": window_ntile_orders,
     }
 
 
@@ -3403,6 +3533,9 @@ def oracle_sql() -> dict[str, str]:
         "sql_customer_distribution": _SQL_Q13_SQL,
         "sql_supplier_part_variety": _SQL_Q16_SQL,
         "sql_fully_shipped_orders": _SQL_FULLY_SHIPPED_SQL,
+        "sample_temperature_mix": _SAMPLE_TEMPERATURE_SQL,
+        "text_quality_quantile_filter": _TEXT_QUALITY_QUANTILE_SQL,
+        "window_ntile_orders": _WINDOW_NTILE_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,

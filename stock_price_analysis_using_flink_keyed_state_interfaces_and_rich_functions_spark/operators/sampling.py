@@ -126,3 +126,63 @@ def hash_sample_stratified(
     for value, rate in sorted(rates.items()):
         threshold = F.when(F.col(strata_col) == value, F.lit(rate_to_hex(rate))).otherwise(threshold)
     return df.filter(hash_bucket_hex(key_cols, seed) < threshold)
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_cols: Sequence[str],
+    target_rows: int,
+    alpha: float = 0.75,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-weighted corpus mixture (the multilingual-pretraining
+    standard, e.g. mBERT/XLM-R exponent-smoothed sampling): stratum s
+    gets probability mass ∝ n_s^alpha, so low-resource strata are
+    upsampled relative to their natural share as alpha → 0. Per-stratum
+    keep-rate is r_s = min(1, target_rows · n_s^alpha / Σ n^alpha / n_s);
+    membership is then decided by the same deterministic key hash as
+    :func:`hash_sample` — reproducible across engines and retries.
+
+    Unlike :func:`hash_sample_stratified` the rates are computed FROM
+    the data, entirely in-plan: stratum counts are a tiny aggregate
+    (cardinality = #strata) broadcast back onto the scan — no
+    ``collect()``, so the operator composes into a single lazy plan and
+    survives a 100 TB corpus (the scan stays embarrassingly parallel;
+    the only shuffle is the #strata-row count aggregate).
+
+    Determinism contract: the float rate is snapped to integer
+    micro-units (round(r·1e6) AS BIGINT) and the hex keep-threshold is
+    derived with pure BIGINT arithmetic (r_micro · 2³² div 10⁶ →
+    '%08x'), so engines agree exactly once they agree on r_micro; the
+    emitted ``keep_rate_micro`` column makes the rate auditable.
+    """
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    counts = df.groupBy(strata_col).agg(F.count("*").cast("long").alias("_n"))
+    z = counts.agg(F.sum(F.pow(F.col("_n").cast("double"), F.lit(alpha))).alias("_z"))
+    rates = (
+        counts.crossJoin(F.broadcast(z))
+        .withColumn(
+            "_r",
+            F.least(
+                F.lit(float(target_rows))
+                * F.pow(F.col("_n").cast("double"), F.lit(alpha))
+                / F.col("_z")
+                / F.col("_n"),
+                F.lit(1.0),
+            ),
+        )
+        .withColumn("keep_rate_micro", F.round(F.col("_r") * 1e6).cast("long"))
+        .withColumn(
+            "_thr_hex",
+            F.format_string("%08x", F.expr("keep_rate_micro * 4294967296L div 1000000L")),
+        )
+        .select(strata_col, "keep_rate_micro", "_thr_hex")
+    )
+    bucket = hash_bucket_hex(key_cols, seed)
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter((F.col("keep_rate_micro") >= 1000000) | (bucket < F.col("_thr_hex")))
+        .drop("_thr_hex")
+    )

@@ -799,3 +799,37 @@ def test_tfidf_and_unigram_plans_have_no_cartesian_blowup(spark):
     for plan_df in (tfidf_top_terms(df), unigram_logprob_scores(df)):
         p = plan_df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
+
+
+def test_temperature_mixture_sample(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, grp string")  # big=900, small=100
+    out = temperature_mixture_sample(df, "grp", ["id"], target_rows=300, alpha=0.5)
+    rates = {r["grp"]: r["keep_rate_micro"] for r in out.select("grp", "keep_rate_micro").distinct().collect()}
+    # alpha=0.5: w ∝ sqrt(n) → rate_small/rate_big = sqrt(900/100) = 3
+    assert rates["small"] == 3 * rates["big"]
+    # deterministic under repartitioning
+    s1 = {r["id"] for r in out.collect()}
+    s2 = {r["id"] for r in temperature_mixture_sample(df.repartition(17), "grp", ["id"], 300, alpha=0.5).collect()}
+    assert s1 == s2
+    # target far above corpus size → every stratum saturates at rate 1 and ALL rows survive
+    full = temperature_mixture_sample(df, "grp", ["id"], target_rows=10**6)
+    assert full.count() == 1000
+    with pytest.raises(ValueError):
+        temperature_mixture_sample(df, "grp", ["id"], target_rows=0)
+
+
+def test_temperature_mixture_plan_is_broadcast(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    df = spark.createDataFrame([(i, "a") for i in range(10)], "id long, grp string")
+    p = temperature_mixture_sample(df, "grp", ["id"], 5)._jdf.queryExecution().executedPlan().toString()
+    # the rates side must come back as a broadcast, never a shuffled join
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
