@@ -3298,6 +3298,68 @@ FROM orders
 """
 
 
+def join_interval_overlap_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join
+    (operators/joins.py:interval_overlap_join): pairs of same-nation
+    customers whose order-activity windows [first order, first order +
+    3·n_orders days) intersect. Bucketized equi-join + first-shared-
+    bucket residual — each overlapping pair reported exactly once with
+    no distinct pass and no cross product. All-integer output."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    spans = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.datediff(F.min("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("lo"),
+            (
+                F.datediff(F.min("o_orderdate"), F.lit("1970-01-01"))
+                + 3 * F.count("*")
+            ).cast("long").alias("hi"),
+        )
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("o_custkey").alias("custkey"), F.col("c_nationkey").alias("nationkey"), "lo", "hi")
+    )
+    a = spans.select(
+        "nationkey",
+        F.col("custkey").alias("a_cust"),
+        F.col("lo").alias("a_lo"),
+        F.col("hi").alias("a_hi"),
+    )
+    b = spans.select(
+        "nationkey",
+        F.col("custkey").alias("b_cust"),
+        F.col("lo").alias("b_lo"),
+        F.col("hi").alias("b_hi"),
+    )
+    return interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=30, key_cols=["nationkey"]
+    ).filter(F.col("a_cust") < F.col("b_cust"))
+
+
+_JOIN_INTERVAL_OVERLAP_SQL = """
+WITH spans AS (
+  SELECT o_custkey AS custkey,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(min(o_orderdate) AS DATE)) AS BIGINT) AS lo,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(min(o_orderdate) AS DATE)) + 3 * count(*) AS BIGINT) AS hi
+  FROM orders GROUP BY o_custkey
+),
+sp AS (
+  SELECT s.custkey, c.c_nationkey AS nationkey, s.lo, s.hi
+  FROM spans s JOIN customer c ON s.custkey = c.c_custkey
+)
+SELECT a.nationkey, a.custkey AS a_cust, a.lo AS a_lo, a.hi AS a_hi,
+       b.custkey AS b_cust, b.lo AS b_lo, b.hi AS b_hi
+FROM sp a JOIN sp b
+  ON a.nationkey = b.nationkey
+ AND a.custkey < b.custkey
+ AND a.lo < b.hi AND b.lo < a.hi
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3448,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature_mix": sample_temperature_mix,
         "text_quality_quantile_filter": text_quality_quantile_filter,
         "window_ntile_orders": window_ntile_orders,
+        "join_interval_overlap_activity": join_interval_overlap_activity,
     }
 
 
@@ -3536,6 +3599,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature_mix": _SAMPLE_TEMPERATURE_SQL,
         "text_quality_quantile_filter": _TEXT_QUALITY_QUANTILE_SQL,
         "window_ntile_orders": _WINDOW_NTILE_SQL,
+        "join_interval_overlap_activity": _JOIN_INTERVAL_OVERLAP_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,

@@ -31,6 +31,7 @@ __all__ = [
     "anti_join",
     "asof_join",
     "range_join_bucketed",
+    "interval_overlap_join",
     "salted_join",
 ]
 
@@ -209,3 +210,62 @@ def range_join_bucketed(
         (F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) < F.col(right_hi))
     )
     return joined.drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Interval × interval overlap join: every (left, right) pair whose
+    half-open intervals intersect (``l_lo < r_hi AND r_lo < l_hi``),
+    without a cross product. Both sides explode their interval into the
+    fixed-width buckets it covers, equi-join on (keys, bucket), then
+    apply the overlap residual.
+
+    Exactly-once without a distinct shuffle: a pair overlapping k shared
+    buckets would appear k times, so the residual additionally requires
+    the matched bucket to be the FIRST bucket both intervals cover —
+    ``bucket == greatest(floor(l_lo/w), floor(r_lo/w))`` — which holds
+    for exactly one bucket per overlapping pair (the first-overlap
+    bucket trick from spatial bin joins; no dropDuplicates pass over the
+    full join output).
+
+    Scale: each interval produces ~(len/bucket_width + 1) bucket rows —
+    pick ``bucket_width`` ≈ the typical interval length so the blow-up
+    is O(1) per row. The join is a plain equi-join on (keys, bucket):
+    AQE can skew-split hot buckets, and the worst case degrades to the
+    per-bucket pair density (which is output-bounded), never to |L|·|R|.
+    Intervals with hi <= lo are empty and dropped (they can overlap
+    nothing under strict-inequality overlap).
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    keys = list(key_cols)
+
+    def _explode(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        lo_b = F.floor(F.col(lo) / bucket_width)
+        hi_b = F.floor(F.col(hi) / bucket_width)
+        return df.filter(F.col(hi) > F.col(lo)).withColumn(
+            "_bucket", F.explode(F.sequence(lo_b, hi_b))
+        )
+
+    lb = _explode(left, left_lo, left_hi)
+    rb = _explode(right, right_lo, right_hi)
+    first_shared = F.greatest(
+        F.floor(F.col(left_lo) / bucket_width), F.floor(F.col(right_lo) / bucket_width)
+    )
+    return (
+        lb.join(rb, keys + ["_bucket"], "inner")
+        .filter(
+            (F.col(left_lo) < F.col(right_hi))
+            & (F.col(right_lo) < F.col(left_hi))
+            & (F.col("_bucket") == first_shared)
+        )
+        .drop("_bucket")
+    )

@@ -462,3 +462,65 @@ def test_operators_tolerate_empty_inputs(spark):
     assert pack_concat_chunks(docs.selectExpr("doc_id", "doc_id AS n"), "doc_id", "n", 16).count() == 0
     assert pack_greedy_nextfit(docs.selectExpr("doc_id", "doc_id AS n"), "doc_id", "n", 16).count() == 0
     assert quantize_embeddings(emb).count() == 0
+
+
+def test_interval_overlap_join_ground_truth(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 0, 10), (2, 20, 30), (3, 5, 6)], "aid long, a_lo long, a_hi long"
+    )
+    b = spark.createDataFrame(
+        [(10, 8, 25), (11, 30, 40), (12, 50, 50)], "bid long, b_lo long, b_hi long"
+    )
+    got = sorted(
+        (r["aid"], r["bid"])
+        for r in interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 7.0).collect()
+    )
+    # [0,10)×[8,25) overlap; [20,30)×[8,25) overlap; [20,30)×[30,40) do NOT
+    # (half-open); [5,6)×[8,25) no; empty [50,50) matches nothing
+    assert got == [(1, 10), (2, 10)]
+
+
+def test_interval_overlap_join_exactly_once_matches_naive(spark):
+    """Property: bucketized result == naive inequality join, each pair
+    exactly once, for intervals spanning many buckets (bucket dedup path)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    import itertools
+
+    rows_a = [(i, (i * 37) % 50, (i * 37) % 50 + 1 + (i * 13) % 40) for i in range(40)]
+    rows_b = [(j, (j * 29) % 60, (j * 29) % 60 + 1 + (j * 11) % 35) for j in range(40)]
+    a = spark.createDataFrame(rows_a, "aid long, a_lo long, a_hi long")
+    b = spark.createDataFrame(rows_b, "bid long, b_lo long, b_hi long")
+    naive = sorted(
+        (ai, bj)
+        for (ai, alo, ahi), (bj, blo, bhi) in itertools.product(rows_a, rows_b)
+        if alo < bhi and blo < ahi
+    )
+    for width in (1.0, 3.0, 10.0, 100.0):
+        got = [
+            (r["aid"], r["bid"])
+            for r in interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", width).collect()
+        ]
+        assert sorted(got) == naive, f"width={width}"
+        assert len(got) == len(set(got)), f"duplicate pairs at width={width}"
+
+
+def test_interval_overlap_join_no_cartesian_and_validates(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame([(1, "k", 0, 5)], "aid long, k string, a_lo long, a_hi long")
+    b = spark.createDataFrame([(2, "k", 3, 9)], "bid long, k string, b_lo long, b_hi long")
+    out = interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 4.0, key_cols=["k"])
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert [(r["aid"], r["bid"]) for r in out.collect()] == [(1, 2)]
+    with pytest.raises(ValueError):
+        interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 0.0)
