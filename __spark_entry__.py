@@ -3360,6 +3360,97 @@ FROM sp a JOIN sp b
 """
 
 
+def dedup_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup ratio (operators/dedup.py:chunk_dup_ratio):
+    20-token chunks hashed corpus-wide; per-doc duplicated-chunk
+    fraction. Only digests are shuffled, never text."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        chunk_dup_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_dup_ratio(docs, chunk_tokens=20)
+
+
+_DEDUP_CHUNK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+c AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, i*20 + 1, (i+1)*20), ' ')) AS h
+  FROM t, unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS u(i)
+),
+freq AS (SELECT h, count(*) AS f FROM c GROUP BY h),
+agg AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN f.f > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+  FROM c JOIN freq f USING (h) GROUP BY c.doc_id
+)
+SELECT doc_id, n_chunks, n_dup_chunks,
+       round(CAST(n_dup_chunks AS DOUBLE) / n_chunks, 6) AS dup_chunk_ratio
+FROM agg
+"""
+
+
+def sample_importance_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering: keep probability ∝ quality-score²
+    (FineWeb-style importance sampling) via the per-row-rate hash
+    sampler (operators/sampling.py:hash_sample_by_rate). The rate is
+    derived in exact BIGINT math from basis-point scores — q_bp² div
+    100 maps [0, 10⁴] onto [0, 10⁶] micro-units — so both engines agree
+    on every row's threshold bit-for-bit."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        hash_sample_by_rate,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        with_quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(docs).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("quality_score") * 1e4).cast("long").alias("q_bp"),
+    )
+    rated = scored.withColumn("rate_micro", F.expr("q_bp * q_bp div 100L"))
+    return hash_sample_by_rate(rated, "rate_micro", ["doc_id"], seed=_MIX_SEED).select(
+        "doc_id", "lang", "q_bp", "rate_micro"
+    )
+
+
+_SAMPLE_IMPORTANCE_SQL = rf"""
+WITH stats AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         length(coalesce(text, '')) AS n_char,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[^\p{{L}}\p{{N}}_\s]', '', 'g')) AS punct,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS digits
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(round(round(
+           0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         + 0.5 * (1.0 - least(
+             round(CASE WHEN n_char > 0 THEN CAST(punct AS DOUBLE) / n_char ELSE 0.0 END, 4) * 5.0
+           + round(CASE WHEN n_char > 0 THEN CAST(digits AS DOUBLE) / n_char ELSE 0.0 END, 4) * 5.0,
+             1.0)), 4) * 1e4) AS BIGINT) AS q_bp
+  FROM stats
+),
+rated AS (SELECT doc_id, lang, q_bp, (q_bp * q_bp) // 100 AS rate_micro FROM scored)
+SELECT doc_id, lang, q_bp, rate_micro
+FROM rated
+WHERE rate_micro >= 1000000
+   OR (rate_micro > 0 AND
+       substr(md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' ||
+                  CAST(doc_id AS VARCHAR) || '{_MIX_SEED}'), 1, 8)
+         < printf('%08x', rate_micro * 4294967296 // 1000000))
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3511,6 +3602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_quantile_filter": text_quality_quantile_filter,
         "window_ntile_orders": window_ntile_orders,
         "join_interval_overlap_activity": join_interval_overlap_activity,
+        "dedup_chunk_ratio": dedup_chunk_ratio,
+        "sample_importance_quality": sample_importance_quality,
     }
 
 
@@ -3600,6 +3693,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_quantile_filter": _TEXT_QUALITY_QUANTILE_SQL,
         "window_ntile_orders": _WINDOW_NTILE_SQL,
         "join_interval_overlap_activity": _JOIN_INTERVAL_OVERLAP_SQL,
+        "dedup_chunk_ratio": _DEDUP_CHUNK_SQL,
+        "sample_importance_quality": _SAMPLE_IMPORTANCE_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,

@@ -585,3 +585,58 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def chunk_dup_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Chunk-level exact dedup ratio (the token-chunk adaptation of
+    exact-substring training-data dedup, à la "Deduplicating Training
+    Data Makes Language Models Better"): split each document into
+    consecutive ``chunk_tokens``-token chunks, hash each chunk, count
+    corpus-wide chunk frequency, and report per document how many of its
+    chunks occur more than once corpus-wide (including repeats within
+    the same document — self-plagiarized boilerplate counts).
+    ``dup_chunk_ratio`` near 1 = the
+    document is assembled from boilerplate; filter or strip before
+    training.
+
+    Returns (id, n_chunks, n_dup_chunks, dup_chunk_ratio) for every
+    document with ≥1 token.
+
+    Scale shape: chunking is map-side (higher-order slice over the token
+    array, no UDF); the corpus-wide frequency is one groupBy over md5
+    chunk digests (32-byte keys, map-side partial agg); the join back is
+    digest-keyed. Nothing is ever quadratic and raw text is never
+    shuffled — only digests. A 100 TB corpus yields ~|tokens|/chunk_size
+    digest rows, the same order as a shingle pass.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    toks = _tokens(text_col)
+    n_chunks_expr = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks_expr - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens))),
+    )
+    # split('') returns [''] (size 1), so guard on trimmed LENGTH — an
+    # empty/whitespace/NULL doc has no chunks, not one empty chunk.
+    exploded = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), F.explode(chunks).alias("_h")
+    )
+    freq = exploded.groupBy("_h").agg(F.count("*").cast("long").alias("_f"))
+    return (
+        exploded.join(freq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("_f") > 1, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_chunk_ratio",
+            F.round(F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 6),
+        )
+    )

@@ -26,7 +26,15 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket_hex", "hash_sample", "hash_sample_stratified", "hash_split", "rate_to_hex"]
+__all__ = [
+    "hash_bucket_hex",
+    "hash_sample",
+    "hash_sample_stratified",
+    "hash_split",
+    "hash_sample_by_rate",
+    "temperature_mixture_sample",
+    "rate_to_hex",
+]
 
 _HEX_SPACE = 16**8
 
@@ -186,3 +194,33 @@ def temperature_mixture_sample(
         .filter((F.col("keep_rate_micro") >= 1000000) | (bucket < F.col("_thr_hex")))
         .drop("_thr_hex")
     )
+
+
+def hash_sample_by_rate(
+    df: DataFrame,
+    rate_micro_col: str | Column,
+    key_cols: Sequence[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-ROW keep-rate sampling: each row survives with its own
+    probability, given as integer micro-units in [0, 1_000_000] (the
+    soft/importance-sampling primitive — e.g. keep probability ∝
+    quality-score², FineWeb-style, with the rate derived in exact
+    integer arithmetic so every engine agrees on it bit-for-bit).
+
+    Still a pure deterministic scan: the row's hash bucket is compared
+    against a hex threshold derived from its own rate with BIGINT-only
+    math (rate·2³² div 10⁶ → '%08x'). Rows with rate ≥ 10⁶ are kept
+    unconditionally; NULL/negative rates drop the row (explicit zero).
+    """
+    if "_rate_micro" in df.columns:
+        raise ValueError("hash_sample_by_rate: '_rate_micro' column name is reserved")
+    r = F.col(rate_micro_col) if isinstance(rate_micro_col, str) else rate_micro_col
+    with_rate = df.withColumn("_rate_micro", F.coalesce(r.cast("long"), F.lit(0).cast("long")))
+    # `div` is exact BIGINT division — a float `/` + floor here can land
+    # one off near integer boundaries and disagree with the oracle's `//`.
+    thr_hex = F.format_string("%08x", F.expr("_rate_micro * 4294967296L div 1000000L"))
+    bucket = hash_bucket_hex(key_cols, seed)
+    return with_rate.filter(
+        (F.col("_rate_micro") >= 1000000) | ((F.col("_rate_micro") > 0) & (bucket < thr_hex))
+    ).drop("_rate_micro")

@@ -833,3 +833,64 @@ def test_temperature_mixture_plan_is_broadcast(spark):
     # the rates side must come back as a broadcast, never a shuffled join
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_chunk_dup_ratio_ground_truth(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        chunk_dup_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # chunks: [a b], [c d]
+            (2, "a b x y"),   # chunks: [a b], [x y] — shares [a b] with doc 1
+            (3, "q r"),       # unique chunk
+            (4, "c d c d"),   # self-repeat: [c d] twice (also shared with doc 1)
+            (5, ""),          # no tokens → excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in chunk_dup_ratio(df, chunk_tokens=2).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1]["n_chunks"], got[1]["n_dup_chunks"]) == (2, 2)  # both chunks shared
+    assert (got[2]["n_chunks"], got[2]["n_dup_chunks"]) == (2, 1)
+    assert got[2]["dup_chunk_ratio"] == 0.5
+    assert (got[3]["n_chunks"], got[3]["n_dup_chunks"]) == (1, 0)
+    assert (got[4]["n_chunks"], got[4]["n_dup_chunks"]) == (2, 2)  # self-repeats count
+    with pytest.raises(ValueError):
+        chunk_dup_ratio(df, chunk_tokens=0)
+
+
+def test_chunk_dup_ratio_tail_chunk_is_separate(spark):
+    """A 5-token doc at chunk size 2 yields chunks [t1 t2], [t3 t4], [t5]
+    — the short tail hashes separately and never aliases a full chunk."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        chunk_dup_ratio,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e"), (2, "e")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in chunk_dup_ratio(df, chunk_tokens=2).collect()}
+    assert got[1]["n_chunks"] == 3
+    # doc 1's tail chunk "e" == doc 2's only chunk → both marked dup
+    assert got[1]["n_dup_chunks"] == 1 and got[2]["n_dup_chunks"] == 1
+
+
+def test_hash_sample_by_rate(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        hash_sample_by_rate,
+    )
+
+    rows = [(i, 1000000 if i < 100 else (0 if i < 200 else 500000)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, rate_micro long")
+    out = hash_sample_by_rate(df, "rate_micro", ["id"], seed=5)
+    ids = {r["id"] for r in out.collect()}
+    assert all(i in ids for i in range(100))        # rate 1.0 → always kept
+    assert not any(100 <= i < 200 for i in ids)     # rate 0 → always dropped
+    frac = sum(1 for i in ids if i >= 200) / 800    # rate 0.5 → about half
+    assert 0.4 < frac < 0.6
+    # deterministic under repartitioning
+    ids2 = {r["id"] for r in hash_sample_by_rate(df.repartition(13), "rate_micro", ["id"], seed=5).collect()}
+    assert ids == ids2
+    # NULL rate → dropped, not an error
+    with_null = spark.createDataFrame([(1, None)], "id long, rate_micro long")
+    assert hash_sample_by_rate(with_null, "rate_micro", ["id"]).count() == 0
