@@ -3451,6 +3451,122 @@ WHERE rate_micro >= 1000000
 """
 
 
+def llm_pipeline_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline, every stage deterministic and
+    oracle-replayable (unlike the rows-only `llm_pipeline_pretrain_corpus`
+    flagship, this one the driver can hash-check): per-language
+    quality-quantile filter (drop bottom quartile) → chunk-level dedup
+    filter (drop docs with >50% duplicated 20-token chunks) →
+    temperature mixture (n^0.75, target 200 docs) → per-language corpus
+    stats. One lazy plan; the only corpus-sized shuffles are the chunk
+    digest aggregation and the final per-language rollup."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        chunk_dup_ratio,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        token_count,
+        with_quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(docs).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.round(F.col("quality_score") * 1e4).cast("long").alias("q_bp"),
+    )
+    cuts = scored.groupBy("lang").agg(F.percentile(F.col("q_bp"), F.lit(0.25)).alias("_cut"))
+    quality_kept = (
+        scored.join(F.broadcast(cuts), "lang").filter(F.col("q_bp") >= F.col("_cut")).drop("_cut")
+    )
+    ratios = chunk_dup_ratio(quality_kept, chunk_tokens=20).select(
+        "doc_id", "dup_chunk_ratio"
+    )
+    deduped = quality_kept.join(ratios, "doc_id").filter(F.col("dup_chunk_ratio") <= 0.5)
+    mixed = temperature_mixture_sample(
+        deduped, "lang", ["doc_id"], target_rows=200, alpha=0.75, seed=_MIX_SEED
+    )
+    return mixed.groupBy("lang", "keep_rate_micro").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
+    )
+
+
+_LLM_CURATED_SQL = rf"""
+WITH stats AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         length(coalesce(text, '')) AS n_char,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[^\p{{L}}\p{{N}}_\s]', '', 'g')) AS punct,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS digits
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, text, n_tokens,
+         CAST(round(round(
+           0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         + 0.5 * (1.0 - least(
+             round(CASE WHEN n_char > 0 THEN CAST(punct AS DOUBLE) / n_char ELSE 0.0 END, 4) * 5.0
+           + round(CASE WHEN n_char > 0 THEN CAST(digits AS DOUBLE) / n_char ELSE 0.0 END, 4) * 5.0,
+             1.0)), 4) * 1e4) AS BIGINT) AS q_bp
+  FROM stats
+),
+cuts AS (SELECT lang, quantile_cont(q_bp, 0.25) AS _cut FROM scored GROUP BY lang),
+quality_kept AS (
+  SELECT s.doc_id, s.lang, s.text, s.n_tokens
+  FROM scored s JOIN cuts c USING (lang) WHERE s.q_bp >= c._cut
+),
+t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM quality_kept WHERE length(trim(text)) > 0
+),
+c AS (
+  SELECT doc_id, md5(array_to_string(list_slice(toks, i*20 + 1, (i+1)*20), ' ')) AS h
+  FROM t, unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS u(i)
+),
+freq AS (SELECT h, count(*) AS f FROM c GROUP BY h),
+ratio AS (
+  SELECT c.doc_id,
+         round(CAST(sum(CASE WHEN f.f > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_chunk_ratio
+  FROM c JOIN freq f USING (h) GROUP BY c.doc_id
+),
+deduped AS (
+  SELECT q.doc_id, q.lang, q.n_tokens
+  FROM quality_kept q JOIN ratio r USING (doc_id)
+  WHERE r.dup_chunk_ratio <= 0.5
+),
+counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM deduped GROUP BY lang),
+z AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.75)) AS z FROM counts),
+rates AS (
+  SELECT lang,
+         CAST(round(least(200.0 * pow(CAST(n AS DOUBLE), 0.75) / z.z / n, 1.0) * 1e6) AS BIGINT)
+           AS keep_rate_micro
+  FROM counts CROSS JOIN z
+),
+thr AS (
+  SELECT lang, keep_rate_micro,
+         printf('%08x', keep_rate_micro * 4294967296 // 1000000) AS thr_hex
+  FROM rates
+),
+mixed AS (
+  SELECT d.doc_id, d.lang, d.n_tokens, t.keep_rate_micro
+  FROM deduped d JOIN thr t USING (lang)
+  WHERE t.keep_rate_micro >= 1000000
+     OR substr(md5(CAST(length(CAST(d.doc_id AS VARCHAR)) AS VARCHAR) || ':' ||
+                   CAST(d.doc_id AS VARCHAR) || '{_MIX_SEED}'), 1, 8) < t.thr_hex
+)
+SELECT lang, keep_rate_micro,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM mixed
+GROUP BY lang, keep_rate_micro
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3604,6 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_interval_overlap_activity": join_interval_overlap_activity,
         "dedup_chunk_ratio": dedup_chunk_ratio,
         "sample_importance_quality": sample_importance_quality,
+        "llm_pipeline_curated_corpus": llm_pipeline_curated_corpus,
     }
 
 
@@ -3695,6 +3812,7 @@ def oracle_sql() -> dict[str, str]:
         "join_interval_overlap_activity": _JOIN_INTERVAL_OVERLAP_SQL,
         "dedup_chunk_ratio": _DEDUP_CHUNK_SQL,
         "sample_importance_quality": _SAMPLE_IMPORTANCE_SQL,
+        "llm_pipeline_curated_corpus": _LLM_CURATED_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,
