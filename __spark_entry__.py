@@ -3567,6 +3567,113 @@ GROUP BY lang, keep_rate_micro
 """
 
 
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): users whose
+    first click follows their first view, and whose first purchase
+    follows that click. Three per-user min aggregates chained by
+    equi-joins on user_id — each stage's table shrinks, no window over
+    the raw event stream, no product. All-integer output."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").cast("long").alias("n_users")).select(F.lit("1_view").alias("stage"), "n_users")
+        .unionByName(
+            c.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit("2_click_after_view").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit("3_purchase_after_click").alias("stage"), "n_users"
+            )
+        )
+    )
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+UNION ALL
+SELECT '2_click_after_view', CAST((SELECT count(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT '3_purchase_after_click', CAST((SELECT count(*) FROM p) AS BIGINT)
+"""
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, and
+    for each later week the count still active. Day index = calendar
+    days since epoch on the NTZ timestamp (no timezone conversion on
+    either engine: Spark session is UTC and the column is TIMESTAMP_NTZ;
+    DuckDB floors naive epoch seconds), so both engines bucket
+    identically. Two shuffles: the per-user first-day aggregate and the
+    final (cohort, week) rollup."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("day"),
+    )
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.expr("(day - cohort_day) div 7").cast("long").alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_active_users"))
+    )
+
+
+_EVENTS_COHORT_SQL = """
+WITH days AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events
+),
+first AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT d.user_id, f.cohort_day, (d.day - f.cohort_day) // 7 AS week_offset
+  FROM days d JOIN first f USING (user_id)
+)
+SELECT cohort_day, week_offset, CAST(count(*) AS BIGINT) AS n_active_users
+FROM activity
+GROUP BY cohort_day, week_offset
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3721,6 +3828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunk_ratio": dedup_chunk_ratio,
         "sample_importance_quality": sample_importance_quality,
         "llm_pipeline_curated_corpus": llm_pipeline_curated_corpus,
+        "events_funnel_conversion": events_funnel_conversion,
+        "events_cohort_retention": events_cohort_retention,
     }
 
 
@@ -3813,6 +3922,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_chunk_ratio": _DEDUP_CHUNK_SQL,
         "sample_importance_quality": _SAMPLE_IMPORTANCE_SQL,
         "llm_pipeline_curated_corpus": _LLM_CURATED_SQL,
+        "events_funnel_conversion": _EVENTS_FUNNEL_SQL,
+        "events_cohort_retention": _EVENTS_COHORT_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,
