@@ -3690,12 +3690,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     inside the check window (core W1–W4 incl. the segmented form, all
     join kinds, set ops, rollup/pivot/unpivot/grouping-sets, window
     analytics + time windows, scalar/UDF functions, the SQL layer,
-    sampling, multimodal, text/dedup/similarity LLM-data ops, and the
-    pipeline composite). Exactly one top-50 entry is rows-only by
-    design (dedup_simhash_pairs — a hamming sketch with no
-    engine-identical SQL form); everything else is oracle'd.
+    sampling incl. the in-plan temperature mixture, multimodal,
+    text/dedup/similarity LLM-data ops, the interval-overlap join, and
+    the fully-oracled curation-pipeline composite). ALL 50 in-window
+    entries are oracle'd — no check slot is spent on a rows-only query.
     Entries past #50 are additional variants of already-checked
-    families, pinned by pytest and exercised by bench.
+    families (incl. the deliberately rows-only approximate sketches:
+    SimHash, HLL, KLL), pinned by pytest and exercised by bench.
     """
     return {
         # -- core reference parity (W1–W4) --------------------------------
@@ -3718,7 +3719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- top-k / set ops ----------------------------------------------
         "topk_customers_per_segment": topk_customers_per_segment,
         "setops_union_nation_keys": setops_union_nation_keys,
-        "setops_intersect_all_nationkeys": setops_intersect_all_nationkeys,
+        "join_interval_overlap_activity": join_interval_overlap_activity,
         # -- multi-dim agg ------------------------------------------------
         "rollup_order_status": rollup_order_status,
         "agg_grouping_sets": agg_grouping_sets,
@@ -3745,12 +3746,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udf_grouped_zscore": udf_grouped_zscore,
         # -- text / dedup / similarity (LLM-data ops) ---------------------
         "text_stats_quality": text_stats_quality,
-        "text_language_id": text_language_id,
+        "llm_pipeline_curated_corpus": llm_pipeline_curated_corpus,
         "text_contamination": text_contamination,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard_docs,
         "dedup_minhash_verified": dedup_minhash_verified_docs,
-        "dedup_simhash_pairs": dedup_simhash_pairs_docs,  # rows-only (hamming sketch)
+        "sample_temperature_mix": sample_temperature_mix,
         "similarity_bruteforce_topk": similarity_bruteforce_topk,
         "similarity_embedding_dup_pairs": similarity_embedding_dup_pairs,
         "similarity_ivf_full_probe": similarity_ivf_full_probe,
@@ -3821,13 +3822,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_customer_distribution": sql_customer_distribution,
         "sql_supplier_part_variety": sql_supplier_part_variety,
         "sql_fully_shipped_orders": sql_fully_shipped_orders,
-        "sample_temperature_mix": sample_temperature_mix,
+        "setops_intersect_all_nationkeys": setops_intersect_all_nationkeys,
+        "text_language_id": text_language_id,
+        "dedup_simhash_pairs": dedup_simhash_pairs_docs,  # rows-only (hamming sketch)
         "text_quality_quantile_filter": text_quality_quantile_filter,
         "window_ntile_orders": window_ntile_orders,
-        "join_interval_overlap_activity": join_interval_overlap_activity,
         "dedup_chunk_ratio": dedup_chunk_ratio,
         "sample_importance_quality": sample_importance_quality,
-        "llm_pipeline_curated_corpus": llm_pipeline_curated_corpus,
         "events_funnel_conversion": events_funnel_conversion,
         "events_cohort_retention": events_cohort_retention,
     }

@@ -49,15 +49,15 @@ def test_entry_runs(spark):
 
 def test_first_50_queries_are_the_curated_check_window():
     """The driver correctness harness checks the FIRST 50 queries()
-    entries. Pin the curation: exactly one rows-only entry inside the
-    window (the simhash hamming sketch), every other top-50 entry
-    oracle'd — so a careless registry edit can't silently push a family
-    out of the checked window."""
+    entries. Pin the curation: EVERY top-50 entry oracle'd (no check
+    slot spent on a rows-only query — the deliberately rows-only
+    sketches live past the window), so a careless registry edit can't
+    silently push a family out of the checked window."""
     q = list(entrymod.queries())
     o = entrymod.oracle_sql()
     window = q[:50]
     missing = [n for n in window if n not in o]
-    assert missing == ["dedup_simhash_pairs"], missing
+    assert missing == [], missing
     # representatives of every family are inside the window
     for required in (
         "w1_running_max_segmented", "join_salted_skew", "window_time_tumbling_events",
@@ -65,5 +65,7 @@ def test_first_50_queries_are_the_curated_check_window():
         "sql_shipping_priority", "llm_pipeline_clean_corpus", "udf_registered_cents",
         "udf_grouped_zscore", "text_contamination", "dedup_minhash_verified",
         "similarity_ivf_full_probe", "similarity_lsh_recall", "pack_concat_chunks",
+        "join_interval_overlap_activity", "sample_temperature_mix",
+        "llm_pipeline_curated_corpus",
     ):
         assert required in window, f"{required} fell out of the 50-entry check window"
