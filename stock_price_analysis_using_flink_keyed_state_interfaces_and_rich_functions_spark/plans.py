@@ -26,6 +26,7 @@ __all__ = [
     "wholestage_codegen_count",
     "has_partial_aggregation",
     "scan_read_schema",
+    "shuffle_exchange_count",
     "assert_no_cartesian",
     "assert_broadcast_join",
 ]
@@ -83,6 +84,17 @@ def has_partial_aggregation(df: DataFrame) -> bool:
 def scan_read_schema(df: DataFrame) -> list[str]:
     """ReadSchema lines from file scans — verifies column pruning."""
     return [ln.strip() for ln in explain_str(df).splitlines() if "ReadSchema" in ln]
+
+
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange nodes in the plan (broadcast
+    exchanges excluded) — 0 means the query is a pure scan."""
+    plan = explain_str(df, "simple")
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    )
 
 
 def assert_no_cartesian(df: DataFrame) -> None:

@@ -222,3 +222,45 @@ def test_q22_not_exists_is_anti_join(spark, q):
     s = plans.explain_str(q["sql_idle_rich_customers"](spark, SF))
     assert "LeftAnti" in s, s
     plans.assert_no_cartesian(q["sql_idle_rich_customers"](spark, SF))
+
+
+def test_new_round3_queries_no_cartesian(spark, q):
+    """The round-3 additions must never degrade to a product. Queries
+    whose plan includes a deliberate SINGLE-ROW scalar broadcast (the
+    Σn^α / total-count cross join) are checked against CartesianProduct
+    only — a 1-row BroadcastNestedLoopJoin is the intended plan there,
+    not a blow-up."""
+    strict = (
+        "join_interval_overlap_activity",
+        "events_funnel_conversion",
+        "events_cohort_retention",
+        "dedup_chunk_ratio",
+        "text_quality_quantile_filter",
+    )
+    scalar_broadcast = (
+        "llm_pipeline_curated_corpus",
+        "text_tfidf_top_terms",
+        "text_unigram_logprob",
+        "sample_temperature_mix",
+        "sample_importance_quality",
+    )
+    for name in strict:
+        plans.assert_no_cartesian(q[name](spark, SF))
+    for name in scalar_broadcast:
+        assert "CartesianProduct" not in plans.explain_str(q[name](spark, SF)), name
+
+
+def test_quantile_filter_and_mixture_broadcast_the_rates_side(spark, q):
+    """The #langs-row cutoff/rate aggregates must come back as
+    broadcasts — a shuffled join there would re-partition the corpus
+    scan on lang (the low-cardinality key) for no reason."""
+    for name in ("text_quality_quantile_filter", "sample_temperature_mix"):
+        assert plans.has_broadcast_hash_join(q[name](spark, SF)), name
+
+
+def test_importance_sampling_adds_no_extra_shuffle(spark, q):
+    """Per-row-rate sampling is a stateless scan: membership is decided
+    row-locally from the key hash and the row's own rate, so the
+    registered query plans with ZERO shuffle exchanges."""
+    df = q["sample_importance_quality"](spark, SF)
+    assert plans.shuffle_exchange_count(df) == 0, plans.explain_str(df, "simple")
