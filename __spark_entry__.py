@@ -3674,6 +3674,41 @@ GROUP BY cohort_day, week_offset
 """
 
 
+def functions_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: each nation's closest other nation name by
+    Levenshtein distance (dist, name) tiebreak. Deliberately an
+    all-pairs comparison — 25×25 over a broadcast DIMENSION table; the
+    corpus-scale analogue of fuzzy matching is the MinHash/SimHash
+    tier, not edit distance (documented, not an accident)."""
+    n1 = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name_a"))
+    n2 = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name_b"))
+    w = Window.partitionBy("name_a").orderBy(F.asc("dist"), F.asc("name_b"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .filter(F.col("name_a") != F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("name_a", F.col("name_b").alias("closest_name"), "dist")
+    )
+
+
+_FUNCTIONS_EDIT_SQL = """
+WITH pairs AS (
+  SELECT a.n_name AS name_a, b.n_name AS name_b,
+         CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+  FROM nation a CROSS JOIN nation b
+  WHERE a.n_name <> b.n_name
+),
+ranked AS (
+  SELECT name_a, name_b, dist,
+         row_number() OVER (PARTITION BY name_a ORDER BY dist ASC, name_b ASC) AS rk
+  FROM pairs
+)
+SELECT name_a, name_b AS closest_name, dist FROM ranked WHERE rk = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3831,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_importance_quality": sample_importance_quality,
         "events_funnel_conversion": events_funnel_conversion,
         "events_cohort_retention": events_cohort_retention,
+        "functions_edit_distance": functions_edit_distance,
     }
 
 
@@ -3925,6 +3961,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_pipeline_curated_corpus": _LLM_CURATED_SQL,
         "events_funnel_conversion": _EVENTS_FUNNEL_SQL,
         "events_cohort_retention": _EVENTS_COHORT_SQL,
+        "functions_edit_distance": _FUNCTIONS_EDIT_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,
