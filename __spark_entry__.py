@@ -3479,8 +3479,14 @@ def llm_pipeline_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("quality_score") * 1e4).cast("long").alias("q_bp"),
     )
     cuts = scored.groupBy("lang").agg(F.percentile(F.col("q_bp"), F.lit(0.25)).alias("_cut"))
+    # quality_kept feeds both the chunk-ratio subtree and the dedup
+    # join's left side; checkpoint so the score+filter computes once
+    # (eager=False: plan construction stays lazy).
     quality_kept = (
-        scored.join(F.broadcast(cuts), "lang").filter(F.col("q_bp") >= F.col("_cut")).drop("_cut")
+        scored.join(F.broadcast(cuts), "lang")
+        .filter(F.col("q_bp") >= F.col("_cut"))
+        .drop("_cut")
+        .localCheckpoint(eager=False)
     )
     ratios = chunk_dup_ratio(quality_kept, chunk_tokens=20).select(
         "doc_id", "dup_chunk_ratio"

@@ -624,8 +624,13 @@ def chunk_dup_ratio(
     )
     # split('') returns [''] (size 1), so guard on trimmed LENGTH — an
     # empty/whitespace/NULL doc has no chunks, not one empty chunk.
-    exploded = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.col(id_col), F.explode(chunks).alias("_h")
+    # The exploded digest table feeds BOTH the frequency aggregate and
+    # the join-back; checkpoint so tokenize+md5 runs once, not twice
+    # (eager=False keeps plan construction lazy).
+    exploded = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("_h"))
+        .localCheckpoint(eager=False)
     )
     freq = exploded.groupBy("_h").agg(F.count("*").cast("long").alias("_f"))
     return (

@@ -167,7 +167,14 @@ def temperature_mixture_sample(
     """
     if target_rows <= 0:
         raise ValueError(f"target_rows must be positive, got {target_rows}")
-    counts = df.groupBy(strata_col).agg(F.count("*").cast("long").alias("_n"))
+    # counts feeds both the normalizer and the rates join; checkpoint
+    # the #strata-row aggregate so the corpus is scanned once for it,
+    # not once per consumer (eager=False keeps construction lazy).
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count("*").cast("long").alias("_n"))
+        .localCheckpoint(eager=False)
+    )
     z = counts.agg(F.sum(F.pow(F.col("_n").cast("double"), F.lit(alpha))).alias("_z"))
     rates = (
         counts.crossJoin(F.broadcast(z))

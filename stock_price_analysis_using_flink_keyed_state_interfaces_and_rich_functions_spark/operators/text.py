@@ -508,7 +508,14 @@ def tfidf_top_terms(
     engines. Score is emitted rounded to 6 decimals.
     """
     toks = df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("token"))
-    tf = toks.groupBy("grp", "token").agg(F.count("*").cast("long").alias("tf"))
+    # tf feeds both dfreq and the scored join; checkpoint the SMALL
+    # (vocabulary x groups) aggregate so the corpus explode runs once —
+    # materializing the aggregate, never the token stream.
+    tf = (
+        toks.groupBy("grp", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     n_groups = df.select(F.count_distinct(F.col(group_col)).cast("double").alias("n_groups"))
     scored = (
@@ -552,7 +559,14 @@ def unigram_logprob_scores(
     cardinality. Total token count arrives via broadcast cross join.
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-    vocab = toks.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    # vocab feeds both the total and the log-prob map; checkpoint the
+    # small vocabulary aggregate so the corpus explode+count runs once
+    # (the token stream itself is never materialized).
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     total = vocab.select(F.sum("cnt").cast("double").alias("total"))
     vocab_lp = (
         vocab.crossJoin(F.broadcast(total))
