@@ -3715,6 +3715,29 @@ SELECT name_a, name_b AS closest_name, dist FROM ranked WHERE rk = 1
 """
 
 
+def window_ewma_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority EWMA of order value along order date
+    (operators/stateful.py:ewma — the exponential-decay keyed-state
+    fold, pandas C kernel per key). Rows-only by design: the float
+    recursion has no portable SQL form; pinned by pytest ground truths
+    and bit-exact batch↔stream parity instead."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        ewma,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    out = ewma(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"),
+        ["o_orderpriority"],
+        ["o_orderdate", "o_orderkey"],
+        "o_totalprice",
+        alpha=0.1,
+    )
+    return out.select(
+        "o_orderkey", "o_orderpriority", F.round("ewma", 4).alias("ewma_totalprice")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3873,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_conversion": events_funnel_conversion,
         "events_cohort_retention": events_cohort_retention,
         "functions_edit_distance": functions_edit_distance,
+        "window_ewma_orders": window_ewma_orders,  # rows-only (float recursion)
     }
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "segmented_row_number",
     "tumbling_count_window_avg",
     "rows_between_breaches",
+    "ewma",
 ]
 
 ColsLike = Sequence[str | Column]
@@ -332,3 +333,57 @@ def rows_between_breaches(
     out = breaches.withColumn(out_col, (F.col("_rn") - prev_rn - 1).cast("long"))
     keep = list(emit_cols) if emit_cols else _key_names(key_cols, "rows_between_breaches emit fallback")
     return out.select(*keep, out_col)
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the classic
+    exponential-decay keyed-state fold (y₀ = x₀; yₙ = (1−α)·yₙ₋₁ + α·xₙ,
+    i.e. pandas ``ewm(alpha, adjust=False)``), one output row per input
+    row. The natural fifth member of the reference's keyed-state family:
+    like W1 it folds a single value of state per key along event order.
+
+    Not a window-function composition: the recursion has no bounded
+    frame, so this runs as ``applyInPandas`` with pandas' C kernel per
+    key — one hash exchange, vectorized, Arrow-batched. Same hot-key
+    caveat as every *running* form (a single key's history is inherently
+    sequential; see the module scale notes).
+
+    NULL semantics: ``ignore_na=True`` — NULLs never update the state;
+    a NULL row emits the carried mean (NULL before the first valid
+    value). This is the contract the streaming twin
+    (``streaming/stateful.py:ewma_stream``) reproduces bit-exactly: the
+    carried state is one float, so chunked replay equals batch replay.
+
+    No DuckDB oracle: the float recursion is engine-order-defined and
+    has no portable SQL form; correctness is pinned by pytest ground
+    truths + batch↔stream parity instead (the documented rows-only
+    verification tier).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    keys = [c if isinstance(c, str) else str(c) for c in key_cols]
+    order = list(order_cols)
+    # explicit NULLABLE output field — deriving the schema from a
+    # lit(0.0) column would mark it non-nullable and crash Arrow reads
+    # on the legitimate pre-first-valid NULLs.
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType(), True)])
+
+    def _fold(pdf):
+        import pandas as _pd  # noqa: F401 — closure ships by value
+
+        pdf = pdf.sort_values(order)
+        pdf[out_col] = (
+            pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=False, ignore_na=True).mean()
+        )
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_fold, schema=out_schema)

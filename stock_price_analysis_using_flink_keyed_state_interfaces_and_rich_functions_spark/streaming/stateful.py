@@ -56,6 +56,7 @@ __all__ = [
     "tumbling_count_window_avg_stream",
     "rows_between_breaches_stream",
     "running_max_transform_with_state",
+    "ewma_stream",
 ]
 
 
@@ -321,6 +322,64 @@ def rows_between_breaches_stream(
                 out[out_col] = counts
                 yield out
         state.update((cnt,))
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def ewma_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Streaming twin of ``operators/stateful.py:ewma`` — per-key
+    exponential decay with ONE float of carried state, one output row
+    per input row.
+
+    Bit-exact chunked replay: the carried state is the last emitted
+    mean, and each micro-batch PREPENDS it to the new values and runs
+    the SAME pandas ``ewm(alpha, adjust=False, ignore_na=True)`` kernel
+    (dropping the first row). Since ``ignore_na=True`` makes the
+    recursion depend only on the last valid mean, restarting from that
+    scalar reproduces the unchunked fold double-for-double — pinned by
+    the batch↔stream parity test.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [StructField(value_col, DoubleType()), StructField(out_col, DoubleType())]
+    )
+    state_schema = StructType([StructField("cur_mean", DoubleType())])
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import math
+
+        (cur,) = state.get if state.exists else (None,)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
+            vals = pdf[value_col].astype("float64")
+            if cur is not None and not math.isnan(cur):
+                series = pd.concat([pd.Series([cur]), vals], ignore_index=True)
+                means = series.ewm(alpha=alpha, adjust=False, ignore_na=True).mean().iloc[1:]
+            else:
+                means = vals.ewm(alpha=alpha, adjust=False, ignore_na=True).mean()
+            means = means.reset_index(drop=True)
+            last_valid = means[~means.isna()]
+            if len(last_valid):
+                cur = float(last_valid.iloc[-1])
+            out = pd.DataFrame({k: [kv] * len(pdf) for k, kv in zip(keys, key)})
+            out[value_col] = _nullable_float(vals)
+            out[out_col] = _nullable_float(means)
+            yield out
+        state.update((cur,))
 
     return df.groupBy(*keys).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -657,3 +657,56 @@ def test_running_agg_update_mode_converges_to_batch(spark, staged):
         maxes = [m for _, m in updates]
         assert maxes == sorted(maxes)  # running max never decreases
         assert len(updates) == 3
+
+
+def test_ewma_batch_ground_truth_and_stream_parity(spark):
+    """EWMA fold: hand-computed recursion ground truth, NULL carry
+    semantics, and bit-exact batch↔stream parity across micro-batch
+    boundaries (the one-float carried state restarts the pandas kernel
+    exactly)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        ewma,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.stateful import (
+        ewma_stream,
+    )
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, None), ("a", 4, 40.0),
+        ("b", 1, None), ("b", 2, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq long, v double")
+    got = {(r["k"], r["seq"]): r["ewma"] for r in ewma(df, ["k"], ["seq"], "v", alpha=0.5).collect()}
+    # a: y1=10; y2=.5*10+.5*20=15; NULL row carries 15; y4=.5*15+.5*40=27.5
+    assert got[("a", 1)] == 10.0 and got[("a", 2)] == 15.0
+    assert got[("a", 3)] == 15.0 and got[("a", 4)] == 27.5
+    # b: NULL before first valid → NULL, then seeds at 8
+    assert got[("b", 1)] is None and got[("b", 2)] == 8.0
+    with pytest.raises(ValueError):
+        ewma(df, ["k"], ["seq"], "v", alpha=0.0)
+
+    # parity: replay the same rows through 3 file micro-batches
+    with tempfile.TemporaryDirectory() as root:
+        for i, chunk in enumerate([rows[:2], rows[2:4], rows[4:]]):
+            spark.createDataFrame(chunk, "k string, seq long, v double").coalesce(1).write.parquet(
+                os.path.join(root, f"f{i}")
+            )
+        stream = spark.readStream.schema("k string, seq long, v double").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(os.path.join(root, "f*"))
+        out = ewma_stream(stream, ["k"], ["seq"], "v", alpha=0.5)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ewma_par")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {
+            (r["k"], r["v"]): r["ewma"] for r in spark.table("ewma_par").collect()
+        }
+        batch = {
+            (r["k"], r["v"]): r["ewma"] for r in ewma(df, ["k"], ["seq"], "v", alpha=0.5).collect()
+        }
+        assert streamed == batch  # exact equality, not approx
