@@ -3738,6 +3738,63 @@ def window_ewma_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dim_scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge (operators/scd.py:scd2_merge): customer
+    segment history seeded at 1995-01-01, updated by each customer's
+    latest order priority. The generic operator (timeline union +
+    change-detect lag + lead intervals) produces the history; the
+    oracle constructs the same result directly — cross-checking both
+    the interval chaining and the exactly-one-open-version invariant."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.scd import (
+        scd2_merge,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    epoch_day = lambda c: F.datediff(c, F.lit("1970-01-01")).cast("long")  # noqa: E731
+    dim = customer.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        epoch_day(F.lit("1995-01-01")).alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    updates = (
+        orders.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.concat(F.lit("PRIO:"), F.col("o_orderpriority")).alias("seg"),
+            epoch_day(F.to_date("o_orderdate")).alias("ts"),
+        )
+    )
+    return scd2_merge(dim, updates, ["k"], ["seg"], "ts")
+
+
+_DIM_SCD2_SQL = """
+WITH ranked AS (
+  SELECT o_custkey AS k, 'PRIO:' || o_orderpriority AS seg,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS ts,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+  FROM orders
+),
+upd AS (SELECT k, seg, ts FROM ranked WHERE rk = 1),
+seed AS (
+  SELECT c.c_custkey AS k, c.c_mktsegment AS seg,
+         CAST(date_diff('day', DATE '1970-01-01', DATE '1995-01-01') AS BIGINT) AS valid_from
+  FROM customer c
+)
+SELECT s.k, s.seg, s.valid_from, u.ts AS valid_to
+FROM seed s JOIN upd u USING (k)
+UNION ALL
+SELECT u.k, u.seg, u.ts AS valid_from, CAST(NULL AS BIGINT) AS valid_to FROM upd u
+UNION ALL
+SELECT s.k, s.seg, s.valid_from, CAST(NULL AS BIGINT) AS valid_to
+FROM seed s LEFT JOIN upd u USING (k) WHERE u.k IS NULL
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3897,6 +3954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": events_cohort_retention,
         "functions_edit_distance": functions_edit_distance,
         "window_ewma_orders": window_ewma_orders,  # rows-only (float recursion)
+        "dim_scd2_customer_segments": dim_scd2_customer_segments,
     }
 
 
@@ -3992,6 +4050,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel_conversion": _EVENTS_FUNNEL_SQL,
         "events_cohort_retention": _EVENTS_COHORT_SQL,
         "functions_edit_distance": _FUNCTIONS_EDIT_SQL,
+        "dim_scd2_customer_segments": _DIM_SCD2_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,

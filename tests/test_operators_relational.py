@@ -524,3 +524,66 @@ def test_interval_overlap_join_no_cartesian_and_validates(spark):
     assert [(r["aid"], r["bid"]) for r in out.collect()] == [(1, 2)]
     with pytest.raises(ValueError):
         interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 0.0)
+
+
+def test_scd2_merge_ground_truth(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.scd import (
+        scd2_merge,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (1, "gold", 10, 20),    # closed history — must pass through untouched
+            (1, "plat", 20, None),  # current
+            (2, "iron", 5, None),
+            (3, "dust", 7, None),
+        ],
+        "k long, tier string, valid_from long, valid_to long",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "diam", 30),  # real change → closes plat at 30
+            (2, "iron", 40),  # zero-diff → collapses, no new version
+            (4, "new", 50),   # brand-new key
+            (3, "late", 3),   # older than current valid_from → dropped
+        ],
+        "k long, tier string, ts long",
+    )
+    out = scd2_merge(dim, updates, ["k"], ["tier"], "ts")
+    rows = sorted(
+        (r["k"], r["tier"], r["valid_from"], r["valid_to"]) for r in out.collect()
+    )
+    assert rows == [
+        (1, "diam", 30, None),
+        (1, "gold", 10, 20),
+        (1, "plat", 20, 30),
+        (2, "iron", 5, None),
+        (3, "dust", 7, None),
+        (4, "new", 50, None),
+    ]
+    # invariant: exactly one open version per key
+    open_per_key = {}
+    for k, _, _, vt in rows:
+        open_per_key[k] = open_per_key.get(k, 0) + (vt is None)
+    assert all(v == 1 for v in open_per_key.values())
+
+
+def test_scd2_merge_multiple_updates_and_run_collapse(spark):
+    """Several updates per key in one batch: consecutive-equal runs
+    collapse to their first entry; intervals chain via lead."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.scd import (
+        scd2_merge,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "a", 0, None)], "k long, v string, valid_from long, valid_to long"
+    )
+    updates = spark.createDataFrame(
+        [(1, "b", 10), (1, "b", 20), (1, "a", 30), (1, "a", 40)],
+        "k long, v string, ts long",
+    )
+    out = sorted(
+        (r["v"], r["valid_from"], r["valid_to"])
+        for r in scd2_merge(dim, updates, ["k"], ["v"], "ts").collect()
+    )
+    assert out == [("a", 0, 10), ("a", 30, None), ("b", 10, 30)]
