@@ -6,6 +6,7 @@ from .stateful import (  # noqa: F401
     segmented_row_number,
     tumbling_count_window_avg,
     rows_between_breaches,
+    ewma,
 )
 from .windows import (  # noqa: F401
     with_row_number,
@@ -23,9 +24,11 @@ from .joins import (  # noqa: F401
     anti_join,
     asof_join,
     range_join_bucketed,
+    interval_overlap_join,
     salted_join,
 )
 from .topk import top_n, top_k_per_group  # noqa: F401
+from .scd import scd2_merge  # noqa: F401
 from .setops import (  # noqa: F401
     union_all,
     union_distinct,
@@ -47,6 +50,7 @@ from .dedup import (  # noqa: F401
     dup_clusters,
     simhash,
     simhash_pairs,
+    chunk_dup_ratio,
 )
 from .packing import pack_concat_chunks, pack_greedy_nextfit  # noqa: F401
 from .sampling import (  # noqa: F401
@@ -54,6 +58,8 @@ from .sampling import (  # noqa: F401
     hash_sample,
     hash_sample_stratified,
     hash_split,
+    hash_sample_by_rate,
+    temperature_mixture_sample,
 )
 from .similarity import (  # noqa: F401
     brute_force_topk,
