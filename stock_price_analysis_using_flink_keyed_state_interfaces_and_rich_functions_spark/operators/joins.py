@@ -238,7 +238,10 @@ def interval_overlap_join(
 
     Scale: each interval produces ~(len/bucket_width + 1) bucket rows —
     pick ``bucket_width`` ≈ the typical interval length so the blow-up
-    is O(1) per row. The join is a plain equi-join on (keys, bucket):
+    is O(1) per row. Bucket ids come from double division: keep bound
+    magnitudes within ~2^52/bucket_width (epoch days/seconds are fine;
+    raw epoch NANOS with a tiny width would lose integer precision —
+    rescale to coarser units first). The join is a plain equi-join on (keys, bucket):
     AQE can skew-split hot buckets, and the worst case degrades to the
     per-bucket pair density (which is output-bounded), never to |L|·|R|.
     Intervals with hi <= lo are empty and dropped (they can overlap

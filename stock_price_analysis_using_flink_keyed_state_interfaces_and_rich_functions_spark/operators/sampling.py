@@ -159,6 +159,10 @@ def temperature_mixture_sample(
     survives a 100 TB corpus (the scan stays embarrassingly parallel;
     the only shuffle is the #strata-row count aggregate).
 
+    Rows with a NULL stratum are dropped (the rates join is
+    NULL-unsafe, matching SQL grouping semantics); map NULLs to a
+    sentinel stratum first if they must participate.
+
     Determinism contract: the float rate is snapped to integer
     micro-units (round(r·1e6) AS BIGINT) and the hex keep-threshold is
     derived with pure BIGINT arithmetic (r_micro · 2³² div 10⁶ →

@@ -370,8 +370,10 @@ def ewma(
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    keys = [c if isinstance(c, str) else str(c) for c in key_cols]
-    order = list(order_cols)
+    # names, not Columns: groupBy would accept Columns, but the pandas
+    # sort needs string names and str(Column) is "Column<...>" garbage
+    keys = _key_names(key_cols, "ewma")
+    order = _key_names(order_cols, "ewma")
     # explicit NULLABLE output field — deriving the schema from a
     # lit(0.0) column would mark it non-nullable and crash Arrow reads
     # on the legitimate pre-first-valid NULLs.

@@ -518,8 +518,10 @@ def tfidf_top_terms(
     )
     dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     n_groups = df.select(F.count_distinct(F.col(group_col)).cast("double").alias("n_groups"))
+    # no forced broadcast on the vocabulary join: AQE broadcasts it
+    # when it fits; a forced hint would OOM on web-scale vocabularies
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_groups))
         .withColumn("score", F.round(F.col("tf") * F.log(F.col("n_groups") / F.col("df")), 6))
     )
@@ -576,8 +578,10 @@ def unigram_logprob_scores(
         )
         .select("token", "lp_micro")
     )
+    # vocabulary join unforced for the same reason as tfidf_top_terms:
+    # AQE broadcasts small vocabularies, shuffles web-scale ones
     per_doc = (
-        toks.join(F.broadcast(vocab_lp), "token")
+        toks.join(vocab_lp, "token")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
