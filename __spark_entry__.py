@@ -3247,8 +3247,8 @@ def text_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_QUALITY_QUANTILE_SQL = r"""
 WITH stats AS (
   SELECT doc_id, lang,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS n_tokens,
          length(coalesce(text, '')) AS n_char,
          length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[^\p{L}\p{N}_\s]', '', 'g')) AS punct,
          length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS digits
@@ -3423,8 +3423,8 @@ def sample_importance_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_IMPORTANCE_SQL = rf"""
 WITH stats AS (
   SELECT doc_id, lang,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS n_tokens,
          length(coalesce(text, '')) AS n_char,
          length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[^\p{{L}}\p{{N}}_\s]', '', 'g')) AS punct,
          length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS digits
@@ -3504,8 +3504,8 @@ def llm_pipeline_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LLM_CURATED_SQL = rf"""
 WITH stats AS (
   SELECT doc_id, lang, text,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS n_tokens,
          length(coalesce(text, '')) AS n_char,
          length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[^\p{{L}}\p{{N}}_\s]', '', 'g')) AS punct,
          length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS digits
@@ -3574,9 +3574,11 @@ GROUP BY lang, keep_rate_micro
 
 
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel analysis (view → click → purchase): users whose
-    first click follows their first view, and whose first purchase
-    follows that click. Three per-user min aggregates chained by
+    """Ordered funnel analysis (view → click → purchase): users with a
+    view, then any click AT/AFTER their first view (earliest such
+    click), then any purchase at/after that click. (A click BEFORE the
+    first view does not satisfy stage 2 — only clicks from the first
+    view onward count.) Three per-user min aggregates chained by
     equi-joins on user_id — each stage's table shrinks, no window over
     the raw event stream, no product. All-integer output."""
     ev = _t(spark, sf_dir, "events")
@@ -3784,14 +3786,21 @@ seed AS (
   SELECT c.c_custkey AS k, c.c_mktsegment AS seg,
          CAST(date_diff('day', DATE '1970-01-01', DATE '1995-01-01') AS BIGINT) AS valid_from
   FROM customer c
+),
+-- replicate the operator contract: updates predating the seed are
+-- dropped, and a zero-diff update collapses (no new version)
+eligible AS (
+  SELECT u.k, u.seg, u.ts
+  FROM upd u JOIN seed s USING (k)
+  WHERE u.ts >= s.valid_from AND u.seg <> s.seg
 )
-SELECT s.k, s.seg, s.valid_from, u.ts AS valid_to
-FROM seed s JOIN upd u USING (k)
+SELECT s.k, s.seg, s.valid_from, e.ts AS valid_to
+FROM seed s JOIN eligible e USING (k)
 UNION ALL
-SELECT u.k, u.seg, u.ts AS valid_from, CAST(NULL AS BIGINT) AS valid_to FROM upd u
+SELECT e.k, e.seg, e.ts AS valid_from, CAST(NULL AS BIGINT) AS valid_to FROM eligible e
 UNION ALL
 SELECT s.k, s.seg, s.valid_from, CAST(NULL AS BIGINT) AS valid_to
-FROM seed s LEFT JOIN upd u USING (k) WHERE u.k IS NULL
+FROM seed s LEFT JOIN eligible e USING (k) WHERE e.k IS NULL
 """
 
 

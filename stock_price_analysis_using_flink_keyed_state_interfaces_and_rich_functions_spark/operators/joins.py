@@ -253,6 +253,12 @@ def interval_overlap_join(
 
     def _explode(df: DataFrame, lo: str, hi: str) -> DataFrame:
         lo_b = F.floor(F.col(lo) / bucket_width)
+        # floor(hi/w) is deliberately GENEROUS: when hi sits exactly on
+        # a bucket boundary the half-open interval never reaches that
+        # bucket, so one spurious (residual-filtered) row ships. The
+        # tight ceil(hi/w)-1 form can MISS the top bucket when hi/w
+        # rounds down to an integer — a wrong result, not a dead row —
+        # so correctness wins (same call as range_join_bucketed).
         hi_b = F.floor(F.col(hi) / bucket_width)
         return df.filter(F.col(hi) > F.col(lo)).withColumn(
             "_bucket", F.explode(F.sequence(lo_b, hi_b))

@@ -34,6 +34,7 @@ __all__ = [
     "hash_sample_by_rate",
     "temperature_mixture_sample",
     "rate_to_hex",
+    "rate_micro_to_hex",
 ]
 
 _HEX_SPACE = 16**8
@@ -48,6 +49,20 @@ def rate_to_hex(rate: float) -> str:
     if rate >= 1.0:
         return "g"
     return format(min(int(rate * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+
+
+
+def rate_micro_to_hex(rate_micro_col: str) -> Column:
+    """Hex keep-threshold from an integer micro-unit rate column in
+    [0, 10^6] — the determinism-critical core of the micro-unit
+    sampling contract, shared by every dynamic-rate sampler (and
+    replayed verbatim by their SQL oracles as
+    ``printf('%08x', r * 4294967296 // 1000000)``). BIGINT `div` only:
+    a float `/` + floor can land one off near integer boundaries and
+    silently diverge from the oracle's integer `//`."""
+    return F.format_string(
+        "%08x", F.expr(f"{rate_micro_col} * 4294967296L div 1000000L")
+    )
 
 
 def hash_bucket_hex(key_cols: Sequence[str], seed: int = 42) -> Column:
@@ -193,10 +208,7 @@ def temperature_mixture_sample(
             ),
         )
         .withColumn("keep_rate_micro", F.round(F.col("_r") * 1e6).cast("long"))
-        .withColumn(
-            "_thr_hex",
-            F.format_string("%08x", F.expr("keep_rate_micro * 4294967296L div 1000000L")),
-        )
+        .withColumn("_thr_hex", rate_micro_to_hex("keep_rate_micro"))
         .select(strata_col, "keep_rate_micro", "_thr_hex")
     )
     bucket = hash_bucket_hex(key_cols, seed)
@@ -228,9 +240,7 @@ def hash_sample_by_rate(
         raise ValueError("hash_sample_by_rate: '_rate_micro' column name is reserved")
     r = F.col(rate_micro_col) if isinstance(rate_micro_col, str) else rate_micro_col
     with_rate = df.withColumn("_rate_micro", F.coalesce(r.cast("long"), F.lit(0).cast("long")))
-    # `div` is exact BIGINT division — a float `/` + floor here can land
-    # one off near integer boundaries and disagree with the oracle's `//`.
-    thr_hex = F.format_string("%08x", F.expr("_rate_micro * 4294967296L div 1000000L"))
+    thr_hex = rate_micro_to_hex("_rate_micro")
     bucket = hash_bucket_hex(key_cols, seed)
     return with_rate.filter(
         (F.col("_rate_micro") >= 1000000) | ((F.col("_rate_micro") > 0) & (bucket < thr_hex))

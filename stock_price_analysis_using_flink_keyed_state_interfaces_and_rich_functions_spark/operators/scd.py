@@ -74,13 +74,19 @@ def scd2_merge(
         F.lit(1).alias("_src"),
         F.xxhash64(*[F.col(c) for c in attrs]).alias("_tb"),
     )
-    # late updates can't predate the key's current version
+    # late updates can't predate the key's RECORDED HISTORY END — the
+    # current row's valid_from when one exists, else the max valid_to
+    # of the closed rows (guarding only against `current` would let an
+    # update for a closed-only key open a version OVERLAPPING closed
+    # history). In a consistent SCD2 table current.valid_from equals
+    # the last closed valid_to, so one max over coalesce covers both.
+    hist_end = dim.groupBy(*keys).agg(
+        F.max(F.coalesce(F.col(valid_to), F.col(valid_from))).alias("_hist_end")
+    )
     upd_tl = (
-        upd_tl.join(
-            current.select(*keys, F.col(valid_from).alias("_cur_from")), keys, "left"
-        )
-        .filter(F.col("_cur_from").isNull() | (F.col("_ts") >= F.col("_cur_from")))
-        .drop("_cur_from")
+        upd_tl.join(hist_end, keys, "left")
+        .filter(F.col("_hist_end").isNull() | (F.col("_ts") >= F.col("_hist_end")))
+        .drop("_hist_end")
     )
     timeline = cur_tl.unionByName(upd_tl)
 

@@ -587,3 +587,28 @@ def test_scd2_merge_multiple_updates_and_run_collapse(spark):
         for r in scd2_merge(dim, updates, ["k"], ["v"], "ts").collect()
     )
     assert out == [("a", 0, 10), ("a", 30, None), ("b", 10, 30)]
+
+
+def test_scd2_merge_closed_only_key_rejects_overlapping_update(spark):
+    """An update inside a closed-only key's recorded history must be
+    dropped (it would otherwise open a version overlapping closed
+    rows); an update AFTER the history end starts a fresh version."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.scd import (
+        scd2_merge,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "a", 10, 20)], "k long, v string, valid_from long, valid_to long"
+    )
+    inside = spark.createDataFrame([(1, "b", 15)], "k long, v string, ts long")
+    out = sorted(
+        (r["v"], r["valid_from"], r["valid_to"])
+        for r in scd2_merge(dim, inside, ["k"], ["v"], "ts").collect()
+    )
+    assert out == [("a", 10, 20)]  # overlapping update dropped
+    after = spark.createDataFrame([(1, "b", 25)], "k long, v string, ts long")
+    out2 = sorted(
+        (r["v"], r["valid_from"], r["valid_to"])
+        for r in scd2_merge(dim, after, ["k"], ["v"], "ts").collect()
+    )
+    assert out2 == [("a", 10, 20), ("b", 25, None)]
