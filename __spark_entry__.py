@@ -3804,6 +3804,64 @@ FROM seed s LEFT JOIN eligible e USING (k) WHERE e.k IS NULL
 """
 
 
+def agg_conditional_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate family (count_if, bool_and,
+    bool_or, conditional sum) per order priority — the remaining scalar
+    aggregate surface. All map-side partial-agg friendly."""
+    orders = _t(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 150000
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(big).cast("long").alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(big).alias("any_big"),
+        F.sum(F.when(big, F.round(F.col("o_totalprice") * 100).cast("long")).otherwise(0))
+        .cast("long")
+        .alias("big_cents"),
+    )
+
+
+_AGG_CONDITIONAL_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_totalprice > 150000) AS any_big,
+       CAST(sum(CASE WHEN o_totalprice > 150000
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS big_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def functions_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar functions (AND/OR/XOR, shifts, bit_count) over
+    integer keys — pure codegen'd expressions, map-side."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    c = F.col("o_custkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(c).cast("long").alias("k_and_c"),
+        k.bitwiseOR(c).cast("long").alias("k_or_c"),
+        k.bitwiseXOR(c).cast("long").alias("k_xor_c"),
+        F.shiftleft(k, 3).cast("long").alias("k_shl3"),
+        F.shiftright(k, 2).cast("long").alias("k_shr2"),
+        F.bit_count(k).cast("long").alias("k_bits"),
+    )
+
+
+_FUNCTIONS_BITWISE_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderkey & o_custkey AS BIGINT) AS k_and_c,
+       CAST(o_orderkey | o_custkey AS BIGINT) AS k_or_c,
+       CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS k_xor_c,
+       CAST(o_orderkey << 3 AS BIGINT) AS k_shl3,
+       CAST(o_orderkey >> 2 AS BIGINT) AS k_shr2,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS k_bits
+FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3964,6 +4022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functions_edit_distance": functions_edit_distance,
         "window_ewma_orders": window_ewma_orders,  # rows-only (float recursion)
         "dim_scd2_customer_segments": dim_scd2_customer_segments,
+        "agg_conditional_flags": agg_conditional_flags,
+        "functions_bitwise_ops": functions_bitwise_ops,
     }
 
 
@@ -4060,6 +4120,8 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort_retention": _EVENTS_COHORT_SQL,
         "functions_edit_distance": _FUNCTIONS_EDIT_SQL,
         "dim_scd2_customer_segments": _DIM_SCD2_SQL,
+        "agg_conditional_flags": _AGG_CONDITIONAL_SQL,
+        "functions_bitwise_ops": _FUNCTIONS_BITWISE_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,
