@@ -366,3 +366,138 @@ def test_results_invariant_to_shuffle_partitioning(spark):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     for name in names:
         assert results["1"][name] == results["7"][name], name
+
+
+# ----------------------------------------------------- round-3 operators
+
+_interval = st.tuples(
+    st.integers(min_value=-50, max_value=50), st.integers(min_value=0, max_value=40)
+).map(lambda t: (t[0], t[0] + t[1]))  # (lo, hi) with hi >= lo, possibly empty
+
+
+@_settings
+@given(
+    a_iv=st.lists(_interval, min_size=0, max_size=12),
+    b_iv=st.lists(_interval, min_size=0, max_size=12),
+    width=st.sampled_from([1.0, 2.5, 7.0, 30.0, 1000.0]),
+)
+def test_interval_overlap_join_law(spark, a_iv, b_iv, width):
+    """For ANY interval sets (negative coords, empty intervals, widths
+    smaller and larger than every interval) the bucketized join equals
+    the naive all-pairs overlap filter, each pair exactly once."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(a_iv)] or [(None, None, None)],
+        "aid long, a_lo long, a_hi long",
+    ).filter(F.col("aid").isNotNull())
+    b = spark.createDataFrame(
+        [(j, lo, hi) for j, (lo, hi) in enumerate(b_iv)] or [(None, None, None)],
+        "bid long, b_lo long, b_hi long",
+    ).filter(F.col("bid").isNotNull())
+    got = [
+        (r["aid"], r["bid"])
+        for r in interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", width).collect()
+    ]
+    naive = sorted(
+        (i, j)
+        for i, (alo, ahi) in enumerate(a_iv)
+        for j, (blo, bhi) in enumerate(b_iv)
+        if alo < bhi and blo < ahi
+    )
+    assert sorted(got) == naive
+    assert len(got) == len(set(got))
+
+
+def _scd2_reference(dim_rows, upd_rows):
+    """Python reference for scd2_merge on a single attr column."""
+    out = [r for r in dim_rows if r[3] is not None]  # closed pass through
+    by_key: dict = {}
+    hist_end: dict = {}
+    for k, v, vf, vt in dim_rows:
+        hist_end[k] = max(hist_end.get(k, vf), vt if vt is not None else vf)
+        if vt is None:
+            by_key[k] = (k, v, vf)
+    timelines: dict = {}
+    for k, v, vf in by_key.values():
+        timelines.setdefault(k, []).append((vf, 0, 0, v))
+    import hashlib
+
+    for k, v, ts in upd_rows:
+        if k in hist_end and ts < hist_end[k]:
+            continue  # late update dropped
+        tb = int.from_bytes(hashlib.md5(v.encode()).digest()[:4], "big")
+        timelines.setdefault(k, []).append((ts, 1, tb, v))
+    for k, tl in timelines.items():
+        tl.sort()
+        prev = None
+        surviving = []
+        for ts, _src, _tb, v in tl:
+            if prev is None or v != prev:
+                surviving.append((ts, v))
+            prev = v
+        for i, (ts, v) in enumerate(surviving):
+            nxt = surviving[i + 1][0] if i + 1 < len(surviving) else None
+            out.append((k, v, ts, nxt))
+    return sorted((k, v, vf, vt if vt is not None else -1) for k, v, vf, vt in out)
+
+
+@_settings
+@given(
+    dim=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 10),
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+    upd=st.lists(
+        st.tuples(
+            st.integers(0, 4),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 30),
+        ),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda t: (t[0], t[2]),  # one update per (key, ts)
+    ),
+)
+def test_scd2_merge_matches_python_reference(spark, dim, upd):
+    """scd2_merge equals a direct Python replay for random histories and
+    update batches: late-drop, change-collapse, interval chaining, and
+    the one-open-version invariant all at once. Dim rows are built as
+    consistent per-key chains (each key at most one current row)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.scd import (
+        scd2_merge,
+    )
+
+    # build a CONSISTENT dim: per key, sort seeds and chain intervals,
+    # last one open
+    by_key: dict = {}
+    for k, v, start in dim:
+        by_key.setdefault(k, []).append((start, v))
+    dim_rows = []
+    for k, seeds in by_key.items():
+        seeds.sort()
+        for i, (start, v) in enumerate(seeds):
+            nxt = seeds[i + 1][0] if i + 1 < len(seeds) else None
+            dim_rows.append((k, v, start, nxt))
+    # updates may not collide with the tb-hash tiebreak assumptions:
+    # one update per (key, ts) is enforced by the strategy
+    upd_rows = [(k, v, ts) for k, v, ts in upd]
+    sdf_dim = spark.createDataFrame(
+        dim_rows or [(None, None, None, None)],
+        "k long, v string, valid_from long, valid_to long",
+    ).filter(F.col("k").isNotNull())
+    sdf_upd = spark.createDataFrame(
+        upd_rows or [(None, None, None)], "k long, v string, ts long"
+    ).filter(F.col("k").isNotNull())
+    got = sorted(
+        (r["k"], r["v"], r["valid_from"], r["valid_to"] if r["valid_to"] is not None else -1)
+        for r in scd2_merge(sdf_dim, sdf_upd, ["k"], ["v"], "ts").collect()
+    )
+    assert got == _scd2_reference(dim_rows, upd_rows)
