@@ -3862,6 +3862,60 @@ FROM orders
 """
 
 
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression-ratio quality signal
+    (operators/text.py:with_compression_ratio). Rows-only: the oracle
+    engine has no zlib; pinned by pytest ground truths instead."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        with_compression_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_compression_ratio(docs).select(
+        "doc_id", "compressed_len", "compression_ratio"
+    )
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus vocabulary: OLS slope of
+    ln(count) against ln(rank) via the built-in regr_slope aggregate
+    (natural text ≈ −1; synthetic/templated corpora deviate — a cheap
+    whole-corpus health check). Vocabulary-sized aggregation only; the
+    rank window runs over the vocab table, never the corpus."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = vocab.withColumn("rank", F.row_number().over(w).cast("long"))
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("cnt"), F.log("rank")), 4).alias("zipf_slope"),
+        F.count("*").cast("long").alias("vocab_size"),
+    )
+
+
+_TEXT_ZIPF_SQL = r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+),
+vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+ranked AS (
+  SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
+  FROM vocab
+)
+SELECT round(regr_slope(ln(cnt), ln(rank)), 4) AS zipf_slope,
+       CAST(count(*) AS BIGINT) AS vocab_size
+FROM ranked
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4024,6 +4078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_scd2_customer_segments": dim_scd2_customer_segments,
         "agg_conditional_flags": agg_conditional_flags,
         "functions_bitwise_ops": functions_bitwise_ops,
+        "text_zipf_slope": text_zipf_slope,
+        "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
     }
 
 
@@ -4122,6 +4178,7 @@ def oracle_sql() -> dict[str, str]:
         "dim_scd2_customer_segments": _DIM_SCD2_SQL,
         "agg_conditional_flags": _AGG_CONDITIONAL_SQL,
         "functions_bitwise_ops": _FUNCTIONS_BITWISE_SQL,
+        "text_zipf_slope": _TEXT_ZIPF_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,

@@ -85,6 +85,7 @@ from .text import (  # noqa: F401
     with_vocab_stats,
     tfidf_top_terms,
     unigram_logprob_scores,
+    with_compression_ratio,
 )
 from .multimodal import (  # noqa: F401
     attach_payload,

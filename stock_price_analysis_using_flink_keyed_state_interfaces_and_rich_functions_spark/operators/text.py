@@ -38,6 +38,7 @@ __all__ = [
     "with_vocab_stats",
     "tfidf_top_terms",
     "unigram_logprob_scores",
+    "with_compression_ratio",
     "DEFAULT_LANG_MARKERS",
 ]
 
@@ -602,4 +603,45 @@ def unigram_logprob_scores(
                 6,
             ).alias("avg_logprob"),
         )
+    )
+
+
+def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Compression-ratio quality signal (zlib level 6): highly
+    compressible text is repetitive boilerplate — the classic cheap
+    redundancy heuristic (used alongside Gopher-style repetition rules
+    in large-scale corpus filtering). Adds ``compressed_len`` and
+    ``compression_ratio`` = compressed/raw (0 for empty docs; > ~1 for
+    incompressible short text is normal — zlib headers dominate).
+
+    Arrow-vectorized pandas UDF over the stdlib zlib C codec — one
+    batch boundary, no per-row Python overhead beyond the loop; at
+    100 TB this is an embarrassingly parallel scan. No SQL oracle (the
+    oracle engine has no zlib); pinned by pytest ground truths: ratio
+    ordering repetitive < prose, and exact lengths for fixed strings.
+    """
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _clen(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return pd.Series(
+            [
+                len(zlib.compress(t.encode("utf-8"), 6)) if t else 0
+                for t in texts.fillna("")
+            ],
+            dtype="int64",
+        )
+
+    raw_len = F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
+    out = df.withColumn("compressed_len", _clen(F.col(text_col)))
+    return out.withColumn(
+        "compression_ratio",
+        F.round(
+            F.when(raw_len > 0, F.col("compressed_len").cast("double") / raw_len).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ),
     )

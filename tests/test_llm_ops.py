@@ -894,3 +894,25 @@ def test_hash_sample_by_rate(spark):
     # NULL rate → dropped, not an error
     with_null = spark.createDataFrame([(1, None)], "id long, rate_micro long")
     assert hash_sample_by_rate(with_null, "rate_micro", ["id"]).count() == 0
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    import zlib
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        with_compression_ratio,
+    )
+
+    rep = "spam " * 200
+    prose = "the quick brown fox jumps over one lazy dog near riverbanks today"
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in with_compression_ratio(df).collect()}
+    # exact stdlib replay for fixed strings
+    assert got[1]["compressed_len"] == len(zlib.compress(rep.encode(), 6))
+    assert got[2]["compressed_len"] == len(zlib.compress(prose.encode(), 6))
+    # repetitive text compresses far better than prose
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
+    # empty / NULL → 0, never NULL
+    assert got[3]["compression_ratio"] == 0.0 and got[4]["compressed_len"] == 0
