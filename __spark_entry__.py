@@ -3916,6 +3916,100 @@ FROM ranked
 """
 
 
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level rollup composed on gap sessionization: per (user,
+    session) the event count, span in seconds, and value sum in cents —
+    the standard product-analytics session table. One extra groupBy on
+    top of the sessionize window (same user_id partitioning, so AQE can
+    reuse the exchange)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        sessionize_by_gap,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_by_gap(ev, ["user_id"], "ts", 3600, "session_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (
+            F.floor(F.unix_timestamp(F.max("ts"))) - F.floor(F.unix_timestamp(F.min("ts")))
+        )
+        .cast("long")
+        .alias("span_seconds"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+    )
+
+
+_EVENTS_SESSION_STATS_SQL = """
+WITH lagged AS (
+  SELECT event_id, user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 3600
+              THEN 1 ELSE 0 END AS new_session
+  FROM lagged
+), sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_seconds,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+def window_running_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT DISTINCT per key — not natively expressible as a
+    window aggregate in Spark (or standard SQL); implemented with the
+    first-occurrence-flag trick: flag each row that introduces a new
+    (key, supplier) pair via a per-pair row_number, then running-sum the
+    flags along the key's order. Two window passes over the SAME key
+    partitioning — one exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    w_first = Window.partitionBy("l_returnflag", "l_suppkey").orderBy(
+        *[F.asc(c) for c in _LI_ORDER]
+    )
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*[F.asc(c) for c in _LI_ORDER])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = li.withColumn(
+        "_new", (F.row_number().over(w_first) == 1).cast("long")
+    )
+    return flagged.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.sum("_new").over(w_run).cast("long").alias("distinct_suppliers_so_far"),
+    )
+
+
+_WINDOW_RUNNING_DISTINCT_SQL = f"""
+WITH flagged AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, {_LI_ORDER_SQL},
+         CASE WHEN row_number() OVER (
+             PARTITION BY l_returnflag, l_suppkey ORDER BY {_LI_ORDER_SQL}
+         ) = 1 THEN 1 ELSE 0 END AS new_flag
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(sum(new_flag) OVER (
+           PARTITION BY l_returnflag ORDER BY {_LI_ORDER_SQL}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS distinct_suppliers_so_far
+FROM flagged
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4080,6 +4174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functions_bitwise_ops": functions_bitwise_ops,
         "text_zipf_slope": text_zipf_slope,
         "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
+        "events_session_stats": events_session_stats,
+        "window_running_distinct_suppliers": window_running_distinct_suppliers,
     }
 
 
@@ -4179,6 +4275,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_conditional_flags": _AGG_CONDITIONAL_SQL,
         "functions_bitwise_ops": _FUNCTIONS_BITWISE_SQL,
         "text_zipf_slope": _TEXT_ZIPF_SQL,
+        "events_session_stats": _EVENTS_SESSION_STATS_SQL,
+        "window_running_distinct_suppliers": _WINDOW_RUNNING_DISTINCT_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,
