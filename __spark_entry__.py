@@ -4010,6 +4010,92 @@ FROM flagged
 """
 
 
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 word bigrams corpus-wide: adjacent-token pairs built
+    map-side with a higher-order transform over the token array (no
+    join, no per-token shuffle — only the (bigram, count) aggregate
+    shuffles), then TakeOrderedAndProject."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(25)
+    )
+
+
+_TEXT_BIGRAMS_SQL = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+),
+bg AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 25
+"""
+
+
+def sql_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue between
+    (supplier nation, customer nation) pairs through the
+    lineitem⋈orders⋈customer⋈supplier⋈nation×2 join tree. The two
+    nation legs broadcast; the fact-side joins are key equi-joins that
+    AQE sizes. Integer-cents revenue keeps the hash exact."""
+    for name in ("lineitem", "orders", "customer", "supplier", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q7_{name}")
+    return spark.sql(
+        """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lineitems
+        FROM _q7_lineitem l
+        JOIN _q7_orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN _q7_customer c ON o.o_custkey = c.c_custkey
+        JOIN _q7_supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN _q7_nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN _q7_nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name < n2.n_name
+        GROUP BY n1.n_name, n2.n_name
+        """
+    )
+
+
+_SQL_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY n1.n_name, n2.n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4176,6 +4262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
         "events_session_stats": events_session_stats,
         "window_running_distinct_suppliers": window_running_distinct_suppliers,
+        "text_top_bigrams": text_top_bigrams,
+        "sql_nation_trade_volume": sql_nation_trade_volume,
     }
 
 
@@ -4277,6 +4365,8 @@ def oracle_sql() -> dict[str, str]:
         "text_zipf_slope": _TEXT_ZIPF_SQL,
         "events_session_stats": _EVENTS_SESSION_STATS_SQL,
         "window_running_distinct_suppliers": _WINDOW_RUNNING_DISTINCT_SQL,
+        "text_top_bigrams": _TEXT_BIGRAMS_SQL,
+        "sql_nation_trade_volume": _SQL_Q7_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,
