@@ -4096,6 +4096,34 @@ GROUP BY n1.n_name, n2.n_name
 """
 
 
+def diag_key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile of the orders⋈customer join key
+    (operators/diagnostics.py:key_skew_stats) — the measurement that
+    decides plain join vs AQE skew-split vs explicit salting. Exact
+    p50/p75 over integer counts (every interpolation term exactly
+    representable → cross-engine identical)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.diagnostics import (
+        key_skew_stats,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return key_skew_stats(orders, ["o_custkey"])
+
+
+_DIAG_SKEW_SQL = """
+WITH counts AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY o_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS total_rows,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       CAST(round(quantile_cont(cnt, 0.5) * 4) AS BIGINT) AS median_cnt_x4,
+       CAST(round(quantile_cont(cnt, 0.75) * 4) AS BIGINT) AS p75_cnt_x4,
+       round(CAST(max(cnt) AS DOUBLE) / quantile_cont(cnt, 0.5), 4) AS skew_ratio
+FROM counts
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4264,6 +4292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_distinct_suppliers": window_running_distinct_suppliers,
         "text_top_bigrams": text_top_bigrams,
         "sql_nation_trade_volume": sql_nation_trade_volume,
+        "diag_key_skew_orders": diag_key_skew_orders,
     }
 
 
@@ -4367,6 +4396,7 @@ def oracle_sql() -> dict[str, str]:
         "window_running_distinct_suppliers": _WINDOW_RUNNING_DISTINCT_SQL,
         "text_top_bigrams": _TEXT_BIGRAMS_SQL,
         "sql_nation_trade_volume": _SQL_Q7_SQL,
+        "diag_key_skew_orders": _DIAG_SKEW_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,
