@@ -401,11 +401,16 @@ def test_interval_overlap_join_law(spark, a_iv, b_iv, width):
         (r["aid"], r["bid"])
         for r in interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", width).collect()
     ]
+    # the bare predicate alo<bhi AND blo<ahi is only equivalent to
+    # non-empty intersection for NON-EMPTY intervals ([0,0) vs [-1,1)
+    # satisfies it with an empty intersection) — the operator's
+    # documented contract drops empty intervals, so the reference must
+    # require both sides non-empty too.
     naive = sorted(
         (i, j)
         for i, (alo, ahi) in enumerate(a_iv)
         for j, (blo, bhi) in enumerate(b_iv)
-        if alo < bhi and blo < ahi
+        if alo < ahi and blo < bhi and alo < bhi and blo < ahi
     )
     assert sorted(got) == naive
     assert len(got) == len(set(got))
