@@ -702,23 +702,35 @@ def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "session_id")
 
 
-_WINDOW_SESSION_SQL = """
-WITH lagged AS (
-  SELECT event_id, user_id, ts,
+# Shared sessionization CTE chain for every session oracle. Gap test is
+# MICROSECOND-exact (epoch_us on the us-truncated timestamp), matching
+# sessionize_by_gap — a floor(epoch) whole-second version would merge a
+# true gap of 3600.05s that Spark correctly splits (latent divergence on
+# sub-second timestamps; the fixtures only dodge it by luck).
+_SESSION_CTE = """
+lagged AS (
+  SELECT event_id, user_id, ts, value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
   FROM events
 ), marked AS (
-  SELECT event_id, user_id, ts,
+  SELECT event_id, user_id, ts, value,
          CASE WHEN prev_ts IS NULL
-                   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 3600
+                   OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(prev_ts AS TIMESTAMP))
+                      > CAST(3600000000 AS BIGINT)
               THEN 1 ELSE 0 END AS new_session
   FROM lagged
+), sess AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+  FROM marked
 )
-SELECT event_id,
-       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS session_id
-FROM marked
+"""
+
+_WINDOW_SESSION_SQL = f"""
+WITH {_SESSION_CTE}
+SELECT event_id, session_id FROM sess
 """
 
 
@@ -3878,7 +3890,7 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf power-law fit of the corpus vocabulary: OLS slope of
-    ln(count) against ln(rank) via the built-in regr_slope aggregate
+    ln(count) against ln(rank) computed from exact integer-snapped sums (order-independent; see inline note)
     (natural text ≈ −1; synthetic/templated corpora deviate — a cheap
     whole-corpus health check). Vocabulary-sized aggregation only; the
     rank window runs over the vocab table, never the corpus."""
@@ -3894,9 +3906,27 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     ranked = vocab.withColumn("rank", F.row_number().over(w).cast("long"))
-    return ranked.agg(
-        F.round(F.regr_slope(F.log("cnt"), F.log("rank")), 4).alias("zipf_slope"),
-        F.count("*").cast("long").alias("vocab_size"),
+    # OLS slope from INTEGER-snapped logs (round(ln·1e4) as BIGINT):
+    # regr_slope's float partial states merge in partition order and can
+    # flip the 4th decimal vs the oracle's sequential scan; exact BIGINT
+    # sums are order-independent, and the final fixed expression tree
+    # evaluates identically in both engines. Headroom: |x4|,|y4| ≤ ~5e5
+    # → Σx4·y4 ≤ 2.5e11·V, safe to vocab ~3e7.
+    snapped = ranked.select(
+        F.round(F.log("rank") * 1e4).cast("long").alias("x4"),
+        F.round(F.log("cnt") * 1e4).cast("long").alias("y4"),
+    )
+    sums = snapped.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x4").cast("long").alias("sx"),
+        F.sum("y4").cast("long").alias("sy"),
+        F.sum(F.col("x4") * F.col("y4")).cast("long").alias("sxy"),
+        F.sum(F.col("x4") * F.col("x4")).cast("long").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return sums.select(
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias("zipf_slope"),
+        F.col("n").alias("vocab_size"),
     )
 
 
@@ -3909,10 +3939,22 @@ vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token)
 ranked AS (
   SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
   FROM vocab
+),
+snapped AS (
+  SELECT CAST(round(ln(rank) * 1e4) AS BIGINT) AS x4,
+         CAST(round(ln(cnt) * 1e4) AS BIGINT) AS y4
+  FROM ranked
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x4) AS BIGINT) AS sx, CAST(sum(y4) AS BIGINT) AS sy,
+         CAST(sum(x4 * y4) AS BIGINT) AS sxy, CAST(sum(x4 * x4) AS BIGINT) AS sxx
+  FROM snapped
 )
-SELECT round(regr_slope(ln(cnt), ln(rank)), 4) AS zipf_slope,
-       CAST(count(*) AS BIGINT) AS vocab_size
-FROM ranked
+SELECT round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4) AS zipf_slope,
+       n AS vocab_size
+FROM sums
 """
 
 
@@ -3939,24 +3981,8 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EVENTS_SESSION_STATS_SQL = """
-WITH lagged AS (
-  SELECT event_id, user_id, ts, value,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-  FROM events
-), marked AS (
-  SELECT event_id, user_id, ts, value,
-         CASE WHEN prev_ts IS NULL
-                   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 3600
-              THEN 1 ELSE 0 END AS new_session
-  FROM lagged
-), sess AS (
-  SELECT user_id, ts, value,
-         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS session_id
-  FROM marked
-)
+_EVENTS_SESSION_STATS_SQL = f"""
+WITH {_SESSION_CTE}
 SELECT user_id, session_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_seconds,
@@ -3965,14 +3991,15 @@ FROM sess
 GROUP BY user_id, session_id
 """
 
-
 def window_running_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running COUNT DISTINCT per key — not natively expressible as a
     window aggregate in Spark (or standard SQL); implemented with the
     first-occurrence-flag trick: flag each row that introduces a new
     (key, supplier) pair via a per-pair row_number, then running-sum the
-    flags along the key's order. Two window passes over the SAME key
-    partitioning — one exchange."""
+    flags along the key's order. Costs TWO exchanges — the flag window
+    partitions by (key, supplier), the running sum by key alone — which
+    is the honest price of running-distinct semantics; the flag pass at
+    least shuffles only the narrow projection."""
     li = _t(spark, sf_dir, "lineitem")
     w_first = Window.partitionBy("l_returnflag", "l_suppkey").orderBy(
         *[F.asc(c) for c in _LI_ORDER]

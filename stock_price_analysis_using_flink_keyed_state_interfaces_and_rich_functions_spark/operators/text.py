@@ -611,7 +611,7 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
     compressible text is repetitive boilerplate — the classic cheap
     redundancy heuristic (used alongside Gopher-style repetition rules
     in large-scale corpus filtering). Adds ``compressed_len`` and
-    ``compression_ratio`` = compressed/raw (0 for empty docs; > ~1 for
+    ``compression_ratio`` = compressed bytes / raw UTF-8 bytes (0 for empty docs; > ~1 for
     incompressible short text is normal — zlib headers dominate).
 
     Arrow-vectorized pandas UDF over the stdlib zlib C codec — one
@@ -634,7 +634,10 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
             dtype="int64",
         )
 
-    raw_len = F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
+    # octet_length (UTF-8 BYTES), not length (codepoints): zlib works on
+    # encoded bytes, and a char-count denominator inflates the ratio ~3x
+    # for CJK text — repetitive boilerplate would read as incompressible.
+    raw_len = F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
     out = df.withColumn("compressed_len", _clen(F.col(text_col)))
     return out.withColumn(
         "compression_ratio",

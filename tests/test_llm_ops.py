@@ -916,3 +916,23 @@ def test_compression_ratio_orders_repetitive_below_prose(spark):
     assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
     # empty / NULL → 0, never NULL
     assert got[3]["compression_ratio"] == 0.0 and got[4]["compressed_len"] == 0
+
+
+def test_compression_ratio_uses_utf8_bytes_not_codepoints(spark):
+    """Multibyte text: the denominator must be UTF-8 BYTES (zlib's
+    input), not codepoints — a char count would inflate the ratio ~3x
+    for CJK and misread repetitive boilerplate as incompressible."""
+    import zlib
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        with_compression_ratio,
+    )
+
+    cjk = "你好世界" * 50  # 200 codepoints, 600 UTF-8 bytes
+    df = spark.createDataFrame([(1, cjk)], "doc_id long, text string")
+    r = with_compression_ratio(df).collect()[0]
+    raw_bytes = len(cjk.encode("utf-8"))
+    assert raw_bytes == 600
+    assert r["compression_ratio"] == round(
+        len(zlib.compress(cjk.encode("utf-8"), 6)) / raw_bytes, 6
+    )
