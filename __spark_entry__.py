@@ -4151,6 +4151,36 @@ FROM counts
 """
 
 
+def multimodal_dedup_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup by content digest: survivors (min
+    doc_id per sha256) with duplicate counts — the media twin of
+    dedup_exact_docs. Only 32-byte digests shuffle, never payload
+    bytes; at 100 TB of media that is the entire point."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.multimodal import (
+        attach_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = attach_payload(docs)
+    return (
+        with_payload.groupBy(F.col("media_meta.content_sha256").alias("content_sha256"))
+        .agg(
+            F.min("doc_id").cast("long").alias("survivor_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 1)
+    )
+
+
+_MULTIMODAL_DEDUP_SQL = """
+SELECT sha256(text) AS content_sha256,
+       CAST(min(doc_id) AS BIGINT) AS survivor_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY content_sha256
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4320,6 +4350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": text_top_bigrams,
         "sql_nation_trade_volume": sql_nation_trade_volume,
         "diag_key_skew_orders": diag_key_skew_orders,
+        "multimodal_dedup_payloads": multimodal_dedup_payloads,
     }
 
 
@@ -4424,6 +4455,7 @@ def oracle_sql() -> dict[str, str]:
         "text_top_bigrams": _TEXT_BIGRAMS_SQL,
         "sql_nation_trade_volume": _SQL_Q7_SQL,
         "diag_key_skew_orders": _DIAG_SKEW_SQL,
+        "multimodal_dedup_payloads": _MULTIMODAL_DEDUP_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,

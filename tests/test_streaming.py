@@ -710,3 +710,54 @@ def test_ewma_batch_ground_truth_and_stream_parity(spark):
             (r["k"], r["v"]): r["ewma"] for r in ewma(df, ["k"], ["seq"], "v", alpha=0.5).collect()
         }
         assert streamed == batch  # exact equality, not approx
+
+
+def test_ewma_stream_recovers_from_checkpoint(spark, tmp_path):
+    """The EWMA's one-float carried state must survive a query restart:
+    run 2 restarts from run 1's checkpoint, processes only the new
+    file, and every emission across both runs must equal the batch fold
+    bit-for-bit (a lost or reset mean would shift every post-restart
+    value)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        ewma,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.stateful import (
+        ewma_stream,
+    )
+
+    root = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    sink = str(tmp_path / "out")
+    rows = [("a" if i % 2 == 0 else "b", i, float((i * 31) % 83)) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string, seq long, v double")
+    df.filter(F.col("seq") < 20).coalesce(1).write.parquet(os.path.join(root, "part=0"))
+
+    def run():
+        stream = (
+            spark.readStream.schema("k string, seq long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(root, "part=*"))
+            .select("k", "seq", "v")
+        )
+        q = (
+            ewma_stream(stream, ["k"], ["seq"], "v", alpha=0.3)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).collect()
+
+    assert len(run()) == 20
+    df.filter(F.col("seq") >= 20).coalesce(1).write.parquet(os.path.join(root, "part=1"))
+    both = run()
+    assert len(both) == 30  # only the new file processed after restart
+    expected = {
+        (r["k"], r["v"]): r["ewma"]
+        for r in ewma(df, ["k"], ["seq"], "v", alpha=0.3).collect()
+    }
+    for r in both:
+        assert expected[(r["k"], r["v"])] == r["ewma"]  # exact, incl. post-restart
