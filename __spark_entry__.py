@@ -4181,6 +4181,34 @@ GROUP BY content_sha256
 """
 
 
+def sql_cheapest_parts_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated scalar subquery: parts priced exactly
+    at their type's minimum retail price. Catalyst decorrelates the
+    subquery into an aggregate + equi-join — no per-row re-execution
+    (the decorrelation is the point of the shape)."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_q2_part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_type, p_brand,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM _q2_part p
+        WHERE p_retailprice = (
+            SELECT min(p2.p_retailprice) FROM _q2_part p2 WHERE p2.p_type = p.p_type
+        )
+        """
+    )
+
+
+_SQL_Q2_SQL = """
+SELECT p_partkey, p_type, p_brand,
+       CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+FROM part p
+WHERE p_retailprice = (
+    SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4351,6 +4379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_nation_trade_volume": sql_nation_trade_volume,
         "diag_key_skew_orders": diag_key_skew_orders,
         "multimodal_dedup_payloads": multimodal_dedup_payloads,
+        "sql_cheapest_parts_per_type": sql_cheapest_parts_per_type,
     }
 
 
@@ -4456,6 +4485,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_nation_trade_volume": _SQL_Q7_SQL,
         "diag_key_skew_orders": _DIAG_SKEW_SQL,
         "multimodal_dedup_payloads": _MULTIMODAL_DEDUP_SQL,
+        "sql_cheapest_parts_per_type": _SQL_Q2_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,
