@@ -4209,6 +4209,30 @@ WHERE p_retailprice = (
 """
 
 
+def setops_symmetric_diff_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference as a set-op composition: customers appearing
+    in exactly one of {order-placers, high-balance accounts} — (A∖B) ∪
+    (B∖A) via two except-distincts over pre-aggregated key sets."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    b = (
+        customer.filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+        .distinct()
+    )
+    return a.exceptAll(b).unionByName(b.exceptAll(a)).distinct()
+
+
+_SETOPS_SYMDIFF_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+b AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+(SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
+UNION
+(SELECT custkey FROM b EXCEPT SELECT custkey FROM a)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4380,6 +4404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_key_skew_orders": diag_key_skew_orders,
         "multimodal_dedup_payloads": multimodal_dedup_payloads,
         "sql_cheapest_parts_per_type": sql_cheapest_parts_per_type,
+        "setops_symmetric_diff_custkeys": setops_symmetric_diff_custkeys,
     }
 
 
@@ -4486,6 +4511,7 @@ def oracle_sql() -> dict[str, str]:
         "diag_key_skew_orders": _DIAG_SKEW_SQL,
         "multimodal_dedup_payloads": _MULTIMODAL_DEDUP_SQL,
         "sql_cheapest_parts_per_type": _SQL_Q2_SQL,
+        "setops_symmetric_diff_custkeys": _SETOPS_SYMDIFF_SQL,
         "sample_train_val_test": _SAMPLE_SPLIT_SQL,
         "similarity_label_centroids": _SIM_CENTROIDS_SQL,
         "similarity_quantize_int8": _SIM_QUANT_SQL,
