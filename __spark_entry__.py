@@ -972,6 +972,67 @@ def dedup_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(sigs, "doc_id", max_hamming=3, bits=32)
 
 
+def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with an ENGINE-PORTABLE signature (token
+    hash = first 32 bits of md5, not xxhash64) so DuckDB can recompute
+    bit-identical signatures and confirm every pair by exact all-pairs
+    ``bit_count(xor)`` — the verified tier that turns the SimHash
+    sketch from rows-only into hash-checkable, mirroring
+    ``dedup_minhash_verified``. Pigeonhole candidates are exact for
+    hamming ≤ max (k+1 chunks ⇒ one must match), so Spark's
+    chunk-equi-join output must equal the oracle's quadratic scan —
+    recall is 1 by construction, not by luck."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = simhash(docs, "doc_id", "text", bits=32, portable=True)
+    pairs = simhash_pairs(sigs, "doc_id", max_hamming=3, bits=32)
+    return pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("hamming").cast("long"),
+    )
+
+
+def _simhash_verified_sql() -> str:
+    """DuckDB twin of the portable SimHash: identical tokenization
+    (split trimmed text on \\s+), identical token hash (first 8 md5 hex
+    chars as uint32), identical vote/sign assembly, then quadratic
+    exact Hamming — affordable at oracle scale, never run at data
+    scale."""
+    bits = 32
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM toks
+),
+voted AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {assemble} AS sig FROM voted
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+_DEDUP_SIMHASH_VERIFIED_SQL = _simhash_verified_sql()
+
+
 def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise near-dup edges (2-gram Jaccard ≥ 0.8) resolved into
     connected components — canonical one-survivor-per-cluster dedup;
@@ -4384,6 +4445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_intersect_all_nationkeys": setops_intersect_all_nationkeys,
         "text_language_id": text_language_id,
         "dedup_simhash_pairs": dedup_simhash_pairs_docs,  # rows-only (hamming sketch)
+        "dedup_simhash_verified": dedup_simhash_verified,
         "text_quality_quantile_filter": text_quality_quantile_filter,
         "window_ntile_orders": window_ntile_orders,
         "dedup_chunk_ratio": dedup_chunk_ratio,
@@ -4453,6 +4515,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_minhash_verified": _DEDUP_MINHASH_VERIFIED_SQL,
+        "dedup_simhash_verified": _DEDUP_SIMHASH_VERIFIED_SQL,
         "pack_concat_chunks": _PACK_CONCAT_SQL,
         "pack_greedy_nextfit": _PACK_GREEDY_SQL,
         "llm_pipeline_packed_corpus": _LLM_PACKED_SQL,

@@ -522,6 +522,7 @@ def simhash(
     text_col: str,
     bits: int = 32,
     seed: int = 7,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash bit signature over word tokens (≤ 62 bits so the
     assembled value fits a signed long without ANSI overflow).
@@ -529,11 +530,24 @@ def simhash(
     Per token: xxhash64(seed‖token); bit b of the signature is the sign
     of Σ_tokens (±1 depending on the token hash's bit b). Explode +
     groupBy — one shuffle, ``bits`` conditional-sum aggregates.
+
+    ``portable=True`` swaps the token hash for the first 32 bits of
+    md5(token) (``seed`` ignored) — bit-for-bit reproducible in any
+    engine with md5, which is what makes the *verified* tier
+    (``dedup_simhash_verified``) oracle-checkable in DuckDB: the oracle
+    recomputes identical signatures and compares exact all-pairs
+    Hamming. Same plan shape either way; conv(hex,16,10) is a scalar
+    expression, still whole-stage codegen.
     """
     if not 1 <= bits <= 62:
         raise ValueError("bits must be in [1, 62]")
+    if portable and bits > 32:
+        raise ValueError("portable simhash derives 32 hash bits from md5")
     toked = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("_t"))
-    h = F.xxhash64(F.lit(str(seed)), F.col("_t"))
+    if portable:
+        h = F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.lit(str(seed)), F.col("_t"))
     votes = [
         F.sum(F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_v{b}")
         for b in range(bits)

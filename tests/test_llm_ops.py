@@ -98,6 +98,28 @@ def test_simhash_pairs(spark, docs):
     plans.assert_no_cartesian(out)
 
 
+def test_simhash_portable_matches_python_md5(spark, docs):
+    """Portable mode must reproduce the reference construction exactly:
+    token hash = first 8 md5 hex chars as uint32 (what the DuckDB
+    oracle recomputes), vote, sign, assemble."""
+    import hashlib
+    import re as _re
+
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash(docs, "doc_id", "text", bits=32, portable=True).collect()}
+    for row in docs.collect():
+        toks = _re.split(r"\s+", row["text"].strip())
+        votes = [0] * 32
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        expect = sum((1 << b) for b in range(32) if votes[b] > 0)
+        assert sigs[row["doc_id"]] == expect
+    with pytest.raises(ValueError):
+        simhash(docs, "doc_id", "text", bits=48, portable=True)
+
+
 # ------------------------------------------------------------ similarity
 
 @pytest.fixture(scope="module")
