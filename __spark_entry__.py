@@ -4057,27 +4057,38 @@ def window_running_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataF
     window aggregate in Spark (or standard SQL); implemented with the
     first-occurrence-flag trick: flag each row that introduces a new
     (key, supplier) pair via a per-pair row_number, then running-sum the
-    flags along the key's order. Costs TWO exchanges — the flag window
-    partitions by (key, supplier), the running sum by key alone — which
-    is the honest price of running-distinct semantics; the flag pass at
-    least shuffles only the narrow projection."""
+    flags along the key's order. The flag window partitions by (key,
+    supplier) — naturally parallel — but the running sum partitions by
+    l_returnflag alone (3 values), which would serialize a third of
+    lineitem per task at scale; so the sum runs through
+    ``segmented_running_sum`` with ship-YEAR segments (non-decreasing
+    along _LI_ORDER by construction), lifting parallelism to
+    keys × years. Integer flag sums make the segmented form
+    bit-identical to the plain window — same oracle SQL."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        segmented_running_sum,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     w_first = Window.partitionBy("l_returnflag", "l_suppkey").orderBy(
         *[F.asc(c) for c in _LI_ORDER]
     )
-    w_run = (
-        Window.partitionBy("l_returnflag")
-        .orderBy(*[F.asc(c) for c in _LI_ORDER])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     flagged = li.withColumn(
         "_new", (F.row_number().over(w_first) == 1).cast("long")
+    ).withColumn("_ship_year", F.year("l_shipdate"))
+    run = segmented_running_sum(
+        flagged,
+        ["l_returnflag"],
+        [F.asc(c) for c in _LI_ORDER],
+        "_ship_year",
+        "_new",
+        out_col="_run_distinct",
     )
-    return flagged.select(
+    return run.select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
-        F.sum("_new").over(w_run).cast("long").alias("distinct_suppliers_so_far"),
+        F.col("_run_distinct").cast("long").alias("distinct_suppliers_so_far"),
     )
 
 

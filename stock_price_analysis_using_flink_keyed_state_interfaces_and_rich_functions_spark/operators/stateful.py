@@ -38,9 +38,11 @@ __all__ = [
     "running_agg",
     "final_max",
     "segmented_row_number",
+    "segmented_running_sum",
     "tumbling_count_window_avg",
     "rows_between_breaches",
     "ewma",
+    "ewma_segmented",
 ]
 
 ColsLike = Sequence[str | Column]
@@ -212,6 +214,52 @@ def segmented_row_number(
     return (
         df.join(F.broadcast(offsets), [*keys, segment_col], "inner")
         .withColumn(out_col, F.row_number().over(local_w) + F.col("_seg_off"))
+        .drop("_seg_off")
+    )
+
+
+def segmented_running_sum(
+    df: DataFrame,
+    key_cols: ColsLike,
+    order_cols: ColsLike,
+    segment_col: str,
+    value_col: str,
+    out_col: str = "_run",
+) -> DataFrame:
+    """Per-key running SUM computed with |keys| × |segments| parallelism
+    instead of |keys| — the generalization of
+    :func:`segmented_row_number` from counting 1s to summing an
+    arbitrary (integer) column. The fix for low-cardinality running
+    sums (e.g. a 3-value key would otherwise serialize a third of the
+    table per task): (1) local running sum within (key, segment);
+    (2) per-(key, segment) totals (map-side partial agg) with an
+    EXCLUSIVE prefix sum over segments — a window over the tiny
+    aggregate table; (3) broadcast the offsets back and add.
+
+    Precondition (same as every segmented form): ``segment_col`` must be
+    non-decreasing along ``order_cols`` within each key. Bit-identical
+    to the plain running sum for integer values (integer addition is
+    associative); float values would need the documented tolerance
+    caveat that :func:`ewma_segmented` carries.
+    """
+    keys = _key_names(key_cols, "segmented_running_sum")
+    local_w = (
+        Window.partitionBy(*keys, segment_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = df.groupBy(*keys, segment_col).agg(F.sum(value_col).alias("_seg_sum"))
+    carry_w = Window.partitionBy(*keys).orderBy(segment_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        *keys,
+        segment_col,
+        F.coalesce(F.sum("_seg_sum").over(carry_w), F.lit(0)).alias("_seg_off"),
+    )
+    return (
+        df.join(F.broadcast(offsets), [*keys, segment_col], "inner")
+        .withColumn(out_col, F.sum(value_col).over(local_w) + F.col("_seg_off"))
         .drop("_seg_off")
     )
 

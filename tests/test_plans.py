@@ -190,6 +190,21 @@ def test_w1_segmented_broadcast_carry_and_dual_key_window(spark, q):
     ), "data-side window must partition by (yr, mo)"
 
 
+def test_running_distinct_segmented_dual_key_window(spark, q):
+    """The running-distinct sum must run partitioned by (l_returnflag,
+    _ship_year) — keys × years parallelism — with the year-offset table
+    broadcast back, not by the 3-value l_returnflag alone."""
+    df = q["window_running_distinct_suppliers"](spark, SF)
+    assert plans.has_broadcast_hash_join(df)
+    plans.assert_no_cartesian(df)
+    s = plans.explain_str(df)
+    assert any(
+        "l_returnflag#" in line and "_ship_year#" in line
+        for line in s.splitlines()
+        if "windowspecdefinition" in line
+    ), "running sum must partition by (l_returnflag, _ship_year)"
+
+
 def test_new_approx_oracle_queries_no_cartesian(spark, q):
     # similarity_lsh_recall is excluded: its exact baseline side IS
     # brute_force_topk, whose broadcast nested-loop (small queries ×

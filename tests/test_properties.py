@@ -287,6 +287,28 @@ def test_segmented_forms_equal_plain_for_any_monotone_segmentation(spark, rows, 
         for r in segmented_row_number(df, ["k"], ["seq"], "seg").collect()
     }
     assert rn_seg == rn_plain
+    # running SUM of an integer column: segmented ≡ plain, bit-identical
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        segmented_running_sum,
+    )
+
+    summed = df.withColumn("iv", (F.col("seq") % 3).cast("long"))
+    rs_plain = {
+        (r["k"], r["seq"]): r["rs"]
+        for r in summed.withColumn(
+            "rs",
+            F.sum("iv").over(
+                Window.partitionBy("k").orderBy("seq").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        ).collect()
+    }
+    rs_seg = {
+        (r["k"], r["seq"]): r["rs"]
+        for r in segmented_running_sum(summed, ["k"], ["seq"], "seg", "iv", "rs").collect()
+    }
+    assert rs_seg == rs_plain
 
 
 @_settings
