@@ -3790,6 +3790,33 @@ SELECT name_a, name_b AS closest_name, dist FROM ranked WHERE rk = 1
 """
 
 
+def window_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-carry EWMA (operators/stateful.py:ewma_segmented) — same
+    per-priority fold as window_ewma_orders but with order-YEAR segments
+    so parallelism is keys × years instead of the 5 priority values; the
+    affine segment composition (y_out = A·y_in + B) makes the carry
+    exact up to float reassociation. Rows-only like the plain form
+    (float recursion has no portable SQL); pinned by the
+    segmented ≡ plain property test to relative tolerance."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        ewma_segmented,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    out = ewma_segmented(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+        .withColumn("_order_year", F.year("o_orderdate")),
+        ["o_orderpriority"],
+        ["o_orderdate", "o_orderkey"],
+        "o_totalprice",
+        alpha=0.1,
+        segment_col="_order_year",
+    )
+    return out.select(
+        "o_orderkey", "o_orderpriority", F.round("ewma", 4).alias("ewma_totalprice")
+    )
+
+
 def window_ewma_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority EWMA of order value along order date
     (operators/stateful.py:ewma — the exponential-decay keyed-state
@@ -4465,6 +4492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": events_cohort_retention,
         "functions_edit_distance": functions_edit_distance,
         "window_ewma_orders": window_ewma_orders,  # rows-only (float recursion)
+        "window_ewma_segmented": window_ewma_segmented,  # rows-only (float recursion)
         "dim_scd2_customer_segments": dim_scd2_customer_segments,
         "agg_conditional_flags": agg_conditional_flags,
         "functions_bitwise_ops": functions_bitwise_ops,

@@ -437,3 +437,136 @@ def ewma(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(_fold, schema=out_schema)
+
+
+def ewma_segmented(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+    segment_col: str,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Segment-carry EWMA — the hot-key fix for :func:`ewma`, same shape
+    as the other segmented forms (W1's broadcast carry, W2/W3's
+    segmented numbering): parallelism |keys| × |segments| instead of
+    |keys|, so a single hot key no longer serializes its whole history
+    through one pandas group.
+
+    The EWMA update ``y = (1−α)·y + α·x`` is AFFINE in the incoming
+    state, so a whole segment composes to ``y_out = A·y_in + B`` with
+    ``A = (1−α)^{n_valid}`` — per-segment folds are associative and a
+    tiny per-(key, segment) carry table reconstructs every boundary
+    state exactly. Three passes:
+
+    1. per-(key, segment) pandas fold (Arrow-batched, C kernels)
+       emitting per-row ``e`` (segment-local EWMA, y₀ = x₀ — the
+       no-prior branch), ``w = (1−α)^{v}`` (decay of a carry-in across
+       the ``v`` valid rows so far) and ``z`` (fold from state 0 —
+       computed as ewm over the series with a virtual leading 0);
+    2. per-segment last-row aggregates (map-side ``max_by``) → per-key
+       sequential fold over the ORDERED SEGMENTS ONLY (a
+       |keys|×|segments| table, broadcastable by construction) giving
+       each segment its carry-in state;
+    3. broadcast join back; final value is pure column arithmetic:
+       ``carry IS NULL → e`` (this segment saw the key's first valid
+       value) else ``w·carry + z``.
+
+    Precondition: ``segment_col`` non-decreasing along ``order_cols``
+    within each key (same as every segmented form).
+
+    Float caveat (the honest price): regrouping the recursion as
+    ``w·carry + z`` reassociates float adds/multiplies, so results can
+    differ from :func:`ewma` in the last ulps — NOT bit-identical, and
+    therefore pinned by a relative-tolerance property test
+    (``tests/test_properties.py``) rather than a shared SQL oracle.
+    Integer-snapping at output (e.g. round to cents) restores exact
+    agreement for presentation columns. NULL semantics are unchanged:
+    NULLs never update state; a NULL row emits the carried mean (NULL
+    before the key's first valid value).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    keys = _key_names(key_cols, "ewma_segmented")
+    order = _key_names(order_cols, "ewma_segmented")
+
+    pass1_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("_e", DoubleType(), True),
+            StructField("_w", DoubleType(), True),
+            StructField("_z", DoubleType(), True),
+        ]
+    )
+
+    def _local(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values(order)
+        s = pdf[value_col].astype("float64")
+        pdf["_e"] = s.ewm(alpha=alpha, adjust=False, ignore_na=True).mean()
+        # z: the same fold but from state 0 — prepend a virtual 0 row so
+        # pandas' y₀=x₀ seeding lands on 0, then every real row applies
+        # the plain (1−α)y+αx update; drop the virtual row after.
+        z = (
+            _pd.concat([_pd.Series([0.0]), s], ignore_index=True)
+            .ewm(alpha=alpha, adjust=False, ignore_na=True)
+            .mean()
+            .iloc[1:]
+            .to_numpy()
+        )
+        pdf["_z"] = z
+        v = s.notna().cumsum().to_numpy(dtype="float64")
+        pdf["_w"] = _np.power(1.0 - alpha, v)
+        return pdf
+
+    local = df.groupBy(*keys, segment_col).applyInPandas(_local, schema=pass1_schema)
+    # Per-row _z/_w are NaN-free (z carries 0.0 / w is a power), but _e
+    # is NULL before the first valid row — carried through Arrow as null.
+
+    last_order = F.struct(*[F.col(c) for c in order])
+    seg_agg = local.groupBy(*keys, segment_col).agg(
+        F.max_by("_w", last_order).alias("_A"),
+        F.max_by("_z", last_order).alias("_Z"),
+        F.max_by("_e", last_order).alias("_E"),
+        F.sum(F.when(F.col(value_col).isNotNull(), 1).otherwise(0)).alias("_n_valid"),
+    )
+
+    carry_schema = StructType(
+        [seg_agg.schema[k] for k in keys]
+        + [seg_agg.schema[segment_col], StructField("_carry", DoubleType(), True)]
+    )
+
+    def _carry_fold(pdf):
+        import pandas as _pd  # noqa: F401
+
+        pdf = pdf.sort_values(segment_col)
+        y = None
+        carries = []
+        for a, z, e, n in zip(pdf["_A"], pdf["_Z"], pdf["_E"], pdf["_n_valid"]):
+            carries.append(y)
+            if y is None:
+                if n > 0:
+                    y = e  # segment held the key's first valid value
+            else:
+                y = a * y + z  # n == 0 ⇒ a == 1, z == 0 ⇒ y unchanged
+        pdf["_carry"] = carries
+        return pdf[[*keys, segment_col, "_carry"]]
+
+    carry = seg_agg.groupBy(*keys).applyInPandas(_carry_fold, schema=carry_schema)
+
+    out = (
+        local.join(F.broadcast(carry), [*keys, segment_col], "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("_carry").isNull(), F.col("_e")).otherwise(
+                F.col("_w") * F.col("_carry") + F.col("_z")
+            ),
+        )
+        .drop("_e", "_w", "_z", "_carry")
+    )
+    return out

@@ -313,6 +313,51 @@ def test_segmented_forms_equal_plain_for_any_monotone_segmentation(spark, rows, 
 
 @_settings
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    seg_every=st.integers(1, 10),
+    alpha=st.sampled_from([0.05, 0.3, 0.9, 1.0]),
+)
+def test_ewma_segmented_equals_plain_to_tolerance(spark, rows, seg_every, alpha):
+    """The affine segment-carry EWMA must agree with the plain per-key
+    pandas fold for ANY monotone segmentation — to relative tolerance
+    (the w·carry + z regrouping reassociates float ops, so bit equality
+    is not the contract; 1e-9 relative is, documented in the
+    ewma_segmented docstring). NULL placement must agree exactly."""
+    import math
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        ewma,
+        ewma_segmented,
+    )
+
+    data = [(k, i, i // seg_every, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, seq int, seg int, v double")
+    plain = {
+        (r["k"], r["seq"]): r["y"]
+        for r in ewma(df, ["k"], ["seq"], "v", alpha, out_col="y").collect()
+    }
+    seg = {
+        (r["k"], r["seq"]): r["y"]
+        for r in ewma_segmented(df, ["k"], ["seq"], "v", alpha, "seg", out_col="y").collect()
+    }
+    assert seg.keys() == plain.keys()
+    for key, p in plain.items():
+        s = seg[key]
+        if p is None:
+            assert s is None, (key, s)
+        else:
+            assert s is not None and math.isclose(s, p, rel_tol=1e-9, abs_tol=1e-9), (key, s, p)
+
+
+@_settings
+@given(
     counts=st.lists(st.integers(0, 50), min_size=1, max_size=40),
     seq_len=st.integers(1, 40),
 )
