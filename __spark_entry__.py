@@ -4222,6 +4222,222 @@ GROUP BY n1.n_name, n2.n_name
 """
 
 
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: NATION_0's share of ASIA's
+    ECONOMY-part revenue per order year. The full 7-table Q8 join tree
+    (lineitem⋈orders⋈customer⋈supplier⋈part + nation×2 + region) with
+    the three dim legs broadcast; the share is a conditional-sum ratio
+    over exact integer cents, so the double division is bit-identical
+    cross-engine."""
+    for name in ("lineitem", "orders", "customer", "supplier", "part", "nation", "region"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q8_{name}")
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS o_year,
+               CAST(sum(CASE WHEN n2.n_name = 'NATION_0'
+                             THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS nation_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               round(sum(CASE WHEN n2.n_name = 'NATION_0'
+                              THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                              ELSE 0 END)
+                     / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                            AS DOUBLE), 6) AS mkt_share
+        FROM _q8_lineitem l
+        JOIN _q8_orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN _q8_customer c ON o.o_custkey = c.c_custkey
+        JOIN _q8_supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN _q8_part p     ON l.l_partkey = p.p_partkey
+        JOIN _q8_nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN _q8_region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN _q8_nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        GROUP BY year(o_orderdate)
+        """
+    )
+
+
+_SQL_Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_0'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       round(sum(CASE WHEN n2.n_name = 'NATION_0'
+                      THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                      ELSE 0 END)
+             / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                    AS DOUBLE), 6) AS mkt_share
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+JOIN region r   ON n1.n_regionkey = r.r_regionkey
+JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+GROUP BY year(o_orderdate)
+"""
+
+
+def sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit by (supplier nation, order
+    year). The synthetic schema has no partsupp/ps_supplycost, so cost
+    is proxied as half the part's retail price per unit — the join tree
+    (lineitem⋈orders⋈supplier⋈part⋈nation) and the profit = revenue −
+    cost conditional-aggregate shape are Q9's; all money stays in
+    integer cents so the hash is exact."""
+    for name in ("lineitem", "orders", "supplier", "part", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q9_{name}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                        - CAST(round(l_quantity * p_retailprice * 50) AS BIGINT))
+                    AS BIGINT) AS profit_cents
+        FROM _q9_lineitem l
+        JOIN _q9_orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN _q9_supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN _q9_part p     ON l.l_partkey = p.p_partkey
+        JOIN _q9_nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%1%'
+        GROUP BY n.n_name, year(o_orderdate)
+        """
+    )
+
+
+_SQL_Q9_SQL = """
+SELECT n.n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                - CAST(round(l_quantity * p_retailprice * 50) AS BIGINT)) AS BIGINT)
+           AS profit_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%1%'
+GROUP BY n.n_name, year(o_orderdate)
+"""
+
+
+def sql_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped "important inventory": parts whose shipped value
+    exceeds 1/10000 of the corpus-wide total — GROUP BY + HAVING against
+    an uncorrelated scalar subquery (no partsupp in the synthetic
+    schema, so shipped lineitem value stands in for stock value).
+    Catalyst evaluates the scalar subquery once and broadcasts the
+    single-row result; the threshold comparison is pure integer
+    arithmetic (sum×10000 vs total) so no float boundary exists."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q11_lineitem")
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM _q11_lineitem
+        GROUP BY l_partkey
+        HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 10000 >
+               (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                FROM _q11_lineitem)
+        """
+    )
+
+
+_SQL_Q11_SQL = """
+SELECT l_partkey,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 10000 >
+       (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FROM lineitem)
+"""
+
+
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: lineitems below 40% of
+    their part's average quantity, for one brand. The correlated
+    aggregate subquery decorrelates into a per-part average + equi-join
+    (no per-row re-execution). Quantities are integral doubles, so the
+    per-part average is an exact ratio of exactly-represented sums —
+    the 0.4·avg boundary is bit-identical cross-engine."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q17_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_q17_part")
+    return spark.sql(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_small,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM _q17_lineitem l
+        JOIN _q17_part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'BRAND_1'
+          AND l.l_quantity < (
+              SELECT 0.4 * avg(l2.l_quantity)
+              FROM _q17_lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
+
+
+_SQL_Q17_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'BRAND_1'
+  AND l.l_quantity < (
+      SELECT 0.4 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+def sql_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped nested-IN chain: suppliers who shipped more than
+    200 units of some '%2%'-named part during 1996 — supplier IN
+    (suppliers-of-qualifying-volume) with the part-name filter nested
+    inside the volume aggregate (no partsupp, so shipped volume stands
+    in for available stock). Catalyst rewrites both INs into semi-joins;
+    the inner aggregate groups by (supp, part) first so nothing wider
+    than keys and an integral quantity sum ever shuffles."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q20_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_q20_part")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("_q20_supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM _q20_supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM _q20_lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM _q20_part WHERE p_name LIKE '%2%'
+            )
+              AND year(l_shipdate) = 1996
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > 200
+        )
+        """
+    )
+
+
+_SQL_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%2%')
+      AND year(l_shipdate) = 1996
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 200
+)
+"""
+
+
 def diag_key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew profile of the orders⋈customer join key
     (operators/diagnostics.py:key_skew_stats) — the measurement that
@@ -4267,7 +4483,6 @@ def multimodal_dedup_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("survivor_id"),
             F.count("*").cast("long").alias("n_copies"),
         )
-        .filter(F.col("n_copies") >= 1)
     )
 
 
@@ -4343,29 +4558,88 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries. ORDER IS LOAD-BEARING: the driver's
-    correctness harness checks the FIRST 50 entries, so the top 50 are
-    curated to put one-or-more representatives of EVERY operator family
-    inside the check window (core W1–W4 incl. the segmented form, all
-    join kinds, set ops, rollup/pivot/unpivot/grouping-sets, window
-    analytics + time windows, scalar/UDF functions, the SQL layer,
-    sampling incl. the in-plan temperature mixture, multimodal,
-    text/dedup/similarity LLM-data ops, the interval-overlap join, and
-    the fully-oracled curation-pipeline composite). ALL 50 in-window
-    entries are oracle'd — no check slot is spent on a rows-only query.
-    Entries past #50 are additional variants of already-checked
-    families (incl. the deliberately rows-only approximate sketches:
-    SimHash, HLL, KLL), pinned by pytest and exercised by bench.
+    correctness harness checks the FIRST 50 entries.
+
+    ROTATION POLICY (round 4+): the window holds oracled queries that
+    have NEVER received a driver correctness row, maximizing cumulative
+    driver coverage across rounds — rounds 2–3 drove 64 distinct
+    queries green (their rows are on record in CORRECTNESS_r02/r03);
+    this round's window is 50 first-time-checked entries (49 from the
+    backlog + the new dedup_simhash_verified), leaving 14 deferred to
+    round 5 (listed at the window boundary below). Every in-window
+    entry is oracle'd — no check slot is spent on a rows-only query;
+    the deliberately rows-only sketches (SimHash/HLL/KLL/EWMA/zlib)
+    live past the window, pinned by pytest and exercised by bench.
+    The rotation-policy test (tests/test_entry_contract.py) enforces
+    all of this mechanically against the committed artifacts.
     """
     return {
-        # -- core reference parity (W1–W4) --------------------------------
+        # ====== DRIVER CHECK WINDOW (first 50 entries) — round-4 rotation:
+        # every entry below is oracled and had NEVER received a driver
+        # correctness row before this round (r2+r3 artifacts cover the
+        # previous window; see the rotation-policy test). ======
+        "window_time_sliding_events": window_time_sliding_events,
+        "text_repetition_stats": text_repetition_stats,
+        "text_subword_budget": text_subword_budget,
+        "dedup_dup_groups": dedup_dup_groups,
+        "similarity_label_centroids": similarity_label_centroids,
+        "similarity_quantize_int8": similarity_quantize_int8,
+        "multimodal_resize": multimodal_resize,
+        "agg_price_histogram": agg_price_histogram,
+        "agg_median_order_price": agg_median_order_price,
+        "agg_price_qty_corr": agg_price_qty_corr,
+        "sql_filtered_revenue": sql_filtered_revenue,
+        "sql_local_supplier_revenue": sql_local_supplier_revenue,
+        "sql_returned_items": sql_returned_items,
+        "sql_above_avg_orders": sql_above_avg_orders,
+        "sql_top_supplier": sql_top_supplier,
+        "sql_promo_revenue": sql_promo_revenue,
+        "sql_exists_returned_orders": sql_exists_returned_orders,
+        "sql_large_volume_orders": sql_large_volume_orders,
+        "sql_disjunctive_bands": sql_disjunctive_bands,
+        "sql_idle_rich_customers": sql_idle_rich_customers,
+        "rollup_time_hierarchy_events": rollup_time_hierarchy_events,
+        "events_props_map": events_props_map,
+        "llm_pipeline_packed_corpus": llm_pipeline_packed_corpus,
+        "sample_stratified_langs": sample_stratified_langs,
+        "text_vocab_stats": text_vocab_stats,
+        "text_tfidf_top_terms": text_tfidf_top_terms,
+        "text_unigram_logprob": text_unigram_logprob,
+        "sql_customer_distribution": sql_customer_distribution,
+        "sql_supplier_part_variety": sql_supplier_part_variety,
+        "sql_fully_shipped_orders": sql_fully_shipped_orders,
+        "dedup_simhash_verified": dedup_simhash_verified,
+        "text_quality_quantile_filter": text_quality_quantile_filter,
+        "window_ntile_orders": window_ntile_orders,
+        "dedup_chunk_ratio": dedup_chunk_ratio,
+        "sample_importance_quality": sample_importance_quality,
+        "events_funnel_conversion": events_funnel_conversion,
+        "events_cohort_retention": events_cohort_retention,
+        "functions_edit_distance": functions_edit_distance,
+        "dim_scd2_customer_segments": dim_scd2_customer_segments,
+        "agg_conditional_flags": agg_conditional_flags,
+        "functions_bitwise_ops": functions_bitwise_ops,
+        "text_zipf_slope": text_zipf_slope,
+        "events_session_stats": events_session_stats,
+        "window_running_distinct_suppliers": window_running_distinct_suppliers,
+        "text_top_bigrams": text_top_bigrams,
+        "sql_nation_trade_volume": sql_nation_trade_volume,
+        "diag_key_skew_orders": diag_key_skew_orders,
+        "multimodal_dedup_payloads": multimodal_dedup_payloads,
+        "sql_cheapest_parts_per_type": sql_cheapest_parts_per_type,
+        "setops_symmetric_diff_custkeys": setops_symmetric_diff_custkeys,
+        # ====== end of the driver's 50-entry check window ======
+        # Previously driver-checked (green rows in CORRECTNESS_r02/r03),
+        # rows-only sketches (pytest-pinned), and the 14 oracled queries
+        # deferred to the round-5 rotation:
+        # w2_count_window_avg_segmented, w3_rows_between_breaches_segmented, setops_union_all_nationkeys, setops_except_all_nationkeys, setops_intersect_all_nationkeys, window_running_sum_orders, window_pct_rank_suppliers, functions_safe_arithmetic, functions_array_ops, sql_month_spine_density, agg_nations_per_region, text_top_tokens, similarity_vector_norms, pack_greedy_nextfit.
         "q1_pricing_summary": q1_pricing_summary,
         "w1_running_max_price": w1_running_max_price,
         "w1_running_max_segmented": w1_running_max_segmented,
         "w1_final_max_per_year": w1_final_max_per_year,
         "w2_count_window_avg": w2_count_window_avg,
         "w3_rows_between_breaches": w3_rows_between_breaches,
-        "w4_running_max_month": w4_running_max_month,
-        # -- joins ---------------------------------------------------------
+        "w4_running_max_month": w4_running_max_month,  # -- joins ---------------------------------------------------------
         "join_orders_customer": join_orders_customer,
         "join_broadcast_region_rollup": join_broadcast_region_rollup,
         "join_semi_customers_with_orders": join_semi_customers_with_orders,
@@ -4373,27 +4647,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof_click_purchase": join_asof_click_purchase,
         "join_range_price_band": join_range_price_band,
         "join_full_outer_order_counts": join_full_outer_order_counts,
-        "join_salted_skew": join_salted_skew,
-        # -- top-k / set ops ----------------------------------------------
+        "join_salted_skew": join_salted_skew,  # -- top-k / set ops ----------------------------------------------
         "topk_customers_per_segment": topk_customers_per_segment,
         "setops_union_nation_keys": setops_union_nation_keys,
-        "join_interval_overlap_activity": join_interval_overlap_activity,
-        # -- multi-dim agg ------------------------------------------------
+        "join_interval_overlap_activity": join_interval_overlap_activity,  # -- multi-dim agg ------------------------------------------------
         "rollup_order_status": rollup_order_status,
         "agg_grouping_sets": agg_grouping_sets,
         "pivot_status_by_priority": pivot_status_by_priority,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "agg_order_stats": agg_order_stats,
-        "pack_concat_chunks": pack_concat_chunks_docs,
-        # -- window analytics + time windows ------------------------------
+        "pack_concat_chunks": pack_concat_chunks_docs,  # -- window analytics + time windows ------------------------------
         "window_rank_customers": window_rank_customers,
         "window_sessionize_events": window_sessionize_events,
         "window_range_frame_sum": window_range_frame_sum,
-        "window_time_tumbling_events": window_time_tumbling_events,
-        # -- multimodal ----------------------------------------------------
+        "window_time_tumbling_events": window_time_tumbling_events,  # -- multimodal ----------------------------------------------------
         "multimodal_payload_meta": multimodal_payload_meta,
-        "multimodal_decode_features": multimodal_decode_features,
-        # -- scalar fns / sampling / SQL layer / UDF ----------------------
+        "multimodal_decode_features": multimodal_decode_features,  # -- scalar fns / sampling / SQL layer / UDF ----------------------
         "events_json_sum": events_json_sum,
         "sample_train_val_test": sample_train_val_test,
         "functions_math_ops": functions_math_ops,
@@ -4401,8 +4670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_shipping_priority": sql_shipping_priority,
         "llm_pipeline_clean_corpus": llm_pipeline_clean_corpus,
         "udf_registered_cents": udf_registered_cents,
-        "udf_grouped_zscore": udf_grouped_zscore,
-        # -- text / dedup / similarity (LLM-data ops) ---------------------
+        "udf_grouped_zscore": udf_grouped_zscore,  # -- text / dedup / similarity (LLM-data ops) ---------------------
         "text_stats_quality": text_stats_quality,
         "llm_pipeline_curated_corpus": llm_pipeline_curated_corpus,
         "text_contamination": text_contamination,
@@ -4414,8 +4682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_embedding_dup_pairs": similarity_embedding_dup_pairs,
         "similarity_ivf_full_probe": similarity_ivf_full_probe,
         "similarity_lsh_recall": similarity_lsh_recall,
-        "dedup_dup_clusters": dedup_dup_clusters,
-        # ====== end of the driver's 50-entry check window ======
+        "dedup_dup_clusters": dedup_dup_clusters,  # ====== end of the driver's 50-entry check window ======
         "w2_count_window_avg_segmented": w2_count_window_avg_segmented,
         "w3_rows_between_breaches_segmented": w3_rows_between_breaches_segmented,
         "pack_greedy_nextfit": pack_greedy_docs,
@@ -4432,80 +4699,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_first_last_order": window_first_last_order,
         "window_running_sum_orders": window_running_sum_orders,
         "window_pct_rank_suppliers": window_pct_rank_suppliers,
-        "window_time_sliding_events": window_time_sliding_events,
         "functions_date_parts": functions_date_parts,
         "functions_string_ops": functions_string_ops,
         "functions_safe_arithmetic": functions_safe_arithmetic,
         "functions_array_ops": functions_array_ops,
         "text_lang_distribution": text_lang_distribution,
         "text_fingerprint": text_fingerprint,
-        "text_repetition_stats": text_repetition_stats,
-        "text_subword_budget": text_subword_budget,
         "text_top_tokens": text_top_tokens,
         "text_contamination_bloom": text_contamination_bloom,
         "dedup_minhash_lsh": dedup_minhash_lsh_docs,
-        "dedup_dup_groups": dedup_dup_groups,
         "similarity_lsh_topk": similarity_lsh_topk,
         "similarity_ivf_topk": similarity_ivf_topk,
         "similarity_dup_pairs_lsh": similarity_dup_pairs_lsh,
-        "similarity_label_centroids": similarity_label_centroids,
         "similarity_vector_norms": similarity_vector_norms,
-        "similarity_quantize_int8": similarity_quantize_int8,
         "multimodal_frame_sample": multimodal_frame_sample,
-        "multimodal_resize": multimodal_resize,
         "agg_approx_quantiles": agg_approx_quantiles,
-        "agg_price_histogram": agg_price_histogram,
-        "agg_median_order_price": agg_median_order_price,
-        "agg_price_qty_corr": agg_price_qty_corr,
         "agg_nations_per_region": agg_nations_per_region,
-        "sql_filtered_revenue": sql_filtered_revenue,
-        "sql_local_supplier_revenue": sql_local_supplier_revenue,
-        "sql_returned_items": sql_returned_items,
-        "sql_above_avg_orders": sql_above_avg_orders,
-        "sql_top_supplier": sql_top_supplier,
-        "sql_promo_revenue": sql_promo_revenue,
-        "sql_exists_returned_orders": sql_exists_returned_orders,
         "sql_month_spine_density": sql_month_spine_density,
-        "sql_large_volume_orders": sql_large_volume_orders,
-        "sql_disjunctive_bands": sql_disjunctive_bands,
-        "sql_idle_rich_customers": sql_idle_rich_customers,
-        "rollup_time_hierarchy_events": rollup_time_hierarchy_events,
-        "events_props_map": events_props_map,
         "llm_pipeline_pretrain_corpus": llm_pipeline_pretrain_corpus,
-        "llm_pipeline_packed_corpus": llm_pipeline_packed_corpus,
-        "sample_stratified_langs": sample_stratified_langs,
-        "text_vocab_stats": text_vocab_stats,
-        "text_tfidf_top_terms": text_tfidf_top_terms,
-        "text_unigram_logprob": text_unigram_logprob,
-        "sql_customer_distribution": sql_customer_distribution,
-        "sql_supplier_part_variety": sql_supplier_part_variety,
-        "sql_fully_shipped_orders": sql_fully_shipped_orders,
         "setops_intersect_all_nationkeys": setops_intersect_all_nationkeys,
         "text_language_id": text_language_id,
         "dedup_simhash_pairs": dedup_simhash_pairs_docs,  # rows-only (hamming sketch)
-        "dedup_simhash_verified": dedup_simhash_verified,
-        "text_quality_quantile_filter": text_quality_quantile_filter,
-        "window_ntile_orders": window_ntile_orders,
-        "dedup_chunk_ratio": dedup_chunk_ratio,
-        "sample_importance_quality": sample_importance_quality,
-        "events_funnel_conversion": events_funnel_conversion,
-        "events_cohort_retention": events_cohort_retention,
-        "functions_edit_distance": functions_edit_distance,
         "window_ewma_orders": window_ewma_orders,  # rows-only (float recursion)
         "window_ewma_segmented": window_ewma_segmented,  # rows-only (float recursion)
-        "dim_scd2_customer_segments": dim_scd2_customer_segments,
-        "agg_conditional_flags": agg_conditional_flags,
-        "functions_bitwise_ops": functions_bitwise_ops,
-        "text_zipf_slope": text_zipf_slope,
         "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
-        "events_session_stats": events_session_stats,
-        "window_running_distinct_suppliers": window_running_distinct_suppliers,
-        "text_top_bigrams": text_top_bigrams,
-        "sql_nation_trade_volume": sql_nation_trade_volume,
-        "diag_key_skew_orders": diag_key_skew_orders,
-        "multimodal_dedup_payloads": multimodal_dedup_payloads,
-        "sql_cheapest_parts_per_type": sql_cheapest_parts_per_type,
-        "setops_symmetric_diff_custkeys": setops_symmetric_diff_custkeys,
     }
 
 

@@ -65,6 +65,15 @@ HEADLINE = [
     "agg_price_histogram",
     "sql_promo_revenue",
     "udf_grouped_zscore",
+    # round-4 additions (VERDICT r3 #8): the round-3 operator families
+    # join the headline as NEW rows — the 30 rows above stay unchanged
+    # for cross-round comparability.
+    "dim_scd2_customer_segments",
+    "events_funnel_conversion",
+    "join_interval_overlap_activity",
+    "window_ewma_orders",
+    "window_ewma_segmented",
+    "dedup_simhash_verified",
 ]
 
 

@@ -47,25 +47,37 @@ def test_entry_runs(spark):
     assert out.count() >= 0
 
 
-def test_first_50_queries_are_the_curated_check_window():
+def test_first_50_queries_follow_the_rotation_policy():
     """The driver correctness harness checks the FIRST 50 queries()
-    entries. Pin the curation: EVERY top-50 entry oracle'd (no check
-    slot spent on a rows-only query — the deliberately rows-only
-    sketches live past the window), so a careless registry edit can't
-    silently push a family out of the checked window."""
+    entries. Round 4+ pins the ROTATION POLICY rather than fixed
+    names: (a) every in-window entry is oracle'd (no check slot spent
+    on a rows-only query), and (b) no in-window entry already has a
+    green driver row in a committed CORRECTNESS_r*.json — the window
+    spends every slot growing cumulative driver coverage. When all
+    oracled queries have been driver-checked, (b) naturally relaxes to
+    re-checking the oldest rows first."""
+    import glob
+    import json
+
     q = list(entrymod.queries())
     o = entrymod.oracle_sql()
     window = q[:50]
     missing = [n for n in window if n not in o]
-    assert missing == [], missing
-    # representatives of every family are inside the window
-    for required in (
-        "w1_running_max_segmented", "join_salted_skew", "window_time_tumbling_events",
-        "multimodal_payload_meta", "sample_train_val_test", "functions_math_ops",
-        "sql_shipping_priority", "llm_pipeline_clean_corpus", "udf_registered_cents",
-        "udf_grouped_zscore", "text_contamination", "dedup_minhash_verified",
-        "similarity_ivf_full_probe", "similarity_lsh_recall", "pack_concat_chunks",
-        "join_interval_overlap_activity", "sample_temperature_mix",
-        "llm_pipeline_curated_corpus",
-    ):
-        assert required in window, f"{required} fell out of the 50-entry check window"
+    assert missing == [], f"rows-only queries in the check window: {missing}"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            checked.update(json.load(f).keys())
+    never_checked = [n for n in q if n in o and n not in checked]
+    if len(never_checked) >= 50:
+        stale = [n for n in window if n in checked]
+        assert stale == [], (
+            f"window wastes slots on already-driver-checked queries: {stale}"
+        )
+    else:
+        # backlog smaller than the window: every backlog entry must be in
+        assert set(never_checked) <= set(window), (
+            set(never_checked) - set(window)
+        )
