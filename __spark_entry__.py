@@ -4303,7 +4303,7 @@ def sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN _q9_supplier s ON l.l_suppkey = s.s_suppkey
         JOIN _q9_part p     ON l.l_partkey = p.p_partkey
         JOIN _q9_nation n   ON s.s_nationkey = n.n_nationkey
-        WHERE p.p_name LIKE '%1%'
+        WHERE p.p_name LIKE '%red%'
         GROUP BY n.n_name, year(o_orderdate)
         """
     )
@@ -4319,7 +4319,7 @@ JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN part p     ON l.l_partkey = p.p_partkey
 JOIN nation n   ON s.s_nationkey = n.n_nationkey
-WHERE p.p_name LIKE '%1%'
+WHERE p.p_name LIKE '%red%'
 GROUP BY n.n_name, year(o_orderdate)
 """
 
@@ -4373,7 +4373,7 @@ def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS revenue_cents
         FROM _q17_lineitem l
         JOIN _q17_part p ON l.l_partkey = p.p_partkey
-        WHERE p.p_brand = 'BRAND_1'
+        WHERE p.p_brand = 'Brand#1'
           AND l.l_quantity < (
               SELECT 0.4 * avg(l2.l_quantity)
               FROM _q17_lineitem l2
@@ -4388,7 +4388,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_small,
        CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
-WHERE p.p_brand = 'BRAND_1'
+WHERE p.p_brand = 'Brand#1'
   AND l.l_quantity < (
       SELECT 0.4 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
   )
@@ -4397,7 +4397,7 @@ WHERE p.p_brand = 'BRAND_1'
 
 def sql_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20-shaped nested-IN chain: suppliers who shipped more than
-    200 units of some '%2%'-named part during 1996 — supplier IN
+    50 units of some bolt part during 1996 — supplier IN
     (suppliers-of-qualifying-volume) with the part-name filter nested
     inside the volume aggregate (no partsupp, so shipped volume stands
     in for available stock). Catalyst rewrites both INs into semi-joins;
@@ -4414,11 +4414,11 @@ def sql_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT l_suppkey
             FROM _q20_lineitem
             WHERE l_partkey IN (
-                SELECT p_partkey FROM _q20_part WHERE p_name LIKE '%2%'
+                SELECT p_partkey FROM _q20_part WHERE p_name LIKE '%bolt%'
             )
               AND year(l_shipdate) = 1996
             GROUP BY l_suppkey, l_partkey
-            HAVING sum(l_quantity) > 200
+            HAVING sum(l_quantity) > 50
         )
         """
     )
@@ -4430,10 +4430,10 @@ FROM supplier
 WHERE s_suppkey IN (
     SELECT l_suppkey
     FROM lineitem
-    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%2%')
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
       AND year(l_shipdate) = 1996
     GROUP BY l_suppkey, l_partkey
-    HAVING sum(l_quantity) > 200
+    HAVING sum(l_quantity) > 50
 )
 """
 
@@ -4624,6 +4624,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_distinct_suppliers": window_running_distinct_suppliers,
         "text_top_bigrams": text_top_bigrams,
         "sql_nation_trade_volume": sql_nation_trade_volume,
+        "sql_market_share": sql_market_share,
+        "sql_product_profit": sql_product_profit,
+        "sql_important_parts": sql_important_parts,
+        "sql_small_qty_revenue": sql_small_qty_revenue,
+        "sql_part_promotion_suppliers": sql_part_promotion_suppliers,
         "diag_key_skew_orders": diag_key_skew_orders,
         "multimodal_dedup_payloads": multimodal_dedup_payloads,
         "sql_cheapest_parts_per_type": sql_cheapest_parts_per_type,
@@ -4827,6 +4832,11 @@ def oracle_sql() -> dict[str, str]:
         "window_running_distinct_suppliers": _WINDOW_RUNNING_DISTINCT_SQL,
         "text_top_bigrams": _TEXT_BIGRAMS_SQL,
         "sql_nation_trade_volume": _SQL_Q7_SQL,
+        "sql_market_share": _SQL_Q8_SQL,
+        "sql_product_profit": _SQL_Q9_SQL,
+        "sql_important_parts": _SQL_Q11_SQL,
+        "sql_small_qty_revenue": _SQL_Q17_SQL,
+        "sql_part_promotion_suppliers": _SQL_Q20_SQL,
         "diag_key_skew_orders": _DIAG_SKEW_SQL,
         "multimodal_dedup_payloads": _MULTIMODAL_DEDUP_SQL,
         "sql_cheapest_parts_per_type": _SQL_Q2_SQL,

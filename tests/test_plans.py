@@ -190,6 +190,30 @@ def test_w1_segmented_broadcast_carry_and_dual_key_window(spark, q):
     ), "data-side window must partition by (yr, mo)"
 
 
+def test_new_tpch_shapes_no_cartesian(spark, q):
+    for name in (
+        "sql_market_share", "sql_product_profit", "sql_important_parts",
+        "sql_small_qty_revenue", "sql_part_promotion_suppliers",
+    ):
+        plans.assert_no_cartesian(q[name](spark, SF))
+
+
+def test_q17_correlated_avg_decorrelates_to_one_aggregate(spark, q):
+    """The per-part avg-quantity subquery must decorrelate into a
+    grouped aggregate + equi-join — a per-row re-executed subquery
+    would be quadratic at scale."""
+    s = plans.explain_str(q["sql_small_qty_revenue"](spark, SF))
+    assert "avg(" in s and "hashaggregate" in s.lower()
+    assert "CartesianProduct" not in s and "cartesian" not in s.lower()
+
+
+def test_q20_nested_in_becomes_semi_joins(spark, q):
+    """Both IN subqueries must rewrite to (broadcast/shuffled) semi
+    joins, never an exists-per-row plan."""
+    s = plans.explain_str(q["sql_part_promotion_suppliers"](spark, SF))
+    assert s.lower().count("leftsemi") >= 2, s[:500]
+
+
 def test_running_distinct_segmented_dual_key_window(spark, q):
     """The running-distinct sum must run partitioned by (l_returnflag,
     _ship_year) — keys × years parallelism — with the year-offset table
