@@ -4222,6 +4222,200 @@ GROUP BY n1.n_name, n2.n_name
 """
 
 
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candle bars per event type
+    (operators/timeseries.py:ohlc_bars) — the resampling twin of the
+    reference's per-key price extrema (MaximumClosingPrice.java:47-82),
+    as ONE map-side-partial groupBy: open/close are min_by/max_by over
+    a (ts, event_id) struct (total order — ts alone can collide), so
+    skew costs nothing and nothing but one bar per (type, hour)
+    shuffles. Values come straight from parquet with no arithmetic, so
+    doubles hash identically cross-engine."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    bars = ohlc_bars(
+        ev, ["event_type"], "ts", "value", bucket="hour", tiebreak_cols=("event_id",)
+    )
+    return bars.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )
+
+
+# DuckDB's arg_min/arg_max take scalar ordering keys only, so the oracle
+# derives open/close from first/last window values over (ts, event_id)
+# and collapses with a group-max — same total order, same bars.
+_EVENTS_OHLC_SQL = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, value,
+         first_value(value) OVER (
+             PARTITION BY event_type, date_trunc('hour', ts)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+         last_value(value) OVER (
+             PARTITION BY event_type, date_trunc('hour', ts)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+  FROM events
+)
+SELECT event_type,
+       strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       max(o) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(c) AS close,
+       CAST(count(*) AS BIGINT) AS volume
+FROM ranked
+GROUP BY event_type, b
+"""
+
+
+def events_fill_forward_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user forward-fill (operators/timeseries.py:fill_forward):
+    'error' events carry no usable reading, so their value is masked
+    NULL and repaired from the user's most recent non-error event —
+    the canonical gap-repair step before rolling analytics. One JVM
+    window pass (last ... IGNORE NULLS), no UDF."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.timeseries import (
+        fill_forward,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    masked = ev.withColumn(
+        "_v_gap", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    out = fill_forward(
+        masked, ["user_id"], [F.asc("ts"), F.asc("event_id")], "_v_gap",
+        out_col="value_filled",
+    )
+    return out.select("event_id", "user_id", "value_filled")
+
+
+_EVENTS_FILL_FORWARD_SQL = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM events
+"""
+
+
+def agg_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type — mode with a DETERMINISTIC tie-break
+    (highest count, then lexicographically smallest type; Spark's
+    native mode() leaves ties engine-defined, so the oracle could never
+    match it). Aggregate first (map-side partial), then a row_number
+    over the tiny per-user count table — the window input is already
+    |users|×|types|, not the event stream."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("_cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("_cnt").cast("long").alias("n_events"),
+        )
+    )
+
+
+_AGG_MODAL_SQL = """
+SELECT user_id, event_type AS modal_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id, event_type
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) = 1
+"""
+
+
+def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix report per (source, lang): document and token
+    counts plus each cell's share of corpus tokens — the table a data
+    curator reads before weighting a pretraining mixture. The corpus
+    total is a one-row aggregate broadcast back via cross join (the
+    text.py house pattern — a single-partition window would serialize
+    the whole table instead). Integer token counts divide exactly the
+    same in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )
+    total = cells.agg(F.sum("n_tokens").cast("long").alias("_total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .withColumn(
+            "token_share",
+            F.round(F.col("n_tokens").cast("double") / F.col("_total"), 6),
+        )
+        .drop("_total")
+    )
+
+
+_TEXT_SOURCE_MIX_SQL = """
+WITH cells AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM cells), 6)
+           AS token_share
+FROM cells
+"""
+
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate matrix: exact 2-gram-Jaccard ≥ 0.8
+    pairs whose documents come from DIFFERENT sources, counted per
+    unordered source pair — the provenance-leakage report that tells a
+    curator which feeds are plagiarizing which before mixture weights
+    are trusted. Pair generation is the shared postings self-join
+    (never all-pairs); the doc→source map is a 2-column projection
+    joined back by id."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, shingle_k=2)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_src_a"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_src_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("_src_a") != F.col("_src_b"))
+        .groupBy(
+            F.least("_src_a", "_src_b").alias("source_lo"),
+            F.greatest("_src_a", "_src_b").alias("source_hi"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+_DEDUP_CROSS_SOURCE_SQL = f"""
+WITH pairs AS ({_jaccard_pairs_sql(0.8)})
+SELECT least(da.source, db.source) AS source_lo,
+       greatest(da.source, db.source) AS source_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+WHERE da.source <> db.source
+GROUP BY 1, 2
+"""
+
+
 def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shaped national market share: NATION_0's share of ASIA's
     ECONOMY-part revenue per order year. The full 7-table Q8 join tree
@@ -4625,6 +4819,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": text_top_bigrams,
         "sql_nation_trade_volume": sql_nation_trade_volume,
         "sql_market_share": sql_market_share,
+        "events_ohlc_hourly": events_ohlc_hourly,
+        "events_fill_forward_value": events_fill_forward_value,
+        "agg_modal_event_type": agg_modal_event_type,
+        "text_source_mix": text_source_mix,
+        "dedup_cross_source_matrix": dedup_cross_source_matrix,
         "sql_product_profit": sql_product_profit,
         "sql_important_parts": sql_important_parts,
         "sql_small_qty_revenue": sql_small_qty_revenue,
@@ -4833,6 +5032,11 @@ def oracle_sql() -> dict[str, str]:
         "text_top_bigrams": _TEXT_BIGRAMS_SQL,
         "sql_nation_trade_volume": _SQL_Q7_SQL,
         "sql_market_share": _SQL_Q8_SQL,
+        "events_ohlc_hourly": _EVENTS_OHLC_SQL,
+        "events_fill_forward_value": _EVENTS_FILL_FORWARD_SQL,
+        "agg_modal_event_type": _AGG_MODAL_SQL,
+        "text_source_mix": _TEXT_SOURCE_MIX_SQL,
+        "dedup_cross_source_matrix": _DEDUP_CROSS_SOURCE_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

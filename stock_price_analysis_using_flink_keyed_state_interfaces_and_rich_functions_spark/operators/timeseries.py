@@ -1,0 +1,87 @@
+"""Time-series resampling operators — the batch twins of the price
+analytics the reference's DataStream jobs compute row-at-a-time
+(reference: MaximumClosingPrice.java:47-82 folds per-key extrema;
+these operators generalize that to full OHLC resampling and gap
+repair, expressed as Catalyst aggregates instead of per-record state).
+
+Scale shape: both operators are single-exchange. ``ohlc_bars`` is a
+plain groupBy — map-side partial ``min/max/min_by/max_by`` aggregates
+mean each (key, bucket) group reduces to one tiny struct before the
+shuffle, so skewed keys cost nothing (the partial agg absorbs them).
+``fill_forward`` is one window pass per key; for hot keys compose it
+with segment carries like the other running forms (see
+``stateful.segmented_running_sum`` — the carried state here is "last
+non-null", which is associative: segment-carry = coalesce(local last,
+previous segments' last)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ohlc_bars", "fill_forward"]
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    bucket: str = "hour",
+    tiebreak_cols: Sequence[str] = (),
+    bucket_out: str = "bucket_start",
+) -> DataFrame:
+    """Resample a value stream into OHLC candle bars per key and
+    ``date_trunc`` bucket: open = first value in the bar, high/low =
+    extrema, close = last value, volume = row count.
+
+    First/last are ``min_by``/``max_by`` over a (ts, *tiebreak) struct —
+    total order required, so pass tie-break columns whenever ``ts_col``
+    can collide (struct comparison is lexicographic, same semantics as
+    DuckDB's ``arg_min``/``arg_max`` over a composite, which is what
+    makes the op oracle-checkable). ``date_trunc`` rather than
+    ``F.window()`` keeps the bucket a plain column both engines compute
+    identically.
+    """
+    order = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+    return (
+        df.groupBy(
+            *key_cols, F.date_trunc(bucket, F.col(ts_col)).alias(bucket_out)
+        )
+        .agg(
+            F.min_by(F.col(value_col), order).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), order).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+        )
+    )
+
+
+def fill_forward(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str | Column],
+    value_col: str,
+    out_col: str = "filled",
+) -> DataFrame:
+    """Per-key forward-fill: each NULL takes the most recent non-NULL
+    value along the key's order (NULL until the first observation) —
+    the canonical gap-repair step before any rolling analytic.
+
+    One window pass: ``last(value, ignorenulls=True)`` over rows
+    unbounded-preceding..current — stays in the JVM window evaluator,
+    no UDF. Same hot-key ceiling as every running form; the carried
+    state ("last non-null seen") is associative, so the segment-carry
+    pattern lifts it when a key's history outgrows one task.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.last(F.col(value_col), ignorenulls=True).over(w))

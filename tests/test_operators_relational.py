@@ -612,3 +612,54 @@ def test_scd2_merge_closed_only_key_rejects_overlapping_update(spark):
         for r in scd2_merge(dim, after, ["k"], ["v"], "ts").collect()
     )
     assert out2 == [("a", 10, 20), ("b", 25, None)]
+
+
+# ------------------------------------------------------------ timeseries
+
+
+def test_ohlc_bars_ground_truth(spark):
+    """Hand-computed candle: open/close follow (ts, id) order including
+    the tie on ts=1 (id breaks it), high/low are extrema, volume counts."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    rows = [
+        ("A", "2024-01-01 10:05:00", 1, 10.0),
+        ("A", "2024-01-01 10:05:00", 0, 9.0),   # same ts, lower id → true open
+        ("A", "2024-01-01 10:50:00", 2, 15.0),  # close of the 10:00 bar
+        ("A", "2024-01-01 11:10:00", 3, 7.0),   # next bar
+        ("B", "2024-01-01 10:30:00", 4, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "sym string, ts string, id long, px double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        (r["sym"], str(r["bucket_start"])): (r["open"], r["high"], r["low"], r["close"], r["volume"])
+        for r in ohlc_bars(df, ["sym"], "ts", "px", bucket="hour", tiebreak_cols=("id",)).collect()
+    }
+    assert out[("A", "2024-01-01 10:00:00")] == (9.0, 15.0, 9.0, 15.0, 3)
+    assert out[("A", "2024-01-01 11:00:00")] == (7.0, 7.0, 7.0, 7.0, 1)
+    assert out[("B", "2024-01-01 10:00:00")] == (100.0, 100.0, 100.0, 100.0, 1)
+
+
+def test_fill_forward_ground_truth(spark):
+    """NULLs take the latest prior non-NULL per key; leading NULLs stay
+    NULL; other keys are isolated."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.timeseries import (
+        fill_forward,
+    )
+
+    rows = [
+        ("a", 1, None), ("a", 2, 10.0), ("a", 3, None), ("a", 4, None),
+        ("a", 5, 20.0), ("b", 1, None), ("b", 2, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+    got = {
+        (r["k"], r["seq"]): r["filled"]
+        for r in fill_forward(df, ["k"], ["seq"], "v").collect()
+    }
+    assert got == {
+        ("a", 1): None, ("a", 2): 10.0, ("a", 3): 10.0, ("a", 4): 10.0,
+        ("a", 5): 20.0, ("b", 1): None, ("b", 2): 5.0,
+    }
