@@ -4222,6 +4222,143 @@ GROUP BY n1.n_name, n2.n_name
 """
 
 
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag per user: each event's value scored
+    against the trailing 20-event mean/std — the classic streaming
+    anomaly detector, expressed as ONE window pass. Mean and variance
+    are derived from rolling SUM and SUM-OF-SQUARES over exact integer
+    cents (not avg()/stddev(), whose accumulation algorithms are
+    engine-defined), so both engines compute identical doubles and the
+    z-score hashes exactly. Emits only the windows with n ≥ 5 and
+    positive variance."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+    )
+    base = ev.select(
+        "event_id",
+        "user_id",
+        cents.alias("_c"),
+        F.col("ts"),
+    )
+    stats = base.select(
+        "event_id",
+        "user_id",
+        "_c",
+        F.sum("_c").over(w).alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).over(w).alias("_ss"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    # n·Var = Σx² − (Σx)²/n, all from exact integers → identical IEEE ops
+    var = (
+        F.col("_ss").cast("double") - F.col("_s").cast("double") * F.col("_s") / F.col("_n")
+    ) / F.col("_n")
+    z = (F.col("_c").cast("double") - mean) / F.sqrt(var)
+    return (
+        stats.filter((F.col("_n") >= 5) & (F.col("_ss") * F.col("_n") > F.col("_s") * F.col("_s")))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+    )
+
+
+_EVENTS_ZSCORE_SQL = """
+WITH stats AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
+         sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) OVER w AS ss,
+         count(*) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       round((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n), 6) AS zscore,
+       abs((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n)
+           / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)) > 3.0 AS is_anomaly
+FROM stats
+WHERE n >= 5 AND ss * n > s * s
+"""
+
+
+def events_value_increase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's maximal runs of strictly increasing
+    event values, keeping runs of length ≥ 3 — the canonical
+    streak-detection shape (row_number difference groups consecutive
+    qualifying rows into islands) the reference's keyed-state loops
+    would express imperatively. Two window passes over the same
+    (user, ts) sort order — Catalyst reuses one exchange+sort — then a
+    per-island aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (F.col("value") > F.lag("value").over(w)).alias("_up"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    # rows continuing an increase share (_rn − their up-run count) — the
+    # island id; a new island starts at every non-increase.
+    runs = flagged.withColumn(
+        "_grp",
+        F.col("_rn")
+        - F.sum(F.when(F.col("_up"), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("user_id", "_grp")
+        .agg(
+            (F.count(F.lit(1))).cast("long").alias("streak_len"),
+            F.min("ts").alias("_start"),
+            F.min_by("value", F.col("_rn")).alias("start_value"),
+            F.max_by("value", F.col("_rn")).alias("end_value"),
+        )
+        .filter(F.col("streak_len") >= 3)
+        .select(
+            "user_id",
+            F.date_format("_start", "yyyy-MM-dd HH:mm:ss").alias("streak_start"),
+            "streak_len",
+            "start_value",
+            "end_value",
+        )
+    )
+
+
+_EVENTS_STREAKS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS up,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT *, rn - sum(up) OVER (PARTITION BY user_id ORDER BY rn
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS streak_start,
+       CAST(count(*) AS BIGINT) AS streak_len,
+       arg_min(value, rn) AS start_value,
+       arg_max(value, rn) AS end_value
+FROM runs
+GROUP BY user_id, grp
+HAVING count(*) >= 3
+"""
+
+
 def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC candle bars per event type
     (operators/timeseries.py:ohlc_bars) — the resampling twin of the
@@ -4820,6 +4957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_nation_trade_volume": sql_nation_trade_volume,
         "sql_market_share": sql_market_share,
         "events_ohlc_hourly": events_ohlc_hourly,
+        "events_rolling_zscore": events_rolling_zscore,
+        "events_value_increase_streaks": events_value_increase_streaks,
         "events_fill_forward_value": events_fill_forward_value,
         "agg_modal_event_type": agg_modal_event_type,
         "text_source_mix": text_source_mix,
@@ -5033,6 +5172,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_nation_trade_volume": _SQL_Q7_SQL,
         "sql_market_share": _SQL_Q8_SQL,
         "events_ohlc_hourly": _EVENTS_OHLC_SQL,
+        "events_rolling_zscore": _EVENTS_ZSCORE_SQL,
+        "events_value_increase_streaks": _EVENTS_STREAKS_SQL,
         "events_fill_forward_value": _EVENTS_FILL_FORWARD_SQL,
         "agg_modal_event_type": _AGG_MODAL_SQL,
         "text_source_mix": _TEXT_SOURCE_MIX_SQL,

@@ -190,6 +190,40 @@ def test_w1_segmented_broadcast_carry_and_dual_key_window(spark, q):
     ), "data-side window must partition by (yr, mo)"
 
 
+def test_streaks_single_exchange_two_windows(spark, q):
+    """Gaps-and-islands must reuse ONE exchange+sort for both window
+    passes (same partitioning and order), then aggregate — a second
+    shuffle of the event stream would mean the island id broke the
+    co-partitioning."""
+    s = plans.explain_str(q["events_value_increase_streaks"](spark, SF))
+    # exchanges: one for the window partitioning + the final groupBy agg
+    assert s.lower().count("exchange") <= 3, s[:800]
+    plans.assert_no_cartesian(q["events_value_increase_streaks"](spark, SF))
+
+
+def test_zscore_single_window_pass(spark, q):
+    """All three rolling aggregates (sum, sumsq, count) must evaluate in
+    ONE window operator over one exchange — integer-cents arithmetic
+    stays in whole-stage codegen."""
+    s = plans.explain_str(q["events_rolling_zscore"](spark, SF))
+    assert s.lower().count("exchange") <= 2, s[:800]
+    plans.assert_no_cartesian(q["events_rolling_zscore"](spark, SF))
+
+
+def test_ohlc_partial_aggregation(spark, q):
+    """OHLC bars must be a plain two-phase aggregate — map-side
+    partial_min_by/partial_max_by BEFORE the exchange (so each task
+    ships one candidate bar per (type, hour), absorbing skew), never a
+    window over the raw event stream. (min_by forces SortAggregate —
+    still two-phase, which is what matters.)"""
+    s = plans.explain_str(q["events_ohlc_hourly"](spark, SF))
+    assert "windowspecdefinition" not in s.lower()
+    # two aggregate stages (partial below the exchange, final above)
+    n_aggs = s.count("SortAggregate") + s.count("HashAggregate")
+    assert n_aggs >= 2, s[:800]
+    assert s.count("+- Exchange") == 1, s[:800]  # one shuffle in the tree
+
+
 def test_new_tpch_shapes_no_cartesian(spark, q):
     for name in (
         "sql_market_share", "sql_product_profit", "sql_important_parts",
