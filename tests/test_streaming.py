@@ -249,6 +249,65 @@ def test_tumbling_window_agg_stream_watermark_finalization(spark):
         assert len(got) == 2               # the 60s window itself is still open → withheld
 
 
+def test_ohlc_stream_equals_batch(spark):
+    """Streaming OHLC bars: the same min_by/max_by candle aggregates as
+    batch ohlc_bars run inside a watermarked tumbling window — the
+    stream must reproduce the batch bars exactly for every finalized
+    window (append mode withholds the open tail window; a far-future
+    sentinel finalizes the real data's bars). This is the streaming
+    twin of events_ohlc_hourly: the reference's whole domain
+    (per-key price extrema over an unbounded feed,
+    MaximumClosingPrice.java:47-82) as one declarative window agg."""
+    with tempfile.TemporaryDirectory() as root:
+        rows = [
+            (i, "A" if i % 2 == 0 else "B", float((i * 37) % 101)) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "sec long, sym string, px double").withColumn(
+            "ts", F.timestamp_seconds(F.col("sec"))
+        )
+        for part in range(2):
+            df.filter((F.col("sec") >= part * 20) & (F.col("sec") < (part + 1) * 20)) \
+                .coalesce(1).write.parquet(os.path.join(root, f"f{part}"))
+        sentinel = spark.createDataFrame(
+            [(3600, "A", 0.0)], "sec long, sym string, px double"
+        ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+        sentinel.coalesce(1).write.parquet(os.path.join(root, "f9"))
+
+        order = F.struct(F.col("ts"), F.col("sec"))
+        aggs = [
+            F.min_by("px", order).alias("open"),
+            F.max("px").alias("high"),
+            F.min("px").alias("low"),
+            F.max_by("px", order).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+        ]
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(root, "f*"))
+        )
+        agged = tumbling_window_agg(
+            stream, "ts", "10 seconds", aggs, key_cols=["sym"], watermark="5 seconds"
+        )
+        out = _drain(agged, "ohlc_stream")
+        got = {
+            (r["sym"], int(r["window"]["start"].timestamp())): (
+                r["open"], r["high"], r["low"], r["close"], r["volume"],
+            )
+            for r in out.collect()
+        }
+        batch = spark.read.parquet(os.path.join(root, "f0"), os.path.join(root, "f1"))
+        expect = {
+            (r["sym"], int(r["w"]["start"].timestamp())): (
+                r["open"], r["high"], r["low"], r["close"], r["volume"],
+            )
+            for r in batch.groupBy(F.window("ts", "10 seconds").alias("w"), "sym")
+            .agg(*aggs)
+            .collect()
+        }
+        assert got == expect and len(got) == 8  # 4 buckets × 2 syms, all finalized
+
+
 def test_session_window_agg_stream(spark):
     """Sessions merge within the 30s gap; only sessions the watermark
     has closed are emitted in append mode (the 100s session stays open)."""
