@@ -2695,6 +2695,43 @@ LIMIT 50
 """
 
 
+def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens through the Misra–Gries heavy-hitters pipeline
+    (operators/heavyhitters.py) — the sketch path for frequency top-k
+    when the key space is too large to groupBy in full: per-partition
+    MG summaries (raw keys never shuffle), merged candidates, exact
+    recount of candidates only, and a runtime certificate that the
+    sketch capacity proves the result exact (else it RAISES). Must
+    hash-match the plain wordcount oracle — same verification pattern
+    as MinHash/IVF: approximate proposes, exact confirms."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.heavyhitters import (
+        heavy_hitters_topk,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(F.explode(tokens("text")).alias("token"))
+    return heavy_hitters_topk(keyed, "token", k=20, capacity=2048)
+
+
+# Exact wordcount top-50 — identical to _TEXT_TOP_TOKENS_SQL: the
+# verified heavy-hitters tier must reproduce the exact answer.
+_TEXT_HEAVY_HITTERS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+  WHERE length(trim(text)) > 0
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM toks
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
 def similarity_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over the embedding column: L2 norm
     from EXACT integer micro-units (each float scaled to round(x·1e6),
@@ -4963,6 +5000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_modal_event_type": agg_modal_event_type,
         "text_source_mix": text_source_mix,
         "dedup_cross_source_matrix": dedup_cross_source_matrix,
+        "text_heavy_hitter_tokens": text_heavy_hitter_tokens,
         "sql_product_profit": sql_product_profit,
         "sql_important_parts": sql_important_parts,
         "sql_small_qty_revenue": sql_small_qty_revenue,
@@ -5178,6 +5216,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_modal_event_type": _AGG_MODAL_SQL,
         "text_source_mix": _TEXT_SOURCE_MIX_SQL,
         "dedup_cross_source_matrix": _DEDUP_CROSS_SOURCE_SQL,
+        "text_heavy_hitter_tokens": _TEXT_HEAVY_HITTERS_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

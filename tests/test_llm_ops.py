@@ -958,3 +958,47 @@ def test_compression_ratio_uses_utf8_bytes_not_codepoints(spark):
     assert r["compression_ratio"] == round(
         len(zlib.compress(cjk.encode("utf-8"), 6)) / raw_bytes, 6
     )
+
+
+# ------------------------------------------------------------ heavy hitters
+
+def test_heavy_hitters_exact_when_certified(spark):
+    """MG candidates + exact recount must equal the plain groupBy top-k
+    whenever the certificate holds — including across partitions and
+    Arrow batches (8 partitions force per-partition summaries)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.heavyhitters import (
+        heavy_hitters_topk,
+        mg_partition_summaries,
+    )
+
+    rows = [(f"k{i % 7}",) for i in range(700)] + [(f"rare{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "token string").repartition(8)
+    got = [(r["token"], r["n"]) for r in heavy_hitters_topk(df, "token", k=5, capacity=64).collect()]
+    expect = [
+        (r["token"], r["n"])
+        for r in df.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token")).limit(5).collect()
+    ]
+    assert got == expect
+    # summary size bound: ≤ capacity rows per partition
+    sizes = (
+        mg_partition_summaries(df, "token", 16)
+        .groupBy(F.spark_partition_id().alias("p")).count().collect()
+    )
+    assert all(r["count"] <= 16 for r in sizes)
+
+
+def test_heavy_hitters_refuses_uncertifiable(spark):
+    """An undersized sketch must RAISE, not silently return a lossy
+    top-k: with capacity 2 over a near-uniform key set the k-th count
+    cannot exceed n/capacity."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.heavyhitters import (
+        heavy_hitters_topk,
+    )
+
+    rows = [(f"k{i % 50}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "token string").repartition(4)
+    with pytest.raises(RuntimeError, match="capacity"):
+        heavy_hitters_topk(df, "token", k=5, capacity=2)
+    # unverified mode returns best-effort without raising
+    assert heavy_hitters_topk(df, "token", k=5, capacity=2, verified=False).count() <= 5
