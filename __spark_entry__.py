@@ -429,6 +429,43 @@ FROM clicks c ASOF LEFT JOIN purch p
 """
 
 
+def join_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each click, the value of the user's next
+    purchase at or after the click — the look-ahead twin of
+    join_asof_click_purchase through the same union+window formulation
+    (first(ignorenulls) over the following frame instead of last over
+    the preceding one; still exactly one shuffle on the key, no range
+    probe). Purchases are pre-aggregated to one row per (user, ts), so
+    no right-side ties exist and the oracle's (ts ASC) pick is the same
+    row as the engine's."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_purchase_value"))
+    )
+    out = asof_join(clicks, purchases, ["user_id"], "ts", ["next_purchase_value"], "forward")
+    return out.select("event_id", "next_purchase_value")
+
+
+# DuckDB ASOF JOIN is backward-only; the forward oracle takes the
+# row_number-1 row of the qualifying (ts >= click) purchases per click —
+# quadratic-ish but oracle-scale only.
+_JOIN_ASOF_FWD_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, max(value) AS next_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, p.next_purchase_value
+FROM clicks c LEFT JOIN purch p
+  ON c.user_id = p.user_id AND p.ts >= c.ts
+QUALIFY row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts ASC) = 1
+"""
+
+
 def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     bands = (
@@ -4590,6 +4627,93 @@ GROUP BY 1, 2
 """
 
 
+def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint checker (deequ-style, declarative): each
+    rule is a conditional-count aggregate or an anti-join cardinality,
+    emitted as one (rule, n_violations) row — the pre-ingest gate a
+    100 TB pipeline runs before trusting a drop. All rules over the
+    same table fuse into ONE scan (one aggregate of count_ifs); the
+    referential rule is a broadcast-able anti-join count. No rule ever
+    materializes violating rows here — that's a second, filtered pass
+    only for rules that fired."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    scalar_rules = orders.agg(
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).cast("long").alias(
+            "orders_nonpositive_totalprice"
+        ),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).cast("long").alias(
+            "orders_null_orderdate"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).cast("long").alias("orders_bad_status"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long").alias(
+            "orders_duplicate_orderkey"
+        ),
+    )
+    orphans = (
+        li.join(orders.select("o_orderkey"), li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("lineitem_orphan_orderkey"))
+    )
+    wide = scalar_rules.crossJoin(orphans)  # 1×1 rows — a join of two scalars
+    return wide.unpivot([], list(wide.columns), "rule", "n_violations").orderBy("rule")
+
+
+_QUALITY_CONSTRAINT_SQL = """
+WITH o AS (
+  SELECT CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS orders_nonpositive_totalprice,
+         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orders_null_orderdate,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS orders_bad_status,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS orders_duplicate_orderkey
+  FROM orders
+), l AS (
+  SELECT CAST(count(*) AS BIGINT) AS lineitem_orphan_orderkey
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+SELECT 'orders_nonpositive_totalprice' AS rule, orders_nonpositive_totalprice AS n_violations FROM o
+UNION ALL SELECT 'orders_null_orderdate', orders_null_orderdate FROM o
+UNION ALL SELECT 'orders_bad_status', orders_bad_status FROM o
+UNION ALL SELECT 'orders_duplicate_orderkey', orders_duplicate_orderkey FROM o
+UNION ALL SELECT 'lineitem_orphan_orderkey', lineitem_orphan_orderkey FROM l
+ORDER BY rule
+"""
+
+
+def events_latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: collapse the event log to each user's LATEST
+    state — the upsert-materialization step every incremental ingest
+    runs. One groupBy with max_by over the (ts, event_id) total order:
+    map-side partials mean each task ships one candidate row per user,
+    so a hot user costs nothing (contrast a row_number window, which
+    would sort the user's whole history in one task)."""
+    ev = _t(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", order).alias("last_event_type"),
+        F.max_by("value", order).alias("last_value"),
+        F.max("ts").alias("_last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ).select(
+        "user_id",
+        "last_event_type",
+        "last_value",
+        F.date_format("_last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "n_events",
+    )
+
+
+_EVENTS_LATEST_STATE_SQL = """
+SELECT user_id,
+       event_type AS last_event_type,
+       value AS last_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
 def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shaped national market share: NATION_0's share of ASIA's
     ECONOMY-part revenue per order year. The full 7-table Q8 join tree
@@ -5001,6 +5125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_mix": text_source_mix,
         "dedup_cross_source_matrix": dedup_cross_source_matrix,
         "text_heavy_hitter_tokens": text_heavy_hitter_tokens,
+        "join_asof_next_purchase": join_asof_next_purchase,
+        "quality_constraint_report": quality_constraint_report,
+        "events_latest_state_per_user": events_latest_state_per_user,
         "sql_product_profit": sql_product_profit,
         "sql_important_parts": sql_important_parts,
         "sql_small_qty_revenue": sql_small_qty_revenue,
@@ -5217,6 +5344,9 @@ def oracle_sql() -> dict[str, str]:
         "text_source_mix": _TEXT_SOURCE_MIX_SQL,
         "dedup_cross_source_matrix": _DEDUP_CROSS_SOURCE_SQL,
         "text_heavy_hitter_tokens": _TEXT_HEAVY_HITTERS_SQL,
+        "join_asof_next_purchase": _JOIN_ASOF_FWD_SQL,
+        "quality_constraint_report": _QUALITY_CONSTRAINT_SQL,
+        "events_latest_state_per_user": _EVENTS_LATEST_STATE_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,
