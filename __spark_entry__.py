@@ -3727,12 +3727,17 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     first view does not satisfy stage 2 — only clicks from the first
     view onward count.) Three per-user min aggregates chained by
     equi-joins on user_id — each stage's table shrinks, no window over
-    the raw event stream, no product. All-integer output."""
+    the raw event stream, no product. All-integer output. The v and c
+    stage tables feed BOTH their own count branch and the next stage,
+    so they are lazily localCheckpointed — one event-scan per stage (3
+    total) instead of five, and the count branches read the tiny
+    per-user aggregates instead of re-deriving them."""
     ev = _t(spark, sf_dir, "events")
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -3740,6 +3745,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("v_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
