@@ -466,6 +466,41 @@ QUALIFY row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts ASC) = 1
 """
 
 
+def join_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each click takes the purchase closest in time
+    on either side, ties to the backward row — completing the as-of
+    family (backward/forward/nearest, pandas merge_asof's three
+    directions, with the tie order this engine DEFINES rather than
+    leaves unspecified). Still one exchange: both directional carries
+    run over the same hash partitioning (two sorts, no second
+    shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("nearest_purchase_value"))
+    )
+    out = asof_join(clicks, purchases, ["user_id"], "ts", ["nearest_purchase_value"], "nearest")
+    return out.select("event_id", "nearest_purchase_value")
+
+
+_JOIN_ASOF_NEAREST_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, max(value) AS nearest_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, p.nearest_purchase_value
+FROM clicks c LEFT JOIN purch p ON p.user_id = c.user_id
+QUALIFY row_number() OVER (
+    PARTITION BY c.event_id
+    ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC,
+             CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END ASC) = 1
+"""
+
+
 def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     bands = (
@@ -4633,6 +4668,72 @@ GROUP BY 1, 2
 """
 
 
+def window_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hour per event type — the DAU/MAU shape at
+    hourly grain. COUNT(DISTINCT) inside a time bucket runs as Spark's
+    two-phase distinct aggregate (partial de-dup by (bucket, type,
+    user) before the final count) — no window, no sort; the widest
+    shuffle row is (bucket, type, user_id)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )
+
+
+_WINDOW_HOURLY_ACTIVE_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def window_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median of the trailing 11 event values per user —
+    the robust-statistics twin of the rolling z-score. Median over
+    INTEGER CENTS: every interpolated value is k or k+0.5 cents,
+    exactly representable, so Spark's percentile() and DuckDB's
+    quantile_cont() produce bit-identical doubles (the ×4 integer
+    snapping diag_key_skew uses, without needing the snap). Exact
+    percentile as a window aggregate re-sorts each frame — O(w log w)
+    per row; acceptable for w=11, and the honest alternative to
+    approx sketches whose window form Spark lacks."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-10, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.expr("percentile(CAST(round(value * 100) AS BIGINT), 0.5)").over(w) / 100.0)
+        .alias("rolling_median_value"),
+        F.count(F.lit(1)).over(w).cast("long").alias("window_n"),
+    ).filter(F.col("window_n") >= 5).drop("window_n")
+
+
+_WINDOW_ROLLING_MEDIAN_SQL = """
+WITH r AS (
+  SELECT event_id, user_id,
+         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) OVER w / 100.0
+             AS rolling_median_value,
+         count(*) OVER w AS window_n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, rolling_median_value FROM r WHERE window_n >= 5
+"""
+
+
 def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality constraint checker (deequ-style, declarative): each
     rule is a conditional-count aggregate or an anti-join cardinality,
@@ -5132,8 +5233,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_source_matrix": dedup_cross_source_matrix,
         "text_heavy_hitter_tokens": text_heavy_hitter_tokens,
         "join_asof_next_purchase": join_asof_next_purchase,
+        "join_asof_nearest_purchase": join_asof_nearest_purchase,
         "quality_constraint_report": quality_constraint_report,
         "events_latest_state_per_user": events_latest_state_per_user,
+        "window_hourly_active_users": window_hourly_active_users,
+        "window_rolling_median_value": window_rolling_median_value,
         "sql_product_profit": sql_product_profit,
         "sql_important_parts": sql_important_parts,
         "sql_small_qty_revenue": sql_small_qty_revenue,
@@ -5351,8 +5455,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cross_source_matrix": _DEDUP_CROSS_SOURCE_SQL,
         "text_heavy_hitter_tokens": _TEXT_HEAVY_HITTERS_SQL,
         "join_asof_next_purchase": _JOIN_ASOF_FWD_SQL,
+        "join_asof_nearest_purchase": _JOIN_ASOF_NEAREST_SQL,
         "quality_constraint_report": _QUALITY_CONSTRAINT_SQL,
         "events_latest_state_per_user": _EVENTS_LATEST_STATE_SQL,
+        "window_hourly_active_users": _WINDOW_HOURLY_ACTIVE_SQL,
+        "window_rolling_median_value": _WINDOW_ROLLING_MEDIAN_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

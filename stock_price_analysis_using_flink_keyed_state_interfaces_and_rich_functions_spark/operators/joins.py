@@ -101,7 +101,8 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: attach to each left row the most recent right row at or
-    before its timestamp (``backward``; ``forward`` = next at-or-after),
+    before its timestamp (``backward``; ``forward`` = next at-or-after;
+    ``nearest`` = whichever side is closer in time, ties to backward),
     per key. The canonical quote × corporate-actions enrichment.
 
     Formulation: tag both sides, union on (key, ts), and carry the right
@@ -130,10 +131,13 @@ def asof_join(
             f"asof_join: right_value_cols {collisions} collide with left columns; "
             "rename the right-side columns before joining"
         )
-    reserved = {"_side", "_rv", "_tb"} & set(lcols) | {"_side", "_rv", "_tb"} & set(right.columns)
+    _internal = {"_side", "_rv", "_tb", "_rts"}
+    reserved = _internal & set(lcols) | _internal & set(right.columns) | _internal & set(right_value_cols)
     if reserved:
         raise ValueError(f"asof_join: column names {sorted(reserved)} are reserved")
-    rv_struct = F.struct(*[F.col(c) for c in right_value_cols])
+    # _rts rides inside the struct so the nearest direction can compare
+    # distances; backward/forward ignore it and it never reaches output.
+    rv_struct = F.struct(F.col(ts_col).alias("_rts"), *[F.col(c) for c in right_value_cols])
     tagged_right = (
         right.select(*keys, ts_col, *right_value_cols)
         .withColumn("_side", F.lit(0))
@@ -167,8 +171,43 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         carried = F.first("_rv", ignorenulls=True).over(w)
+    elif direction == "nearest":
+        # both carries over the SAME hash partitioning (one exchange,
+        # two sorts); pick by |Δts|, ties prefer the backward row —
+        # the documented contract (pandas merge_asof leaves ties
+        # unspecified; an engine must not).
+        w_b = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tb").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_f = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts_col).asc(), F.col("_side").desc(), F.col("_tb").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        c_b = F.last("_rv", ignorenulls=True).over(w_b)
+        c_f = F.first("_rv", ignorenulls=True).over(w_f)
+        # distance arithmetic needs a numeric ts: timestamps (incl. NTZ,
+        # which Spark 4 refuses to cast to double) go through
+        # unix_micros — exact integer micros, exactly representable in
+        # the double comparison below (< 2^51)
+        ts_kind = left.schema[ts_col].dataType.simpleString()
+        if ts_kind.startswith("timestamp"):
+            def _num(c):
+                return F.unix_micros(c.cast("timestamp")).cast("double")
+        else:
+            def _num(c):
+                return c.cast("double")
+        l_ts = _num(F.col(ts_col))
+        carried = (
+            F.when(c_b.isNull(), c_f)
+            .when(c_f.isNull(), c_b)
+            .when(l_ts - _num(c_b["_rts"]) <= _num(c_f["_rts"]) - l_ts, c_b)
+            .otherwise(c_f)
+        )
     else:
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction}")
 
     out_cols = [F.col(c) for c in lcols] + [carried[c].alias(c) for c in right_value_cols]
     return unioned.select(*out_cols, F.col("_side")).filter(F.col("_side") == 1).drop("_side")

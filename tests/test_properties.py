@@ -573,3 +573,37 @@ def test_scd2_merge_matches_python_reference(spark, dim, upd):
         for r in scd2_merge(sdf_dim, sdf_upd, ["k"], ["v"], "ts").collect()
     )
     assert got == _scd2_reference(dim_rows, upd_rows)
+
+
+@_settings
+@given(left_rows=_asof_left, right_map=_asof_right)
+def test_asof_join_nearest_matches_reference(spark, left_rows, right_map):
+    """direction='nearest' must pick the right row with the smallest
+    |Δts| per key, TIES TO BACKWARD — checked against a brute-force
+    python reference implementing exactly that contract (pandas
+    merge_asof leaves tie order unspecified, so it cannot be the
+    oracle here)."""
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], "lid long, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in right_map.items()], "k string, ts long, rv double"
+    )
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(left, right, ["k"], "ts", ["rv"], direction="nearest").collect()
+    }
+
+    by_key: dict = {}
+    for (k, t), v in right_map.items():
+        by_key.setdefault(k, []).append((t, v))
+    expect = {}
+    for i, (k, t) in enumerate(left_rows):
+        cands = by_key.get(k, [])
+        if not cands:
+            expect[i] = None
+            continue
+        # smallest |Δ|; ties prefer the backward (≤ ts) candidate
+        best = min(cands, key=lambda tv: (abs(tv[0] - t), 0 if tv[0] <= t else 1))
+        expect[i] = best[1]
+    assert got == expect
