@@ -4734,6 +4734,99 @@ SELECT event_id, user_id, rolling_median_value FROM r WHERE window_n >= 5
 """
 
 
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event-type
+    sequence: count consecutive (prev → cur) pairs via one lag window,
+    then the row-normalized transition probability — the behavioral
+    -analytics shape behind session modeling. One exchange for the lag
+    (per-user order), one for the pair groupBy; the probability divides
+    two exact BIGINTs so the rounded double is engine-identical."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        ev.select("user_id", F.lag("event_type").over(w).alias("prev_type"),
+                  F.col("event_type").alias("cur_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "cur_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    row_totals = pairs.groupBy("prev_type").agg(
+        F.sum("n_transitions").cast("long").alias("_row_total")
+    )
+    return (
+        pairs.join(F.broadcast(row_totals), "prev_type")
+        .select(
+            "prev_type",
+            "cur_type",
+            "n_transitions",
+            F.round(F.col("n_transitions").cast("double") / F.col("_row_total"), 6).alias(
+                "p_transition"
+            ),
+        )
+    )
+
+
+_EVENTS_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT prev_type, event_type AS cur_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, cur_type
+)
+SELECT prev_type, cur_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / sum(n_transitions) OVER (PARTITION BY prev_type), 6) AS p_transition
+FROM pairs
+"""
+
+
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user Recency (last event ts), Frequency
+    (event count) and Monetary (exact cent sum), each scored into
+    quintiles with ntile over a TIE-BROKEN total order (metric, then
+    user_id — ntile over a partial order would be engine-defined).
+    The ntile windows run over the |users| aggregate, not the event
+    stream; ORDER BY () OVER a single partition is fine there because
+    the per-user table is aggregate-sized (still flagged in the
+    docstring as the one deliberate single-partition window)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("_last_ts"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("monetary_cents"),
+    )
+    w_r = Window.orderBy(F.asc("_last_ts"), F.asc("user_id"))
+    w_f = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
+    w_m = Window.orderBy(F.asc("monetary_cents"), F.asc("user_id"))
+    return per_user.select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+
+
+_EVENTS_RFM_SQL = """
+WITH per_user AS (
+  SELECT user_id, max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM events GROUP BY user_id
+)
+SELECT user_id, frequency, monetary_cents,
+       ntile(5) OVER (ORDER BY last_ts ASC, user_id ASC) AS r_score,
+       ntile(5) OVER (ORDER BY frequency ASC, user_id ASC) AS f_score,
+       ntile(5) OVER (ORDER BY monetary_cents ASC, user_id ASC) AS m_score
+FROM per_user
+"""
+
+
 def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality constraint checker (deequ-style, declarative): each
     rule is a conditional-count aggregate or an anti-join cardinality,
@@ -5238,6 +5331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_state_per_user": events_latest_state_per_user,
         "window_hourly_active_users": window_hourly_active_users,
         "window_rolling_median_value": window_rolling_median_value,
+        "events_type_transitions": events_type_transitions,
+        "events_rfm_scores": events_rfm_scores,
         "sql_product_profit": sql_product_profit,
         "sql_important_parts": sql_important_parts,
         "sql_small_qty_revenue": sql_small_qty_revenue,
@@ -5460,6 +5555,8 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_state_per_user": _EVENTS_LATEST_STATE_SQL,
         "window_hourly_active_users": _WINDOW_HOURLY_ACTIVE_SQL,
         "window_rolling_median_value": _WINDOW_ROLLING_MEDIAN_SQL,
+        "events_type_transitions": _EVENTS_TRANSITIONS_SQL,
+        "events_rfm_scores": _EVENTS_RFM_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,
