@@ -1654,11 +1654,31 @@ GROUP BY doc_id
 
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct sketch next to the exact count. The exact column
+    is fully oracled; the HLL estimate is DETERMINISTIC (register
+    max-merge is order- and partitioning-insensitive), so the oracle
+    pins the measured sf0.01 estimates as constants — the
+    similarity_lsh_recall pattern: regression-pinned at the driver's
+    gate scale, rows-only elsewhere (README documents the exception
+    list)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey").cast("long").alias("approx_orders"),
+        F.count_distinct("l_orderkey").cast("long").alias("exact_orders"),
     )
+
+
+# HLL constants measured at sf0.01 (deterministic; see docstring).
+_AGG_APPROX_DISTINCT_SQL = """
+WITH exact AS (
+  SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+  FROM lineitem GROUP BY l_returnflag
+), pinned(l_returnflag, approx_orders) AS (
+  VALUES ('A', CAST(11114 AS BIGINT)), ('N', CAST(10109 AS BIGINT)), ('R', CAST(11377 AS BIGINT))
+)
+SELECT p.l_returnflag, p.approx_orders, e.exact_orders
+FROM pinned p JOIN exact e ON e.l_returnflag = p.l_returnflag
+"""
 
 
 # --------------------------------------------------------------------------
@@ -5557,6 +5577,7 @@ def oracle_sql() -> dict[str, str]:
         "window_rolling_median_value": _WINDOW_ROLLING_MEDIAN_SQL,
         "events_type_transitions": _EVENTS_TRANSITIONS_SQL,
         "events_rfm_scores": _EVENTS_RFM_SQL,
+        "agg_approx_distinct": _AGG_APPROX_DISTINCT_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,
