@@ -2309,6 +2309,104 @@ FROM kept GROUP BY lang
 """
 
 
+def llm_pipeline_pretrain_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining pipeline with the VERIFIED near-dup tier:
+    exact dedup → MinHash-LSH candidates + exact-Jaccard confirm
+    (recall-1 banding) → connected-component cluster resolution (keep
+    min-id per cluster) → quality floor (≥ 0.4) → per-language doc
+    count + BPE-ish token budget. Because every stage is now
+    SQL-expressible, the WHOLE composite hash-matches one end-to-end
+    DuckDB oracle (all-pairs Jaccard + recursive closure) — the
+    flagship demonstration that this engine's approximate tiers
+    verify by construction. Same plan family as
+    llm_pipeline_pretrain_corpus; only the pair tier differs."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        subword_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = exact_dedup(docs, ["text"], "doc_id")
+    near = minhash_verified_pairs(
+        exact, "doc_id", "text", threshold=0.7, num_hashes=128, num_bands=64, shingle_k=2
+    )
+    clusters = dup_clusters(near)
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(F.col("id").alias("doc_id"))
+    kept = exact.join(drop, "doc_id", "left_anti")
+    scored = with_quality_score(kept, "text").filter(F.col("quality_score") >= 0.4)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(subword_count("text")).cast("long").alias("token_budget"),
+        )
+        .orderBy("lang")
+    )
+
+
+_LLM_PRETRAIN_VERIFIED_SQL = r"""
+WITH RECURSIVE deduped AS (
+  SELECT * FROM documents
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1
+), jtoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM deduped
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+              ELSE [array_to_string(tk, ' ')] END) AS shs
+  FROM jtoks
+), ex AS (
+  SELECT doc_id, unnest(shs) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, len(shs) AS sz FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6999
+    AND ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.7
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+), clusters AS (
+  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+), kept AS (
+  SELECT * FROM deduped
+  WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+), qstats AS (
+  SELECT lang, text,
+         CAST(length(text) AS BIGINT) AS n_char,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM kept
+), qscored AS (
+  SELECT lang, text FROM (
+    SELECT lang, text,
+           ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+                 + 0.5 * (1.0 - least(
+                       ROUND(CAST(n_char - length(regexp_replace(text, '[^\p{L}\p{N}_\s]', '', 'g')) AS DOUBLE) / n_char, 4) * 5
+                     + ROUND(CAST(n_char - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_char, 4) * 5, 1.0)), 4) AS q
+    FROM qstats
+  ) WHERE q >= 0.4
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS token_budget
+FROM qscored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def setops_intersect_all_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT ALL — multiset intersection (each nationkey survives
     min(customer-count, supplier-count) times), completing the set-op
@@ -5450,6 +5548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_nations_per_region": agg_nations_per_region,
         "sql_month_spine_density": sql_month_spine_density,
         "llm_pipeline_pretrain_corpus": llm_pipeline_pretrain_corpus,
+        "llm_pipeline_pretrain_verified": llm_pipeline_pretrain_verified,
         "setops_intersect_all_nationkeys": setops_intersect_all_nationkeys,
         "text_language_id": text_language_id,
         "dedup_simhash_pairs": dedup_simhash_pairs_docs,  # rows-only (hamming sketch)
@@ -5508,6 +5607,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_concat_chunks": _PACK_CONCAT_SQL,
         "pack_greedy_nextfit": _PACK_GREEDY_SQL,
         "llm_pipeline_packed_corpus": _LLM_PACKED_SQL,
+        "llm_pipeline_pretrain_verified": _LLM_PRETRAIN_VERIFIED_SQL,
         "similarity_bruteforce_topk": _SIM_TOPK_SQL,
         # full-probe IVF is exact by construction — brute-force oracle
         "similarity_ivf_full_probe": _SIM_TOPK_SQL,
