@@ -1,5 +1,6 @@
 from .stateful import (  # noqa: F401
     running_max_stream,
+    fill_forward_stream,
     running_agg_update_stream,
     tumbling_count_window_avg_stream,
     rows_between_breaches_stream,

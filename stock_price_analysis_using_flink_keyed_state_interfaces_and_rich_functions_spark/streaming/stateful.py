@@ -52,6 +52,7 @@ from pyspark.sql.types import (
 
 __all__ = [
     "running_max_stream",
+    "fill_forward_stream",
     "running_agg_update_stream",
     "tumbling_count_window_avg_stream",
     "rows_between_breaches_stream",
@@ -107,6 +108,52 @@ def running_max_stream(
             for v in vals:
                 if not math.isnan(v):
                     cur = v if cur is None else max(cur, v)
+                outs.append(cur)
+            out = pd.DataFrame({k: [kv] * len(pdf) for k, kv in zip(keys, key)})
+            out[value_col] = _nullable_float(vals)
+            out[out_col] = _nullable_float(outs)
+            yield out
+        state.update((cur,))
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def fill_forward_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "filled",
+) -> DataFrame:
+    """Streaming forward-fill: each NULL emits the key's most recent
+    non-NULL value, carried across micro-batches in one float of
+    ValueState — the on-ingest twin of the batch
+    ``operators/timeseries.py:fill_forward`` (window ``last IGNORE
+    NULLS``), same NULL contract: NULL until the key's first
+    observation. State is O(1) per key; chunked replay equals batch
+    replay because the carried state is exactly one value."""
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [StructField(value_col, DoubleType()), StructField(out_col, DoubleType())]
+    )
+    state_schema = StructType([StructField("last_seen", DoubleType())])
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import math
+
+        (cur,) = state.get if state.exists else (None,)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
+            outs = []
+            vals = pdf[value_col].astype(float)
+            for v in vals:
+                if not math.isnan(v):
+                    cur = v
                 outs.append(cur)
             out = pd.DataFrame({k: [kv] * len(pdf) for k, kv in zip(keys, key)})
             out[value_col] = _nullable_float(vals)

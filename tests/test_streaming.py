@@ -820,3 +820,45 @@ def test_ewma_stream_recovers_from_checkpoint(spark, tmp_path):
     }
     for r in both:
         assert expected[(r["k"], r["v"])] == r["ewma"]  # exact, incl. post-restart
+
+
+def test_fill_forward_stream_equals_batch(spark, tmp_path):
+    """Streaming forward-fill must equal the batch window form across
+    micro-batch boundaries — a NULL at the head of batch 2 must take
+    the value carried from batch 1's state, not restart at NULL."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.timeseries import (
+        fill_forward,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        fill_forward_stream,
+    )
+
+    root = str(tmp_path / "ff_in")
+    rows = []
+    for i in range(40):
+        key = "a" if i % 2 == 0 else "b"
+        v = None if i % 3 == 0 else float(i)  # NULLs straddle file edges
+        rows.append((key, i, v))
+    df = spark.createDataFrame(rows, "k string, seq long, v double")
+    for part in range(2):
+        df.filter((F.col("seq") >= part * 20) & (F.col("seq") < (part + 1) * 20)) \
+            .coalesce(1).write.parquet(os.path.join(root, f"part={part}"))
+    batch = spark.read.parquet(os.path.join(root, "part=*")).select("k", "seq", "v")
+
+    out = _drain(fill_forward_stream(_stream(spark, root), ["k"], ["seq"], "v"), "ff_stream")
+    got = {(r["k"], r["v"]): r["filled"] for r in out.collect() if r["v"] is not None}
+    got_n = out.count()
+    expect_df = fill_forward(batch, ["k"], ["seq"], "v")
+    expect = {(r["k"], r["v"]): r["filled"] for r in expect_df.collect() if r["v"] is not None}
+    assert got_n == 40 and got == expect
+    # NULL rows: every batch-side filled value must appear identically —
+    # keyed by seq is impossible stream-side (seq not in output), so pin
+    # the multiset of (k, filled) over NULL inputs instead.
+    _nkey = lambda t: (t[0], t[1] is not None, t[1] if t[1] is not None else 0.0)
+    got_nulls = sorted(
+        ((r["k"], r["filled"]) for r in out.collect() if r["v"] is None), key=_nkey
+    )
+    exp_nulls = sorted(
+        ((r["k"], r["filled"]) for r in expect_df.collect() if r["v"] is None), key=_nkey
+    )
+    assert got_nulls == exp_nulls
