@@ -1418,6 +1418,129 @@ QUALIFY rk <= 5
 """
 
 
+def similarity_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-5 for the first 10 vectors
+    (operators/similarity.py:mips_topk) — retrieval scoring for
+    non-unit-normalized embeddings, where MIPS and cosine rankings
+    genuinely differ. Broadcast query side, one corpus scan, sequential
+    aggregate-fold dot product so the sum order matches the oracle's
+    list_sum exactly."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.similarity import (
+        mips_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mips_topk(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5)
+
+
+_SIM_MIPS_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(1, len(q.qe) + 1),
+               i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), 4) AS dot
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, dot,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rk
+FROM scored
+QUALIFY rk <= 5
+"""
+
+
+def events_hour_of_week_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap by (day-of-week, hour-of-day) per event type —
+    the seasonality profile behind capacity planning. One two-phase
+    aggregate; dayofweek is the SQL-standard 1=Sunday in both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+_EVENTS_HEATMAP_SQL = """
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hod,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-dup similarity graph (2-gram
+    Jaccard ≥ 0.5 edges): the standard ordered-triple formulation —
+    orient every edge small→large, join twice on the shared vertex,
+    close with a third edge lookup. No vertex ever sees more than its
+    ordered-neighbor list, the classic distributed-triangle trick that
+    keeps hub vertices from exploding the join. Summarized per
+    cluster-health report as one row (n_edges, n_triangles,
+    clustering_coefficient ≈ 3·triangles/open-wedges)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, shingle_k=2)
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))  # already u < v
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")  # a < b < c by construction
+    closing = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    triangles = wedges.join(closing, ["a", "c"])
+    deg = (
+        e.select(F.col("u").alias("x")).unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedge_total = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    stats = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
+        triangles.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    ).crossJoin(wedge_total)
+    return stats.select(
+        "n_edges",
+        "n_triangles",
+        F.round(
+            F.when(F.col("n_wedges") > 0,
+                   3.0 * F.col("n_triangles") / F.col("n_wedges")).otherwise(0.0), 6
+        ).alias("clustering_coefficient"),
+        "n_wedges",
+    )
+
+
+_GRAPH_TRIANGLES_SQL = f"""
+WITH pairs AS ({_jaccard_pairs_sql(0.5)}),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs),
+wedges AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+), tris AS (
+  SELECT count(*) AS n_triangles
+  FROM wedges w JOIN e ON e.u = w.a AND e.v = w.c
+), deg AS (
+  SELECT x, count(*) AS d FROM (
+    SELECT u AS x FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY x
+), wed AS (
+  SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       round(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6)
+           AS clustering_coefficient,
+       n_wedges
+FROM tris, wed
+"""
+
+
 def similarity_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, exact=True)
@@ -5510,6 +5633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_verified": dedup_minhash_verified_docs,
         "sample_temperature_mix": sample_temperature_mix,
         "similarity_bruteforce_topk": similarity_bruteforce_topk,
+        "similarity_mips_topk": similarity_mips_topk,
+        "events_hour_of_week_heatmap": events_hour_of_week_heatmap,
+        "graph_triangle_count": graph_triangle_count,
         "similarity_embedding_dup_pairs": similarity_embedding_dup_pairs,
         "similarity_ivf_full_probe": similarity_ivf_full_probe,
         "similarity_lsh_recall": similarity_lsh_recall,
@@ -5609,6 +5735,9 @@ def oracle_sql() -> dict[str, str]:
         "llm_pipeline_packed_corpus": _LLM_PACKED_SQL,
         "llm_pipeline_pretrain_verified": _LLM_PRETRAIN_VERIFIED_SQL,
         "similarity_bruteforce_topk": _SIM_TOPK_SQL,
+        "similarity_mips_topk": _SIM_MIPS_SQL,
+        "events_hour_of_week_heatmap": _EVENTS_HEATMAP_SQL,
+        "graph_triangle_count": _GRAPH_TRIANGLES_SQL,
         # full-probe IVF is exact by construction — brute-force oracle
         "similarity_ivf_full_probe": _SIM_TOPK_SQL,
         "similarity_lsh_recall": _SIM_LSH_RECALL_SQL,

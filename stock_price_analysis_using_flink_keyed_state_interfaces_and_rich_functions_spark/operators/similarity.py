@@ -37,6 +37,7 @@ __all__ = [
     "norm_expr",
     "cosine_expr",
     "brute_force_topk",
+    "mips_topk",
     "cosine_dup_pairs",
     "hyperplane_signature_udf",
     "lsh_bucketed_topk",
@@ -105,6 +106,40 @@ def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL when either vector has zero norm."""
     denom = norm_expr(a) * norm_expr(b)
     return F.when(denom > 0, dot_expr(a, b) / denom)
+
+
+def mips_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact maximum-inner-product search (MIPS): top-k neighbors by
+    raw dot product — what a trained retrieval head actually scores
+    with when embeddings are NOT unit-normalized (cosine top-k and
+    MIPS top-k genuinely differ then; norm matters). Same scale shape
+    as :func:`brute_force_topk`: broadcast the small query side, scan
+    the corpus once, per-query top-k over a tiny keyed window. The
+    dot product uses the sequential ``aggregate`` fold (same
+    element-order summation as the SQL oracle), rounded before
+    ranking with a neighbor-id tiebreak — deterministic,
+    oracle-comparable."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    scored = (
+        v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", F.round(dot_expr(F.col("_qv"), F.col("_nv")), round_dp))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "dot", "rk")
+    )
 
 
 def cosine_pairs_udf():
