@@ -1541,6 +1541,38 @@ FROM tris, wed
 """
 
 
+def udf_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF exercised end-to-end from SQL: LATERAL split_tokens over a
+    20-doc slice (udfs.py:register_tokens_udtf — one row per token with
+    position). Row-at-a-time Python by design; the deliberately small
+    slice documents the contract that UDTFs are the extension point,
+    not the bulk path (posexplode(split()) is the vectorized twin)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.udfs import (
+        register_tokens_udtf,
+    )
+
+    register_tokens_udtf(spark, "split_tokens_q")
+    docs = _t(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 20).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM _udtf_docs d, LATERAL split_tokens_q(d.text) t
+        """
+    )
+
+
+_UDF_UDTF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, CAST(s.pos AS INT) AS pos, s.token AS token
+FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+          i -> struct_pack(pos := i - 1, token := tk[i]))) AS s FROM toks)
+"""
+
+
 def similarity_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, exact=True)
@@ -2049,8 +2081,13 @@ FROM lineitem
 
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch family (KLL/GK-style approx_percentile): grouped
-    p50/p95 with exact min/max rails. Sketch internals differ across
-    engines, so this is a rows-only check; pytest pins the rails."""
+    p50/p95 with exact min/max rails. Rows-only BY NECESSITY, unlike
+    the HLL pin in agg_approx_distinct: HLL register max-merge is
+    order-insensitive so its estimate is a constant, but GK/KLL
+    summary merges are NOT merge-order-insensitive — the estimate can
+    shift with partition count/order, so pinning sf0.01 constants
+    would be flaky under the driver's parallelism. Pytest pins the
+    exact min/max rails and the estimate-within-rails invariant."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("approx_p50_p95"),
@@ -5624,7 +5661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_shipping_priority": sql_shipping_priority,
         "llm_pipeline_clean_corpus": llm_pipeline_clean_corpus,
         "udf_registered_cents": udf_registered_cents,
-        "udf_grouped_zscore": udf_grouped_zscore,  # -- text / dedup / similarity (LLM-data ops) ---------------------
+        "udf_grouped_zscore": udf_grouped_zscore,
+        "udf_udtf_tokens": udf_udtf_tokens,  # -- text / dedup / similarity (LLM-data ops) ---------------------
         "text_stats_quality": text_stats_quality,
         "llm_pipeline_curated_corpus": llm_pipeline_curated_corpus,
         "text_contamination": text_contamination,
@@ -5840,6 +5878,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_vector_norms": _SIM_NORMS_SQL,
         "events_props_map": _EVENTS_PROPS_MAP_SQL,
         "udf_grouped_zscore": _UDF_ZSCORE_SQL,
+        "udf_udtf_tokens": _UDF_UDTF_SQL,
         "sql_month_spine_density": _SQL_SPINE_SQL,
         "sql_large_volume_orders": _SQL_Q18_SQL,
         "sql_disjunctive_bands": _SQL_Q19_SQL,
