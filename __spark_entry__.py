@@ -1587,6 +1587,38 @@ SELECT * FROM (
 """
 
 
+def similarity_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate CLUSTERS: exact cosine ≥ 0.4 pairs resolved
+    into connected components (hash-min label propagation,
+    operators/dedup.py:dup_clusters) — the embedding-space twin of the
+    text dup-cluster resolution, what embedding-dedup actually ships
+    (pair lists under-merge transitive chains). Oracled end-to-end:
+    all-pairs exact cosine + recursive-CTE reachability closure."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, exact=True)
+    return dup_clusters(pairs)
+
+
+_SIM_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_SQL_FRAGMENT.format(a="a.embedding", b="b.embedding")}, 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  ) WHERE cosine >= 0.4
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+)
+SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-table 8-plane LSH top-k — the cheapest config (one bucket
     equi-join), kept stable for bench comparability across rounds. On
@@ -5675,6 +5707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hour_of_week_heatmap": events_hour_of_week_heatmap,
         "graph_triangle_count": graph_triangle_count,
         "similarity_embedding_dup_pairs": similarity_embedding_dup_pairs,
+        "similarity_semantic_clusters": similarity_semantic_clusters,
         "similarity_ivf_full_probe": similarity_ivf_full_probe,
         "similarity_lsh_recall": similarity_lsh_recall,
         "dedup_dup_clusters": dedup_dup_clusters,  # ====== end of the driver's 50-entry check window ======
@@ -5780,6 +5813,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_full_probe": _SIM_TOPK_SQL,
         "similarity_lsh_recall": _SIM_LSH_RECALL_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
+        "similarity_semantic_clusters": _SIM_CLUSTERS_SQL,
         "multimodal_payload_meta": _MULTIMODAL_META_SQL,
         "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,
         "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,

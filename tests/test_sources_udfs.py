@@ -219,3 +219,35 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     filtered = back.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
     s = plans.explain_str(filtered)
     assert "PushedFilters" in s and "l_quantity" in s, s
+
+
+def test_dynamic_partition_pruning_on_join(spark, tmp_path):
+    """Joining a partitioned fact to a FILTERED dim must inject a
+    dynamic-partition-pruning subquery on the fact scan
+    (dynamicpruningexpression): the dim filter's surviving keys decide
+    at runtime which fact partitions are read at all. At 100 TB this is
+    the difference between scanning one date partition and the whole
+    table when the filter is on the dim, not the fact."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark import plans
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        write_parquet,
+    )
+
+    fact = spark.range(4000).select(
+        F.col("id").alias("fk"), (F.col("id") % 8).alias("part_key"), (F.col("id") * 2).alias("v")
+    )
+    out = str(tmp_path / "dpp_fact")
+    write_parquet(fact, out, partition_by=["part_key"])
+    dim = spark.range(8).select(
+        F.col("id").alias("part_key"), (F.col("id") % 2 == 0).alias("keep")
+    )
+    joined = (
+        spark.read.parquet(out)
+        .join(dim.filter(F.col("keep")), "part_key")
+        .agg(F.sum("v").alias("sv"))
+    )
+    s = plans.explain_str(joined)
+    assert "dynamicpruning" in s.lower(), s[:1200]
+    # semantics: only even part_keys' rows aggregate
+    expect = sum(i * 2 for i in range(4000) if (i % 8) % 2 == 0)
+    assert joined.collect()[0]["sv"] == expect
