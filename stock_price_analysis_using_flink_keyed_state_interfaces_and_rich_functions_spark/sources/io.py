@@ -39,6 +39,7 @@ __all__ = [
     "write_parquet",
     "write_orc",
     "write_bucketed_table",
+    "compact_parquet_dir",
     "write_stream_console",
     "write_stream_memory",
     "write_stream_parquet",
@@ -246,6 +247,42 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_rows_per_file: int,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory so each
+    output file holds ~``target_rows_per_file`` rows — the maintenance
+    job every streaming/micro-batch sink eventually needs (a 100 TB
+    table built from 1-minute micro-batches is millions of KB-sized
+    files; open/list/footer overhead then dominates every scan).
+
+    Mechanics: one count() sizes the job, ``repartition(ceil(n/target))``
+    redistributes round-robin (even file sizes regardless of input
+    skew), and ``maxRecordsPerFile`` caps stragglers so a future append
+    can't silently produce jumbo files. Returns the partition count
+    written. Compaction is pure I/O — rows are bit-identical, which is
+    what the roundtrip test pins.
+    """
+    if target_rows_per_file <= 0:
+        raise ValueError(f"target_rows_per_file must be positive, got {target_rows_per_file}")
+    df = spark.read.parquet(in_path)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    w = (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out_path)
+    return n_files
 
 
 def write_bucketed_table(

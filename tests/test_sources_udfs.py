@@ -251,3 +251,32 @@ def test_dynamic_partition_pruning_on_join(spark, tmp_path):
     # semantics: only even part_keys' rows aggregate
     expect = sum(i * 2 for i in range(4000) if (i % 8) % 2 == 0)
     assert joined.collect()[0]["sv"] == expect
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """Compaction must (a) reduce a many-tiny-file directory to
+    ceil(n/target) evenly-sized files, (b) keep rows bit-identical, and
+    (c) cap every output file at the target row count."""
+    import glob
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        compact_parquet_dir,
+    )
+
+    src_dir = str(tmp_path / "tiny")
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    df.repartition(50).write.parquet(src_dir)  # 50 tiny files
+    assert len(glob.glob(os.path.join(src_dir, "*.parquet"))) == 50
+
+    out_dir = str(tmp_path / "compact")
+    n_files = compact_parquet_dir(spark, src_dir, out_dir, target_rows_per_file=300)
+    assert n_files == 4  # ceil(1000/300)
+    files = glob.glob(os.path.join(out_dir, "*.parquet"))
+    assert len(files) == 4
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 1000
+    assert sorted(r["v"] for r in back.collect()) == sorted(r["v"] for r in df.collect())
+    for f in files:
+        assert spark.read.parquet(f).count() <= 300
+    with pytest.raises(ValueError):
+        compact_parquet_dir(spark, src_dir, out_dir, 0)
