@@ -5044,6 +5044,43 @@ SELECT event_id, user_id, rolling_median_value FROM r WHERE window_n >= 5
 """
 
 
+def window_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-interval RANGE frame: each event's trailing-1-hour value sum
+    per user — the time-based sibling of the numeric RANGE frame query
+    (window_range_frame_sum). Spark's rangeBetween needs a numeric
+    ordering, so the frame runs over epoch seconds (exact integers);
+    DuckDB expresses the same frame natively as RANGE INTERVAL 1 HOUR
+    PRECEDING. Integer-cents sums keep the hash exact. Frame bounds are
+    INCLUSIVE both ends in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")  # whole seconds — ties group together
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).cast("long").alias("trailing_hour_cents"),
+    )
+
+
+# DuckDB's RANGE frame over a timestamp gives the same inclusive
+# [ts−1h, ts] window; rows sharing a truncated second peer-group just
+# like Spark's integer epoch ordering, so second-truncation is applied
+# on BOTH sides for identical peer groups.
+_WINDOW_TRAILING_HOUR_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY date_trunc('second', ts)
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_hour_cents
+FROM events
+"""
+
+
 def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event-type
     sequence: count consecutive (prev → cur) pairs via one lag window,
@@ -5641,6 +5678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_state_per_user": events_latest_state_per_user,
         "window_hourly_active_users": window_hourly_active_users,
         "window_rolling_median_value": window_rolling_median_value,
+        "window_trailing_hour_sum": window_trailing_hour_sum,
         "events_type_transitions": events_type_transitions,
         "events_rfm_scores": events_rfm_scores,
         "sql_product_profit": sql_product_profit,
@@ -5876,6 +5914,7 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_state_per_user": _EVENTS_LATEST_STATE_SQL,
         "window_hourly_active_users": _WINDOW_HOURLY_ACTIVE_SQL,
         "window_rolling_median_value": _WINDOW_ROLLING_MEDIAN_SQL,
+        "window_trailing_hour_sum": _WINDOW_TRAILING_HOUR_SQL,
         "events_type_transitions": _EVENTS_TRANSITIONS_SQL,
         "events_rfm_scores": _EVENTS_RFM_SQL,
         "agg_approx_distinct": _AGG_APPROX_DISTINCT_SQL,
