@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime Bloom-filter join pruning: for a selective build side,
+        # inject a bloom filter into the probe-side scan so most
+        # non-matching fact rows die before the shuffle — at 100 TB this
+        # is often the single biggest shuffle reducer on star joins.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
         # documents/embeddings rows are wide (text, 64-float vectors);
         # keep split sizes default but cap in-memory batches sanely.

@@ -40,6 +40,7 @@ __all__ = [
     "write_orc",
     "write_bucketed_table",
     "compact_parquet_dir",
+    "write_range_clustered",
     "write_stream_console",
     "write_stream_memory",
     "write_stream_parquet",
@@ -283,6 +284,32 @@ def compact_parquet_dir(
         w = w.partitionBy(*partition_by)
     w.parquet(out_path)
     return n_files
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered layout: ``repartitionByRange`` +
+    ``sortWithinPartitions`` on the cluster columns before writing, so
+    each parquet file covers a DISJOINT value range and every row group
+    is sorted. Parquet min/max statistics then let any later filtered
+    scan skip whole files/row-groups — the poor-engine's Z-order, and at
+    100 TB the cheapest data-skipping there is for range-predicate-heavy
+    columns (dates, prices). The disjointness is verifiable from the
+    written footers, which is exactly what the test does.
+    """
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def write_bucketed_table(

@@ -280,3 +280,70 @@ def test_compact_parquet_dir(spark, tmp_path):
         assert spark.read.parquet(f).count() <= 300
     with pytest.raises(ValueError):
         compact_parquet_dir(spark, src_dir, out_dir, 0)
+
+
+def test_range_clustered_write_has_disjoint_file_ranges(spark, tmp_path):
+    """Range clustering must produce files whose [min, max] ranges on
+    the cluster column are pairwise disjoint — VERIFIED FROM THE
+    PARQUET FOOTERS, because disjoint footer stats are precisely what
+    lets a later range-filtered scan skip whole files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        write_range_clustered,
+    )
+
+    df = spark.range(10000).select(
+        ((F.col("id") * 7919) % 10007).alias("price"), F.col("id").alias("oid")
+    )  # shuffled values: clustering must SORT, not rely on input order
+    out = str(tmp_path / "clustered")
+    write_range_clustered(df, out, ["price"], n_files=8)
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "price"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    assert spark.read.parquet(out).count() == 10000
+    with pytest.raises(ValueError):
+        write_range_clustered(df, out, ["price"], n_files=0)
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    """With broadcast disabled, a selective build side must inject a
+    runtime Bloom filter into the probe-side scan (might_contain in the
+    plan) — most non-matching fact rows die before the shuffle."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark import plans
+
+    fact = spark.range(2_000_000).select(F.col("id").alias("fk"), (F.col("id") % 97).alias("v"))
+    dim = spark.range(2_000_000).select(F.col("id").alias("fk")).filter(F.col("fk") % 1000 == 0)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        spark.conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+        # default 10GB floor exists so tiny scans skip the bloom cost;
+        # zero it so the in-memory range relation qualifies for the test
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        joined = fact.join(dim, "fk").agg(F.sum("v").alias("sv"))
+        s = plans.explain_str(joined)
+        assert "might_contain" in s.lower(), s[:1500]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtimeFilter.number.threshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
