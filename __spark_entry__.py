@@ -1479,40 +1479,19 @@ GROUP BY 1, 2, 3
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the near-dup similarity graph (2-gram
-    Jaccard ≥ 0.5 edges): the standard ordered-triple formulation —
-    orient every edge small→large, join twice on the shared vertex,
-    close with a third edge lookup. No vertex ever sees more than its
-    ordered-neighbor list, the classic distributed-triangle trick that
-    keeps hub vertices from exploding the join. Summarized per
-    cluster-health report as one row (n_edges, n_triangles,
-    clustering_coefficient ≈ 3·triangles/open-wedges)."""
+    Jaccard ≥ 0.5 edges) via DEGREE-ordered edge orientation
+    (operators/graph.py:triangle_stats; Suri–Vassilvitskii, WWW'11):
+    every edge points low-(degree, id) → high-(degree, id), capping
+    out-degree at O(√m), so the wedge self-join is hub-proof. One row
+    out: (n_edges, n_triangles, clustering_coefficient,
+    n_wedges)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.graph import (
+        triangle_stats,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, shingle_k=2)
-    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))  # already u < v
-    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    wedges = e1.join(e2, "b")  # a < b < c by construction
-    closing = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    triangles = wedges.join(closing, ["a", "c"])
-    deg = (
-        e.select(F.col("u").alias("x")).unionAll(e.select(F.col("v").alias("x")))
-        .groupBy("x").agg(F.count(F.lit(1)).alias("d"))
-    )
-    wedge_total = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
-    )
-    stats = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
-        triangles.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    ).crossJoin(wedge_total)
-    return stats.select(
-        "n_edges",
-        "n_triangles",
-        F.round(
-            F.when(F.col("n_wedges") > 0,
-                   3.0 * F.col("n_triangles") / F.col("n_wedges")).otherwise(0.0), 6
-        ).alias("clustering_coefficient"),
-        "n_wedges",
-    )
+    return triangle_stats(pairs)
 
 
 _GRAPH_TRIANGLES_SQL = f"""
@@ -5132,45 +5111,70 @@ FROM pairs
 
 
 def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation: per-user Recency (last event ts), Frequency
-    (event count) and Monetary (exact cent sum), each scored into
-    quintiles with ntile over a TIE-BROKEN total order (metric, then
-    user_id — ntile over a partial order would be engine-defined).
-    The ntile windows run over the |users| aggregate, not the event
-    stream; ORDER BY () OVER a single partition is fine there because
-    the per-user table is aggregate-sized (still flagged in the
-    docstring as the one deliberate single-partition window)."""
+    """RFM segmentation: per-user Recency (epoch of last event),
+    Frequency (event count) and Monetary (exact cent sum), each scored
+    1–5 against the population's exact 20/40/60/80 quantiles. Scored by
+    BROADCAST THRESHOLDS, not ntile: a single-partition ntile over the
+    per-user table serializes at 10⁹ users, while the quantile row is
+    one tiny reduce and the scoring stays a pure map (score = 1 + Σ
+    metric > qᵢ). Exact percentile over integer metrics interpolates
+    to engine-identical doubles; integer metrics can only tie a
+    threshold when the threshold is integral, where strict > agrees in
+    both engines."""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
-        F.max("ts").alias("_last_ts"),
+        F.unix_timestamp(F.max("ts")).cast("long").alias("recency_epoch"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("monetary_cents"),
     )
-    w_r = Window.orderBy(F.asc("_last_ts"), F.asc("user_id"))
-    w_f = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
-    w_m = Window.orderBy(F.asc("monetary_cents"), F.asc("user_id"))
-    return per_user.select(
+    qs = per_user.agg(
+        *[
+            F.expr(f"percentile({c}, array(0.2, 0.4, 0.6, 0.8))").alias(f"_q_{c}")
+            for c in ("recency_epoch", "frequency", "monetary_cents")
+        ]
+    )
+
+    def _score(c):
+        q = F.col(f"_q_{c}")
+        return (
+            F.lit(1)
+            + (F.col(c) > q[0]).cast("int")
+            + (F.col(c) > q[1]).cast("int")
+            + (F.col(c) > q[2]).cast("int")
+            + (F.col(c) > q[3]).cast("int")
+        )
+
+    return per_user.crossJoin(F.broadcast(qs)).select(
         "user_id",
         "frequency",
         "monetary_cents",
-        F.ntile(5).over(w_r).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
+        _score("recency_epoch").alias("r_score"),
+        _score("frequency").alias("f_score"),
+        _score("monetary_cents").alias("m_score"),
     )
 
 
 _EVENTS_RFM_SQL = """
 WITH per_user AS (
-  SELECT user_id, max(ts) AS last_ts,
+  SELECT user_id,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS recency_epoch,
          CAST(count(*) AS BIGINT) AS frequency,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
   FROM events GROUP BY user_id
+), q AS (
+  SELECT quantile_cont(recency_epoch, [0.2, 0.4, 0.6, 0.8]) AS qr,
+         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS qf,
+         quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS qm
+  FROM per_user
 )
 SELECT user_id, frequency, monetary_cents,
-       ntile(5) OVER (ORDER BY last_ts ASC, user_id ASC) AS r_score,
-       ntile(5) OVER (ORDER BY frequency ASC, user_id ASC) AS f_score,
-       ntile(5) OVER (ORDER BY monetary_cents ASC, user_id ASC) AS m_score
-FROM per_user
+       1 + CAST(recency_epoch > qr[1] AS INT) + CAST(recency_epoch > qr[2] AS INT)
+         + CAST(recency_epoch > qr[3] AS INT) + CAST(recency_epoch > qr[4] AS INT) AS r_score,
+       1 + CAST(frequency > qf[1] AS INT) + CAST(frequency > qf[2] AS INT)
+         + CAST(frequency > qf[3] AS INT) + CAST(frequency > qf[4] AS INT) AS f_score,
+       1 + CAST(monetary_cents > qm[1] AS INT) + CAST(monetary_cents > qm[2] AS INT)
+         + CAST(monetary_cents > qm[3] AS INT) + CAST(monetary_cents > qm[4] AS INT) AS m_score
+FROM per_user, q
 """
 
 

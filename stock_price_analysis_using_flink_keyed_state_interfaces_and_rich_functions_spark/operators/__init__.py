@@ -31,6 +31,7 @@ from .topk import top_n, top_k_per_group  # noqa: F401
 from .timeseries import ohlc_bars, fill_forward  # noqa: F401
 from .scd import scd2_merge  # noqa: F401
 from .diagnostics import key_skew_stats  # noqa: F401
+from .graph import triangle_stats  # noqa: F401
 from .setops import (  # noqa: F401
     union_all,
     union_distinct,

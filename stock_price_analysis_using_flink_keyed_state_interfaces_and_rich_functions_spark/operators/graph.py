@@ -1,0 +1,71 @@
+"""Graph analytics over similarity graphs (near-dup pairs as edges).
+
+Connected components live in ``dedup.dup_clusters``; this module holds
+the structural-health measurements a curator reads before trusting a
+dedup pass: triangle count and global clustering coefficient
+(near-clique dup families are triangle-dense; a low coefficient with
+many edges means chains — over-merged thresholds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["triangle_stats"]
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient for an
+    undirected simple graph given as unique (small-id, large-id) edge
+    pairs. One summary row: (n_edges, n_triangles,
+    clustering_coefficient = 3·triangles / open-wedges, n_wedges).
+
+    DEGREE-ordered orientation (Suri–Vassilvitskii, WWW'11): every edge
+    points low-(degree, id) → high-(degree, id), capping out-degree at
+    O(√m), so the wedge self-join is hub-proof — an id-ordered
+    orientation squares a hub's degree instead. Every triangle has
+    exactly one vertex with two out-edges under any acyclic
+    orientation, so each is counted exactly once.
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("x")).unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("_du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("_dv")), "v")
+    )
+    u_first = F.struct("_du", "u") < F.struct("_dv", "v")
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("_dv")).otherwise(F.col("_du")).alias("_ddst"),
+    )
+    o1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("_ddst").alias("_db"))
+    o2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("_ddst").alias("_dc"))
+    wedges = o1.join(o2, "a").filter(F.struct("_db", "b") < F.struct("_dc", "c"))
+    closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    triangles = wedges.join(closing, ["b", "c"])
+    wedge_total = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    stats = (
+        e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .crossJoin(triangles.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+        .crossJoin(wedge_total)
+    )
+    return stats.select(
+        "n_edges",
+        "n_triangles",
+        F.round(
+            F.when(F.col("n_wedges") > 0,
+                   3.0 * F.col("n_triangles") / F.col("n_wedges")).otherwise(0.0), 6
+        ).alias("clustering_coefficient"),
+        "n_wedges",
+    )

@@ -1002,3 +1002,22 @@ def test_heavy_hitters_refuses_uncertifiable(spark):
         heavy_hitters_topk(df, "token", k=5, capacity=2)
     # unverified mode returns best-effort without raising
     assert heavy_hitters_topk(df, "token", k=5, capacity=2, verified=False).count() <= 5
+
+
+def test_triangle_stats_ground_truth(spark):
+    """K4 (4 triangles, 12 wedges → coefficient 1.0) plus a 5-leaf hub
+    star (0 triangles, 10 extra wedges) — the star exercises the
+    degree-ordered orientation: all hub edges point leaf→hub, so the
+    hub contributes no wedge pairs to the self-join."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    star = [(10, leaf) for leaf in range(11, 16)]
+    edges = spark.createDataFrame(k4 + star, "id_a long, id_b long")
+    row = triangle_stats(edges).collect()[0]
+    assert row["n_edges"] == 11
+    assert row["n_triangles"] == 4
+    assert row["n_wedges"] == 12 + 10  # K4: 4 vertices deg 3; star hub deg 5
+    assert row["clustering_coefficient"] == round(12 / 22, 6)
