@@ -34,13 +34,16 @@ __all__ = ["mg_partition_summaries", "heavy_hitters_topk"]
 
 
 def mg_partition_summaries(
-    keyed: DataFrame, key_col: str, capacity: int
+    keyed: DataFrame, key_col: str, capacity: int, with_partition_totals: bool = False
 ) -> DataFrame:
     """Per-partition Misra–Gries summaries: ≤ ``capacity`` (key, weight)
     rows per partition, weight undercounting the partition-true count by
     at most (partition rows)/capacity. Arrow-batched; the counter dict
     lives in the generator closure so state spans all of a partition's
-    batches."""
+    batches. ``with_partition_totals`` appends one NULL-key sentinel row
+    per partition carrying the partition's TRUE row count, so callers
+    needing n (the verified top-k certificate) get it from this same
+    single scan instead of a second pass over the raw data."""
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
 
@@ -48,7 +51,9 @@ def mg_partition_summaries(
         import pandas as pd
 
         counters: dict = {}
+        rows_seen = 0
         for pdf in batches:
+            rows_seen += len(pdf)
             for key, cnt in pdf[key_col].value_counts().items():
                 cnt = int(cnt)
                 if key in counters:
@@ -63,10 +68,13 @@ def mg_partition_summaries(
                     counters = {k: v - dec for k, v in counters.items() if v > dec}
                     if cnt > dec:
                         counters[key] = cnt - dec
-        if counters:
-            yield pd.DataFrame(
-                {key_col: list(counters.keys()), "_w": list(counters.values())}
-            )
+        keys = list(counters.keys())
+        weights = list(counters.values())
+        if with_partition_totals:
+            keys.append(None)
+            weights.append(rows_seen)
+        if keys:
+            yield pd.DataFrame({key_col: keys, "_w": weights})
 
     field = keyed.schema[key_col]
     return keyed.select(key_col).mapInPandas(
@@ -97,8 +105,18 @@ def heavy_hitters_topk(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     keyed = df.select(key_col).filter(F.col(key_col).isNotNull())
-    summaries = mg_partition_summaries(keyed, key_col, capacity)
-    candidates = summaries.groupBy(key_col).agg(F.sum("_w").alias("_w_merged"))
+    # Two raw-data scans TOTAL — the MG+confirm minimum: scan 1 builds
+    # summaries AND per-partition true counts (NULL-key sentinels); the
+    # tiny summary table is checkpointed so n_total / candidates / the
+    # caller's action never re-derive it. Scan 2 is the exact recount,
+    # also checkpointed so the verify collect and the returned top-k
+    # share one execution.
+    summaries = mg_partition_summaries(
+        keyed, key_col, capacity, with_partition_totals=True
+    ).localCheckpoint(eager=False)
+    candidates = summaries.filter(F.col(key_col).isNotNull()).groupBy(key_col).agg(
+        F.sum("_w").alias("_w_merged")
+    )
     # Exact recount of candidates only: broadcast the candidate set (≤
     # capacity × partitions keys by construction) as a semi-join filter,
     # then a partial-agg count — the shuffle carries candidate keys only.
@@ -107,11 +125,15 @@ def heavy_hitters_topk(
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).cast("long").alias(count_col))
     )
+    if verified:
+        exact = exact.localCheckpoint(eager=False)
     topk = exact.orderBy(F.desc(count_col), F.asc(key_col)).limit(k)
     if verified:
         # Premise check: n/capacity must be below the k-th count. Both
-        # scalars are tiny aggregates (count of a projected scan; k rows).
-        n_total = keyed.count()
+        # scalars are tiny aggregates over the checkpointed summaries.
+        n_total = (
+            summaries.filter(F.col(key_col).isNull()).agg(F.sum("_w")).collect()[0][0]
+        ) or 0
         kth_rows = topk.collect()
         if len(kth_rows) < k:
             # fewer confirmed candidates than k: a sub-threshold key the
