@@ -540,6 +540,30 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
 """
 
 
+def topk_orders_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination: page 3 of the price-ranked order list
+    (rows 41–60) via ORDER BY … LIMIT 20 OFFSET 40 — the API-results
+    shape. Spark executes offset+limit as a single top-(offset+limit)
+    per partition + driver merge (CollectLimit/TakeOrdered with skip),
+    so the cost is O(offset+limit) per task, never a global sort; the
+    docstring contract is the same caveat every paging API carries —
+    deep offsets cost linearly, switch to keyset (WHERE (price, key) <
+    last-seen) pagination past that."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(40)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+_TOPK_PAGE_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 40
+"""
+
+
 def topk_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     out = top_k_per_group(
@@ -5758,6 +5782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy_nextfit": pack_greedy_docs,
         "agg_approx_distinct": agg_approx_distinct,
         "topk_orders_by_price": topk_orders_by_price,
+        "topk_orders_page": topk_orders_page,
         "setops_intersect_custkeys": setops_intersect_custkeys,
         "setops_except_nation_keys": setops_except_nation_keys,
         "setops_union_all_nationkeys": setops_union_all_nationkeys,
@@ -5820,6 +5845,7 @@ def oracle_sql() -> dict[str, str]:
         "join_asof_click_purchase": _JOIN_ASOF_SQL,
         "join_range_price_band": _JOIN_RANGE_SQL,
         "topk_orders_by_price": _TOPK_SQL,
+        "topk_orders_page": _TOPK_PAGE_SQL,
         "topk_customers_per_segment": _TOPK_GROUP_SQL,
         "setops_union_nation_keys": _SETOPS_UNION_SQL,
         "setops_intersect_custkeys": _SETOPS_INTERSECT_SQL,
