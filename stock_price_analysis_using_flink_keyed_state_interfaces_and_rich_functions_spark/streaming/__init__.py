@@ -11,6 +11,8 @@ from .windows import (  # noqa: F401
     sliding_window_agg,
     session_window_agg,
     streaming_dedup,
+    streaming_upsert_snapshot,
+    read_snapshot,
     run_stream_foreach_batch,
     run_stream_to_memory,
 )

@@ -21,6 +21,8 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "streaming_dedup",
+    "streaming_upsert_snapshot",
+    "read_snapshot",
     "run_stream_foreach_batch",
     "run_stream_to_memory",
 ]
@@ -96,6 +98,71 @@ def streaming_dedup(
     if ts_col is not None and watermark is not None:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
     return df.dropDuplicates(list(key_cols))
+
+
+def streaming_upsert_snapshot(
+    df: DataFrame,
+    root: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> None:
+    """Maintain a latest-state-per-key parquet SNAPSHOT from a stream —
+    the foreachBatch upsert pattern every CDC ingest ends in when the
+    table format has no native MERGE: each micro-batch folds into the
+    previous snapshot (union → max_by per key over the total order) and
+    writes a NEW versioned directory named by ``batch_id``, then prunes
+    older versions. Retries are idempotent because a replayed batch_id
+    overwrites its own directory, never appends; readers always take
+    the highest ``v=`` dir (:func:`read_snapshot`). At scale the union
+    side stays snapshot-sized (|keys|), not log-sized — the log is
+    never replayed."""
+    import glob
+    import os
+    import shutil
+
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = sorted(
+            glob.glob(os.path.join(root, "v=*")),
+            key=lambda p: int(p.rsplit("=", 1)[1]),
+        )
+        cur = batch_df
+        if versions:
+            cur = spark.read.parquet(versions[-1]).unionByName(batch_df)
+        value_cols = [c for c in cur.columns if c not in keys]
+        latest = (
+            cur.groupBy(*keys)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in value_cols]),
+                    F.struct(*[F.col(c) for c in order]),
+                ).alias("_s")
+            )
+            .select(*keys, "_s.*")
+        )
+        latest.write.mode("overwrite").parquet(os.path.join(root, f"v={batch_id}"))
+        for old in versions:
+            if int(old.rsplit("=", 1)[1]) != batch_id:
+                shutil.rmtree(old, ignore_errors=True)
+
+    run_stream_foreach_batch(df, _merge, output_mode="append")
+
+
+def read_snapshot(spark, root: str) -> DataFrame:
+    """Read the current version of a :func:`streaming_upsert_snapshot`
+    directory (highest ``v=`` dir)."""
+    import glob
+    import os
+
+    versions = sorted(
+        glob.glob(os.path.join(root, "v=*")), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions under {root}")
+    return spark.read.parquet(versions[-1])
 
 
 def run_stream_foreach_batch(df: DataFrame, fn, output_mode: str = "update") -> None:

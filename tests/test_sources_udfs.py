@@ -347,3 +347,26 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_custom_python_datasource(spark):
+    """Spark 4 Python DataSource: register, read with options, verify
+    (a) the requested row count and partition planning, (b) value
+    determinism independent of reader parallelism — identical frames
+    for 2 vs 5 partitions — and (c) OHLC sanity (low <= open <= high)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.pysource import (
+        register_synthetic_quotes_source,
+    )
+
+    register_synthetic_quotes_source(spark)
+    df = spark.read.format("synthetic_quotes").option("rows", 200).option("partitions", 5).load()
+    assert df.count() == 200
+    assert df.rdd.getNumPartitions() == 5
+    rows5 = sorted(df.collect())
+    rows2 = sorted(
+        spark.read.format("synthetic_quotes")
+        .option("rows", 200).option("partitions", 2).load().collect()
+    )
+    assert rows5 == rows2
+    bad = df.filter((F.col("low") > F.col("open")) | (F.col("open") > F.col("high"))).count()
+    assert bad == 0

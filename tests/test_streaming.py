@@ -862,3 +862,34 @@ def test_fill_forward_stream_equals_batch(spark, tmp_path):
         ((r["k"], r["filled"]) for r in expect_df.collect() if r["v"] is None), key=_nkey
     )
     assert got_nulls == exp_nulls
+
+
+def test_streaming_upsert_snapshot_equals_batch_latest_state(spark, tmp_path):
+    """The foreachBatch upsert snapshot must equal the batch
+    latest-state-per-key over the full log after draining — including a
+    key whose newest record arrives in a LATER micro-batch (the upsert
+    path), one that only exists in batch 1 (the carry-forward path),
+    and idempotent version pruning (exactly one v= dir remains)."""
+    import glob
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        read_snapshot,
+        streaming_upsert_snapshot,
+    )
+
+    root = str(tmp_path / "log")
+    snap = str(tmp_path / "snap")
+    b0 = [(1, 10, "a"), (2, 11, "b"), (3, 12, "c")]
+    b1 = [(1, 20, "a2"), (4, 21, "d")]  # key 1 updated; 2,3 carried
+    for i, rows in enumerate((b0, b1)):
+        spark.createDataFrame(rows, "k long, seq long, state string") \
+            .coalesce(1).write.parquet(os.path.join(root, f"f{i}"))
+    stream = (
+        spark.readStream.schema("k long, seq long, state string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "f*"))
+    )
+    streaming_upsert_snapshot(stream, snap, ["k"], ["seq"])
+    got = {r["k"]: (r["seq"], r["state"]) for r in read_snapshot(spark, snap).collect()}
+    assert got == {1: (20, "a2"), 2: (11, "b"), 3: (12, "c"), 4: (21, "d")}
+    assert len(glob.glob(os.path.join(snap, "v=*"))) == 1
