@@ -5692,6 +5692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": text_top_bigrams,
         "sql_nation_trade_volume": sql_nation_trade_volume,
         "sql_market_share": sql_market_share,
+        "multimodal_dedup_payloads": multimodal_dedup_payloads,
         "events_ohlc_hourly": events_ohlc_hourly,
         "events_rolling_zscore": events_rolling_zscore,
         "events_value_increase_streaks": events_value_increase_streaks,
@@ -5714,7 +5715,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_small_qty_revenue": sql_small_qty_revenue,
         "sql_part_promotion_suppliers": sql_part_promotion_suppliers,
         "diag_key_skew_orders": diag_key_skew_orders,
-        "multimodal_dedup_payloads": multimodal_dedup_payloads,
         "sql_cheapest_parts_per_type": sql_cheapest_parts_per_type,
         "setops_symmetric_diff_custkeys": setops_symmetric_diff_custkeys,
         # ====== end of the driver's 50-entry check window ======
