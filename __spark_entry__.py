@@ -5718,10 +5718,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_cheapest_parts_per_type": sql_cheapest_parts_per_type,
         "setops_symmetric_diff_custkeys": setops_symmetric_diff_custkeys,
         # ====== end of the driver's 50-entry check window ======
-        # Previously driver-checked (green rows in CORRECTNESS_r02/r03),
-        # rows-only sketches (pytest-pinned), and the 14 oracled queries
-        # deferred to the round-5 rotation:
-        # w2_count_window_avg_segmented, w3_rows_between_breaches_segmented, setops_union_all_nationkeys, setops_except_all_nationkeys, setops_intersect_all_nationkeys, window_running_sum_orders, window_pct_rank_suppliers, functions_safe_arithmetic, functions_array_ops, sql_month_spine_density, agg_nations_per_region, text_top_tokens, similarity_vector_norms, pack_greedy_nextfit.
+        # Below: previously driver-checked queries (green rows in
+        # CORRECTNESS_r02/r03), the rows-only sketches (pytest-pinned),
+        # and the oracled-but-not-yet-driver-checked backlog for the
+        # round-5 rotation (14 deferred from round 3 plus the round-4
+        # additions past the window; the rotation-policy test computes
+        # the live backlog from the committed artifacts).
         "q1_pricing_summary": q1_pricing_summary,
         "w1_running_max_price": w1_running_max_price,
         "w1_running_max_segmented": w1_running_max_segmented,
@@ -5776,7 +5778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_semantic_clusters": similarity_semantic_clusters,
         "similarity_ivf_full_probe": similarity_ivf_full_probe,
         "similarity_lsh_recall": similarity_lsh_recall,
-        "dedup_dup_clusters": dedup_dup_clusters,  # ====== end of the driver's 50-entry check window ======
+        "dedup_dup_clusters": dedup_dup_clusters,
         "w2_count_window_avg_segmented": w2_count_window_avg_segmented,
         "w3_rows_between_breaches_segmented": w3_rows_between_breaches_segmented,
         "pack_greedy_nextfit": pack_greedy_docs,
