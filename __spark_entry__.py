@@ -5631,10 +5631,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     have NEVER received a driver correctness row, maximizing cumulative
     driver coverage across rounds — rounds 2–3 drove 64 distinct
     queries green (their rows are on record in CORRECTNESS_r02/r03);
-    this round's window is 50 first-time-checked entries (49 from the
-    backlog + the new dedup_simhash_verified), leaving 14 deferred to
-    round 5 (listed at the window boundary below). Every in-window
-    entry is oracle'd — no check slot is spent on a rows-only query;
+    this round's window is 50 first-time-checked entries (round-3
+    backlog plus several round-4 additions, incl. the reworked
+    window_running_distinct_suppliers / multimodal_dedup_payloads and
+    the new dedup_simhash_verified the round-3 verdict asked to see
+    driver-green); the remaining backlog rotates in at round 5. Every
+    in-window entry is oracle'd — no check slot is spent on a rows-only
+    query;
     the deliberately rows-only sketches (SimHash/HLL/KLL/EWMA/zlib)
     live past the window, pinned by pytest and exercised by bench.
     The rotation-policy test (tests/test_entry_contract.py) enforces
