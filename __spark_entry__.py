@@ -5590,6 +5590,114 @@ WHERE p_retailprice = (
 """
 
 
+def sql_shipping_split_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped priority split: per lineitem return-flag class,
+    how many lines came from critical (1-URGENT/2-HIGH) vs ordinary
+    orders, restricted to a one-year ship window. (The canonical Q12
+    groups by l_shipmode; this dataset carries no shipmode column, so
+    the grouping attribute is l_returnflag — the shape under test is
+    identical: date-window scan filter pushed to the lineitem scan,
+    fact-fact equi-join on l_orderkey, conditional aggregation via
+    CASE-sum.) Both branches aggregate in one pass — no union of two
+    filtered subqueries."""
+    for name in ("orders", "lineitem"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q12_{name}")
+    return spark.sql(
+        """
+        SELECT l.l_returnflag,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM _q12_lineitem l
+        JOIN _q12_orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= DATE '1995-01-01'
+          AND l.l_shipdate < DATE '1996-01-01'
+        GROUP BY l.l_returnflag
+        """
+    )
+
+
+_SQL_Q12_SQL = """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= DATE '1995-01-01'
+  AND l.l_shipdate < DATE '1996-01-01'
+GROUP BY l.l_returnflag
+"""
+
+
+def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped "lone late supplier": suppliers whose lineitem
+    shipped late (> 60 days after the order date) on a finished
+    multi-supplier order where EVERY OTHER supplier shipped on time —
+    i.e. the one party that held the order up. (Canonical Q21 defines
+    late as l_receiptdate > l_commitdate; this dataset carries neither
+    column, so lateness is ship-lag against o_orderdate — the plan
+    shape under test is identical.) Catalyst decorrelates the EXISTS
+    into a semi join and the NOT EXISTS into an anti join, both keyed
+    on l_orderkey with the supplier-inequality + lateness predicates as
+    join residuals — three passes over lineitem, zero row explosion,
+    no nested-loop re-execution. Output is the full deterministic
+    ranking (numwait DESC, s_name), totally ordered because s_name is
+    unique."""
+    for name in ("supplier", "lineitem", "orders", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q21_{name}")
+    return spark.sql(
+        """
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM _q21_supplier s
+        JOIN _q21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN _q21_orders o    ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > date_add(o.o_orderdate, 60)
+          AND EXISTS (
+              SELECT 1 FROM _q21_lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM _q21_lineitem l3
+              JOIN _q21_orders o3 ON o3.o_orderkey = l3.l_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > date_add(o3.o_orderdate, 60)
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        """
+    )
+
+
+_SQL_Q21_SQL = """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+"""
+
+
 def setops_symmetric_diff_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric difference as a set-op composition: customers appearing
     in exactly one of {order-placers, high-balance accounts} — (A∖B) ∪
@@ -5824,6 +5932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ewma_orders": window_ewma_orders,  # rows-only (float recursion)
         "window_ewma_segmented": window_ewma_segmented,  # rows-only (float recursion)
         "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
+        "sql_shipping_split_by_priority": sql_shipping_split_by_priority,
+        "sql_waiting_suppliers": sql_waiting_suppliers,
     }
 
 
@@ -5993,4 +6103,6 @@ def oracle_sql() -> dict[str, str]:
         "sql_idle_rich_customers": _SQL_Q22_SQL,
         "functions_date_arithmetic": _FUNC_DATE_ARITH_SQL,
         "agg_nations_per_region": _AGG_NATIONS_SQL,
+        "sql_shipping_split_by_priority": _SQL_Q12_SQL,
+        "sql_waiting_suppliers": _SQL_Q21_SQL,
     }
