@@ -5698,6 +5698,165 @@ ORDER BY numwait DESC, s.s_name
 """
 
 
+def text_scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-term scrubbing audit (operators/text.py:scrub_blocklist)
+    — per source: documents hit, total whole-word redactions, and the
+    total post-scrub character count (which proves the regexp_replace
+    itself, not just the match count, agrees across engines). The scrub
+    is a pure JVM-side scan (regexp_replace + regexp_extract_all on an
+    RE2-safe word-boundary alternation); the only shuffle is the
+    #sources-row aggregate."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        scrub_blocklist,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scr = scrub_blocklist(docs, "text", ["slow", "big"])
+    return scr.groupBy("source").agg(
+        F.count(F.when(F.col("n_scrubbed") > 0, 1)).cast("long").alias("docs_hit"),
+        F.sum("n_scrubbed").cast("long").alias("total_hits"),
+        F.sum(F.length("scrubbed")).cast("long").alias("scrubbed_chars"),
+    )
+
+
+_TEXT_SCRUB_SQL = r"""
+WITH s AS (
+  SELECT source,
+         len(regexp_extract_all(COALESCE(text, ''), '\b(slow|big)\b', 1)) AS n_scrubbed,
+         length(regexp_replace(COALESCE(text, ''), '\b(slow|big)\b', '[SCRUBBED]', 'g')) AS slen
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) FILTER (WHERE n_scrubbed > 0) AS BIGINT) AS docs_hit,
+       CAST(sum(n_scrubbed) AS BIGINT) AS total_hits,
+       CAST(sum(slen) AS BIGINT) AS scrubbed_chars
+FROM s
+GROUP BY source
+"""
+
+
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle-and-shard
+    (operators/sampling.py:global_shuffle): every document gets a
+    (shard, pos) training-order coordinate — shard from two hex digits
+    of the keyed md5 (pure scan), position from a row_number
+    partitioned BY SHARD (16 independent sorts, never a global
+    orderBy/single-partition window). Reproducible across engines,
+    retries, and partition layouts; the oracle replays the identical
+    hash and per-shard numbering."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        global_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return global_shuffle(docs.select("doc_id"), ["doc_id"], num_shards=16).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+_SAMPLE_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' ||
+             CAST(doc_id AS VARCHAR) || '42') AS hx
+  FROM documents
+), s AS (
+  SELECT doc_id, hx,
+         ((CASE WHEN substr(hx, 1, 1) <= '9' THEN ascii(substr(hx, 1, 1)) - 48
+                ELSE ascii(substr(hx, 1, 1)) - 87 END) * 16
+        + (CASE WHEN substr(hx, 2, 1) <= '9' THEN ascii(substr(hx, 2, 1)) - 48
+                ELSE ascii(substr(hx, 2, 1)) - 87 END)) % 16 AS shard
+  FROM h
+)
+SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
+FROM s
+"""
+
+
+def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-scaled PageRank (operators/graph.py:pagerank_integer)
+    over the exact 2-shingle-Jaccard near-dup graph (threshold 0.8 —
+    the same edge set dedup_ngram_jaccard oracles): 3 unrolled
+    iterations, damping 85/100, ranks in BIGINT micro-units so the
+    per-node contribution sums are order-independent and the DuckDB
+    oracle's unrolled recurrence hash-matches to the last unit. The
+    curator's use: rank dup-cluster members by centrality so resolution
+    keeps the canonical copy."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, shingle_k=2)
+    return pagerank_integer(edges.select("id_a", "id_b"), iterations=3)
+
+
+_GRAPH_PAGERANK_SQL = f"""
+WITH pairs AS ({_jaccard_pairs_sql(0.8)}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT deg.u, 1000000000 // nn.n AS r FROM deg CROSS JOIN nn),
+s1 AS (SELECT sym.v AS u, SUM(r0.r // deg.d) AS s
+       FROM sym JOIN deg ON deg.u = sym.u JOIN r0 ON r0.u = sym.u GROUP BY sym.v),
+r1 AS (SELECT deg.u, (15 * (1000000000 // nn.n)) // 100 + (85 * COALESCE(s1.s, 0)) // 100 AS r
+       FROM deg CROSS JOIN nn LEFT JOIN s1 ON s1.u = deg.u),
+s2 AS (SELECT sym.v AS u, SUM(r1.r // deg.d) AS s
+       FROM sym JOIN deg ON deg.u = sym.u JOIN r1 ON r1.u = sym.u GROUP BY sym.v),
+r2 AS (SELECT deg.u, (15 * (1000000000 // nn.n)) // 100 + (85 * COALESCE(s2.s, 0)) // 100 AS r
+       FROM deg CROSS JOIN nn LEFT JOIN s2 ON s2.u = deg.u),
+s3 AS (SELECT sym.v AS u, SUM(r2.r // deg.d) AS s
+       FROM sym JOIN deg ON deg.u = sym.u JOIN r2 ON r2.u = sym.u GROUP BY sym.v),
+r3 AS (SELECT deg.u, (15 * (1000000000 // nn.n)) // 100 + (85 * COALESCE(s3.s, 0)) // 100 AS r
+       FROM deg CROSS JOIN nn LEFT JOIN s3 ON s3.u = deg.u)
+SELECT u AS node, CAST(r AS BIGINT) AS rank_micro FROM r3
+"""
+
+
+def window_cume_nth_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value coverage: each supplier's cumulative
+    account-balance percentile within its nation (unique (acctbal,
+    suppkey) ordering ⇒ no peer groups ⇒ engine-identical rank/n
+    division) and the nation's second-highest balance via nth_value
+    over an explicit full-partition ROWS frame (both engines default
+    nth_value to a running frame — the explicit frame is the contract).
+    One exchange on s_nationkey serves both windows."""
+    sup = _t(spark, sf_dir, "supplier")
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    w_asc = Window.partitionBy("s_nationkey").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    w_desc_full = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        cents.alias("acctbal_cents"),
+        F.round(F.cume_dist().over(w_asc), 6).alias("bal_cume"),
+        F.nth_value(cents, 2).over(w_desc_full).alias("nation_second_bal_cents"),
+    )
+
+
+_WINDOW_CUME_NTH_SQL = """
+SELECT s_suppkey, s_nationkey,
+       CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       round(cume_dist() OVER (PARTITION BY s_nationkey
+                               ORDER BY s_acctbal, s_suppkey), 6) AS bal_cume,
+       nth_value(CAST(round(s_acctbal * 100) AS BIGINT), 2)
+           OVER (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS nation_second_bal_cents
+FROM supplier
+"""
+
+
 def setops_symmetric_diff_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric difference as a set-op composition: customers appearing
     in exactly one of {order-placers, high-balance accounts} — (A∖B) ∪
@@ -5934,6 +6093,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
         "sql_shipping_split_by_priority": sql_shipping_split_by_priority,
         "sql_waiting_suppliers": sql_waiting_suppliers,
+        "text_scrub_blocklist": text_scrub_blocklist,
+        "sample_global_shuffle": sample_global_shuffle,
+        "graph_pagerank_dupgraph": graph_pagerank_dupgraph,
+        "window_cume_nth_suppliers": window_cume_nth_suppliers,
     }
 
 
@@ -6105,4 +6268,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_nations_per_region": _AGG_NATIONS_SQL,
         "sql_shipping_split_by_priority": _SQL_Q12_SQL,
         "sql_waiting_suppliers": _SQL_Q21_SQL,
+        "text_scrub_blocklist": _TEXT_SCRUB_SQL,
+        "sample_global_shuffle": _SAMPLE_SHUFFLE_SQL,
+        "graph_pagerank_dupgraph": _GRAPH_PAGERANK_SQL,
+        "window_cume_nth_suppliers": _WINDOW_CUME_NTH_SQL,
     }

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["triangle_stats"]
+__all__ = ["triangle_stats", "pagerank_integer"]
 
 
 def triangle_stats(
@@ -69,3 +69,64 @@ def triangle_stats(
         ).alias("clustering_coefficient"),
         "n_wedges",
     )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    mass: int = 1_000_000_000,
+) -> DataFrame:
+    """Engine-exact PageRank over an undirected simple graph (unique
+    (small-id, large-id) edge pairs), e.g. ranking the most central
+    documents of a near-dup graph so cluster resolution can keep the
+    canonical copy instead of an arbitrary min-id.
+
+    INTEGER-SCALED: ranks live in micro-units of ``mass`` (BIGINT) and
+    every step is integer arithmetic — contribution = ``rank div
+    degree``, damping = ``damping_pct·Σcontrib div 100`` — so the
+    per-node sums are order-independent (integer addition is
+    associative; float PageRank is not reproducible across engines or
+    even across shuffle layouts). A fixed iteration count keeps the
+    plan static; the DuckDB oracle replays the identical unrolled
+    recurrence and must hash-match to the last micro-unit.
+
+    Scale: the canonical distributed PageRank loop — each iteration is
+    one equi-join of the rank table onto the (pre-degreed) edge list
+    plus one groupBy-sum of BIGINT contributions (map-side partial
+    agg). Nothing driver-side, no floats, no cartesian; hub skew is
+    bounded because contributions aggregate per *destination*, and AQE
+    splits skewed reducers. Rank mass leaks by < 1 micro-unit per node
+    per iteration to floor division — by design (exactness over mass
+    conservation).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    n1 = deg.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    base = F.expr(f"{mass}L div _n")  # per-node teleport mass, integer
+    nodes = deg.crossJoin(F.broadcast(n1))  # (u, d, _n)
+    ranks = nodes.select("u", base.alias("r"))
+    teleport = F.expr(f"({100 - damping_pct} * ({mass}L div _n)) div 100")
+    for _ in range(iterations):
+        contrib = (
+            sym.join(nodes.select("u", "d"), "u")
+            .join(ranks, "u")
+            .select(F.col("v").alias("u"), F.expr("r div d").alias("c"))
+        )
+        agg = contrib.groupBy("u").agg(F.sum("c").alias("_s"))
+        ranks = (
+            nodes.join(agg, "u", "left")
+            .select(
+                "u",
+                (
+                    teleport
+                    + F.expr(f"({damping_pct} * coalesce(_s, 0L)) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_micro"))

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "global_shuffle",
     "hash_bucket_hex",
     "hash_sample",
     "hash_sample_stratified",
@@ -245,3 +246,71 @@ def hash_sample_by_rate(
     return with_rate.filter(
         (F.col("_rate_micro") >= 1000000) | ((F.col("_rate_micro") > 0) & (bucket < thr_hex))
     ).drop("_rate_micro")
+
+
+def _hex_char_val(col: Column) -> Column:
+    """Value of one lowercase hex digit, via ascii arithmetic (portable:
+    every engine has ascii/substr; no conv()/strtol dependency)."""
+    return F.when(col <= F.lit("9"), F.ascii(col) - 48).otherwise(F.ascii(col) - 87)
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    num_shards: int,
+    seed: int = 42,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle-and-shard: the training-order
+    assignment step of a data pipeline (every epoch reads the corpus in
+    a fixed pseudorandom order, resumable and reproducible across
+    retries, engines, and partition layouts).
+
+    Two-phase so there is NEVER a global sort or a single-partition
+    window: (1) each row's shuffle key is ``md5(length-prefixed keys,
+    seed)``; its shard is the first two hex digits mod ``num_shards`` —
+    a pure scan; (2) its position within the shard is a ``row_number``
+    over ``Window.partitionBy(shard)`` ordered by (hash, keys) — |shards|
+    independent sorts. Training readers consume shard files in
+    ``(shard, pos)`` order. At 100 TB, set ``num_shards`` to a multiple
+    of the executor count: the per-shard sorts are the only exchange and
+    each is 1/num_shards of the data. The (hash, keys) ordering is total
+    (keys are unique), so output is engine-exact — no float, no ties.
+
+    num_shards must be in [1, 256] (two hex digits of entropy route the
+    shard; more shards than 256 would alias).
+    """
+    if not 1 <= num_shards <= 256:
+        raise ValueError(f"num_shards must be in [1, 256], got {num_shards}")
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    h = _full_md5(keys, seed)
+    shard = (
+        (_hex_char_val(F.substring(h, 1, 1)) * 16 + _hex_char_val(F.substring(h, 2, 1)))
+        % num_shards
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("_shuffle_hex"), *[F.col(c) for c in keys])
+    return (
+        df.withColumn("_shuffle_hex", h)
+        .withColumn(shard_col, shard.cast("int"))
+        .withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("_shuffle_hex")
+    )
+
+
+def _full_md5(key_cols: Sequence[str], seed: int) -> Column:
+    """Full 32-hex md5 of the length-prefixed key encoding — the same
+    injective encoding as hash_bucket_hex, un-truncated (the shuffle
+    ordering wants all 128 bits so prefix collisions can't create
+    engine-visible ties before the key tiebreaker)."""
+    tokens = []
+    for c in key_cols:
+        s = F.col(c).cast("string")
+        tokens.append(
+            F.when(s.isNull(), F.lit("n:")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return F.md5(F.concat(*tokens, F.lit(str(seed))))

@@ -39,6 +39,7 @@ __all__ = [
     "tfidf_top_terms",
     "unigram_logprob_scores",
     "with_compression_ratio",
+    "scrub_blocklist",
     "DEFAULT_LANG_MARKERS",
 ]
 
@@ -648,3 +649,34 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ),
     )
+
+
+def scrub_blocklist(
+    df: DataFrame,
+    text_col: str,
+    terms: "Sequence[str]",
+    replacement: str = "[SCRUBBED]",
+    out_col: str = "scrubbed",
+    hits_col: str = "n_scrubbed",
+) -> DataFrame:
+    """Blocklist-term scrubbing — the redaction step of a curation
+    pipeline (PII patterns, toxic terms, internal markers): every
+    whole-word occurrence of a blocklisted term is replaced and the
+    per-document hit count recorded, so downstream filters can drop
+    high-hit documents and audits can total redactions per source.
+
+    Pure Catalyst scan — ``regexp_replace`` + ``regexp_extract_all``
+    on a word-boundary alternation, JVM-side, no shuffle, pushdown
+    unaffected; at 100 TB this is a free rider on whatever scan the
+    pipeline already does. The pattern uses only RE2-safe constructs
+    (``\\b``, alternation, no backrefs) so the DuckDB oracle evaluates
+    the identical regex; terms are regex-escaped, so arbitrary
+    blocklists are safe to pass.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    pat = r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b"
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    return df.withColumn(
+        hits_col, F.size(F.regexp_extract_all(c, F.lit(pat), 1)).cast("long")
+    ).withColumn(out_col, F.regexp_replace(c, pat, replacement))

@@ -1021,3 +1021,96 @@ def test_triangle_stats_ground_truth(spark):
     assert row["n_triangles"] == 4
     assert row["n_wedges"] == 12 + 10  # K4: 4 vertices deg 3; star hub deg 5
     assert row["clustering_coefficient"] == round(12 / 22, 6)
+
+
+def test_pagerank_integer_ground_truth(spark):
+    """Path graph 1–2–3 checked against an independent Python replay of
+    the integer recurrence (teleport 15%·(M div n), contribution
+    ``rank div degree``, damping 85 div 100): the ends are symmetric
+    and the middle node accumulates both ends' full contributions."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r["node"]: r["rank_micro"] for r in pagerank_integer(edges, iterations=3).collect()}
+
+    mass, n = 1_000_000_000, 3
+    deg = {1: 1, 2: 2, 3: 1}
+    nbrs = {1: [2], 2: [1, 3], 3: [2]}
+    r = {u: mass // n for u in deg}
+    for _ in range(3):
+        s = {u: sum(r[v] // deg[v] for v in nbrs[u]) for u in deg}
+        r = {u: (15 * (mass // n)) // 100 + (85 * s[u]) // 100 for u in deg}
+    assert got == r
+    assert got[1] == got[3]
+    assert got[2] > got[1]
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    """5-leaf star: the hub holds the overwhelming share of rank and
+    every leaf is identical (they are automorphic)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame([(0, leaf) for leaf in range(1, 6)], "id_a long, id_b long")
+    got = {r["node"]: r["rank_micro"] for r in pagerank_integer(edges, iterations=3).collect()}
+    leaves = {got[i] for i in range(1, 6)}
+    assert len(leaves) == 1
+    assert got[0] > 3 * got[1]
+
+
+def test_scrub_blocklist_ground_truth(spark):
+    """Whole-word semantics: 'slow' inside 'slowly' is NOT scrubbed;
+    counts and replacement text are exact; NULL text behaves as ''."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        scrub_blocklist,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "slow query slow scan"), (2, "slowly big data"), (3, None)],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in scrub_blocklist(df, "text", ["slow", "big"]).collect()}
+    assert rows[1]["n_scrubbed"] == 2
+    assert rows[1]["scrubbed"] == "[SCRUBBED] query [SCRUBBED] scan"
+    assert rows[2]["n_scrubbed"] == 1
+    assert rows[2]["scrubbed"] == "slowly [SCRUBBED] data"
+    assert rows[3]["n_scrubbed"] == 0
+    assert rows[3]["scrubbed"] == ""
+
+
+def test_global_shuffle_deterministic_and_sharded(spark):
+    """Every shard's positions are exactly 1..|shard| (dense, no gaps),
+    the row count is preserved, and the assignment is identical under a
+    different input partitioning (the determinism contract)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        global_shuffle,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = global_shuffle(df, ["doc_id"], num_shards=8)
+    pdf = out.toPandas()
+    assert len(pdf) == 500
+    assert set(pdf["shard"].unique()) <= set(range(8))
+    for _, grp in pdf.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+
+    again = global_shuffle(df.repartition(13), ["doc_id"], num_shards=8).toPandas()
+    merged = pdf.merge(again, on="doc_id", suffixes=("", "_b"))
+    assert (merged["shard"] == merged["shard_b"]).all()
+    assert (merged["pos"] == merged["pos_b"]).all()
+
+
+def test_global_shuffle_no_global_sort(spark):
+    """The shuffle-shard plan must hash-exchange on the shard column,
+    never range-partition (a range exchange is the global-sort marker
+    that would serialize a 100 TB corpus through one sort)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        global_shuffle,
+    )
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = plans.explain_str(global_shuffle(df, ["doc_id"], num_shards=8))
+    assert "rangepartitioning" not in plan.lower()
