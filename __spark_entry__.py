@@ -5857,6 +5857,80 @@ FROM supplier
 """
 
 
+def sample_exact_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum draw
+    (operators/sampling.py:hash_exact_per_stratum): 30 documents per
+    language, selected by keyed-md5 ranking — the eval-set construction
+    op (fixed-size per-language holdouts with zero binomial jitter).
+    The oracle replays the identical md5 ordering and per-stratum
+    row_number cut."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        hash_exact_per_stratum,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_exact_per_stratum(docs, "lang", 30, ["doc_id"])
+
+
+_SAMPLE_EXACT_STRATUM_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' ||
+                          CAST(doc_id AS VARCHAR) || '42'), doc_id
+         ) AS srn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE srn <= 30
+"""
+
+
+def join_null_safe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): orders whose
+    priority band is NULL (the '4-NOT SPECIFIED' class, nulled out
+    upstream) still match their dimension row — a plain equi-join would
+    silently drop them, the classic fact-table NULL-key bug. The
+    5-row dim broadcasts; null-safe equality is a first-class hash-join
+    key in both engines (no fallback to nested loops)."""
+    orders = _t(spark, sf_dir, "orders")
+    keyed = orders.withColumn(
+        "_band",
+        F.when(F.col("o_orderpriority") == "4-NOT SPECIFIED", F.lit(None).cast("string"))
+        .otherwise(F.substring("o_orderpriority", 1, 1)),
+    )
+    dim = spark.createDataFrame(
+        [("1", "urgent"), ("2", "high"), ("3", "medium"), ("5", "low"), (None, "unspecified")],
+        "band string, label string",
+    )
+    return (
+        keyed.join(F.broadcast(dim), keyed["_band"].eqNullSafe(dim["band"]), "inner")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+    )
+
+
+_JOIN_NULL_SAFE_SQL = """
+WITH keyed AS (
+  SELECT CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN NULL
+              ELSE substr(o_orderpriority, 1, 1) END AS band,
+         o_totalprice
+  FROM orders
+), dim(band, label) AS (
+  VALUES ('1', 'urgent'), ('2', 'high'), ('3', 'medium'), ('5', 'low'), (NULL, 'unspecified')
+)
+SELECT d.label,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(k.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM keyed k
+JOIN dim d ON k.band IS NOT DISTINCT FROM d.band
+GROUP BY d.label
+"""
+
+
 def setops_symmetric_diff_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric difference as a set-op composition: customers appearing
     in exactly one of {order-placers, high-balance accounts} — (A∖B) ∪
@@ -6097,6 +6171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_global_shuffle": sample_global_shuffle,
         "graph_pagerank_dupgraph": graph_pagerank_dupgraph,
         "window_cume_nth_suppliers": window_cume_nth_suppliers,
+        "sample_exact_per_lang": sample_exact_per_lang,
+        "join_null_safe_priority": join_null_safe_priority,
     }
 
 
@@ -6272,4 +6348,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_global_shuffle": _SAMPLE_SHUFFLE_SQL,
         "graph_pagerank_dupgraph": _GRAPH_PAGERANK_SQL,
         "window_cume_nth_suppliers": _WINDOW_CUME_NTH_SQL,
+        "sample_exact_per_lang": _SAMPLE_EXACT_STRATUM_SQL,
+        "join_null_safe_priority": _JOIN_NULL_SAFE_SQL,
     }

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "global_shuffle",
     "hash_bucket_hex",
+    "hash_exact_per_stratum",
     "hash_sample",
     "hash_sample_stratified",
     "hash_split",
@@ -314,3 +315,40 @@ def _full_md5(key_cols: Sequence[str], seed: int) -> Column:
             )
         )
     return F.md5(F.concat(*tokens, F.lit(str(seed))))
+
+
+def hash_exact_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_cols: Sequence[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly-n-per-stratum sampling (e.g. "500 eval docs per
+    language"): rank each stratum's rows by their keyed md5 and keep
+    the first ``n_per_stratum`` — a deterministic uniform draw WITHOUT
+    the rate-sampler's binomial count jitter, reproducible across
+    engines/retries like every hash sampler here. Strata smaller than
+    n keep every row.
+
+    Scale: one exchange on the stratum column; each stratum sorts
+    independently. A single mega-stratum serializes its sort through
+    one task — the same per-key ceiling as any windowed top-n; if a
+    stratum can exceed an executor's sort budget, pre-thin it with
+    :func:`hash_sample` at a rate that still overshoots n (the hash
+    ordering is preserved under prefiltering: the kept set of the
+    thinned stream equals the kept set of the full stream whenever the
+    thinning rate keeps ≥ n rows).
+    """
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        _full_md5(key_cols, seed), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("_srn", F.row_number().over(w))
+        .filter(F.col("_srn") <= n_per_stratum)
+        .drop("_srn")
+    )

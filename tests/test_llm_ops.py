@@ -1114,3 +1114,23 @@ def test_global_shuffle_no_global_sort(spark):
     df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
     plan = plans.explain_str(global_shuffle(df, ["doc_id"], num_shards=8))
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_hash_exact_per_stratum(spark):
+    """Exactly n rows per stratum (all rows when the stratum is
+    smaller), and the draw is a PREFIX-STABLE uniform order: the n=5
+    selection is a subset of the n=10 selection for every stratum —
+    the property that lets eval sets grow without resampling."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        hash_exact_per_stratum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 40 else "small") for i in range(43)], "doc_id long, s string"
+    )
+    out5 = hash_exact_per_stratum(df, "s", 5, ["doc_id"]).toPandas()
+    counts = out5.groupby("s")["doc_id"].count()
+    assert counts["big"] == 5
+    assert counts["small"] == 3  # stratum has only 3 rows
+    out10 = hash_exact_per_stratum(df, "s", 10, ["doc_id"]).toPandas()
+    assert set(out5["doc_id"]) <= set(out10["doc_id"])
