@@ -5931,6 +5931,146 @@ GROUP BY d.label
 """
 
 
+def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys (sources/io.py:zorder_key): the
+    multi-dimensional layout key over (o_custkey, order-date-days) — fed
+    to write_range_clustered it yields files whose parquet min/max stats
+    prune BOTH columns' predicates (true Z-order layout; single-column
+    range clustering skips only its own column). Pure integer
+    shift/and/or interleave, whole-stage-codegen'd, zero shuffle to
+    derive; the oracle replays the identical bit arithmetic."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        zorder_key,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "_days", F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
+    )
+    return orders.select(
+        "o_orderkey", zorder_key(["o_custkey", "_days"], bits=16).alias("zkey")
+    )
+
+
+def _layout_zorder_sql() -> str:
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        zorder_key_sql,
+    )
+
+    z = zorder_key_sql(
+        ["o_custkey", "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"],
+        bits=16,
+    )
+    return f"SELECT o_orderkey, {z} AS zkey FROM orders"
+
+
+def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report (the ANALYZE-TABLE/data-quality primitive):
+    per column of the orders fact — null count, exact distinct count,
+    min/max rendered as strings on stable-format types (ints, dates,
+    money in integer cents; raw doubles are excluded because engines
+    format them differently). ONE aggregation pass computes all 24
+    statistics (Catalyst expands the multi-distinct into one shuffle
+    tree); `stack` unpivots the single row into the report. At 100 TB
+    swap count_distinct for approx_count_distinct — same plan shape
+    minus the expand."""
+    orders = _t(spark, sf_dir, "orders")
+    proj = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    aggs = []
+    for c in proj.columns:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = proj.agg(*aggs)
+    stack = (
+        f"stack({len(proj.columns)}, "
+        + ", ".join(
+            f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in proj.columns
+        )
+        + ") as (column_name, n_nulls, n_distinct, min_value, max_value)"
+    )
+    return one.select(F.expr(stack))
+
+
+_DIAG_PROFILE_SQL = """
+WITH proj AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders
+)
+SELECT 'o_orderkey' AS column_name,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM proj
+UNION ALL
+SELECT 'o_custkey', CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM proj
+UNION ALL
+SELECT 'o_orderstatus', CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM proj
+UNION ALL
+SELECT 'o_orderpriority', CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+FROM proj
+UNION ALL
+SELECT 'o_orderdate', CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderdate) AS BIGINT),
+       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+FROM proj
+UNION ALL
+SELECT 'total_cents', CAST(sum(CASE WHEN total_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT total_cents) AS BIGINT),
+       CAST(min(total_cents) AS VARCHAR), CAST(max(total_cents) AS VARCHAR)
+FROM proj
+"""
+
+
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report analytic: each supplier's share of its nation's
+    total account balance — integer-cents numerator and denominator so
+    the final double division is one identical IEEE op in both engines.
+    One exchange on s_nationkey; the partition-total window is the
+    share-of-group idiom (sum over an unframed partition)."""
+    sup = _t(spark, sf_dir, "supplier")
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    w = Window.partitionBy("s_nationkey")
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        cents.alias("acctbal_cents"),
+        F.round(cents.cast("double") / F.sum(cents).over(w).cast("double"), 6).alias(
+            "bal_share"
+        ),
+    )
+
+
+_WINDOW_RATIO_SQL = """
+SELECT s_suppkey, s_nationkey,
+       CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       round(CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS DOUBLE) /
+             CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT))
+                  OVER (PARTITION BY s_nationkey) AS DOUBLE), 6) AS bal_share
+FROM supplier
+"""
+
+
 def setops_symmetric_diff_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric difference as a set-op composition: customers appearing
     in exactly one of {order-placers, high-balance accounts} — (A∖B) ∪
@@ -6173,6 +6313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_cume_nth_suppliers": window_cume_nth_suppliers,
         "sample_exact_per_lang": sample_exact_per_lang,
         "join_null_safe_priority": join_null_safe_priority,
+        "layout_zorder_keys": layout_zorder_keys,
+        "diag_column_profile": diag_column_profile,
+        "window_ratio_to_report": window_ratio_to_report,
     }
 
 
@@ -6350,4 +6493,7 @@ def oracle_sql() -> dict[str, str]:
         "window_cume_nth_suppliers": _WINDOW_CUME_NTH_SQL,
         "sample_exact_per_lang": _SAMPLE_EXACT_STRATUM_SQL,
         "join_null_safe_priority": _JOIN_NULL_SAFE_SQL,
+        "layout_zorder_keys": _layout_zorder_sql(),
+        "diag_column_profile": _DIAG_PROFILE_SQL,
+        "window_ratio_to_report": _WINDOW_RATIO_SQL,
     }

@@ -41,6 +41,7 @@ __all__ = [
     "write_bucketed_table",
     "compact_parquet_dir",
     "write_range_clustered",
+    "zorder_key",
     "write_stream_console",
     "write_stream_memory",
     "write_stream_parquet",
@@ -332,3 +333,53 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def zorder_key(cols: Sequence[str], bits: int = 16):
+    """Z-order (Morton) clustering key: interleaves the low ``bits``
+    bits of each column into one BIGINT, so sorting by the key
+    co-clusters ALL the columns at once — feed it to
+    :func:`write_range_clustered` and parquet min/max stats prune
+    multi-dimensional predicates (the real Z-order table layout;
+    range-clustering on one column only skips on that column).
+
+    Values are clamped to [0, 2^bits) first (Z-order is a locality
+    heuristic — clamping the tail keeps the key total-ordered and
+    cheap; pre-bucket wider domains, e.g. ``days since epoch`` or
+    ``custkey div 16``). Pure integer bit arithmetic (shift/and/or), so
+    the key is engine-exact and the DuckDB oracle replays it; the whole
+    expression stays in whole-stage codegen — zero shuffle to derive,
+    one range exchange to lay out.
+
+    bits × len(cols) must fit a signed 64-bit key (≤ 62).
+    """
+    n = len(cols)
+    if n < 1:
+        raise ValueError("cols must be non-empty")
+    if bits * n > 62:
+        raise ValueError(f"bits*len(cols) must be <= 62, got {bits * n}")
+    top = (1 << bits) - 1
+    parts = []
+    for ci, c in enumerate(cols):
+        v = F.least(F.greatest(F.col(c).cast("long"), F.lit(0)), F.lit(top))
+        for b in range(bits):
+            parts.append(
+                F.shiftleft(F.shiftright(v, b).bitwiseAND(F.lit(1)), b * n + ci)
+            )
+    z = parts[0]
+    for p in parts[1:]:
+        z = z.bitwiseOR(p)
+    return z.cast("long")
+
+
+def zorder_key_sql(exprs: Sequence[str], bits: int = 16) -> str:
+    """The DuckDB/ANSI replay of :func:`zorder_key` for the oracle:
+    same clamp, same interleave, same bit positions."""
+    n = len(exprs)
+    top = (1 << bits) - 1
+    terms = []
+    for ci, e in enumerate(exprs):
+        v = f"least(greatest(CAST({e} AS BIGINT), 0), {top})"
+        for b in range(bits):
+            terms.append(f"((({v} >> {b}) & 1) << {b * n + ci})")
+    return "CAST((" + " | ".join(terms) + ") AS BIGINT)"

@@ -370,3 +370,44 @@ def test_custom_python_datasource(spark):
     assert rows5 == rows2
     bad = df.filter((F.col("low") > F.col("open")) | (F.col("open") > F.col("high"))).count()
     assert bad == 0
+
+
+def test_zorder_key_morton_ground_truth(spark):
+    """Known Morton codes for 2-D interleave (x bits at even positions,
+    y at odd): z(0,0)=0, z(1,0)=1, z(0,1)=2, z(1,1)=3, z(2,3)=14; the
+    clamp pins out-of-domain values to the boundary cell."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 3), (70000, -5)], "x long, y long"
+    )
+    got = [r["z"] for r in df.select(zorder_key(["x", "y"], bits=16).alias("z")).collect()]
+    # z(65535, 0): every even bit position 0..30 set
+    x_clamped = sum(1 << (2 * b) for b in range(16))
+    assert got == [0, 1, 2, 3, 14, x_clamped]
+
+
+def test_zorder_key_preserves_2d_locality(spark):
+    """The point of the key: sorting by z then splitting into quartiles
+    gives chunks whose x AND y ranges are both ~half the domain — a
+    single-column sort leaves the other column's per-chunk range at
+    ~full domain (no skipping power)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        zorder_key,
+    )
+
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    pdf = (
+        df.select("x", "y", zorder_key(["x", "y"], bits=5).alias("z"))
+        .toPandas()
+        .sort_values("z")
+        .reset_index(drop=True)
+    )
+    quart = len(pdf) // 4
+    for i in range(4):
+        chunk = pdf.iloc[i * quart : (i + 1) * quart]
+        assert chunk["x"].max() - chunk["x"].min() <= 16
+        assert chunk["y"].max() - chunk["y"].min() <= 16
