@@ -6071,6 +6071,85 @@ FROM supplier
 """
 
 
+def dedup_canonical_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite cluster resolution: connected-component dup clusters
+    (dedup.dup_clusters) × integer PageRank centrality
+    (graph.pagerank_integer) over the SAME near-dup edge set — each
+    cluster keeps its most-central member (ties → min id) instead of an
+    arbitrary min-id survivor. The Jaccard edge list is persisted ONCE
+    here and shared by both consumers — dup_clusters' label-propagation
+    loop (eager, localCheckpointed rounds) and the PageRank recurrence
+    would otherwise each recompute the candidate join from the raw
+    text. The oracle replays clusters (recursive CTE) + rank (unrolled
+    integer recurrence) + the same argmax."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    from pyspark import StorageLevel
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = (
+        ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, shingle_k=2)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    clusters = dup_clusters(edges)
+    ranks = pagerank_integer(edges, iterations=3)
+    joined = clusters.join(ranks, clusters["id"] == ranks["node"]).select(
+        "id", "cluster_id", "rank_micro"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("rank_micro"), F.asc("id"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col("id").alias("canonical_id"), "rank_micro")
+    )
+
+
+_DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE pairs AS ({_jaccard_pairs_sql(0.8)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+),
+clusters AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT deg.u, 1000000000 // nn.n AS r FROM deg CROSS JOIN nn),
+s1 AS (SELECT sym.v AS u, SUM(r0.r // deg.d) AS s
+       FROM sym JOIN deg ON deg.u = sym.u JOIN r0 ON r0.u = sym.u GROUP BY sym.v),
+r1 AS (SELECT deg.u, (15 * (1000000000 // nn.n)) // 100 + (85 * COALESCE(s1.s, 0)) // 100 AS r
+       FROM deg CROSS JOIN nn LEFT JOIN s1 ON s1.u = deg.u),
+s2 AS (SELECT sym.v AS u, SUM(r1.r // deg.d) AS s
+       FROM sym JOIN deg ON deg.u = sym.u JOIN r1 ON r1.u = sym.u GROUP BY sym.v),
+r2 AS (SELECT deg.u, (15 * (1000000000 // nn.n)) // 100 + (85 * COALESCE(s2.s, 0)) // 100 AS r
+       FROM deg CROSS JOIN nn LEFT JOIN s2 ON s2.u = deg.u),
+s3 AS (SELECT sym.v AS u, SUM(r2.r // deg.d) AS s
+       FROM sym JOIN deg ON deg.u = sym.u JOIN r2 ON r2.u = sym.u GROUP BY sym.v),
+r3 AS (SELECT deg.u, (15 * (1000000000 // nn.n)) // 100 + (85 * COALESCE(s3.s, 0)) // 100 AS r
+       FROM deg CROSS JOIN nn LEFT JOIN s3 ON s3.u = deg.u),
+ranked AS (
+  SELECT c.cluster_id, c.id, r3.r AS rank_micro,
+         row_number() OVER (PARTITION BY c.cluster_id ORDER BY r3.r DESC, c.id) AS rn
+  FROM clusters c JOIN r3 ON r3.u = c.id
+)
+SELECT cluster_id, id AS canonical_id, CAST(rank_micro AS BIGINT) AS rank_micro
+FROM ranked WHERE rn = 1
+"""
+
+
 def setops_symmetric_diff_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric difference as a set-op composition: customers appearing
     in exactly one of {order-placers, high-balance accounts} — (A∖B) ∪
@@ -6316,6 +6395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder_keys": layout_zorder_keys,
         "diag_column_profile": diag_column_profile,
         "window_ratio_to_report": window_ratio_to_report,
+        "dedup_canonical_by_rank": dedup_canonical_by_rank,
     }
 
 
@@ -6496,4 +6576,5 @@ def oracle_sql() -> dict[str, str]:
         "layout_zorder_keys": _layout_zorder_sql(),
         "diag_column_profile": _DIAG_PROFILE_SQL,
         "window_ratio_to_report": _WINDOW_RATIO_SQL,
+        "dedup_canonical_by_rank": _DEDUP_CANONICAL_SQL,
     }
