@@ -47,6 +47,7 @@ from .dedup import (  # noqa: F401
     exact_dup_groups,
     ngram_jaccard_pairs,
     minhash_signatures,
+    minhash_band_rows,
     minhash_candidate_pairs,
     minhash_dedup_pairs,
     minhash_verified_pairs,

@@ -41,6 +41,7 @@ __all__ = [
     "exact_dup_groups",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "minhash_band_rows",
     "minhash_candidate_pairs",
     "minhash_dedup_pairs",
     "minhash_verified_pairs",
@@ -271,6 +272,31 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig.alias("signature"))
 
 
+def minhash_band_rows(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int,
+    num_hashes: int,
+) -> DataFrame:
+    """The LSH bucket rows of a signature table: (id, band_idx,
+    band_hash) with one xxhash64 per band — the joinable form of a
+    signature. Factored out of :func:`minhash_candidate_pairs` so
+    cross-TABLE candidate joins (a new micro-batch against an
+    accumulated accepted-corpus store, two corpora against each other)
+    band each side once and equi-join on (band_idx, band_hash)."""
+    rows_per_band = num_hashes // num_bands
+    band_hashes = F.array(*[
+        F.xxhash64(*[
+            F.element_at("signature", b * rows_per_band + i + 1) for i in range(rows_per_band)
+        ])
+        for b in range(num_bands)
+    ])
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -306,17 +332,7 @@ def minhash_candidate_pairs(
             f"num_hashes ({num_hashes}) must be divisible by num_bands ({num_bands}); "
             "a remainder would silently drop the tail hashes from every band"
         )
-    rows_per_band = num_hashes // num_bands
-    band_hashes = F.array(*[
-        F.xxhash64(*[
-            F.element_at("signature", b * rows_per_band + i + 1) for i in range(rows_per_band)
-        ])
-        for b in range(num_bands)
-    ])
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
-    )
+    banded = minhash_band_rows(signatures, id_col, num_bands, num_hashes)
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (

@@ -21,6 +21,8 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "streaming_dedup",
+    "streaming_minhash_dedup",
+    "read_accepted_signatures",
     "streaming_upsert_snapshot",
     "read_snapshot",
     "run_stream_foreach_batch",
@@ -190,3 +192,133 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") 
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def streaming_minhash_dedup(
+    df: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> None:
+    """Incremental NEAR-dup dedup of a document stream — the on-ingest
+    face of the MinHash-LSH batch tier (``streaming_dedup`` is its
+    exact-hash sibling): each micro-batch is signature'd once
+    (map-side Arrow UDF), deduped within itself, then band-joined
+    against the accumulated ACCEPTED-corpus signature store; survivors'
+    signatures are appended to the store. A corpus ingested over N
+    batches is thus deduped against everything accepted before it,
+    without ever re-reading accepted TEXT — state is the ~1 KB/doc
+    signature table, not the corpus.
+
+    Accept rule (deterministic): a doc is rejected iff its
+    signature-estimate Jaccard ≥ ``threshold`` against (a) a SMALLER-id
+    doc in its own batch, or (b) any previously accepted doc. (a) is
+    the pair rule of the batch tier; conservative on transitive chains
+    — a doc whose only match was itself rejected still drops, which
+    over-rejects relative to clustered resolution and never
+    under-rejects.
+
+    Retry-idempotent: batch ``b`` overwrites ``root/b=<b>`` and reads
+    only stores with batch id < b, so a replayed micro-batch can't see
+    its own half-written output. At 100 TB scale the per-batch work is
+    two equi-joins ((band_idx, band_hash) within-batch and vs-store) —
+    the store side prunes to bucket matches; nothing is quadratic and
+    nothing driver-side.
+    """
+    import glob
+    import os
+
+    from ..operators.dedup import (
+        minhash_band_rows,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    def _est_col():
+        return F.round(
+            F.aggregate(
+                F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            / F.size("_sa"),
+            4,
+        )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
+        spark = batch_df.sparkSession
+        sigs = (
+            minhash_signatures(
+                batch_df.select(id_col, text_col), id_col, text_col,
+                num_hashes, shingle_k, seed,
+            )
+            .select(id_col, "signature")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cands = minhash_candidate_pairs(sigs, id_col, num_bands, num_hashes=num_hashes)
+        est_in = (
+            cands.join(sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sa")), "id_a")
+            .join(sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sb")), "id_b")
+            .withColumn("_est", _est_col())
+        )
+        rej_in = (
+            est_in.filter(F.col("_est") >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        survivors = sigs.join(rej_in, id_col, "left_anti")
+
+        prior_dirs = [
+            p for p in glob.glob(os.path.join(root, "b=*"))
+            if int(p.rsplit("=", 1)[1]) < batch_id
+        ]
+        if prior_dirs:
+            prior = spark.read.parquet(*prior_dirs).select(id_col, "signature")
+            nb = minhash_band_rows(survivors, id_col, num_bands, num_hashes).select(
+                F.col(id_col).alias("_new_id"), "band_idx", "band_hash"
+            )
+            pb = minhash_band_rows(prior, id_col, num_bands, num_hashes).select(
+                F.col(id_col).alias("_old_id"), "band_idx", "band_hash"
+            )
+            cross = nb.join(pb, ["band_idx", "band_hash"]).select("_new_id", "_old_id").distinct()
+            est_x = (
+                cross.join(
+                    survivors.select(F.col(id_col).alias("_new_id"), F.col("signature").alias("_sa")),
+                    "_new_id",
+                )
+                .join(
+                    prior.select(F.col(id_col).alias("_old_id"), F.col("signature").alias("_sb")),
+                    "_old_id",
+                )
+                .withColumn("_est", _est_col())
+            )
+            rej_x = (
+                est_x.filter(F.col("_est") >= threshold)
+                .select(F.col("_new_id").alias(id_col))
+                .distinct()
+            )
+            survivors = survivors.join(rej_x, id_col, "left_anti")
+
+        survivors.write.mode("overwrite").parquet(os.path.join(root, f"b={batch_id}"))
+        sigs.unpersist()
+
+    run_stream_foreach_batch(df, _ingest, output_mode="append")
+
+
+def read_accepted_signatures(spark, root: str) -> DataFrame:
+    """Read the accumulated accepted-document signature store of a
+    :func:`streaming_minhash_dedup` run (all ``b=`` batch dirs)."""
+    import glob
+    import os
+
+    dirs = glob.glob(os.path.join(root, "b=*"))
+    if not dirs:
+        raise FileNotFoundError(f"no accepted-signature batches under {root}")
+    return spark.read.parquet(*dirs)

@@ -893,3 +893,66 @@ def test_streaming_upsert_snapshot_equals_batch_latest_state(spark, tmp_path):
     got = {r["k"]: (r["seq"], r["state"]) for r in read_snapshot(spark, snap).collect()}
     assert got == {1: (20, "a2"), 2: (11, "b"), 3: (12, "c"), 4: (21, "d")}
     assert len(glob.glob(os.path.join(snap, "v=*"))) == 1
+
+
+def test_streaming_minhash_dedup_incremental(spark, tmp_path):
+    """Incremental near-dedup across micro-batches: a within-batch dup
+    (doc 2 ≡ doc 1) dies in its own batch, a cross-batch dup (doc 5 ≡
+    batch-1's doc 3) dies against the accumulated signature store, a
+    novel doc (6) survives — and a replay into a fresh root reproduces
+    the identical accepted set (determinism contract)."""
+    import os
+    import random
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.windows import (
+        read_accepted_signatures,
+        streaming_minhash_dedup,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(400)]
+
+    def text():
+        return " ".join(rng.choice(vocab) for _ in range(40))
+
+    t1, t3, t4, t6 = text(), text(), text(), text()
+    batch1 = [(1, t1), (2, t1), (3, t3), (4, t4)]   # 2 dups 1 in-batch
+    batch2 = [(5, t3), (6, t6)]                      # 5 dups batch-1's 3
+
+    in_dir = str(tmp_path / "docs_in")
+    os.makedirs(in_dir)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        os.path.join(in_dir, "f1")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        os.path.join(in_dir, "f2")
+    )
+    # file source orders batches by modification time — pin it
+    os.utime(os.path.join(in_dir, "f1"), (1_000_000, 1_000_000))
+    os.utime(os.path.join(in_dir, "f2"), (2_000_000, 2_000_000))
+
+    def run(root):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(in_dir, "*"))
+        )
+        streaming_minhash_dedup(stream, root, threshold=0.8)
+        return {
+            r["doc_id"] for r in read_accepted_signatures(spark, root).collect()
+        }
+
+    accepted = run(str(tmp_path / "store_a"))
+    assert accepted == {1, 3, 4, 6}
+    # the rejection of 5 must have been CROSS-batch: maxFilesPerTrigger=1
+    # ⇒ one store dir per micro-batch, and batch 2's survivors exclude 5
+    import glob as _glob
+
+    stores = sorted(_glob.glob(str(tmp_path / "store_a" / "b=*")))
+    assert len(stores) == 2
+    batch2_ids = {
+        r["doc_id"] for r in spark.read.parquet(stores[1]).collect()
+    }
+    assert batch2_ids == {6}
+    assert run(str(tmp_path / "store_b")) == accepted
