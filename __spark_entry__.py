@@ -6150,6 +6150,94 @@ FROM ranked WHERE rn = 1
 """
 
 
+def agg_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean per priority — the outlier-clipping step
+    of numeric feature curation: clip each order's cents to the group's
+    [p05, p95], then average. The percentile bounds are exact
+    interpolated percentiles over BIGINT cents FLOORED back to BIGINT,
+    so the clipped values are integers and their sum is
+    order-independent; the final mean is one identical IEEE division.
+    Two-pass plan: a 5-row percentile aggregate broadcast-joined back
+    onto the scan — no window, no second shuffle of the fact table."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "_c", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.floor(F.percentile("_c", F.lit(0.05))).cast("long").alias("lo_cents"),
+        F.floor(F.percentile("_c", F.lit(0.95))).cast("long").alias("hi_cents"),
+    )
+    clipped = o.join(F.broadcast(bounds), "o_orderpriority").withColumn(
+        "_w", F.least(F.greatest(F.col("_c"), F.col("lo_cents")), F.col("hi_cents"))
+    )
+    return clipped.groupBy("o_orderpriority", "lo_cents", "hi_cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("_w").cast("double") / F.count(F.lit(1)).cast("double") / 100.0, 4).alias(
+            "winsorized_mean"
+        ),
+    )
+
+
+_AGG_WINSOR_SQL = """
+WITH c AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS _c FROM orders
+), bounds AS (
+  SELECT o_orderpriority,
+         CAST(floor(quantile_cont(_c, 0.05)) AS BIGINT) AS lo_cents,
+         CAST(floor(quantile_cont(_c, 0.95)) AS BIGINT) AS hi_cents
+  FROM c GROUP BY o_orderpriority
+)
+SELECT c.o_orderpriority, b.lo_cents, b.hi_cents,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(least(greatest(c._c, b.lo_cents), b.hi_cents)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100.0, 4) AS winsorized_mean
+FROM c JOIN bounds b USING (o_orderpriority)
+GROUP BY c.o_orderpriority, b.lo_cents, b.hi_cents
+"""
+
+
+def text_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (the IR face of the text family):
+    per token its document frequency and the first 10 posting doc ids
+    (sorted — collect_list order is partition-dependent, sort_array
+    restores determinism), top-20 tokens by (df DESC, token). The
+    posting lists aggregate per token with map-side partials; at
+    100 TB the sample-slice caps per-token payload so no token's full
+    posting list ever materializes in one row."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.array_distinct(tokens("text"))).alias("token"), "doc_id"
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias("sample_docs"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(20)
+    )
+
+
+_TEXT_POSTINGS_SQL = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+  WHERE length(trim(text)) > 0
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       (list_sort(list(doc_id)))[1:10] AS sample_docs
+FROM tok
+GROUP BY token
+ORDER BY df DESC, token ASC
+LIMIT 20
+"""
+
+
 def setops_symmetric_diff_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric difference as a set-op composition: customers appearing
     in exactly one of {order-placers, high-balance accounts} — (A∖B) ∪
@@ -6396,6 +6484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_column_profile": diag_column_profile,
         "window_ratio_to_report": window_ratio_to_report,
         "dedup_canonical_by_rank": dedup_canonical_by_rank,
+        "agg_winsorized_price_stats": agg_winsorized_price_stats,
+        "text_posting_lists": text_posting_lists,
     }
 
 
@@ -6577,4 +6667,6 @@ def oracle_sql() -> dict[str, str]:
         "diag_column_profile": _DIAG_PROFILE_SQL,
         "window_ratio_to_report": _WINDOW_RATIO_SQL,
         "dedup_canonical_by_rank": _DEDUP_CANONICAL_SQL,
+        "agg_winsorized_price_stats": _AGG_WINSOR_SQL,
+        "text_posting_lists": _TEXT_POSTINGS_SQL,
     }
