@@ -74,6 +74,14 @@ HEADLINE = [
     "window_ewma_orders",
     "window_ewma_segmented",
     "dedup_simhash_verified",
+    # round-4 later batch: one row per new family (curation/layout/
+    # robust-agg/SQL-Q21); rows above remain unchanged for
+    # cross-round comparability.
+    "sample_global_shuffle",
+    "text_scrub_blocklist",
+    "layout_zorder_keys",
+    "agg_winsorized_price_stats",
+    "sql_waiting_suppliers",
 ]
 
 
