@@ -6238,6 +6238,96 @@ LIMIT 20
 """
 
 
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:hard_negative_topk):
+    per query vector, the top-3 most-cosine-similar vectors with a
+    DIFFERENT label — the contrastive-training negatives nearest the
+    decision boundary. Broadcast query side + one corpus scan; the
+    label inequality is a join residual (costs nothing). Oracle replays
+    the identical element-order dot product at 4 dp."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+_SIM_HARD_NEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS ql
+  FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         ROUND({_COS_SQL_FRAGMENT.format(a="q.qe", b="e.embedding")}, 4) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND e.label <> q.ql
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rk
+FROM scored
+QUALIFY rk <= 3
+"""
+
+
+def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report — the batching-efficiency metric sequence
+    packing exists to fix: bucket documents by padded length (next
+    multiple of 64 tokens) and report how many padding tokens a
+    naive pad-to-bucket batching would burn per bucket. Pure integer
+    arithmetic end-to-end (`div`-based ceiling, BIGINT sums, one final
+    IEEE division rounded to 4 dp); one map-side-partial aggregate over
+    a scan — the cheapest possible shape."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = token_count("text")
+    padded = (F.expr("(_n + 63) div 64") * 64).cast("long")
+    return (
+        docs.select(n.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .withColumn("padded_len", padded)
+        .groupBy("padded_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("sum_tokens"),
+        )
+        .withColumn(
+            "pad_tokens", (F.col("padded_len") * F.col("n_docs") - F.col("sum_tokens")).cast("long")
+        )
+        .withColumn(
+            "waste_ratio",
+            F.round(
+                F.col("pad_tokens").cast("double")
+                / (F.col("padded_len") * F.col("n_docs")).cast("double"),
+                4,
+            ),
+        )
+    )
+
+
+_PACK_PADDING_SQL = r"""
+WITH t AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS _n
+  FROM documents
+), b AS (
+  SELECT _n, ((_n + 63) // 64) * 64 AS padded_len FROM t WHERE _n > 0
+)
+SELECT padded_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(_n) AS BIGINT) AS sum_tokens,
+       CAST(padded_len * count(*) - sum(_n) AS BIGINT) AS pad_tokens,
+       round(CAST(padded_len * count(*) - sum(_n) AS DOUBLE)
+             / CAST(padded_len * count(*) AS DOUBLE), 4) AS waste_ratio
+FROM b
+GROUP BY padded_len
+"""
+
+
 def setops_symmetric_diff_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric difference as a set-op composition: customers appearing
     in exactly one of {order-placers, high-balance accounts} — (A∖B) ∪
@@ -6486,6 +6576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_by_rank": dedup_canonical_by_rank,
         "agg_winsorized_price_stats": agg_winsorized_price_stats,
         "text_posting_lists": text_posting_lists,
+        "similarity_hard_negatives": similarity_hard_negatives,
+        "pack_padding_waste": pack_padding_waste,
     }
 
 
@@ -6669,4 +6761,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical_by_rank": _DEDUP_CANONICAL_SQL,
         "agg_winsorized_price_stats": _AGG_WINSOR_SQL,
         "text_posting_lists": _TEXT_POSTINGS_SQL,
+        "similarity_hard_negatives": _SIM_HARD_NEG_SQL,
+        "pack_padding_waste": _PACK_PADDING_SQL,
     }

@@ -37,6 +37,7 @@ __all__ = [
     "norm_expr",
     "cosine_expr",
     "brute_force_topk",
+    "hard_negative_topk",
     "mips_topk",
     "cosine_dup_pairs",
     "hyperplane_signature_udf",
@@ -562,4 +563,51 @@ def ivf_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def hard_negative_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    round_dp: int = 4,
+    impl: str = "pandas",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each query's
+    top-k most-similar vectors with a DIFFERENT label — the negatives
+    that sit closest to the decision boundary and carry the most
+    gradient. Same plan shape as :func:`brute_force_topk` (broadcast
+    query side, one corpus scan, per-query top-k window); the label
+    inequality rides the broadcast join as a residual, so adding the
+    constraint costs nothing. At corpus scale the exact scan is the
+    recall-1 baseline; route candidates through the IVF/LSH tiers and
+    re-rank with this scoring when one pass is too expensive.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col(label_col).alias("_ql"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = v.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neighbor_label") != F.col("_ql")),
+    ).withColumn("cosine", F.round(_cosine(F.col("_qv"), F.col("_nv"), impl), round_dp))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rk")
     )
