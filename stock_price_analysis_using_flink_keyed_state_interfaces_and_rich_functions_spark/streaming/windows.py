@@ -23,6 +23,8 @@ __all__ = [
     "streaming_dedup",
     "streaming_minhash_dedup",
     "read_accepted_signatures",
+    "streaming_heavy_hitters",
+    "read_heavy_hitters",
     "streaming_upsert_snapshot",
     "read_snapshot",
     "run_stream_foreach_batch",
@@ -322,3 +324,92 @@ def read_accepted_signatures(spark, root: str) -> DataFrame:
     if not dirs:
         raise FileNotFoundError(f"no accepted-signature batches under {root}")
     return spark.read.parquet(*dirs)
+
+
+def streaming_heavy_hitters(
+    df: DataFrame,
+    root: str,
+    key_col: str,
+    capacity: int,
+) -> None:
+    """Streaming Misra–Gries heavy hitters: maintain ONE bounded
+    (≤ ``capacity`` keys) frequency summary over an unbounded keyed
+    stream — the mergeable-summaries property (Agarwal et al., PODS'12)
+    applied across micro-batches instead of across partitions (the
+    batch tier, ``operators/heavyhitters.py``, merges across
+    partitions and then recounts exactly; a stream cannot re-scan its
+    history, so the streaming tier keeps the sketch's guarantees
+    instead: every key with true count > n/(capacity+1) is PRESENT,
+    and each stored weight undercounts its key by at most the total
+    decrement — stored alongside the summary as ``_decremented`` so
+    readers can bound every estimate).
+
+    Deterministic by construction, unlike a naive per-partition MG over
+    the batch (whose weights depend on row placement): each micro-batch
+    is counted EXACTLY first (bounded data — one groupBy), then merged
+    with the carried summary and MG-decremented by the (capacity+1)-th
+    largest combined weight. Batch-id-versioned dirs make replays
+    idempotent (same pattern as :func:`streaming_minhash_dedup`).
+
+    The only driver-side action per batch is the (capacity+1)-th weight
+    lookup over ≤ capacity + |batch distinct keys| rows — summary-sized,
+    never stream-sized.
+    """
+    import glob
+    import os
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = (
+            batch_df.select(key_col)
+            .filter(F.col(key_col).isNotNull())
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("_w"))
+        )
+        prior_dirs = sorted(
+            (p for p in glob.glob(os.path.join(root, "v=*"))
+             if int(p.rsplit("=", 1)[1]) < batch_id),
+            key=lambda p: int(p.rsplit("=", 1)[1]),
+        )
+        decremented = 0
+        if prior_dirs:
+            prior = spark.read.parquet(prior_dirs[-1])
+            decremented = prior.agg(F.max("_decremented")).collect()[0][0] or 0
+            counts = (
+                prior.select(key_col, "_w")
+                .unionByName(counts)
+                .groupBy(key_col)
+                .agg(F.sum("_w").cast("long").alias("_w"))
+            )
+        top = counts.orderBy(F.desc("_w"), F.asc(key_col)).limit(capacity + 1).collect()
+        threshold = top[-1]["_w"] if len(top) > capacity else 0
+        summary = (
+            counts.filter(F.col("_w") > threshold)
+            .select(
+                key_col,
+                (F.col("_w") - threshold).cast("long").alias("_w"),
+                F.lit(decremented + threshold).cast("long").alias("_decremented"),
+            )
+        )
+        summary.write.mode("overwrite").parquet(os.path.join(root, f"v={batch_id}"))
+
+    run_stream_foreach_batch(df, _ingest, output_mode="append")
+
+
+def read_heavy_hitters(spark, root: str) -> DataFrame:
+    """Read the current heavy-hitter summary of a
+    :func:`streaming_heavy_hitters` run (highest ``v=`` dir): (key,
+    _w lower-bound weight, _decremented upper-bound slack — true count
+    ∈ [_w, _w + _decremented])."""
+    import glob
+    import os
+
+    versions = sorted(
+        glob.glob(os.path.join(root, "v=*")), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    if not versions:
+        raise FileNotFoundError(f"no summary versions under {root}")
+    return spark.read.parquet(versions[-1])

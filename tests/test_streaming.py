@@ -956,3 +956,56 @@ def test_streaming_minhash_dedup_incremental(spark, tmp_path):
     }
     assert batch2_ids == {6}
     assert run(str(tmp_path / "store_b")) == accepted
+
+
+def test_streaming_heavy_hitters_bounds_and_determinism(spark, tmp_path):
+    """Mergeable MG summary across micro-batches: heavy keys survive
+    (guarantee: any key with true count > total decrement is present),
+    every stored weight is a LOWER bound whose slack is bounded by the
+    stored ``_decremented``, and a replay reproduces the summary
+    exactly (exact-count-then-merge is deterministic, unlike
+    per-partition MG)."""
+    import os
+    from collections import Counter
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.windows import (
+        read_heavy_hitters,
+        streaming_heavy_hitters,
+    )
+
+    batch1 = [("hot",)] * 50 + [(c,) for c in "abcdefghij" for _ in range(2)]
+    batch2 = [("hot",)] * 30 + [("warm",)] * 20 + [(c,) for c in "klmnopqrst" for _ in range(2)]
+    true = Counter(k for batch in (batch1, batch2) for (k,) in batch)
+
+    in_dir = str(tmp_path / "keys_in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(batch1, "k string").coalesce(1).write.parquet(os.path.join(in_dir, "f1"))
+    spark.createDataFrame(batch2, "k string").coalesce(1).write.parquet(os.path.join(in_dir, "f2"))
+    os.utime(os.path.join(in_dir, "f1"), (1_000_000, 1_000_000))
+    os.utime(os.path.join(in_dir, "f2"), (2_000_000, 2_000_000))
+
+    def run(root):
+        stream = (
+            spark.readStream.schema("k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(in_dir, "*"))
+        )
+        streaming_heavy_hitters(stream, root, "k", capacity=5)
+        return {
+            r["k"]: (r["_w"], r["_decremented"])
+            for r in read_heavy_hitters(spark, root).collect()
+        }
+
+    got = run(str(tmp_path / "hh_a"))
+    assert len(got) <= 5
+    assert "hot" in got and "warm" in got
+    n_total = sum(true.values())
+    for k, (w, dec) in got.items():
+        assert w <= true[k] <= w + dec           # sandwich bound
+        assert dec <= n_total // (5 + 1) + 1      # MG decrement bound
+    # guarantee: every key above the decrement slack is present
+    dec = next(iter(got.values()))[1]
+    for k, n in true.items():
+        if n > dec:
+            assert k in got
+    assert run(str(tmp_path / "hh_b")) == got
