@@ -6328,6 +6328,40 @@ GROUP BY padded_len
 """
 
 
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion path for semi-structured props:
+    ``parse_json`` once into the binary VARIANT encoding, then typed
+    ``variant_get`` extraction — the open-table-format answer to
+    string-JSON re-parsing (every `get_json_object` call re-parses the
+    string; a VARIANT column parses once and serves every later typed
+    read from the binary form — the difference compounds when many
+    fields are read at 100 TB). Results must equal the string-JSON
+    oracle field-for-field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.min("_k").cast("long").alias("min_k"),
+            F.max("_k").cast("long").alias("max_k"),
+            F.count("_k").cast("long").alias("n_with_k"),
+        )
+    )
+
+
+_EVENTS_VARIANT_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def setops_symmetric_diff_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric difference as a set-op composition: customers appearing
     in exactly one of {order-placers, high-balance accounts} — (A∖B) ∪
@@ -6578,6 +6612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_posting_lists": text_posting_lists,
         "similarity_hard_negatives": similarity_hard_negatives,
         "pack_padding_waste": pack_padding_waste,
+        "events_variant_props": events_variant_props,
     }
 
 
@@ -6763,4 +6798,5 @@ def oracle_sql() -> dict[str, str]:
         "text_posting_lists": _TEXT_POSTINGS_SQL,
         "similarity_hard_negatives": _SIM_HARD_NEG_SQL,
         "pack_padding_waste": _PACK_PADDING_SQL,
+        "events_variant_props": _EVENTS_VARIANT_SQL,
     }
