@@ -45,6 +45,12 @@ TREND_SET = [
     "pack_concat_chunks",
     "text_heavy_hitter_tokens",
     "events_ohlc_hourly",
+    # round-4 later batch
+    "sample_global_shuffle",
+    "graph_pagerank_dupgraph",
+    "layout_zorder_keys",
+    "text_scrub_blocklist",
+    "similarity_hard_negatives",
 ]
 
 
