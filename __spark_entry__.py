@@ -1132,9 +1132,14 @@ _DEDUP_SIMHASH_VERIFIED_SQL = _simhash_verified_sql()
 def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise near-dup edges (2-gram Jaccard ≥ 0.8) resolved into
     connected components — canonical one-survivor-per-cluster dedup;
-    pair-dropping under-merges transitive chains. Oracle: recursive CTE."""
+    pair-dropping under-merges transitive chains. Edges come from the
+    verified-MinHash tier (recall-1 banding ⇒ identical to all-pairs,
+    linear-ish scaling — see SCALE.md's measured ×14→×1.0 trend fix);
+    Oracle: recursive CTE over the all-pairs exact SQL."""
     docs = _t(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, shingle_k=2)
+    edges = minhash_verified_pairs(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=2
+    )
     return dup_clusters(edges)
 
 
@@ -4948,11 +4953,14 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs whose documents come from DIFFERENT sources, counted per
     unordered source pair — the provenance-leakage report that tells a
     curator which feeds are plagiarizing which before mixture weights
-    are trusted. Pair generation is the shared postings self-join
-    (never all-pairs); the doc→source map is a 2-column projection
-    joined back by id."""
+    are trusted. Pair generation goes through the verified-MinHash tier
+    (banded candidates + exact confirm — identical output to all-pairs
+    at recall-1 banding, linear-ish scaling); the doc→source map is a
+    2-column projection joined back by id."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, shingle_k=2)
+    pairs = minhash_verified_pairs(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=2
+    )
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_src_a"))
     b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_src_b"))
