@@ -337,3 +337,62 @@ def test_importance_sampling_adds_no_extra_shuffle(spark, q):
     registered query plans with ZERO shuffle exchanges."""
     df = q["sample_importance_quality"](spark, SF)
     assert plans.shuffle_exchange_count(df) == 0, plans.explain_str(df, "simple")
+
+
+def test_q21_decorrelates_to_semi_and_anti_hash_joins(spark, q):
+    """The Q21 EXISTS/NOT-EXISTS pair must decorrelate to one LeftSemi
+    and one LeftAnti HASH join on l_orderkey — a nested-loop fallback
+    would re-execute a lineitem subquery per row."""
+    s = plans.explain_str(q["sql_waiting_suppliers"](spark, SF))
+    assert "LeftSemi" in s and "LeftAnti" in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark, q):
+    """`<=>` must compile to a hash-join key (the coalesce+isnull
+    rewrite), never a BNLJ — NULL-safe equality is a first-class
+    equi-key."""
+    s = plans.explain_str(q["join_null_safe_priority"](spark, SF))
+    assert plans.has_broadcast_hash_join(q["join_null_safe_priority"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_zorder_keys_stay_in_codegen_with_zero_shuffle(spark, q):
+    """The Morton-key derivation is pure projection: zero exchanges,
+    and the bit-interleave expression runs inside whole-stage codegen."""
+    df = q["layout_zorder_keys"](spark, SF)
+    assert plans.shuffle_exchange_count(df) == 0
+    assert plans.wholestage_codegen_count(df) >= 1
+
+
+def test_new_round4_queries_no_cartesian(spark, q):
+    """Round-4 later-batch additions must never degrade to a product."""
+    for name in (
+        "text_scrub_blocklist",
+        "sample_global_shuffle",
+        "sample_exact_per_lang",
+        "window_cume_nth_suppliers",
+        "window_ratio_to_report",
+        "diag_column_profile",
+        "agg_winsorized_price_stats",
+        "text_posting_lists",
+        "pack_padding_waste",
+        "events_variant_props",
+        "sql_shipping_split_by_priority",
+    ):
+        plans.assert_no_cartesian(q[name](spark, SF))
+    # hard-negative mining deliberately broadcasts the small query side
+    # through a non-equi join (same plan family as brute-force top-k) —
+    # a BroadcastNestedLoopJoin with a broadcast side is the intended
+    # "corpus streams once" shape; only a true CartesianProduct is a bug.
+    s = plans.explain_str(q["similarity_hard_negatives"](spark, SF))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" in s
+
+
+def test_winsorize_broadcasts_the_bounds(spark, q):
+    """The 5-row percentile-bounds aggregate must join back as a
+    broadcast — shuffling the fact table on priority to meet it would
+    double the exchange count for nothing."""
+    assert plans.has_broadcast_hash_join(q["agg_winsorized_price_stats"](spark, SF))
