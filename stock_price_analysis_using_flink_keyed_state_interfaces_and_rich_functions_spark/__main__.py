@@ -1,0 +1,79 @@
+"""Command-line job runner — the engine's answer to the reference's
+four ``main()`` entry points (each Flink job is launched by class name;
+here every registered query is launchable by registry name):
+
+    python -m stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark list
+    python -m stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark run q1_pricing_summary
+    python -m stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark run w1_running_max_price --sf-dir /root/testdata/sf0.01 --limit 5
+    python -m stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark run sql_waiting_suppliers --explain
+
+``run`` builds the engine session (AQE, skew-join, bloom pruning — see
+``session.get_spark``), executes the named query against the given
+scale-factor directory, and prints up to ``--limit`` rows (the
+reference's print-sink role); ``--explain`` prints the formatted
+physical plan instead of rows. ``--oracle`` prints the query's DuckDB
+oracle SQL when one exists. Exit status is non-zero for unknown names
+so shell pipelines can gate on it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _registry():
+    import importlib.util
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(repo_root, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.queries(), mod.oracle_sql()
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="spark-engine", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="list registered queries")
+    runp = sub.add_parser("run", help="run a registered query by name")
+    runp.add_argument("name")
+    runp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    runp.add_argument("--limit", type=int, default=20)
+    runp.add_argument("--explain", action="store_true", help="print the physical plan, not rows")
+    runp.add_argument("--oracle", action="store_true", help="print the DuckDB oracle SQL and exit")
+    args = parser.parse_args(argv)
+
+    queries, oracles = _registry()
+    if args.cmd == "list":
+        for name in queries:
+            print(f"{name}\t{'oracled' if name in oracles else 'rows-only'}")
+        return 0
+
+    if args.name not in queries:
+        print(f"unknown query: {args.name!r} (see `list`)", file=sys.stderr)
+        return 2
+    if args.oracle:
+        sql = oracles.get(args.name)
+        if sql is None:
+            print(f"{args.name} is rows-only (no oracle SQL)", file=sys.stderr)
+            return 3
+        print(sql.strip())
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark(f"run:{args.name}")
+    df = queries[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -81,3 +81,24 @@ def test_first_50_queries_follow_the_rotation_policy():
         assert set(never_checked) <= set(window), (
             set(never_checked) - set(window)
         )
+
+
+def test_cli_list_run_oracle_paths(capsys):
+    """The __main__ job-runner (the reference's main()-per-job surface,
+    generalized): `list` names every registered query with its oracle
+    status, `--oracle` prints the DuckDB SQL, and unknown names exit
+    non-zero — all without building a SparkSession."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.__main__ import (
+        main,
+    )
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary\toracled" in out
+    assert "window_ewma_orders\trows-only" in out
+
+    assert main(["run", "q1_pricing_summary", "--oracle"]) == 0
+    assert "l_returnflag" in capsys.readouterr().out
+
+    assert main(["run", "window_ewma_orders", "--oracle"]) == 3
+    assert main(["run", "does_not_exist"]) == 2
