@@ -1508,23 +1508,41 @@ GROUP BY 1, 2, 3
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the near-dup similarity graph (2-gram
-    Jaccard ≥ 0.5 edges) via DEGREE-ordered edge orientation
+    Jaccard ≥ 0.7 edges) via DEGREE-ordered edge orientation
     (operators/graph.py:triangle_stats; Suri–Vassilvitskii, WWW'11):
     every edge points low-(degree, id) → high-(degree, id), capping
     out-degree at O(√m), so the wedge self-join is hub-proof. One row
-    out: (n_edges, n_triangles, clustering_coefficient,
-    n_wedges)."""
+    out: (n_edges, n_triangles, clustering_coefficient, n_wedges).
+
+    Edges come from the verified-MinHash tier at the proven 0.7/r=2×64
+    configuration (recall-1 banding; same oracle as the all-pairs SQL)
+    — the exact postings tier measured ×20 super-linear at 10× data on
+    this shared-vocabulary corpus (SCALE.md trend note), and the
+    triangle algorithm shouldn't inherit its edge supplier's
+    quadratic."""
     from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.graph import (
         triangle_stats,
     )
 
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, shingle_k=2)
+    # triangle_stats references the edge set ~5 times (degree table,
+    # both orientation joins, wedge closing); persist the tiny pair
+    # list so the candidate→confirm pipeline runs once, not per
+    # reference.
+    pairs = (
+        minhash_verified_pairs(
+            docs, "doc_id", "text", threshold=0.7, num_hashes=128, num_bands=64, shingle_k=2
+        )
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     return triangle_stats(pairs)
 
 
 _GRAPH_TRIANGLES_SQL = f"""
-WITH pairs AS ({_jaccard_pairs_sql(0.5)}),
+WITH pairs AS ({_jaccard_pairs_sql(0.7)}),
 e AS (SELECT id_a AS u, id_b AS v FROM pairs),
 wedges AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
