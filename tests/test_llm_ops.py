@@ -1134,3 +1134,40 @@ def test_hash_exact_per_stratum(spark):
     assert counts["small"] == 3  # stratum has only 3 rows
     out10 = hash_exact_per_stratum(df, "s", 10, ["doc_id"]).toPandas()
     assert set(out5["doc_id"]) <= set(out10["doc_id"])
+
+
+def test_new_operator_argument_guards(spark):
+    """Constructor guards raise loudly instead of silently aliasing:
+    zorder bit overflow, shard-count bounds, empty blocklists, and
+    non-positive iteration/stratum budgets."""
+    import pytest as _pytest
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.graph import (
+        pagerank_integer,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        global_shuffle,
+        hash_exact_per_stratum,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        scrub_blocklist,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        zorder_key,
+    )
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError, match="<= 62"):
+        zorder_key(["a", "b", "c", "d"], bits=16)
+    with _pytest.raises(ValueError, match="non-empty"):
+        zorder_key([], bits=16)
+    with _pytest.raises(ValueError, match=r"\[1, 256\]"):
+        global_shuffle(df, ["doc_id"], num_shards=0)
+    with _pytest.raises(ValueError, match=r"\[1, 256\]"):
+        global_shuffle(df, ["doc_id"], num_shards=257)
+    with _pytest.raises(ValueError, match="non-empty"):
+        scrub_blocklist(df.withColumn("text", F.lit("x")), "text", [])
+    with _pytest.raises(ValueError, match=">= 1"):
+        pagerank_integer(spark.createDataFrame([(1, 2)], "id_a long, id_b long"), iterations=0)
+    with _pytest.raises(ValueError, match=">= 1"):
+        hash_exact_per_stratum(df.withColumn("s", F.lit("a")), "s", 0, ["doc_id"])
