@@ -1007,17 +1007,20 @@ def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, shingle_k=2)
 
 
-def _jaccard_pairs_sql(threshold: float) -> str:
-    """All-pairs exact 2-shingle Jaccard ≥ threshold (DuckDB). The
-    double threshold guard (raw ≥ t−1e-4 AND rounded ≥ t) keeps the
-    4-dp rounding boundary engine-agnostic."""
+def _jaccard_pairs_sql(threshold: float, shingle_k: int = 2) -> str:
+    """All-pairs exact word-``shingle_k``-shingle Jaccard ≥ threshold
+    (DuckDB). The double threshold guard (raw ≥ t−1e-4 AND rounded ≥ t)
+    keeps the 4-dp rounding boundary engine-agnostic. ``shingle_k``
+    must match the Spark side's `_word_shingles` semantics (docs
+    shorter than k contribute their full token string)."""
+    concat = " || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(shingle_k))
     return f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
 ), sh AS (
   SELECT doc_id,
-         list_distinct(CASE WHEN len(tk) >= 2
-              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         list_distinct(CASE WHEN len(tk) >= {shingle_k}
+              THEN list_transform(range(1, len(tk) - {shingle_k - 2}), i -> {concat})
               ELSE [array_to_string(tk, ' ')] END) AS shs
   FROM toks
 ), ex AS (
@@ -1044,7 +1047,7 @@ _DEDUP_JACCARD_SQL = _jaccard_pairs_sql(0.8)
 # The verified-MinHash query emits exact-Jaccard pairs, so its oracle is
 # the SAME all-pairs exact SQL at its threshold — the hash match is the
 # driver-side proof that LSH banding (r=2, 64 bands) lost no pair.
-_DEDUP_MINHASH_VERIFIED_SQL = _jaccard_pairs_sql(0.7)
+_DEDUP_MINHASH_VERIFIED_SQL = _jaccard_pairs_sql(0.7, shingle_k=3)
 
 
 def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1058,7 +1061,7 @@ def dedup_minhash_verified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle iff banded LSH recall is 1 on this corpus."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_verified_pairs(
-        docs, "doc_id", "text", threshold=0.7, num_hashes=128, num_bands=64, shingle_k=2
+        docs, "doc_id", "text", threshold=0.7, num_hashes=128, num_bands=64, shingle_k=3
     )
 
 
@@ -1130,7 +1133,7 @@ _DEDUP_SIMHASH_VERIFIED_SQL = _simhash_verified_sql()
 
 
 def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise near-dup edges (2-gram Jaccard ≥ 0.8) resolved into
+    """Pairwise near-dup edges (3-gram Jaccard ≥ 0.8) resolved into
     connected components — canonical one-survivor-per-cluster dedup;
     pair-dropping under-merges transitive chains. Edges come from the
     verified-MinHash tier (recall-1 banding ⇒ identical to all-pairs,
@@ -1138,7 +1141,7 @@ def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: recursive CTE over the all-pairs exact SQL."""
     docs = _t(spark, sf_dir, "documents")
     edges = minhash_verified_pairs(
-        docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=2
+        docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=3
     )
     return dup_clusters(edges)
 
@@ -1150,8 +1153,8 @@ WITH RECURSIVE toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
 ), sh AS (
   SELECT doc_id,
-         list_distinct(CASE WHEN len(tk) >= 2
-              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         list_distinct(CASE WHEN len(tk) >= 3
+              THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
               ELSE [array_to_string(tk, ' ')] END) AS shs
   FROM toks
 ), ex AS (
@@ -1507,7 +1510,7 @@ GROUP BY 1, 2, 3
 
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count over the near-dup similarity graph (2-gram
+    """Triangle count over the near-dup similarity graph (3-gram
     Jaccard ≥ 0.7 edges) via DEGREE-ordered edge orientation
     (operators/graph.py:triangle_stats; Suri–Vassilvitskii, WWW'11):
     every edge points low-(degree, id) → high-(degree, id), capping
@@ -1533,7 +1536,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference.
     pairs = (
         minhash_verified_pairs(
-            docs, "doc_id", "text", threshold=0.7, num_hashes=128, num_bands=64, shingle_k=2
+            docs, "doc_id", "text", threshold=0.7, num_hashes=128, num_bands=64, shingle_k=3
         )
         .select("id_a", "id_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1542,7 +1545,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GRAPH_TRIANGLES_SQL = f"""
-WITH pairs AS ({_jaccard_pairs_sql(0.7)}),
+WITH pairs AS ({_jaccard_pairs_sql(0.7, shingle_k=3)}),
 e AS (SELECT id_a AS u, id_b AS v FROM pairs),
 wedges AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -2545,7 +2548,7 @@ def llm_pipeline_pretrain_verified(spark: SparkSession, sf_dir: str) -> DataFram
     docs = _t(spark, sf_dir, "documents")
     exact = exact_dedup(docs, ["text"], "doc_id")
     near = minhash_verified_pairs(
-        exact, "doc_id", "text", threshold=0.7, num_hashes=128, num_bands=64, shingle_k=2
+        exact, "doc_id", "text", threshold=0.7, num_hashes=128, num_bands=64, shingle_k=3
     )
     clusters = dup_clusters(near)
     drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(F.col("id").alias("doc_id"))
@@ -2569,8 +2572,8 @@ WITH RECURSIVE deduped AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM deduped
 ), sh AS (
   SELECT doc_id,
-         list_distinct(CASE WHEN len(tk) >= 2
-              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         list_distinct(CASE WHEN len(tk) >= 3
+              THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
               ELSE [array_to_string(tk, ' ')] END) AS shs
   FROM jtoks
 ), ex AS (
@@ -4967,7 +4970,7 @@ FROM cells
 
 
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source near-duplicate matrix: exact 2-gram-Jaccard ≥ 0.8
+    """Cross-source near-duplicate matrix: exact 3-gram-Jaccard ≥ 0.8
     pairs whose documents come from DIFFERENT sources, counted per
     unordered source pair — the provenance-leakage report that tells a
     curator which feeds are plagiarizing which before mixture weights
@@ -4977,7 +4980,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-column projection joined back by id."""
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_verified_pairs(
-        docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=2
+        docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=3
     )
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_src_a"))
@@ -4995,7 +4998,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_CROSS_SOURCE_SQL = f"""
-WITH pairs AS ({_jaccard_pairs_sql(0.8)})
+WITH pairs AS ({_jaccard_pairs_sql(0.8, shingle_k=3)})
 SELECT least(da.source, db.source) AS source_lo,
        greatest(da.source, db.source) AS source_hi,
        CAST(count(*) AS BIGINT) AS n_pairs
@@ -5802,7 +5805,7 @@ FROM s
 
 def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-scaled PageRank (operators/graph.py:pagerank_integer)
-    over the exact 2-shingle-Jaccard near-dup graph (threshold 0.8 —
+    over the exact 3-shingle-Jaccard near-dup graph (threshold 0.8 —
     the same edge set dedup_ngram_jaccard oracles): 3 unrolled
     iterations, damping 85/100, ranks in BIGINT micro-units so the
     per-node contribution sums are order-independent and the DuckDB
@@ -5822,13 +5825,13 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     edges = minhash_verified_pairs(
-        docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=2
+        docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=3
     )
     return pagerank_integer(edges.select("id_a", "id_b"), iterations=3)
 
 
 _GRAPH_PAGERANK_SQL = f"""
-WITH pairs AS ({_jaccard_pairs_sql(0.8)}),
+WITH pairs AS ({_jaccard_pairs_sql(0.8, shingle_k=3)}),
 sym AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION ALL
@@ -6126,7 +6129,7 @@ def dedup_canonical_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     edges = (
         minhash_verified_pairs(
-            docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=2
+            docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=3
         )
         .select("id_a", "id_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -6145,7 +6148,7 @@ def dedup_canonical_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_CANONICAL_SQL = f"""
-WITH RECURSIVE pairs AS ({_jaccard_pairs_sql(0.8)}),
+WITH RECURSIVE pairs AS ({_jaccard_pairs_sql(0.8, shingle_k=3)}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
