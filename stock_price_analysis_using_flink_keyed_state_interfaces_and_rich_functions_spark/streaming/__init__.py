@@ -1,5 +1,6 @@
 from .stateful import (  # noqa: F401
     running_max_stream,
+    session_close_stream,
     fill_forward_stream,
     running_agg_update_stream,
     tumbling_count_window_avg_stream,
@@ -11,6 +12,10 @@ from .windows import (  # noqa: F401
     sliding_window_agg,
     session_window_agg,
     streaming_dedup,
+    streaming_minhash_dedup,
+    read_accepted_signatures,
+    streaming_heavy_hitters,
+    read_heavy_hitters,
     streaming_upsert_snapshot,
     read_snapshot,
     run_stream_foreach_batch,

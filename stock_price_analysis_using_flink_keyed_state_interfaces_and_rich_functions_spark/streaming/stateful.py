@@ -48,10 +48,12 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 __all__ = [
     "running_max_stream",
+    "session_close_stream",
     "fill_forward_stream",
     "running_agg_update_stream",
     "tumbling_count_window_avg_stream",
@@ -431,3 +433,106 @@ def ewma_stream(
     return df.groupBy(*keys).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def session_close_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    gap: str = "30 seconds",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Gap-session aggregation with EVENT-TIME STATE TIMEOUTS — the one
+    keyed-state capability the other streaming ports don't exercise
+    (they all run ``GroupStateTimeout.NoTimeout``): a key's session is
+    CLOSED and emitted either (a) by data — a new event arrives more
+    than ``gap`` after the session's last event, which closes the old
+    session and opens a new one — or (b) by timer — the key goes
+    silent and the watermark passes ``last_event + gap``, at which
+    point Spark invokes the handler with ``state.hasTimedOut`` and no
+    data, the session is emitted, and the state is REMOVED. (b) is
+    what bounds state on unbounded streams for keys that simply stop:
+    without timeouts, a departed key's state lives forever.
+
+    Emits (key..., n_events, sum_value, first_ts, last_ts) per CLOSED
+    session; sessions still open when the stream ends are never
+    emitted (the honest semantics of timeout-driven emission).
+    Timeout granularity is the micro-batch: a timer fires in the first
+    batch whose watermark exceeds it, so emission timing (not content)
+    depends on batch boundaries.
+    """
+    out_fields = _key_fields(df, key_cols) + [
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+    ]
+    out_schema = StructType(out_fields)
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("first_ts", TimestampType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    keys = list(key_cols)
+    gap_ms = _duration_to_ms(gap)
+
+    def fold(key, pdfs, state: GroupState):
+        import datetime
+
+        def emit(n, total, first_ts, last_ts):
+            out = pd.DataFrame({k: [kv] for k, kv in zip(keys, key)})
+            out["n_events"] = pd.array([n], dtype="Int64")
+            out["sum_value"] = [total]
+            out["first_ts"] = [first_ts]
+            out["last_ts"] = [last_ts]
+            return out
+
+        if state.hasTimedOut:
+            n, total, first_ts, last_ts = state.get
+            state.remove()
+            yield emit(n, total, first_ts, last_ts)
+            return
+
+        chunks = [c for c in pdfs if len(c)]
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+        cur = list(state.get) if state.exists else None
+        for _, row in pdf.iterrows():
+            ts = row[ts_col]
+            v = float(row[value_col])
+            if cur is not None and (ts - cur[3]).total_seconds() * 1000 > gap_ms:
+                yield emit(*cur)
+                cur = None
+            if cur is None:
+                cur = [1, v, ts, ts]
+            else:
+                cur[0] += 1
+                cur[1] += v
+                cur[3] = ts
+        state.update(tuple(cur))
+        # close the session when the watermark passes last_ts + gap
+        deadline = cur[3] + datetime.timedelta(milliseconds=gap_ms)
+        state.setTimeoutTimestamp(int(deadline.timestamp() * 1000))
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def _duration_to_ms(duration: str) -> int:
+    """'30 seconds' / '5 minutes' / '250 milliseconds' → ms."""
+    qty, unit = duration.split()
+    factor = {
+        "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+    }[unit]
+    return int(qty) * factor

@@ -1009,3 +1009,50 @@ def test_streaming_heavy_hitters_bounds_and_determinism(spark, tmp_path):
         if n > dec:
             assert k in got
     assert run(str(tmp_path / "hh_b")) == got
+
+
+def test_session_close_stream_event_time_timeouts(spark, tmp_path):
+    """Event-time state TIMEOUTS (the only port exercising anything but
+    NoTimeout): sessions close by in-data gap detection AND by timer
+    when a silent key's watermark deadline passes; state is removed on
+    timeout, and a still-open session at end-of-stream is never
+    emitted."""
+    import time as _time
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.stateful import (
+        session_close_stream,
+    )
+
+    root = str(tmp_path / "sess_in")
+    os.makedirs(root)
+    # times start at 1000s, clear of the initial (epoch-0) watermark,
+    # which silently drops rows at or before it
+    batches = [
+        [("a", 1000, 1.0), ("a", 1005, 2.0)],   # a: session 1 (1000–1005)
+        [("a", 1100, 4.0)],                     # gap > 30s ⇒ closes session 1 in-data
+        [("c", 1300, 9.0)],                     # watermark → 1290 > 1130 ⇒ arms a's timer
+        [("c", 1400, 1.0), ("b", 1395, 5.0)],   # batch 4: a's timer FIRES; b never closes
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "k string, sec long, v double").withColumn(
+            "ts", F.timestamp_seconds(F.col("sec"))
+        ).drop("sec").coalesce(1).write.parquet(os.path.join(root, f"f{i}"))
+        _time.sleep(1.1)  # distinct mtimes pin batch order
+
+    stream = (
+        spark.readStream.schema("k string, v double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "f*"))
+    )
+    out = _drain(
+        session_close_stream(stream, ["k"], "ts", "v", gap="30 seconds", watermark="10 seconds"),
+        "session_close_stream",
+    )
+    got = {
+        (r["k"], r["n_events"], r["sum_value"], int(r["first_ts"].timestamp()), int(r["last_ts"].timestamp()))
+        for r in out.collect()
+    }
+    assert ("a", 2, 3.0, 1000, 1005) in got     # closed by gap detection (batch 2)
+    assert ("a", 1, 4.0, 1100, 1100) in got     # closed by EVENT-TIME TIMER (batch 4)
+    ks = sorted(k for k, *_ in got)
+    assert "b" not in ks                    # open at end-of-stream ⇒ never emitted
