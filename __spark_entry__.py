@@ -6402,6 +6402,43 @@ GROUP BY event_type
 """
 
 
+def join_asof_tolerance_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof(tolerance=)
+    parity): each click gets the user's most recent purchase at or
+    before it ONLY if that purchase is within 2 hours — a stale quote
+    is worse than no quote. Same union+window plan as the unbounded
+    form; the tolerance is a predicate on the carried struct's
+    timestamp, zero extra shuffles. Oracle: ASOF join then invalidate
+    matches older than the window."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("recent_purchase_value"))
+    )
+    out = asof_join(
+        clicks, purchases, ["user_id"], "ts", ["recent_purchase_value"],
+        "backward", tolerance_seconds=7200,
+    )
+    return out.select("event_id", "recent_purchase_value")
+
+
+_JOIN_ASOF_TOL_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, max(value) AS recent_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id,
+       CASE WHEN p.ts IS NOT NULL AND c.ts - p.ts <= INTERVAL 2 HOUR
+            THEN p.recent_purchase_value END AS recent_purchase_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
 def setops_symmetric_diff_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric difference as a set-op composition: customers appearing
     in exactly one of {order-placers, high-balance accounts} — (A∖B) ∪
@@ -6653,6 +6690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_hard_negatives": similarity_hard_negatives,
         "pack_padding_waste": pack_padding_waste,
         "events_variant_props": events_variant_props,
+        "join_asof_tolerance_purchase": join_asof_tolerance_purchase,
     }
 
 
@@ -6839,4 +6877,5 @@ def oracle_sql() -> dict[str, str]:
         "similarity_hard_negatives": _SIM_HARD_NEG_SQL,
         "pack_padding_waste": _PACK_PADDING_SQL,
         "events_variant_props": _EVENTS_VARIANT_SQL,
+        "join_asof_tolerance_purchase": _JOIN_ASOF_TOL_SQL,
     }

@@ -99,11 +99,20 @@ def asof_join(
     ts_col: str,
     right_value_cols: Sequence[str],
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: attach to each left row the most recent right row at or
     before its timestamp (``backward``; ``forward`` = next at-or-after;
     ``nearest`` = whichever side is closer in time, ties to backward),
     per key. The canonical quote × corporate-actions enrichment.
+
+    ``tolerance_seconds`` bounds the match distance (pandas
+    ``merge_asof(tolerance=)`` parity): a candidate farther than the
+    tolerance is treated as ABSENT — per side, before the ``nearest``
+    pick, so a near-but-out-of-tolerance backward row can't shadow an
+    in-tolerance forward row. A stale quote is worse than no quote;
+    this is the knob that says so. Same plan either way (the tolerance
+    is one more column predicate on the carried struct).
 
     Formulation: tag both sides, union on (key, ts), and carry the right
     side's values as ONE STRUCT with ``last(ignorenulls)`` (resp.
@@ -157,6 +166,36 @@ def asof_join(
             tagged_right = tagged_right.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = tagged_left.unionByName(tagged_right)
 
+    # distance arithmetic needs a numeric ts: timestamps (incl. NTZ,
+    # which Spark 4 refuses to cast to double) go through unix_micros —
+    # exact integer micros, exactly representable in the double
+    # comparisons below (< 2^51)
+    ts_kind = left.schema[ts_col].dataType.simpleString()
+    if ts_kind.startswith("timestamp"):
+        def _num(c):
+            return F.unix_micros(c.cast("timestamp")).cast("double")
+    else:
+        def _num(c):
+            return c.cast("double")
+    l_ts = _num(F.col(ts_col))
+    # tolerance is SECONDS for timestamp ts columns (the _num scale is
+    # micros) and the column's own units for numeric ts columns —
+    # matching pandas, where tolerance is a Timedelta or a plain number
+    # in the on-column's units respectively.
+    if tolerance_seconds is None:
+        tol_val = None
+    elif ts_kind.startswith("timestamp"):
+        tol_val = float(tolerance_seconds) * 1_000_000.0
+    else:
+        tol_val = float(tolerance_seconds)
+
+    def _within(carry, signed_dist):
+        """NULL out a carried match farther than the tolerance.
+        signed_dist is oriented so in-range means 0 <= dist <= tol."""
+        if tol_val is None:
+            return carry
+        return F.when(carry.isNotNull() & (signed_dist <= F.lit(tol_val)), carry)
+
     if direction == "backward":
         w = (
             Window.partitionBy(*keys)
@@ -164,6 +203,7 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = F.last("_rv", ignorenulls=True).over(w)
+        carried = _within(carried, l_ts - _num(carried["_rts"]))
     elif direction == "forward":
         w = (
             Window.partitionBy(*keys)
@@ -171,6 +211,7 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         carried = F.first("_rv", ignorenulls=True).over(w)
+        carried = _within(carried, _num(carried["_rts"]) - l_ts)
     elif direction == "nearest":
         # both carries over the SAME hash partitioning (one exchange,
         # two sorts); pick by |Δts|, ties prefer the backward row —
@@ -188,18 +229,11 @@ def asof_join(
         )
         c_b = F.last("_rv", ignorenulls=True).over(w_b)
         c_f = F.first("_rv", ignorenulls=True).over(w_f)
-        # distance arithmetic needs a numeric ts: timestamps (incl. NTZ,
-        # which Spark 4 refuses to cast to double) go through
-        # unix_micros — exact integer micros, exactly representable in
-        # the double comparison below (< 2^51)
-        ts_kind = left.schema[ts_col].dataType.simpleString()
-        if ts_kind.startswith("timestamp"):
-            def _num(c):
-                return F.unix_micros(c.cast("timestamp")).cast("double")
-        else:
-            def _num(c):
-                return c.cast("double")
-        l_ts = _num(F.col(ts_col))
+        # tolerance applies PER SIDE before the nearest pick (pandas
+        # parity): an out-of-tolerance backward row must not shadow an
+        # in-tolerance forward row.
+        c_b = _within(c_b, l_ts - _num(c_b["_rts"]))
+        c_f = _within(c_f, _num(c_f["_rts"]) - l_ts)
         carried = (
             F.when(c_b.isNull(), c_f)
             .when(c_f.isNull(), c_b)

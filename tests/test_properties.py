@@ -607,3 +607,42 @@ def test_asof_join_nearest_matches_reference(spark, left_rows, right_map):
         best = min(cands, key=lambda tv: (abs(tv[0] - t), 0 if tv[0] <= t else 1))
         expect[i] = best[1]
     assert got == expect
+
+
+@_settings
+@given(
+    left_rows=_asof_left,
+    right_map=_asof_right,
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol=st.sampled_from([0, 3, 10, 60]),
+)
+def test_asof_join_tolerance_matches_pandas(spark, left_rows, right_map, direction, tol):
+    """asof_join with tolerance_seconds must agree with
+    pandas.merge_asof(tolerance=) in all three directions — including
+    tol=0 (exact-ts matches only) and a tolerance wider than the whole
+    time domain (equivalent to unbounded)."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], "lid long, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in right_map.items()], "k string, ts long, rv double"
+    )
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            left, right, ["k"], "ts", ["rv"],
+            direction=direction, tolerance_seconds=tol,
+        ).collect()
+    }
+
+    lpdf = pd.DataFrame([(i, k, t) for i, (k, t) in enumerate(left_rows)], columns=["lid", "k", "ts"])
+    rpdf = pd.DataFrame([(k, t, v) for (k, t), v in right_map.items()], columns=["k", "ts", "rv"])
+    merged = pd.merge_asof(
+        lpdf.sort_values(["ts", "lid"]), rpdf.sort_values("ts"),
+        on="ts", by="k", direction=direction, tolerance=tol,
+    )
+    for _, row in merged.iterrows():
+        exp = None if pd.isna(row["rv"]) else row["rv"]
+        assert got[row["lid"]] == exp, (row["lid"], got[row["lid"]], exp)
