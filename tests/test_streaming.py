@@ -1056,3 +1056,40 @@ def test_session_close_stream_event_time_timeouts(spark, tmp_path):
     assert ("a", 1, 4.0, 1100, 1100) in got     # closed by EVENT-TIME TIMER (batch 4)
     ks = sorted(k for k, *_ in got)
     assert "b" not in ks                    # open at end-of-stream ⇒ never emitted
+
+
+def test_scrub_blocklist_streams_stateless(spark, tmp_path):
+    """The curation scan ops are stateless Catalyst expressions, so they
+    lift onto a stream unchanged — scrubbing a 2-batch stream must
+    produce exactly the batch scrub of the union (no state, no
+    watermark, nothing to configure)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        scrub_blocklist,
+    )
+
+    rows1 = [(1, "slow query"), (2, "big data slowly")]
+    rows2 = [(3, "slow big slow"), (4, None)]
+    root = str(tmp_path / "scrub_in")
+    os.makedirs(root)
+    spark.createDataFrame(rows1, "id long, text string").coalesce(1).write.parquet(
+        os.path.join(root, "f1")
+    )
+    spark.createDataFrame(rows2, "id long, text string").coalesce(1).write.parquet(
+        os.path.join(root, "f2")
+    )
+
+    stream = (
+        spark.readStream.schema("id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "f*"))
+    )
+    got = {
+        (r["id"], r["scrubbed"], r["n_scrubbed"])
+        for r in _drain(scrub_blocklist(stream, "text", ["slow", "big"]), "scrub_stream").collect()
+    }
+    batch = spark.createDataFrame(rows1 + rows2, "id long, text string")
+    expected = {
+        (r["id"], r["scrubbed"], r["n_scrubbed"])
+        for r in scrub_blocklist(batch, "text", ["slow", "big"]).collect()
+    }
+    assert got == expected and len(got) == 4
