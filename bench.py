@@ -82,6 +82,7 @@ HEADLINE = [
     "layout_zorder_keys",
     "agg_winsorized_price_stats",
     "sql_waiting_suppliers",
+    "graph_pagerank_dupgraph",
 ]
 
 
