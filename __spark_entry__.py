@@ -1622,7 +1622,14 @@ def similarity_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py:dup_clusters) — the embedding-space twin of the
     text dup-cluster resolution, what embedding-dedup actually ships
     (pair lists under-merge transitive chains). Oracled end-to-end:
-    all-pairs exact cosine + recursive-CTE reachability closure."""
+    all-pairs exact cosine + recursive-CTE reachability closure.
+
+    Scale identity: the pair tier here is the `exact=True` all-pairs
+    cosine scan (measured ×6.7 at 10× data — quadratic by identity,
+    like dedup_ngram_jaccard) because cosine LSH has no
+    recall-1-by-construction banding at threshold 0.4; at corpus scale
+    feed dup_clusters from `similarity_dup_pairs_lsh` candidates at a
+    high threshold instead and accept measured (pinned) recall."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, exact=True)
     return dup_clusters(pairs)
