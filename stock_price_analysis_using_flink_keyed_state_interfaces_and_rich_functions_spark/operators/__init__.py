@@ -71,6 +71,10 @@ from .similarity import (  # noqa: F401
     embedding_centroids,
     ivf_topk,
     lsh_bucketed_topk,
+    portable_plane_signs,
+    portable_simhash_chunks,
+    portable_simhash_chunks_udf,
+    portable_simhash_dup_pairs,
     quantize_embeddings,
 )
 from .text import (  # noqa: F401

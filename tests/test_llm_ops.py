@@ -1171,3 +1171,66 @@ def test_new_operator_argument_guards(spark):
         pagerank_integer(spark.createDataFrame([(1, 2)], "id_a long, id_b long"), iterations=0)
     with _pytest.raises(ValueError, match=">= 1"):
         hash_exact_per_stratum(df.withColumn("s", F.lit("a")), "s", 0, ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# portable SimHash verified tier (round 5 — cosine near-dup scale path)
+# ---------------------------------------------------------------------------
+
+
+def _twin_corpus_slice(spark, n_ids):
+    """Quantization-twin corpus over the first n_ids test vectors —
+    the same construction __spark_entry__.similarity_dup_pairs_verified
+    uses, restricted for test cost."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    corpus = entrymod._quant_twin_corpus(spark, SF_DIR)
+    return corpus.filter((F.col("vec_id") % 1000000) < n_ids)
+
+
+def test_portable_simhash_verified_certificate_on_testdata(spark):
+    """Runtime certificate (heavy-hitters precedent): the chunk-join
+    candidate tier must reproduce the quadratic all-pairs route EXACTLY
+    — recall 1 by pigeonhole is a theorem, and certify=True re-derives
+    and raises on any divergence. Also pins the planted-structure
+    outcome: every reported pair is an (original, its-own-quant-twin)
+    pair at cosine ≥ 0.99 within Hamming radius 3."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        portable_simhash_dup_pairs,
+    )
+
+    corpus = _twin_corpus_slice(spark, 150)
+    out = portable_simhash_dup_pairs(
+        corpus, "vec_id", "embedding", dim=64, threshold=0.99, max_hamming=3, certify=True
+    ).collect()
+    assert len(out) >= 140  # a few twins may exceed the Hamming radius
+    for r in out:
+        assert r["cosine"] >= 0.99 and r["hamming"] <= 3
+        assert r["id_b"] == r["id_a"] + 1000000  # twin structure, no false merges
+
+
+def test_portable_simhash_expr_impl_bit_identical(spark):
+    """The Catalyst higher-order form and the Arrow int64-matmul form
+    compute the SAME integer signatures — same md5 planes, same
+    floor(x*1e6) quantization — so the verified tier's output is
+    implementation-independent."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        portable_simhash_dup_pairs,
+    )
+
+    corpus = _twin_corpus_slice(spark, 20)
+    fast = portable_simhash_dup_pairs(corpus, "vec_id", "embedding", dim=64)
+    slow = portable_simhash_dup_pairs(corpus, "vec_id", "embedding", dim=64, impl="expr")
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_portable_simhash_null_vector_yields_no_pairs(spark):
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        portable_simhash_dup_pairs,
+    )
+
+    base = [(0, [1.0] * 64), (1, [1.0] * 64), (2, None)]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    out = portable_simhash_dup_pairs(df, "vec_id", "embedding", dim=64).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
