@@ -1136,8 +1136,11 @@ def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise near-dup edges (3-gram Jaccard ≥ 0.8) resolved into
     connected components — canonical one-survivor-per-cluster dedup;
     pair-dropping under-merges transitive chains. Edges come from the
-    verified-MinHash tier (recall-1 banding ⇒ identical to all-pairs,
-    linear-ish scaling — see SCALE.md's measured ×14→×1.0 trend fix);
+    verified-MinHash tier (recall ~1 banding: P[miss | J=0.8] =
+    (1-0.8²)^64 ≈ 3e-29, larger for pairs barely above threshold —
+    equality with all-pairs is what the oracle hash-match certifies,
+    not a construction guarantee; linear-ish scaling, see SCALE.md's
+    measured ×14→×1.0 trend fix).
     Oracle: recursive CTE over the all-pairs exact SQL."""
     docs = _t(spark, sf_dir, "documents")
     edges = minhash_verified_pairs(
@@ -1518,7 +1521,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out: (n_edges, n_triangles, clustering_coefficient, n_wedges).
 
     Edges come from the verified-MinHash tier at the proven 0.7/r=2×64
-    configuration (recall-1 banding; same oracle as the all-pairs SQL)
+    configuration (recall ~1 banding, certified equal to the all-pairs
+    SQL by the oracle hash-match)
     — the exact postings tier measured ×20 super-linear at 10× data on
     this shared-vocabulary corpus (SCALE.md trend note), and the
     triangle algorithm shouldn't inherit its edge supplier's
@@ -1541,7 +1545,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return triangle_stats(pairs)
+    # Materialize the 1-row stats eagerly, then drop the pair cache —
+    # repeated invocations in a long-lived session must not accumulate
+    # cached RDDs (r4 advisor finding).
+    out = triangle_stats(pairs).localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out
 
 
 _GRAPH_TRIANGLES_SQL = f"""
@@ -2680,7 +2689,8 @@ FROM kept GROUP BY lang
 def llm_pipeline_pretrain_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pretraining pipeline with the VERIFIED near-dup tier:
     exact dedup → MinHash-LSH candidates + exact-Jaccard confirm
-    (recall-1 banding) → connected-component cluster resolution (keep
+    (recall ~1 banding, certified by the oracle) → connected-component
+    cluster resolution (keep
     min-id per cluster) → quality floor (≥ 0.4) → per-language doc
     count + BPE-ish token budget. Because every stage is now
     SQL-expressible, the WHOLE composite hash-matches one end-to-end
@@ -5122,9 +5132,10 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered source pair — the provenance-leakage report that tells a
     curator which feeds are plagiarizing which before mixture weights
     are trusted. Pair generation goes through the verified-MinHash tier
-    (banded candidates + exact confirm — identical output to all-pairs
-    at recall-1 banding, linear-ish scaling); the doc→source map is a
-    2-column projection joined back by id."""
+    (banded candidates + exact confirm — output equal to all-pairs at
+    recall ~1 banding, certified by this query's oracle hash-match;
+    linear-ish scaling); the doc→source map is a 2-column projection
+    joined back by id."""
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_verified_pairs(
         docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=3
@@ -5961,8 +5972,9 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the canonical copy.
 
     Edge derivation goes through the VERIFIED MinHash tier (LSH
-    candidates + exact-Jaccard confirm, r=2×64 banding ⇒ recall 1 at
-    J≥0.8), not the all-pairs postings join — measured ×14
+    candidates + exact-Jaccard confirm, r=2×64 banding: recall ~1 at
+    J≥0.8 — P[miss] = (1-J²)^64 ≈ 3e-29, certified equal to all-pairs
+    by the oracle hash-match), not the all-pairs postings join — measured ×14
     super-linear at sf0.1 on this shared-vocabulary corpus, exactly the
     quadratic tier the MinHash path exists to replace; the output (and
     therefore the all-pairs oracle) is unchanged."""
@@ -6287,11 +6299,17 @@ def dedup_canonical_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "cluster_id", "rank_micro"
     )
     w = Window.partitionBy("cluster_id").orderBy(F.desc("rank_micro"), F.asc("id"))
-    return (
+    out = (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("cluster_id", F.col("id").alias("canonical_id"), "rank_micro")
+        # one cluster-count-sized frame; materialize, then release the
+        # shared edge cache (r4 advisor: no cached-RDD accumulation
+        # across invocations in one session)
+        .localCheckpoint(eager=True)
     )
+    edges.unpersist()
+    return out
 
 
 _DEDUP_CANONICAL_SQL = f"""

@@ -78,6 +78,7 @@ def pagerank_integer(
     iterations: int = 3,
     damping_pct: int = 85,
     mass: int = 1_000_000_000,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Engine-exact PageRank over an undirected simple graph (unique
     (small-id, large-id) edge pairs), e.g. ranking the most central
@@ -115,14 +116,15 @@ def pagerank_integer(
     # re-optimization blow-up dup_clusters documents. Checkpointed
     # iterations keep the plan linear in `iterations`; on a real
     # cluster prefer reliable checkpoint() for fault tolerance.
-    sym = (
-        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if checkpoint:
+        sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
     n1 = deg.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     base = F.expr(f"{mass}L div _n")  # per-node teleport mass, integer
-    nodes = deg.crossJoin(F.broadcast(n1)).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = deg.crossJoin(F.broadcast(n1))
+    if checkpoint:
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     ranks = nodes.select("u", base.alias("r"))
     teleport = F.expr(f"({100 - damping_pct} * ({mass}L div _n)) div 100")
     for _ in range(iterations):
@@ -141,6 +143,26 @@ def pagerank_integer(
                     + F.expr(f"({damping_pct} * coalesce(_s, 0L)) div 100")
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=False)
         )
-    return ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_micro"))
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    # Materialize the converged ranks ONCE, then release the
+    # per-iteration caches: without this every invocation in a
+    # long-lived session (bench loop, notebook) leaks two cached RDDs
+    # (the r4 advisor flagged the accumulating CacheManager warnings).
+    # The eager checkpoint makes the returned frame self-contained, so
+    # later actions never re-reach the unpersisted inputs.
+    out = ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_micro"))
+    if not checkpoint:
+        # checkpoint=False exists for the PLAN AUDITOR
+        # (tools/audit_plans.py): localCheckpoint truncates the
+        # explainable plan to a LogicalRDD scan, hiding the
+        # per-iteration join+agg shape PLANS.md exists to document.
+        # Never run a multi-iteration uncheckpointed plan at scale —
+        # the static plan re-embeds the edge derivation every round
+        # (measured 235 exchanges for 3 iterations).
+        return out
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    nodes.unpersist()
+    return out

@@ -479,6 +479,11 @@ def session_close_stream(
     )
     keys = list(key_cols)
     gap_ms = _duration_to_ms(gap)
+    # Captured at plan-build time on the driver and shipped in the UDF
+    # closure: the timezone Spark renders its NAIVE pandas Timestamps
+    # in. Needed to convert last_ts back to epoch ms for
+    # setTimeoutTimestamp without assuming UTC (r4 advisor finding).
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
 
     def fold(key, pdfs, state: GroupState):
         import datetime
@@ -513,8 +518,20 @@ def session_close_stream(
                 cur[1] += v
                 cur[3] = ts
         state.update(tuple(cur))
-        # close the session when the watermark passes last_ts + gap
-        deadline = cur[3] + datetime.timedelta(milliseconds=gap_ms)
+        # close the session when the watermark passes last_ts + gap.
+        # Spark hands applyInPandasWithState NAIVE pandas Timestamps in
+        # the SESSION timezone, while setTimeoutTimestamp wants epoch
+        # ms — localize with the tz captured from the driver's session
+        # conf so .timestamp() cannot silently assume UTC for a
+        # non-UTC session (r4 advisor finding: with e.g.
+        # spark.sql.session.timeZone=Asia/Tokyo the naive
+        # interpretation would fire the timer 9 h off). session.
+        # get_spark pins UTC, making this a no-op there, but the
+        # operator no longer depends on that.
+        last = cur[3]
+        if last.tzinfo is None:
+            last = last.tz_localize(session_tz)
+        deadline = last + datetime.timedelta(milliseconds=gap_ms)
         state.setTimeoutTimestamp(int(deadline.timestamp() * 1000))
 
     return (
