@@ -14,6 +14,19 @@ analysis, AQE optimization, and full execution; only one-time JIT
 compilation is excluded. First-run compile cost is a per-query-shape
 constant that amortizes to zero on a long-lived cluster; timing it
 would benchmark Janino, not the engine.
+
+MEASUREMENT-HONESTY NOTE (round 5): through round 4 the graph/
+canonical family (graph_pagerank_dupgraph & co.) persisted its edge
+caches without unpersisting, and Spark's CacheManager matches caches by
+logical plan — so the warm-up invocation's cached RDDs silently served
+every "fresh" timed build (the tell was the "Asked to cache already
+cached data" warning stream the r4 advisor flagged). Round 5's cache-
+lifecycle fix (materialize-then-unpersist) means each timed run now
+pays the FULL per-invocation cost: graph_pagerank_dupgraph moved
+2.4 → ~6 s at sf0.1 not because the plan regressed but because the r4
+number was measuring cross-invocation cache reuse. The dominant
+component is the shared verified-MinHash edge supplier (~4 s at sf0.1),
+paid once per standalone invocation by each consumer query.
 """
 
 from __future__ import annotations
@@ -83,6 +96,15 @@ HEADLINE = [
     "agg_winsorized_price_stats",
     "sql_waiting_suppliers",
     "graph_pagerank_dupgraph",
+    # round-5 additions (VERDICT r4 #7): trend anchors for the r4
+    # sketch/graph family plus the new verified cosine tier — rows
+    # above remain unchanged for cross-round comparability.
+    "graph_triangle_count",
+    "text_heavy_hitter_tokens",
+    "dedup_canonical_by_rank",
+    "llm_pipeline_pretrain_verified",
+    "similarity_dup_pairs_verified",
+    "similarity_semantic_clusters",
 ]
 
 
