@@ -4428,12 +4428,62 @@ def window_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_ewma_integer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT integer EWMA (r4 verdict item 8 — the PageRank
+    precedent applied to the exponential fold): per-customer EWMA of
+    order value in integer CENTS with the pure-integer recurrence
+    y_n = (80·y + 20·x) // 100 (operators/stateful.py:ewma_integer).
+    Floor division on BIGINT is engine-portable, so the DuckDB oracle
+    replays the identical unrolled recurrence as a recursive CTE over
+    per-customer row numbers (depth = max orders/customer, 24 at
+    sf0.1) and hash-matches to the last cent-unit. The float
+    window_ewma_orders stays rows-only because IEEE reassociation has
+    no portable SQL form — this row closes the EWMA oracle gap with
+    changed (integer) semantics rather than carrying it."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        ewma_integer,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("price_cents"),
+    )
+    out = ewma_integer(
+        base, ["o_custkey"], ["o_orderdate", "o_orderkey"], "price_cents", alpha_pct=20
+    )
+    return out.select("o_custkey", "o_orderkey", F.col("ewma_int").alias("ewma_cents"))
+
+
+_WINDOW_EWMA_INT_SQL = """
+WITH RECURSIVE base AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+), rec AS (
+  SELECT o_custkey, o_orderkey, rn, x AS y FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.o_custkey, b.o_orderkey, b.rn, (80 * r.y + 20 * b.x) // 100
+  FROM base b JOIN rec r ON b.o_custkey = r.o_custkey AND b.rn = r.rn + 1
+)
+SELECT o_custkey, o_orderkey, y AS ewma_cents FROM rec
+"""
+
+
 def window_ewma_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority EWMA of order value along order date
     (operators/stateful.py:ewma — the exponential-decay keyed-state
     fold, pandas C kernel per key). Rows-only by design: the float
     recursion has no portable SQL form; pinned by pytest ground truths
-    and bit-exact batch↔stream parity instead."""
+    and bit-exact batch↔stream parity instead. The ORACLED twin is
+    window_ewma_integer_orders (integer cents, floor-division
+    recurrence — the PageRank precedent), which closes the EWMA oracle
+    gap for money-typed inputs; this float form remains the right op
+    for physically-continuous values."""
     from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
         ewma,
     )
@@ -6848,6 +6898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": text_language_id,
         "dedup_simhash_pairs": dedup_simhash_pairs_docs,  # rows-only (hamming sketch)
         "window_ewma_orders": window_ewma_orders,  # rows-only (float recursion)
+        "window_ewma_integer_orders": window_ewma_integer_orders,
         "window_ewma_segmented": window_ewma_segmented,  # rows-only (float recursion)
         "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
         "text_scrub_blocklist": text_scrub_blocklist,
@@ -6922,6 +6973,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,
         "similarity_semantic_clusters": _SIM_CLUSTERS_SQL,
+        "window_ewma_integer_orders": _WINDOW_EWMA_INT_SQL,
         "multimodal_payload_meta": _MULTIMODAL_META_SQL,
         "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,
         "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,

@@ -7,6 +7,7 @@ from .stateful import (  # noqa: F401
     tumbling_count_window_avg,
     rows_between_breaches,
     ewma,
+    ewma_integer,
 )
 from .windows import (  # noqa: F401
     with_row_number,

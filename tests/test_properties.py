@@ -646,3 +646,66 @@ def test_asof_join_tolerance_matches_pandas(spark, left_rows, right_map, directi
     for _, row in merged.iterrows():
         exp = None if pd.isna(row["rv"]) else row["rv"]
         assert got[row["lid"]] == exp, (row["lid"], got[row["lid"]], exp)
+
+
+def test_ewma_integer_matches_python_reference_and_crosses_batches(spark):
+    """ewma_integer (round 5 — the oracle-exact integer EWMA):
+
+    1. equals a row-by-row Python reference of the floor-division
+       recurrence on a multi-key frame with NULLs (NULL emits the
+       carried state and never updates it);
+    2. a single hot key larger than one Arrow batch (default 10k rows)
+       still folds correctly — the partition-scan impl must carry state
+       across mapInPandas batch boundaries, which a per-batch reset
+       would corrupt exactly at row 10 001.
+    """
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        ewma_integer,
+    )
+
+    rows = []
+    vals = {}
+    for k in ("a", "b"):
+        y = None
+        for i in range(50):
+            x = None if i % 7 == 3 else (i * 31 + (17 if k == "a" else 5)) % 400
+            rows.append((k, i, x))
+            if x is not None:
+                y = x if y is None else (80 * y + 20 * x) // 100
+            vals[(k, i)] = y
+        vals[(k, -1)] = None
+        y = None
+    df = spark.createDataFrame(rows, "k string, i long, x long")
+    out = ewma_integer(df, ["k"], ["i"], "x", alpha_pct=20, out_col="y")
+    got = {(r["k"], r["i"]): r["y"] for r in out.collect()}
+    # rebuild the reference fold independently per key
+    ref = {}
+    for k in ("a", "b"):
+        y = None
+        for i in range(50):
+            x = None if i % 7 == 3 else (i * 31 + (17 if k == "a" else 5)) % 400
+            if x is not None:
+                y = x if y is None else (80 * y + 20 * x) // 100
+            ref[(k, i)] = y
+    assert got == ref
+
+    # hot key spanning multiple Arrow batches
+    n = 25_000
+    hot = spark.range(n).select(
+        F.lit("hot").alias("k"), F.col("id").alias("i"), (F.col("id") % 997).alias("x")
+    )
+    out2 = ewma_integer(hot, ["k"], ["i"], "x", alpha_pct=20, out_col="y")
+    last = out2.orderBy(F.desc("i")).limit(1).collect()[0]["y"]
+    y = None
+    for i in range(n):
+        x = i % 997
+        y = x if y is None else (80 * y + 20 * x) // 100
+    assert last == y
+
+    # float value columns must be rejected at plan time, not silently
+    # rounded (and not as a worker-side surprise)
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([("a", 1, 1.5)], "k string, i long, x double")
+    with _pytest.raises(TypeError, match="integer value column"):
+        ewma_integer(bad, ["k"], ["i"], "x")
