@@ -4565,6 +4565,164 @@ FROM seed s LEFT JOIN eligible e USING (k) WHERE e.k IS NULL
 """
 
 
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) DIMENSION LOOKUP against the SCD2 history —
+    the query every SCD2 table exists to serve: each order joins the
+    customer-segment version valid AT ITS ORDER DATE (valid_from ≤ d <
+    valid_to, open version = NULL valid_to), then revenue rolls up by
+    historical segment. Orders predating the 1995-01-01 seed get the
+    explicit NO_VERSION bucket (an honest gap, not a silent drop).
+
+    Scale shape: the SCD2 history is dimension-sized — broadcast it;
+    the fact side streams through one BroadcastHashJoin on custkey with
+    the interval predicate as the join residual (each order matches ≤ 1
+    version by the SCD2 non-overlap invariant, pinned in
+    tests/test_operators_relational.py), then one partial-agg groupBy.
+    No shuffle of the fact table at all. Oracle replays the identical
+    history construction + interval join + DECIMAL-exact revenue sum."""
+    hist = dim_scd2_customer_segments(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    od = orders.select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("d"),
+        "o_totalprice",
+    )
+    cond = (
+        (od["o_custkey"] == hist["k"])
+        & (od["d"] >= hist["valid_from"])
+        & (hist["valid_to"].isNull() | (od["d"] < hist["valid_to"]))
+    )
+    j = od.join(F.broadcast(hist), cond, "left")
+    return j.groupBy(
+        F.coalesce(F.col("seg"), F.lit("NO_VERSION")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        _dsum("o_totalprice", "revenue"),
+    )
+
+
+def _pit_sql() -> str:
+    body = _DIM_SCD2_SQL.strip()
+    marker = "SELECT s.k, s.seg, s.valid_from, e.ts AS valid_to"
+    idx = body.index(marker)
+    ctes = body[len("WITH ") : idx].rstrip().rstrip(",")
+    final = body[idx:]
+    return f"""
+WITH {ctes},
+hist AS (
+{final}
+), ord AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         o_totalprice
+  FROM orders
+)
+SELECT coalesce(h.seg, 'NO_VERSION') AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM ord o LEFT JOIN hist h
+  ON h.k = o.o_custkey AND o.d >= h.valid_from
+ AND (h.valid_to IS NULL OR o.d < h.valid_to)
+GROUP BY 1
+"""
+
+
+_JOIN_SCD2_PIT_SQL = None  # built lazily after _DIM_SCD2_SQL (see oracle_sql)
+
+
+def diag_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan-row counts for every foreign
+    key in the star schema (child rows whose FK matches no parent,
+    NULL FKs counted as orphans — anti-join semantics, mirrored in the
+    oracle with NOT EXISTS rather than NOT IN, whose NULL behavior
+    would silently uncount them). The all-zeros result on the synthetic
+    tables is the point: a data-quality gate emits the ZERO row as
+    proof of checking, and any nonzero is an ingest bug surfaced before
+    it poisons joins downstream. Each relationship is one LEFT ANTI
+    join (broadcastable parents broadcast; the lineitem→orders pair
+    shuffles both sides — unavoidable, both are fact-sized) + a 1-row
+    count; the five single-row frames union."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rels = [
+        ("lineitem.l_orderkey -> orders", li, "l_orderkey", orders, "o_orderkey", False),
+        ("orders.o_custkey -> customer", orders, "o_custkey", customer, "c_custkey", True),
+        ("lineitem.l_partkey -> part", li, "l_partkey", part, "p_partkey", True),
+        ("lineitem.l_suppkey -> supplier", li, "l_suppkey", supplier, "s_suppkey", True),
+        ("customer.c_nationkey -> nation", customer, "c_nationkey", nation, "n_nationkey", True),
+    ]
+    out = None
+    for name, child, fk, parent, pk, bcast in rels:
+        par = parent.select(pk)
+        if bcast:
+            par = F.broadcast(par)
+        orphans = (
+            child.select(fk)
+            .join(par, child[fk] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            .select(F.lit(name).alias("relationship"), "n_orphans")
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+    return out
+
+
+_DIAG_RI_SQL = """
+SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+       CAST(count(*) AS BIGINT) AS n_orphans
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders.o_custkey -> customer', CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem.l_partkey -> part', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem.l_suppkey -> supplier', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation', CAST(count(*) AS BIGINT)
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+"""
+
+
+def sample_leave_last_out_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-last-out evaluation split — the standard recsys/seq-model
+    protocol: each user's LAST event (by (ts, event_id) total order)
+    becomes the test example, everything earlier is train. Temporal
+    leakage-safe by construction (test is strictly after each user's
+    train history) and deterministic under reshuffling. One window
+    row_number per user + a two-row rollup proving the split accounts
+    for every event and every user exactly once."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    tagged = ev.withColumn(
+        "split",
+        F.when(F.row_number().over(w) == 1, F.lit("test")).otherwise(F.lit("train")),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+_SAMPLE_LLO_SQL = """
+WITH tagged AS (
+  SELECT user_id,
+         CASE WHEN row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) = 1
+              THEN 'test' ELSE 'train' END AS split
+  FROM events
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tagged GROUP BY split
+"""
+
+
 def agg_conditional_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional/boolean aggregate family (count_if, bool_and,
     bool_or, conditional sum) per order priority — the remaining scalar
@@ -6899,6 +7057,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup_simhash_pairs_docs,  # rows-only (hamming sketch)
         "window_ewma_orders": window_ewma_orders,  # rows-only (float recursion)
         "window_ewma_integer_orders": window_ewma_integer_orders,
+        "join_scd2_point_in_time": join_scd2_point_in_time,
+        "diag_referential_integrity": diag_referential_integrity,
+        "sample_leave_last_out_events": sample_leave_last_out_events,
         "window_ewma_segmented": window_ewma_segmented,  # rows-only (float recursion)
         "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
         "text_scrub_blocklist": text_scrub_blocklist,
@@ -6974,6 +7135,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,
         "similarity_semantic_clusters": _SIM_CLUSTERS_SQL,
         "window_ewma_integer_orders": _WINDOW_EWMA_INT_SQL,
+        "join_scd2_point_in_time": _pit_sql(),
+        "diag_referential_integrity": _DIAG_RI_SQL,
+        "sample_leave_last_out_events": _SAMPLE_LLO_SQL,
         "multimodal_payload_meta": _MULTIMODAL_META_SQL,
         "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,
         "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,

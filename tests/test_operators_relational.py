@@ -663,3 +663,39 @@ def test_fill_forward_ground_truth(spark):
         ("a", 1): None, ("a", 2): 10.0, ("a", 3): 10.0, ("a", 4): 10.0,
         ("a", 5): 20.0, ("b", 1): None, ("b", 2): 5.0,
     }
+
+
+def test_scd2_point_in_time_join_never_multiplies_facts(spark):
+    """The SCD2 non-overlap invariant the point-in-time lookup relies
+    on (join_scd2_point_in_time): a fact row joining `valid_from <= d <
+    valid_to` against a key's version history matches AT MOST ONE
+    version, so the left join preserves fact cardinality exactly —
+    row multiplication there would silently double-count revenue."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.scd import (
+        scd2_merge,
+    )
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [(1, "gold", 100, None), (2, "bronze", 100, None)],
+        "k long, tier string, valid_from long, valid_to long",
+    )
+    updates = spark.createDataFrame(
+        [(1, "silver", 150), (1, "plat", 200)], "k long, tier string, ts long"
+    )
+    hist = scd2_merge(dim, updates, ["k"], ["tier"], "ts")
+    facts = spark.createDataFrame(
+        [(i, k, d) for i, (k, d) in enumerate([(1, 99), (1, 100), (1, 150), (1, 199),
+                                               (1, 200), (1, 500), (2, 100), (2, 9)])],
+        "fid long, k long, d long",
+    )
+    cond = (
+        (facts["k"] == hist["k"])
+        & (facts["d"] >= hist["valid_from"])
+        & (hist["valid_to"].isNull() | (facts["d"] < hist["valid_to"]))
+    )
+    j = facts.join(hist, cond, "left").select("fid", "tier")
+    rows = {r["fid"]: r["tier"] for r in j.collect()}
+    assert j.count() == facts.count() == len(rows)  # no multiplication
+    assert rows == {0: None, 1: "gold", 2: "silver", 3: "silver",
+                    4: "plat", 5: "plat", 6: "bronze", 7: None}
