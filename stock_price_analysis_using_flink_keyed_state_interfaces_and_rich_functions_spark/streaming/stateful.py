@@ -60,6 +60,7 @@ __all__ = [
     "rows_between_breaches_stream",
     "running_max_transform_with_state",
     "ewma_stream",
+    "ewma_integer_stream",
 ]
 
 
@@ -431,6 +432,79 @@ def ewma_stream(
         state.update((cur,))
 
     return df.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def ewma_integer_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha_pct: int = 20,
+    out_col: str = "ewma_int",
+) -> DataFrame:
+    """Streaming twin of ``operators/stateful.py:ewma_integer`` — the
+    ORACLE-EXACT integer EWMA with ONE BIGINT of carried state per key,
+    one output row per input row, bit-identical to the batch fold at
+    any micro-batch chunking (integer arithmetic has no reassociation
+    error, so chunked replay is EXACTLY the unchunked fold — stronger
+    than the float twin, which relies on the last-mean restart being
+    sufficient).
+
+    Values travel as exact int64 through the same explicit null-mask
+    staging as the batch form (Arrow renders nullable int64 as float64,
+    which silently loses units above 2^53); NULL values emit the
+    carried state and never update it. Emits (keys..., value, out).
+    """
+    if not 1 <= alpha_pct <= 100:
+        raise ValueError(f"alpha_pct must be in [1, 100], got {alpha_pct}")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType, LongType
+
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, LongType) and vtype.simpleString() not in ("int", "smallint", "tinyint"):
+        raise TypeError(
+            f"ewma_integer_stream needs an integer value column, got {vtype.simpleString()}"
+        )
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [StructField(value_col, LongType()), StructField(out_col, LongType())]
+    )
+    state_schema = StructType([StructField("y", LongType())])
+    keys = list(key_cols)
+    order = list(order_cols)
+    a = int(alpha_pct)
+    vcol = value_col
+
+    def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (y,) = state.get if state.exists else (None,)
+        if y is not None:
+            y = int(y)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
+            out_vals = []
+            xs_out = []
+            for xf, xn in zip(pdf["_xf"], pdf["_xn"]):
+                if bool(xn):
+                    xs_out.append(None)
+                    out_vals.append(y)
+                    continue
+                x = int(xf)
+                y = x if y is None else ((100 - a) * y + a * x) // 100
+                xs_out.append(x)
+                out_vals.append(y)
+            out = pd.DataFrame({k: [kv] * len(pdf) for k, kv in zip(keys, key)})
+            out[vcol] = pd.array(xs_out, dtype="Int64")
+            out[out_col] = pd.array(out_vals, dtype="Int64")
+            yield out
+        state.update((y,))
+
+    staged = df.withColumn(
+        "_xf", F.coalesce(F.col(vcol).cast("long"), F.lit(0).cast("long"))
+    ).withColumn("_xn", F.col(vcol).isNull())
+    return staged.groupBy(*keys).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 

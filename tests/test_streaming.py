@@ -1093,3 +1093,56 @@ def test_scrub_blocklist_streams_stateless(spark, tmp_path):
         for r in scrub_blocklist(batch, "text", ["slow", "big"]).collect()
     }
     assert got == expected and len(got) == 4
+
+
+def test_ewma_integer_stream_parity_with_batch(spark):
+    """ewma_integer streaming twin: chunked replay across 3 micro-
+    batches equals the batch fold EXACTLY (integer arithmetic — no
+    reassociation tolerance needed), including NULL carry semantics
+    and a key whose first batch is all-NULL."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        ewma_integer,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.stateful import (
+        ewma_integer_stream,
+    )
+
+    rows = [
+        ("a", 1, 100), ("a", 2, 200), ("a", 3, None), ("a", 4, 400),
+        ("b", 1, None), ("b", 2, 80), ("b", 3, 120),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq long, v long")
+    batch = {
+        (r["k"], r["seq"]): r["y"]
+        for r in ewma_integer(df, ["k"], ["seq"], "v", alpha_pct=50, out_col="y").collect()
+    }
+    # hand check: a: 100; (50*100+50*200)//100=150; carry 150; (50*150+50*400)//100=275
+    assert batch[("a", 1)] == 100 and batch[("a", 2)] == 150
+    assert batch[("a", 3)] == 150 and batch[("a", 4)] == 275
+    assert batch[("b", 1)] is None and batch[("b", 2)] == 80
+
+    with tempfile.TemporaryDirectory() as root:
+        for i, chunk in enumerate([rows[:2], rows[2:5], rows[5:]]):
+            spark.createDataFrame(chunk, "k string, seq long, v long").coalesce(1).write.parquet(
+                os.path.join(root, f"f{i}")
+            )
+        stream = spark.readStream.schema("k string, seq long, v long").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(os.path.join(root, "f*"))
+        out = ewma_integer_stream(stream, ["k"], ["seq"], "v", alpha_pct=50, out_col="y")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ewma_int_par")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {
+            (r["k"], r["v"]): r["y"] for r in spark.table("ewma_int_par").collect()
+        }
+        batch_by_v = {
+            (r["k"], r["v"]): r["y"]
+            for r in ewma_integer(df, ["k"], ["seq"], "v", alpha_pct=50, out_col="y").collect()
+        }
+        assert streamed == batch_by_v  # exact integer equality
