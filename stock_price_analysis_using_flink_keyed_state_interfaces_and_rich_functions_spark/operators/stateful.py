@@ -534,6 +534,8 @@ def ewma_integer(
             pdf[out_col] = _pd.array(out, dtype="Int64")
             yield pdf.drop(columns=["_xf", "_xn"])
 
+    if "_xf" in df.columns or "_xn" in df.columns:
+        raise ValueError("input already has a _xf/_xn column (reserved staging names)")
     staged = df.withColumn(
         "_xf", F.coalesce(F.col(value_col).cast("long"), F.lit(0).cast("long"))
     ).withColumn("_xn", F.col(value_col).isNull())

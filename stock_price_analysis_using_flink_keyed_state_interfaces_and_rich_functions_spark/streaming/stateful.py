@@ -501,6 +501,8 @@ def ewma_integer_stream(
             yield out
         state.update((y,))
 
+    if "_xf" in df.columns or "_xn" in df.columns:
+        raise ValueError("input already has a _xf/_xn column (reserved staging names)")
     staged = df.withColumn(
         "_xf", F.coalesce(F.col(vcol).cast("long"), F.lit(0).cast("long"))
     ).withColumn("_xn", F.col(vcol).isNull())
