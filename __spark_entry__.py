@@ -3710,6 +3710,58 @@ SELECT grp AS source, token, tf, df, score, rk FROM ranked WHERE rk <= 5
 """
 
 
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for the probe query {spark, scan, hash}
+    (operators/text.py:bm25_topk) — retrieval-relevance scoring for
+    RAG/curation review. Per-term contributions snap to integer
+    micro-units before the per-doc sum (unigram-logprob precedent), and
+    the score stays BIGINT micro-units, so the oracle replays the
+    identical ln/division expression tree and hash-matches exactly."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        bm25_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "scan", "hash"], k=20)
+
+
+_TEXT_BM25_SQL = r"""
+WITH lens AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS _len
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS _n, CAST(sum(_len) AS BIGINT) AS _lensum FROM lens
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS _t
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+), tf AS (
+  SELECT doc_id, _t, CAST(count(*) AS BIGINT) AS _tf FROM toks
+  WHERE _t IN ('spark', 'scan', 'hash') GROUP BY doc_id, _t
+), dfreq AS (
+  SELECT _t, CAST(count(*) AS BIGINT) AS _df FROM tf GROUP BY _t
+), contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln((CAST(s._n AS DOUBLE) - CAST(d._df AS DOUBLE) + 0.5)
+              / (CAST(d._df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf._tf AS DOUBLE) * 2.2
+              / (CAST(tf._tf AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75 + 0.75 * CAST(l._len AS DOUBLE)
+                          / (CAST(s._lensum AS DOUBLE) / CAST(s._n AS DOUBLE)))))
+           * 1e6) AS BIGINT) AS _s_micro
+  FROM tf JOIN dfreq d USING (_t) JOIN lens l USING (doc_id) CROSS JOIN stats s
+), scored AS (
+  SELECT doc_id, CAST(sum(_s_micro) AS BIGINT) AS score_micro,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, score_micro, n_terms_hit, rk FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= 20
+"""
+
+
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM quality score per document
     (operators/text.py:unigram_logprob_scores). Per-token log-probs are
@@ -7060,6 +7112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_scd2_point_in_time": join_scd2_point_in_time,
         "diag_referential_integrity": diag_referential_integrity,
         "sample_leave_last_out_events": sample_leave_last_out_events,
+        "text_bm25_topk": text_bm25_topk,
         "window_ewma_segmented": window_ewma_segmented,  # rows-only (float recursion)
         "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
         "text_scrub_blocklist": text_scrub_blocklist,
@@ -7138,6 +7191,7 @@ def oracle_sql() -> dict[str, str]:
         "join_scd2_point_in_time": _pit_sql(),
         "diag_referential_integrity": _DIAG_RI_SQL,
         "sample_leave_last_out_events": _SAMPLE_LLO_SQL,
+        "text_bm25_topk": _TEXT_BM25_SQL,
         "multimodal_payload_meta": _MULTIMODAL_META_SQL,
         "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,
         "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,

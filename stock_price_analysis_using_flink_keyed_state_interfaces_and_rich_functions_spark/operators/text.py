@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens",
+    "bm25_topk",
     "token_count",
     "subword_tokens",
     "subword_count",
@@ -680,3 +681,80 @@ def scrub_blocklist(
     return df.withColumn(
         hits_col, F.size(F.regexp_extract_all(c, F.lit(pat), 1)).cast("long")
     ).withColumn(out_col, F.regexp_replace(c, pat, replacement))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance top-k for a fixed query-term set — the classic
+    retrieval scorer a RAG/data-curation pipeline runs over its corpus
+    (which documents best match a probe query; which docs to surface
+    for a contamination review). Okapi form per (doc, term)::
+
+        idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)
+        s(d,t) = idf · tf·(k1+1) / (tf + k1·(1 - b + b·len/avglen))
+
+    Numeric determinism contract (the unigram-logprob precedent): each
+    per-term contribution is snapped to integer micro-units
+    (round(s·1e6) as BIGINT) BEFORE the per-doc sum, so the ≤|terms|
+    additions are exact integer arithmetic and the DuckDB oracle
+    replays the identical expression tree; the reported score stays in
+    micro-units (BIGINT) — no trailing float division to disagree on.
+
+    Shape at 100 TB: one corpus explode filtered TO THE QUERY TERMS
+    (the token stream that survives is |terms|-bounded per doc), one
+    doc-length scan, vocabulary-sized df/avglen aggregates broadcast
+    back, per-doc integer sum, global top-k via TakeOrderedAndProject.
+    Empty/NULL docs score nothing (len 0 never divides — they carry no
+    query terms).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    from pyspark.sql import Window
+
+    terms = [str(t) for t in query_terms]
+    lens = df.select(F.col(id_col), F.size(tokens(text_col)).alias("_len")).filter(
+        F.col("_len") > 0
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_len").cast("long").alias("_lensum"),
+    )
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+        .filter(F.col("_t").isin(terms))
+    )
+    tf = toks.groupBy(id_col, "_t").agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    avglen = F.col("_lensum").cast("double") / F.col("_n").cast("double")
+    idf = F.log(
+        (F.col("_n").cast("double") - F.col("_df").cast("double") + 0.5)
+        / (F.col("_df").cast("double") + 0.5)
+        + 1.0
+    )
+    norm = F.col("_tf").cast("double") * (k1 + 1.0) / (
+        F.col("_tf").cast("double")
+        + k1 * (1.0 - b + b * F.col("_len").cast("double") / avglen)
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "_t")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_s_micro", F.round(idf * norm * 1e6).cast("long"))
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.sum("_s_micro").cast("long").alias("score_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+    )
+    w = Window.orderBy(F.desc("score_micro"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "score_micro", "n_terms_hit", "rk")
+    )
