@@ -34,6 +34,7 @@ from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_
     anti_join,
     asof_join,
     intersect_all,
+    hamming_neighborhood_join,
     attach_payload,
     broadcast_join,
     brute_force_topk,
@@ -4617,6 +4618,55 @@ FROM seed s LEFT JOIN eligible e USING (k) WHERE e.k IS NULL
 """
 
 
+def join_fuzzy_dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-feed entity resolution with a recall-1 blocking proof
+    (operators/joins.py:hamming_neighborhood_join): a corrupted copy of
+    the customer master (one deterministic character of each name
+    replaced by 'X' at position custkey % 18 — the fixed-format-key
+    typo model) is matched back against the clean table at Hamming ≤ 1
+    via the SymSpell masked-position neighborhood: explode each side
+    into its 18 position-masked variants, equi-join on (position,
+    masked), exact Hamming confirm. A ham ≤ 1 pair shares its masked
+    variant at the differing position BY PIGEONHOLE, so the candidate
+    tier provably never misses — the string twin of the SimHash chunk
+    guarantee. Each dirty row rematches its own original (hamming 1)
+    plus the clean names that differ only at the corrupted digit —
+    exactly the ambiguity a real dirty-feed match must surface. Oracle:
+    all-pairs DuckDB hamming() at the gate scale."""
+    cust = _t(spark, sf_dir, "customer")
+    pos = (F.col("c_custkey") % 18).cast("int")
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_key"),
+        F.concat(
+            F.expr("substring(c_name, 1, CAST(c_custkey % 18 AS INT))"),
+            F.lit("X"),
+            F.expr(
+                "substring(c_name, CAST(c_custkey % 18 AS INT) + 2, 18 - CAST(c_custkey % 18 AS INT) - 1)"
+            ),
+        ).alias("dn"),
+    )
+    out = hamming_neighborhood_join(
+        dirty, cust, "d_key", "c_custkey", "dn", "c_name", length=18, max_hamming=1
+    )
+    return out
+
+
+_JOIN_FUZZY_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS d_key,
+         substr(c_name, 1, CAST(c_custkey % 18 AS INT))
+         || 'X'
+         || substr(c_name, CAST(c_custkey % 18 AS INT) + 2,
+                   18 - CAST(c_custkey % 18 AS INT) - 1) AS dn
+  FROM customer
+)
+SELECT d.d_key AS left_id, c.c_custkey AS right_id,
+       CAST(hamming(d.dn, c.c_name) AS BIGINT) AS hamming
+FROM dirty d JOIN customer c
+  ON len(c.c_name) = 18 AND len(d.dn) = 18 AND hamming(d.dn, c.c_name) <= 1
+"""
+
+
 def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (as-of) DIMENSION LOOKUP against the SCD2 history —
     the query every SCD2 table exists to serve: each order joins the
@@ -7113,6 +7163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_referential_integrity": diag_referential_integrity,
         "sample_leave_last_out_events": sample_leave_last_out_events,
         "text_bm25_topk": text_bm25_topk,
+        "join_fuzzy_dirty_customers": join_fuzzy_dirty_customers,
         "window_ewma_segmented": window_ewma_segmented,  # rows-only (float recursion)
         "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
         "text_scrub_blocklist": text_scrub_blocklist,
@@ -7192,6 +7243,7 @@ def oracle_sql() -> dict[str, str]:
         "diag_referential_integrity": _DIAG_RI_SQL,
         "sample_leave_last_out_events": _SAMPLE_LLO_SQL,
         "text_bm25_topk": _TEXT_BM25_SQL,
+        "join_fuzzy_dirty_customers": _JOIN_FUZZY_SQL,
         "multimodal_payload_meta": _MULTIMODAL_META_SQL,
         "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,
         "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,

@@ -24,6 +24,7 @@ from .joins import (  # noqa: F401
     semi_join,
     anti_join,
     asof_join,
+    hamming_neighborhood_join,
     range_join_bucketed,
     interval_overlap_join,
     salted_join,

@@ -30,6 +30,7 @@ __all__ = [
     "semi_join",
     "anti_join",
     "asof_join",
+    "hamming_neighborhood_join",
     "range_join_bucketed",
     "interval_overlap_join",
     "salted_join",
@@ -350,4 +351,92 @@ def interval_overlap_join(
             & (F.col("_bucket") == first_shared)
         )
         .drop("_bucket")
+    )
+
+
+def hamming_neighborhood_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_name: str,
+    right_name: str,
+    length: int,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Fuzzy FIXED-FORMAT identifier join with RECALL 1 by construction
+    — the SymSpell/deletion-neighborhood trick applied to Hamming
+    distance: two equal-length strings within Hamming distance 1 must
+    become EQUAL when the (single) differing position is masked, so
+    exploding every string into its ``length`` position-masked variants
+    and equi-joining on (position, masked) can never miss a pair.
+    Exact Hamming confirm on candidates only. This is the
+    entity-resolution primitive for dirty feeds of fixed-format keys
+    (order numbers, SKUs, account codes) matched against master data.
+
+    Currently implements ``max_hamming=1`` (the masked-position
+    construction; radius-k needs mask-k-subsets, k·C(length,k) variants
+    — the same pigeonhole, combinatorially heavier). Strings whose
+    length ≠ ``length`` never match (a length difference is an edit the
+    mask cannot absorb) and are filtered plan-side.
+
+    Scale shape: each side explodes to ``length``·n (position, masked)
+    rows — linear, never a cross product; buckets are
+    all-but-one-position groups (tiny for any data with entropy);
+    confirm is one integer fold over ``length`` char comparisons per
+    candidate. The masking char is \\x01 — guaranteed absent from
+    printable fixed-format keys.
+    """
+    if max_hamming != 1:
+        raise NotImplementedError("hamming_neighborhood_join implements max_hamming=1")
+
+    def masked(name_col: str):
+        # ONE higher-order expression, not `length` unrolled concats:
+        # the unrolled form generates ~70 substring exprs whose
+        # whole-stage codegen Janino-compiles for seconds PER PLAN
+        # SHAPE (measured 105 s end-to-end at sf0.01); the lambda form
+        # is a single small codegen unit evaluated per element.
+        c = F.col(name_col)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(length - 1)),
+            lambda i: F.concat(
+                c.substr(F.lit(1), i),
+                F.lit("\x01"),
+                c.substr(i + F.lit(2), F.lit(length) - i - F.lit(1)),
+            ),
+        )
+
+    lv = (
+        left.filter(F.length(left_name) == length)
+        .select(F.col(left_id).alias("_lid"), F.col(left_name).alias("_ln"))
+        .select("_lid", "_ln", F.posexplode(masked("_ln")).alias("_pos", "_m"))
+    )
+    rv = (
+        right.filter(F.length(right_name) == length)
+        .select(F.col(right_id).alias("_rid"), F.col(right_name).alias("_rn"))
+        .select("_rid", "_rn", F.posexplode(masked("_rn")).alias("_pos", "_m"))
+    )
+    cand = (
+        lv.join(rv, ["_pos", "_m"])
+        .select("_lid", "_ln", "_rid", "_rn")
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.sequence(F.lit(1), F.lit(length)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.substring(F.col("_ln"), 1, length).substr(i, F.lit(1))
+            != F.substring(F.col("_rn"), 1, length).substr(i, F.lit(1)),
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("_lid").alias("left_id"),
+            F.col("_rid").alias("right_id"),
+            "hamming",
+        )
     )

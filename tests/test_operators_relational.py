@@ -699,3 +699,31 @@ def test_scd2_point_in_time_join_never_multiplies_facts(spark):
     assert j.count() == facts.count() == len(rows)  # no multiplication
     assert rows == {0: None, 1: "gold", 2: "silver", 3: "silver",
                     4: "plat", 5: "plat", 6: "bronze", 7: None}
+
+
+def test_hamming_neighborhood_join_ground_truth(spark):
+    """Masked-position blocking recall proof on a hand-checkable set:
+    every ham<=1 pair is found (incl. exact duplicates, ham 0), ham-2
+    pairs are excluded, different-length strings never match, and the
+    left/right sides are independent tables."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        hamming_neighborhood_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "ABCD"), (2, "ABXD"), (3, "AXXD"), (4, "ABC")],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "ABCD"), (11, "ZBCD"), (12, "XXXX")], "rid long, rname string"
+    )
+    out = hamming_neighborhood_join(
+        left, right, "id", "rid", "name", "rname", length=4
+    ).collect()
+    got = {(r["left_id"], r["right_id"]): r["hamming"] for r in out}
+    assert got == {
+        (1, 10): 0,   # exact dup
+        (1, 11): 1,   # one substitution
+        (2, 10): 1,   # one substitution the other way
+    }
+    # id 3 (ham 2 from ABCD), id 4 (length 3), and XXXX (ham>=3) never match
