@@ -105,6 +105,9 @@ HEADLINE = [
     "llm_pipeline_pretrain_verified",
     "similarity_dup_pairs_verified",
     "similarity_semantic_clusters",
+    "window_ewma_integer_orders",
+    "text_bm25_topk",
+    "join_fuzzy_dirty_customers",
 ]
 
 
