@@ -4825,6 +4825,120 @@ FROM tagged GROUP BY split
 """
 
 
+def agg_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report: customers ranked into deciles by
+    lifetime revenue (exact integer cents), each decile's customer
+    count, revenue, and share of total — the Lorenz-curve table every
+    "top decile drives X% of revenue" claim comes from. The global
+    ntile window sorts only the per-customer AGGREGATE (|customers|
+    rows, not facts — the groupBy reduced the fact table first with
+    map-side partials), with a custkey tiebreak so decile membership is
+    deterministic. Shares are BIGINT/BIGINT divisions — identical IEEE
+    doubles in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (
+        o.groupBy("o_custkey")
+        .agg((F.sum(F.col("o_totalprice").cast(DEC)) * 100).cast("long").alias("rev_cents"))
+    )
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
+    t = cents.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    tot = t.agg(F.sum("rev_cents").cast("long").alias("_tot"))
+    return (
+        t.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev_cents").cast("long").alias("_rc"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("_rc").cast("double") / 100).alias("revenue"),
+            F.round(F.col("_rc").cast("double") / F.col("_tot").cast("double"), 6).alias(
+                "revenue_share"
+            ),
+        )
+    )
+
+
+_AGG_DECILE_SQL = """
+WITH cents AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
+  FROM orders GROUP BY o_custkey
+), t AS (
+  SELECT o_custkey, rev_cents,
+         CAST(ntile(10) OVER (ORDER BY rev_cents DESC, o_custkey ASC) AS INT) AS decile
+  FROM cents
+), tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS _tot FROM t)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(rev_cents) AS DOUBLE) / 100 AS revenue,
+       round(CAST(sum(rev_cents) AS DOUBLE) / CAST(max(_tot) AS DOUBLE), 6) AS revenue_share
+FROM t CROSS JOIN tot
+GROUP BY decile
+"""
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly report per event type — the outlier
+    detector that survives the heavy tails a mean/stddev z-score is
+    blown up by. Values snap to integer micro-units; the per-type
+    median is carried as 2·median (a BIGINT — interpolated medians of
+    ints are half-integers, and the ×2 doubling is an exact power-of-2
+    float scale), so absolute deviations are EXACT integer arithmetic
+    and the MAD (median of deviations) interpolates identical doubles
+    in both engines. Flags |v − med| > 3·MAD. Two grouped exact
+    percentiles (the oracle-checkable baseline tier —
+    agg_approx_quantiles is the mergeable-sketch path at corpus scale)
+    + two broadcasts of the per-type constants + one final groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.round(F.col("value") * 1e6).cast("long").alias("vm")
+    ).filter(F.col("vm").isNotNull())
+    med = base.groupBy("event_type").agg(
+        (F.percentile("vm", F.lit(0.5)) * 2).cast("long").alias("med2")
+    )
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(F.col("vm") * 2 - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("dev2", F.lit(0.5)).alias("mad2"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.max("med2") / 2e6, 6).alias("median_value"),
+            F.round(F.max("mad2") / 2e6, 6).alias("mad"),
+            F.count_if(F.col("dev2").cast("double") > 3 * F.col("mad2"))
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+_EVENTS_MAD_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, CAST(quantile_cont(vm, 0.5) * 2 AS BIGINT) AS med2
+  FROM base GROUP BY event_type
+), dev AS (
+  SELECT b.event_type, abs(vm * 2 - med2) AS dev2, med2
+  FROM base b JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(dev2, 0.5) AS mad2 FROM dev GROUP BY event_type
+)
+SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(max(d.med2) / 2e6, 6) AS median_value,
+       round(max(m.mad2) / 2e6, 6) AS mad,
+       CAST(count(*) FILTER (WHERE CAST(d.dev2 AS DOUBLE) > 3 * m.mad2) AS BIGINT)
+           AS n_anomalies
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 def agg_conditional_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional/boolean aggregate family (count_if, bool_and,
     bool_or, conditional sum) per order priority — the remaining scalar
@@ -7164,6 +7278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_leave_last_out_events": sample_leave_last_out_events,
         "text_bm25_topk": text_bm25_topk,
         "join_fuzzy_dirty_customers": join_fuzzy_dirty_customers,
+        "agg_decile_revenue_share": agg_decile_revenue_share,
+        "events_anomaly_mad": events_anomaly_mad,
         "window_ewma_segmented": window_ewma_segmented,  # rows-only (float recursion)
         "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
         "text_scrub_blocklist": text_scrub_blocklist,
@@ -7244,6 +7360,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_leave_last_out_events": _SAMPLE_LLO_SQL,
         "text_bm25_topk": _TEXT_BM25_SQL,
         "join_fuzzy_dirty_customers": _JOIN_FUZZY_SQL,
+        "agg_decile_revenue_share": _AGG_DECILE_SQL,
+        "events_anomaly_mad": _EVENTS_MAD_SQL,
         "multimodal_payload_meta": _MULTIMODAL_META_SQL,
         "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,
         "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,

@@ -1146,3 +1146,54 @@ def test_ewma_integer_stream_parity_with_batch(spark):
             for r in ewma_integer(df, ["k"], ["seq"], "v", alpha_pct=50, out_col="y").collect()
         }
         assert streamed == batch_by_v  # exact integer equality
+
+
+def test_ewma_integer_stream_recovers_from_checkpoint(spark, tmp_path):
+    """The integer EWMA's one-BIGINT carried state must survive a query
+    restart: run 2 restarts from run 1's checkpoint, processes only the
+    new file, and every emission across both runs equals the batch fold
+    EXACTLY (integer arithmetic — a lost or reset carry would shift
+    every post-restart value by a detectable amount)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        ewma_integer,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.stateful import (
+        ewma_integer_stream,
+    )
+
+    root = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    sink = str(tmp_path / "out")
+    rows = [("a" if i % 2 == 0 else "b", i, (i * 31) % 83) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string, seq long, v long")
+    df.filter(F.col("seq") < 20).coalesce(1).write.parquet(os.path.join(root, "part=0"))
+
+    def run():
+        stream = (
+            spark.readStream.schema("k string, seq long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(root, "part=*"))
+            .select("k", "seq", "v")
+        )
+        q = (
+            ewma_integer_stream(stream, ["k"], ["seq"], "v", alpha_pct=30, out_col="y")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).collect()
+
+    assert len(run()) == 20
+    df.filter(F.col("seq") >= 20).coalesce(1).write.parquet(os.path.join(root, "part=1"))
+    both = run()
+    assert len(both) == 30
+    expected = {
+        (r["k"], r["v"]): r["y"]
+        for r in ewma_integer(df, ["k"], ["seq"], "v", alpha_pct=30, out_col="y").collect()
+    }
+    for r in both:
+        assert expected[(r["k"], r["v"])] == r["y"]
