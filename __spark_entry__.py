@@ -4825,6 +4825,44 @@ FROM tagged GROUP BY split
 """
 
 
+def agg_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth — the canonical trend KPI: yearly
+    exact-cents revenue, lag(1) over the tiny year aggregate, growth =
+    (cur − prev) / prev as a BIGINT-derived IEEE division (NULL for the
+    first year, not 0 — an honest no-prior marker). The window runs
+    over |years| rows; the fact table is reduced by one map-side
+    partial-agg groupBy first."""
+    o = _t(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").cast("int").alias("year")).agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)) * 100).cast("long").alias("_rc")
+    )
+    w = Window.orderBy("year")
+    return (
+        yearly.withColumn("_prev", F.lag("_rc").over(w))
+        .select(
+            "year",
+            (F.col("_rc").cast("double") / 100).alias("revenue"),
+            F.round(
+                (F.col("_rc") - F.col("_prev")).cast("double") / F.col("_prev").cast("double"),
+                6,
+            ).alias("yoy_growth"),
+        )
+    )
+
+
+_AGG_YOY_SQL = """
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS year,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS _rc
+  FROM orders GROUP BY 1
+)
+SELECT year, CAST(_rc AS DOUBLE) / 100 AS revenue,
+       round(CAST(_rc - lag(_rc) OVER (ORDER BY year) AS DOUBLE)
+             / CAST(lag(_rc) OVER (ORDER BY year) AS DOUBLE), 6) AS yoy_growth
+FROM yearly
+"""
+
+
 def agg_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration report: customers ranked into deciles by
     lifetime revenue (exact integer cents), each decile's customer
@@ -7279,6 +7317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": text_bm25_topk,
         "join_fuzzy_dirty_customers": join_fuzzy_dirty_customers,
         "agg_decile_revenue_share": agg_decile_revenue_share,
+        "agg_yoy_revenue_growth": agg_yoy_revenue_growth,
         "events_anomaly_mad": events_anomaly_mad,
         "window_ewma_segmented": window_ewma_segmented,  # rows-only (float recursion)
         "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
@@ -7361,6 +7400,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bm25_topk": _TEXT_BM25_SQL,
         "join_fuzzy_dirty_customers": _JOIN_FUZZY_SQL,
         "agg_decile_revenue_share": _AGG_DECILE_SQL,
+        "agg_yoy_revenue_growth": _AGG_YOY_SQL,
         "events_anomaly_mad": _EVENTS_MAD_SQL,
         "multimodal_payload_meta": _MULTIMODAL_META_SQL,
         "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,
