@@ -4863,6 +4863,84 @@ FROM yearly
 """
 
 
+def dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source CURATION DASHBOARD: document count, exact-duplicate
+    count (md5 digest shared with ≥1 other doc — the 32-byte-key
+    shuffle, never documents), verified near-duplicate count (docs
+    appearing in ≥1 MinHash-verified Jaccard ≥ 0.8 pair, k=3 shingles)
+    and both rates — the first table a data curator asks for before
+    trusting a source mix. Composes the two proven dedup tiers; the
+    oracle replays the digest grouping and the all-pairs exact-Jaccard
+    SQL the verified tier is certified against. Rates are BIGINT/BIGINT
+    IEEE divisions rounded at 6 dp."""
+    docs = _t(spark, sf_dir, "documents")
+    dig = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(F.col("text").isNull(), F.lit("n:")).otherwise(
+                F.concat(F.length("text").cast("string"), F.lit(":"), F.col("text"))
+            )
+        ).alias("d"),
+    )
+    cnt = dig.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    pairs = minhash_verified_pairs(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=3
+    )
+    near = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    return (
+        dig.join(cnt, "d")
+        .join(near, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("c") >= 2).cast("long").alias("n_exact_dups"),
+            F.count_if(F.col("_near").isNotNull()).cast("long").alias("n_near_dups"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dups",
+            "n_near_dups",
+            F.round(
+                F.col("n_exact_dups").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("exact_dup_rate"),
+            F.round(
+                F.col("n_near_dups").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("near_dup_rate"),
+        )
+    )
+
+
+def _dedup_rate_sql() -> str:
+    return f"""
+WITH pairs AS ({_jaccard_pairs_sql(0.8, shingle_k=3)}),
+near_ids AS (
+  SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs
+), dig AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN text IS NULL THEN 'n:'
+                  ELSE CAST(length(text) AS VARCHAR) || ':' || text END) AS d
+  FROM documents
+), cnt AS (SELECT d, count(*) AS c FROM dig GROUP BY d)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE c >= 2) AS BIGINT) AS n_exact_dups,
+       CAST(count(*) FILTER (WHERE n.doc_id IS NOT NULL) AS BIGINT) AS n_near_dups,
+       round(CAST(count(*) FILTER (WHERE c >= 2) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS exact_dup_rate,
+       round(CAST(count(*) FILTER (WHERE n.doc_id IS NOT NULL) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS near_dup_rate
+FROM dig JOIN cnt USING (d) LEFT JOIN near_ids n USING (doc_id)
+GROUP BY source
+"""
+
+
 def agg_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration report: customers ranked into deciles by
     lifetime revenue (exact integer cents), each decile's customer
@@ -7318,6 +7396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_fuzzy_dirty_customers": join_fuzzy_dirty_customers,
         "agg_decile_revenue_share": agg_decile_revenue_share,
         "agg_yoy_revenue_growth": agg_yoy_revenue_growth,
+        "dedup_rate_report": dedup_rate_report,
         "events_anomaly_mad": events_anomaly_mad,
         "window_ewma_segmented": window_ewma_segmented,  # rows-only (float recursion)
         "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
@@ -7401,6 +7480,7 @@ def oracle_sql() -> dict[str, str]:
         "join_fuzzy_dirty_customers": _JOIN_FUZZY_SQL,
         "agg_decile_revenue_share": _AGG_DECILE_SQL,
         "agg_yoy_revenue_growth": _AGG_YOY_SQL,
+        "dedup_rate_report": _dedup_rate_sql(),
         "events_anomaly_mad": _EVENTS_MAD_SQL,
         "multimodal_payload_meta": _MULTIMODAL_META_SQL,
         "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,
