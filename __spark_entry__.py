@@ -4863,6 +4863,100 @@ FROM yearly
 """
 
 
+def events_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users (WAU) per day — the product
+    metric a per-day distinct count CANNOT produce (distinct is not
+    mergeable across days). Exact formulation: the deduped (day, user)
+    pairs each replicate to the 7 window-end days they support
+    (explode of a 7-element sequence — bounded fanout, no self-join,
+    no quadratic), then one count-distinct per window-end day. Days
+    outside the observed range are dropped. Shuffle volume is
+    7·|daily-active pairs|, not events."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    bounds = daily.agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    )
+    fan = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_off"), "day", "user_id"
+    ).select(F.date_add("day", F.col("_off")).alias("wday"), "user_id")
+    return (
+        fan.crossJoin(F.broadcast(bounds))
+        .filter((F.col("wday") >= F.col("_lo")) & (F.col("wday") <= F.col("_hi")))
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        .select(F.date_format("wday", "yyyy-MM-dd").alias("day"), "wau")
+    )
+
+
+_EVENTS_WAU_SQL = """
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+fan AS (
+  SELECT day + CAST(o AS INT) AS wday, user_id
+  FROM daily CROSS JOIN (SELECT unnest(range(0, 7)) AS o)
+)
+SELECT strftime(CAST(wday AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM fan CROSS JOIN bounds
+WHERE wday >= lo AND wday <= hi
+GROUP BY wday
+"""
+
+
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational backlog timeline: how many orders were OPEN (placed
+    but not yet fully shipped) on each day the state changed — the
+    interval-stabbing query solved WITHOUT a dense day spine or an
+    interval join: each order emits +1 at its order date and −1 the day
+    after its last lineitem ships (orders with no lineitems never
+    close), deltas aggregate per day, and one running sum over the tiny
+    (day, delta) table reconstructs the census. Monotone-correct by
+    construction; the heavy tables reduce to 2 rows per order before
+    any window runs."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(F.max(F.to_date("l_shipdate")).alias("_last_ship"))
+    o = orders.select(
+        "o_orderkey", F.to_date("o_orderdate").alias("_od")
+    ).join(close, orders["o_orderkey"] == close["l_orderkey"], "left")
+    opens = o.select(F.col("_od").alias("day"), F.lit(1).cast("long").alias("delta"))
+    closes = o.filter(F.col("_last_ship").isNotNull()).select(
+        F.date_add("_last_ship", 1).alias("day"), F.lit(-1).cast("long").alias("delta")
+    )
+    deltas = opens.unionByName(closes).groupBy("day").agg(
+        F.sum("delta").cast("long").alias("d")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.sum("d").over(w).cast("long").alias("open_orders"),
+    )
+
+
+_ORDERS_BACKLOG_SQL = """
+WITH close AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+  FROM lineitem GROUP BY l_orderkey
+), o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, c.last_ship
+  FROM orders LEFT JOIN close c ON c.l_orderkey = o_orderkey
+), deltas AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS d FROM (
+    SELECT od AS day, 1 AS delta FROM o
+    UNION ALL
+    SELECT last_ship + 1, -1 FROM o WHERE last_ship IS NOT NULL
+  ) GROUP BY day
+)
+SELECT strftime(CAST(day AS DATE), '%Y-%m-%d') AS day,
+       CAST(sum(d) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_orders
+FROM deltas
+"""
+
+
 def dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source CURATION DASHBOARD: document count, exact-duplicate
     count (md5 digest shared with ≥1 other doc — the 32-byte-key
@@ -7397,6 +7491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_decile_revenue_share": agg_decile_revenue_share,
         "agg_yoy_revenue_growth": agg_yoy_revenue_growth,
         "dedup_rate_report": dedup_rate_report,
+        "events_wau_rolling": events_wau_rolling,
+        "orders_open_backlog_daily": orders_open_backlog_daily,
         "events_anomaly_mad": events_anomaly_mad,
         "window_ewma_segmented": window_ewma_segmented,  # rows-only (float recursion)
         "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
@@ -7481,6 +7577,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_decile_revenue_share": _AGG_DECILE_SQL,
         "agg_yoy_revenue_growth": _AGG_YOY_SQL,
         "dedup_rate_report": _dedup_rate_sql(),
+        "events_wau_rolling": _EVENTS_WAU_SQL,
+        "orders_open_backlog_daily": _ORDERS_BACKLOG_SQL,
         "events_anomaly_mad": _EVENTS_MAD_SQL,
         "multimodal_payload_meta": _MULTIMODAL_META_SQL,
         "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,
