@@ -4863,6 +4863,109 @@ FROM yearly
 """
 
 
+def supplier_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier fulfillment SLA: exact p50/p95 of order→ship lag in
+    days (integer datediff, so the interpolated percentiles are
+    identical IEEE doubles in both engines — the agg_median precedent),
+    plus volume. One fact-fact equi-join on orderkey and one grouped
+    exact percentile; the sketch path for corpus scale is
+    agg_approx_quantiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lag = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("lag_days"),
+    )
+    return lag.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.percentile("lag_days", F.lit(0.5)).alias("p50_lag_days"),
+        F.percentile("lag_days", F.lit(0.95)).alias("p95_lag_days"),
+    )
+
+
+_SUPPLIER_LAG_SQL = """
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       quantile_cont(CAST(datediff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) AS BIGINT), 0.5)
+           AS p50_lag_days,
+       quantile_cont(CAST(datediff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) AS BIGINT), 0.95)
+           AS p95_lag_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_suppkey
+"""
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-corpus NOVELTY score: for each document (in doc_id
+    order), the fraction of its distinct word 3-grams never seen in any
+    earlier document — the data-mixing diagnostic that tells a curator
+    when a source stops contributing new content (novelty decays toward
+    0 as the corpus saturates). First-occurrence attribution is one
+    min(doc_id) per distinct shingle (vocabulary-sized aggregate), one
+    join back, one per-doc ratio — no cross-doc pair enumeration
+    anywhere. Top-20 least-novel docs (ties → doc_id) keep the output
+    bounded."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        _word_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(_word_shingles("text", 3)).alias("s")
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("_first"))
+    per_doc = (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count_if(F.col("_first") == F.col("doc_id")).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"), 6),
+        )
+    )
+    w = Window.orderBy(F.asc("novelty"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "n_shingles", "n_novel", "novelty", "rk")
+    )
+
+
+_TEXT_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(tk) >= 3
+              THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+              ELSE [array_to_string(tk, ' ')] END)) AS s
+  FROM toks
+), first AS (
+  SELECT s, min(doc_id) AS _first FROM sh GROUP BY s
+), per_doc AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(count(*) FILTER (WHERE _first = sh.doc_id) AS BIGINT) AS n_novel
+  FROM sh JOIN first USING (s) GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_novel, novelty, rk FROM (
+  SELECT *,
+         round(CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS novelty,
+         CAST(row_number() OVER (
+           ORDER BY round(CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) ASC,
+                    doc_id ASC) AS BIGINT) AS rk
+  FROM per_doc
+) WHERE rk <= 20
+"""
+
+
 def events_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling distinct active users (WAU) per day — the product
     metric a per-day distinct count CANNOT produce (distinct is not
@@ -7493,6 +7596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_report": dedup_rate_report,
         "events_wau_rolling": events_wau_rolling,
         "orders_open_backlog_daily": orders_open_backlog_daily,
+        "supplier_lead_time_percentiles": supplier_lead_time_percentiles,
+        "text_ngram_novelty": text_ngram_novelty,
         "events_anomaly_mad": events_anomaly_mad,
         "window_ewma_segmented": window_ewma_segmented,  # rows-only (float recursion)
         "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
@@ -7579,6 +7684,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rate_report": _dedup_rate_sql(),
         "events_wau_rolling": _EVENTS_WAU_SQL,
         "orders_open_backlog_daily": _ORDERS_BACKLOG_SQL,
+        "supplier_lead_time_percentiles": _SUPPLIER_LAG_SQL,
+        "text_ngram_novelty": _TEXT_NOVELTY_SQL,
         "events_anomaly_mad": _EVENTS_MAD_SQL,
         "multimodal_payload_meta": _MULTIMODAL_META_SQL,
         "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,
