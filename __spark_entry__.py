@@ -16,6 +16,13 @@ Determinism contract (how every query is made hash-comparable):
 - Integer-typed results are cast so Spark and DuckDB dtypes agree
   (DuckDB year()/row_number() return BIGINT; Spark returns INT — the
   oracle casts to INT).
+- No raw ``array<T>`` column in any driver-checked output: the driver's
+  canonicalizer sorts frames with pandas, which cannot hash list cells.
+  Sorted collections are emitted as ``array_join(sort_array(...), '|')``
+  (``array_to_string(list_sort(...), '|')`` on the oracle side) or
+  exploded to one row per element.
+- DATE columns are rendered as ``yyyy-MM-dd`` strings on both sides
+  (pandas renders DuckDB dates as midnight timestamps otherwise).
 
 Non-SQL-expressible entries (MinHash-LSH, SimHash, hyperplane LSH,
 mapInPandas multimodal ops, approx_count_distinct) intentionally omit
@@ -75,6 +82,7 @@ from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_
     sessionize_by_gap,
     simhash,
     simhash_pairs,
+    ranked_top_n,
     top_k_per_group,
     top_n,
     tumbling_count_window_avg,
@@ -119,6 +127,39 @@ def _dsum(col: str | F.Column, alias: str) -> F.Column:
     parallelism / summation order)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+# Session-scoped verified-MinHash edge supplier (r5 verdict item 4).
+# Seven queries consume the SAME near-dup edge set (threshold 0.8:
+# dup_clusters, pagerank, canonical-by-rank, dedup-rate report,
+# cross-source matrix; threshold 0.7: verified pairs, triangles); each
+# previously re-derived the full candidate→confirm pipeline (~4 s at
+# sf0.1) per invocation. A real pipeline materializes the edge table
+# ONCE and lets every consumer read it — this memo is that, with an
+# EXPLICIT lifecycle: keyed by (sf_dir, threshold), derived eagerly on
+# first use (minhash_verified_pairs localCheckpoints its result and
+# unpersists its signature cache before returning), held for the life
+# of the deriving SparkSession, re-derived if the session changed.
+# bench.py reports the derivation cost as its own row
+# (edge_supplier_derive) so consumer timings stay honest.
+_EDGE_MEMO: dict = {}
+
+
+def _verified_edges(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """The shared (id_a, id_b, jaccard) verified-MinHash edge table over
+    `documents` at the proven 128-hash / 64-band / k=3-shingle
+    configuration (recall ~1 banding — certified equal to the all-pairs
+    exact-Jaccard oracle by every consumer's hash-match)."""
+    key = (sf_dir, threshold)
+    hit = _EDGE_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    docs = _t(spark, sf_dir, "documents")
+    edges = minhash_verified_pairs(
+        docs, "doc_id", "text", threshold=threshold, num_hashes=128, num_bands=64, shingle_k=3
+    )
+    _EDGE_MEMO[key] = (spark, edges)
+    return edges
 
 
 # --------------------------------------------------------------------------
@@ -1059,11 +1100,10 @@ def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_verified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates + exact-Jaccard confirm (threshold 0.7) — the
     oracle-checkable MinHash form: hash-matches the all-pairs exact
-    oracle iff banded LSH recall is 1 on this corpus."""
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_verified_pairs(
-        docs, "doc_id", "text", threshold=0.7, num_hashes=128, num_bands=64, shingle_k=3
-    )
+    oracle iff banded LSH recall is 1 on this corpus. Reads the shared
+    session-scoped edge table (_verified_edges — derived once,
+    consumed by the whole graph family)."""
+    return _verified_edges(spark, sf_dir, 0.7)
 
 
 def dedup_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1141,12 +1181,10 @@ def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-0.8²)^64 ≈ 3e-29, larger for pairs barely above threshold —
     equality with all-pairs is what the oracle hash-match certifies,
     not a construction guarantee; linear-ish scaling, see SCALE.md's
-    measured ×14→×1.0 trend fix).
+    measured ×14→×1.0 trend fix), read from the shared session-scoped
+    edge table (_verified_edges).
     Oracle: recursive CTE over the all-pairs exact SQL."""
-    docs = _t(spark, sf_dir, "documents")
-    edges = minhash_verified_pairs(
-        docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=3
-    )
+    edges = _verified_edges(spark, sf_dir, 0.8)
     return dup_clusters(edges)
 
 
@@ -1532,26 +1570,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_stats,
     )
 
-    from pyspark import StorageLevel
-
-    docs = _t(spark, sf_dir, "documents")
     # triangle_stats references the edge set ~5 times (degree table,
-    # both orientation joins, wedge closing); persist the tiny pair
-    # list so the candidate→confirm pipeline runs once, not per
-    # reference.
-    pairs = (
-        minhash_verified_pairs(
-            docs, "doc_id", "text", threshold=0.7, num_hashes=128, num_bands=64, shingle_k=3
-        )
-        .select("id_a", "id_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # Materialize the 1-row stats eagerly, then drop the pair cache —
-    # repeated invocations in a long-lived session must not accumulate
-    # cached RDDs (r4 advisor finding).
-    out = triangle_stats(pairs).localCheckpoint(eager=True)
-    pairs.unpersist()
-    return out
+    # both orientation joins, wedge closing); the shared session-scoped
+    # edge table (_verified_edges) is already materialized
+    # (localCheckpointed pair list), so every reference reads checkpoint
+    # blocks — the candidate→confirm pipeline runs once per session,
+    # not per reference or per consumer.
+    pairs = _verified_edges(spark, sf_dir, 0.7).select("id_a", "id_b")
+    return triangle_stats(pairs)
 
 
 _GRAPH_TRIANGLES_SQL = f"""
@@ -2705,8 +2731,18 @@ def llm_pipeline_pretrain_verified(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = _t(spark, sf_dir, "documents")
     exact = exact_dedup(docs, ["text"], "doc_id")
-    near = minhash_verified_pairs(
-        exact, "doc_id", "text", threshold=0.7, num_hashes=128, num_bands=64, shingle_k=3
+    # The verified tier is pairwise-local: (a, b) is a candidate iff
+    # THEIR band signatures collide, and the exact-Jaccard confirm sees
+    # only the two docs — no third document influences pair membership.
+    # So edges(exact-deduped corpus) == edges(full corpus) restricted to
+    # pairs whose BOTH endpoints survive exact dedup, and the shared
+    # session edge table (_verified_edges) can supply this stage via
+    # two semi-joins instead of a fresh candidate→confirm derivation.
+    kept_ids = exact.select(F.col("doc_id").alias("_kid"))
+    full = _verified_edges(spark, sf_dir, 0.7)
+    near = (
+        full.join(kept_ids, full["id_a"] == kept_ids["_kid"], "left_semi")
+        .join(kept_ids, full["id_b"] == kept_ids["_kid"], "left_semi")
     )
     clusters = dup_clusters(near)
     drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(F.col("id").alias("doc_id"))
@@ -3609,15 +3645,19 @@ FROM orders
 
 def agg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: the distinct nation names of each region as a
-    SORTED array (collect_set is partition-order-dependent; sort_array
-    restores a canonical form both engines agree on byte-for-byte)."""
+    SORTED, '|'-joined string (collect_set is partition-order-dependent;
+    sort_array restores a canonical form both engines agree on
+    byte-for-byte).  The joined-string shape — not a raw ``array<string>``
+    column — is part of the driver determinism contract: the driver's
+    canonicalizer sorts result frames with pandas, which cannot hash list
+    cells (r5 driver crash on this very query)."""
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
         n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name")
         .agg(
-            F.sort_array(F.collect_set("n_name")).alias("nations"),
+            F.array_join(F.sort_array(F.collect_set("n_name")), "|").alias("nations"),
             F.count_distinct("n_name").cast("long").alias("n_nations"),
         )
     )
@@ -3625,7 +3665,7 @@ def agg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGG_NATIONS_SQL = """
 SELECT r_name,
-       list_sort(list(DISTINCT n_name)) AS nations,
+       array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nations,
        count(DISTINCT n_name) AS n_nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
@@ -4486,9 +4526,11 @@ def window_ewma_integer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent applied to the exponential fold): per-customer EWMA of
     order value in integer CENTS with the pure-integer recurrence
     y_n = (80·y + 20·x) // 100 (operators/stateful.py:ewma_integer).
-    Floor division on BIGINT is engine-portable, so the DuckDB oracle
-    replays the identical unrolled recurrence as a recursive CTE over
-    per-customer row numbers (depth = max orders/customer, 24 at
+    Python ``//`` FLOORS while DuckDB ``//`` truncates toward zero, so
+    the oracle replays the recurrence as a recursive CTE with an
+    integer-safe floor (subtract the positive remainder before
+    dividing) — portable even for negative carries (refund cents) —
+    over per-customer row numbers (depth = max orders/customer, 24 at
     sf0.1) and hash-matches to the last cent-unit. The float
     window_ewma_orders stays rows-only because IEEE reassociation has
     no portable SQL form — this row closes the EWMA oracle gap with
@@ -4518,9 +4560,16 @@ WITH RECURSIVE base AS (
                             ORDER BY o_orderdate, o_orderkey) AS rn
   FROM orders
 ), rec AS (
+  -- DuckDB // truncates toward zero; Python // floors. Subtracting the
+  -- POSITIVE remainder ((s % 100) + 100) % 100 first makes s an exact
+  -- multiple of 100, so the division is exact and the truncation rule
+  -- is moot — a true integer-safe floor that matches the Python fold
+  -- for negative carries (e.g. refund cents) too.
   SELECT o_custkey, o_orderkey, rn, x AS y FROM base WHERE rn = 1
   UNION ALL
-  SELECT b.o_custkey, b.o_orderkey, b.rn, (80 * r.y + 20 * b.x) // 100
+  SELECT b.o_custkey, b.o_orderkey, b.rn,
+         ((80 * r.y + 20 * b.x)
+          - (((80 * r.y + 20 * b.x) % 100) + 100) % 100) // 100
   FROM base b JOIN rec r ON b.o_custkey = r.o_custkey AND b.rn = r.rn + 1
 )
 SELECT o_custkey, o_orderkey, y AS ewma_cents FROM rec
@@ -4659,11 +4708,19 @@ WITH dirty AS (
          || substr(c_name, CAST(c_custkey % 18 AS INT) + 2,
                    18 - CAST(c_custkey % 18 AS INT) - 1) AS dn
   FROM customer
+), d18 AS (
+  -- Pre-filter BOTH sides to the fixed length in CTEs (mirroring the
+  -- Spark operator's plan-side filter) BEFORE the join: DuckDB's
+  -- hamming() raises on unequal-length strings and conjunct evaluation
+  -- order inside a join condition is not guaranteed, so hamming() must
+  -- only ever see equal-length pairs.
+  SELECT * FROM dirty WHERE len(dn) = 18
+), c18 AS (
+  SELECT * FROM customer WHERE len(c_name) = 18
 )
 SELECT d.d_key AS left_id, c.c_custkey AS right_id,
        CAST(hamming(d.dn, c.c_name) AS BIGINT) AS hamming
-FROM dirty d JOIN customer c
-  ON len(c.c_name) = 18 AND len(d.dn) = 18 AND hamming(d.dn, c.c_name) <= 1
+FROM d18 d JOIN c18 c ON hamming(d.dn, c.c_name) <= 1
 """
 
 
@@ -4729,7 +4786,6 @@ GROUP BY 1
 """
 
 
-_JOIN_SCD2_PIT_SQL = None  # built lazily after _DIM_SCD2_SQL (see oracle_sql)
 
 
 def diag_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4908,7 +4964,11 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(doc_id) per distinct shingle (vocabulary-sized aggregate), one
     join back, one per-doc ratio — no cross-doc pair enumeration
     anywhere. Top-20 least-novel docs (ties → doc_id) keep the output
-    bounded."""
+    bounded; the top-20 is taken with orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, never a single-task
+    corpus-cardinality sort) and the rank over the 20 survivors is the
+    window-free relational rank (topk.ranked_top_n), so no
+    unpartitioned WindowExec appears anywhere in the plan."""
     from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
         _word_shingles,
     )
@@ -4930,17 +4990,19 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"), 6),
         )
     )
-    w = Window.orderBy(F.asc("novelty"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 20)
-        .select("doc_id", "n_shingles", "n_novel", "novelty", "rk")
-    )
+    return ranked_top_n(
+        per_doc, [("novelty", False), ("doc_id", False)], 20, rank_col="rk"
+    ).select("doc_id", "n_shingles", "n_novel", "novelty", "rk")
 
 
 _TEXT_NOVELTY_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+  -- coalesce(text, '') so a NULL-text doc yields the same '' shingle
+  -- as Spark's _word_shingles (concat_ws over a NULL token array); a
+  -- bare NULL would produce s = NULL, drop out of the sh JOIN, and
+  -- remove the doc from the oracle while Spark still emits it.
+  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS tk
+  FROM documents
 ), sh AS (
   SELECT doc_id,
          unnest(list_distinct(CASE WHEN len(tk) >= 3
@@ -5081,9 +5143,7 @@ def dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
     )
     cnt = dig.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
-    pairs = minhash_verified_pairs(
-        docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=3
-    )
+    pairs = _verified_edges(spark, sf_dir, 0.8)
     near = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
@@ -5142,19 +5202,63 @@ def agg_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration report: customers ranked into deciles by
     lifetime revenue (exact integer cents), each decile's customer
     count, revenue, and share of total — the Lorenz-curve table every
-    "top decile drives X% of revenue" claim comes from. The global
-    ntile window sorts only the per-customer AGGREGATE (|customers|
-    rows, not facts — the groupBy reduced the fact table first with
-    map-side partials), with a custkey tiebreak so decile membership is
-    deterministic. Shares are BIGINT/BIGINT divisions — identical IEEE
-    doubles in both engines."""
+    "top decile drives X% of revenue" claim comes from.
+
+    TWO-PHASE scale-safe decile assignment (r5 verdict item 5 — no
+    unpartitioned ntile over a corpus-cardinality input): the global
+    rank is computed distributedly — repartitionByRange on
+    (rev_cents DESC, custkey ASC) gives range-disjoint partitions whose
+    order respects the global order (the tuple is unique: custkey is a
+    key, so no tie ever straddles a boundary, and AQE coalescing merges
+    only ADJACENT ranges, preserving the property); each partition
+    numbers its own rows in parallel (window partitioned by partition
+    id); a partition-count-sized offset table (cumulative counts — ~32
+    rows, bounded by parallelism, not data) is broadcast back, so
+    global_rank = local_rn + offset with no single-task sort anywhere.
+    The decile is then ntile(10)'s exact row-allocation rule in closed
+    form (first n%10 tiles get ⌈n/10⌉ rows, the rest ⌊n/10⌋) — pure
+    integer arithmetic, bit-identical to the oracle's ntile(10).
+    Shares are BIGINT/BIGINT divisions — identical IEEE doubles in both
+    engines."""
     o = _t(spark, sf_dir, "orders")
     cents = (
         o.groupBy("o_custkey")
         .agg((F.sum(F.col("o_totalprice").cast(DEC)) * 100).cast("long").alias("rev_cents"))
     )
-    w = Window.orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
-    t = cents.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    ranged = cents.repartitionByRange(
+        32, F.desc("rev_cents"), F.asc("o_custkey")
+    ).withColumn("_pid", F.spark_partition_id())
+    wl = Window.partitionBy("_pid").orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
+    local = ranged.withColumn("_lrn", F.row_number().over(wl).cast("long"))
+    # offsets: cumulative row count of all EARLIER partitions — a
+    # window over |partitions| rows (parallelism-bounded, never
+    # data-bounded), broadcast back onto the ranked rows.
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).cast("long"))
+        .select("_pid", "_off")
+    )
+    ntot = local.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # ntile(10)'s allocation rule in closed form, all-BIGINT `div`
+    # arithmetic (no float division anywhere): q = _n div 10, r = _n %
+    # 10; ranks 1.._r*(q+1) land in the r leading (q+1)-sized tiles,
+    # the rest in q-sized tiles.
+    t = (
+        local.join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(ntot))
+        .withColumn("_rn", F.col("_lrn") + F.col("_off"))
+        .withColumn(
+            "decile",
+            F.expr(
+                "CAST(CASE WHEN _rn <= (_n % 10) * (_n div 10 + 1) "
+                "THEN (_rn - 1) div (_n div 10 + 1) + 1 "
+                "ELSE (_n % 10) + (_rn - (_n % 10) * (_n div 10 + 1) - 1) div (_n div 10) + 1 "
+                "END AS INT)"
+            ),
+        )
+    )
     tot = t.agg(F.sum("rev_cents").cast("long").alias("_tot"))
     return (
         t.groupBy("decile")
@@ -5874,9 +5978,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-ish scaling); the doc→source map is a 2-column projection
     joined back by id."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_verified_pairs(
-        docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=3
-    )
+    pairs = _verified_edges(spark, sf_dir, 0.8)
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_src_a"))
     b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_src_b"))
@@ -6714,15 +6816,14 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the oracle hash-match), not the all-pairs postings join — measured ×14
     super-linear at sf0.1 on this shared-vocabulary corpus, exactly the
     quadratic tier the MinHash path exists to replace; the output (and
-    therefore the all-pairs oracle) is unchanged."""
+    therefore the all-pairs oracle) is unchanged. The edge table comes
+    from the shared session-scoped supplier (_verified_edges) — derived
+    once, consumed by the whole graph family."""
     from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.graph import (
         pagerank_integer,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    edges = minhash_verified_pairs(
-        docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=3
-    )
+    edges = _verified_edges(spark, sf_dir, 0.8)
     return pagerank_integer(edges.select("id_a", "id_b"), iterations=3)
 
 
@@ -7010,43 +7111,29 @@ def dedup_canonical_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.dup_clusters) × integer PageRank centrality
     (graph.pagerank_integer) over the SAME near-dup edge set — each
     cluster keeps its most-central member (ties → min id) instead of an
-    arbitrary min-id survivor. The Jaccard edge list is persisted ONCE
-    here and shared by both consumers — dup_clusters' label-propagation
-    loop (eager, localCheckpointed rounds) and the PageRank recurrence
-    would otherwise each recompute the candidate join from the raw
-    text. The oracle replays clusters (recursive CTE) + rank (unrolled
-    integer recurrence) + the same argmax."""
+    arbitrary min-id survivor. The Jaccard edge list comes from the
+    shared session-scoped supplier (_verified_edges, already a
+    materialized localCheckpointed pair list) — dup_clusters'
+    label-propagation loop and the PageRank recurrence both read
+    checkpoint blocks instead of re-deriving the candidate join from
+    the raw text. The oracle replays clusters (recursive CTE) + rank
+    (unrolled integer recurrence) + the same argmax."""
     from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.graph import (
         pagerank_integer,
     )
 
-    from pyspark import StorageLevel
-
-    docs = _t(spark, sf_dir, "documents")
-    edges = (
-        minhash_verified_pairs(
-            docs, "doc_id", "text", threshold=0.8, num_hashes=128, num_bands=64, shingle_k=3
-        )
-        .select("id_a", "id_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    edges = _verified_edges(spark, sf_dir, 0.8).select("id_a", "id_b")
     clusters = dup_clusters(edges)
     ranks = pagerank_integer(edges, iterations=3)
     joined = clusters.join(ranks, clusters["id"] == ranks["node"]).select(
         "id", "cluster_id", "rank_micro"
     )
     w = Window.partitionBy("cluster_id").orderBy(F.desc("rank_micro"), F.asc("id"))
-    out = (
+    return (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("cluster_id", F.col("id").alias("canonical_id"), "rank_micro")
-        # one cluster-count-sized frame; materialize, then release the
-        # shared edge cache (r4 advisor: no cached-RDD accumulation
-        # across invocations in one session)
-        .localCheckpoint(eager=True)
     )
-    edges.unpersist()
-    return out
 
 
 _DEDUP_CANONICAL_SQL = f"""
@@ -7141,10 +7228,11 @@ def text_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction (the IR face of the text family):
     per token its document frequency and the first 10 posting doc ids
     (sorted — collect_list order is partition-dependent, sort_array
-    restores determinism), top-20 tokens by (df DESC, token). The
-    posting lists aggregate per token with map-side partials; at
-    100 TB the sample-slice caps per-token payload so no token's full
-    posting list ever materializes in one row."""
+    restores determinism; '|'-joined per the driver determinism
+    contract: no raw array<T> in driver-checked outputs), top-20 tokens
+    by (df DESC, token). The posting lists aggregate per token with
+    map-side partials; at 100 TB the sample-slice caps per-token payload
+    so no token's full posting list ever materializes in one row."""
     from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
         tokens,
     )
@@ -7157,7 +7245,9 @@ def text_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("token")
         .agg(
             F.count(F.lit(1)).cast("long").alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias("sample_docs"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10), "|"
+            ).alias("sample_docs"),
         )
         .orderBy(F.desc("df"), F.asc("token"))
         .limit(20)
@@ -7172,7 +7262,7 @@ WITH tok AS (
   WHERE length(trim(text)) > 0
 )
 SELECT token, CAST(count(*) AS BIGINT) AS df,
-       (list_sort(list(doc_id)))[1:10] AS sample_docs
+       array_to_string((list_sort(list(doc_id)))[1:10], '|') AS sample_docs
 FROM tok
 GROUP BY token
 ORDER BY df DESC, token ASC
@@ -7380,27 +7470,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ROTATION POLICY (round 4+): the window holds oracled queries that
     have NEVER received a driver correctness row, maximizing cumulative
-    driver coverage across rounds — rounds 2–4 drove 119 distinct
-    queries green (rows on record in CORRECTNESS_r02–r04); this round's
-    window is the next 50 first-time-checked entries (the round-4
-    backlog plus the new similarity_dup_pairs_verified and the
-    re-routed similarity_semantic_clusters from the r4 verdict's item
-    2). The 12 cheapest oracled stragglers (~0.2–0.4 s each at sf0.01,
-    chosen by measured gate time so round 6's window absorbs them with
-    room to spare) rotate in at round 6. Every in-window entry is
-    oracle'd — no check slot is spent on a rows-only query; the
-    deliberately rows-only sketches (MinHash-LSH/HLL/KLL/EWMA/zlib)
-    live past the window, pinned by pytest and exercised by bench.
-    The rotation-policy test (tests/test_entry_contract.py) enforces
-    all of this mechanically against the committed artifacts.
+    driver coverage across rounds — rounds 2–5 drove 169 distinct
+    queries (163 hash-green rows in CORRECTNESS_r02–r05). The round-6
+    window absorbs the ENTIRE remaining oracled backlog (26 queries),
+    re-slots the two non-green rows that now have fixes (the r5
+    canonicalizer crash on agg_nations_per_region's array output, the
+    r2 no_oracle agg_approx_distinct that has an oracle since r3), and
+    spends the spare slots re-checking the oldest (r2) green rows per
+    the stated policy — after this round every oracled query has a
+    driver row. Every in-window entry is oracle'd — no check slot is
+    spent on a rows-only query; the deliberately rows-only sketches
+    (MinHash-LSH/HLL/KLL/EWMA/zlib) live past the window, pinned by
+    pytest and exercised by bench. The rotation-policy test
+    (tests/test_entry_contract.py) enforces all of this mechanically
+    against the committed artifacts.
     """
     return {
-        # ====== DRIVER CHECK WINDOW (first 50 entries) — round-5 rotation:
-        # every entry below is oracled and had NEVER received a driver
-        # correctness row before this round (r2–r4 artifacts cover the
-        # previous windows; see the rotation-policy test). The 12 cheapest
-        # oracled stragglers (~0.2–0.4 s each at sf0.01) are deferred to
-        # the round-6 window. ======
+        # ====== ROUND-6 DRIVER CHECK WINDOW (first 50 entries) ======
+        # Slots 1-26: the full oracled backlog — every oracled query that
+        # has never received a driver correctness row (r5 verdict item 2).
+        # After this round, EVERY oracled query has a driver row.
+        "topk_orders_page": topk_orders_page,
+        "setops_union_all_nationkeys": setops_union_all_nationkeys,
+        "setops_except_all_nationkeys": setops_except_all_nationkeys,
+        "window_pct_rank_suppliers": window_pct_rank_suppliers,
+        "window_ewma_integer_orders": window_ewma_integer_orders,
+        "join_scd2_point_in_time": join_scd2_point_in_time,
+        "diag_referential_integrity": diag_referential_integrity,
+        "sample_leave_last_out_events": sample_leave_last_out_events,
+        "text_bm25_topk": text_bm25_topk,
+        "join_fuzzy_dirty_customers": join_fuzzy_dirty_customers,
+        "agg_decile_revenue_share": agg_decile_revenue_share,
+        "agg_yoy_revenue_growth": agg_yoy_revenue_growth,
+        "dedup_rate_report": dedup_rate_report,
+        "events_wau_rolling": events_wau_rolling,
+        "orders_open_backlog_daily": orders_open_backlog_daily,
+        "supplier_lead_time_percentiles": supplier_lead_time_percentiles,
+        "text_ngram_novelty": text_ngram_novelty,
+        "events_anomaly_mad": events_anomaly_mad,
+        "text_scrub_blocklist": text_scrub_blocklist,
+        "sample_global_shuffle": sample_global_shuffle,
+        "window_cume_nth_suppliers": window_cume_nth_suppliers,
+        "sample_exact_per_lang": sample_exact_per_lang,
+        "window_ratio_to_report": window_ratio_to_report,
+        "text_posting_lists": text_posting_lists,
+        "pack_padding_waste": pack_padding_waste,
+        "events_variant_props": events_variant_props,
+        # Slots 27-28: re-slots — agg_nations_per_region (r5 driver-
+        # canonicalizer crash on its then-array output; now a '|'-joined
+        # string) and agg_approx_distinct (r2 no_oracle row; it has an
+        # exact-count oracle now).
+        "agg_nations_per_region": agg_nations_per_region,
+        "agg_approx_distinct": agg_approx_distinct,
+        # Slots 29-50: re-checks of the OLDEST green rows (r2, in their
+        # original order) per the stated policy: once the backlog is
+        # absorbed, spare slots re-verify the oldest coverage first.
+        "q1_pricing_summary": q1_pricing_summary,
+        "w1_running_max_price": w1_running_max_price,
+        "w1_final_max_per_year": w1_final_max_per_year,
+        "w2_count_window_avg": w2_count_window_avg,
+        "w3_rows_between_breaches": w3_rows_between_breaches,
+        "w4_running_max_month": w4_running_max_month,
+        "join_orders_customer": join_orders_customer,
+        "join_broadcast_region_rollup": join_broadcast_region_rollup,
+        "join_semi_customers_with_orders": join_semi_customers_with_orders,
+        "join_anti_customers_without_orders": join_anti_customers_without_orders,
+        "join_asof_click_purchase": join_asof_click_purchase,
+        "join_range_price_band": join_range_price_band,
+        "topk_orders_by_price": topk_orders_by_price,
+        "topk_customers_per_segment": topk_customers_per_segment,
+        "setops_union_nation_keys": setops_union_nation_keys,
+        "setops_intersect_custkeys": setops_intersect_custkeys,
+        "setops_except_nation_keys": setops_except_nation_keys,
+        "dedup_keep_first_per_nation": dedup_keep_first_per_nation,
+        "rollup_order_status": rollup_order_status,
+        "cube_order_status": cube_order_status,
+        "pivot_status_by_priority": pivot_status_by_priority,
+        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+        # ====== end of the driver 50-entry check window ======
+        # Below: previously driver-checked queries (green rows in
+        # CORRECTNESS_r02-r05) and the rows-only sketches (pytest-pinned).
         "events_value_increase_streaks": events_value_increase_streaks,
         "events_fill_forward_value": events_fill_forward_value,
         "agg_modal_event_type": agg_modal_event_type,
@@ -7437,7 +7586,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functions_array_ops": functions_array_ops,
         "text_top_tokens": text_top_tokens,
         "similarity_vector_norms": similarity_vector_norms,
-        "agg_nations_per_region": agg_nations_per_region,
         "sql_month_spine_density": sql_month_spine_density,
         "llm_pipeline_pretrain_verified": llm_pipeline_pretrain_verified,
         "setops_intersect_all_nationkeys": setops_intersect_all_nationkeys,
@@ -7451,12 +7599,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_winsorized_price_stats": agg_winsorized_price_stats,
         "similarity_hard_negatives": similarity_hard_negatives,
         "join_asof_tolerance_purchase": join_asof_tolerance_purchase,
-        # ====== end of the driver's 50-entry check window ======
-        # Below: previously driver-checked queries (green rows in
-        # CORRECTNESS_r02–r04), the rows-only sketches (pytest-pinned),
-        # and the 12-entry oracled backlog for the round-6 rotation
-        # (the rotation-policy test computes the live backlog from the
-        # committed artifacts).
         "window_time_sliding_events": window_time_sliding_events,
         "text_repetition_stats": text_repetition_stats,
         "text_subword_budget": text_subword_budget,
@@ -7507,36 +7649,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dedup_payloads": multimodal_dedup_payloads,
         "events_ohlc_hourly": events_ohlc_hourly,
         "events_rolling_zscore": events_rolling_zscore,
-        "q1_pricing_summary": q1_pricing_summary,
-        "w1_running_max_price": w1_running_max_price,
         "w1_running_max_segmented": w1_running_max_segmented,
-        "w1_final_max_per_year": w1_final_max_per_year,
-        "w2_count_window_avg": w2_count_window_avg,
-        "w3_rows_between_breaches": w3_rows_between_breaches,
-        "w4_running_max_month": w4_running_max_month,  # -- joins ---------------------------------------------------------
-        "join_orders_customer": join_orders_customer,
-        "join_broadcast_region_rollup": join_broadcast_region_rollup,
-        "join_semi_customers_with_orders": join_semi_customers_with_orders,
-        "join_anti_customers_without_orders": join_anti_customers_without_orders,
-        "join_asof_click_purchase": join_asof_click_purchase,
-        "join_range_price_band": join_range_price_band,
         "join_full_outer_order_counts": join_full_outer_order_counts,
-        "join_salted_skew": join_salted_skew,  # -- top-k / set ops ----------------------------------------------
-        "topk_customers_per_segment": topk_customers_per_segment,
-        "setops_union_nation_keys": setops_union_nation_keys,
-        "join_interval_overlap_activity": join_interval_overlap_activity,  # -- multi-dim agg ------------------------------------------------
-        "rollup_order_status": rollup_order_status,
+        "join_salted_skew": join_salted_skew,
+        "join_interval_overlap_activity": join_interval_overlap_activity,
         "agg_grouping_sets": agg_grouping_sets,
-        "pivot_status_by_priority": pivot_status_by_priority,
-        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "agg_order_stats": agg_order_stats,
-        "pack_concat_chunks": pack_concat_chunks_docs,  # -- window analytics + time windows ------------------------------
+        "pack_concat_chunks": pack_concat_chunks_docs,
         "window_rank_customers": window_rank_customers,
         "window_sessionize_events": window_sessionize_events,
         "window_range_frame_sum": window_range_frame_sum,
-        "window_time_tumbling_events": window_time_tumbling_events,  # -- multimodal ----------------------------------------------------
+        "window_time_tumbling_events": window_time_tumbling_events,
         "multimodal_payload_meta": multimodal_payload_meta,
-        "multimodal_decode_features": multimodal_decode_features,  # -- scalar fns / sampling / SQL layer / UDF ----------------------
+        "multimodal_decode_features": multimodal_decode_features,
         "events_json_sum": events_json_sum,
         "sample_train_val_test": sample_train_val_test,
         "functions_math_ops": functions_math_ops,
@@ -7557,19 +7682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_full_probe": similarity_ivf_full_probe,
         "similarity_lsh_recall": similarity_lsh_recall,
         "dedup_dup_clusters": dedup_dup_clusters,
-        "agg_approx_distinct": agg_approx_distinct,
-        "topk_orders_by_price": topk_orders_by_price,
-        "topk_orders_page": topk_orders_page,
-        "setops_intersect_custkeys": setops_intersect_custkeys,
-        "setops_except_nation_keys": setops_except_nation_keys,
-        "setops_union_all_nationkeys": setops_union_all_nationkeys,
-        "setops_except_all_nationkeys": setops_except_all_nationkeys,
-        "dedup_keep_first_per_nation": dedup_keep_first_per_nation,
-        "cube_order_status": cube_order_status,
         "window_lag_lead_orders": window_lag_lead_orders,
         "window_moving_avg_orders": window_moving_avg_orders,
         "window_first_last_order": window_first_last_order,
-        "window_pct_rank_suppliers": window_pct_rank_suppliers,
         "functions_date_parts": functions_date_parts,
         "functions_string_ops": functions_string_ops,
         "text_lang_distribution": text_lang_distribution,
@@ -7583,32 +7698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_approx_quantiles": agg_approx_quantiles,
         "llm_pipeline_pretrain_corpus": llm_pipeline_pretrain_corpus,
         "text_language_id": text_language_id,
-        "dedup_simhash_pairs": dedup_simhash_pairs_docs,  # rows-only (hamming sketch)
-        "window_ewma_orders": window_ewma_orders,  # rows-only (float recursion)
-        "window_ewma_integer_orders": window_ewma_integer_orders,
-        "join_scd2_point_in_time": join_scd2_point_in_time,
-        "diag_referential_integrity": diag_referential_integrity,
-        "sample_leave_last_out_events": sample_leave_last_out_events,
-        "text_bm25_topk": text_bm25_topk,
-        "join_fuzzy_dirty_customers": join_fuzzy_dirty_customers,
-        "agg_decile_revenue_share": agg_decile_revenue_share,
-        "agg_yoy_revenue_growth": agg_yoy_revenue_growth,
-        "dedup_rate_report": dedup_rate_report,
-        "events_wau_rolling": events_wau_rolling,
-        "orders_open_backlog_daily": orders_open_backlog_daily,
-        "supplier_lead_time_percentiles": supplier_lead_time_percentiles,
-        "text_ngram_novelty": text_ngram_novelty,
-        "events_anomaly_mad": events_anomaly_mad,
-        "window_ewma_segmented": window_ewma_segmented,  # rows-only (float recursion)
-        "text_compression_ratio": text_compression_ratio,  # rows-only (no zlib in oracle)
-        "text_scrub_blocklist": text_scrub_blocklist,
-        "sample_global_shuffle": sample_global_shuffle,
-        "window_cume_nth_suppliers": window_cume_nth_suppliers,
-        "sample_exact_per_lang": sample_exact_per_lang,
-        "window_ratio_to_report": window_ratio_to_report,
-        "text_posting_lists": text_posting_lists,
-        "pack_padding_waste": pack_padding_waste,
-        "events_variant_props": events_variant_props,
+        "dedup_simhash_pairs": dedup_simhash_pairs_docs,
+        "window_ewma_orders": window_ewma_orders,
+        "window_ewma_segmented": window_ewma_segmented,
+        "text_compression_ratio": text_compression_ratio,
     }
 
 

@@ -15,18 +15,29 @@ compilation is excluded. First-run compile cost is a per-query-shape
 constant that amortizes to zero on a long-lived cluster; timing it
 would benchmark Janino, not the engine.
 
-MEASUREMENT-HONESTY NOTE (round 5): through round 4 the graph/
-canonical family (graph_pagerank_dupgraph & co.) persisted its edge
-caches without unpersisting, and Spark's CacheManager matches caches by
-logical plan — so the warm-up invocation's cached RDDs silently served
-every "fresh" timed build (the tell was the "Asked to cache already
-cached data" warning stream the r4 advisor flagged). Round 5's cache-
-lifecycle fix (materialize-then-unpersist) means each timed run now
-pays the FULL per-invocation cost: graph_pagerank_dupgraph moved
-2.4 → ~6 s at sf0.1 not because the plan regressed but because the r4
-number was measuring cross-invocation cache reuse. The dominant
-component is the shared verified-MinHash edge supplier (~4 s at sf0.1),
-paid once per standalone invocation by each consumer query.
+MEASUREMENT-HONESTY NOTE (round 5, amended round 6): through round 4
+the graph/canonical family (graph_pagerank_dupgraph & co.) persisted
+its edge caches without unpersisting, and Spark's CacheManager matches
+caches by logical plan — so the warm-up invocation's cached RDDs
+silently served every "fresh" timed build (the tell was the "Asked to
+cache already cached data" warning stream the r4 advisor flagged).
+Round 5's cache-lifecycle fix (materialize-then-unpersist) made each
+invocation pay its full cost — which exposed that SEVEN consumer
+queries each re-derived the SAME verified-MinHash edge table (~4 s at
+sf0.1 apiece, ~27 s of the r5 headline). Round 6 adopts the r5
+verdict's recommended architecture: the edge table is derived ONCE per
+session into an explicitly lifecycle-managed materialized view
+(__spark_entry__._verified_edges — keyed by (sf_dir, threshold), eager
+localCheckpoint, signature caches unpersisted inside the supplier) and
+every consumer reads it. The bench reports that once-per-session
+derivation as its OWN row (edge_supplier_derive: memo cleared, both
+thresholds derived, single timed pass — a one-time cost has no
+meaningful median-of-3); consumer rows then honestly measure their
+post-derivation cost, exactly as they would in a production pipeline
+that materializes shared intermediates. Comparing r6 consumer rows to
+r5 ones therefore requires adding the derive row once — the r5→r6
+drop in graph-family rows is cost MOVED (and de-duplicated), not cost
+hidden.
 """
 
 from __future__ import annotations
@@ -133,6 +144,23 @@ def main() -> None:
     missing = [n for n in HEADLINE if n not in queries]
     if missing:
         raise SystemExit(f"HEADLINE names missing from queries(): {missing}")
+
+    # Once-per-session verified-MinHash edge derivation, measured as its
+    # own row (see the MEASUREMENT-HONESTY NOTE). Same steady-state
+    # protocol as every other row: one untimed pass fills the Janino
+    # codegen cache for the pipeline's generated stages, then the memo
+    # is cleared and the derivation re-runs timed (a one-time cost has
+    # no meaningful median-of-3, so one timed pass). The populated memo
+    # then serves every graph-family consumer below — the production
+    # pipeline shape.
+    for thr in (0.7, 0.8):
+        entrymod._verified_edges(spark, sf_dir, thr).count()
+    entrymod._EDGE_MEMO.clear()
+    t0 = time.time()
+    for thr in (0.7, 0.8):
+        entrymod._verified_edges(spark, sf_dir, thr).count()
+    edge_derive_sec = round(time.time() - t0, 3)
+
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -143,6 +171,10 @@ def main() -> None:
             fn(spark, sf_dir).count()  # timed: fresh plan build + execution
             times.append(time.time() - t0)
         per_query[name] = round(sorted(times)[1], 3)
+
+    # New row at the end (headline-30 prefix unchanged for
+    # cross-round comparability).
+    per_query["edge_supplier_derive"] = edge_derive_sec
 
     total = round(sum(per_query.values()), 3)
     print(

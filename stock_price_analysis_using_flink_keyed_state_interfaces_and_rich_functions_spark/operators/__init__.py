@@ -29,7 +29,7 @@ from .joins import (  # noqa: F401
     interval_overlap_join,
     salted_join,
 )
-from .topk import top_n, top_k_per_group  # noqa: F401
+from .topk import ranked_top_n, top_n, top_k_per_group  # noqa: F401
 from .timeseries import ohlc_bars, fill_forward  # noqa: F401
 from .scd import scd2_merge  # noqa: F401
 from .diagnostics import key_skew_stats  # noqa: F401

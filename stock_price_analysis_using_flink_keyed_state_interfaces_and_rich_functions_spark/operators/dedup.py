@@ -441,6 +441,16 @@ def minhash_verified_pairs(
     Scale: candidates come from the banded equi-join (never all-pairs);
     the confirm joins shingle ARRAYS only for candidate rows —
     |candidates| × avg-doc-shingles, not corpus².
+
+    Cache lifecycle (r5 advisor): the signature frame is persisted for
+    the candidate+confirm joins, then the RESULT is materialized
+    eagerly (localCheckpoint) and the signature cache is unpersisted
+    before returning — a long-lived session never accumulates cached
+    signature RDDs across invocations, and no "fresh" rebuild of the
+    same logical plan can silently ride a previous invocation's warm
+    cache (CacheManager matches by plan). The returned frame is
+    therefore already materialized: pair-list-sized (|near-dup pairs|),
+    safe to reference any number of times.
     """
     from pyspark import StorageLevel
 
@@ -466,7 +476,7 @@ def minhash_verified_pairs(
         .localCheckpoint(eager=False)
     )
     inter = F.size(F.array_intersect("_sa", "_sb"))
-    return (
+    out = (
         cands.join(shs.select(F.col("_id").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
         .join(shs.select(F.col("_id").alias("id_b"), F.col("_shs").alias("_sb")), "id_b")
         .withColumn("_i", inter)
@@ -478,7 +488,10 @@ def minhash_verified_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    sigs.unpersist()
+    return out
 
 
 def dup_clusters(

@@ -455,10 +455,15 @@ def ewma_integer(
         y_0 = x_0
         y_n = ((100 - alpha_pct)·y_{n-1} + alpha_pct·x_n) // 100
 
-    Floor division on BIGINT is engine-portable (Python ``//`` here,
-    DuckDB ``//`` in the oracle — both floor), and integer addition is
-    order-independent, so a DuckDB recursive CTE replaying the
-    identical unrolled recurrence hash-matches to the last unit — the
+    Python ``//`` FLOORS toward −∞ while DuckDB ``//`` truncates toward
+    zero — they agree only on non-negative operands — so the DuckDB
+    oracle must replay the recurrence with an integer-safe floor
+    (``(s - ((s % 100) + 100) % 100) // 100``: subtracting the positive
+    remainder makes ``s`` an exact multiple of the divisor, making the
+    truncation rule moot).  With that form the recurrence is portable
+    even for negative state or inputs (refund cents), and integer
+    addition is order-independent, so the unrolled recursive CTE
+    hash-matches to the last unit — the
     float :func:`ewma` stays rows-only because ITS recursion
     reassociates IEEE ops, but the integer form closes the oracle gap.
     Quantization bias is bounded: each step floors once, so

@@ -752,9 +752,13 @@ def bm25_topk(
         F.sum("_s_micro").cast("long").alias("score_micro"),
         F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
     )
-    w = Window.orderBy(F.desc("score_micro"), F.asc(id_col))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= k)
-        .select(id_col, "score_micro", "n_terms_hit", "rk")
-    )
+    # Top-k WITHOUT a single-task global window (r5 verdict scale
+    # finding): TakeOrderedAndProject + a window-free relational rank
+    # over the k survivors only — see topk.ranked_top_n. A row_number
+    # over `scored` directly would sort every query-term-matching doc
+    # on ONE task (Spark's "No Partition Defined" WindowExec warning).
+    from .topk import ranked_top_n
+
+    return ranked_top_n(
+        scored, [("score_micro", True), (id_col, False)], k, rank_col="rk"
+    ).select(id_col, "score_micro", "n_terms_hit", "rk")
