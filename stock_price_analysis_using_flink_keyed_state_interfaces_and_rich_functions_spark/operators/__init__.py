@@ -94,6 +94,7 @@ from .text import (  # noqa: F401
     fingerprint_ngram_min,
     with_vocab_stats,
     tfidf_top_terms,
+    bm25_rank_from_stats,
     bm25_topk,
     unigram_logprob_scores,
     with_compression_ratio,

@@ -23,6 +23,8 @@ __all__ = [
     "streaming_dedup",
     "streaming_minhash_dedup",
     "read_accepted_signatures",
+    "streaming_bm25_stats",
+    "bm25_topk_from_store",
     "streaming_heavy_hitters",
     "read_heavy_hitters",
     "streaming_upsert_snapshot",
@@ -413,3 +415,96 @@ def read_heavy_hitters(spark, root: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no summary versions under {root}")
     return spark.read.parquet(versions[-1])
+
+
+def streaming_bm25_stats(
+    df: DataFrame,
+    root: str,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental BM25 statistics store — the streaming face of the
+    batch retrieval scorer (operators/text.py:bm25_topk), completing
+    batch↔stream parity for the retrieval family (r5 verdict item 7).
+
+    Each micro-batch writes two pure-integer PARTIALS:
+
+    - ``root/tf/b=<id>``: one row per (doc, query term) — (id_col, _t,
+      _tf term frequency, _len doc token length), the posting slice the
+      scorer needs. Bounded by |query terms| × batch docs.
+    - ``root/stats/b=<id>``: the 1-row corpus counter delta (_n docs
+      with ≥1 token, _lensum summed token lengths) over ALL batch docs
+      (BM25's idf/avglen normalize over the whole corpus, not just
+      term-matching docs).
+
+    Retry-idempotent exactly like the MinHash signature store: a batch
+    OVERWRITES its own ``b=<id>`` dirs, so a replayed micro-batch
+    replaces — never duplicates — its partials. Unlike the dedup store,
+    ingest never reads prior state at all (term/length counters are
+    pure sums), so there is no cross-batch read-your-writes hazard.
+    Contract: document ids must be globally unique across the stream
+    (the same append-only-corpus assumption the dedup store makes) —
+    re-sent docs would double-count df/length mass.
+
+    Because every stored quantity is an exact BIGINT, folding partials
+    at read time reproduces the batch operator's df/avglen/tf scalars
+    EXACTLY, and the shared scorer (text.bm25_rank_from_stats) then
+    ranks bit-identically to a one-shot batch run over the union of all
+    batches — the property the parity test asserts.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    import os
+
+    from ..operators.text import tokens
+
+    terms = [str(t) for t in query_terms]
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        lens = batch_df.select(
+            F.col(id_col), F.size(tokens(text_col)).alias("_len")
+        ).filter(F.col("_len") > 0)
+        stats = lens.agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_len").cast("long").alias("_lensum"),
+        )
+        toks = batch_df.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("_t")
+        ).filter(F.col("_t").isin(terms))
+        tf = toks.groupBy(id_col, "_t").agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+        tf_len = tf.join(lens, id_col)
+        tf_len.write.mode("overwrite").parquet(os.path.join(root, "tf", f"b={batch_id}"))
+        stats.write.mode("overwrite").parquet(os.path.join(root, "stats", f"b={batch_id}"))
+
+    run_stream_foreach_batch(df, _ingest, output_mode="append")
+
+
+def bm25_topk_from_store(
+    spark,
+    root: str,
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Rank the accumulated :func:`streaming_bm25_stats` store: fold the
+    per-batch integer partials (counter deltas SUM exactly; tf rows are
+    disjoint by the unique-doc-id contract) and hand them to the same
+    scorer the batch operator uses — bit-identical to batch BM25 over
+    the union of all ingested batches."""
+    import glob
+    import os
+
+    from ..operators.text import bm25_rank_from_stats
+
+    tf_dirs = glob.glob(os.path.join(root, "tf", "b=*"))
+    stat_dirs = glob.glob(os.path.join(root, "stats", "b=*"))
+    if not tf_dirs or not stat_dirs:
+        raise FileNotFoundError(f"no bm25 stats batches under {root}")
+    tf_len = spark.read.parquet(*tf_dirs)
+    stats = spark.read.parquet(*stat_dirs).agg(
+        F.sum("_n").cast("long").alias("_n"),
+        F.sum("_lensum").cast("long").alias("_lensum"),
+    )
+    return bm25_rank_from_stats(tf_len, stats, id_col=id_col, k=k, k1=k1, b=b)

@@ -727,3 +727,66 @@ def test_hamming_neighborhood_join_ground_truth(spark):
         (2, 10): 1,   # one substitution the other way
     }
     # id 3 (ham 2 from ABCD), id 4 (length 3), and XXXX (ham>=3) never match
+
+
+def test_ranked_top_n_matches_window_row_number(spark):
+    """topk.ranked_top_n (TakeOrderedAndProject + window-free relational
+    rank — the r5-verdict replacement for unpartitioned row_number) must
+    equal the naive global-window row_number on every ordering shape it
+    is used with: (desc, asc-id) and (asc, asc-id), including ties on
+    the leading key broken by the unique id."""
+    from pyspark.sql import Window
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.topk import (
+        ranked_top_n,
+    )
+
+    rows = [(i, float((i * 37) % 11), (i * 13) % 7) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, score double, extra long")
+
+    for keys, order_cols in [
+        ([("score", True), ("id", False)], [F.desc("score"), F.asc("id")]),
+        ([("score", False), ("id", False)], [F.asc("score"), F.asc("id")]),
+    ]:
+        got = {
+            r["id"]: r["rk"]
+            for r in ranked_top_n(df, keys, 7, rank_col="rk").collect()
+        }
+        w = Window.orderBy(*order_cols)
+        want = {
+            r["id"]: r["rk"]
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 7)
+            .collect()
+        }
+        assert got == want
+        assert sorted(got.values()) == list(range(1, 8))
+
+
+def test_decile_closed_form_matches_ntile(spark):
+    """The two-phase decile assignment (agg_decile_revenue_share) uses
+    ntile(10)'s row-allocation rule in closed-form BIGINT arithmetic;
+    pin the formula against F.ntile itself for sizes spanning n < k,
+    n % k == 0, and n % k != 0."""
+    from pyspark.sql import Window
+
+    formula = (
+        "CAST(CASE WHEN _rn <= (_n % 10) * (_n div 10 + 1) "
+        "THEN (_rn - 1) div (_n div 10 + 1) + 1 "
+        "ELSE (_n % 10) + (_rn - (_n % 10) * (_n div 10 + 1) - 1) div (_n div 10) + 1 "
+        "END AS INT)"
+    )
+    for n in (3, 7, 10, 23, 100, 101):
+        df = spark.createDataFrame([(i,) for i in range(n)], "v long")
+        w = Window.orderBy("v")
+        want = {
+            r["v"]: r["t"] for r in df.withColumn("t", F.ntile(10).over(w)).collect()
+        }
+        got = {
+            r["v"]: r["t"]
+            for r in df.withColumn("_rn", F.row_number().over(w).cast("long"))
+            .withColumn("_n", F.lit(n).cast("long"))
+            .withColumn("t", F.expr(formula))
+            .collect()
+        }
+        assert got == want, f"n={n}"

@@ -1197,3 +1197,72 @@ def test_ewma_integer_stream_recovers_from_checkpoint(spark, tmp_path):
     }
     for r in both:
         assert expected[(r["k"], r["v"])] == r["y"]
+
+
+def test_streaming_bm25_stats_matches_batch(spark, tmp_path):
+    """Batch↔stream parity for the retrieval family (r5 verdict item
+    7): documents ingested over 3 micro-batches through the
+    foreachBatch BM25 stats store must rank EXACTLY like a one-shot
+    batch bm25_topk over the full corpus — the stored partials are all
+    exact BIGINTs (tf, doc length, doc count, length sum), so the
+    shared scorer sees identical scalars and the float expression tree
+    produces identical micro-unit scores."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        bm25_topk,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.windows import (
+        bm25_topk_from_store,
+        streaming_bm25_stats,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    terms = ["spark", "scan", "hash"]
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    # 3 micro-batches split by doc_id ranges (ids unique per contract)
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    parts = [
+        docs.filter(F.col("doc_id") < cuts[0]),
+        docs.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        docs.filter(F.col("doc_id") >= cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(os.path.join(src, f"part={i}"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "part=*"))
+    )
+    streaming_bm25_stats(stream, store, terms)
+
+    streamed = {
+        r["doc_id"]: (r["score_micro"], r["n_terms_hit"], r["rk"])
+        for r in bm25_topk_from_store(spark, store, k=20).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["score_micro"], r["n_terms_hit"], r["rk"])
+        for r in bm25_topk(docs, terms, k=20).collect()
+    }
+    assert streamed == batch  # exact equality, not approx
+    assert len(batch) == 20
+
+    # retry-idempotence: replaying a batch's partials (overwrite of its
+    # own b= dir) must not change the fold. Materialize off the source
+    # path first — a lazy self-overwrite would read the files it is
+    # deleting.
+    one_rows = spark.read.parquet(os.path.join(store, "tf", "b=0")).collect()
+    one_schema = spark.read.parquet(os.path.join(store, "tf", "b=0")).schema
+    spark.createDataFrame(one_rows, one_schema).write.mode("overwrite").parquet(
+        os.path.join(store, "tf", "b=0")
+    )
+    again = {
+        r["doc_id"]: (r["score_micro"], r["n_terms_hit"], r["rk"])
+        for r in bm25_topk_from_store(spark, store, k=20).collect()
+    }
+    assert again == batch
