@@ -7455,6 +7455,204 @@ UNION
 """
 
 
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval SPLIT-LEAKAGE audit — the check every training-data
+    pipeline must run before trusting an eval number: after the
+    deterministic 80/10/10 hash split (sample_train_val_test's exact
+    rule), how many near-duplicate pairs (verified 3-gram Jaccard ≥
+    0.8) STRADDLE two different splits? A test doc near-duplicating a
+    train doc invalidates the eval; hash-splitting by doc_id cannot see
+    text-level duplication, so leakage is expected and must be
+    measured. Output: one row per unordered split pair — pair count
+    and the distinct leaked doc count on each side.
+
+    Composes two proven tiers: the shared session edge table
+    (_verified_edges — banded candidates + exact confirm) and the
+    md5-bucket split rule, both already individually oracled; the
+    oracle replays all-pairs exact Jaccard + the identical CASE
+    expression. Scale: edges are pair-list-sized; the split map is a
+    2-column projection joined by id; the final aggregate is ≤ 3
+    rows."""
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"], seed=_MIX_SEED
+    ).select("doc_id", "split")
+    edges = _verified_edges(spark, sf_dir, 0.8)
+    sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sp_a"))
+    sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sp_b"))
+    return (
+        edges.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("_sp_a") != F.col("_sp_b"))
+        .groupBy(
+            F.least("_sp_a", "_sp_b").alias("split_lo"),
+            F.greatest("_sp_a", "_sp_b").alias("split_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count_distinct(
+                F.when(F.col("_sp_a") < F.col("_sp_b"), F.col("id_a")).otherwise(
+                    F.col("id_b")
+                )
+            )
+            .cast("long")
+            .alias("n_docs_lo"),
+            F.count_distinct(
+                F.when(F.col("_sp_a") < F.col("_sp_b"), F.col("id_b")).otherwise(
+                    F.col("id_a")
+                )
+            )
+            .cast("long")
+            .alias("n_docs_hi"),
+        )
+    )
+
+
+def _split_leakage_sql() -> str:
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        rate_to_hex,
+    )
+
+    bucket = (
+        "substr(md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' "
+        f"|| CAST(doc_id AS VARCHAR) || '{_MIX_SEED}'), 1, 8)"
+    )
+    return f"""
+WITH pairs AS ({_jaccard_pairs_sql(0.8, shingle_k=3)}),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {bucket} < '{rate_to_hex(0.1)}' THEN 'test'
+              WHEN {bucket} < '{rate_to_hex(0.9)}' THEN 'train'
+              ELSE 'val' END AS split
+  FROM documents
+)
+SELECT least(a.split, b.split) AS split_lo,
+       greatest(a.split, b.split) AS split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT CASE WHEN a.split < b.split THEN p.id_a ELSE p.id_b END) AS BIGINT) AS n_docs_lo,
+       CAST(count(DISTINCT CASE WHEN a.split < b.split THEN p.id_b ELSE p.id_a END) AS BIGINT) AS n_docs_hi
+FROM pairs p JOIN sp a ON a.doc_id = p.id_a JOIN sp b ON b.doc_id = p.id_b
+WHERE a.split <> b.split
+GROUP BY 1, 2
+"""
+
+
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-word bigrams by pointwise
+    mutual information, min count 5 — PMI = ln(P(ab) / (P(a)·P(b))),
+    the standard phrase detector a tokenizer/vocab-induction pipeline
+    runs over its corpus (high-PMI pairs become merge candidates).
+
+    Numeric determinism (the BM25 precedent): all inputs are exact
+    BIGINT counts (bigram count, two unigram counts, corpus token and
+    bigram totals); the score is ONE double expression evaluated in the
+    same operand order in both engines —
+    ln((c_ab·N_uni·N_uni) / (N_big·c_a·c_b)) with every factor cast to
+    double BEFORE multiplying (BIGINT products would overflow at corpus
+    scale) — then snapped to micro-units. Scale shape: bigrams build
+    map-side from the token array (no per-token shuffle), both count
+    tables are vocabulary-sized, the two unigram joins are broadcasts
+    of the min-count-filtered vocab slice, and the final top-k is
+    TakeOrderedAndProject + the window-free relational rank."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    tok_rows = docs.select(F.explode(toks).alias("w"))
+    uni = tok_rows.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+    n_uni = uni.agg(F.sum("c_w").cast("long").alias("_nu"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        docs.select(F.explode(bigrams).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    n_big = bg.agg(F.sum("c_ab").cast("long").alias("_nb"))
+    scored = (
+        bg.filter(F.col("c_ab") >= 5)
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_ab",
+            F.round(
+                F.log(
+                    (
+                        F.col("c_ab").cast("double")
+                        * F.col("_nu").cast("double")
+                        * F.col("_nu").cast("double")
+                    )
+                    / (
+                        F.col("_nb").cast("double")
+                        * F.col("c_a").cast("double")
+                        * F.col("c_b").cast("double")
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return ranked_top_n(
+        scored, [("pmi_micro", True), ("bigram", False)], 20, rank_col="rk"
+    ).select("bigram", "c_ab", "pmi_micro", "rk")
+
+
+_TEXT_PMI_SQL = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+),
+tok AS (SELECT unnest(toks) AS w FROM t),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM tok GROUP BY w),
+nu AS (SELECT CAST(sum(c_w) AS BIGINT) AS _nu FROM uni),
+bgr AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bgr GROUP BY w1, w2),
+nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS _nb FROM bg),
+scored AS (
+  SELECT bg.w1 || ' ' || bg.w2 AS bigram,
+         bg.c_ab,
+         CAST(round(ln((CAST(bg.c_ab AS DOUBLE) * CAST(nu._nu AS DOUBLE) * CAST(nu._nu AS DOUBLE))
+                       / (CAST(nb._nb AS DOUBLE) * CAST(a.c_w AS DOUBLE) * CAST(b.c_w AS DOUBLE))) * 1e6)
+              AS BIGINT) AS pmi_micro
+  FROM bg
+  JOIN uni a ON a.w = bg.w1
+  JOIN uni b ON b.w = bg.w2
+  CROSS JOIN nu CROSS JOIN nb
+  WHERE bg.c_ab >= 5
+)
+SELECT bigram, c_ab, pmi_micro,
+       CAST(row_number() OVER (ORDER BY pmi_micro DESC, bigram ASC) AS BIGINT) AS rk
+FROM scored
+ORDER BY pmi_micro DESC, bigram ASC
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -7522,7 +7720,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-count oracle now).
         "agg_nations_per_region": agg_nations_per_region,
         "agg_approx_distinct": agg_approx_distinct,
-        # Slots 29-50: re-checks of the OLDEST green rows (r2, in their
+        # Round-6 additions (never checked, so window-mandatory per the
+        # rotation test): split-leakage audit + PMI collocations.
+        "dedup_split_leakage": dedup_split_leakage,
+        "text_bigram_pmi": text_bigram_pmi,
+        # Remaining slots: re-checks of the OLDEST green rows (r2, in their
         # original order) per the stated policy: once the backlog is
         # absorbed, spare slots re-verify the oldest coverage first.
         "q1_pricing_summary": q1_pricing_summary,
@@ -7545,9 +7747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first_per_nation": dedup_keep_first_per_nation,
         "rollup_order_status": rollup_order_status,
         "cube_order_status": cube_order_status,
+        # ====== end of the driver 50-entry check window ======
         "pivot_status_by_priority": pivot_status_by_priority,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
-        # ====== end of the driver 50-entry check window ======
         # Below: previously driver-checked queries (green rows in
         # CORRECTNESS_r02-r05) and the rows-only sketches (pytest-pinned).
         "events_value_increase_streaks": events_value_increase_streaks,
@@ -7846,6 +8048,8 @@ def oracle_sql() -> dict[str, str]:
         "events_type_transitions": _EVENTS_TRANSITIONS_SQL,
         "events_rfm_scores": _EVENTS_RFM_SQL,
         "agg_approx_distinct": _AGG_APPROX_DISTINCT_SQL,
+        "dedup_split_leakage": _split_leakage_sql(),
+        "text_bigram_pmi": _TEXT_PMI_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,
