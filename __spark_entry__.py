@@ -5229,18 +5229,29 @@ def agg_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         32, F.desc("rev_cents"), F.asc("o_custkey")
     ).withColumn("_pid", F.spark_partition_id())
     wl = Window.partitionBy("_pid").orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
-    local = ranged.withColumn("_lrn", F.row_number().over(wl).cast("long"))
-    # offsets: cumulative row count of all EARLIER partitions — a
-    # window over |partitions| rows (parallelism-bounded, never
-    # data-bounded), broadcast back onto the ranked rows.
-    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (
-        local.groupBy("_pid")
-        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
-        .withColumn("_off", F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).cast("long"))
-        .select("_pid", "_off")
+    # Materialize the ranked aggregate ONCE (localCheckpoint): three
+    # consumers read it (per-partition counts, grand total, final join)
+    # and re-executing the range exchange per consumer would both
+    # triple the work and gamble on RangePartitioner boundary sampling
+    # being bit-stable across executions — _pid MUST mean the same
+    # partition in every consumer. The frame is the per-customer
+    # aggregate (|customers| rows), the same size a persist of any
+    # two-phase rank would hold.
+    local = (
+        ranged.withColumn("_lrn", F.row_number().over(wl).cast("long"))
+        .localCheckpoint(eager=True)
     )
-    ntot = local.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # offsets AND the grand total both derive from one tiny per-partition
+    # count frame (|partitions| rows — parallelism-bounded, never
+    # data-bounded). The cumulative window over it is unpartitioned but
+    # bounded by parallelism, not data (see PLANS.md's 1-part-window
+    # note).
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).cast("long")
+    ).select("_pid", "_off")
+    ntot = counts.agg(F.sum("_cnt").cast("long").alias("_n"))
     # ntile(10)'s allocation rule in closed form, all-BIGINT `div`
     # arithmetic (no float division anywhere): q = _n div 10, r = _n %
     # 10; ranks 1.._r*(q+1) land in the r leading (q+1)-sized tiles,
@@ -7537,6 +7548,113 @@ GROUP BY 1, 2
 """
 
 
+def dedup_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage REPAIR — the action after the audit
+    (dedup_split_leakage): every val/test doc that near-duplicates
+    (verified Jaccard ≥ 0.8) ANY train doc is reassigned to train (the
+    standard direction: shrink eval, never contaminate it; eval→eval
+    near-dups stay put — they don't leak training signal). Output: the
+    before/after census per split — n_docs, n_moved in, n_moved out —
+    the table a curator signs off on before regenerating eval files.
+
+    Same shared edge table + split rule as the audit; the repair set is
+    a semi-join of eval ids against train-adjacent edge endpoints. The
+    oracle replays audit + reassignment relationally."""
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"], seed=_MIX_SEED
+    ).select("doc_id", "split")
+    edges = _verified_edges(spark, sf_dir, 0.8)
+    sym = edges.select("id_a", "id_b").unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    train_ids = split.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("id_b")
+    )
+    # ids adjacent to ANY train doc
+    train_adjacent = (
+        sym.join(train_ids, "id_b", "left_semi").select(F.col("id_a").alias("doc_id")).distinct()
+    )
+    repaired = split.join(
+        train_adjacent.withColumn("_adj", F.lit(1)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "split",
+        F.when((F.col("split") != "train") & F.col("_adj").isNotNull(), F.lit("train"))
+        .otherwise(F.col("split"))
+        .alias("new_split"),
+    )
+    return (
+        repaired.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("new_split") != F.col("split")).cast("long").alias("n_moved_out"),
+        )
+        .join(
+            repaired.groupBy(F.col("new_split").alias("split")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs_after")
+            ),
+            "split",
+            "left",
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_moved_out",
+            F.coalesce("n_docs_after", F.lit(0)).cast("long").alias("n_docs_after"),
+        )
+    )
+
+
+def _split_repair_sql() -> str:
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        rate_to_hex,
+    )
+
+    bucket = (
+        "substr(md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' "
+        f"|| CAST(doc_id AS VARCHAR) || '{_MIX_SEED}'), 1, 8)"
+    )
+    return f"""
+WITH pairs AS ({_jaccard_pairs_sql(0.8, shingle_k=3)}),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {bucket} < '{rate_to_hex(0.1)}' THEN 'test'
+              WHEN {bucket} < '{rate_to_hex(0.9)}' THEN 'train'
+              ELSE 'val' END AS split
+  FROM documents
+),
+sym AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+),
+adj AS (
+  SELECT DISTINCT s.id_a AS doc_id
+  FROM sym s JOIN sp t ON t.doc_id = s.id_b AND t.split = 'train'
+),
+rep AS (
+  SELECT sp.doc_id, sp.split,
+         CASE WHEN sp.split <> 'train' AND adj.doc_id IS NOT NULL
+              THEN 'train' ELSE sp.split END AS new_split
+  FROM sp LEFT JOIN adj ON adj.doc_id = sp.doc_id
+),
+before AS (
+  SELECT split,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (WHERE new_split <> split) AS BIGINT) AS n_moved_out
+  FROM rep GROUP BY split
+),
+after AS (
+  SELECT new_split AS split, CAST(count(*) AS BIGINT) AS n_docs_after
+  FROM rep GROUP BY new_split
+)
+SELECT b.split, b.n_docs, b.n_moved_out,
+       CAST(coalesce(a.n_docs_after, 0) AS BIGINT) AS n_docs_after
+FROM before b LEFT JOIN after a ON a.split = b.split
+"""
+
+
 def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-20 adjacent-word bigrams by pointwise
     mutual information, min count 5 — PMI = ln(P(ab) / (P(a)·P(b))),
@@ -7653,6 +7771,46 @@ LIMIT 20
 """
 
 
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingestion chunking (operators/text.py:chunk_tokens_overlap):
+    every document split into 64-token chunks with 16-token overlap
+    (stride 48); one row per chunk with its token count and md5 digest
+    of the chunk text (digest, not text — keeps the checked output
+    narrow). Pure map-side higher-order array expressions, zero
+    shuffle; the chunk-count ceil is integer `div` arithmetic on
+    non-negative operands, so DuckDB replays the boundaries exactly."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        chunk_tokens_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_tokens_overlap(docs, "doc_id", "text", chunk_size=64, overlap=16)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_digest"),
+    )
+
+
+_TEXT_CHUNK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+), c AS (
+  SELECT doc_id,
+         CAST(k AS BIGINT) AS chunk_idx,
+         toks[k * 48 + 1 : k * 48 + 64] AS ctoks
+  FROM t, unnest(range(0, CASE WHEN len(toks) <= 64 THEN 1
+                               ELSE (len(toks) - 64 + 47) // 48 + 1 END)) AS u(k)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(ctoks, ' ')) AS chunk_digest
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -7724,6 +7882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation test): split-leakage audit + PMI collocations.
         "dedup_split_leakage": dedup_split_leakage,
         "text_bigram_pmi": text_bigram_pmi,
+        "text_chunk_overlap": text_chunk_overlap,
+        "dedup_split_repair": dedup_split_repair,
         # Remaining slots: re-checks of the OLDEST green rows (r2, in their
         # original order) per the stated policy: once the backlog is
         # absorbed, spare slots re-verify the oldest coverage first.
@@ -7746,9 +7906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_except_nation_keys": setops_except_nation_keys,
         "dedup_keep_first_per_nation": dedup_keep_first_per_nation,
         "rollup_order_status": rollup_order_status,
-        "cube_order_status": cube_order_status,
         # ====== end of the driver 50-entry check window ======
         "pivot_status_by_priority": pivot_status_by_priority,
+        "cube_order_status": cube_order_status,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         # Below: previously driver-checked queries (green rows in
         # CORRECTNESS_r02-r05) and the rows-only sketches (pytest-pinned).
@@ -8050,6 +8210,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_approx_distinct": _AGG_APPROX_DISTINCT_SQL,
         "dedup_split_leakage": _split_leakage_sql(),
         "text_bigram_pmi": _TEXT_PMI_SQL,
+        "text_chunk_overlap": _TEXT_CHUNK_SQL,
+        "dedup_split_repair": _split_repair_sql(),
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

@@ -119,6 +119,15 @@ HEADLINE = [
     "window_ewma_integer_orders",
     "text_bm25_topk",
     "join_fuzzy_dirty_customers",
+    # round-6 additions: de-single-tasked rankings + two-phase decile
+    # (reshaped, trend anchors) and the new leakage/PMI/chunk family;
+    # rows above remain unchanged for cross-round comparability.
+    "text_ngram_novelty",
+    "agg_decile_revenue_share",
+    "dedup_split_leakage",
+    "dedup_split_repair",
+    "text_bigram_pmi",
+    "text_chunk_overlap",
 ]
 
 

@@ -96,6 +96,7 @@ from .text import (  # noqa: F401
     tfidf_top_terms,
     bm25_rank_from_stats,
     bm25_topk,
+    chunk_tokens_overlap,
     unigram_logprob_scores,
     with_compression_ratio,
 )

@@ -42,6 +42,7 @@ __all__ = [
     "unigram_logprob_scores",
     "with_compression_ratio",
     "scrub_blocklist",
+    "chunk_tokens_overlap",
     "DEFAULT_LANG_MARKERS",
 ]
 
@@ -783,3 +784,68 @@ def bm25_rank_from_stats(
     return ranked_top_n(
         scored, [("score_micro", True), (id_col, False)], k, rank_col="rk"
     ).select(id_col, "score_micro", "n_terms_hit", "rk")
+
+
+def chunk_tokens_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the RAG-ingestion
+    splitter (documents → retrieval units) and the long-document
+    windowing step of a pretraining pipeline. Deterministic contract::
+
+        stride    = chunk_size - overlap
+        n_chunks  = 1                               if n_tokens <= chunk_size
+                  = ceil((n_tokens - chunk_size) / stride) + 1  otherwise
+        chunk k   = tokens[k*stride + 1 .. k*stride + chunk_size]  (1-based,
+                    clipped at the document end; the last chunk always
+                    reaches the final token, so no token is ever dropped)
+
+    Empty/NULL docs produce no chunks. One row out per (doc, chunk):
+    (id_col, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Scale shape: pure higher-order array expressions (sequence →
+    transform → explode) — map-side, JVM-codegen'd, zero shuffle; output
+    volume is input tokens × (1 + overlap/stride), the unavoidable
+    duplication overlap buys. The ceil is integer arithmetic on
+    non-negative operands ((n - cs + stride - 1) div stride — floor ==
+    truncate there), so the DuckDB oracle replays chunk boundaries
+    exactly.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    stride = chunk_size - overlap
+    staged = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    n = F.size("_toks")
+    # integer ceil via `div` (floor == truncate on the non-negative
+    # operands here) — portable to the DuckDB oracle verbatim
+    n_chunks = F.when(n <= chunk_size, F.lit(1).cast("long")).otherwise(
+        F.expr(
+            f"CAST((size(_toks) - {chunk_size} + {stride} - 1) div {stride} AS BIGINT) + 1"
+        )
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda k: F.struct(
+            k.alias("chunk_idx"),
+            F.slice(F.col("_toks"), (k * stride + 1).cast("int"), chunk_size).alias(
+                "_ctoks"
+            ),
+        ),
+    )
+    return (
+        staged.select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(
+            F.col(id_col),
+            F.col("_c.chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("_c._ctoks").cast("long").alias("n_chunk_tokens"),
+            F.array_join("_c._ctoks", " ").alias("chunk_text"),
+        )
+    )

@@ -1234,3 +1234,47 @@ def test_portable_simhash_null_vector_yields_no_pairs(spark):
     df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
     out = portable_simhash_dup_pairs(df, "vec_id", "embedding", dim=64).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+
+
+def test_chunk_tokens_overlap_contract(spark):
+    """Chunk boundary contract: stride = chunk_size - overlap, first
+    chunk starts at token 1, every chunk but possibly the last has
+    exactly chunk_size tokens, consecutive chunks share exactly
+    `overlap` tokens, the last chunk reaches the final token, and
+    empty/NULL docs produce no chunks."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        chunk_tokens_overlap,
+    )
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # n=10 <= cs → 1 chunk
+            (2, " ".join(f"t{i}" for i in range(11))),   # n=11 → 2 chunks
+            (3, " ".join(f"t{i}" for i in range(17))),   # n=17 → ceil(7/6)+1=3
+            (4, ""),                                      # no chunks
+            (5, None),                                    # no chunks
+            (6, "one"),                                   # 1 tiny chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens_overlap(docs, chunk_size=10, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 3, 6}
+    assert [r["n_chunk_tokens"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])] == [10]
+    c2 = sorted(by_doc[2], key=lambda r: r["chunk_idx"])
+    assert [r["n_chunk_tokens"] for r in c2] == [10, 5]  # starts 1, 7 → 7..11
+    assert c2[1]["chunk_text"].split() == [f"t{i}" for i in range(6, 11)]
+    c3 = sorted(by_doc[3], key=lambda r: r["chunk_idx"])
+    assert [r["n_chunk_tokens"] for r in c3] == [10, 10, 5]
+    # overlap: chunk k ends with the 4 tokens chunk k+1 starts with
+    assert c3[0]["chunk_text"].split()[-4:] == c3[1]["chunk_text"].split()[:4]
+    # last chunk reaches the final token
+    assert c3[-1]["chunk_text"].split()[-1] == "t16"
+    assert by_doc[6][0]["chunk_text"] == "one"
+
+    with _pytest.raises(ValueError):
+        chunk_tokens_overlap(docs, chunk_size=4, overlap=4)

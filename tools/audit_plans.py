@@ -49,7 +49,27 @@ EXTRA = [
     "join_scd2_point_in_time",
     "diag_referential_integrity",
     "window_ewma_integer_orders",
+    # round-6 additions: de-single-tasked rankings, two-phase decile,
+    # leakage audit, PMI collocations
+    "text_ngram_novelty",
+    "agg_decile_revenue_share",
+    "dedup_split_leakage",
+    "text_bigram_pmi",
+    "text_chunk_overlap",
 ]
+
+
+def _has_unpartitioned_window(simple: str) -> bool:
+    """True if any WindowExec in the plan has an EMPTY partition spec —
+    the single-task global-sort shape the r5 verdict flagged. In simple
+    explain a Window line prints '[functions], [partition], [order]'
+    (two top-level '], [' separators) when partitioned and only
+    '[functions], [order]' (one separator) when not."""
+    for line in simple.splitlines():
+        if re.search(r"\bWindow \[", line):
+            if line.count("], [") < 2:
+                return True
+    return False
 
 
 def audit(df) -> dict:
@@ -64,6 +84,7 @@ def audit(df) -> dict:
         "pushed": bool(re.search(r"PushedFilters: \[[^\]]", s)),
         "partial_agg": plans.has_partial_aggregation(df),
         "window": "Window" in s,
+        "window_1part": _has_unpartitioned_window(simple),
         # localCheckpoint replaces the checkpointed subtree with a
         # LogicalRDD/ExistingRDD scan: any counts above UNDERCOUNT the
         # real work. Rows with this flag get an explicit marker instead
@@ -118,8 +139,8 @@ def main() -> None:
         "baseline (broadcast query set x streamed corpus — the intended",
         "plan); cartesian must be false everywhere.",
         "",
-        "| query | exch | BHJ | SMJ | BNLJ | cartesian | pushdown | partial agg | window |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | exch | BHJ | SMJ | BNLJ | cartesian | pushdown | partial agg | window | 1-part window |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     bad = []
     # supplemental rows: the real iteration body of plans the
@@ -131,18 +152,19 @@ def main() -> None:
         try:
             a = audit(build(spark, sf_dir))
         except Exception as ex:  # pragma: no cover - audit tool robustness
-            lines.append(f"| {name} | ERROR: {type(ex).__name__} | | | | | | | |")
+            lines.append(f"| {name} | ERROR: {type(ex).__name__} | | | | | | | | |")
             bad.append(name)
             continue
         if a["truncated"]:
             name = f"{name} ⚠ckpt-truncated"
         lines.append(
-            "| {n} | {exchanges} | {bhj} | {smj} | {bnlj} | {cart} | {push} | {pagg} | {win} |".format(
+            "| {n} | {exchanges} | {bhj} | {smj} | {bnlj} | {cart} | {push} | {pagg} | {win} | {w1p} |".format(
                 n=name,
                 cart="YES" if a["cartesian"] else "no",
                 push="yes" if a["pushed"] else "-",
                 pagg="yes" if a["partial_agg"] else "-",
                 win="yes" if a["window"] else "-",
+                w1p="YES" if a["window_1part"] else "-",
                 **{k: a[k] for k in ("exchanges", "bhj", "smj", "bnlj")},
             )
         )
@@ -159,6 +181,25 @@ def main() -> None:
         "the executed work; see the '(iteration body)' row for the real"
     )
     lines.append("per-round shape where one is listed.")
+    lines.append("")
+    lines.append(
+        "1-part window = a WindowExec with an EMPTY partition spec (single-"
+    )
+    lines.append(
+        "task global sort — the r5 verdict's scale-killer shape). YES is"
+    )
+    lines.append(
+        "acceptable ONLY when the window input is bounded by something other"
+    )
+    lines.append(
+        "than data volume (a parallelism-sized offset table, a years/days"
+    )
+    lines.append(
+        "calendar spine, the k survivors of a TakeOrderedAndProject); any"
+    )
+    lines.append(
+        "YES over a corpus- or fact-cardinality input is a bug."
+    )
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
