@@ -5206,69 +5206,36 @@ def agg_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     TWO-PHASE scale-safe decile assignment (r5 verdict item 5 — no
     unpartitioned ntile over a corpus-cardinality input): the global
-    rank is computed distributedly — repartitionByRange on
-    (rev_cents DESC, custkey ASC) gives range-disjoint partitions whose
-    order respects the global order (the tuple is unique: custkey is a
-    key, so no tie ever straddles a boundary, and AQE coalescing merges
-    only ADJACENT ranges, preserving the property); each partition
-    numbers its own rows in parallel (window partitioned by partition
-    id); a partition-count-sized offset table (cumulative counts — ~32
-    rows, bounded by parallelism, not data) is broadcast back, so
-    global_rank = local_rn + offset with no single-task sort anywhere.
-    The decile is then ntile(10)'s exact row-allocation rule in closed
-    form (first n%10 tiles get ⌈n/10⌉ rows, the rest ⌊n/10⌋) — pure
-    integer arithmetic, bit-identical to the oracle's ntile(10).
-    Shares are BIGINT/BIGINT divisions — identical IEEE doubles in both
+    rank comes from operators/windows.py:distributed_global_rank
+    (range partition on (rev_cents DESC, custkey ASC) — the tuple is
+    unique, so no tie straddles a boundary — then per-partition
+    numbering + broadcast offsets; no single-task sort anywhere). The
+    decile is then ntile(10)'s exact row-allocation rule in closed form
+    (first n%10 tiles get ⌈n/10⌉ rows, the rest ⌊n/10⌋) — pure BIGINT
+    `div` arithmetic, bit-identical to the oracle's ntile(10). Shares
+    are BIGINT/BIGINT divisions — identical IEEE doubles in both
     engines."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_global_rank,
+    )
+
     o = _t(spark, sf_dir, "orders")
     cents = (
         o.groupBy("o_custkey")
         .agg((F.sum(F.col("o_totalprice").cast(DEC)) * 100).cast("long").alias("rev_cents"))
     )
-    ranged = cents.repartitionByRange(
-        32, F.desc("rev_cents"), F.asc("o_custkey")
-    ).withColumn("_pid", F.spark_partition_id())
-    wl = Window.partitionBy("_pid").orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
-    # Materialize the ranked aggregate ONCE (localCheckpoint): three
-    # consumers read it (per-partition counts, grand total, final join)
-    # and re-executing the range exchange per consumer would both
-    # triple the work and gamble on RangePartitioner boundary sampling
-    # being bit-stable across executions — _pid MUST mean the same
-    # partition in every consumer. The frame is the per-customer
-    # aggregate (|customers| rows), the same size a persist of any
-    # two-phase rank would hold.
-    local = (
-        ranged.withColumn("_lrn", F.row_number().over(wl).cast("long"))
-        .localCheckpoint(eager=True)
+    ranked = distributed_global_rank(
+        cents, [("rev_cents", True), ("o_custkey", False)], rank_col="_rn"
     )
-    # offsets AND the grand total both derive from one tiny per-partition
-    # count frame (|partitions| rows — parallelism-bounded, never
-    # data-bounded). The cumulative window over it is unpartitioned but
-    # bounded by parallelism, not data (see PLANS.md's 1-part-window
-    # note).
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
-    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = counts.withColumn(
-        "_off", F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).cast("long")
-    ).select("_pid", "_off")
-    ntot = counts.agg(F.sum("_cnt").cast("long").alias("_n"))
-    # ntile(10)'s allocation rule in closed form, all-BIGINT `div`
-    # arithmetic (no float division anywhere): q = _n div 10, r = _n %
-    # 10; ranks 1.._r*(q+1) land in the r leading (q+1)-sized tiles,
-    # the rest in q-sized tiles.
-    t = (
-        local.join(F.broadcast(offs), "_pid")
-        .crossJoin(F.broadcast(ntot))
-        .withColumn("_rn", F.col("_lrn") + F.col("_off"))
-        .withColumn(
-            "decile",
-            F.expr(
-                "CAST(CASE WHEN _rn <= (_n % 10) * (_n div 10 + 1) "
-                "THEN (_rn - 1) div (_n div 10 + 1) + 1 "
-                "ELSE (_n % 10) + (_rn - (_n % 10) * (_n div 10 + 1) - 1) div (_n div 10) + 1 "
-                "END AS INT)"
-            ),
-        )
+    ntot = ranked.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    t = ranked.crossJoin(F.broadcast(ntot)).withColumn(
+        "decile",
+        F.expr(
+            "CAST(CASE WHEN _rn <= (_n % 10) * (_n div 10 + 1) "
+            "THEN (_rn - 1) div (_n div 10 + 1) + 1 "
+            "ELSE (_n % 10) + (_rn - (_n % 10) * (_n div 10 + 1) - 1) div (_n div 10) + 1 "
+            "END AS INT)"
+        ),
     )
     tot = t.agg(F.sum("rev_cents").cast("long").alias("_tot"))
     return (
@@ -5443,10 +5410,18 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf power-law fit of the corpus vocabulary: OLS slope of
     ln(count) against ln(rank) computed from exact integer-snapped sums (order-independent; see inline note)
     (natural text ≈ −1; synthetic/templated corpora deviate — a cheap
-    whole-corpus health check). Vocabulary-sized aggregation only; the
-    rank window runs over the vocab table, never the corpus."""
+    whole-corpus health check). Vocabulary-sized aggregation only, and
+    the vocabulary rank itself is the DISTRIBUTED two-phase global rank
+    (operators/windows.py:distributed_global_rank — range partition +
+    per-partition numbering + broadcast offsets): at 100 TB the vocab
+    is tens of millions of rows, which an unpartitioned row_number
+    would sort on ONE task (the r5-verdict scale-killer shape this
+    round removed everywhere)."""
     from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
         tokens,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_global_rank,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -5455,8 +5430,9 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    ranked = vocab.withColumn("rank", F.row_number().over(w).cast("long"))
+    ranked = distributed_global_rank(
+        vocab, [("cnt", True), ("token", False)], rank_col="rank"
+    )
     # OLS slope from INTEGER-snapped logs (round(ln·1e4) as BIGINT):
     # regr_slope's float partial states merge in partition order and can
     # flip the 4th decimal vs the oracle's sequential scan; exact BIGINT

@@ -10,6 +10,7 @@ from .stateful import (  # noqa: F401
     ewma_integer,
 )
 from .windows import (  # noqa: F401
+    distributed_global_rank,
     with_row_number,
     with_rank_columns,
     with_lag_lead,

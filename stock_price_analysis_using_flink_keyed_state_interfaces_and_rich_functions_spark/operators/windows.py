@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "distributed_global_rank",
     "with_row_number",
     "with_rank_columns",
     "with_lag_lead",
@@ -133,3 +134,59 @@ def sessionize_by_gap(
     new_session = (prev_ts.isNull() | (gap_us > int(gap_seconds) * 1_000_000)).cast("long")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(session_col, F.sum(new_session).over(wsum))
+
+
+def distributed_global_rank(
+    df: DataFrame,
+    order_keys: Sequence[tuple[str, bool]],
+    rank_col: str = "rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """EXACT global row_number for EVERY row — with no single-task sort
+    anywhere (the r5-verdict fix generalized from the two-phase decile):
+
+    1. ``repartitionByRange`` on the ordering keys → range-disjoint
+       partitions whose order respects the global order. The key tuple
+       must be UNIQUE (caller contract: last key is an id/tiebreak), so
+       no tie can straddle a boundary; AQE coalescing merges only
+       ADJACENT ranges, preserving the property.
+    2. The ranged frame is materialized ONCE (eager localCheckpoint) —
+       partition ids must mean the same thing in every consumer, and
+       RangePartitioner boundary sampling is not guaranteed bit-stable
+       across re-executions.
+    3. Each partition numbers its own rows in parallel (window
+       partitioned by partition id); a |partitions|-row offset table
+       (cumulative counts — parallelism-bounded, never data-bounded) is
+       broadcast back: rank = local row_number + offset.
+
+    Use :func:`~..topk.ranked_top_n` instead when only the top k rows
+    need ranks — it avoids materializing the frame at all.
+
+    ``order_keys`` is [(col, is_desc), ...]. Internal staging columns
+    are dropped from the output; all input columns survive.
+    """
+    cols = [F.desc(c) if d else F.asc(c) for c, d in order_keys]
+    for reserved in ("_gr_pid", "_gr_lrn", "_gr_off"):
+        if reserved in df.columns:
+            raise ValueError(f"input already has a {reserved} column (reserved)")
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wl = Window.partitionBy("_gr_pid").orderBy(*cols)
+    local = ranged.withColumn("_gr_lrn", F.row_number().over(wl).cast("long"))
+    wo = Window.orderBy("_gr_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        ranged.groupBy("_gr_pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("_gr_cnt"))
+        .withColumn(
+            "_gr_off", F.coalesce(F.sum("_gr_cnt").over(wo), F.lit(0)).cast("long")
+        )
+        .select("_gr_pid", "_gr_off")
+    )
+    return (
+        local.join(F.broadcast(offs), "_gr_pid")
+        .withColumn(rank_col, (F.col("_gr_lrn") + F.col("_gr_off")).cast("long"))
+        .drop("_gr_pid", "_gr_lrn", "_gr_off")
+    )

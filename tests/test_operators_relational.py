@@ -790,3 +790,34 @@ def test_decile_closed_form_matches_ntile(spark):
             .collect()
         }
         assert got == want, f"n={n}"
+
+
+def test_distributed_global_rank_matches_window(spark):
+    """distributed_global_rank (range partition + per-partition
+    numbering + broadcast offsets — no single-task sort) must equal the
+    naive unpartitioned row_number for every row, on both orderings it
+    is used with, including when the row count is smaller than the
+    partition count."""
+    from pyspark.sql import Window
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_global_rank,
+    )
+
+    for n in (5, 200):
+        rows = [(i, (i * 37) % 23) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        got = {
+            r["id"]: r["rank"]
+            for r in distributed_global_rank(
+                df, [("v", True), ("id", False)], rank_col="rank"
+            ).collect()
+        }
+        w = Window.orderBy(F.desc("v"), F.asc("id"))
+        want = {
+            r["id"]: r["rank"]
+            for r in df.withColumn(
+                "rank", F.row_number().over(w).cast("long")
+            ).collect()
+        }
+        assert got == want, f"n={n}"
