@@ -1278,3 +1278,26 @@ def test_chunk_tokens_overlap_contract(spark):
 
     with _pytest.raises(ValueError):
         chunk_tokens_overlap(docs, chunk_size=4, overlap=4)
+
+
+def test_verified_edges_memo_contract(spark):
+    """The session-scoped edge supplier must (a) return the SAME
+    materialized frame for repeated calls with the same (sf_dir,
+    threshold) and session, (b) key by threshold, and (c) be already
+    materialized (localCheckpointed — querying it twice cannot
+    re-derive signatures)."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    entrymod._EDGE_MEMO.clear()
+    a1 = entrymod._verified_edges(spark, sf, 0.8)
+    a2 = entrymod._verified_edges(spark, sf, 0.8)
+    assert a1 is a2  # memo hit, not a rebuild
+    b = entrymod._verified_edges(spark, sf, 0.7)
+    assert b is not a1  # threshold is part of the key
+    # materialized: the plan is a checkpoint scan, not the LSH pipeline
+    plan = a1._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
+    # 0.7 edges are a superset of 0.8 edges on the same corpus
+    assert b.count() >= a1.count()
+    entrymod._EDGE_MEMO.clear()

@@ -1266,3 +1266,46 @@ def test_streaming_bm25_stats_matches_batch(spark, tmp_path):
         for r in bm25_topk_from_store(spark, store, k=20).collect()
     }
     assert again == batch
+
+
+def test_chunk_tokens_overlap_is_stream_safe(spark, tmp_path):
+    """Stateless text ops must run UNCHANGED on a streaming frame —
+    chunk_tokens_overlap is pure map-side array expressions, so the
+    same function applied to a file stream must emit exactly the batch
+    output regardless of micro-batch boundaries."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        chunk_tokens_overlap,
+    )
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(5 + (i * 7) % 20))) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "in")
+    for part, lo in enumerate((0, 4, 8)):
+        df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 4)).coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"part={part}"))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "part=*"))
+    )
+    out = chunk_tokens_overlap(stream, chunk_size=8, overlap=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chunk_par")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in spark.table("chunk_par").collect()
+    }
+    batch = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_tokens_overlap(df, chunk_size=8, overlap=2).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 12  # multi-chunk docs exist
