@@ -7787,6 +7787,40 @@ FROM c
 """
 
 
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res, operators/sampling.py:weighted_sample_topk): top-100
+    documents by u^(1/w) with w = n_chars — longer docs proportionally
+    likelier, no replacement, same sample on any cluster size. Score =
+    round(1e6·ln(u)/w) with u an exact dyadic rational from the md5
+    bucket, so the oracle replays the identical double expression."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = weighted_sample_topk(docs, "n_chars", ["doc_id"], k=100, seed=_MIX_SEED)
+    return out.select("doc_id", "n_chars", "ares_micro", "rk")
+
+
+_SAMPLE_WEIGHTED_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         CAST(round(ln((('0x' || substr(md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+                                 || ':' || CAST(doc_id AS VARCHAR) || '{_MIX_SEED}'), 1, 8))::BIGINT + 1)
+                        / 4294967296.0)
+                    / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS ares_micro
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars, ares_micro,
+       CAST(row_number() OVER (ORDER BY ares_micro DESC, doc_id ASC) AS BIGINT) AS rk
+FROM scored
+ORDER BY ares_micro DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -7860,6 +7894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_pmi": text_bigram_pmi,
         "text_chunk_overlap": text_chunk_overlap,
         "dedup_split_repair": dedup_split_repair,
+        "sample_weighted_docs": sample_weighted_docs,
         # Remaining slots: re-checks of the OLDEST green rows (r2, in their
         # original order) per the stated policy: once the backlog is
         # absorbed, spare slots re-verify the oldest coverage first.
@@ -8188,6 +8223,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bigram_pmi": _TEXT_PMI_SQL,
         "text_chunk_overlap": _TEXT_CHUNK_SQL,
         "dedup_split_repair": _split_repair_sql(),
+        "sample_weighted_docs": _SAMPLE_WEIGHTED_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

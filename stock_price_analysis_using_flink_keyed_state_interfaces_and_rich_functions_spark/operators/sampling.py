@@ -35,6 +35,7 @@ __all__ = [
     "hash_split",
     "hash_sample_by_rate",
     "temperature_mixture_sample",
+    "weighted_sample_topk",
     "rate_to_hex",
     "rate_micro_to_hex",
 ]
@@ -351,4 +352,53 @@ def hash_exact_per_stratum(
         df.withColumn("_srn", F.row_number().over(w))
         .filter(F.col("_srn") <= n_per_stratum)
         .drop("_srn")
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    key_cols: Sequence[str],
+    k: int,
+    seed: int = 42,
+    score_col: str = "ares_micro",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-Res scheme every quality-weighted corpus
+    subsample wants: each row gets key u^(1/w) for a uniform u and
+    weight w, and the k largest keys are an exact weighted sample
+    (inclusion probability ∝ w, no replacement). Monotone transform:
+    maximizing u^(1/w) ≡ maximizing ln(u)/w, which avoids pow() — the
+    score is ln(u)/w in integer MICRO-units.
+
+    Determinism & portability (the hash_sample/BM25 precedents
+    combined): u = (md5-bucket + 1) / 2³² — the bucket is the same
+    length-prefixed md5 primitive every sampler here uses, so u is an
+    EXACT dyadic rational in (0, 1] (double-representable, identical in
+    both engines); ln of an identical double and one division by the
+    (positive) weight evaluate identically; round(·1e6) snaps the
+    result to a BIGINT both engines agree on. Same seed + same corpus
+    ⇒ the same sample forever, on any cluster size.
+
+    Rows with NULL or non-positive weight are EXCLUDED (a zero weight
+    has inclusion probability 0; negative weights are a caller bug
+    surfaced by the count, not silently clamped). Top-k rides
+    ``topk.ranked_top_n`` — TakeOrderedAndProject + window-free rank,
+    no single-task sort at any corpus size.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .topk import ranked_top_n
+
+    bucket_int = F.conv(hash_bucket_hex(key_cols, seed), 16, 10).cast("long")
+    u = (bucket_int + 1).cast("double") / F.lit(float(_HEX_SPACE)).cast("double")
+    w = F.col(weight_col).cast("double")
+    scored = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(score_col, F.round(F.log(u) / w * 1e6).cast("long"))
+    )
+    first_key = key_cols[0]
+    return ranked_top_n(
+        scored, [(score_col, True), (first_key, False)], k, rank_col=rank_col
     )

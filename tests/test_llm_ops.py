@@ -1301,3 +1301,29 @@ def test_verified_edges_memo_contract(spark):
     # 0.7 edges are a superset of 0.8 edges on the same corpus
     assert b.count() >= a1.count()
     entrymod._EDGE_MEMO.clear()
+
+
+def test_weighted_sample_topk_properties(spark):
+    """A-Res weighted sampling: deterministic across runs, without
+    replacement (k distinct rows), excludes non-positive/NULL weights,
+    and inclusion tracks weight — with weights 100 vs 1, the heavy
+    stratum must dominate a k=40 sample from 100+100 rows."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, 100 if i < 100 else 1) for i in range(200)]
+    rows += [(200, 0), (201, -5), (202, None)]  # excluded
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = weighted_sample_topk(df, "w", ["id"], k=40).collect()
+    ids = [r["id"] for r in out]
+    assert len(ids) == 40 and len(set(ids)) == 40
+    assert not {200, 201, 202} & set(ids)
+    heavy = sum(1 for i in ids if i < 100)
+    assert heavy >= 30  # E[heavy] ≈ 40·(100/101-ish share); light tail tiny
+    # deterministic: same seed, same sample, same ranks
+    again = weighted_sample_topk(df, "w", ["id"], k=40).collect()
+    assert {(r["id"], r["rk"]) for r in again} == {(r["id"], r["rk"]) for r in out}
+    # different seed, (very likely) different ordering — at minimum valid
+    other = weighted_sample_topk(df, "w", ["id"], k=40, seed=7).collect()
+    assert len(other) == 40
