@@ -7821,6 +7821,79 @@ LIMIT 100
 """
 
 
+def similarity_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics — the drift/collapse
+    diagnostic run before trusting any ANN index (a dimension whose
+    variance collapsed, or whose mean wandered from 0, flags a broken
+    encoder batch): mean and std per coordinate across the corpus.
+
+    Determinism (the zipf-slope integer-snap precedent): each value is
+    snapped to round(x·1e4) BIGINT FIRST, so the per-dim Σx and Σx² are
+    exact order-independent integer sums; mean/std derive from them in
+    one fixed float expression (sqrt is an exact IEEE op). Headroom:
+    |x4| ≤ ~1e5 ⇒ x4² ≤ 1e10, safe to ~9e8 rows per dimension; past
+    that, re-snap at 1e3. Scale shape: posexplode → one groupBy(dim) —
+    a |dims|-sized aggregate with map-side partials, no window, no
+    collect."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x4 = F.round(F.col("x").cast("double") * 10000).cast("long")
+    exploded = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        F.col("dim").cast("long").alias("dim"), x4.alias("x4")
+    )
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x4").cast("long").alias("_sx"),
+            F.sum(F.col("x4") * F.col("x4")).cast("long").alias("_sxx"),
+        )
+        .select(
+            "dim",
+            "n",
+            # + 0.0 canonicalizes IEEE negative zero: a tiny negative Σx
+            # rounds to -0.0 in DuckDB but 0.0 in Spark; adding +0.0 maps
+            # both to +0.0 (-0.0 + 0.0 == +0.0 in IEEE round-to-nearest).
+            (
+                F.round(F.col("_sx").cast("double") / F.col("n").cast("double") / 1e4, 4)
+                + F.lit(0.0)
+            ).alias("mean"),
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("_sxx").cast("double")
+                        - F.col("_sx").cast("double")
+                        * F.col("_sx").cast("double")
+                        / F.col("n").cast("double")
+                    )
+                    / F.col("n").cast("double")
+                )
+                / 1e4,
+                4,
+            ).alias("std"),
+        )
+    )
+
+
+_SIM_DIM_STATS_SQL = """
+WITH ex AS (
+  SELECT CAST(u.i - 1 AS BIGINT) AS dim,
+         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 10000) AS BIGINT) AS x4
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), agg AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x4) AS BIGINT) AS _sx,
+         CAST(sum(x4 * x4) AS BIGINT) AS _sxx
+  FROM ex GROUP BY dim
+)
+SELECT dim, n,
+       round(CAST(_sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e4, 4) + 0.0 AS mean,
+       round(sqrt((CAST(_sxx AS DOUBLE)
+                   - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)) / 1e4, 4) AS std
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -7895,6 +7968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_overlap": text_chunk_overlap,
         "dedup_split_repair": dedup_split_repair,
         "sample_weighted_docs": sample_weighted_docs,
+        "similarity_dim_stats": similarity_dim_stats,
         # Remaining slots: re-checks of the OLDEST green rows (r2, in their
         # original order) per the stated policy: once the backlog is
         # absorbed, spare slots re-verify the oldest coverage first.
@@ -8224,6 +8298,7 @@ def oracle_sql() -> dict[str, str]:
         "text_chunk_overlap": _TEXT_CHUNK_SQL,
         "dedup_split_repair": _split_repair_sql(),
         "sample_weighted_docs": _SAMPLE_WEIGHTED_SQL,
+        "similarity_dim_stats": _SIM_DIM_STATS_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,
