@@ -24,6 +24,8 @@ __all__ = [
     "streaming_minhash_dedup",
     "read_accepted_signatures",
     "streaming_bm25_stats",
+    "streaming_weighted_sample",
+    "weighted_sample_from_store",
     "bm25_topk_from_store",
     "streaming_heavy_hitters",
     "read_heavy_hitters",
@@ -508,3 +510,66 @@ def bm25_topk_from_store(
         F.sum("_lensum").cast("long").alias("_lensum"),
     )
     return bm25_rank_from_stats(tf_len, stats, id_col=id_col, k=k, k1=k1, b=b)
+
+
+def streaming_weighted_sample(
+    df: DataFrame,
+    root: str,
+    weight_col: str,
+    key_cols: Sequence[str],
+    k: int,
+    seed: int = 42,
+) -> None:
+    """Incremental weighted sampling without replacement — the
+    streaming face of ``operators/sampling.py:weighted_sample_topk``.
+    A-Res is MERGEABLE by construction: each row's score ln(u)/w
+    depends only on the row (u comes from the deterministic md5
+    bucket), and the sample is simply the k largest scores — so
+    top-k(union of batches) == top-k(union of per-batch top-k's).
+    Each micro-batch therefore writes only its own k best rows
+    (``root/b=<id>``, retry-idempotent overwrite like every store
+    here); the reader folds the ≤ k·batches candidates to the final k.
+
+    State is O(k) per batch dir — never corpus-sized; a re-sent row
+    re-derives the SAME score (same key ⇒ same u), so duplicates
+    collapse in the fold rather than skewing the sample.
+    """
+    import os
+
+    from ..operators.sampling import weighted_sample_topk
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        top = weighted_sample_topk(
+            batch_df, weight_col, key_cols, k, seed=seed
+        ).drop("rk")
+        top.write.mode("overwrite").parquet(os.path.join(root, f"b={batch_id}"))
+
+    run_stream_foreach_batch(df, _ingest, output_mode="append")
+
+
+def weighted_sample_from_store(
+    spark,
+    root: str,
+    key_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Fold the per-batch A-Res candidates of a
+    :func:`streaming_weighted_sample` run to the final k-row sample —
+    bit-identical (scores AND ranks) to a one-shot batch
+    ``weighted_sample_topk`` over the union of all ingested batches,
+    because scores are row-deterministic and the fold is just the same
+    top-k over a candidate superset that provably contains the true
+    top k. Duplicate key rows (a replayed/re-sent row) collapse via
+    distinct — same key ⇒ same score ⇒ same row."""
+    import glob
+    import os
+
+    from ..operators.topk import ranked_top_n
+
+    dirs = glob.glob(os.path.join(root, "b=*"))
+    if not dirs:
+        raise FileNotFoundError(f"no weighted-sample batches under {root}")
+    cands = spark.read.parquet(*dirs).distinct()
+    return ranked_top_n(
+        cands, [("ares_micro", True), (str(key_cols[0]), False)], k, rank_col="rk"
+    )

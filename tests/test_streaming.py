@@ -1309,3 +1309,64 @@ def test_chunk_tokens_overlap_is_stream_safe(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 12  # multi-chunk docs exist
+
+
+def test_streaming_weighted_sample_matches_batch(spark, tmp_path):
+    """A-Res mergeability end-to-end: documents ingested over 3
+    micro-batches, each batch storing only its k best candidates, must
+    fold to EXACTLY the one-shot batch sample (ids, scores, ranks) —
+    including when a batch is replayed (duplicate candidates collapse:
+    same key ⇒ same deterministic score)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.windows import (
+        streaming_weighted_sample,
+        weighted_sample_from_store,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "n_chars")
+    )
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    parts = [
+        docs.filter(F.col("doc_id") < cuts[0]),
+        docs.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        docs.filter(F.col("doc_id") >= cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(os.path.join(src, f"part={i}"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "part=*"))
+    )
+    streaming_weighted_sample(stream, store, "n_chars", ["doc_id"], k=25)
+
+    folded = {
+        (r["doc_id"], r["ares_micro"], r["rk"])
+        for r in weighted_sample_from_store(spark, store, ["doc_id"], k=25).collect()
+    }
+    batch = {
+        (r["doc_id"], r["ares_micro"], r["rk"])
+        for r in weighted_sample_topk(docs, "n_chars", ["doc_id"], k=25).collect()
+    }
+    assert folded == batch and len(batch) == 25
+
+    # replay idempotence: duplicate one batch dir's contents into a new
+    # batch id — the distinct fold must not change
+    rows = spark.read.parquet(os.path.join(store, "b=0")).collect()
+    sch = spark.read.parquet(os.path.join(store, "b=0")).schema
+    spark.createDataFrame(rows, sch).write.mode("overwrite").parquet(
+        os.path.join(store, "b=9")
+    )
+    again = {
+        (r["doc_id"], r["ares_micro"], r["rk"])
+        for r in weighted_sample_from_store(spark, store, ["doc_id"], k=25).collect()
+    }
+    assert again == batch
