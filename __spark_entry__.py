@@ -145,19 +145,42 @@ def _dsum(col: str | F.Column, alias: str) -> F.Column:
 _EDGE_MEMO: dict = {}
 
 
+_EDGE_BASE_THRESHOLD = 0.7
+
+
 def _verified_edges(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
     """The shared (id_a, id_b, jaccard) verified-MinHash edge table over
     `documents` at the proven 128-hash / 64-band / k=3-shingle
     configuration (recall ~1 banding — certified equal to the all-pairs
-    exact-Jaccard oracle by every consumer's hash-match)."""
+    exact-Jaccard oracle by every consumer's hash-match).
+
+    ONE physical derivation per corpus: the signature/banding/confirm
+    pipeline is threshold-INDEPENDENT — the threshold is only the final
+    filter on the exact (4-dp-rounded) Jaccard — so every requested
+    threshold ≥ the base (0.7, the lowest any consumer uses) is a pure
+    filter over the one materialized base table: identical rows to a
+    direct derivation (the confirm compares the same rounded value),
+    and banding recall at J ≥ 0.8 is even closer to 1 than at 0.7. A
+    request BELOW the base would need wider banding recall and derives
+    directly (none exists today)."""
     key = (sf_dir, threshold)
     hit = _EDGE_MEMO.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
     docs = _t(spark, sf_dir, "documents")
-    edges = minhash_verified_pairs(
-        docs, "doc_id", "text", threshold=threshold, num_hashes=128, num_bands=64, shingle_k=3
-    )
+    if threshold > _EDGE_BASE_THRESHOLD:
+        base = _verified_edges(spark, sf_dir, _EDGE_BASE_THRESHOLD)
+        edges = base.filter(F.col("jaccard") >= threshold)
+    else:
+        edges = minhash_verified_pairs(
+            docs,
+            "doc_id",
+            "text",
+            threshold=threshold,
+            num_hashes=128,
+            num_bands=64,
+            shingle_k=3,
+        )
     _EDGE_MEMO[key] = (spark, edges)
     return edges
 
