@@ -1603,6 +1603,38 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(pairs)
 
 
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup similarity graph (J ≥ 0.7,
+    shared session edge table): how many nodes have degree d, for each
+    observed d — the first structural sanity check on any derived graph
+    (a fat tail here means a boilerplate hub is about to dominate every
+    downstream wedge/propagation step; the triangle operator's
+    degree-ordering defense exists precisely for that shape). Two
+    aggregate hops over the pair list — edge-list-sized, no window."""
+    edges = _verified_edges(spark, sf_dir, 0.7)
+    sym = edges.select("id_a", "id_b").unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+
+
+_GRAPH_DEGREE_HIST_SQL = f"""
+WITH pairs AS ({_jaccard_pairs_sql(0.7, shingle_k=3)}),
+sym AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+),
+deg AS (SELECT id_a, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY id_a)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
 _GRAPH_TRIANGLES_SQL = f"""
 WITH pairs AS ({_jaccard_pairs_sql(0.7, shingle_k=3)}),
 e AS (SELECT id_a AS u, id_b AS v FROM pairs),
@@ -7992,6 +8024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_split_repair": dedup_split_repair,
         "sample_weighted_docs": sample_weighted_docs,
         "similarity_dim_stats": similarity_dim_stats,
+        "graph_degree_histogram": graph_degree_histogram,
         # Remaining slots: re-checks of the OLDEST green rows (r2, in their
         # original order) per the stated policy: once the backlog is
         # absorbed, spare slots re-verify the oldest coverage first.
@@ -8322,6 +8355,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_split_repair": _split_repair_sql(),
         "sample_weighted_docs": _SAMPLE_WEIGHTED_SQL,
         "similarity_dim_stats": _SIM_DIM_STATS_SQL,
+        "graph_degree_histogram": _GRAPH_DEGREE_HIST_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,
