@@ -7949,6 +7949,54 @@ FROM agg
 """
 
 
+def join_fuzzy2_dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RADIUS-2 fuzzy fixed-format identifier join — the r5 verdict's
+    one remaining honest scope-out, now implemented
+    (operators/joins.py:hamming_neighborhood_join max_hamming=2,
+    masked-pair blocking: C(18,2)=153 variants/row, recall 1 by
+    pigeonhole — any ≤2 differing positions are both masked by some
+    pair). Dirty feed: every customer name with the two characters at
+    positions (k%17)+1, (k%17)+2 overwritten by 'XY' (never the
+    original characters, so each dirty row sits at exact Hamming 2 from
+    its master record). Oracle: all-pairs hamming ≤ 2 with both sides
+    length-pre-filtered in CTEs (DuckDB hamming() raises on unequal
+    lengths)."""
+    cust = _t(spark, sf_dir, "customer")
+    p = (F.col("c_custkey") % 17).cast("int")  # 0..16 → safe adjacent pair
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_key"),
+        F.concat(
+            F.expr("substring(c_name, 1, CAST(c_custkey % 17 AS INT))"),
+            F.lit("XY"),
+            F.expr(
+                "substring(c_name, CAST(c_custkey % 17 AS INT) + 3, 18 - CAST(c_custkey % 17 AS INT) - 2)"
+            ),
+        ).alias("dn"),
+    )
+    return hamming_neighborhood_join(
+        dirty, cust, "d_key", "c_custkey", "dn", "c_name", length=18, max_hamming=2
+    )
+
+
+_JOIN_FUZZY2_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS d_key,
+         substr(c_name, 1, CAST(c_custkey % 17 AS INT))
+         || 'XY'
+         || substr(c_name, CAST(c_custkey % 17 AS INT) + 3,
+                   18 - CAST(c_custkey % 17 AS INT) - 2) AS dn
+  FROM customer
+), d18 AS (
+  SELECT * FROM dirty WHERE len(dn) = 18
+), c18 AS (
+  SELECT * FROM customer WHERE len(c_name) = 18
+)
+SELECT d.d_key AS left_id, c.c_custkey AS right_id,
+       CAST(hamming(d.dn, c.c_name) AS BIGINT) AS hamming
+FROM d18 d JOIN c18 c ON hamming(d.dn, c.c_name) <= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -8025,6 +8073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_docs": sample_weighted_docs,
         "similarity_dim_stats": similarity_dim_stats,
         "graph_degree_histogram": graph_degree_histogram,
+        "join_fuzzy2_dirty_customers": join_fuzzy2_dirty_customers,
         # Remaining slots: re-checks of the OLDEST green rows (r2, in their
         # original order) per the stated policy: once the backlog is
         # absorbed, spare slots re-verify the oldest coverage first.
@@ -8356,6 +8405,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_weighted_docs": _SAMPLE_WEIGHTED_SQL,
         "similarity_dim_stats": _SIM_DIM_STATS_SQL,
         "graph_degree_histogram": _GRAPH_DEGREE_HIST_SQL,
+        "join_fuzzy2_dirty_customers": _JOIN_FUZZY2_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

@@ -374,21 +374,32 @@ def hamming_neighborhood_join(
     entity-resolution primitive for dirty feeds of fixed-format keys
     (order numbers, SKUs, account codes) matched against master data.
 
-    Currently implements ``max_hamming=1`` (the masked-position
-    construction; radius-k needs mask-k-subsets, k·C(length,k) variants
-    — the same pigeonhole, combinatorially heavier). Strings whose
-    length ≠ ``length`` never match (a length difference is an edit the
-    mask cannot absorb) and are filtered plan-side.
+    Radius 1 masks every single position (``length`` variants/row);
+    radius 2 masks every position PAIR (C(length, 2) variants/row) —
+    both keep all remaining characters in the join key, so buckets stay
+    selective even on low-entropy corpora (fixed-format keys share long
+    literal prefixes — e.g. this testbed's 'Customer#' — where the
+    textbook (k+1)-segment pigeonhole would put EVERY row in one
+    bucket and go quadratic; the masked-subset buckets never lose more
+    than k characters of key entropy). Radius ≥ 3 raises: C(L, k)
+    variants per row crosses the explode budget for real key lengths
+    (C(32,3) ≈ 5k×) and no current feed needs it — widen deliberately,
+    not silently. Strings whose length ≠ ``length`` never match (a
+    length difference is an edit the mask cannot absorb) and are
+    filtered plan-side.
 
-    Scale shape: each side explodes to ``length``·n (position, masked)
-    rows — linear, never a cross product; buckets are
-    all-but-one-position groups (tiny for any data with entropy);
-    confirm is one integer fold over ``length`` char comparisons per
-    candidate. The masking char is \\x01 — guaranteed absent from
-    printable fixed-format keys.
+    Scale shape: each side explodes to ``length``·n (radius 1) or
+    C(length,2)·n (radius 2) (variant, masked) rows — linear in n,
+    never a cross product; confirm is one integer fold over ``length``
+    char comparisons per candidate. The masking char is \\x01 —
+    guaranteed absent from printable fixed-format keys.
     """
-    if max_hamming != 1:
-        raise NotImplementedError("hamming_neighborhood_join implements max_hamming=1")
+    if max_hamming not in (1, 2):
+        raise NotImplementedError(
+            "hamming_neighborhood_join implements max_hamming in {1, 2}; "
+            f"radius {max_hamming} needs C({length},{max_hamming}) masked "
+            "variants per row — past the explode budget for fixed-format keys"
+        )
 
     def masked(name_col: str):
         # ONE higher-order expression, not `length` unrolled concats:
@@ -397,13 +408,32 @@ def hamming_neighborhood_join(
         # SHAPE (measured 105 s end-to-end at sf0.01); the lambda form
         # is a single small codegen unit evaluated per element.
         c = F.col(name_col)
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(length - 1)),
-            lambda i: F.concat(
-                c.substr(F.lit(1), i),
-                F.lit("\x01"),
-                c.substr(i + F.lit(2), F.lit(length) - i - F.lit(1)),
-            ),
+        if max_hamming == 1:
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(length - 1)),
+                lambda i: F.concat(
+                    c.substr(F.lit(1), i),
+                    F.lit("\x01"),
+                    c.substr(i + F.lit(2), F.lit(length) - i - F.lit(1)),
+                ),
+            )
+        # radius 2: every position pair (i < j) masked; posexplode's
+        # position column then identifies the pair, so the join key is
+        # (variant index, masked string) exactly like radius 1.
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(length - 2)),
+                lambda i: F.transform(
+                    F.sequence(i + F.lit(1), F.lit(length - 1)),
+                    lambda j: F.concat(
+                        c.substr(F.lit(1), i),
+                        F.lit("\x01"),
+                        c.substr(i + F.lit(2), j - i - F.lit(1)),
+                        F.lit("\x01"),
+                        c.substr(j + F.lit(2), F.lit(length) - j - F.lit(1)),
+                    ),
+                ),
+            )
         )
 
     lv = (

@@ -821,3 +821,55 @@ def test_distributed_global_rank_matches_window(spark):
             ).collect()
         }
         assert got == want, f"n={n}"
+
+
+def test_hamming_neighborhood_join_radius2(spark):
+    """Radius-2 masked-pair blocking: every ham<=2 pair found (0, 1, and
+    2 substitutions), ham-3 pairs excluded, recall-1 vs a brute-force
+    ground truth on a randomized fixed-format corpus, and radius >= 3
+    still raises (the documented explode-budget guard)."""
+    import itertools
+
+    import pytest as _pytest
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
+        hamming_neighborhood_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "ABCDEF"), (2, "ABXDEX"), (3, "XBXDEF"), (4, "XXXDEF"), (5, "AAAAAA")],
+        "id long, name string",
+    )
+    right = spark.createDataFrame([(10, "ABCDEF")], "rid long, rname string")
+    out = hamming_neighborhood_join(
+        left, right, "id", "rid", "name", "rname", length=6, max_hamming=2
+    ).collect()
+    got = {(r["left_id"], r["right_id"]): r["hamming"] for r in out}
+    assert got == {(1, 10): 0, (2, 10): 2, (3, 10): 2}  # 4 is ham 3, 5 is ham 5
+
+    # randomized recall-1 check vs brute force
+    import random
+
+    rng = random.Random(6)
+    corpus = ["".join(rng.choice("AB") for _ in range(8)) for _ in range(40)]
+    ldf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(corpus)], "id long, name string"
+    )
+    rdf = spark.createDataFrame(
+        [(i + 1000, s) for i, s in enumerate(corpus)], "rid long, rname string"
+    )
+    out2 = hamming_neighborhood_join(
+        ldf, rdf, "id", "rid", "name", "rname", length=8, max_hamming=2
+    ).collect()
+    got2 = {(r["left_id"], r["right_id"]) for r in out2}
+    want = {
+        (i, j + 1000)
+        for i, j in itertools.product(range(40), range(40))
+        if sum(a != b for a, b in zip(corpus[i], corpus[j])) <= 2
+    }
+    assert got2 == want
+
+    with _pytest.raises(NotImplementedError):
+        hamming_neighborhood_join(
+            ldf, rdf, "id", "rid", "name", "rname", length=8, max_hamming=3
+        )

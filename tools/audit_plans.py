@@ -56,6 +56,10 @@ EXTRA = [
     "dedup_split_leakage",
     "text_bigram_pmi",
     "text_chunk_overlap",
+    "dedup_split_repair",
+    "sample_weighted_docs",
+    "similarity_dim_stats",
+    "graph_degree_histogram",
 ]
 
 
