@@ -7997,6 +7997,68 @@ FROM d18 d JOIN c18 c ON hamming(d.dn, c.c_name) <= 2
 """
 
 
+def sql_nation_year_rank_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup × windowed rank (the TPC-DS Q67 shape): customer-nation
+    revenue rolled up over (year, nation) INCLUDING the per-year
+    subtotal rows, then within each year the top-3 revenue rows by
+    rank — subtotals compete with detail rows exactly as Q67's NULL
+    grouping levels do (the subtotal always ranks first, pinning the
+    grouping_id semantics). Exact integer-cents revenue; the rank
+    window is partitioned by year (never global), and WindowGroupLimit
+    prunes each group's sort to the top 3. Oracle: GROUP BY ROLLUP +
+    the identical rank/filter."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            "n_name",
+            F.col("o_totalprice").cast(DEC).alias("p"),
+        )
+    )
+    rolled = (
+        base.rollup("yr", "n_name")
+        .agg((F.sum("p") * 100).cast("long").alias("rev_cents"))
+        .filter(F.col("yr").isNotNull())  # keep year rows + year subtotals
+    )
+    w = Window.partitionBy("yr").orderBy(
+        F.desc("rev_cents"), F.asc_nulls_first("n_name")
+    )
+    return (
+        rolled.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "yr",
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+            "rk",
+        )
+    )
+
+
+_SQL_ROLLUP_RANK_SQL = """
+WITH rolled AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr, n_name,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY ROLLUP (yr, n_name)
+), ranked AS (
+  SELECT yr, n_name, rev_cents,
+         CAST(row_number() OVER (PARTITION BY yr
+                ORDER BY rev_cents DESC, n_name ASC NULLS FIRST) AS BIGINT) AS rk
+  FROM rolled WHERE yr IS NOT NULL
+)
+SELECT yr, coalesce(n_name, '(all)') AS nation,
+       CAST(rev_cents AS DOUBLE) / 100 AS revenue, rk
+FROM ranked WHERE rk <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -8074,6 +8136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_dim_stats": similarity_dim_stats,
         "graph_degree_histogram": graph_degree_histogram,
         "join_fuzzy2_dirty_customers": join_fuzzy2_dirty_customers,
+        "sql_nation_year_rank_rollup": sql_nation_year_rank_rollup,
         # Remaining slots: re-checks of the OLDEST green rows (r2, in their
         # original order) per the stated policy: once the backlog is
         # absorbed, spare slots re-verify the oldest coverage first.
@@ -8406,6 +8469,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_dim_stats": _SIM_DIM_STATS_SQL,
         "graph_degree_histogram": _GRAPH_DEGREE_HIST_SQL,
         "join_fuzzy2_dirty_customers": _JOIN_FUZZY2_SQL,
+        "sql_nation_year_rank_rollup": _SQL_ROLLUP_RANK_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,
