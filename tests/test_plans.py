@@ -396,3 +396,33 @@ def test_winsorize_broadcasts_the_bounds(spark, q):
     broadcast — shuffling the fact table on priority to meet it would
     double the exchange count for nothing."""
     assert plans.has_broadcast_hash_join(q["agg_winsorized_price_stats"](spark, SF))
+
+
+def test_no_unpartitioned_window_in_reshaped_topk_plans(spark, q):
+    """The r5 verdict's scale-killer fix pinned as a plan property: the
+    reshaped top-k rankings (bm25, novelty, PMI, weighted sampling) and
+    the two-phase global-rank consumers (decile, zipf) must contain NO
+    WindowExec with an empty partition spec over anything but a
+    parallelism-bounded input. Heuristic matches tools/audit_plans.py:
+    a simple-plan Window line with fewer than two '], [' separators is
+    unpartitioned. The decile/zipf offsets window IS unpartitioned but
+    runs over the |partitions|-row count table — we assert those plans
+    have at most that one, and the pure top-k plans have none."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.plans import (
+        explain_str,
+    )
+
+    def unpartitioned_windows(df):
+        simple = explain_str(df, "simple")
+        return [
+            ln
+            for ln in simple.splitlines()
+            if "Window [" in ln and ln.count("], [") < 2
+        ]
+
+    for name in ("text_bm25_topk", "text_ngram_novelty", "text_bigram_pmi",
+                  "sample_weighted_docs"):
+        assert unpartitioned_windows(q[name](spark, SF)) == [], name
+    for name in ("agg_decile_revenue_share", "text_zipf_slope"):
+        bad = unpartitioned_windows(q[name](spark, SF))
+        assert len(bad) <= 1, (name, bad)  # only the offsets window
