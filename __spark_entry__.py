@@ -8127,7 +8127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_nations_per_region": agg_nations_per_region,
         "agg_approx_distinct": agg_approx_distinct,
         # Round-6 additions (never checked, so window-mandatory per the
-        # rotation test): split-leakage audit + PMI collocations.
+        # rotation test): split-leakage audit + repair, PMI collocations,
+        # RAG chunking, A-Res weighted sampling, embedding dim stats,
+        # degree histogram, radius-2 fuzzy join, rollup-with-rank.
         "dedup_split_leakage": dedup_split_leakage,
         "text_bigram_pmi": text_bigram_pmi,
         "text_chunk_overlap": text_chunk_overlap,
