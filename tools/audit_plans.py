@@ -60,6 +60,8 @@ EXTRA = [
     "sample_weighted_docs",
     "similarity_dim_stats",
     "graph_degree_histogram",
+    "join_fuzzy2_dirty_customers",
+    "sql_nation_year_rank_rollup",
 ]
 
 
