@@ -25,6 +25,8 @@ __all__ = [
     "read_accepted_signatures",
     "streaming_bm25_stats",
     "streaming_weighted_sample",
+    "streaming_fuzzy_match",
+    "read_fuzzy_matches",
     "weighted_sample_from_store",
     "bm25_topk_from_store",
     "streaming_heavy_hitters",
@@ -573,3 +575,52 @@ def weighted_sample_from_store(
     return ranked_top_n(
         cands, [("ares_micro", True), (str(key_cols[0]), False)], k, rank_col="rk"
     )
+
+
+def streaming_fuzzy_match(
+    df: DataFrame,
+    master: DataFrame,
+    root: str,
+    left_id: str,
+    right_id: str,
+    left_name: str,
+    right_name: str,
+    length: int,
+    max_hamming: int = 1,
+) -> None:
+    """Incremental ENTITY RESOLUTION of a dirty identifier stream
+    against a static master dimension — the streaming face of
+    ``operators/joins.py:hamming_neighborhood_join`` (the other twin
+    the r5 verdict proposed alongside the BM25 store). Each micro-batch
+    runs the same masked-variant blocking join (recall 1 by pigeonhole)
+    against the master and writes its matches to ``root/b=<id>``
+    (retry-idempotent overwrite). Because the join is row-local on the
+    stream side and the master is static, the union of per-batch
+    matches IS the batch join of the unioned stream — no cross-batch
+    state at all; the store exists for idempotent delivery, not
+    correctness."""
+    import os
+
+    from ..operators.joins import hamming_neighborhood_join
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        out = hamming_neighborhood_join(
+            batch_df, master, left_id, right_id, left_name, right_name,
+            length=length, max_hamming=max_hamming,
+        )
+        out.write.mode("overwrite").parquet(os.path.join(root, f"b={batch_id}"))
+
+    run_stream_foreach_batch(df, _ingest, output_mode="append")
+
+
+def read_fuzzy_matches(spark, root: str) -> DataFrame:
+    """All matches accumulated by :func:`streaming_fuzzy_match`
+    (distinct — a replayed batch overwrites its own dir, and identical
+    rows from any anomaly collapse)."""
+    import glob
+    import os
+
+    dirs = glob.glob(os.path.join(root, "b=*"))
+    if not dirs:
+        raise FileNotFoundError(f"no fuzzy-match batches under {root}")
+    return spark.read.parquet(*dirs).distinct()

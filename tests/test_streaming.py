@@ -1370,3 +1370,50 @@ def test_streaming_weighted_sample_matches_batch(spark, tmp_path):
         for r in weighted_sample_from_store(spark, store, ["doc_id"], k=25).collect()
     }
     assert again == batch
+
+
+def test_streaming_fuzzy_match_matches_batch(spark, tmp_path):
+    """Streaming entity resolution == batch join of the unioned stream
+    (master static, join row-local on the stream side), at radius 2."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.joins import (
+        hamming_neighborhood_join,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.windows import (
+        read_fuzzy_matches,
+        streaming_fuzzy_match,
+    )
+
+    master = spark.createDataFrame(
+        [(i, f"SKU{i:05d}") for i in range(60)], "mid long, mname string"
+    )
+    # dirty feed: two corrupted characters per key
+    dirty_rows = [(1000 + i, f"SXU{i:05d}"[:4] + "Y" + f"SKU{i:05d}"[5:]) for i in range(60)]
+    dirty = spark.createDataFrame(dirty_rows, "did long, dname string")
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    for part, lo in enumerate((0, 20, 40)):
+        dirty.filter((F.col("did") >= 1000 + lo) & (F.col("did") < 1020 + lo)).coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"part={part}"))
+
+    stream = (
+        spark.readStream.schema(dirty.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "part=*"))
+    )
+    streaming_fuzzy_match(
+        stream, master, store, "did", "mid", "dname", "mname",
+        length=8, max_hamming=2,
+    )
+    streamed = {
+        (r["left_id"], r["right_id"], r["hamming"])
+        for r in read_fuzzy_matches(spark, store).collect()
+    }
+    batch = {
+        (r["left_id"], r["right_id"], r["hamming"])
+        for r in hamming_neighborhood_join(
+            dirty, master, "did", "mid", "dname", "mname", length=8, max_hamming=2
+        ).collect()
+    }
+    assert streamed == batch and len(batch) >= 60
