@@ -131,6 +131,12 @@ HEADLINE = [
     "dedup_split_repair",
     "text_bigram_pmi",
     "text_chunk_overlap",
+    # round-6 late batch: market-basket association, last-touch
+    # attribution, posting-list phrase search — rows above remain
+    # unchanged for cross-round comparability.
+    "basket_part_pair_lift",
+    "events_last_touch_attribution",
+    "text_phrase_search",
 ]
 
 

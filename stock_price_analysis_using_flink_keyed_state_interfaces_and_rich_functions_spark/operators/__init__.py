@@ -31,7 +31,8 @@ from .joins import (  # noqa: F401
     salted_join,
 )
 from .topk import ranked_top_n, top_n, top_k_per_group  # noqa: F401
-from .timeseries import ohlc_bars, fill_forward  # noqa: F401
+from .timeseries import ohlc_bars, fill_forward, last_touch_attribution  # noqa: F401
+from .basket import pair_lift  # noqa: F401
 from .scd import scd2_merge  # noqa: F401
 from .diagnostics import key_skew_stats  # noqa: F401
 from .graph import triangle_stats  # noqa: F401
@@ -81,6 +82,8 @@ from .similarity import (  # noqa: F401
     quantize_embeddings,
 )
 from .text import (  # noqa: F401
+    positional_postings,
+    phrase_occurrences,
     subword_count,
     subword_tokens,
     token_count,

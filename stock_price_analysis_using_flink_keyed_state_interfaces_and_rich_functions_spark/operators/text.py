@@ -43,6 +43,8 @@ __all__ = [
     "with_compression_ratio",
     "scrub_blocklist",
     "chunk_tokens_overlap",
+    "positional_postings",
+    "phrase_occurrences",
     "DEFAULT_LANG_MARKERS",
 ]
 
@@ -848,4 +850,73 @@ def chunk_tokens_overlap(
             F.size("_c._ctoks").cast("long").alias("n_chunk_tokens"),
             F.array_join("_c._ctoks", " ").alias("chunk_text"),
         )
+    )
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted-index rows: one (id, pos, word) row per
+    token occurrence, ``pos`` 1-based within the document. This is the
+    index layout phrase/proximity search runs on — the search engine
+    never re-scans text, it intersects posting lists.
+
+    Scale posture: output is token-stream-sized (linear); downstream
+    phrase queries filter to the query's terms FIRST (a tiny slice of
+    the stream) and equi-join on (id, adjacent positions)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("_p0", "word"),
+    ).select(id_col, (F.col("_p0") + 1).cast("long").alias("pos"), "word")
+
+
+def phrase_occurrences(
+    df: DataFrame,
+    phrase: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase search via positional posting-list intersection:
+    per document, the number of occurrences of the 3-word phrase held
+    in ``phrase`` (a 1-row frame with columns ``w1, w2, w3``).
+
+    The classic search-engine plan: filter the positional postings to
+    each query term (three tiny slices of the token stream — predicate
+    pushdown territory on a real index), then equi-join on
+    (doc, pos+offset) so only aligned occurrences survive. No text is
+    rescanned per term and nothing corpus-sized is sorted; the
+    adjacency joins key on (id, pos), the densest key being one
+    document's occurrences of one term.
+
+    Output: (id, n_occurrences) for documents with ≥1 occurrence.
+    Overlapping matches count individually (positions ARE the
+    identity), matching the SQL oracle's join semantics exactly.
+
+    The token stream is scanned ONCE: a broadcast semi-join against the
+    phrase's (tiny) term set slices out the relevant postings, the
+    slice is materialized (eager localCheckpoint — it is query-term-
+    occurrence-sized, not corpus-sized), and the three per-term legs
+    are cheap filters over it. Without this the three legs would each
+    re-derive the full posting stream.
+    """
+    post = positional_postings(df, id_col=id_col, text_col=text_col)
+    terms = phrase.select(
+        F.explode(F.array("w1", "w2", "w3")).alias("word")
+    ).distinct()
+    hits = post.join(F.broadcast(terms), "word").localCheckpoint(eager=True)
+    ph = F.broadcast(phrase)
+    p1 = hits.join(ph, hits.word == ph.w1).select(
+        F.col(id_col), F.col("pos").alias("pos1")
+    )
+    p2 = hits.join(ph, hits.word == ph.w2).select(
+        F.col(id_col), F.col("pos").alias("pos2")
+    )
+    p3 = hits.join(ph, hits.word == ph.w3).select(
+        F.col(id_col), F.col("pos").alias("pos3")
+    )
+    return (
+        p1.join(p2, [id_col]).filter(F.col("pos2") == F.col("pos1") + 1)
+        .join(p3, [id_col]).filter(F.col("pos3") == F.col("pos1") + 2)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
     )

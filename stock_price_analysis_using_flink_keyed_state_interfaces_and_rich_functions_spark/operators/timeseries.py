@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ohlc_bars", "fill_forward"]
+__all__ = ["ohlc_bars", "fill_forward", "last_touch_attribution"]
 
 
 def ohlc_bars(
@@ -85,3 +85,47 @@ def fill_forward(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out_col, F.last(F.col(value_col), ignorenulls=True).over(w))
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str | Column],
+    type_col: str,
+    conversion_type: str,
+    out_col: str = "channel",
+    default: str = "direct",
+) -> DataFrame:
+    """Last-touch marketing attribution: every conversion event is
+    credited to the most recent PRECEDING non-conversion event type
+    ("touch") in the same key's ordered history — the standard
+    attribution model a growth-analytics pipeline runs over a
+    clickstream. Conversions with no prior touch credit ``default``.
+
+    Attribution does NOT reset at a conversion: a second purchase with
+    no touches in between credits the same channel as the first (the
+    industry-standard reading; a reset variant is one extra
+    ``when`` on a session/conversion-count window).
+
+    One window pass — ``last(ignorenulls=True)`` over the running
+    frame, exactly the :func:`fill_forward` kernel with the carried
+    value being "last non-conversion type". Same associative-carry
+    scale note applies: hot keys lift to the segment-carry form. The
+    current row is safely inside the frame because a conversion row
+    contributes NULL to the carry.
+
+    Returns the conversion rows only, with ``out_col`` attached.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
+    return (
+        df.withColumn(
+            out_col,
+            F.coalesce(F.last(touch, ignorenulls=True).over(w), F.lit(default)),
+        )
+        .filter(F.col(type_col) == conversion_type)
+    )

@@ -1327,3 +1327,38 @@ def test_weighted_sample_topk_properties(spark):
     # different seed, (very likely) different ordering — at minimum valid
     other = weighted_sample_topk(df, "w", ["id"], k=40, seed=7).collect()
     assert len(other) == 40
+
+
+def test_phrase_occurrences_ground_truth(spark):
+    """Overlapping and repeated matches count by position; partial
+    matches (prefix only) don't."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        phrase_occurrences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x a b c"),   # 2 occurrences
+            (2, "a b a b c"),       # 1 (the leading "a b" is prefix-only)
+            (3, "a b x c"),         # 0
+            (4, "a b c a b c a b c"),  # 3
+            (5, None),              # NULL text → 0
+        ],
+        ["doc_id", "text"],
+    )
+    phrase = spark.createDataFrame([("a", "b", "c")], ["w1", "w2", "w3"])
+    got = {r.doc_id: r.n_occurrences for r in phrase_occurrences(docs, phrase).collect()}
+    assert got == {1: 2, 2: 1, 4: 3}
+
+
+def test_phrase_occurrences_repeated_word_phrase(spark):
+    """A phrase with repeated words ("a a b") must align by position,
+    not just membership: 'a a a b' has exactly 1 match at pos 2."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        phrase_occurrences,
+    )
+
+    docs = spark.createDataFrame([(1, "a a a b"), (2, "a b a b")], ["doc_id", "text"])
+    phrase = spark.createDataFrame([("a", "a", "b")], ["w1", "w2", "w3"])
+    got = {r.doc_id: r.n_occurrences for r in phrase_occurrences(docs, phrase).collect()}
+    assert got == {1: 1}

@@ -873,3 +873,63 @@ def test_hamming_neighborhood_join_radius2(spark):
         hamming_neighborhood_join(
             ldf, rdf, "id", "rid", "name", "rname", length=8, max_hamming=3
         )
+
+
+def test_pair_lift_ground_truth(spark):
+    """Hand-computed baskets: {1:AB, 2:AB, 3:ABC, 4:C} →
+    N=4, c_A=3, c_B=3, c_C=2, c_AB=3, c_AC=1, c_BC=1."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.basket import (
+        pair_lift,
+    )
+
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"), (2, "B"),  # line-level dup collapses
+        (3, "A"), (3, "B"), (3, "C"),
+        (4, "C"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {
+        (r.item_a, r.item_b): r
+        for r in pair_lift(df, "basket", "item", min_support=1).collect()
+    }
+    ab = out[("A", "B")]
+    assert (ab.c_ab, ab.c_a, ab.c_b) == (3, 3, 3)
+    # lift = 4*3/(3*3) = 1.333333 → 1333333 micro
+    assert ab.lift_micro == 1333333
+    assert ab.support_micro == 750000
+    ac = out[("A", "C")]
+    assert (ac.c_ab, ac.lift_micro) == (1, 666667)
+    # min_support filters
+    assert ("A", "C") not in {
+        (r.item_a, r.item_b)
+        for r in pair_lift(df, "basket", "item", min_support=2).collect()
+    }
+
+
+def test_last_touch_attribution_ground_truth(spark):
+    """User 1: view, click, purchase, purchase (no touch between → both
+    credit click), error, purchase (credits error). User 2: purchase
+    with no prior touch → 'direct'."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.timeseries import (
+        last_touch_attribution,
+    )
+
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        (1, 4, "purchase"), (1, 5, "error"), (1, 6, "purchase"),
+        (2, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "seq", "event_type"])
+    out = last_touch_attribution(
+        df, ["user_id"], ["seq"], "event_type", "purchase"
+    ).collect()
+    got = {(r.user_id, r.seq): r.channel for r in out}
+    assert got == {
+        (1, 3): "click",
+        (1, 4): "click",
+        (1, 6): "error",
+        (2, 1): "direct",
+    }
+    # only conversion rows survive
+    assert len(out) == 4

@@ -143,7 +143,9 @@ def main() -> None:
         "filter pushed into a scan, map-side partial aggregation, window op",
         "present. BNLJ is expected ONLY on the brute-force similarity",
         "baseline (broadcast query set x streamed corpus — the intended",
-        "plan); cartesian must be false everywhere.",
+        "plan) and on crossJoins against BROADCAST ONE-ROW aggregates",
+        "(corpus totals riding into a scored select — constant-size inner",
+        "side); cartesian must be false everywhere.",
         "",
         "| query | exch | BHJ | SMJ | BNLJ | cartesian | pushdown | partial agg | window | 1-part window |",
         "|---|---|---|---|---|---|---|---|---|---|",
