@@ -6,6 +6,7 @@ from .stateful import (  # noqa: F401
     tumbling_count_window_avg_stream,
     rows_between_breaches_stream,
     running_max_transform_with_state,
+    last_touch_attribution_stream,
 )
 from .windows import (  # noqa: F401
     tumbling_window_agg,

@@ -46,6 +46,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -61,6 +62,7 @@ __all__ = [
     "running_max_transform_with_state",
     "ewma_stream",
     "ewma_integer_stream",
+    "last_touch_attribution_stream",
 ]
 
 
@@ -629,3 +631,63 @@ def _duration_to_ms(duration: str) -> int:
         "hour": 3_600_000, "hours": 3_600_000,
     }[unit]
     return int(qty) * factor
+
+
+def last_touch_attribution_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    type_col: str,
+    conversion_type: str,
+    out_col: str = "channel",
+    default: str = "direct",
+) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.py:last_touch_attribution``
+    — on-ingest last-touch conversion attribution. State is ONE string
+    per key (the most recent non-conversion event type), carried across
+    micro-batches; each conversion row is emitted immediately with the
+    channel it credits (no prior touch ever → ``default``).
+
+    Chunked replay equals batch replay because the carried state is
+    exactly the fill-forward carry ("last non-conversion type") — the
+    same argument as :func:`fill_forward_stream`. Same ordering
+    contract as every per-key replay twin here: rows arrive key-ordered
+    across micro-batches; within a batch the fold sorts on
+    ``order_cols``. Output keeps the order columns so parity against
+    the batch operator is exact per conversion row.
+    """
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [df.schema[c] for c in order_cols]
+        + [StructField(out_col, StringType())]
+    )
+    state_schema = StructType([StructField("last_touch", StringType())])
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def fold(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (cur,) = state.get if state.exists else (None,)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
+            emitted: list[dict] = []
+            for _, row in pdf.iterrows():
+                t = row[type_col]
+                if t != conversion_type:
+                    if t is not None:
+                        cur = t
+                else:
+                    rec = {k: kv for k, kv in zip(keys, key)}
+                    for c in order:
+                        rec[c] = row[c]
+                    rec[out_col] = cur if cur is not None else default
+                    emitted.append(rec)
+            if emitted:
+                yield pd.DataFrame(emitted, columns=keys + order + [out_col])
+        state.update((cur,))
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

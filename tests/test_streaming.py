@@ -1417,3 +1417,53 @@ def test_streaming_fuzzy_match_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) >= 60
+
+
+def test_last_touch_attribution_stream_equals_batch(spark, tmp_path):
+    """Streaming last-touch attribution must equal the batch window form
+    across micro-batch boundaries: a purchase at the head of batch 2
+    credits the touch carried from batch 1's state (not 'direct'), and
+    a user whose FIRST event is a purchase credits 'direct'."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.timeseries import (
+        last_touch_attribution,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        last_touch_attribution_stream,
+    )
+
+    root = str(tmp_path / "lt_in")
+    types = ["view", "click", "purchase", "error", "purchase", "signup"]
+    rows = []
+    for i in range(36):
+        user = f"u{i % 3}"
+        # u2's first event is a purchase (direct); batch edge at seq 18
+        # lands right after u0's click at seq 17 → purchase at 18+ must
+        # credit the carried click.
+        rows.append((user, i, types[(i * 5 + i // 3) % len(types)]))
+    df = spark.createDataFrame(rows, "k string, seq long, t string")
+    for part in range(2):
+        df.filter((F.col("seq") >= part * 18) & (F.col("seq") < (part + 1) * 18)) \
+            .coalesce(1).write.parquet(os.path.join(root, f"part={part}"))
+    batch = spark.read.parquet(os.path.join(root, "part=*")).select("k", "seq", "t")
+
+    stream = (
+        spark.readStream.schema("k string, seq long, t string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "part=*"))
+        .select("k", "seq", "t")
+    )
+    out = _drain(
+        last_touch_attribution_stream(stream, ["k"], ["seq"], "t", "purchase"),
+        "lt_stream",
+    )
+    got = sorted((r["k"], r["seq"], r["channel"]) for r in out.collect())
+    expect = sorted(
+        (r["k"], r["seq"], r["channel"])
+        for r in last_touch_attribution(
+            batch, ["k"], ["seq"], "t", "purchase"
+        ).collect()
+    )
+    assert got == expect and len(got) > 0
+    # at least one non-trivial carry and one 'direct' in the fixture
+    channels = {c for _, _, c in got}
+    assert "direct" in channels and len(channels) >= 2
