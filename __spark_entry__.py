@@ -8266,6 +8266,140 @@ ORDER BY o.doc_id
 """
 
 
+def basket_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules from the level-2 itemset pass:
+    each co-ordered pair (support ≥ 3) yields the two rules a→b and
+    b→a with confidence = c_ab/c_antecedent — the "customers who bought
+    X also bought Y" form. Top-20 by confidence.
+
+    Same scale shape as basket_part_pair_lift (shared operator); the
+    direction expansion is a 2× union of the pair aggregate, which is
+    itemset-vocabulary-sized. Confidence is kept in EXACT integer
+    micro-units — (c_ab·10⁶) div c_ant, floor division in both engines
+    (non-negative operands, so Spark `div` ≡ DuckDB `//`) — no float
+    anywhere."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.basket import (
+        pair_lift,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    scored = pair_lift(li, "l_orderkey", "l_partkey", min_support=3)
+    conf = F.expr("CAST((c_ab * 1000000) div c_ant AS BIGINT)").alias("conf_micro")
+    d1 = scored.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "c_ab",
+        F.col("c_a").alias("c_ant"),
+        "lift_micro",
+    )
+    d2 = scored.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        "c_ab",
+        F.col("c_b").alias("c_ant"),
+        "lift_micro",
+    )
+    rules = d1.unionByName(d2).select("*", conf)
+    return ranked_top_n(
+        rules,
+        [("conf_micro", True), ("antecedent", False), ("consequent", False)],
+        20,
+        rank_col="rk",
+    ).select(
+        "antecedent", "consequent", "c_ab", "c_ant", "conf_micro", "lift_micro", "rk"
+    )
+
+
+_BASKET_RULES_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS _n FROM items),
+ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY i),
+pairs AS (
+  SELECT a.i AS item_a, b2.i AS item_b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+scored AS (
+  SELECT p.item_a, p.item_b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+         CAST(round((CAST(p.c_ab AS DOUBLE) * CAST(n._n AS DOUBLE))
+                    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) * 1e6) AS BIGINT)
+           AS lift_micro
+  FROM pairs p
+  JOIN ic ca ON ca.i = p.item_a
+  JOIN ic cb ON cb.i = p.item_b
+  CROSS JOIN n
+),
+rules AS (
+  SELECT item_a AS antecedent, item_b AS consequent, c_ab, c_a AS c_ant, lift_micro
+  FROM scored
+  UNION ALL
+  SELECT item_b AS antecedent, item_a AS consequent, c_ab, c_b AS c_ant, lift_micro
+  FROM scored
+),
+conf AS (
+  SELECT antecedent, consequent, c_ab, c_ant,
+         CAST((c_ab * 1000000) // c_ant AS BIGINT) AS conf_micro, lift_micro
+  FROM rules
+)
+SELECT antecedent, consequent, c_ab, c_ant, conf_micro, lift_micro,
+       CAST(row_number() OVER (ORDER BY conf_micro DESC, antecedent, consequent) AS BIGINT) AS rk
+FROM conf
+ORDER BY conf_micro DESC, antecedent, consequent
+LIMIT 20
+"""
+
+
+def dedup_containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment tier — quote/excerpt detection: ordered
+    pairs (a, b) where ≥80% of a's distinct 3-shingles appear in b and
+    a has ≥5 shingles. The Jaccard/MinHash tiers are blind to exactly
+    this case (a short doc embedded in a long one has LOW Jaccard by
+    construction), so training-data curation needs it as its own tier.
+
+    Scale path (operators/dedup.containment_prefix_pairs): PREFIX-
+    FILTER blocking from the set-similarity-join literature — shingles
+    globally ordered by (document frequency, shingle); by pigeonhole
+    any b containing ≥80% of a must share one of a's first
+    n_a−⌈0.8·n_a⌉+1 rarest shingles, so joining only that prefix
+    against the posting rows has RECALL 1 BY CONSTRUCTION (the oracle,
+    which computes the full quadratic-by-identity answer, certifies it
+    every run — this gate passing IS the recall proof). Exact overlap
+    confirm on candidates only; all arithmetic integer (floor-div
+    micro-units), no float."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        containment_prefix_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_prefix_pairs(
+        docs, "doc_id", "text", threshold_pct=80, min_shingles=5, shingle_k=3
+    )
+
+
+_CONTAINMENT_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 3
+),
+n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS ix
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, na.n_sh AS n_a, i.ix AS n_shared,
+       CAST((i.ix * 1000000) // na.n_sh AS BIGINT) AS containment_micro
+FROM inter i
+JOIN n na ON na.doc_id = i.doc_a
+WHERE na.n_sh >= 5 AND i.ix * 100 >= 80 * na.n_sh
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -8352,6 +8486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_part_pair_lift": basket_part_pair_lift,
         "events_last_touch_attribution": events_last_touch_attribution,
         "text_phrase_search": text_phrase_search,
+        "basket_rules_confidence": basket_rules_confidence,
+        "dedup_containment_quotes": dedup_containment_quotes,
         # Remaining slots: re-checks of the OLDEST green rows (r2, in their
         # original order) per the stated policy: once the backlog is
         # absorbed, spare slots re-verify the oldest coverage first.
@@ -8688,6 +8824,8 @@ def oracle_sql() -> dict[str, str]:
         "basket_part_pair_lift": _BASKET_LIFT_SQL,
         "events_last_touch_attribution": _LAST_TOUCH_SQL,
         "text_phrase_search": _PHRASE_SEARCH_SQL,
+        "basket_rules_confidence": _BASKET_RULES_SQL,
+        "dedup_containment_quotes": _CONTAINMENT_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

@@ -137,6 +137,7 @@ HEADLINE = [
     "basket_part_pair_lift",
     "events_last_touch_attribution",
     "text_phrase_search",
+    "dedup_containment_quotes",
 ]
 
 

@@ -33,7 +33,7 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -48,6 +48,7 @@ __all__ = [
     "dup_clusters",
     "simhash",
     "simhash_pairs",
+    "containment_prefix_pairs",
 ]
 
 # Mersenne prime 2^31 - 1: (a * (h mod p) + b) with a,b < p stays < 2^62,
@@ -710,5 +711,106 @@ def chunk_dup_ratio(
         .withColumn(
             "dup_chunk_ratio",
             F.round(F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 6),
+        )
+    )
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_pct: int = 80,
+    min_shingles: int = 5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Asymmetric containment join — quote/excerpt detection: ordered
+    pairs (a, b) where at least ``threshold_pct``% of a's distinct word
+    k-shingles also appear in b (a "is quoted by" b). Jaccard tiers
+    miss exactly this case (a short doc embedded in a long one has LOW
+    Jaccard — the denominators differ — which is the point), so this is
+    its own tier next to the MinHash/SimHash symmetric ones.
+
+    Blocking is the PREFIX FILTER of set-similarity joins (the
+    SSJoin/PPJoin family — public literature): order every doc's
+    shingles by GLOBAL (document-frequency, shingle) ascending; a
+    containment ≥ t needs overlap ≥ o = ceil(t·n_a), so b can miss at
+    most n_a − o of a's shingles — by pigeonhole any qualifying b
+    shares at least one of a's first n_a − o + 1 shingles in that
+    order. Joining only that prefix (the RAREST ~(1−t) slice of each
+    doc) against the full posting rows gives RECALL 1 BY CONSTRUCTION,
+    with candidate volume Σ_s prefix_count(s)·df(s) — rare shingles
+    have tiny df, so the product stays near-linear instead of the
+    full postings self-join's Σ df².  Candidates then get an EXACT
+    overlap count (candidate-restricted equi-joins) — precision 1.
+
+    All arithmetic is integer (o = ceil via div; the containment score
+    is (overlap·10⁶) div n_a micro-units), so the DuckDB oracle — which
+    computes the same answer quadratically-by-identity — hash-matches.
+
+    Per-doc shingle ranking is a window PARTITIONED BY doc (bounded by
+    one document's shingle set, never corpus-sized). Docs with fewer
+    than ``shingle_k`` tokens have no k-shingles and drop out of both
+    sides, matching the oracle's ``len(toks) >= k`` guard.
+    """
+    toks = _tokens(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - shingle_k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_k)),
+        )
+    )
+    sh = (
+        df.filter(F.size(toks) >= shingle_k)
+        .select(F.col(id_col).alias("_id"), F.explode(grams).alias("_sh"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = sh.groupBy("_sh").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    n = sh.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    # A-universe: docs big enough to make the score meaningful
+    a_docs = n.filter(F.col("n_a") >= min_shingles)
+    # o = ceil(pct·n/100) via div on non-negative ints; prefix = n − o + 1
+    o_min = F.expr(f"CAST(({threshold_pct} * n_a + 99) div 100 AS BIGINT)")
+    prefix_len = (F.col("n_a") - o_min + 1).alias("_plen")
+    ranked = (
+        sh.join(dfreq, "_sh")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_sh"))
+            ),
+        )
+        .drop("_df")
+    )
+    prefixes = (
+        ranked.join(a_docs.select("_id", prefix_len), "_id")
+        .filter(F.col("_rk") <= F.col("_plen"))
+        .select(F.col("_id").alias("doc_a"), "_sh")
+    )
+    cand = (
+        prefixes.join(sh.select(F.col("_id").alias("doc_b"), "_sh"), "_sh")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sha = sh.select(F.col("_id").alias("doc_a"), "_sh")
+    shb = sh.select(F.col("_id").alias("doc_b"), "_sh")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "_sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(n.select(F.col("_id").alias("doc_a"), "n_a"), "doc_a")
+        .filter(F.col("n_shared") * 100 >= threshold_pct * F.col("n_a"))
+        .filter(F.col("n_a") >= min_shingles)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_shared",
+            F.expr("CAST((n_shared * 1000000) div n_a AS BIGINT)").alias(
+                "containment_micro"
+            ),
         )
     )

@@ -1362,3 +1362,33 @@ def test_phrase_occurrences_repeated_word_phrase(spark):
     phrase = spark.createDataFrame([("a", "a", "b")], ["w1", "w2", "w3"])
     got = {r.doc_id: r.n_occurrences for r in phrase_occurrences(docs, phrase).collect()}
     assert got == {1: 1}
+
+
+def test_containment_prefix_pairs_quote_detection(spark):
+    """A short doc fully quoted inside a long doc must surface as a
+    containment pair even though the pair's Jaccard is low — and the
+    prefix-filter candidates must not miss it (recall-1 pigeonhole)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        containment_prefix_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens, 5 shingles
+    long_doc = "intro words here " + quote + " trailing commentary follows now"
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, long_doc),
+            (3, "совершенно unrelated text about other things entirely today"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in containment_prefix_pairs(docs, "doc_id", "text").collect()
+    }
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r.n_a == 5 and r.n_shared == 5 and r.containment_micro == 1000000
+    # asymmetric: the long doc is NOT contained in the short one
+    assert (2, 1) not in out
+    assert all(a != 3 and b != 3 for a, b in out)
