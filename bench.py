@@ -138,6 +138,7 @@ HEADLINE = [
     "events_last_touch_attribution",
     "text_phrase_search",
     "dedup_containment_quotes",
+    "events_conversion_paths",
 ]
 
 
