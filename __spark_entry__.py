@@ -8406,69 +8406,22 @@ def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     no touches → 'direct' — aggregated to the top-20 paths by purchase
     count. The funnel-exploration report next to last-touch attribution.
 
-    NO list-typed window state: each touch gets a per-user running
-    TOUCH NUMBER (one running-sum window), each purchase carries the
-    count of touches before it, and the path's three slots resolve by
-    three equi-joins on (user, touch_no−k) — linear shuffle joins at
-    any scale, versus a collect_list window whose per-row array state
-    is unbounded. concat_ws skips NULL slots in both engines, so
-    shorter histories collapse to shorter paths identically."""
+    Scale shape (operators/timeseries.conversion_paths): NO list-typed
+    window state — per-user running TOUCH NUMBERS (one window) + three
+    equi-joins on (user, touch_no−k), linear at any scale; final rank
+    is TakeOrderedAndProject + the window-free relational rank.
+    Streaming twin: streaming/stateful.conversion_paths_stream (ring of
+    ``depth`` strings per key, exact per-row parity — pytest-pinned)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.timeseries import (
+        conversion_paths,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    is_touch = F.when(F.col("event_type") != "purchase", 1).otherwise(0)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per_purchase = conversion_paths(
+        ev, ["user_id"], ["ts", "event_id"], "event_type", "purchase", depth=3
     )
-    numbered = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        is_touch.alias("is_touch"),
-        F.sum(is_touch).over(w).cast("long").alias("t_cnt"),
-    )
-    touches = numbered.filter(F.col("is_touch") == 1).select(
-        "user_id",
-        F.col("event_type").alias("touch_type"),
-        F.col("t_cnt").alias("touch_no"),
-    )
-    purch = numbered.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", "t_cnt"
-    )
-    t1 = touches.select(
-        F.col("user_id").alias("_u1"),
-        F.col("touch_no").alias("_n1"),
-        F.col("touch_type").alias("t_m2"),
-    )
-    t2 = touches.select(
-        F.col("user_id").alias("_u2"),
-        F.col("touch_no").alias("_n2"),
-        F.col("touch_type").alias("t_m1"),
-    )
-    t3 = touches.select(
-        F.col("user_id").alias("_u3"),
-        F.col("touch_no").alias("_n3"),
-        F.col("touch_type").alias("t_0"),
-    )
-    joined = (
-        purch.join(
-            t1,
-            (purch.user_id == t1._u1) & (t1._n1 == purch.t_cnt - 2),
-            "left",
-        )
-        .join(t2, (purch.user_id == t2._u2) & (t2._n2 == purch.t_cnt - 1), "left")
-        .join(t3, (purch.user_id == t3._u3) & (t3._n3 == purch.t_cnt), "left")
-    )
-    paths = (
-        joined.select(
-            F.coalesce(
-                F.nullif(F.concat_ws(">", "t_m2", "t_m1", "t_0"), F.lit("")),
-                F.lit("direct"),
-            ).alias("path")
-        )
-        .groupBy("path")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    paths = per_purchase.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases")
     )
     return ranked_top_n(
         paths, [("n_purchases", True), ("path", False)], 20, rank_col="rk"
@@ -8629,6 +8582,121 @@ HAVING count(*) + 1 >= 3
 """
 
 
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution with exact integer accounting:
+    every purchase's 10⁶ micro-units of credit are split equally across
+    ALL touches since the user's previous purchase (not just the last
+    one); the floor-division remainder goes to the LAST touch, so
+    credits sum to exactly 10⁶ per purchase by construction — the
+    invariant sum(credit_micro) = 10⁶ · purchases holds to the unit,
+    with no float anywhere. Purchases with no touches credit 'direct'.
+
+    Shape: one running conversion-count window assigns each touch to
+    the purchase window it precedes; per-(user, window) count +
+    row_number bound the split; one equi-join matches windows to
+    purchases (each purchase's window key is unique per user) and an
+    anti-join finds the touchless 'direct' purchases. Everything is
+    key-partitioned windows and linear equi-joins."""
+    ev = _t(spark, sf_dir, "events")
+    is_purch = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.lit(1) - is_purch).alias("is_touch"),
+        F.sum(is_purch).over(w).cast("long").alias("conv_cnt"),
+    )
+    touches = seq.filter(F.col("is_touch") == 1).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        "ts",
+        "event_id",
+        (F.col("conv_cnt") + 1).alias("win"),
+    )
+    purch = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("conv_cnt").alias("win")
+    )
+    ww = Window.partitionBy("user_id", "win")
+    tw = touches.select(
+        "user_id",
+        "win",
+        "channel",
+        F.count(F.lit(1)).over(ww).cast("long").alias("n_in_win"),
+        F.row_number().over(ww.orderBy("ts", "event_id")).cast("long").alias("pos"),
+    )
+    matched = tw.join(purch, ["user_id", "win"])
+    credited = matched.select(
+        "channel",
+        F.expr(
+            "CAST((1000000 div n_in_win)"
+            " + CASE WHEN pos = n_in_win THEN 1000000 % n_in_win ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("credit"),
+    )
+    direct = purch.join(
+        tw.select("user_id", "win"), ["user_id", "win"], "left_anti"
+    ).select(F.lit("direct").alias("channel"), F.lit(1000000).cast("long").alias("credit"))
+    return (
+        credited.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.sum("credit").cast("long").alias("credit_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_credits"),
+        )
+        .orderBy("channel")
+    )
+
+
+_LINEAR_ATTR_SQL = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END AS is_touch,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conv_cnt
+  FROM events
+),
+touches AS (
+  SELECT user_id, event_type AS channel, ts, event_id, conv_cnt + 1 AS win
+  FROM seq WHERE is_touch = 1
+),
+purch AS (
+  SELECT user_id, conv_cnt AS win FROM seq WHERE event_type = 'purchase'
+),
+tw AS (
+  SELECT user_id, win, channel,
+         CAST(count(*) OVER (PARTITION BY user_id, win) AS BIGINT) AS n_in_win,
+         CAST(row_number() OVER (PARTITION BY user_id, win ORDER BY ts, event_id) AS BIGINT) AS pos
+  FROM touches
+),
+matched AS (
+  SELECT t.channel, t.n_in_win, t.pos
+  FROM tw t JOIN purch p ON p.user_id = t.user_id AND p.win = t.win
+),
+credited AS (
+  SELECT channel,
+         CAST((1000000 // n_in_win) + CASE WHEN pos = n_in_win
+              THEN 1000000 % n_in_win ELSE 0 END AS BIGINT) AS credit
+  FROM matched
+),
+direct AS (
+  SELECT 'direct' AS channel, CAST(1000000 AS BIGINT) AS credit
+  FROM purch p WHERE NOT EXISTS (
+    SELECT 1 FROM tw t WHERE t.user_id = p.user_id AND t.win = p.win)
+)
+SELECT channel, CAST(sum(credit) AS BIGINT) AS credit_micro,
+       CAST(count(*) AS BIGINT) AS n_credits
+FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -8720,6 +8788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_conversion_paths": events_conversion_paths,
         "orders_reorder_gap_histogram": orders_reorder_gap_histogram,
         "sql_yoy_growth_streaks": sql_yoy_growth_streaks,
+        "events_linear_attribution": events_linear_attribution,
         # Remaining slots: re-checks of the OLDEST green rows (r2, in their
         # original order) per the stated policy: once the backlog is
         # absorbed, spare slots re-verify the oldest coverage first.
@@ -9061,6 +9130,7 @@ def oracle_sql() -> dict[str, str]:
         "events_conversion_paths": _CONVERSION_PATHS_SQL,
         "orders_reorder_gap_histogram": _REORDER_GAP_SQL,
         "sql_yoy_growth_streaks": _YOY_STREAKS_SQL,
+        "events_linear_attribution": _LINEAR_ATTR_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

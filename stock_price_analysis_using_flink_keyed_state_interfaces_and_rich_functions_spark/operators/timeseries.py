@@ -129,3 +129,75 @@ def last_touch_attribution(
         )
         .filter(F.col(type_col) == conversion_type)
     )
+
+
+def conversion_paths(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    type_col: str,
+    conversion_type: str,
+    depth: int = 3,
+    out_col: str = "path",
+    default: str = "direct",
+) -> DataFrame:
+    """Per-conversion touch path: each conversion row gains the ordered
+    '>'-joined path of its last ≤``depth`` preceding touches (oldest
+    first); no touches → ``default``. The journey-analytics primitive
+    behind path reports and Markov attribution.
+
+    NO list-typed window state: touches get a per-key running TOUCH
+    NUMBER (one running-sum window), each conversion carries its
+    preceding-touch count, and the ``depth`` path slots resolve by
+    ``depth`` equi-joins on (key, touch_no−k) — linear shuffle joins at
+    any scale, where a collect_list window would carry unbounded
+    per-row array state. ``concat_ws`` skips NULL slots, so shorter
+    histories collapse to shorter paths.
+
+    Returns the conversion rows: key cols + order cols + ``out_col``.
+    """
+    is_touch = F.when(F.col(type_col) != conversion_type, 1).otherwise(0)
+    keys = list(key_cols)
+    order = list(order_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = df.select(
+        *keys,
+        *order,
+        F.col(type_col),
+        is_touch.alias("_is_touch"),
+        F.sum(is_touch).over(w).cast("long").alias("_t_cnt"),
+    )
+    touches = numbered.filter(F.col("_is_touch") == 1).select(
+        *keys,
+        F.col(type_col).alias("_touch_type"),
+        F.col("_t_cnt").alias("_touch_no"),
+    )
+    out = numbered.filter(F.col(type_col) == conversion_type).select(
+        *keys, *order, "_t_cnt"
+    )
+    slot_cols = []
+    for k in range(depth - 1, -1, -1):  # oldest slot first
+        a = f"_slot{k}"
+        tk = touches.select(
+            *[F.col(c).alias(f"{a}_{c}") for c in keys],
+            F.col("_touch_no").alias(f"{a}_no"),
+            F.col("_touch_type").alias(a),
+        )
+        cond = (F.col(f"{a}_no") == out._t_cnt - k)
+        for c in keys:
+            cond = cond & (F.col(f"{a}_{c}") == out[c])
+        out = out.join(tk, cond, "left").drop(
+            f"{a}_no", *[f"{a}_{c}" for c in keys]
+        )
+        slot_cols.append(a)
+    return out.select(
+        *keys,
+        *order,
+        F.coalesce(
+            F.nullif(F.concat_ws(">", *slot_cols), F.lit("")), F.lit(default)
+        ).alias(out_col),
+    )

@@ -63,6 +63,7 @@ __all__ = [
     "ewma_stream",
     "ewma_integer_stream",
     "last_touch_attribution_stream",
+    "conversion_paths_stream",
 ]
 
 
@@ -687,6 +688,69 @@ def last_touch_attribution_stream(
             if emitted:
                 yield pd.DataFrame(emitted, columns=keys + order + [out_col])
         state.update((cur,))
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def conversion_paths_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    type_col: str,
+    conversion_type: str,
+    depth: int = 3,
+    out_col: str = "path",
+    default: str = "direct",
+) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.py:conversion_paths`` —
+    on-ingest journey paths. State per key is a RING of the ``depth``
+    most recent touch types (``depth`` strings — O(depth), not the
+    unbounded history); each conversion row emits immediately with its
+    '>'-joined path (oldest touch first), or ``default`` when the ring
+    is empty.
+
+    Chunked replay equals batch replay because the ring after any
+    prefix of the key's history is a pure function of that prefix —
+    the same carry argument as :func:`last_touch_attribution_stream`,
+    generalized from one string to ``depth``. Output keeps the order
+    columns so parity against the batch operator is exact per row.
+    """
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [df.schema[c] for c in order_cols]
+        + [StructField(out_col, StringType())]
+    )
+    state_schema = StructType(
+        [StructField(f"t{i}", StringType()) for i in range(depth)]
+    )
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def fold(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ring = [t for t in (state.get if state.exists else ()) if t is not None]
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
+            emitted: list[dict] = []
+            for _, row in pdf.iterrows():
+                t = row[type_col]
+                if t != conversion_type:
+                    if t is not None:
+                        ring = (ring + [t])[-depth:]
+                else:
+                    rec = {k: kv for k, kv in zip(keys, key)}
+                    for c in order:
+                        rec[c] = row[c]
+                    rec[out_col] = ">".join(ring) if ring else default
+                    emitted.append(rec)
+            if emitted:
+                yield pd.DataFrame(emitted, columns=keys + order + [out_col])
+        padded = ring + [None] * (depth - len(ring))
+        state.update(tuple(padded[:depth]))
 
     return df.groupBy(*keys).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -933,3 +933,18 @@ def test_last_touch_attribution_ground_truth(spark):
     }
     # only conversion rows survive
     assert len(out) == 4
+
+
+def test_linear_attribution_exact_accounting(spark):
+    """The linear-attribution invariant: credits sum to exactly 10^6
+    micro-units PER PURCHASE (floor-division remainder goes to the last
+    touch), so sum(credit_micro) == 10^6 * n_purchases to the unit."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    out = entrymod.queries()["events_linear_attribution"](spark, SF_DIR)
+    rows = out.collect()
+    total = sum(r.credit_micro for r in rows)
+    ev = entrymod._t(spark, SF_DIR, "events")
+    n_purch = ev.filter("event_type = 'purchase'").count()
+    assert total == 1_000_000 * n_purch

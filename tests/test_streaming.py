@@ -1467,3 +1467,51 @@ def test_last_touch_attribution_stream_equals_batch(spark, tmp_path):
     # at least one non-trivial carry and one 'direct' in the fixture
     channels = {c for _, _, c in got}
     assert "direct" in channels and len(channels) >= 2
+
+
+def test_conversion_paths_stream_equals_batch(spark, tmp_path):
+    """Streaming path ring must equal the batch join form across
+    micro-batch boundaries: a purchase early in batch 2 reads touches
+    carried from batch 1's ring, depth truncation keeps only the 3
+    most recent touches, and a touchless first purchase is 'direct'."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.timeseries import (
+        conversion_paths,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        conversion_paths_stream,
+    )
+
+    root = str(tmp_path / "cp_in")
+    types = ["view", "click", "purchase", "error", "signup", "purchase", "view"]
+    rows = []
+    for i in range(42):
+        user = f"u{i % 3}"
+        rows.append((user, i, types[(i * 3 + i // 4) % len(types)]))
+    df = spark.createDataFrame(rows, "k string, seq long, t string")
+    for part in range(3):
+        df.filter((F.col("seq") >= part * 14) & (F.col("seq") < (part + 1) * 14)) \
+            .coalesce(1).write.parquet(os.path.join(root, f"part={part}"))
+    batch = spark.read.parquet(os.path.join(root, "part=*")).select("k", "seq", "t")
+
+    stream = (
+        spark.readStream.schema("k string, seq long, t string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "part=*"))
+        .select("k", "seq", "t")
+    )
+    out = _drain(
+        conversion_paths_stream(stream, ["k"], ["seq"], "t", "purchase", depth=3),
+        "cp_stream",
+    )
+    got = sorted((r["k"], r["seq"], r["path"]) for r in out.collect())
+    expect = sorted(
+        (r["k"], r["seq"], r["path"])
+        for r in conversion_paths(
+            batch, ["k"], ["seq"], "t", "purchase", depth=3
+        ).collect()
+    )
+    assert got == expect and len(got) > 0
+    # fixture exercises depth-3 truncation (some path has 3 hops) and
+    # shorter histories
+    lens = {p.count(">") for _, _, p in got}
+    assert 2 in lens and (0 in lens or "direct" in {p for _, _, p in got})
