@@ -8697,6 +8697,115 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers cohorted by FIRST-order
+    year; each (cohort_yr, age_yr) cell reports the still-active
+    customer count and exact integer-cent revenue — the standard LTV
+    triangle a retention team reads. Two aggregates + one equi-join on
+    the customer key (the cohort table is customer-dimension-sized;
+    AQE broadcasts it when small, shuffles when not), map-side partials
+    everywhere."""
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("long").alias("cohort_yr")
+    )
+    m = o.join(firsts, "o_custkey").select(
+        "cohort_yr",
+        (F.year("o_orderdate").cast("long") - F.col("cohort_yr")).alias("age_yr"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        m.groupBy("cohort_yr", "age_yr")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("active_customers"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("cohort_yr", "age_yr")
+    )
+
+
+_COHORT_LTV_SQL = """
+WITH firsts AS (
+  SELECT o_custkey, CAST(min(year(o_orderdate)) AS BIGINT) AS cohort_yr
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT f.cohort_yr, CAST(year(o.o_orderdate) AS BIGINT) - f.cohort_yr AS age_yr,
+         o.o_custkey, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+)
+SELECT cohort_yr, age_yr, CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_customers,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM m GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) report: the FEWEST top customers
+    whose exact-cent revenue covers ≥80% of the total, plus their share
+    of the customer base in micro-units — the 80/20 question.
+
+    The naive plan is a running sum over an unpartitioned ORDER BY
+    window (the r5-verdict scale-killer). Instead this rides
+    operators/windows.distributed_running_sum — the two-phase
+    range-partition recipe generalized from distributed_global_rank to
+    VALUE offsets — so the customer aggregate cumsums in parallel and
+    only a parallelism-bounded offset table is ever single-task. The
+    final min-rank over the qualifying rows is a plain global aggregate
+    (map-side partials, one row out)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = per_cust.agg(
+        F.sum("cents").cast("long").alias("_t"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    rs = distributed_running_sum(
+        per_cust,
+        [("cents", True), ("o_custkey", False)],
+        "cents",
+        out_col="run",
+        rank_col="rk",
+    )
+    hit = rs.crossJoin(F.broadcast(tot)).filter(
+        F.col("run") * 100 >= 80 * F.col("_t")
+    )
+    return hit.agg(
+        F.min("rk").cast("long").alias("n_top_customers"),
+        F.max("_n").cast("long").alias("n_customers"),
+        F.expr("CAST((min(rk) * 1000000) div max(_n) AS BIGINT)").alias(
+            "share_of_customers_micro"
+        ),
+    )
+
+
+_PARETO_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n FROM per_cust),
+ranked AS (
+  SELECT cents, CAST(row_number() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS rk,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+  FROM per_cust
+)
+SELECT CAST(min(rk) AS BIGINT) AS n_top_customers,
+       CAST(max(tot.n) AS BIGINT) AS n_customers,
+       CAST((min(rk) * 1000000) // max(tot.n) AS BIGINT) AS share_of_customers_micro
+FROM ranked, tot WHERE run * 100 >= 80 * tot.t
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -8789,6 +8898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_reorder_gap_histogram": orders_reorder_gap_histogram,
         "sql_yoy_growth_streaks": sql_yoy_growth_streaks,
         "events_linear_attribution": events_linear_attribution,
+        "orders_cohort_ltv": orders_cohort_ltv,
+        "agg_pareto_8020": agg_pareto_8020,
         # Remaining slots: re-checks of the OLDEST green rows (r2, in their
         # original order) per the stated policy: once the backlog is
         # absorbed, spare slots re-verify the oldest coverage first.
@@ -9131,6 +9242,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_reorder_gap_histogram": _REORDER_GAP_SQL,
         "sql_yoy_growth_streaks": _YOY_STREAKS_SQL,
         "events_linear_attribution": _LINEAR_ATTR_SQL,
+        "orders_cohort_ltv": _COHORT_LTV_SQL,
+        "agg_pareto_8020": _PARETO_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

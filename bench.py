@@ -139,6 +139,7 @@ HEADLINE = [
     "text_phrase_search",
     "dedup_containment_quotes",
     "events_conversion_paths",
+    "agg_pareto_8020",
 ]
 
 

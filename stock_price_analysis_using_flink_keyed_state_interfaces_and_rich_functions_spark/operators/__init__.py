@@ -11,6 +11,7 @@ from .stateful import (  # noqa: F401
 )
 from .windows import (  # noqa: F401
     distributed_global_rank,
+    distributed_running_sum,
     with_row_number,
     with_rank_columns,
     with_lag_lead,

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "distributed_global_rank",
+    "distributed_running_sum",
     "with_row_number",
     "with_rank_columns",
     "with_lag_lead",
@@ -190,3 +191,72 @@ def distributed_global_rank(
         .withColumn(rank_col, (F.col("_gr_lrn") + F.col("_gr_off")).cast("long"))
         .drop("_gr_pid", "_gr_lrn", "_gr_off")
     )
+
+
+def distributed_running_sum(
+    df: DataFrame,
+    order_keys: Sequence[tuple[str, bool]],
+    value_col: str,
+    out_col: str = "running_sum",
+    rank_col: str | None = None,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """EXACT global running sum (and optionally the global row_number)
+    along a total order — with no single-task sort anywhere. The
+    :func:`distributed_global_rank` recipe with VALUE offsets: range-
+    disjoint partitions cumsum locally in parallel; a parallelism-
+    bounded offset table (each partition's preceding-partitions value
+    total) is broadcast back and added. Same caller contract: the
+    ordering key tuple must be UNIQUE (tiebreak last), and the ranged
+    frame is materialized once so partition ids are stable across the
+    offset and local passes.
+
+    This is the primitive behind Pareto/coverage analyses ("how many
+    top-k cover p% of the total") at fact-table scale — the naive form
+    is an unpartitioned ORDER BY window, the r5-verdict scale-killer.
+    """
+    cols = [F.desc(c) if d else F.asc(c) for c, d in order_keys]
+    for reserved in ("_rs_pid", "_rs_lcs", "_rs_off", "_rs_lrn"):
+        if reserved in df.columns:
+            raise ValueError(f"input already has a {reserved} column (reserved)")
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_rs_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wl = (
+        Window.partitionBy("_rs_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(
+        "_rs_lcs", F.sum(value_col).over(wl).cast("long")
+    )
+    if rank_col is not None:
+        local = local.withColumn(
+            "_rs_lrn",
+            F.row_number().over(Window.partitionBy("_rs_pid").orderBy(*cols)).cast("long"),
+        )
+    wo = Window.orderBy("_rs_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        ranged.groupBy("_rs_pid")
+        .agg(
+            F.sum(value_col).cast("long").alias("_rs_sum"),
+            F.count(F.lit(1)).cast("long").alias("_rs_cnt"),
+        )
+        .withColumn(
+            "_rs_off", F.coalesce(F.sum("_rs_sum").over(wo), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "_rs_roff", F.coalesce(F.sum("_rs_cnt").over(wo), F.lit(0)).cast("long")
+        )
+        .select("_rs_pid", "_rs_off", "_rs_roff")
+    )
+    out = local.join(F.broadcast(offs), "_rs_pid").withColumn(
+        out_col, (F.col("_rs_lcs") + F.col("_rs_off")).cast("long")
+    )
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col, (F.col("_rs_lrn") + F.col("_rs_roff")).cast("long")
+        )
+    return out.drop("_rs_pid", "_rs_lcs", "_rs_off", "_rs_roff", "_rs_lrn")

@@ -948,3 +948,34 @@ def test_linear_attribution_exact_accounting(spark):
     ev = entrymod._t(spark, SF_DIR, "events")
     n_purch = ev.filter("event_type = 'purchase'").count()
     assert total == 1_000_000 * n_purch
+
+
+def test_distributed_running_sum_matches_window(spark):
+    """The two-phase running sum (and rank) must equal the naive
+    unpartitioned-window form on a unique ordering key."""
+    from pyspark.sql import Window as W
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    rows = [(i, ((i * 37) % 19) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = {
+        r.id: (r.run, r.rk)
+        for r in distributed_running_sum(
+            df, [("v", True), ("id", False)], "v", out_col="run", rank_col="rk",
+            num_partitions=7,
+        ).collect()
+    }
+    w = W.orderBy(F.desc("v"), F.asc("id"))
+    expect = {
+        r.id: (r.run, r.rk)
+        for r in df.withColumn(
+            "run",
+            F.sum("v").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .collect()
+    }
+    assert got == expect
