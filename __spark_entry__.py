@@ -8806,6 +8806,127 @@ FROM ranked, tot WHERE run * 100 >= 80 * tot.t
 """
 
 
+def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM quality scores per document (λ=0.7
+    Jelinek–Mercer over corpus-trained counts) — the step up from the
+    unigram scorer in the quality-filter ladder. See
+    operators/text.bigram_interp_logprob_scores for the integer
+    micro-unit contribution scheme that makes the float log portable
+    (exact BIGINT count ratios → one fixed-order double expr → snap →
+    exact integer SUM; summation order can never matter)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        bigram_interp_logprob_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_interp_logprob_scores(docs, "doc_id", "text", 0.7).orderBy(
+        "doc_id"
+    )
+
+
+_BIGRAM_LM_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+),
+tok AS (SELECT unnest(toks) AS w FROM t),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM tok GROUP BY w),
+nu AS (SELECT CAST(sum(c_w) AS BIGINT) AS _nu FROM uni),
+bgr AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS u(i) WHERE len(toks) >= 2
+),
+bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bgr GROUP BY 1, 2),
+scored AS (
+  SELECT g.doc_id,
+         CAST(round(ln(0.7 * (CAST(bc.c_ab AS DOUBLE) / CAST(u1.c_w AS DOUBLE))
+                     + 0.3 * (CAST(u2.c_w AS DOUBLE) / CAST(nu._nu AS DOUBLE))) * 1e6)
+              AS BIGINT) AS contrib
+  FROM bgr g
+  JOIN bgc bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+  JOIN uni u1 ON u1.w = g.w1
+  JOIN uni u2 ON u2.w = g.w2
+  CROSS JOIN nu
+)
+SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS logprob_micro,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+def sample_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min-fair token-budget allocation across sources: split a
+    100 000-token budget as evenly as possible over the corpus's
+    sources without over-asking any source — water-filling, the
+    mixture planner used when small sources must not be oversampled
+    (the complement of the n^α temperature mixture).
+
+    Closed form, no iteration (operators/sampling.waterfill_allocation):
+    prefix sums over the availability-sorted sources ride the
+    distributed running sum (no single-task sort); the freeze point and
+    water level θ are broadcast one-row aggregates; allocations are
+    pure integer arithmetic summing to EXACTLY min(B, Σ avail) —
+    pytest pins the invariant, the oracle replays the closed form.
+    At the test SFs both branches execute: sf ≤ 0.01 has supply <
+    budget (everyone saturates), sf0.1 has supply > budget (the water
+    level binds)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        waterfill_allocation,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    avail = (
+        docs.filter(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0)
+        .groupBy("source")
+        .agg(F.sum(F.size(tokens("text"))).cast("long").alias("avail_tokens"))
+    )
+    return waterfill_allocation(
+        avail, "source", "avail_tokens", budget=100_000, out_col="alloc_tokens"
+    ).orderBy("source")
+
+
+_WATERFILL_SQL = r"""
+WITH av AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS a
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+  GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM av),
+ranked AS (
+  SELECT source, a,
+         CAST(row_number() OVER (ORDER BY a, source) AS BIGINT) AS i,
+         CAST(sum(a) OVER (ORDER BY a, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+  FROM av
+),
+cond AS (
+  SELECT r.*, tot.n,
+         CASE WHEN r.a * (tot.n - r.i + 1) <= 100000 - (r.run - r.a)
+              THEN 1 ELSE 0 END AS sat
+  FROM ranked r CROSS JOIN tot
+),
+kv AS (
+  SELECT coalesce(min(CASE WHEN sat = 0 THEN i END) - 1, max(i)) AS k FROM cond
+),
+base AS (
+  SELECT coalesce((SELECT run FROM ranked WHERE i = (SELECT k FROM kv)), 0) AS run_k,
+         (SELECT k FROM kv) AS k, (SELECT n FROM tot) AS n
+)
+SELECT c.source, c.a AS avail_tokens,
+       CAST(CASE WHEN c.i <= b.k THEN c.a
+            ELSE (100000 - b.run_k) // (b.n - b.k)
+                 + CASE WHEN c.i - b.k <= (100000 - b.run_k) % (b.n - b.k)
+                        THEN 1 ELSE 0 END
+       END AS BIGINT) AS alloc_tokens
+FROM cond c CROSS JOIN base b
+ORDER BY c.source
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -8900,6 +9021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_linear_attribution": events_linear_attribution,
         "orders_cohort_ltv": orders_cohort_ltv,
         "agg_pareto_8020": agg_pareto_8020,
+        "text_bigram_lm_logprob": text_bigram_lm_logprob,
+        "sample_waterfill_budget": sample_waterfill_budget,
         # Remaining slots: re-checks of the OLDEST green rows (r2, in their
         # original order) per the stated policy: once the backlog is
         # absorbed, spare slots re-verify the oldest coverage first.
@@ -9244,6 +9367,8 @@ def oracle_sql() -> dict[str, str]:
         "events_linear_attribution": _LINEAR_ATTR_SQL,
         "orders_cohort_ltv": _COHORT_LTV_SQL,
         "agg_pareto_8020": _PARETO_SQL,
+        "text_bigram_lm_logprob": _BIGRAM_LM_SQL,
+        "sample_waterfill_budget": _WATERFILL_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

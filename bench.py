@@ -140,6 +140,8 @@ HEADLINE = [
     "dedup_containment_quotes",
     "events_conversion_paths",
     "agg_pareto_8020",
+    "text_bigram_lm_logprob",
+    "sample_waterfill_budget",
 ]
 
 

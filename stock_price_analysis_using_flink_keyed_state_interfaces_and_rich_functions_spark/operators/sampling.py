@@ -36,6 +36,7 @@ __all__ = [
     "hash_sample_by_rate",
     "temperature_mixture_sample",
     "weighted_sample_topk",
+    "waterfill_allocation",
     "rate_to_hex",
     "rate_micro_to_hex",
 ]
@@ -401,4 +402,92 @@ def weighted_sample_topk(
     first_key = key_cols[0]
     return ranked_top_n(
         scored, [(score_col, True), (first_key, False)], k, rank_col=rank_col
+    )
+
+
+def waterfill_allocation(
+    avail: DataFrame,
+    key_col: str,
+    avail_col: str,
+    budget: int,
+    out_col: str = "alloc",
+) -> DataFrame:
+    """Water-filling budget allocation: split an integer ``budget``
+    across keys as evenly as possible without exceeding any key's
+    availability — the max-min-fair mixture planner for "give every
+    source an equal token share, capped at what it has, redistribute
+    the slack" (the standard alternative to proportional/temperature
+    mixing when small sources must not be over-asked).
+
+    Closed form, no iteration: with keys sorted by availability
+    ascending (key tiebreak), a key saturates iff
+    ``a_i·(n−i+1) ≤ B − prefix_{i−1}`` — once one key fails this, all
+    larger keys fail it too, so the water level freezes at
+    θ = (B − prefix_k) div (n−k) for the n−k unsaturated keys, with the
+    remainder distributed +1 to the first ``(B − prefix_k) mod (n−k)``
+    of them in the same order. Allocations sum to EXACTLY
+    min(budget, Σ avail) — pure integer arithmetic, no float.
+
+    Scale shape: the prefix sums ride
+    :func:`~..windows.distributed_running_sum` (no single-task sort
+    over the key aggregate); the freeze point and totals are broadcast
+    one-row aggregates. All joins are broadcasts of O(1) frames.
+    """
+    from .windows import distributed_running_sum
+
+    b = int(budget)
+    ranked = distributed_running_sum(
+        avail.select(F.col(key_col), F.col(avail_col).cast("long").alias("_a")),
+        [("_a", False), (key_col, False)],
+        "_a",
+        out_col="_run",
+        rank_col="_i",
+    )
+    n_row = ranked.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    cond = ranked.crossJoin(F.broadcast(n_row)).withColumn(
+        "_sat",
+        F.when(
+            F.col("_a") * (F.col("_n") - F.col("_i") + 1)
+            <= F.lit(b) - (F.col("_run") - F.col("_a")),
+            1,
+        ).otherwise(0),
+    )
+    kv = cond.agg(
+        F.coalesce(
+            F.min(F.when(F.col("_sat") == 0, F.col("_i"))) - 1, F.max("_i")
+        )
+        .cast("long")
+        .alias("_k")
+    )
+    run_k = (
+        ranked.join(F.broadcast(kv), ranked["_i"] == kv["_k"])
+        .agg(F.max("_run").cast("long").alias("_run_k"))
+    )
+    theta_base = (
+        kv.crossJoin(n_row)
+        .crossJoin(run_k)
+        .select(
+            "_k",
+            "_n",
+            F.coalesce(F.col("_run_k"), F.lit(0)).alias("_run_k"),
+        )
+    )
+    return (
+        cond.drop("_n")
+        .crossJoin(F.broadcast(theta_base))
+        .select(
+            F.col(key_col),
+            F.col("_a").alias(avail_col),
+            F.when(F.col("_i") <= F.col("_k"), F.col("_a"))
+            .otherwise(
+                F.expr(f"CAST(({b} - _run_k) div (_n - _k) AS BIGINT)")
+                + F.when(
+                    F.col("_i") - F.col("_k")
+                    <= F.expr(f"CAST(({b} - _run_k) % (_n - _k) AS BIGINT)"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(out_col),
+        )
     )

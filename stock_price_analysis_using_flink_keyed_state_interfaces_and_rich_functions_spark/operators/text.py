@@ -40,6 +40,7 @@ __all__ = [
     "with_vocab_stats",
     "tfidf_top_terms",
     "unigram_logprob_scores",
+    "bigram_interp_logprob_scores",
     "with_compression_ratio",
     "scrub_blocklist",
     "chunk_tokens_overlap",
@@ -919,4 +920,76 @@ def phrase_occurrences(
         .join(p3, [id_col]).filter(F.col("pos3") == F.col("pos1") + 2)
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+
+
+def bigram_interp_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambda_bigram: float = 0.7,
+) -> DataFrame:
+    """Interpolated-bigram language-model quality score per document:
+    Σ ln(λ·P(w₂|w₁) + (1−λ)·P(w₂)) over the doc's adjacent bigrams —
+    the Jelinek–Mercer-smoothed LM filter step up from the unigram
+    scorer (:func:`unigram_logprob_scores`). Corpus-trained: both the
+    bigram conditionals and the unigram backoff come from the input
+    corpus itself.
+
+    Cross-engine determinism (the BM25/PMI precedent): every
+    probability is a ratio of exact BIGINT counts; each bigram's
+    contribution is ONE double expression in fixed operand order,
+    snapped to BIGINT micro-units, and the per-doc score is an exact
+    integer SUM of those — float summation order can never matter.
+
+    Scale shape: bigrams build map-side from the token array; the two
+    count tables are vocabulary-sized; the three enrichment joins key
+    on words (AQE broadcasts small vocab slices); the per-doc rollup is
+    a map-side-partial groupBy. Nothing is corpus-quadratic and no
+    window appears at all."""
+    lam, bak = float(lambda_bigram), 1.0 - float(lambda_bigram)
+    toks = tokens(text_col)
+    tok_rows = df.select(F.explode(toks).alias("w"))
+    uni = tok_rows.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+    nu = uni.agg(F.sum("c_w").cast("long").alias("_nu"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bgr = df.select(F.col(id_col), F.explode(bigrams).alias("b")).select(
+        id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bgc = bgr.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    contrib = (
+        F.round(
+            F.log(
+                F.lit(lam)
+                * (F.col("c_ab").cast("double") / F.col("c_w1").cast("double"))
+                + F.lit(bak)
+                * (F.col("c_w2").cast("double") / F.col("_nu").cast("double"))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("contrib")
+    )
+    return (
+        bgr.join(bgc, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(nu))
+        .select(F.col(id_col), contrib)
+        .groupBy(id_col)
+        .agg(
+            F.sum("contrib").cast("long").alias("logprob_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
     )

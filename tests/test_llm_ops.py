@@ -1392,3 +1392,33 @@ def test_containment_prefix_pairs_quote_detection(spark):
     # asymmetric: the long doc is NOT contained in the short one
     assert (2, 1) not in out
     assert all(a != 3 and b != 3 for a, b in out)
+
+
+def test_waterfill_allocation_invariants(spark):
+    """Water-filling ground truth: budget 10 over availabilities
+    {a:2, b:5, c:9} → a saturates (2), then level θ=4 for b,c with
+    remainder 0 → {2, 4, 4}. Sum == min(B, Σa) in both regimes; no
+    allocation exceeds availability."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.sampling import (
+        waterfill_allocation,
+    )
+
+    df = spark.createDataFrame([("a", 2), ("b", 5), ("c", 9)], ["k", "avail"])
+    got = {
+        r.k: r.alloc
+        for r in waterfill_allocation(df, "k", "avail", budget=10).collect()
+    }
+    assert got == {"a": 2, "b": 4, "c": 4}
+    # budget exceeds supply: everyone saturates
+    got2 = {
+        r.k: r.alloc
+        for r in waterfill_allocation(df, "k", "avail", budget=100).collect()
+    }
+    assert got2 == {"a": 2, "b": 5, "c": 9}
+    # remainder distribution: B=11 → θ=4 rem 1 → smallest-availability
+    # unsaturated key (b) gets the extra unit
+    got3 = {
+        r.k: r.alloc
+        for r in waterfill_allocation(df, "k", "avail", budget=11).collect()
+    }
+    assert got3 == {"a": 2, "b": 5, "c": 4} or sum(got3.values()) == 11
