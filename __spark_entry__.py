@@ -8927,6 +8927,21 @@ ORDER BY c.source
 """
 
 
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-vocabulary induction over the corpus: the first 10
+    Sennrich merges (operators/text.bpe_merges — corpus-scale word
+    frequency once, then vocabulary-sized iterations; argmax tie-broken
+    (count desc, pair lex asc) so the merge table is deterministic).
+    ROWS-ONLY by necessity: merge k depends on merges 1..k−1, so no
+    single SQL query can express the loop — pytest replays the greedy
+    fold in pure Python as ground truth."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        bpe_merges,
+    )
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), "text", 10)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -9203,6 +9218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ewma_orders": window_ewma_orders,
         "window_ewma_segmented": window_ewma_segmented,
         "text_compression_ratio": text_compression_ratio,
+        "text_bpe_merges": text_bpe_merges,
     }
 
 

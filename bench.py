@@ -142,6 +142,7 @@ HEADLINE = [
     "agg_pareto_8020",
     "text_bigram_lm_logprob",
     "sample_waterfill_budget",
+    "text_bpe_merges",
 ]
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "tfidf_top_terms",
     "unigram_logprob_scores",
     "bigram_interp_logprob_scores",
+    "bpe_merges",
     "with_compression_ratio",
     "scrub_blocklist",
     "chunk_tokens_overlap",
@@ -993,3 +994,102 @@ def bigram_interp_logprob_scores(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         )
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction (the Sennrich word-level
+    algorithm, public literature): starting from characters, repeatedly
+    merge the most frequent adjacent symbol pair — weighted by word
+    frequency — for ``num_merges`` rounds. Returns the merge table
+    (rank, left, right, merged, weighted_count): the learned tokenizer.
+
+    Spark-first split: the CORPUS-scale work is one word-frequency
+    aggregate (map-side partials over the token stream); every
+    iteration after that touches only the VOCABULARY-sized (word,
+    count, symbols) table. Per round: adjacent pairs explode from the
+    symbol arrays, a weighted count aggregates them, the argmax pair
+    (count desc, then lexicographic — fixed tie rule) comes back as ONE
+    collected row (bounded: k rounds → k rows ever cross the driver),
+    and the merge applies as a pure higher-order-function FOLD over
+    each symbol array (greedy left-to-right, non-overlapping — 'aaaa'
+    under (a,a) → (aa)(aa)); the folded table is re-materialized per
+    round (eager localCheckpoint) so plans don't nest k deep.
+
+    Iteration is inherent to BPE (merge k depends on 1..k−1), so this
+    is a rows-only operator: no single-query SQL oracle can exist; the
+    pytest ground truth replays the same greedy fold in pure Python.
+    No end-of-word marker (documented simplification; add one by
+    appending a sentinel symbol to each word's array)."""
+    spark = df.sparkSession
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField as SF,
+        StructType as ST,
+    )
+
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    syms = words.withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+    ).localCheckpoint(eager=True)
+
+    out_rows: list[tuple] = []
+    for it in range(int(num_merges)):
+        pairs = (
+            syms.select(
+                "cnt",
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.expr(
+                            "transform(sequence(1, size(syms) - 1),"
+                            " i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                        ),
+                    ).otherwise(
+                        F.array().cast("array<struct<a:string,b:string>>")
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").cast("long").alias("wc"))
+        )
+        top = pairs.orderBy(F.desc("wc"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:
+            break
+        a, b, wc = top[0]["a"], top[0]["b"], top[0]["wc"]
+        out_rows.append((it + 1, a, b, a + b, int(wc)))
+        syms = syms.withColumn(
+            "syms",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).localCheckpoint(eager=True)
+
+    schema = ST(
+        [
+            SF("rank", LongType()),
+            SF("left", StringType()),
+            SF("right", StringType()),
+            SF("merged", StringType()),
+            SF("weighted_count", LongType()),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)
