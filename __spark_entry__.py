@@ -8942,6 +8942,67 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_t(spark, sf_dir, "documents"), "text", 10)
 
 
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly census: each event's value compares
+    against the integer-cent MEDIAN of its own (event_type,
+    hour-of-week) cell — the seasonal-baseline step up from the global
+    MAD report (events_anomaly_mad), catching values that are normal
+    at Friday-noon levels but anomalous for Sunday 3am. Flag when
+    |value − median| > 3·median; report per-type event and anomaly
+    counts.
+
+    Portability: hour-of-week is weekday(ts)·24 + hour(ts) with
+    Monday=0 (Spark ``weekday`` ≡ DuckDB ``isodow − 1``); medians are
+    over exact integer cents, so every interpolated value is k or
+    k+0.5 cents — exactly representable, comparisons engine-identical
+    (the rolling-median precedent). Shape: one 840-cell aggregate
+    (5 types × 168 hours), broadcast back onto the stream; map-side
+    partials both ways; no window at all."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    how = (F.weekday("ts").cast("long") * 24 + F.hour("ts").cast("long")).alias(
+        "how"
+    )
+    c = ev.select("event_type", how, cents.alias("cents"))
+    base = c.groupBy("event_type", "how").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    return (
+        c.join(F.broadcast(base), ["event_type", "how"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("med")) > 3 * F.col("med"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SEASONAL_ANOMALY_SQL = """
+WITH c AS (
+  SELECT event_type,
+         CAST(((isodow(ts) - 1) * 24 + hour(ts)) AS BIGINT) AS how,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+base AS (
+  SELECT event_type, how, quantile_cont(cents, 0.5) AS med
+  FROM c GROUP BY 1, 2
+)
+SELECT c.event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN abs(c.cents - b.med) > 3 * b.med THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
+FROM c JOIN base b ON b.event_type = c.event_type AND b.how = c.how
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -9003,12 +9064,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_posting_lists": text_posting_lists,
         "pack_padding_waste": pack_padding_waste,
         "events_variant_props": events_variant_props,
-        # Slots 27-28: re-slots — agg_nations_per_region (r5 driver-
+        # Slot 27: re-slot — agg_nations_per_region (r5 driver-
         # canonicalizer crash on its then-array output; now a '|'-joined
-        # string) and agg_approx_distinct (r2 no_oracle row; it has an
-        # exact-count oracle now).
+        # string). agg_approx_distinct ceded its planned re-slot to the
+        # round's last never-checked addition (see past-window note).
         "agg_nations_per_region": agg_nations_per_region,
-        "agg_approx_distinct": agg_approx_distinct,
         # Round-6 additions (never checked, so window-mandatory per the
         # rotation test): split-leakage audit + repair, PMI collocations,
         # RAG chunking, A-Res weighted sampling, embedding dim stats,
@@ -9038,6 +9098,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pareto_8020": agg_pareto_8020,
         "text_bigram_lm_logprob": text_bigram_lm_logprob,
         "sample_waterfill_budget": sample_waterfill_budget,
+        "events_seasonal_anomaly": events_seasonal_anomaly,
+        # Past the window (position 51+): agg_approx_distinct lost its
+        # re-slot to this round's final oracled addition — the window can
+        # hold 49 never-checked + the mandated agg_nations_per_region
+        # red-row re-slot, and the rotation policy prioritizes
+        # never-checked queries; its oracle stays registered for a later
+        # round's window.
+        "agg_approx_distinct": agg_approx_distinct,
         # Remaining slots: re-checks of the OLDEST green rows (r2, in their
         # original order) per the stated policy: once the backlog is
         # absorbed, spare slots re-verify the oldest coverage first.
@@ -9385,6 +9453,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_pareto_8020": _PARETO_SQL,
         "text_bigram_lm_logprob": _BIGRAM_LM_SQL,
         "sample_waterfill_budget": _WATERFILL_SQL,
+        "events_seasonal_anomaly": _SEASONAL_ANOMALY_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,
