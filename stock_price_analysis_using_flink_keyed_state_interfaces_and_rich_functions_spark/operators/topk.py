@@ -14,7 +14,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["top_n", "top_k_per_group", "ranked_top_n"]
+__all__ = ["top_n", "top_k_per_group", "ranked_top_n", "skyline_2d"]
 
 
 def top_n(df: DataFrame, order_cols: Sequence[Column | str], n: int) -> DataFrame:
@@ -80,3 +80,50 @@ def top_k_per_group(
 ) -> DataFrame:
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def skyline_2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): the distinct (min_col, max_col)
+    points not DOMINATED by any other point, where point b dominates a
+    iff b.min_col <= a.min_col AND b.max_col >= a.max_col with at least
+    one strict. Multi-objective top-k — "cheapest for its size class"
+    — the Börzsönyi et al. (ICDE 2001) SKYLINE operator, which Spark
+    has no built-in for.
+
+    Scale shape: the naive formulation is a quadratic NOT-EXISTS self
+    join (that stays our ORACLE — an independent algorithm certifying
+    this one). Here the classic sort-based 2-D reduction runs in two
+    linear passes with no single-task window:
+
+    1. Distinct points + per-min_col max: after ``groupBy(min_col)``
+       only |distinct min_col| rows survive — one candidate per price.
+    2. A point (p, s) is in the skyline iff s is the max over ALL
+       points with min_col <= p AND s strictly exceeds the max over
+       points with min_col < p. Both conditions collapse to ONE
+       exclusive global running max over per-price maxima
+       (:func:`~.windows.distributed_running_max` — range-partitioned,
+       offsets broadcast, exact).
+
+    Returns the skyline POINTS (min_col, max_col) only; callers join
+    back to the point table for per-point payload (counts, ids) —
+    that join is on the skyline, which is O(|frontier|) rows.
+    """
+    from .windows import distributed_running_max
+
+    per_min = df.groupBy(min_col).agg(F.max(max_col).alias(max_col))
+    ran = distributed_running_max(
+        per_min,
+        [(min_col, False)],
+        max_col,
+        out_col="_sky_prev",
+        exclusive=True,
+        num_partitions=num_partitions,
+    )
+    return ran.filter(
+        F.col("_sky_prev").isNull() | (F.col(max_col) > F.col("_sky_prev"))
+    ).drop("_sky_prev")

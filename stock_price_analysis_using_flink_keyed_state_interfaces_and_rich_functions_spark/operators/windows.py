@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "distributed_global_rank",
     "distributed_running_sum",
+    "distributed_running_max",
     "with_row_number",
     "with_rank_columns",
     "with_lag_lead",
@@ -260,3 +261,63 @@ def distributed_running_sum(
             rank_col, (F.col("_rs_lrn") + F.col("_rs_roff")).cast("long")
         )
     return out.drop("_rs_pid", "_rs_lcs", "_rs_off", "_rs_roff", "_rs_lrn")
+
+
+def distributed_running_max(
+    df: DataFrame,
+    order_keys: Sequence[tuple[str, bool]],
+    value_col: str,
+    out_col: str = "running_max",
+    exclusive: bool = False,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """EXACT global running MAX along a total order — the MAX twin of
+    :func:`distributed_running_sum`, same two-phase recipe: range-
+    disjoint partitions compute their local running max in parallel; a
+    parallelism-bounded offset table (each partition's preceding-
+    partitions max) is broadcast back and combined with ``greatest``.
+    Caller contract is identical: the ordering key tuple must be UNIQUE
+    (tiebreak last) and the ranged frame is materialized once so
+    partition ids agree between the local and offset passes.
+
+    ``exclusive=True`` gives the STRICTLY-PRECEDING-rows max (NULL for
+    the global first row) — the form skyline/frontier pruning needs
+    ("is this row's value above everything before it in the order?").
+    This is the primitive behind the 2-D skyline operator
+    (:func:`~..topk.skyline_2d`): max is associative/commutative so the
+    partition-offset decomposition is exact, no floats involved.
+    """
+    cols = [F.desc(c) if d else F.asc(c) for c, d in order_keys]
+    for reserved in ("_rm_pid", "_rm_lmx", "_rm_off"):
+        if reserved in df.columns:
+            raise ValueError(f"input already has a {reserved} column (reserved)")
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_rm_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    hi = Window.currentRow if not exclusive else -1
+    wl = (
+        Window.partitionBy("_rm_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = ranged.withColumn("_rm_lmx", F.max(value_col).over(wl))
+    # Offset for partition p = max over ALL rows of every preceding
+    # partition — exclusive of p itself in both modes (partition-local
+    # rows are already covered by the local pass).
+    wo = Window.orderBy("_rm_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        ranged.groupBy("_rm_pid")
+        .agg(F.max(value_col).alias("_rm_pmx"))
+        .withColumn("_rm_off", F.max("_rm_pmx").over(wo))
+        .select("_rm_pid", "_rm_off")
+    )
+    # greatest() ignores NULLs (returns the non-NULL operand), which is
+    # exactly right: NULL local (exclusive first row) + non-NULL offset
+    # = offset; both NULL (global first row, exclusive) = NULL.
+    return (
+        local.join(F.broadcast(offs), "_rm_pid")
+        .withColumn(out_col, F.greatest(F.col("_rm_lmx"), F.col("_rm_off")))
+        .drop("_rm_pid", "_rm_lmx", "_rm_off")
+    )

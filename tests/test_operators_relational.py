@@ -979,3 +979,68 @@ def test_distributed_running_sum_matches_window(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_distributed_running_max_matches_window(spark):
+    """Two-phase running max (inclusive AND exclusive) must equal the
+    naive unpartitioned-window forms on a unique ordering key."""
+    from pyspark.sql import Window as W
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_running_max,
+    )
+
+    rows = [(i, ((i * 53) % 31) - 7) for i in range(200)]  # negatives too
+    df = spark.createDataFrame(rows, ["id", "v"])
+    w = W.orderBy(F.asc("id"))
+    expect_inc = {
+        r.id: r.m
+        for r in df.withColumn(
+            "m", F.max("v").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        ).collect()
+    }
+    expect_exc = {
+        r.id: r.m
+        for r in df.withColumn(
+            "m", F.max("v").over(w.rowsBetween(W.unboundedPreceding, -1))
+        ).collect()
+    }
+    got_inc = {
+        r.id: r.m
+        for r in distributed_running_max(
+            df, [("id", False)], "v", out_col="m", num_partitions=7
+        ).collect()
+    }
+    got_exc = {
+        r.id: r.m
+        for r in distributed_running_max(
+            df, [("id", False)], "v", out_col="m", exclusive=True, num_partitions=7
+        ).collect()
+    }
+    assert got_inc == expect_inc
+    assert got_exc == expect_exc
+    assert got_exc[0] is None  # global first row has no predecessor
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    """skyline_2d must equal the quadratic dominance definition,
+    including duplicate points and ties along either axis."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.topk import (
+        skyline_2d,
+    )
+
+    pts = [(3, 10), (3, 10), (3, 12), (5, 12), (2, 7), (2, 7), (8, 15),
+           (8, 14), (1, 1), (4, 11), (5, 13), (9, 15)]
+    df = spark.createDataFrame(pts, ["cost", "gain"])
+    got = {(r.cost, r.gain) for r in skyline_2d(df, "cost", "gain", num_partitions=3).collect()}
+    dpts = set(pts)
+    expect = {
+        (c, g)
+        for (c, g) in dpts
+        if not any(
+            bc <= c and bg >= g and (bc < c or bg > g) for (bc, bg) in dpts
+        )
+    }
+    assert got == expect
+    # sanity on the fixture: frontier is the staircase {1,1},{2,7},{3,12},{5,13},{8,15}
+    assert got == {(1, 1), (2, 7), (3, 12), (5, 13), (8, 15)}
