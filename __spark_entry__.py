@@ -8852,6 +8852,75 @@ WHERE NOT EXISTS (
 """
 
 
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernández–Stolfo) over
+    the dirty-customer fixture: clean master ∪ the deterministic
+    one-char-X corruption (same typo model as
+    join_fuzzy_dirty_customers), ranked by name via
+    operators/windows.distributed_global_rank, candidates = pairs
+    within 4 ranks (one bounded explode + integer equi-join —
+    operators/dedup.sorted_neighborhood_pairs), confirmed at
+    levenshtein ≤ 1. The HEURISTIC-recall counterpoint to the
+    pigeonhole tiers: a corruption at name position 0 sorts far from
+    its original and is intentionally missed (pytest pins one such
+    case), which is exactly the trade a linear-candidate pass makes.
+    Oracle replays rank + neighborhood + confirm in DuckDB."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    dirty_nm = F.concat(
+        F.expr("substring(c_name, 1, CAST(c_custkey % 18 AS INT))"),
+        F.lit("X"),
+        F.expr(
+            "substring(c_name, CAST(c_custkey % 18 AS INT) + 2, 18 - CAST(c_custkey % 18 AS INT) - 1)"
+        ),
+    )
+    recs = cust.select(
+        F.concat(F.lit("c#"), F.col("c_custkey").cast("string")).alias("rec_id"),
+        F.col("c_name").alias("nm"),
+    ).unionAll(
+        cust.select(
+            F.concat(F.lit("d#"), F.col("c_custkey").cast("string")).alias("rec_id"),
+            dirty_nm.alias("nm"),
+        )
+    )
+    cand = sorted_neighborhood_pairs(recs, "rec_id", "nm", window=4)
+    lev = F.levenshtein("a_key", "b_key")
+    return (
+        cand.filter(lev <= 1)
+        .select(
+            "a_id",
+            "b_id",
+            "rank_gap",
+            lev.cast("long").alias("lev"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+_SNM_SQL = """
+WITH recs AS (
+  SELECT 'c#' || c_custkey AS rec_id, c_name AS nm FROM customer
+  UNION ALL
+  SELECT 'd#' || c_custkey AS rec_id,
+         substr(c_name, 1, CAST(c_custkey % 18 AS INT))
+         || 'X'
+         || substr(c_name, CAST(c_custkey % 18 AS INT) + 2,
+                   18 - CAST(c_custkey % 18 AS INT) - 1) AS nm
+  FROM customer
+), ranked AS (
+  SELECT rec_id, nm, row_number() OVER (ORDER BY nm, rec_id) AS rnk FROM recs
+)
+SELECT a.rec_id AS a_id, b.rec_id AS b_id,
+       CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
+       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS lev
+FROM ranked a JOIN ranked b ON b.rnk - a.rnk BETWEEN 1 AND 3
+WHERE levenshtein(a.nm, b.nm) <= 1
+"""
+
+
 def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram LM quality scores per document (λ=0.7
     Jelinek–Mercer over corpus-trained counts) — the step up from the
@@ -9338,6 +9407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the contract test's >=50-backlog branch keeps the window
         # itself untouched).
         "agg_skyline_parts": agg_skyline_parts,
+        "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
     }
 
 
@@ -9506,6 +9576,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_waterfill_budget": _WATERFILL_SQL,
         "events_seasonal_anomaly": _SEASONAL_ANOMALY_SQL,
         "agg_skyline_parts": _SKYLINE_SQL,
+        "dedup_sorted_neighborhood": _SNM_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

@@ -49,6 +49,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "containment_prefix_pairs",
+    "sorted_neighborhood_pairs",
 ]
 
 # Mersenne prime 2^31 - 1: (a * (h mod p) + b) with a,b < p stays < 2^62,
@@ -813,4 +814,66 @@ def containment_prefix_pairs(
                 "containment_micro"
             ),
         )
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_key_col: str,
+    window: int,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995) —
+    the fifth dedup/ER candidate tier, complementing the four above:
+    rank every record along a sort key, and every pair within
+    ``window`` ranks of each other is a candidate. Callers confirm with
+    whatever match predicate fits (edit distance, exact field compare).
+
+    HONEST RECALL CONTRACT: unlike the MinHash-band / SimHash-chunk /
+    masked-position tiers (recall 1 by pigeonhole for their stated
+    semantics), SNM recall is a HEURISTIC governed by the sort key and
+    window size — a typo in the first character moves a record far from
+    its duplicate in sort order and the pair is missed. That trade is
+    the method's point (linear candidates, no explode factor) and is
+    what multi-pass SNM (re-run under a second key) exists to patch;
+    tests pin both a found pair and a deliberately-missed first-char
+    case so the contract can't silently drift.
+
+    Scale shape: the global sort is :func:`~.windows.distributed_global_rank`
+    (range partition + broadcast offsets — never a single-task sort);
+    pair generation is ONE equi-join on (rank + d) after a bounded
+    explode of d ∈ [1, window-1] — shuffle on an integer key, no band
+    join, no cartesian. (rank, rank+d) pairs are unique so no dedup
+    pass is needed afterwards.
+
+    Output: one row per candidate pair, lower rank first —
+    ``a_<id>, a_<key>, b_<id>, b_<key>, rank_gap``.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2 (a 1-window has no pairs)")
+    from .windows import distributed_global_rank
+
+    base = df.select(id_col, sort_key_col)
+    ranked = distributed_global_rank(
+        base,
+        [(sort_key_col, False), (id_col, False)],
+        rank_col="_snm_rnk",
+        num_partitions=num_partitions,
+    )
+    ds = F.array([F.lit(d) for d in range(1, window)])
+    left = ranked.select(
+        F.col(id_col).alias("a_id"),
+        F.col(sort_key_col).alias("a_key"),
+        F.col("_snm_rnk").alias("_a_rnk"),
+        F.explode(ds).alias("rank_gap"),
+    ).withColumn("_b_rnk", F.col("_a_rnk") + F.col("rank_gap"))
+    right = ranked.select(
+        F.col(id_col).alias("b_id"),
+        F.col(sort_key_col).alias("b_key"),
+        F.col("_snm_rnk").alias("_b_rnk"),
+    )
+    return (
+        left.join(right, "_b_rnk")
+        .select("a_id", "a_key", "b_id", "b_key", F.col("rank_gap").cast("long").alias("rank_gap"))
     )

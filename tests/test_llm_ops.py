@@ -1469,3 +1469,42 @@ def test_bpe_merges_matches_python_reference(spark):
     # the greedy rule: 'aaaa' contributes 3 (a,a) pairs per word pre-merge,
     # and after merging (a,a) it pairs as (aa,aa) — sanity-pin one merge
     assert any(m[1] == "a" and m[2] == "a" for m in got)
+
+
+def test_sorted_neighborhood_contract(spark):
+    """SNM finds a near-sorted duplicate and — by design — MISSES a
+    first-character corruption that sorts far away; both behaviors are
+    the operator's honest-recall contract."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a1", "Customer#000000001"),
+        ("a2", "Customer#00000000X"),   # tail typo: sorts adjacent -> found
+        ("b1", "Customer#000000777"),
+        ("b2", "Xustomer#000000777"),   # head typo: sorts far -> missed
+        ("z1", "Customer#000000500"),
+        ("z2", "Customer#000000501"),
+        # fillers between C... and X... so the head-typo pair really is
+        # more than `window` ranks apart (as it would be at scale)
+        ("f1", "Mustomer#000000001"),
+        ("f2", "Pustomer#000000001"),
+        ("f3", "Qustomer#000000001"),
+    ]
+    df = spark.createDataFrame(rows, ["rec_id", "nm"])
+    cand = sorted_neighborhood_pairs(df, "rec_id", "nm", window=3, num_partitions=3)
+    hits = {
+        (r.a_id, r.b_id)
+        for r in cand.filter(F.levenshtein("a_key", "b_key") <= 1).collect()
+    }
+    assert ("a1", "a2") in hits
+    assert not any({"b1", "b2"} == {a, b} for a, b in hits)
+    # candidate count is exactly the linear bound: for n ranked rows and
+    # window w, pairs = (n-1) + (n-2) = 2n-3 at w=3
+    assert cand.count() == 2 * len(rows) - 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "rec_id", "nm", window=1)
