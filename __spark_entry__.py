@@ -8921,6 +8921,67 @@ WHERE levenshtein(a.nm, b.nm) <= 1
 """
 
 
+def text_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse "related documents": per-doc top-3 neighbors by TF-IDF
+    cosine, computed through the inverted index (posting-list
+    self-join) — operators/text.tfidf_doc_cosine_topk. The sparse twin
+    of the dense-embedding similarity tiers: candidate volume is
+    bounded by max_df · corpus-token-count (df-capped postings), never
+    all-pairs; dot products and norms are EXACT integer sums of BIGINT
+    milli-unit weights, with ONE final fixed-order float expression
+    (floor(1e6·dot/(√n2a·√n2b))) that DuckDB reproduces bit-for-bit
+    (precedent: the BM25 / bigram-LM integer-snap scheme)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tfidf_doc_cosine_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_doc_cosine_topk(docs, "doc_id", "text", k=3, max_df=100).orderBy(
+        "doc_id", "rk"
+    )
+
+
+_TFIDF_DOCSIM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+), tf AS (
+  SELECT doc, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS dfr FROM tf GROUP BY 1
+), nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc, tf.token,
+         CAST(round(tf.tf * ln(nd.n_docs / dfreq.dfr) * 1000) AS BIGINT) AS w_milli
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+  WHERE dfreq.dfr <= 100
+), norms AS (
+  SELECT doc, CAST(sum(w_milli * w_milli) AS BIGINT) AS n2
+  FROM w GROUP BY 1 HAVING sum(w_milli * w_milli) > 0
+), dots AS (
+  SELECT a.doc AS a_doc, b.doc AS b_doc,
+         CAST(sum(a.w_milli * b.w_milli) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.token = b.token AND a.doc < b.doc
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a_doc, b_doc,
+         CAST(floor(1000000.0 * dot / (sqrt(na.n2) * sqrt(nb.n2))) AS BIGINT) AS cos_micro
+  FROM dots
+  JOIN norms na ON na.doc = dots.a_doc
+  JOIN norms nb ON nb.doc = dots.b_doc
+), boths AS (
+  SELECT a_doc AS doc, b_doc AS sim_id, cos_micro FROM pairs
+  UNION ALL
+  SELECT b_doc AS doc, a_doc AS sim_id, cos_micro FROM pairs
+), ranked AS (
+  SELECT doc, sim_id, cos_micro,
+         CAST(row_number() OVER (PARTITION BY doc ORDER BY cos_micro DESC, sim_id) AS BIGINT) AS rk
+  FROM boths
+)
+SELECT doc AS doc_id, sim_id, cos_micro, rk FROM ranked WHERE rk <= 3
+"""
+
+
 def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram LM quality scores per document (λ=0.7
     Jelinek–Mercer over corpus-trained counts) — the step up from the
@@ -9408,6 +9469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # itself untouched).
         "agg_skyline_parts": agg_skyline_parts,
         "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
+        "text_tfidf_doc_similarity": text_tfidf_doc_similarity,
     }
 
 
@@ -9577,6 +9639,7 @@ def oracle_sql() -> dict[str, str]:
         "events_seasonal_anomaly": _SEASONAL_ANOMALY_SQL,
         "agg_skyline_parts": _SKYLINE_SQL,
         "dedup_sorted_neighborhood": _SNM_SQL,
+        "text_tfidf_doc_similarity": _TFIDF_DOCSIM_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

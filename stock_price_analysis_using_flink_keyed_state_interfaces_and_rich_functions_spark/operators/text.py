@@ -39,6 +39,7 @@ __all__ = [
     "fingerprint_ngram_min",
     "with_vocab_stats",
     "tfidf_top_terms",
+    "tfidf_doc_cosine_topk",
     "unigram_logprob_scores",
     "bigram_interp_logprob_scores",
     "bpe_merges",
@@ -1093,3 +1094,99 @@ def bpe_merges(
         ]
     )
     return spark.createDataFrame(out_rows, schema)
+
+
+def tfidf_doc_cosine_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """Document-document cosine similarity in TF-IDF space, computed
+    through the inverted index (posting-list self-join) — the sparse
+    counterpart of the dense-embedding brute-force tier, and the
+    classic "related documents" primitive (Salton's vector model).
+
+    SEMANTICS CONTRACT (df-capped): vectors are restricted to terms
+    with document frequency ≤ ``max_df``. This is both standard
+    practice (stopword-df terms carry near-zero idf but dominate
+    posting joins) and the SCALE guarantee: per-term join fanout is
+    bounded by max_df², so candidate volume is Σ_t df_t² ≤ max_df · Σ_t
+    df_t = max_df · corpus-token-count — LINEAR in the corpus with a
+    constant the caller controls, never all-pairs. Docs whose every
+    term is above the cap drop out (zero vector, no cosine defined).
+
+    Numeric determinism: per-(doc, term) weights are snapped to BIGINT
+    MILLI-units (round(tf · ln(N/df) · 1e3)) before any product — tf,
+    df, N are exact integers, so both engines snap the same double.
+    Dot products and squared norms are then EXACT integer sums
+    (|w| ≤ ~7e5 ⇒ products ≤ ~5e11, thousands of terms stay ≪ 2^63,
+    and every integer reaching a double below is < 2^53 so the final
+    one-shot float expr floor(1e6·dot/(sqrt(n2a)·sqrt(n2b))) is the
+    same correctly-rounded IEEE value on Spark and DuckDB).
+
+    Output: for each doc, its top-k most-similar docs by
+    (cos_micro DESC, sim_id ASC) with a rank column — both directions
+    of each pair compete, so every doc gets neighbors.
+    """
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("token"))
+    tf = (
+        toks.groupBy("doc", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("dfr"))
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = (
+        tf.join(dfreq.filter(F.col("dfr") <= max_df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w_milli",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("dfr")) * 1000)
+            .cast("long"),
+        )
+        .select("doc", "token", "w_milli")
+        .localCheckpoint(eager=False)
+    )
+    norms = w.groupBy("doc").agg(
+        F.sum(F.col("w_milli") * F.col("w_milli")).cast("long").alias("n2")
+    ).filter(F.col("n2") > 0)
+    a = w.select(F.col("doc").alias("a_doc"), "token", F.col("w_milli").alias("wa"))
+    b = w.select(F.col("doc").alias("b_doc"), "token", F.col("w_milli").alias("wb"))
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .groupBy("a_doc", "b_doc")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("a_doc"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc").alias("b_doc"), F.col("n2").alias("n2b"))
+    pairs = (
+        dots.join(na, "a_doc")
+        .join(nb, "b_doc")
+        .withColumn(
+            "cos_micro",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("dot")
+                / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b")))
+            ).cast("long"),
+        )
+        .select("a_doc", "b_doc", "cos_micro")
+    )
+    both = pairs.select(
+        F.col("a_doc").alias("doc"), F.col("b_doc").alias("sim_id"), "cos_micro"
+    ).unionAll(
+        pairs.select(
+            F.col("b_doc").alias("doc"), F.col("a_doc").alias("sim_id"), "cos_micro"
+        )
+    )
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("doc").orderBy(F.desc("cos_micro"), F.asc("sim_id"))
+    return (
+        both.withColumn("rk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(F.col("doc").alias(id_col), "sim_id", "cos_micro", "rk")
+    )

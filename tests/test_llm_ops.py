@@ -1508,3 +1508,32 @@ def test_sorted_neighborhood_contract(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "rec_id", "nm", window=1)
+
+
+def test_tfidf_doc_cosine_topk_geometry(spark):
+    """Identical docs score ~1.0 (within one ulp-floor), disjoint docs
+    never pair, and the df cap drops ubiquitous terms from vectors."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tfidf_doc_cosine_topk,
+    )
+
+    rows = [
+        (1, "apple banana"),
+        (2, "apple banana"),
+        (3, "cherry date"),
+        (4, "apple cherry"),
+        (5, ""),  # empty doc: no vector, must not appear
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_doc_cosine_topk(df, "doc_id", "text", k=2, max_df=100)
+    got = {(r.doc_id, r.sim_id): r.cos_micro for r in out.collect()}
+    # identical vectors: cos = 1.0 up to the sqrt(x)^2 != x ulp, then floored
+    assert got[(1, 2)] >= 999_999 and got[(2, 1)] == got[(1, 2)]
+    assert 5 not in {d for d, _ in got}
+    # doc 3 and docs 1/2 share no term: no pair either direction
+    assert (3, 1) not in got and (1, 3) not in got
+    # partial overlap scores strictly between 0 and the identical pair
+    assert 0 < got[(4, 1)] < got[(1, 2)]
+
+    # a df cap of 1 excludes every shared term -> no pairs at all
+    assert tfidf_doc_cosine_topk(df, "doc_id", "text", k=2, max_df=1).count() == 0
