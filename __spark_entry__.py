@@ -8926,30 +8926,50 @@ def text_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine, computed through the inverted index (posting-list
     self-join) — operators/text.tfidf_doc_cosine_topk. The sparse twin
     of the dense-embedding similarity tiers: candidate volume is
-    bounded by max_df · corpus-token-count (df-capped postings), never
+    bounded by max_df · corpus-term-count (df-capped postings), never
     all-pairs; dot products and norms are EXACT integer sums of BIGINT
     milli-unit weights, with ONE final fixed-order float expression
     (floor(1e6·dot/(√n2a·√n2b))) that DuckDB reproduces bit-for-bit
-    (precedent: the BM25 / bigram-LM integer-snap scheme)."""
+    (precedent: the BM25 / bigram-LM integer-snap scheme).
+
+    Unit of meaning: distinct word 3-SHINGLES (the dedup tier's), not
+    single words — the fixture corpus has a ~31-word vocabulary where
+    EVERY word is stopword-df (measured: 30/31 terms appear in >250 of
+    500 docs), so word vectors are degenerate; shingles give the
+    long-tailed df distribution TF-IDF assumes. tf is binary on
+    distinct shingles → IDF-weighted set cosine."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        _word_shingles,
+    )
     from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
         tfidf_doc_cosine_topk,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    return tfidf_doc_cosine_topk(docs, "doc_id", "text", k=3, max_df=100).orderBy(
-        "doc_id", "rk"
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
     )
+    return tfidf_doc_cosine_topk(
+        docs, "doc_id", "text", k=3, max_df=100, terms=_word_shingles("text", 3)
+    ).orderBy("doc_id", "rk")
 
 
 _TFIDF_DOCSIM_SQL = r"""
-WITH toks AS (
-  SELECT doc_id AS doc, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+WITH docs0 AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+), tks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM docs0
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(tk) >= 3
+              THEN list_transform(range(1, len(tk) - 1),
+                                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+              ELSE [array_to_string(tk, ' ')] END) AS shs
+  FROM tks
 ), tf AS (
-  SELECT doc, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+  SELECT doc_id AS doc, unnest(shs) AS token, CAST(1 AS BIGINT) AS tf FROM sh
 ), dfreq AS (
   SELECT token, CAST(count(*) AS BIGINT) AS dfr FROM tf GROUP BY 1
-), nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+), nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs0),
 w AS (
   SELECT tf.doc, tf.token,
          CAST(round(tf.tf * ln(nd.n_docs / dfreq.dfr) * 1000) AS BIGINT) AS w_milli

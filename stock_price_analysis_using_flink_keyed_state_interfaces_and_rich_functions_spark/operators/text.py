@@ -1102,6 +1102,7 @@ def tfidf_doc_cosine_topk(
     text_col: str = "text",
     k: int = 3,
     max_df: int = 100,
+    terms: Column | None = None,
 ) -> DataFrame:
     """Document-document cosine similarity in TF-IDF space, computed
     through the inverted index (posting-list self-join) — the sparse
@@ -1129,8 +1130,15 @@ def tfidf_doc_cosine_topk(
     Output: for each doc, its top-k most-similar docs by
     (cos_micro DESC, sim_id ASC) with a rank column — both directions
     of each pair compete, so every doc gets neighbors.
+
+    ``terms`` overrides the unit of meaning: any Column producing an
+    array<string> per row (e.g. the dedup tier's distinct word
+    3-shingles — IDF-weighted SET cosine, the right unit when the
+    corpus vocabulary is tiny and every single word is stopword-df).
+    Default: whitespace word tokens (multiset tf).
     """
-    toks = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("token"))
+    unit = terms if terms is not None else tokens(text_col)
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(unit).alias("token"))
     tf = (
         toks.groupBy("doc", "token")
         .agg(F.count("*").cast("long").alias("tf"))
