@@ -9002,6 +9002,62 @@ SELECT doc AS doc_id, sim_id, cos_micro, rk FROM ranked WHERE rk <= 3
 """
 
 
+def events_next_higher_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event, microseconds until the SAME user's next event with a
+    STRICTLY higher value (NULL if never) — "days until a higher
+    price", the next-greater-element problem. The one per-key fold a
+    window frame cannot express (it looks forward, unboundedly), solved
+    by the linear monotonic-stack scan
+    (operators/stateful.next_higher_mark: one hash exchange +
+    in-partition sort + one mapInPandas pass, stack carried across
+    Arrow batches, every row pushed/popped once). ORACLE is the
+    independent quadratic correlated-subquery formulation — certifying
+    the stack algorithm, not replaying it. Epoch micros via
+    wall-clock timestampdiff on the NTZ column (no tz hop, matching
+    DuckDB epoch_us) — (user_id, ts) is verified unique so the order
+    mark is total per key."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        next_higher_mark,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    epoch_us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    base = ev.select("user_id", "event_id", epoch_us.alias("ord_us"), "value")
+    out = next_higher_mark(
+        base.select("user_id", "ord_us", "value"),
+        ["user_id"],
+        "ord_us",
+        "value",
+        out_col="next_ord",
+    )
+    # projection-first operator: join the event_id payload back on the
+    # unique (user_id, ord_us) mark, per the operator's contract
+    return (
+        out.join(base.select("user_id", "event_id", "ord_us"), ["user_id", "ord_us"])
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.col("next_ord") - F.col("ord_us")).cast("long").alias("wait_micros"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_NEXT_HIGHER_SQL = """
+SELECT a.user_id, a.event_id, a.value,
+       CAST((SELECT min(epoch_us(CAST(b.ts AS TIMESTAMP)))
+             FROM events b
+             WHERE b.user_id = a.user_id AND b.ts > a.ts AND b.value > a.value)
+            - epoch_us(CAST(a.ts AS TIMESTAMP)) AS BIGINT) AS wait_micros
+FROM events a
+"""
+
+
 def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram LM quality scores per document (λ=0.7
     Jelinek–Mercer over corpus-trained counts) — the step up from the
@@ -9490,6 +9546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_skyline_parts": agg_skyline_parts,
         "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
         "text_tfidf_doc_similarity": text_tfidf_doc_similarity,
+        "events_next_higher_value": events_next_higher_value,
     }
 
 
@@ -9660,6 +9717,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_skyline_parts": _SKYLINE_SQL,
         "dedup_sorted_neighborhood": _SNM_SQL,
         "text_tfidf_doc_similarity": _TFIDF_DOCSIM_SQL,
+        "events_next_higher_value": _NEXT_HIGHER_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

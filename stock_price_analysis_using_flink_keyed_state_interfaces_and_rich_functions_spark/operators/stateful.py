@@ -43,6 +43,7 @@ __all__ = [
     "rows_between_breaches",
     "ewma",
     "ewma_segmented",
+    "next_higher_mark",
 ]
 
 ColsLike = Sequence[str | Column]
@@ -679,3 +680,137 @@ def ewma_segmented(
         .drop("_e", "_w", "_z", "_carry")
     )
     return out
+
+
+def next_higher_mark(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "next_higher_ord",
+) -> DataFrame:
+    """For every row, the order-mark of the FIRST later row in the same
+    key with a STRICTLY greater value; NULL if no such row ever comes —
+    the "days until a higher price" / next-greater-element primitive.
+
+    This is the one classic per-key fold a window function canNOT
+    express: the answer is neither a running aggregate (it looks
+    forward) nor frame-boundable (the resolver can be arbitrarily far
+    ahead), and the relational form is a quadratic correlated subquery
+    (which stays our ORACLE at gate scale). The monotonic-stack
+    algorithm is linear: scan rows in key-order; a stack holds the
+    still-unresolved rows in strictly decreasing value order; each new
+    row resolves (pops) every stack entry with a smaller value, then
+    pushes itself. Every row is pushed and popped at most once.
+
+    Topology: identical to :func:`ewma_integer` — one hash exchange on
+    the key + in-partition sort, ONE ``mapInPandas`` scan per partition
+    with the stack carried across Arrow-batch boundaries (emission may
+    land in a later batch than arrival; resolved rows stream out as
+    they resolve, survivors flush with NULL at end-of-key). Stack depth
+    is bounded by the key's longest strictly-decreasing run — worst
+    case one key's full history (the same per-key-fits-in-memory
+    contract every per-key fold here carries).
+
+    PROJECTION-FIRST CONTRACT: the output contains exactly
+    ``key_cols + [order_col, value_col, out_col]`` (emission re-orders
+    rows, so arbitrary payload passthrough would force a buffered copy
+    of every column; join payload back on the key+order instead).
+    ``order_col`` must be integral and unique per key; ``value_col``
+    integral or double. NULL values resolve nothing, stack nothing,
+    and emit NULL.
+    """
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    keys = _key_names(key_cols, "next_higher_mark")
+    int_types = (ByteType, ShortType, IntegerType, LongType)
+    if not isinstance(df.schema[order_col].dataType, int_types):
+        raise TypeError("next_higher_mark needs an integral order column")
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, int_types + (DoubleType,)):
+        raise TypeError(
+            f"next_higher_mark needs an integer/double value column, got {vtype.simpleString()}"
+        )
+    cols = keys + [order_col, value_col]
+    proj = df.select(*cols)
+    out_schema = StructType(
+        [proj.schema[c] for c in cols] + [StructField(out_col, LongType(), True)]
+    )
+
+    def _dtype(sf):
+        if isinstance(sf.dataType, int_types):
+            return "Int64"
+        if isinstance(sf.dataType, DoubleType):
+            return "float64"
+        if isinstance(sf.dataType, StringType):
+            return "object"
+        raise TypeError(f"unsupported column type {sf.dataType.simpleString()}")
+
+    dtypes = {sf.name: _dtype(sf) for sf in out_schema.fields[:-1]}
+    val_is_float = isinstance(vtype, DoubleType)
+
+    # Same Arrow hazard as ewma_integer: a nullable int64 column lands
+    # in pandas as float64 (ints above 2^53 silently corrupt) — stage
+    # an explicit null mask + zero-coalesced value instead. NaN doubles
+    # ride the mask too (treated as NULL; the engines disagree on NaN
+    # ordering, so letting one into the comparisons would diverge).
+    if "_nh_vf" in proj.columns or "_nh_vn" in proj.columns:
+        raise ValueError("input already has a _nh_vf/_nh_vn column (reserved)")
+    vexpr = F.col(value_col) if val_is_float else F.col(value_col).cast("long")
+    zero = F.lit(0.0) if val_is_float else F.lit(0).cast("long")
+    staged = proj.withColumn("_nh_vf", F.coalesce(vexpr, zero)).withColumn(
+        "_nh_vn", F.col(value_col).isNull() | F.isnan(vexpr.cast("double"))
+    )
+
+    def _scan(batches):
+        import pandas as _pd
+
+        cur = None  # current key tuple
+        stack: list = []  # (ord, value, key_tuple) strictly decreasing by value
+
+        def _mk(rows):
+            data = {}
+            for j, c in enumerate(cols):
+                data[c] = _pd.array([r[j] for r in rows], dtype=dtypes[c])
+            data[out_col] = _pd.array([r[-1] for r in rows], dtype="Int64")
+            return _pd.DataFrame(data)
+
+        for pdf in batches:
+            out_rows = []
+            kcols = [pdf[k] for k in keys]
+            ords = pdf[order_col]
+            vals = pdf["_nh_vf"]
+            nulls = pdf["_nh_vn"]
+            for i in range(len(pdf)):
+                k = tuple(c.iloc[i] for c in kcols)
+                if k != cur:
+                    out_rows.extend(
+                        (*sk, so, sv, None) for (so, sv, sk) in stack
+                    )
+                    stack.clear()
+                    cur = k
+                if bool(nulls.iloc[i]):
+                    out_rows.append((*k, int(ords.iloc[i]), None, None))
+                    continue
+                o = int(ords.iloc[i])
+                v = float(vals.iloc[i]) if val_is_float else int(vals.iloc[i])
+                while stack and stack[-1][1] < v:
+                    so, sv, sk = stack.pop()
+                    out_rows.append((*sk, so, sv, o))
+                stack.append((o, v, k))
+            if out_rows:
+                yield _mk(out_rows)
+        if stack:
+            yield _mk([(*sk, so, sv, None) for (so, sv, sk) in stack])
+
+    rep = staged.repartition(*keys).sortWithinPartitions(*(keys + [order_col]))
+    return rep.mapInPandas(_scan, schema=out_schema)

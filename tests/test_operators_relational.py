@@ -1044,3 +1044,35 @@ def test_skyline_2d_matches_bruteforce(spark):
     assert got == expect
     # sanity on the fixture: frontier is the staircase {1,1},{2,7},{3,12},{5,13},{8,15}
     assert got == {(1, 1), (2, 7), (3, 12), (5, 13), (8, 15)}
+
+
+def test_next_higher_mark_vs_bruteforce(spark):
+    """Monotonic-stack next-greater-element vs the quadratic definition,
+    over repeats, NULLs, multiple keys, and never-resolved tails."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        next_higher_mark,
+    )
+
+    rows = []
+    for k in ("a", "b", "c"):
+        for i in range(60):
+            v = None if (i * 7 + ord(k)) % 11 == 0 else float(((i * 13 + ord(k)) % 9))
+            rows.append((k, i, v))
+    df = spark.createDataFrame(rows, ["k", "o", "v"])
+    got = {
+        (r.k, r.o): r.next_higher_ord
+        for r in next_higher_mark(df, ["k"], "o", "v").collect()
+    }
+    for k, o, v in rows:
+        if v is None:
+            assert got[(k, o)] is None
+            continue
+        later = [oo for (kk, oo, vv) in rows if kk == k and oo > o and vv is not None and vv > v]
+        assert got[(k, o)] == (min(later) if later else None), (k, o, v)
+    assert len(got) == len(rows)
+
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        next_higher_mark(df.withColumn("o", F.col("o").cast("double")), ["k"], "o", "v")
+    with _pytest.raises(TypeError):
+        next_higher_mark(df.withColumn("v", F.lit("x")), ["k"], "o", "v")
