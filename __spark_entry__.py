@@ -9058,6 +9058,91 @@ FROM events a
 """
 
 
+def agg_exact_global_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT GLOBAL percentiles (p50/p90/p99/p999) of lineitem price
+    cents with NO single-task sort — the fact-table-scale tier beside
+    the per-group exact form (agg_median_order_price: groups sort
+    internally) and the mergeable KLL sketch (agg_approx_quantiles).
+    Rank every row with operators/windows.distributed_global_rank
+    (range partition + broadcast offsets), then two broadcast joins of
+    a 4-row target table against the ranked frame pick out the lo/hi
+    order statistics; the type-7 interpolation ((n−1)·p, lerp) is ONE
+    fixed-order double expression over exact BIGINTs, REPLAYED
+    literally in the oracle rather than trusting quantile_cont's
+    internal float ordering. (A dedicated implementation could stop at
+    partition-boundary counts instead of materializing full ranks; the
+    shared rank operator keeps this a 3-line query and its localCheck-
+    point is one narrow (cents, keys) projection, not the table.)"""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_global_rank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+    )
+    ranked = distributed_global_rank(
+        li,
+        [("c", False), ("l_shipdate", False), ("l_orderkey", False),
+         ("l_linenumber", False), ("l_partkey", False)],
+        rank_col="rk",
+    ).select("c", "rk")
+    nrow = li.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ps = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99), F.lit(0.999))
+    targets = (
+        nrow.select(F.explode(ps).alias("p"), "n")
+        .withColumn("h", (F.col("n") - 1).cast("double") * F.col("p"))
+        .withColumn("lo", (F.floor("h") + 1).cast("long"))
+        .withColumn("hi", F.least(F.floor("h") + 2, F.col("n")).cast("long"))
+        .withColumn("frac", F.col("h") - F.floor("h"))
+    )
+    vlo = ranked.join(
+        F.broadcast(targets.select("p", "frac", F.col("lo").alias("rk"))), "rk"
+    ).select("p", "frac", F.col("c").alias("v_lo"))
+    vhi = ranked.join(
+        F.broadcast(targets.select("p", F.col("hi").alias("rk"))), "rk"
+    ).select("p", F.col("c").alias("v_hi"))
+    return (
+        vlo.join(vhi, "p")
+        .select(
+            "p",
+            (
+                (F.lit(1.0) - F.col("frac")) * F.col("v_lo")
+                + F.col("frac") * F.col("v_hi")
+            ).alias("pct_cents"),
+        )
+        .orderBy("p")
+    )
+
+
+_EXACT_PCT_SQL = """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+), n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM v),
+ranked AS (SELECT c, row_number() OVER (ORDER BY c) AS rk FROM v),
+-- p literals are CAST to DOUBLE: DuckDB parses bare 0.999 as
+-- DECIMAL(4,3) and would carry the whole interpolation in exact
+-- decimal, while Spark computes IEEE doubles throughout — the p999
+-- lerp differs in the last ulp (…773999998 vs …774) without the cast.
+targets AS (
+  SELECT p, (cnt - 1) * p AS h,
+         CAST(floor((cnt - 1) * p) AS BIGINT) + 1 AS lo,
+         least(CAST(floor((cnt - 1) * p) AS BIGINT) + 2, cnt) AS hi,
+         (cnt - 1) * p - floor((cnt - 1) * p) AS frac
+  FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+               (CAST(0.99 AS DOUBLE)), (CAST(0.999 AS DOUBLE))) t(p)
+  CROSS JOIN n
+)
+SELECT t.p, (CAST(1.0 AS DOUBLE) - t.frac) * lo_r.c + t.frac * hi_r.c AS pct_cents
+FROM targets t
+JOIN ranked lo_r ON lo_r.rk = t.lo
+JOIN ranked hi_r ON hi_r.rk = t.hi
+"""
+
+
 def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram LM quality scores per document (λ=0.7
     Jelinek–Mercer over corpus-trained counts) — the step up from the
@@ -9547,6 +9632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
         "text_tfidf_doc_similarity": text_tfidf_doc_similarity,
         "events_next_higher_value": events_next_higher_value,
+        "agg_exact_global_percentiles": agg_exact_global_percentiles,
     }
 
 
@@ -9718,6 +9804,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_sorted_neighborhood": _SNM_SQL,
         "text_tfidf_doc_similarity": _TFIDF_DOCSIM_SQL,
         "events_next_higher_value": _NEXT_HIGHER_SQL,
+        "agg_exact_global_percentiles": _EXACT_PCT_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

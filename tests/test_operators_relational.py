@@ -1076,3 +1076,26 @@ def test_next_higher_mark_vs_bruteforce(spark):
         next_higher_mark(df.withColumn("o", F.col("o").cast("double")), ["k"], "o", "v")
     with _pytest.raises(TypeError):
         next_higher_mark(df.withColumn("v", F.lit("x")), ["k"], "o", "v")
+
+
+def test_exact_global_percentiles_match_builtin(spark):
+    """The two-phase rank percentile query must agree with Spark's own
+    percentile() (same type-7 interpolation) on the same data."""
+    import os
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.p: r.pct_cents
+        for r in entrymod.queries()["agg_exact_global_percentiles"](
+            spark, SF_DIR
+        ).collect()
+    }
+    li = entrymod._t(spark, SF_DIR, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    ref = li.agg(
+        F.percentile("c", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99), F.lit(0.999)))
+    ).collect()[0][0]
+    for p, want in zip((0.5, 0.9, 0.99, 0.999), ref):
+        assert abs(got[p] - want) <= 1e-6 * max(1.0, abs(want)), (p, got[p], want)
