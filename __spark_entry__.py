@@ -9143,6 +9143,74 @@ JOIN ranked hi_r ON hi_r.rk = t.hi
 """
 
 
+def window_holt_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer Holt double-exponential smoothing (level + linear
+    trend) of order value in integer cents
+    (operators/stateful.holt_linear_integer) — the forecasting step up
+    from window_ewma_integer_orders: trend_cents is the smoothed
+    per-order delta ("this customer's spend is rising ~T cents per
+    order"). The trend state goes NEGATIVE on every downswing, so this
+    query exercises the integer-safe-floor portability path (the r5
+    advisor's `//` divergence class) by construction: the oracle's
+    recursive CTE subtracts the positive remainder before DuckDB's
+    truncating division, for BOTH the level and trend recurrences."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        holt_linear_integer,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("price_cents"),
+    )
+    out = holt_linear_integer(
+        base,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        "price_cents",
+        alpha_pct=20,
+        beta_pct=10,
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("level_int").alias("level_cents"),
+        F.col("trend_int").alias("trend_cents"),
+    )
+
+
+# fdiv(s, 100) with a TRUE floor on DuckDB's truncate-toward-zero `//`:
+# subtract the positive remainder so the division is exact (same scheme
+# as _WINDOW_EWMA_INT_SQL) — the trend recurrence goes negative on every
+# downswing, so this is load-bearing here, not defensive.
+_HOLT_SQL = """
+WITH RECURSIVE base AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+), rec AS (
+  SELECT o_custkey, o_orderkey, rn, x AS l, CAST(0 AS BIGINT) AS t
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.o_custkey, b.o_orderkey, b.rn,
+         ((20 * b.x + 80 * (r.l + r.t))
+          - (((20 * b.x + 80 * (r.l + r.t)) % 100) + 100) % 100) // 100,
+         ((10 * (((20 * b.x + 80 * (r.l + r.t))
+                  - (((20 * b.x + 80 * (r.l + r.t)) % 100) + 100) % 100) // 100
+                 - r.l) + 90 * r.t)
+          - (((10 * (((20 * b.x + 80 * (r.l + r.t))
+                      - (((20 * b.x + 80 * (r.l + r.t)) % 100) + 100) % 100) // 100
+                     - r.l) + 90 * r.t) % 100) + 100) % 100) // 100
+  FROM base b JOIN rec r ON b.o_custkey = r.o_custkey AND b.rn = r.rn + 1
+)
+SELECT o_custkey, o_orderkey, l AS level_cents, t AS trend_cents FROM rec
+"""
+
+
 def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram LM quality scores per document (λ=0.7
     Jelinek–Mercer over corpus-trained counts) — the step up from the
@@ -9633,6 +9701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_doc_similarity": text_tfidf_doc_similarity,
         "events_next_higher_value": events_next_higher_value,
         "agg_exact_global_percentiles": agg_exact_global_percentiles,
+        "window_holt_trend_orders": window_holt_trend_orders,
     }
 
 
@@ -9805,6 +9874,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_doc_similarity": _TFIDF_DOCSIM_SQL,
         "events_next_higher_value": _NEXT_HIGHER_SQL,
         "agg_exact_global_percentiles": _EXACT_PCT_SQL,
+        "window_holt_trend_orders": _HOLT_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

@@ -44,6 +44,7 @@ __all__ = [
     "ewma",
     "ewma_segmented",
     "next_higher_mark",
+    "holt_linear_integer",
 ]
 
 ColsLike = Sequence[str | Column]
@@ -813,4 +814,103 @@ def next_higher_mark(
             yield _mk([(*sk, so, sv, None) for (so, sv, sk) in stack])
 
     rep = staged.repartition(*keys).sortWithinPartitions(*(keys + [order_col]))
+    return rep.mapInPandas(_scan, schema=out_schema)
+
+
+def holt_linear_integer(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha_pct: int = 20,
+    beta_pct: int = 10,
+    level_col: str = "level_int",
+    trend_col: str = "trend_int",
+) -> DataFrame:
+    """ORACLE-EXACT integer Holt double-exponential smoothing — the
+    two-state extension of :func:`ewma_integer` (level + linear trend,
+    Holt 1957), same integer-portability scheme::
+
+        L_0 = x_0                       T_0 = 0
+        L_n = (a·x_n + (100-a)·(L+T)) fdiv 100
+        T_n = (b·(L_n - L) + (100-b)·T) fdiv 100
+
+    where ``fdiv`` is the floor division both engines can replay: the
+    Python fold uses ``//`` (floors), and the DuckDB recursive-CTE
+    oracle subtracts the positive remainder first so its
+    truncate-toward-zero ``//`` becomes exact — trend terms go
+    NEGATIVE on any downswing, so unlike a strictly-positive EWMA this
+    operator exercises the negative-floor path as a matter of course
+    (the r5 advisor's divergence class, here by construction not by
+    accident).
+
+    Level tracks the smoothed value; trend the smoothed per-step
+    delta — the forecasting primitive ("price is rising ~T cents per
+    order"). Same topology and contracts as ewma_integer: one hash
+    exchange + in-partition sort + one mapInPandas scan, per-key carry
+    across Arrow batches, integral value column enforced at plan time,
+    NULLs emit the carried state without updating it.
+    """
+    if not 1 <= alpha_pct <= 100 or not 0 <= beta_pct <= 100:
+        raise ValueError("alpha_pct in [1,100], beta_pct in [0,100] required")
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"holt_linear_integer needs an integer value column, got {vtype.simpleString()}"
+        )
+    keys = _key_names(key_cols, "holt_linear_integer")
+    order = _key_names(order_cols, "holt_linear_integer")
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(level_col, LongType(), True), StructField(trend_col, LongType(), True)]
+    )
+    a = int(alpha_pct)
+    b = int(beta_pct)
+
+    def _scan(batches):
+        import pandas as _pd
+
+        state: dict = {}  # key -> (L, T)
+        for pdf in batches:
+            lv, tv = [], []
+            kcols = [pdf[k] for k in keys]
+            xs = pdf["_hx"]
+            nulls = pdf["_hn"]
+            for i in range(len(pdf)):
+                k = tuple(c.iloc[i] for c in kcols)
+                st = state.get(k)
+                if bool(nulls.iloc[i]):
+                    lv.append(st[0] if st else None)
+                    tv.append(st[1] if st else None)
+                    continue
+                x = int(xs.iloc[i])
+                if st is None:
+                    st = (x, 0)
+                else:
+                    L, T = st
+                    L2 = (a * x + (100 - a) * (L + T)) // 100
+                    T2 = (b * (L2 - L) + (100 - b) * T) // 100
+                    st = (L2, T2)
+                state[k] = st
+                lv.append(st[0])
+                tv.append(st[1])
+            pdf[level_col] = _pd.array(lv, dtype="Int64")
+            pdf[trend_col] = _pd.array(tv, dtype="Int64")
+            yield pdf.drop(columns=["_hx", "_hn"])
+
+    if "_hx" in df.columns or "_hn" in df.columns:
+        raise ValueError("input already has a _hx/_hn column (reserved staging names)")
+    staged = df.withColumn(
+        "_hx", F.coalesce(F.col(value_col).cast("long"), F.lit(0).cast("long"))
+    ).withColumn("_hn", F.col(value_col).isNull())
+    rep = staged.repartition(*keys).sortWithinPartitions(*(keys + order))
     return rep.mapInPandas(_scan, schema=out_schema)

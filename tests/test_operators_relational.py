@@ -1099,3 +1099,33 @@ def test_exact_global_percentiles_match_builtin(spark):
     ).collect()[0][0]
     for p, want in zip((0.5, 0.9, 0.99, 0.999), ref):
         assert abs(got[p] - want) <= 1e-6 * max(1.0, abs(want)), (p, got[p], want)
+
+
+def test_holt_linear_integer_reference_fold(spark):
+    """holt_linear_integer vs a plain-Python replay, including the
+    negative-trend floor path (values swing down hard)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        holt_linear_integer,
+    )
+
+    vals = [9000, 5000, 1000, 500, 200, 50, None, 60, 8000]
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "o", "x"])
+    got = {
+        r.o: (r.level_int, r.trend_int)
+        for r in holt_linear_integer(df, ["k"], ["o"], "x", 20, 10).collect()
+    }
+    L = T = None
+    for i, x in enumerate(vals):
+        if x is None:
+            assert got[i] == (L, T)
+            continue
+        if L is None:
+            L, T = x, 0
+        else:
+            L2 = (20 * x + 80 * (L + T)) // 100
+            T = (10 * (L2 - L) + 90 * T) // 100
+            L = L2
+        assert got[i] == (L, T), (i, got[i], (L, T))
+    # the fixture must actually exercise a negative trend state
+    assert any(t is not None and t < 0 for (_, t) in got.values())
