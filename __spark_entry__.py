@@ -9211,6 +9211,70 @@ SELECT o_custkey, o_orderkey, l AS level_cents, t AS trend_cents FROM rec
 """
 
 
+def orders_activity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer activity spans: each order opens a 7-day window
+    [o_orderdate, o_orderdate+6]; overlapping-or-touching windows merge
+    into maximal spans (operators/timeseries.coalesce_intervals — the
+    temporal-SQL PACK primitive). Gaps-and-islands with a running-MAX
+    of prior ends (exclusive frame), NOT lag(end): a long order window
+    can fully CONTAIN the next one, and lag-based islanding splits
+    those; the fixture hits that case whenever a customer orders twice
+    within a week. One exchange, two window passes, map-side-partial
+    final group."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("iv_start"),
+        F.date_add(F.col("o_orderdate"), 6).alias("iv_end"),
+        "o_orderkey",
+    )
+    spans = coalesce_intervals(
+        iv, ["o_custkey"], "iv_start", "iv_end", tiebreak_cols=("o_orderkey",)
+    )
+    # driver-canonicalizer contract: dates render as yyyy-MM-dd STRINGS
+    # on both sides (o_orderdate is TIMESTAMP_NTZ in the fixture, so a
+    # raw min() would even be a timestamp on the Spark side only)
+    return spans.select(
+        "o_custkey",
+        F.date_format("span_start", "yyyy-MM-dd").alias("span_start"),
+        F.date_format("span_end", "yyyy-MM-dd").alias("span_end"),
+        "n_intervals",
+    ).orderBy("o_custkey", "span_start")
+
+
+_ACTIVITY_SPANS_SQL = """
+WITH iv AS (
+  SELECT o_custkey, o_orderdate AS iv_start,
+         o_orderdate + INTERVAL 6 DAY AS iv_end, o_orderkey
+  FROM orders
+), flagged AS (
+  SELECT o_custkey, iv_start, iv_end, o_orderkey,
+         CASE WHEN max(iv_end) OVER (PARTITION BY o_custkey
+                   ORDER BY iv_start, iv_end, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR iv_start > max(iv_end) OVER (PARTITION BY o_custkey
+                   ORDER BY iv_start, iv_end, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_span
+  FROM iv
+), spanned AS (
+  SELECT o_custkey, iv_start, iv_end,
+         sum(new_span) OVER (PARTITION BY o_custkey
+             ORDER BY iv_start, iv_end, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM flagged
+)
+SELECT o_custkey, strftime(CAST(min(iv_start) AS DATE), '%Y-%m-%d') AS span_start,
+       strftime(CAST(max(iv_end) AS DATE), '%Y-%m-%d') AS span_end,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM spanned GROUP BY o_custkey, span_id
+"""
+
+
 def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram LM quality scores per document (λ=0.7
     Jelinek–Mercer over corpus-trained counts) — the step up from the
@@ -9702,6 +9766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_next_higher_value": events_next_higher_value,
         "agg_exact_global_percentiles": agg_exact_global_percentiles,
         "window_holt_trend_orders": window_holt_trend_orders,
+        "orders_activity_spans": orders_activity_spans,
     }
 
 
@@ -9875,6 +9940,7 @@ def oracle_sql() -> dict[str, str]:
         "events_next_higher_value": _NEXT_HIGHER_SQL,
         "agg_exact_global_percentiles": _EXACT_PCT_SQL,
         "window_holt_trend_orders": _HOLT_SQL,
+        "orders_activity_spans": _ACTIVITY_SPANS_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

@@ -22,7 +22,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ohlc_bars", "fill_forward", "last_touch_attribution"]
+__all__ = [
+    "ohlc_bars",
+    "fill_forward",
+    "last_touch_attribution",
+    "coalesce_intervals",
+]
 
 
 def ohlc_bars(
@@ -200,4 +205,51 @@ def conversion_paths(
         F.coalesce(
             F.nullif(F.concat_ws(">", *slot_cols), F.lit("")), F.lit(default)
         ).alias(out_col),
+    )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    span_start_col: str = "span_start",
+    span_end_col: str = "span_end",
+    n_col: str = "n_intervals",
+) -> DataFrame:
+    """Merge overlapping-or-touching [start, end] intervals per key
+    into maximal spans — the interval-coalesce / "activity islands"
+    warehouse primitive (PACK in the temporal-SQL literature).
+
+    Gaps-and-islands in two window passes over ONE exchange: order
+    intervals by (start, end, tiebreak); a new island starts where the
+    interval's start exceeds the running max of all PRIOR ends
+    (exclusive frame — running max handles the contained-interval case
+    a lag(end) formulation gets wrong); prefix-sum the island flags
+    into span ids; group. Touching counts as merged (start == prior
+    end ⇒ same span) — half-open callers pass end-1.
+
+    Output: one row per span — key cols, span_start (min start),
+    span_end (max end), n_intervals merged.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        start_col, end_col, *tiebreak_cols
+    )
+    prior_max_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "_iv_new",
+        (prior_max_end.isNull() | (F.col(start_col) > prior_max_end)).cast("long"),
+    ).withColumn(
+        "_iv_span",
+        F.sum("_iv_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        flagged.groupBy(*key_cols, "_iv_span")
+        .agg(
+            F.min(start_col).alias(span_start_col),
+            F.max(end_col).alias(span_end_col),
+            F.count(F.lit(1)).cast("long").alias(n_col),
+        )
+        .drop("_iv_span")
     )

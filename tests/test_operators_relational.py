@@ -1129,3 +1129,26 @@ def test_holt_linear_integer_reference_fold(spark):
         assert got[i] == (L, T), (i, got[i], (L, T))
     # the fixture must actually exercise a negative trend state
     assert any(t is not None and t < 0 for (_, t) in got.values())
+
+
+def test_coalesce_intervals_containment_and_touch(spark):
+    """Running-max islanding must merge contained intervals (the case a
+    lag(end) formulation splits) and treat touching as one span."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
+
+    rows = [
+        ("k", 1, 10, 1),   # long opener
+        ("k", 2, 3, 2),    # fully contained
+        ("k", 4, 12, 3),   # overlaps opener
+        ("k", 12, 15, 4),  # touches (start == prior end) -> same span
+        ("k", 20, 25, 5),  # gap -> new span
+        ("q", 5, 6, 6),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "e", "id"])
+    got = {
+        (r.k, r.span_start, r.span_end): r.n_intervals
+        for r in coalesce_intervals(df, ["k"], "s", "e", tiebreak_cols=("id",)).collect()
+    }
+    assert got == {("k", 1, 15): 4, ("k", 20, 25): 1, ("q", 5, 6): 1}
