@@ -62,6 +62,7 @@ __all__ = [
     "running_max_transform_with_state",
     "ewma_stream",
     "ewma_integer_stream",
+    "holt_integer_stream",
     "last_touch_attribution_stream",
     "conversion_paths_stream",
 ]
@@ -509,6 +510,94 @@ def ewma_integer_stream(
     staged = df.withColumn(
         "_xf", F.coalesce(F.col(vcol).cast("long"), F.lit(0).cast("long"))
     ).withColumn("_xn", F.col(vcol).isNull())
+    return staged.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def holt_integer_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha_pct: int = 20,
+    beta_pct: int = 10,
+    level_col: str = "level_int",
+    trend_col: str = "trend_int",
+) -> DataFrame:
+    """Streaming twin of ``operators/stateful.py:holt_linear_integer``
+    — Holt level+trend smoothing with TWO BIGINTs of carried state per
+    key, one output row per input row, bit-identical to the batch fold
+    at any micro-batch chunking (pure integer arithmetic: chunked
+    replay IS the unchunked fold, the same exactness argument as
+    :func:`ewma_integer_stream`; the trend state swings negative on
+    downswings and Python ``//`` floors identically in both twins).
+
+    Same explicit null-mask staging (Arrow nullable-int64 hazard);
+    NULLs emit the carried (level, trend) and never update them.
+    Emits (keys..., value, level, trend).
+    """
+    if not 1 <= alpha_pct <= 100 or not 0 <= beta_pct <= 100:
+        raise ValueError("alpha_pct in [1,100], beta_pct in [0,100] required")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, LongType) and vtype.simpleString() not in ("int", "smallint", "tinyint"):
+        raise TypeError(
+            f"holt_integer_stream needs an integer value column, got {vtype.simpleString()}"
+        )
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [
+            StructField(value_col, LongType()),
+            StructField(level_col, LongType()),
+            StructField(trend_col, LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("l", LongType()), StructField("t", LongType())])
+    keys = list(key_cols)
+    order = list(order_cols)
+    a = int(alpha_pct)
+    b = int(beta_pct)
+    vcol = value_col
+
+    def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        L, T = state.get if state.exists else (None, None)
+        if L is not None:
+            L, T = int(L), int(T)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
+            xs_out, lv, tv = [], [], []
+            for xf, xn in zip(pdf["_hx"], pdf["_hn"]):
+                if bool(xn):
+                    xs_out.append(None)
+                    lv.append(L)
+                    tv.append(T)
+                    continue
+                x = int(xf)
+                if L is None:
+                    L, T = x, 0
+                else:
+                    L2 = (a * x + (100 - a) * (L + T)) // 100
+                    T = (b * (L2 - L) + (100 - b) * T) // 100
+                    L = L2
+                xs_out.append(x)
+                lv.append(L)
+                tv.append(T)
+            out = pd.DataFrame({k: [kv] * len(pdf) for k, kv in zip(keys, key)})
+            out[vcol] = pd.array(xs_out, dtype="Int64")
+            out[level_col] = pd.array(lv, dtype="Int64")
+            out[trend_col] = pd.array(tv, dtype="Int64")
+            yield out
+        state.update((L, T))
+
+    if "_hx" in df.columns or "_hn" in df.columns:
+        raise ValueError("input already has a _hx/_hn column (reserved staging names)")
+    staged = df.withColumn(
+        "_hx", F.coalesce(F.col(vcol).cast("long"), F.lit(0).cast("long"))
+    ).withColumn("_hn", F.col(vcol).isNull())
     return staged.groupBy(*keys).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

@@ -1515,3 +1515,50 @@ def test_conversion_paths_stream_equals_batch(spark, tmp_path):
     # shorter histories
     lens = {p.count(">") for _, _, p in got}
     assert 2 in lens and (0 in lens or "direct" in {p for _, _, p in got})
+
+
+def test_holt_integer_stream_parity_with_batch(spark):
+    """holt_integer streaming twin: chunked replay across 3 micro-
+    batches equals the batch fold EXACTLY, including the negative-trend
+    path (declining series) and NULL carry semantics."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        holt_linear_integer,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.stateful import (
+        holt_integer_stream,
+    )
+
+    rows = [
+        ("a", 1, 9000), ("a", 2, 5000), ("a", 3, None), ("a", 4, 400),
+        ("b", 1, None), ("b", 2, 80), ("b", 3, 8000),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq long, v long")
+    batch_by_v = {
+        (r["k"], r["v"]): (r["level_int"], r["trend_int"])
+        for r in holt_linear_integer(df, ["k"], ["seq"], "v", 20, 10).collect()
+    }
+    # the fixture must drive the trend negative at least once
+    assert any(t is not None and t < 0 for (_, t) in batch_by_v.values())
+
+    with tempfile.TemporaryDirectory() as root:
+        for i, chunk in enumerate([rows[:2], rows[2:5], rows[5:]]):
+            spark.createDataFrame(chunk, "k string, seq long, v long").coalesce(1).write.parquet(
+                os.path.join(root, f"f{i}")
+            )
+        stream = spark.readStream.schema("k string, seq long, v long").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(os.path.join(root, "f*"))
+        out = holt_integer_stream(stream, ["k"], ["seq"], "v", 20, 10)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("holt_int_par")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {
+            (r["k"], r["v"]): (r["level_int"], r["trend_int"])
+            for r in spark.table("holt_int_par").collect()
+        }
+        assert streamed == batch_by_v  # exact integer equality
