@@ -143,6 +143,12 @@ HEADLINE = [
     "text_bigram_lm_logprob",
     "sample_waterfill_budget",
     "text_bpe_merges",
+    # round-6 final batch: skyline/frontier, sparse posting-cosine, and
+    # the monotonic-stack fold — one trend anchor per new family; rows
+    # above remain unchanged for cross-round comparability.
+    "agg_skyline_parts",
+    "text_tfidf_doc_similarity",
+    "events_next_higher_value",
 ]
 
 
