@@ -9275,6 +9275,63 @@ FROM spanned GROUP BY o_custkey, span_id
 """
 
 
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided integer CUSUM (Page) of event value cents
+    against the user's own integer-floor mean — the change-point
+    primitive: the state accumulates upward drift and the zero-clamp
+    forgets on-target history (operators/stateful.cusum_integer).
+    Unlike EWMA/Holt the fold is NOT affine (max-with-zero), so no
+    segmented carry can exist — but it is pure integer arithmetic with
+    no division, so the recursive-CTE oracle replays it to the unit
+    with nothing but greatest(0, …). The per-user target uses `div`
+    (Spark) == `//` (DuckDB), valid here because cents and counts are
+    strictly positive (gate-verified: min(value)=0.01, zero NULLs);
+    rows are filtered to non-NULL value on BOTH sides so the fold's
+    carry-emit NULL semantics never meet the oracle."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        cusum_integer,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    tgt = ev.select("user_id", cents.alias("c")).groupBy("user_id").agg(
+        F.expr("CAST(sum(c) div count(*) AS BIGINT)").alias("tgt")
+    )
+    base = ev.select("user_id", "event_id", "ts", cents.alias("x")).join(tgt, "user_id")
+    out = cusum_integer(
+        base, ["user_id"], ["ts", "event_id"], "x", "tgt", slack=0,
+        out_col="cusum_cents",
+    )
+    return out.select("user_id", "event_id", "cusum_cents").orderBy(
+        "user_id", "event_id"
+    )
+
+
+_CUSUM_SQL = """
+WITH RECURSIVE tgt AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS tgt
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), base AS (
+  SELECT e.user_id, e.event_id,
+         CAST(round(e.value * 100) AS BIGINT) AS x, t.tgt,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) AS rn
+  FROM events e JOIN tgt t USING (user_id)
+  WHERE e.value IS NOT NULL
+), rec AS (
+  SELECT user_id, event_id, rn,
+         greatest(CAST(0 AS BIGINT), x - tgt) AS s
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn,
+         greatest(CAST(0 AS BIGINT), r.s + b.x - b.tgt)
+  FROM base b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, event_id, s AS cusum_cents FROM rec
+"""
+
+
 def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram LM quality scores per document (λ=0.7
     Jelinek–Mercer over corpus-trained counts) — the step up from the
@@ -9767,6 +9824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_exact_global_percentiles": agg_exact_global_percentiles,
         "window_holt_trend_orders": window_holt_trend_orders,
         "orders_activity_spans": orders_activity_spans,
+        "events_cusum_drift": events_cusum_drift,
     }
 
 
@@ -9941,6 +9999,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_exact_global_percentiles": _EXACT_PCT_SQL,
         "window_holt_trend_orders": _HOLT_SQL,
         "orders_activity_spans": _ACTIVITY_SPANS_SQL,
+        "events_cusum_drift": _CUSUM_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

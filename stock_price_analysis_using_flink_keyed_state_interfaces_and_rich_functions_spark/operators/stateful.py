@@ -45,6 +45,7 @@ __all__ = [
     "ewma_segmented",
     "next_higher_mark",
     "holt_linear_integer",
+    "cusum_integer",
 ]
 
 ColsLike = Sequence[str | Column]
@@ -912,5 +913,90 @@ def holt_linear_integer(
     staged = df.withColumn(
         "_hx", F.coalesce(F.col(value_col).cast("long"), F.lit(0).cast("long"))
     ).withColumn("_hn", F.col(value_col).isNull())
+    rep = staged.repartition(*keys).sortWithinPartitions(*(keys + order))
+    return rep.mapInPandas(_scan, schema=out_schema)
+
+
+def cusum_integer(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    target_col: str,
+    slack: int = 0,
+    out_col: str = "cusum_int",
+) -> DataFrame:
+    """ORACLE-EXACT one-sided integer CUSUM (Page 1954) per key::
+
+        S_0 = max(0, x_0 - target - slack)
+        S_n = max(0, S_{n-1} + x_n - target - slack)
+
+    The change-point primitive: S accumulates upward deviations from
+    ``target_col`` (per-row, e.g. a per-key baseline joined upstream)
+    and the zero-clamp forgets history whenever the process is on
+    target — an alarm fires downstream wherever S crosses a threshold.
+
+    Unlike EWMA/Holt this fold is NOT affine (max-with-zero), so no
+    segmented carry exists even in principle — but it IS pure integer
+    arithmetic, so the recursive-CTE oracle replays it exactly
+    (greatest(0, …) is engine-identical; no division, so not even the
+    floor scheme is needed). Same topology and contracts as
+    :func:`ewma_integer`: one exchange + in-partition sort + one
+    mapInPandas scan with per-key carry; integral value/target columns
+    enforced at plan time; NULL values emit the carried S unchanged.
+    """
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    int_types = (ByteType, ShortType, IntegerType, LongType)
+    for c in (value_col, target_col):
+        if not isinstance(df.schema[c].dataType, int_types):
+            raise TypeError(
+                f"cusum_integer needs integer columns, got {c}: "
+                f"{df.schema[c].dataType.simpleString()}"
+            )
+    keys = _key_names(key_cols, "cusum_integer")
+    order = _key_names(order_cols, "cusum_integer")
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType(), True)]
+    )
+    k = int(slack)
+
+    def _scan(batches):
+        import pandas as _pd
+
+        state: dict = {}
+        for pdf in batches:
+            out = []
+            kcols = [pdf[c] for c in keys]
+            xs = pdf["_cx"]
+            ts = pdf["_ct"]
+            nulls = pdf["_cn"]
+            for i in range(len(pdf)):
+                key = tuple(c.iloc[i] for c in kcols)
+                s = state.get(key)
+                if bool(nulls.iloc[i]):
+                    out.append(s)
+                    continue
+                s = max(0, (s or 0) + int(xs.iloc[i]) - int(ts.iloc[i]) - k)
+                state[key] = s
+                out.append(s)
+            pdf[out_col] = _pd.array(out, dtype="Int64")
+            yield pdf.drop(columns=["_cx", "_ct", "_cn"])
+
+    for reserved in ("_cx", "_ct", "_cn"):
+        if reserved in df.columns:
+            raise ValueError(f"input already has a {reserved} column (reserved)")
+    staged = (
+        df.withColumn("_cx", F.coalesce(F.col(value_col).cast("long"), F.lit(0).cast("long")))
+        .withColumn("_ct", F.coalesce(F.col(target_col).cast("long"), F.lit(0).cast("long")))
+        .withColumn("_cn", F.col(value_col).isNull() | F.col(target_col).isNull())
+    )
     rep = staged.repartition(*keys).sortWithinPartitions(*(keys + order))
     return rep.mapInPandas(_scan, schema=out_schema)

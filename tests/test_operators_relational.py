@@ -1152,3 +1152,33 @@ def test_coalesce_intervals_containment_and_touch(spark):
         for r in coalesce_intervals(df, ["k"], "s", "e", tiebreak_cols=("id",)).collect()
     }
     assert got == {("k", 1, 15): 4, ("k", 20, 25): 1, ("q", 5, 6): 1}
+
+
+def test_cusum_integer_reference_fold(spark):
+    """cusum_integer vs a plain-Python replay: zero-clamp resets, slack
+    subtraction, NULL carry, multiple keys."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        cusum_integer,
+    )
+
+    rows = [
+        ("a", 1, 10, 5), ("a", 2, 3, 5), ("a", 3, 20, 5), ("a", 4, None, 5),
+        ("a", 5, 1, 5), ("b", 1, 4, 10), ("b", 2, 50, 10),
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, x long, tgt long")
+    got = {
+        (r.k, r.o): r.cusum_int
+        for r in cusum_integer(df, ["k"], ["o"], "x", "tgt", slack=2).collect()
+    }
+    expect = {}
+    state = {}
+    for k, o, x, tgt in rows:
+        if x is None:
+            expect[(k, o)] = state.get(k)
+            continue
+        s = max(0, state.get(k, 0) + x - tgt - 2)
+        state[k] = s
+        expect[(k, o)] = s
+    assert got == expect
+    # clamp actually fired (a@2: 3 + 3 - 5 - 2 = -1 -> 0), then fresh accumulation
+    assert got[("a", 1)] == 3 and got[("a", 2)] == 0 and got[("a", 3)] == 13
