@@ -63,6 +63,7 @@ __all__ = [
     "ewma_stream",
     "ewma_integer_stream",
     "holt_integer_stream",
+    "cusum_integer_stream",
     "last_touch_attribution_stream",
     "conversion_paths_stream",
 ]
@@ -598,6 +599,76 @@ def holt_integer_stream(
     staged = df.withColumn(
         "_hx", F.coalesce(F.col(vcol).cast("long"), F.lit(0).cast("long"))
     ).withColumn("_hn", F.col(vcol).isNull())
+    return staged.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def cusum_integer_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    target_col: str,
+    slack: int = 0,
+    out_col: str = "cusum_int",
+) -> DataFrame:
+    """Streaming twin of ``operators/stateful.py:cusum_integer`` — the
+    one-sided integer CUSUM with ONE BIGINT of carried state per key.
+    max-with-zero over integers is exactly replayable at any
+    micro-batch chunking (no reassociation, no division), so parity
+    with the batch fold is bit-exact. NULL value/target rows emit the
+    carried S and never update it. Emits (keys..., value, out).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for c in (value_col, target_col):
+        vtype = df.schema[c].dataType
+        if not isinstance(vtype, LongType) and vtype.simpleString() not in ("int", "smallint", "tinyint"):
+            raise TypeError(
+                f"cusum_integer_stream needs integer columns, got {c}: {vtype.simpleString()}"
+            )
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [StructField(value_col, LongType()), StructField(out_col, LongType())]
+    )
+    state_schema = StructType([StructField("s", LongType())])
+    keys = list(key_cols)
+    order = list(order_cols)
+    k = int(slack)
+    vcol = value_col
+
+    def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (s,) = state.get if state.exists else (None,)
+        if s is not None:
+            s = int(s)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
+            xs_out, out_vals = [], []
+            for xf, tf, xn in zip(pdf["_cx"], pdf["_ct"], pdf["_cn"]):
+                if bool(xn):
+                    xs_out.append(None)
+                    out_vals.append(s)
+                    continue
+                s = max(0, (s or 0) + int(xf) - int(tf) - k)
+                xs_out.append(int(xf))
+                out_vals.append(s)
+            out = pd.DataFrame({kk: [kv] * len(pdf) for kk, kv in zip(keys, key)})
+            out[vcol] = pd.array(xs_out, dtype="Int64")
+            out[out_col] = pd.array(out_vals, dtype="Int64")
+            yield out
+        state.update((s,))
+
+    for reserved in ("_cx", "_ct", "_cn"):
+        if reserved in df.columns:
+            raise ValueError(f"input already has a {reserved} column (reserved)")
+    staged = (
+        df.withColumn("_cx", F.coalesce(F.col(vcol).cast("long"), F.lit(0).cast("long")))
+        .withColumn("_ct", F.coalesce(F.col(target_col).cast("long"), F.lit(0).cast("long")))
+        .withColumn("_cn", F.col(vcol).isNull() | F.col(target_col).isNull())
+    )
     return staged.groupBy(*keys).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

@@ -1562,3 +1562,46 @@ def test_holt_integer_stream_parity_with_batch(spark):
             for r in spark.table("holt_int_par").collect()
         }
         assert streamed == batch_by_v  # exact integer equality
+
+
+def test_cusum_integer_stream_parity_with_batch(spark):
+    """cusum_integer streaming twin: chunked replay equals the batch
+    fold exactly, including zero-clamp resets across batch boundaries."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        cusum_integer,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.stateful import (
+        cusum_integer_stream,
+    )
+
+    rows = [
+        ("a", 1, 10, 5), ("a", 2, 3, 5), ("a", 3, 20, 5), ("a", 4, None, 5),
+        ("b", 1, 4, 10), ("b", 2, 50, 10), ("b", 3, 1, 10),
+    ]
+    schema = "k string, seq long, v long, tgt long"
+    df = spark.createDataFrame(rows, schema)
+    batch_by_v = {
+        (r["k"], r["v"]): r["cusum_int"]
+        for r in cusum_integer(df, ["k"], ["seq"], "v", "tgt", slack=2).collect()
+    }
+    with tempfile.TemporaryDirectory() as root:
+        for i, chunk in enumerate([rows[:2], rows[2:5], rows[5:]]):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                os.path.join(root, f"f{i}")
+            )
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+            os.path.join(root, "f*")
+        )
+        out = cusum_integer_stream(stream, ["k"], ["seq"], "v", "tgt", slack=2)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cusum_int_par")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {
+            (r["k"], r["v"]): r["cusum_int"] for r in spark.table("cusum_int_par").collect()
+        }
+        assert streamed == batch_by_v
