@@ -9332,6 +9332,63 @@ SELECT user_id, event_id, s AS cusum_cents FROM rec
 """
 
 
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (equal-count) 10-bucket histogram of lineitem price
+    cents — the quantile-bucketed twin of the fixed-width
+    agg_price_histogram: each bucket holds ⌈n/10⌉-ish rows and the
+    [min,max] bounds REVEAL the distribution (tight buckets = dense
+    regions). Bucket id is the explicit ⌊(rk−1)·10/n⌋ over the exact
+    global rank (operators/windows.distributed_global_rank — no
+    single-task sort), NOT ntile(): ntile's first-(n mod k)-buckets-
+    get-one-extra rule is engine-specific folklore, while the floor
+    formula is integer arithmetic both engines replay verbatim. Ties
+    straddle bucket boundaries by rank (duplicate values may land in
+    adjacent buckets — inherent to equi-depth; min/max bounds then
+    overlap, which is the honest answer)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_global_rank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+    )
+    ranked = distributed_global_rank(
+        li,
+        [("c", False), ("l_shipdate", False), ("l_orderkey", False),
+         ("l_linenumber", False), ("l_partkey", False)],
+        rank_col="rk",
+    ).select("c", "rk")
+    n = li.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("bucket", F.expr("CAST(((rk - 1) * 10) div n AS BIGINT)"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_EQUIDEPTH_SQL = """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+ranked AS (SELECT c, CAST(row_number() OVER (ORDER BY c) AS BIGINT) AS rk FROM v)
+SELECT CAST(((rk - 1) * 10) // n.n AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(c) AS min_cents, max(c) AS max_cents
+FROM ranked CROSS JOIN n
+GROUP BY 1
+"""
+
+
 def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram LM quality scores per document (λ=0.7
     Jelinek–Mercer over corpus-trained counts) — the step up from the
@@ -9825,6 +9882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_holt_trend_orders": window_holt_trend_orders,
         "orders_activity_spans": orders_activity_spans,
         "events_cusum_drift": events_cusum_drift,
+        "agg_equidepth_histogram": agg_equidepth_histogram,
     }
 
 
@@ -10000,6 +10058,7 @@ def oracle_sql() -> dict[str, str]:
         "window_holt_trend_orders": _HOLT_SQL,
         "orders_activity_spans": _ACTIVITY_SPANS_SQL,
         "events_cusum_drift": _CUSUM_SQL,
+        "agg_equidepth_histogram": _EQUIDEPTH_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,
