@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-__all__ = ["SyntheticQuotesDataSource", "register_synthetic_quotes_source"]
+__all__ = [
+    "SyntheticQuotesDataSource",
+    "register_synthetic_quotes_source",
+    "SyntheticQuotesStreamDataSource",
+    "register_synthetic_quotes_stream_source",
+]
 
 _SCHEMA = "symbol string, day int, open double, high double, low double, close double, volume bigint"
 
@@ -73,3 +78,81 @@ class SyntheticQuotesDataSource(DataSource):
 
 def register_synthetic_quotes_source(spark: SparkSession) -> None:
     spark.dataSource.register(SyntheticQuotesDataSource)
+
+
+def _gen_quote_row(i: int, n_symbols: int):
+    """Deterministic quote row for global row id ``i`` — shared by the
+    batch reader and the streaming reader so a stream that has drained
+    N rows equals the batch read of N rows, column for column."""
+    sym = f"SYM{i % n_symbols}"
+    day = i // n_symbols
+    base = float(50 + (i * 7919) % 1000) / 10.0
+    spread = float((i * 104729) % 50) / 100.0
+    return (
+        sym,
+        day,
+        round(base, 2),
+        round(base + spread, 2),
+        round(base - spread / 2, 2),
+        round(base + spread / 4, 2),
+        1000 + (i * 31) % 5000,
+    )
+
+
+class _QuotesStreamReader:
+    """``SimpleDataSourceStreamReader`` for the synthetic feed: the
+    offset is just the global row counter (``{"row": N}``), each
+    micro-batch serves up to ``rows_per_batch`` rows, and the feed
+    dries up at ``total_rows`` (read returns the same offset with no
+    rows — processAllAvailable() then terminates). Offsets are pure
+    row-id arithmetic over the shared deterministic generator, so
+    ``readBetweenOffsets`` (failure-recovery replay) is trivially
+    exactly-once: any [start, end) re-read regenerates identical rows.
+    """
+
+    def __init__(self, options):
+        self.total_rows = int(options.get("total_rows", "100"))
+        self.per_batch = int(options.get("rows_per_batch", "10"))
+        self.n_symbols = int(options.get("symbols", "5"))
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def read(self, start):
+        lo = int(start["row"])
+        hi = min(lo + self.per_batch, self.total_rows)
+        return (
+            iter([_gen_quote_row(i, self.n_symbols) for i in range(lo, hi)]),
+            {"row": hi},
+        )
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [_gen_quote_row(i, self.n_symbols) for i in range(int(start["row"]), int(end["row"]))]
+        )
+
+    def commit(self, end):
+        pass  # nothing to clean up: the generator is stateless
+
+
+class SyntheticQuotesStreamDataSource(DataSource):
+    """``readStream.format("synthetic_quotes_stream")`` — the streaming
+    twin of :class:`SyntheticQuotesDataSource` (options: total_rows,
+    rows_per_batch, symbols). The modern ``pyspark.sql.datasource``
+    replacement for the reference's hand-rolled SourceFunction feed,
+    now on the STREAM side too: a custom Python micro-batch source with
+    real offset tracking and deterministic failure-recovery replay."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_quotes_stream"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return _QuotesStreamReader(self.options)
+
+
+def register_synthetic_quotes_stream_source(spark: SparkSession) -> None:
+    spark.dataSource.register(SyntheticQuotesStreamDataSource)

@@ -1605,3 +1605,39 @@ def test_cusum_integer_stream_parity_with_batch(spark):
             (r["k"], r["v"]): r["cusum_int"] for r in spark.table("cusum_int_par").collect()
         }
         assert streamed == batch_by_v
+
+
+def test_python_streaming_datasource_drains_to_batch_equivalence(spark):
+    """The custom Python streaming DataSource (Spark 4
+    SimpleDataSourceStreamReader) must drain its capped feed across
+    micro-batches and produce EXACTLY the batch source's rows — shared
+    deterministic generator, offset = row counter."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.pysource import (
+        register_synthetic_quotes_source,
+        register_synthetic_quotes_stream_source,
+    )
+
+    register_synthetic_quotes_source(spark)
+    register_synthetic_quotes_stream_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_quotes_stream")
+        .option("total_rows", "57")
+        .option("rows_per_batch", "10")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.table("pyds_stream").collect()}
+    want = {
+        tuple(r)
+        for r in spark.read.format("synthetic_quotes").option("rows", "57").load().collect()
+    }
+    assert got == want and len(got) == 57
