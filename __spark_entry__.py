@@ -9389,6 +9389,112 @@ GROUP BY 1
 """
 
 
+def events_wau_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users via a PORTABLE explicit-register HLL
+    (operators/heavyhitters.hll_registers/hll_estimate), estimate and
+    exact side by side per day. This is the mergeable-summary story
+    the built-in approx_count_distinct can't tell through an oracle:
+    daily 512-register tables MAX-MERGE across the rolling window (one
+    value-range window per register over the day×register spine), the
+    estimate's only floats are two fixed-order expressions over exact
+    BIGINTs, and DuckDB replays md5 → register → bin()-length rho →
+    merge → α·m²·2^53/S (+ linear-counting branch) to the unit — a
+    fully ORACLED sketch, upgraded from the pinned-constant tier of
+    agg_approx_distinct. At 100 TB the register tables are what you
+    store: day→week→month rollups never re-touch the raw data."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.heavyhitters import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    regs = hll_registers(du, ["day"], "user_id")
+    days = du.select("day").distinct()
+    spine = days.crossJoin(
+        F.broadcast(spark.range(HLL_M).select(F.col("id").cast("long").alias("reg")))
+    )
+    wr = Window.partitionBy("reg").orderBy("day").rangeBetween(-6, 0)
+    merged = (
+        spine.join(regs, ["day", "reg"], "left")
+        .withColumn("mrho", F.max("rho").over(wr))
+        .filter(F.col("mrho").isNotNull())
+        .select("day", "reg", F.col("mrho").alias("rho"))
+    )
+    est = hll_estimate(merged, ["day"], out_col="est_users")
+    expl = du.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"), "user_id"
+    )
+    exact = (
+        expl.join(days, "day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_users"))
+    )
+    return est.join(exact, "day").orderBy("day")
+
+
+def _hll_sql() -> str:
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.heavyhitters import (
+        HLL_M,
+        _HLL_ALPHA,
+    )
+
+    big = repr(_HLL_ALPHA * HLL_M * HLL_M * float(1 << 53))
+    return f"""
+WITH du AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, user_id
+  FROM events
+), hs AS (
+  SELECT day, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM du
+), rr AS (
+  SELECT day, h % {HLL_M} AS reg,
+         CASE WHEN (h >> 9) = 0 THEN 52
+              ELSE 52 - length(bin(h >> 9)) END AS rho
+  FROM hs
+), regs AS (
+  SELECT day, reg, max(rho) AS rho FROM rr GROUP BY 1, 2
+), days AS (SELECT DISTINCT day FROM du),
+spine AS (
+  SELECT d.day, r.reg FROM days d CROSS JOIN range({HLL_M}) r(reg)
+), sp AS (
+  SELECT s.day, s.reg, g.rho FROM spine s LEFT JOIN regs g USING (day, reg)
+), merged AS (
+  SELECT day, reg,
+         max(rho) OVER (PARTITION BY reg ORDER BY day
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mrho
+  FROM sp
+), agg AS (
+  SELECT day,
+         CAST(sum(CASE WHEN mrho IS NOT NULL THEN (CAST(1 AS BIGINT) << (53 - mrho))
+                       ELSE (CAST(1 AS BIGINT) << 53) END) AS BIGINT) AS s,
+         CAST(count(*) FILTER (mrho IS NULL) AS BIGINT) AS v
+  FROM merged GROUP BY 1
+), est AS (
+  SELECT day,
+         CASE WHEN CAST({big} AS DOUBLE) / CAST(s AS DOUBLE) <= {2.5 * HLL_M}
+                   AND v > 0
+              THEN CAST(round({float(HLL_M)} * ln({float(HLL_M)} / CAST(v AS DOUBLE))) AS BIGINT)
+              ELSE CAST(round(CAST({big} AS DOUBLE) / CAST(s AS DOUBLE)) AS BIGINT)
+         END AS est_users
+  FROM agg
+), expl AS (
+  SELECT du.day + g.i AS day, du.user_id FROM du CROSS JOIN range(7) g(i)
+), exact AS (
+  SELECT e.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_users
+  FROM expl e JOIN days d ON d.day = e.day GROUP BY 1
+)
+SELECT est.day, est.est_users, exact.exact_users FROM est JOIN exact USING (day)
+"""
+
+
 def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram LM quality scores per document (λ=0.7
     Jelinek–Mercer over corpus-trained counts) — the step up from the
@@ -9883,6 +9989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_activity_spans": orders_activity_spans,
         "events_cusum_drift": events_cusum_drift,
         "agg_equidepth_histogram": agg_equidepth_histogram,
+        "events_wau_hll_rolling": events_wau_hll_rolling,
     }
 
 
@@ -10059,6 +10166,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_activity_spans": _ACTIVITY_SPANS_SQL,
         "events_cusum_drift": _CUSUM_SQL,
         "agg_equidepth_histogram": _EQUIDEPTH_SQL,
+        "events_wau_hll_rolling": _hll_sql(),
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

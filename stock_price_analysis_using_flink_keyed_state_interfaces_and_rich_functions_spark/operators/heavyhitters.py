@@ -30,7 +30,14 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mg_partition_summaries", "heavy_hitters_topk"]
+__all__ = [
+    "mg_partition_summaries",
+    "heavy_hitters_topk",
+    "hll_rho",
+    "hll_registers",
+    "hll_estimate",
+    "HLL_M",
+]
 
 
 def mg_partition_summaries(
@@ -150,3 +157,89 @@ def heavy_hitters_topk(
                 f"n/capacity = {n_total / capacity:.1f}); raise capacity"
             )
     return topk
+
+
+# ---------------------------------------------------------------- HLL
+# Portable HyperLogLog with EXPLICIT registers — unlike the built-in
+# approx_count_distinct (whose HLL++ internals the oracle can only pin
+# as measured constants), every step here is engine-replayable: md5
+# hash, modulo register index, leading-zero rank via bin()-string
+# length, register max-merge, and an estimate whose only float is ONE
+# fixed-order expression over an exact BIGINT sum (each register
+# contributes 2^(53-rho) exactly; 512 registers x 2^53 < 2^63).
+
+HLL_M = 512  # registers (p=9); alpha below is the standard constant
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_HLL_WBITS = 51  # 60-bit md5 prefix minus 9 register bits
+
+
+def hll_rho(value: Column) -> tuple[Column, Column]:
+    """(register index, rho) for a value: 60-bit md5 prefix; low 9 bits
+    pick the register, rho = leading-zero count of the remaining
+    51 bits + 1 (bin() strips leading zeros in both engines, so rho =
+    52 - length(bin(w)); all-zero suffix ⇒ rho = 52)."""
+    h = F.conv(F.substring(F.md5(value.cast("string")), 1, 15), 16, 10).cast("long")
+    reg = (h % HLL_M).cast("long")
+    # shiftright, NOT h/512: float division would round 60-bit hashes
+    # above 2^53 and corrupt the register suffix
+    w = F.shiftright(h, 9).cast("long")
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    ).cast("long")
+    return reg, rho
+
+
+def hll_registers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    reg_col: str = "reg",
+    rho_col: str = "rho",
+) -> DataFrame:
+    """Per-group HLL register table: (keys..., reg, max rho). Register
+    max-merge is order- and partitioning-insensitive, and two groups'
+    registers UNION into their merged sketch with another max — the
+    mergeable-summary property that makes sketches worth their error
+    at 100 TB (daily registers roll up to weekly/monthly without
+    touching the raw data again)."""
+    reg, rho = hll_rho(F.col(value_col))
+    return (
+        df.select(*key_cols, reg.alias(reg_col), rho.alias(rho_col))
+        .groupBy(*key_cols, reg_col)
+        .agg(F.max(rho_col).alias(rho_col))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    key_cols: list[str],
+    reg_col: str = "reg",
+    rho_col: str = "rho",
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """HLL estimate per group from a (possibly merged) register table.
+    Missing registers count as rho=0. S = Σ 2^(53−rho) is an EXACT
+    BIGINT sum; the raw estimate α·m²·2^53/S and the small-range
+    linear-counting branch (E ≤ 2.5m and V>0 ⇒ m·ln(m/V)) are each one
+    fixed-order double expression — both engines take the same branch
+    on the same exact integers. Rounded to BIGINT."""
+    agg = regs.groupBy(*key_cols).agg(
+        # F.shiftleft takes a Python-int bit count; the per-row shift
+        # needs the SQL form
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(53 - {rho_col} AS INT))"))
+        .cast("long")
+        .alias("_s_hit"),
+        F.count(F.lit(1)).cast("long").alias("_n_regs"),
+    )
+    m = F.lit(HLL_M).cast("long")
+    # registers never seen in the group: rho=0 => term 2^53 each
+    s = (F.col("_s_hit") + (m - F.col("_n_regs")) * F.lit(1 << 53).cast("long")).cast(
+        "long"
+    )
+    v = (m - F.col("_n_regs")).cast("long")  # data rho >= 1, so unseen == zero-reg
+    raw = F.lit(_HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)) / s.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*key_cols, F.round(est).cast("long").alias(out_col))

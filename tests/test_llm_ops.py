@@ -1537,3 +1537,39 @@ def test_tfidf_doc_cosine_topk_geometry(spark):
 
     # a df cap of 1 excludes every shared term -> no pairs at all
     assert tfidf_doc_cosine_topk(df, "doc_id", "text", k=2, max_df=1).count() == 0
+
+
+def test_hll_registers_mergeable_and_accurate(spark):
+    """Portable HLL: (a) estimate within ~5x standard error of exact;
+    (b) MERGE property — max-merging two groups' register tables gives
+    exactly the sketch of the unioned data (the 100 TB rollup story)."""
+    from pyspark.sql import functions as F
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.heavyhitters import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    rows = [("a", i) for i in range(3000)] + [("b", i) for i in range(1500, 5000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    regs = hll_registers(df, ["g"], "v")
+    est = {r.g: r.est_distinct for r in hll_estimate(regs, ["g"]).collect()}
+    # sigma = 1.04/sqrt(512) ~ 4.6%; 5 sigma ~ 23%
+    assert abs(est["a"] - 3000) <= 0.23 * 3000
+    assert abs(est["b"] - 3500) <= 0.23 * 3500
+
+    # merge the two register tables -> sketch of the union (5000 distinct)
+    merged = regs.groupBy("reg").agg(F.max("rho").alias("rho")).withColumn(
+        "g", F.lit("all")
+    )
+    est_merged = hll_estimate(merged, ["g"]).collect()[0].est_distinct
+    union_regs = hll_registers(df.withColumn("g", F.lit("all")), ["g"], "v")
+    est_union = hll_estimate(union_regs, ["g"]).collect()[0].est_distinct
+    assert est_merged == est_union  # exact register-level equality
+    assert abs(est_union - 5000) <= 0.23 * 5000
+
+    # small-cardinality groups take the linear-counting branch and are
+    # near-exact there
+    tiny = spark.createDataFrame([("t", i) for i in range(40)], ["g", "v"])
+    est_tiny = hll_estimate(hll_registers(tiny, ["g"], "v"), ["g"]).collect()[0].est_distinct
+    assert abs(est_tiny - 40) <= 4
