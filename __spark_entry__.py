@@ -9495,6 +9495,91 @@ SELECT est.day, est.est_users, exact.exact_users FROM est JOIN exact USING (day)
 """
 
 
+def orders_survival_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier reorder-survival curve: S(g) = probability a
+    customer goes ≥ g days without placing another order. Observations
+    are per-customer consecutive-order gaps (event=1); each customer's
+    tail gap to the corpus max order day is RIGHT-CENSORED (event=0) —
+    the statistically honest treatment the naive gap histogram
+    (orders_reorder_gap_histogram) skips. operators/timeseries.
+    kaplan_meier turns the product-limit estimator into an exact
+    integer prefix sum of micro-nat factors (ln((n−d)/n) snapped
+    BEFORE summing — the BM25 precedent applied to a PRODUCT), so the
+    oracle replays the whole curve to the unit. Day arithmetic uses
+    the epoch-day pairing (datediff↔epoch//86400, cohort precedent)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("day"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    mx = d.agg(F.max("day").alias("maxd"))
+    obs = (
+        d.withColumn("nxt", F.lead("day").over(w))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(F.col("nxt").isNull(), F.col("maxd") - F.col("day"))
+            .otherwise(F.col("nxt") - F.col("day"))
+            .cast("long")
+            .alias("duration"),
+            F.when(F.col("nxt").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("event"),
+        )
+    )
+    return kaplan_meier(obs, "duration", "event").orderBy("t")
+
+
+_SURVIVAL_SQL = """
+WITH d AS (
+  SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+         o_orderkey
+  FROM orders
+), mx AS (SELECT max(day) AS maxd FROM d),
+led AS (
+  SELECT o_custkey, day,
+         lead(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS nxt
+  FROM d
+), obs AS (
+  SELECT CASE WHEN nxt IS NULL THEN maxd - day ELSE nxt - day END AS duration,
+         CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS event
+  FROM led CROSS JOIN mx
+), per_t AS (
+  SELECT duration AS t, CAST(sum(event) AS BIGINT) AS d_events,
+         CAST(sum(1 - event) AS BIGINT) AS c_c
+  FROM obs GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM obs),
+st AS (
+  SELECT t, d_events, c_c,
+         n - CAST(coalesce(sum(d_events + c_c) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_at_risk
+  FROM per_t CROSS JOIN tot
+), ev AS (
+  SELECT t, n_at_risk, d_events,
+         CASE WHEN d_events >= n_at_risk THEN NULL
+              ELSE CAST(round(ln(CAST(n_at_risk - d_events AS DOUBLE)
+                                 / CAST(n_at_risk AS DOUBLE)) * 1000000) AS BIGINT)
+         END AS lnm
+  FROM st WHERE d_events > 0
+), fin AS (
+  SELECT t, n_at_risk, d_events,
+         max(CASE WHEN lnm IS NULL THEN 1 ELSE 0 END)
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed,
+         sum(lnm) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
+  FROM ev
+)
+SELECT t, n_at_risk, d_events,
+       CASE WHEN zeroed > 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(round(exp(CAST(acc AS DOUBLE) / 1000000) * 1000000) AS BIGINT)
+       END AS km_micro
+FROM fin
+"""
+
+
 def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram LM quality scores per document (λ=0.7
     Jelinek–Mercer over corpus-trained counts) — the step up from the
@@ -9990,6 +10075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_drift": events_cusum_drift,
         "agg_equidepth_histogram": agg_equidepth_histogram,
         "events_wau_hll_rolling": events_wau_hll_rolling,
+        "orders_survival_reorder": orders_survival_reorder,
     }
 
 
@@ -10167,6 +10253,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cusum_drift": _CUSUM_SQL,
         "agg_equidepth_histogram": _EQUIDEPTH_SQL,
         "events_wau_hll_rolling": _hll_sql(),
+        "orders_survival_reorder": _SURVIVAL_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

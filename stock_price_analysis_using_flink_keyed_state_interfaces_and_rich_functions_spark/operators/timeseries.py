@@ -27,6 +27,7 @@ __all__ = [
     "fill_forward",
     "last_touch_attribution",
     "coalesce_intervals",
+    "kaplan_meier",
 ]
 
 
@@ -252,4 +253,79 @@ def coalesce_intervals(
             F.count(F.lit(1)).cast("long").alias(n_col),
         )
         .drop("_iv_span")
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    out_time: str = "t",
+) -> DataFrame:
+    """Kaplan–Meier survival curve over (duration, event) observations
+    (event=1 observed, 0 right-censored): per distinct event time t,
+    the at-risk count n_t = |{duration ≥ t}|, event count d_t, and
+    S(t) = Π_{t'≤t} (1 − d/n) — the product-limit estimator (Kaplan &
+    Meier 1958), e.g. "probability a customer survives g days without
+    reordering".
+
+    Portability scheme (the BM25/bigram-LM integer-snap precedent,
+    applied to a PRODUCT): each factor becomes one fixed-order double
+    ln((n−d)/n) over exact BIGINTs, SNAPPED to integer micro-nats
+    before the prefix sum — so the cumulative product is an exact
+    integer sum inside exp(), and float association can never differ.
+    S hits exactly 0 where d = n (ln undefined): the running "has
+    zeroed" flag is integer too.
+
+    Scale shape: observations aggregate to the distinct-time table
+    FIRST (one groupBy); n_t needs no self-join — it is total_obs minus
+    the EXCLUSIVE prefix sum of (d_t + c_t) over times ascending. The
+    windows run over the distinct-duration aggregate (calendar-bounded
+    cardinality), never the observation stream; the only 1-part window
+    is therefore bounded by the value domain, not the data.
+    """
+    per_t = df.groupBy(F.col(duration_col).alias(out_time)).agg(
+        F.sum(F.col(event_col).cast("long")).cast("long").alias("d_events"),
+        F.sum(F.lit(1) - F.col(event_col).cast("long")).cast("long").alias("c_censored"),
+    )
+    w = Window.orderBy(out_time)
+    prior = F.coalesce(
+        F.sum(F.col("d_events") + F.col("c_censored")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("long")
+    # total observations via a broadcast one-row aggregate — the repo
+    # convention (never a driver collect in plan construction)
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("_km_total"))
+    n_at = (F.col("_km_total") - prior).cast("long")
+    stepped = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn("n_at_risk", n_at)
+        .drop("_km_total")
+        .filter(F.col("d_events") > 0)
+    )
+    ln_micro = F.when(
+        F.col("d_events") >= F.col("n_at_risk"), F.lit(None)
+    ).otherwise(
+        F.round(
+            F.log(
+                (F.col("n_at_risk") - F.col("d_events")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            )
+            * 1000000
+        ).cast("long")
+    )
+    w2 = Window.orderBy(out_time).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    zeroed = F.max((F.col("_ln_m").isNull()).cast("long")).over(w2)
+    acc = F.sum("_ln_m").over(w2)
+    return (
+        stepped.withColumn("_ln_m", ln_micro)
+        .withColumn(
+            "km_micro",
+            F.when(zeroed > 0, F.lit(0).cast("long")).otherwise(
+                F.round(F.exp(acc.cast("double") / 1000000) * 1000000).cast("long")
+            ),
+        )
+        .select(out_time, "n_at_risk", "d_events", "km_micro")
     )

@@ -1182,3 +1182,24 @@ def test_cusum_integer_reference_fold(spark):
     assert got == expect
     # clamp actually fired (a@2: 3 + 3 - 5 - 2 = -1 -> 0), then fresh accumulation
     assert got[("a", 1)] == 3 and got[("a", 2)] == 0 and got[("a", 3)] == 13
+
+
+def test_kaplan_meier_hand_example(spark):
+    """Classic KM fixture: S(2)=3/5, S(5)=3/10 with a censored tail;
+    and a d==n time zeroes the curve exactly."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    obs = [(2, 1), (2, 1), (3, 0), (5, 1), (7, 0)]
+    df = spark.createDataFrame(obs, ["duration", "event"])
+    got = {r.t: (r.n_at_risk, r.d_events, r.km_micro) for r in kaplan_meier(df, "duration", "event").collect()}
+    assert set(got) == {2, 5}  # censored-only times carry no curve step
+    n2, d2, km2 = got[2]
+    n5, d5, km5 = got[5]
+    assert (n2, d2) == (5, 2) and (n5, d5) == (2, 1)
+    assert abs(km2 - 600_000) <= 1 and abs(km5 - 300_000) <= 1
+
+    z = spark.createDataFrame([(4, 1), (4, 1)], ["duration", "event"])
+    zr = kaplan_meier(z, "duration", "event").collect()
+    assert len(zr) == 1 and zr[0].km_micro == 0 and zr[0].n_at_risk == 2
