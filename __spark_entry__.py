@@ -9580,6 +9580,161 @@ FROM fin
 """
 
 
+def agg_ks_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distribution-shift test: did 1995
+    order prices come from the same distribution as 1996's? The KS
+    statistic D = max_v |F₁(v) − F₂(v)| is computed EXACTLY in
+    integers: at every pooled distinct price, |C₁·n₂ − C₂·n₁| is an
+    exact BIGINT (ECDF differences cross-multiplied — no float CDFs),
+    and only the final D = max/(n₁·n₂) is one fixed-order double.
+    The ECDFs are exclusive-free running sums over the DISTINCT-price
+    aggregate — distinct values grow with data, so both cumsums ride
+    operators/windows.distributed_running_sum (range partition +
+    broadcast offsets), never an unpartitioned window. Output also
+    pins WHERE the maximum divergence happens (min such price,
+    deterministic)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    g = o.filter(yr.isin(1995, 1996)).select(
+        (yr == 1995).cast("long").alias("is1"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    pv = g.groupBy("v").agg(
+        F.sum("is1").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("is1")).cast("long").alias("c2"),
+    )
+    tot = g.agg(
+        F.sum("is1").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("is1")).cast("long").alias("n2"),
+    )
+    rs1 = distributed_running_sum(pv, [("v", False)], "c1", out_col="cum1")
+    rs2 = distributed_running_sum(
+        pv.select("v", "c2"), [("v", False)], "c2", out_col="cum2"
+    )
+    j = (
+        rs1.select("v", "cum1")
+        .join(rs2.select("v", "cum2"), "v")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "dn", F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        )
+    )
+    mx = j.agg(F.max("dn").alias("d_num"))
+    return (
+        j.join(F.broadcast(mx), F.col("dn") == F.col("d_num"))
+        .groupBy("d_num")
+        .agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.min("v").cast("long").alias("at_price_cents"),
+        )
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            "at_price_cents",
+            F.floor(
+                F.lit(1000000.0) * F.col("d_num") / (F.col("n1") * F.col("n2"))
+            ).cast("long").alias("d_micro"),
+        )
+    )
+
+
+_KS_SQL = """
+WITH g AS (
+  SELECT CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END AS is1,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+), pv AS (
+  SELECT v, CAST(sum(is1) AS BIGINT) AS c1, CAST(sum(1 - is1) AS BIGINT) AS c2
+  FROM g GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(is1) AS BIGINT) AS n1, CAST(sum(1 - is1) AS BIGINT) AS n2 FROM g
+), cum AS (
+  SELECT v,
+         CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+         CAST(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+  FROM pv
+), diffs AS (
+  SELECT v, abs(cum1 * tot.n2 - cum2 * tot.n1) AS dn, tot.n1, tot.n2
+  FROM cum CROSS JOIN tot
+), mx AS (SELECT max(dn) AS d_num FROM diffs)
+SELECT max(d.n1) AS n1, max(d.n2) AS n2, mx.d_num,
+       CAST(min(d.v) AS BIGINT) AS at_price_cents,
+       CAST(floor(1000000.0 * mx.d_num / (max(d.n1) * max(d.n2))) AS BIGINT) AS d_micro
+FROM diffs d JOIN mx ON d.dn = mx.d_num
+GROUP BY mx.d_num
+"""
+
+
+def agg_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between order priority and order
+    status: per contingency cell, observed count (exact), expected
+    count row·col/n and the (obs−exp)²/exp contribution — each cell's
+    float is ONE fixed-order double over exact BIGINTs, SNAPPED to
+    micro-units before the χ² total (an exact integer sum over the
+    |priorities|×|statuses| cells, so summation order is moot — the
+    KM/BM25 scheme applied to a test statistic). The total rides an
+    unpartitioned window over the ~15-row cell table (value-domain
+    bounded, the documented exception class). Marginals come from two
+    extra groupBys of the cell aggregate, never the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    rows = cells.groupBy("o_orderpriority").agg(F.sum("obs").cast("long").alias("rtot"))
+    colsum = cells.groupBy("o_orderstatus").agg(F.sum("obs").cast("long").alias("ctot"))
+    n = cells.agg(F.sum("obs").cast("long").alias("n"))
+    j = (
+        cells.join(F.broadcast(rows), "o_orderpriority")
+        .join(F.broadcast(colsum), "o_orderstatus")
+        .crossJoin(F.broadcast(n))
+    )
+    exp = (F.col("rtot") * F.col("ctot")).cast("double") / F.col("n")
+    contrib = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    scored = j.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        F.round(exp * 1000000).cast("long").alias("exp_micro"),
+        F.round(contrib * 1000000).cast("long").alias("contrib_micro"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return scored.withColumn(
+        "chi2_micro", F.sum("contrib_micro").over(w).cast("long")
+    ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1, 2
+), rws AS (
+  SELECT o_orderpriority, CAST(sum(obs) AS BIGINT) AS rtot FROM cells GROUP BY 1
+), cls AS (
+  SELECT o_orderstatus, CAST(sum(obs) AS BIGINT) AS ctot FROM cells GROUP BY 1
+), n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+scored AS (
+  SELECT c.o_orderpriority, c.o_orderstatus, c.obs,
+         CAST(round(CAST(r.rtot * l.ctot AS DOUBLE) / n.n * 1000000) AS BIGINT) AS exp_micro,
+         CAST(round((c.obs - CAST(r.rtot * l.ctot AS DOUBLE) / n.n)
+                    * (c.obs - CAST(r.rtot * l.ctot AS DOUBLE) / n.n)
+                    / (CAST(r.rtot * l.ctot AS DOUBLE) / n.n) * 1000000) AS BIGINT) AS contrib_micro
+  FROM cells c
+  JOIN rws r USING (o_orderpriority)
+  JOIN cls l USING (o_orderstatus)
+  CROSS JOIN n
+)
+SELECT o_orderpriority, o_orderstatus, obs, exp_micro, contrib_micro,
+       CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_micro
+FROM scored
+"""
+
+
 def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram LM quality scores per document (λ=0.7
     Jelinek–Mercer over corpus-trained counts) — the step up from the
@@ -10076,6 +10231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_equidepth_histogram": agg_equidepth_histogram,
         "events_wau_hll_rolling": events_wau_hll_rolling,
         "orders_survival_reorder": orders_survival_reorder,
+        "agg_ks_price_shift": agg_ks_price_shift,
+        "agg_chi2_priority_status": agg_chi2_priority_status,
     }
 
 
@@ -10254,6 +10411,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_equidepth_histogram": _EQUIDEPTH_SQL,
         "events_wau_hll_rolling": _hll_sql(),
         "orders_survival_reorder": _SURVIVAL_SQL,
+        "agg_ks_price_shift": _KS_SQL,
+        "agg_chi2_priority_status": _CHI2_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,

@@ -1203,3 +1203,41 @@ def test_kaplan_meier_hand_example(spark):
     z = spark.createDataFrame([(4, 1), (4, 1)], ["duration", "event"])
     zr = kaplan_meier(z, "duration", "event").collect()
     assert len(zr) == 1 and zr[0].km_micro == 0 and zr[0].n_at_risk == 2
+
+
+def test_ks_and_chi2_against_scipy_free_references(spark):
+    """KS and chi-square queries vs plain-Python recomputation on the
+    gate fixture (no scipy in the container; the reference is the
+    definition itself)."""
+    import duckdb
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    ks = entrymod.queries()["agg_ks_price_shift"](spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    rows = con.execute(
+        "SELECT year(o_orderdate) y, CAST(round(o_totalprice*100) AS BIGINT) v "
+        "FROM orders WHERE year(o_orderdate) IN (1995, 1996)"
+    ).fetchall()
+    g1 = sorted(v for y, v in rows if y == 1995)
+    g2 = sorted(v for y, v in rows if y == 1996)
+    import bisect
+
+    best = 0
+    for v in sorted(set(g1) | set(g2)):
+        c1 = bisect.bisect_right(g1, v)
+        c2 = bisect.bisect_right(g2, v)
+        best = max(best, abs(c1 * len(g2) - c2 * len(g1)))
+    assert (ks.n1, ks.n2) == (len(g1), len(g2))
+    assert ks.d_num == best
+    assert ks.d_micro == int(1_000_000 * best / (len(g1) * len(g2)))
+
+    chi = entrymod.queries()["agg_chi2_priority_status"](spark, SF_DIR).collect()
+    total = sum(r.contrib_micro for r in chi)
+    assert all(r.chi2_micro == total for r in chi)
+    n = sum(r.obs for r in chi)
+    # expected counts sum back to n (in micro-units, within per-cell rounding)
+    assert abs(sum(r.exp_micro for r in chi) - n * 1_000_000) <= len(chi)
