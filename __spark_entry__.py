@@ -9735,6 +9735,128 @@ FROM scored
 """
 
 
+def agg_mannwhitney_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test on the same 1995-vs-1996 price
+    split as the KS query — and unlike KS it is EXACT END TO END: with
+    tie-averaged ranks carried as DOUBLED integers (2·avgrank(v) =
+    2·prefix(v) + cnt(v) + 1, all BIGINT), U₁ = R₁ − n₁(n₁+1)/2 needs
+    no float anywhere. R₁ doubles as Σ_v c₁(v)·(2·prefix + cnt + 1)
+    over the per-value aggregate; prefix counts ride
+    distributed_running_sum over distinct prices (data-growing domain,
+    so no unpartitioned window). Emits 2U₁, 2U₂ and their invariant
+    check 2U₁+2U₂ = 2n₁n₂ — an oracle-hash-stable exact statistic."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    g = o.filter(yr.isin(1995, 1996)).select(
+        (yr == 1995).cast("long").alias("is1"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    pv = g.groupBy("v").agg(
+        F.sum("is1").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    rs = distributed_running_sum(pv, [("v", False)], "cnt", out_col="cum")
+    # exclusive prefix = inclusive cum - own cnt
+    ranked = rs.withColumn("prefix", (F.col("cum") - F.col("cnt")).cast("long"))
+    tot = g.agg(
+        F.sum("is1").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("is1")).cast("long").alias("n2"),
+    )
+    r1x2 = ranked.agg(
+        F.sum(
+            F.col("c1") * (F.lit(2) * F.col("prefix") + F.col("cnt") + F.lit(1))
+        )
+        .cast("long")
+        .alias("r1_x2")
+    )
+    return (
+        r1x2.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast("long").alias("u1_x2"),
+            (
+                F.lit(2) * F.col("n1") * F.col("n2")
+                - (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+            ).cast("long").alias("u2_x2"),
+        )
+    )
+
+
+_MANNWHITNEY_SQL = """
+WITH g AS (
+  SELECT CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END AS is1,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+), pv AS (
+  SELECT v, CAST(sum(is1) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS cnt
+  FROM g GROUP BY 1
+), ranked AS (
+  SELECT v, c1, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+  FROM pv
+), tot AS (
+  SELECT CAST(sum(is1) AS BIGINT) AS n1, CAST(sum(1 - is1) AS BIGINT) AS n2 FROM g
+), r AS (
+  SELECT CAST(sum(c1 * (2 * prefix + cnt + 1)) AS BIGINT) AS r1_x2 FROM ranked
+)
+SELECT tot.n1, tot.n2,
+       CAST(r.r1_x2 - tot.n1 * (tot.n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(2 * tot.n1 * tot.n2 - (r.r1_x2 - tot.n1 * (tot.n1 + 1)) AS BIGINT) AS u2_x2
+FROM r CROSS JOIN tot
+"""
+
+
+def diag_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law data-quality audit: the leading-digit distribution
+    of o_totalprice against log10(1+1/d) expectation, with per-digit
+    deviation in micro-units — the classic fabricated-data screen a
+    warehouse runs on money columns. Leading digit via string ops on
+    the integer cents (no float log on the data path); expectation and
+    deviation are per-digit fixed-order doubles over exact counts,
+    micro-snapped per digit (9 rows, value-domain bounded)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = o.select(F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit"))
+    counts = d.filter(F.col("digit") >= 1).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    n = counts.agg(F.sum("obs").cast("long").alias("n"))
+    freq = F.col("obs").cast("double") / F.col("n")
+    expd = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return (
+        counts.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "obs",
+            F.round(freq * 1000000).cast("long").alias("freq_micro"),
+            F.round(expd * 1000000).cast("long").alias("benford_micro"),
+            F.round((freq - expd) * 1000000).cast("long").alias("dev_micro"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM d WHERE digit >= 1 GROUP BY 1
+), n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM counts)
+SELECT digit, obs,
+       CAST(round(CAST(obs AS DOUBLE) / n.n * 1000000) AS BIGINT) AS freq_micro,
+       CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000) AS BIGINT) AS benford_micro,
+       CAST(round((CAST(obs AS DOUBLE) / n.n - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) * 1000000) AS BIGINT) AS dev_micro
+FROM counts CROSS JOIN n
+"""
+
+
 def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram LM quality scores per document (λ=0.7
     Jelinek–Mercer over corpus-trained counts) — the step up from the
@@ -10233,6 +10355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_survival_reorder": orders_survival_reorder,
         "agg_ks_price_shift": agg_ks_price_shift,
         "agg_chi2_priority_status": agg_chi2_priority_status,
+        "agg_mannwhitney_price_shift": agg_mannwhitney_price_shift,
+        "diag_benford_price_audit": diag_benford_price_audit,
     }
 
 
@@ -10413,6 +10537,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_survival_reorder": _SURVIVAL_SQL,
         "agg_ks_price_shift": _KS_SQL,
         "agg_chi2_priority_status": _CHI2_SQL,
+        "agg_mannwhitney_price_shift": _MANNWHITNEY_SQL,
+        "diag_benford_price_audit": _BENFORD_SQL,
         "sql_product_profit": _SQL_Q9_SQL,
         "sql_important_parts": _SQL_Q11_SQL,
         "sql_small_qty_revenue": _SQL_Q17_SQL,
