@@ -84,10 +84,18 @@ def test_first_50_queries_follow_the_rotation_policy():
     checked: set[str] = set()
     for path in paths:
         with open(path) as f:
-            keys = set(json.load(f).keys())
-        if path == paths[-1] and keys == set(window):
+            rows = json.load(f)
+        if path == paths[-1] and set(rows) == set(window):
             continue  # this round's check just happened — not staleness
-        checked.update(keys)
+        # Only GREEN rows consume coverage (the policy's clause (b) says
+        # "green driver row"): a crashed or hash-red row — e.g. the r5
+        # canonicalizer crash on agg_nations_per_region — leaves the
+        # query eligible for (indeed needing) a window slot, and an old
+        # rows-only `no_oracle` row for a query that has SINCE gained an
+        # oracle does not count as oracled coverage either.
+        checked.update(
+            k for k, v in rows.items() if isinstance(v, dict) and v.get("hash_match")
+        )
     never_checked = [n for n in q if n in o and n not in checked]
     if len(never_checked) >= 50:
         stale = [n for n in window if n in checked]
