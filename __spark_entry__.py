@@ -10054,6 +10054,179 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality statistic next to the Lorenz deciles
+    (agg_decile_revenue_share) and the 80/20 report (agg_pareto_8020).
+    With per-customer exact-cent revenue x_(1..n) sorted ascending,
+
+        G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)
+
+    The global rank i comes from operators/windows.distributed_running_sum
+    (range partition + broadcast offsets — no single-task sort). The
+    rank-weighted sum Σ i·x_i is carried as DECIMAL(38,0) (HUGEINT in
+    the oracle): at warehouse scale i ~ 10⁹ customers and x ~ 10⁹
+    cents put individual terms past BIGINT, so the exact sum must be
+    128-bit from the start. Only the final ratio is one fixed-order
+    double over the exact sums (decimal→double and int128→double are
+    both correctly rounded, so the engines see the same double),
+    micro-snapped."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    rs = distributed_running_sum(
+        per_cust,
+        [("cents", False), ("o_custkey", False)],
+        "cents",
+        out_col="run",
+        rank_col="rk",
+    )
+    sums = rs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(
+            F.col("rk").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")
+        ).alias("_swx"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("_swx")
+        - (F.col("n_customers") + 1).cast("decimal(38,0)")
+        * F.col("total_cents").cast("decimal(38,0)")
+    )
+    den = (
+        F.col("n_customers").cast("decimal(38,0)")
+        * F.col("total_cents").cast("decimal(38,0)")
+    )
+    return sums.select(
+        "n_customers",
+        "total_cents",
+        F.floor(
+            F.lit(1000000.0) * num.cast("double") / den.cast("double")
+        ).cast("long").alias("gini_micro"),
+    )
+
+
+_GINI_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rk
+  FROM per_cust
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         sum(CAST(rk AS HUGEINT) * CAST(cents AS HUGEINT)) AS swx
+  FROM ranked
+)
+SELECT n_customers, total_cents,
+       CAST(floor(1000000.0
+                  * CAST(2 * swx - (n_customers + 1) * CAST(total_cents AS HUGEINT) AS DOUBLE)
+                  / CAST(CAST(n_customers AS HUGEINT) * CAST(total_cents AS HUGEINT) AS DOUBLE))
+            AS BIGINT) AS gini_micro
+FROM sums
+"""
+
+
+def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median of lineitem unit price: the smallest
+    price whose cumulative shipped quantity reaches half the total —
+    what "median price paid" actually means when rows carry different
+    volumes (the unweighted agg_median_order_price next door answers a
+    different question). Rides the same two-phase
+    distributed_running_sum kernel over the DISTINCT-price aggregate
+    (distinct prices grow with data; no unpartitioned window), then a
+    broadcast total + min-qualifying-row aggregate. 2·cumw ≥ W keeps
+    the half-total comparison in exact BIGINTs (lower weighted
+    median, no interpolation)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    tot = pv.agg(F.sum("w").cast("long").alias("_W"))
+    rs = distributed_running_sum(
+        pv, [("price_cents", False)], "w", out_col="cumw"
+    )
+    hit = rs.crossJoin(F.broadcast(tot)).filter(2 * F.col("cumw") >= F.col("_W"))
+    return hit.agg(
+        F.min("price_cents").cast("long").alias("weighted_median_cents"),
+        F.max("_W").cast("long").alias("total_weight"),
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH pv AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM pv),
+cum AS (
+  SELECT price_cents,
+         CAST(sum(w) OVER (ORDER BY price_cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw
+  FROM pv
+)
+SELECT CAST(min(price_cents) AS BIGINT) AS weighted_median_cents,
+       CAST(max(tot.W) AS BIGINT) AS total_weight
+FROM cum, tot WHERE 2 * cumw >= tot.W
+"""
+
+
+def agg_entropy_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the corpus source mixture — the one-number
+    diversity summary a training-mix dashboard puts next to the
+    per-source shares (text_source_mix). Per source, p = cnt/n is an
+    exact ratio and the −p·ln p contribution is ONE fixed-order double
+    over exact BIGINTs, snapped to micro-nats BEFORE the total (the
+    chi-square/KM scheme: the entropy total is then an exact integer
+    sum over the |sources| cells, so summation order is moot). The
+    total rides an unpartitioned window over the source-domain-bounded
+    cell table — the documented exception class."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    n = cells.agg(F.sum("cnt").cast("long").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n")
+    scored = cells.crossJoin(F.broadcast(n)).select(
+        "source",
+        "cnt",
+        F.round(p * 1000000).cast("long").alias("p_micro"),
+        F.round(-p * F.log(p) * 1000000).cast("long").alias("contrib_micronats"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return scored.withColumn(
+        "entropy_micronats", F.sum("contrib_micronats").over(w).cast("long")
+    ).orderBy("source")
+
+
+_ENTROPY_SQL = """
+WITH cells AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1
+), n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+scored AS (
+  SELECT source, cnt,
+         CAST(round(CAST(cnt AS DOUBLE) / n.n * 1000000) AS BIGINT) AS p_micro,
+         CAST(round(-(CAST(cnt AS DOUBLE) / n.n) * ln(CAST(cnt AS DOUBLE) / n.n)
+                    * 1000000) AS BIGINT) AS contrib_micronats
+  FROM cells CROSS JOIN n
+)
+SELECT source, cnt, p_micro, contrib_micronats,
+       CAST(sum(contrib_micronats) OVER () AS BIGINT) AS entropy_micronats
+FROM scored ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -10357,6 +10530,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_chi2_priority_status": agg_chi2_priority_status,
         "agg_mannwhitney_price_shift": agg_mannwhitney_price_shift,
         "diag_benford_price_audit": diag_benford_price_audit,
+        # Round-7 oracled additions (past the sealed round-6 window —
+        # they join the rotation backlog for the next window):
+        "agg_gini_revenue": agg_gini_revenue,
+        "agg_weighted_median_price": agg_weighted_median_price,
+        "agg_entropy_source_mix": agg_entropy_source_mix,
     }
 
 
@@ -10597,4 +10775,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_padding_waste": _PACK_PADDING_SQL,
         "events_variant_props": _EVENTS_VARIANT_SQL,
         "join_asof_tolerance_purchase": _JOIN_ASOF_TOL_SQL,
+        "agg_gini_revenue": _GINI_SQL,
+        "agg_weighted_median_price": _WEIGHTED_MEDIAN_SQL,
+        "agg_entropy_source_mix": _ENTROPY_SQL,
     }
