@@ -10227,6 +10227,154 @@ FROM scored ORDER BY source
 """
 
 
+def agg_autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily-revenue series — the
+    "is today like yesterday" statistic a forecasting pipeline checks
+    before fitting anything. Defined as the Pearson correlation of
+    consecutive-day pairs (x_{t−1}, x_t) over the day aggregate ordered
+    by the global day rank (operators/windows.distributed_global_rank —
+    no single-task sort), paired by one rk = rk+1 integer equi-join
+    (never a data-sized window lag). Every sum is exact: Sa/Sb/n are
+    BIGINT; the product sums Sab/Saa/Sbb compute each product in BIGINT
+    (daily cents ~10⁸ squares to 10¹⁶, safely inside int64) and SUM as
+    DECIMAL(38,0) — a plain long sum would silently wrap at ~10¹⁹
+    (DuckDB's sum(BIGINT) is already HUGEINT). Only the final Pearson
+    ratio is one fixed-order double over the exact sums, micro-snapped
+    (decimal→double and int128→double are both correctly rounded)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    rk = distributed_global_rank(daily, [("o_orderdate", False)], rank_col="rk")
+    prev = rk.select(F.col("rk").alias("prk"), F.col("cents").alias("a"))
+    cur = rk.select((F.col("rk") - 1).alias("prk"), F.col("cents").alias("b"))
+    pairs = prev.join(cur, "prk")
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum((F.col("a") * F.col("b")).cast("decimal(38,0)")).alias("_sab"),
+        F.sum((F.col("a") * F.col("a")).cast("decimal(38,0)")).alias("_saa"),
+        F.sum((F.col("b") * F.col("b")).cast("decimal(38,0)")).alias("_sbb"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    num = n * F.col("_sab").cast("double") - sa * sb
+    den = F.sqrt(
+        (n * F.col("_saa").cast("double") - sa * sa)
+        * (n * F.col("_sbb").cast("double") - sb * sb)
+    )
+    return sums.select(
+        "n_pairs",
+        "sa",
+        "sb",
+        F.floor(F.lit(1000000.0) * num / den).cast("long").alias("r1_micro"),
+    )
+
+
+_AUTOCORR_SQL = """
+WITH daily AS (
+  SELECT o_orderdate, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cents, CAST(row_number() OVER (ORDER BY o_orderdate) AS BIGINT) AS rk FROM daily
+), pairs AS (
+  SELECT p.cents AS a, c.cents AS b
+  FROM ranked p JOIN ranked c ON c.rk = p.rk + 1
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+         sum(a * b) AS sab, sum(a * a) AS saa, sum(b * b) AS sbb
+  FROM pairs
+)
+SELECT n_pairs, sa, sb,
+       CAST(floor(1000000.0
+            * (CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+            / sqrt((CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                   * (CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+                      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))))
+            AS BIGINT) AS r1_micro
+FROM sums
+"""
+
+
+def agg_trend_slope_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation least-squares revenue trend: the regression slope of
+    yearly revenue on the year, computed from the closed-form sums —
+    slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) — so BOTH the numerator
+    and denominator are exact BIGINTs emitted as-is (x = year ≤ 2·10³,
+    y = yearly cents ≤ 10¹⁰ at gate scale keep every product inside
+    int64; the float micro-slope is one fixed-order division on top).
+    The (nation, year) aggregate is two map-side-combinable groupBys
+    after a broadcast customer→nation enrich; per-nation sums are
+    |nations| rows — nothing data-sized ever windows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n_ = _t(spark, sf_dir, "nation")
+    yearly = (
+        o.join(c.select("c_custkey", "c_nationkey"), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    sums = yearly.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_years"),
+        F.sum("yr").cast("long").alias("sx"),
+        F.sum("cents").cast("long").alias("sy"),
+        F.sum(F.col("yr") * F.col("cents")).cast("long").alias("sxy"),
+        F.sum(F.col("yr") * F.col("yr")).cast("long").alias("sxx"),
+    )
+    num = F.col("n_years") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_years") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "n_name",
+        "n_years",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.floor(F.lit(1000000.0) * num.cast("double") / den.cast("double"))
+        .cast("long")
+        .alias("slope_micro_cents_per_year"),
+    ).orderBy("n_name")
+
+
+_TREND_SLOPE_SQL = """
+WITH yearly AS (
+  SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), sums AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_years,
+         CAST(sum(yr) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
+         CAST(sum(yr * cents) AS BIGINT) AS sxy,
+         CAST(sum(yr * yr) AS BIGINT) AS sxx
+  FROM yearly GROUP BY 1
+)
+SELECT n_name, n_years,
+       CAST(n_years * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_years * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(floor(1000000.0 * CAST(n_years * sxy - sx * sy AS DOUBLE)
+                  / CAST(n_years * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+         AS slope_micro_cents_per_year
+FROM sums ORDER BY n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -10535,6 +10683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_gini_revenue": agg_gini_revenue,
         "agg_weighted_median_price": agg_weighted_median_price,
         "agg_entropy_source_mix": agg_entropy_source_mix,
+        "agg_autocorr_daily_revenue": agg_autocorr_daily_revenue,
+        "agg_trend_slope_nation": agg_trend_slope_nation,
     }
 
 
@@ -10778,4 +10928,6 @@ def oracle_sql() -> dict[str, str]:
         "agg_gini_revenue": _GINI_SQL,
         "agg_weighted_median_price": _WEIGHTED_MEDIAN_SQL,
         "agg_entropy_source_mix": _ENTROPY_SQL,
+        "agg_autocorr_daily_revenue": _AUTOCORR_SQL,
+        "agg_trend_slope_nation": _TREND_SLOPE_SQL,
     }
