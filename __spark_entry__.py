@@ -10375,6 +10375,204 @@ FROM sums ORDER BY n_name
 """
 
 
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census of a customer release under the quasi-
+    identifier (nation, market segment, account-balance band) — the
+    question a privacy review asks before sharing "anonymized" rows:
+    how many customers sit in an equivalence class small enough to
+    re-identify? Reports the class-size distribution in audit bands
+    (size 1 = unique, 2–4, 5–9, 10+) with group and row counts, plus
+    the release's k (the MIN class size) on every row. Two map-side-
+    combinable groupBys (rows → QI classes → bands); the k total rides
+    an unpartitioned window over the ≤4-row band table (value-domain
+    bounded — the documented exception class)."""
+    c = _t(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        F.col("c_nationkey").alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("qi_balance_k"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    band = (
+        F.when(F.col("class_size") == 1, F.lit("1_unique"))
+        .when(F.col("class_size") <= 4, F.lit("2_small_2_4"))
+        .when(F.col("class_size") <= 9, F.lit("3_medium_5_9"))
+        .otherwise(F.lit("4_large_10_plus"))
+    )
+    bands = classes.groupBy(band.alias("size_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.min("class_size").cast("long").alias("_min_sz"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        bands.withColumn("k_anonymity", F.min("_min_sz").over(w).cast("long"))
+        .drop("_min_sz")
+        .orderBy("size_band")
+    )
+
+
+_K_ANONYMITY_SQL = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_k,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM customer GROUP BY 1, 2, 3
+), bands AS (
+  SELECT CASE WHEN class_size = 1 THEN '1_unique'
+              WHEN class_size <= 4 THEN '2_small_2_4'
+              WHEN class_size <= 9 THEN '3_medium_5_9'
+              ELSE '4_large_10_plus' END AS size_band,
+         CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(sum(class_size) AS BIGINT) AS n_rows,
+         CAST(min(class_size) AS BIGINT) AS min_sz
+  FROM classes GROUP BY 1
+)
+SELECT size_band, n_classes, n_rows,
+       CAST(min(min_sz) OVER () AS BIGINT) AS k_anonymity
+FROM bands ORDER BY size_band
+"""
+
+
+_PII_PATTERNS = [
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("email", "[A-Za-z0-9._]+@[A-Za-z0-9.]+"),
+    ("digit_run9", "[0-9]{9,}"),
+]
+
+_PII_COLUMNS = [
+    ("customer", "c_name"),
+    ("supplier", "s_name"),
+    ("part", "p_name"),
+    ("documents", "text"),
+]
+
+
+def privacy_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLP-style PII pattern census across free-text warehouse columns:
+    for each (table, column, pattern) cell, rows scanned, rows with at
+    least one hit, and total non-overlapping hits — the scan a privacy
+    pipeline runs before any column is cleared for training data. One
+    aggregate pass per column (all patterns counted map-side in the
+    same pass via regexp_count, then unpivoted to pattern rows with a
+    bounded stack()); patterns stay in the regex subset Java and RE2
+    interpret identically (char classes + bounded repeats, no
+    lookaround). Output is |columns|×|patterns| rows — a constant-size
+    report regardless of data volume."""
+    parts = []
+    for table, col in _PII_COLUMNS:
+        t = _t(spark, sf_dir, table)
+        aggs = [F.count(F.lit(1)).cast("long").alias("rows_scanned")]
+        for pname, pat in _PII_PATTERNS:
+            hits = F.regexp_count(F.coalesce(F.col(col), F.lit("")), F.lit(pat))
+            aggs.append(
+                F.sum((hits > 0).cast("long")).cast("long").alias(f"_rh_{pname}")
+            )
+            aggs.append(F.sum(hits.cast("long")).cast("long").alias(f"_th_{pname}"))
+        one = t.agg(*aggs).select(
+            F.lit(table).alias("table_name"),
+            F.lit(col).alias("column_name"),
+            "rows_scanned",
+            F.expr(
+                "stack({}, {})".format(
+                    len(_PII_PATTERNS),
+                    ", ".join(
+                        f"'{p}', _rh_{p}, _th_{p}" for p, _ in _PII_PATTERNS
+                    ),
+                )
+            ).alias("pattern", "rows_with_hit", "total_hits"),
+        )
+        parts.append(one)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name", "column_name", "pattern")
+
+
+def _pii_sql() -> str:
+    selects = []
+    for table, col in _PII_COLUMNS:
+        for pname, pat in _PII_PATTERNS:
+            selects.append(
+                f"""SELECT '{table}' AS table_name, '{col}' AS column_name,
+       CAST(count(*) AS BIGINT) AS rows_scanned, '{pname}' AS pattern,
+       CAST(sum(CASE WHEN len(regexp_extract_all(coalesce({col}, ''), '{pat}')) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_hit,
+       CAST(sum(len(regexp_extract_all(coalesce({col}, ''), '{pat}'))) AS BIGINT) AS total_hits
+FROM {table}"""
+            )
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY table_name, column_name, pattern"
+
+
+def diag_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: the per-customer (order count, exact-
+    cent revenue) state as of 1996-12-31 vs as of 1997-12-31, FULL
+    OUTER joined on the key and classified added / changed / unchanged
+    — the census a warehouse reconciliation job emits when comparing
+    two materialized snapshots (removed is impossible here because
+    orders are append-only; the class is still emitted by construction
+    when a key exists only on the A side). Both snapshots are map-side-
+    combinable aggregates of the same fact scan; the diff join shuffles
+    only |customers| aggregate rows, and the census is one groupBy of
+    the classified diff."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def snap(cutoff: str, suffix: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderdate") <= F.lit(cutoff))
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"n_{suffix}"),
+                F.sum(cents).cast("long").alias(f"cents_{suffix}"),
+            )
+        )
+
+    a = snap("1996-12-31", "a")
+    b = snap("1997-12-31", "b")
+    j = a.join(b, "o_custkey", "full_outer")
+    cls = (
+        F.when(F.col("n_a").isNull(), F.lit("added"))
+        .when(F.col("n_b").isNull(), F.lit("removed"))
+        .when(
+            (F.col("n_a") == F.col("n_b"))
+            & (F.col("cents_a") == F.col("cents_b")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.groupBy(cls.alias("diff_class"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.coalesce(F.col("cents_a"), F.lit(0))).cast("long").alias("cents_a"),
+            F.sum(F.coalesce(F.col("cents_b"), F.lit(0))).cast("long").alias("cents_b"),
+        )
+        .orderBy("diff_class")
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH a AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_a,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_a
+  FROM orders WHERE o_orderdate <= DATE '1996-12-31' GROUP BY 1
+), b AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_b
+  FROM orders WHERE o_orderdate <= DATE '1997-12-31' GROUP BY 1
+)
+SELECT CASE WHEN a.n_a IS NULL THEN 'added'
+            WHEN b.n_b IS NULL THEN 'removed'
+            WHEN a.n_a = b.n_b AND a.cents_a = b.cents_b THEN 'unchanged'
+            ELSE 'changed' END AS diff_class,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(coalesce(a.cents_a, 0)) AS BIGINT) AS cents_a,
+       CAST(sum(coalesce(b.cents_b, 0)) AS BIGINT) AS cents_b
+FROM a FULL OUTER JOIN b USING (o_custkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -10685,6 +10883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_entropy_source_mix": agg_entropy_source_mix,
         "agg_autocorr_daily_revenue": agg_autocorr_daily_revenue,
         "agg_trend_slope_nation": agg_trend_slope_nation,
+        "privacy_k_anonymity": privacy_k_anonymity,
+        "privacy_pii_scan": privacy_pii_scan,
+        "diag_snapshot_diff": diag_snapshot_diff,
     }
 
 
@@ -10930,4 +11131,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_entropy_source_mix": _ENTROPY_SQL,
         "agg_autocorr_daily_revenue": _AUTOCORR_SQL,
         "agg_trend_slope_nation": _TREND_SLOPE_SQL,
+        "privacy_k_anonymity": _K_ANONYMITY_SQL,
+        "privacy_pii_scan": _pii_sql(),
+        "diag_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     }
