@@ -10573,6 +10573,78 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def join_levenshtein_dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length dirty-feed entity resolution at EDIT distance ≤ 1
+    (operators/joins.levenshtein_neighborhood_join): a corrupted copy
+    of the customer master where each name takes one deterministic
+    edit chosen by custkey — DELETE the char at position custkey % 18
+    (custkey ≡ 0 mod 3), SUBSTITUTE it with 'X' (≡ 1), or INSERT an
+    'X' before it (≡ 2) — is matched back against the clean table.
+    Insert/delete change the string LENGTH, which the Hamming tier
+    (join_fuzzy_dirty_customers) structurally cannot match; the
+    SymSpell deletion-neighborhood join covers all three edit kinds
+    with recall 1 by construction and an exact JVM levenshtein
+    confirm. Oracle: all-pairs DuckDB levenshtein at gate scale with a
+    |length diff| ≤ 1 prefilter (the quadratic certify tier — the
+    production path is the linear neighborhood join)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.joins import (
+        levenshtein_neighborhood_join,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    p = "CAST(c_custkey % 18 AS INT)"
+    dirty_nm = (
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.expr(f"concat(substring(c_name, 1, {p}), substring(c_name, {p} + 2, 17 - {p}))"),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.expr(
+                f"concat(substring(c_name, 1, {p}), 'X', substring(c_name, {p} + 2, 17 - {p}))"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                f"concat(substring(c_name, 1, {p}), 'X', substring(c_name, {p} + 1, 18 - {p}))"
+            )
+        )
+    )
+    dirty = cust.select(F.col("c_custkey").alias("d_key"), dirty_nm.alias("dn"))
+    out = levenshtein_neighborhood_join(
+        dirty, cust, "d_key", "c_custkey", "dn", "c_name", max_edit=1
+    )
+    return out.select(
+        F.col("left_id").alias("d_key"),
+        F.col("right_id").alias("c_custkey"),
+        "edit_distance",
+    )
+
+
+_JOIN_LEVENSHTEIN_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS d_key,
+         CASE
+           WHEN c_custkey % 3 = 0 THEN
+             substr(c_name, 1, CAST(c_custkey % 18 AS INT))
+             || substr(c_name, CAST(c_custkey % 18 AS INT) + 2, 17 - CAST(c_custkey % 18 AS INT))
+           WHEN c_custkey % 3 = 1 THEN
+             substr(c_name, 1, CAST(c_custkey % 18 AS INT)) || 'X'
+             || substr(c_name, CAST(c_custkey % 18 AS INT) + 2, 17 - CAST(c_custkey % 18 AS INT))
+           ELSE
+             substr(c_name, 1, CAST(c_custkey % 18 AS INT)) || 'X'
+             || substr(c_name, CAST(c_custkey % 18 AS INT) + 1, 18 - CAST(c_custkey % 18 AS INT))
+         END AS dn
+  FROM customer
+)
+SELECT d.d_key, c.c_custkey,
+       CAST(levenshtein(d.dn, c.c_name) AS BIGINT) AS edit_distance
+FROM dirty d JOIN customer c
+  ON abs(length(d.dn) - length(c.c_name)) <= 1
+ AND levenshtein(d.dn, c.c_name) <= 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -10886,6 +10958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_k_anonymity": privacy_k_anonymity,
         "privacy_pii_scan": privacy_pii_scan,
         "diag_snapshot_diff": diag_snapshot_diff,
+        "join_levenshtein_dirty_customers": join_levenshtein_dirty_customers,
     }
 
 
@@ -11134,4 +11207,5 @@ def oracle_sql() -> dict[str, str]:
         "privacy_k_anonymity": _K_ANONYMITY_SQL,
         "privacy_pii_scan": _pii_sql(),
         "diag_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "join_levenshtein_dirty_customers": _JOIN_LEVENSHTEIN_SQL,
     }

@@ -470,3 +470,83 @@ def hamming_neighborhood_join(
             "hamming",
         )
     )
+
+
+def levenshtein_neighborhood_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_name: str,
+    right_name: str,
+    max_edit: int = 1,
+) -> DataFrame:
+    """Fuzzy VARIABLE-LENGTH identifier join at edit distance ≤ 1 with
+    RECALL 1 by construction — the original SymSpell deletion-
+    neighborhood property, where :func:`hamming_neighborhood_join`
+    covers only the fixed-length/substitution case: for any two strings
+    with ED(s, t) ≤ 1,
+
+      * substitution at position i → delete_i(s) == delete_i(t),
+      * insertion into s giving t  → s itself ∈ D1(t),
+      * deletion from s giving t   → t itself ∈ D1(s),
+      * s == t                     → the identity variants match,
+
+    so equi-joining the variant sets {s} ∪ D1(s) against {t} ∪ D1(t)
+    on the variant STRING can never miss a pair (Symmetric Delete
+    spelling correction, Garbe 2012 — public algorithm). Variants from
+    DIFFERENT delete positions may collide (e.g. 'aab': delete pos 1
+    and pos 2 both give 'ab') — harmless false candidates removed by
+    the exact JVM-side ``levenshtein`` confirm.
+
+    Radius ≥ 2 would need the delete-2 neighborhood (C(L,2) variants
+    per row) AND a deeper confirm; no current feed needs it — raise
+    instead of silently widening (same contract as the Hamming twin).
+
+    Scale shape: each side explodes to (len+1)·n variant rows — linear
+    in n, never a cross product; the variant string keeps all but one
+    character of key entropy, so buckets stay selective on low-entropy
+    corpora (shared literal prefixes). Confirm is one built-in
+    ``levenshtein`` per candidate pair, JVM-side.
+    """
+    if max_edit != 1:
+        raise NotImplementedError(
+            "levenshtein_neighborhood_join implements max_edit = 1; radius "
+            "2 needs the delete-2 neighborhood (C(L,2) variants per row) — "
+            "widen deliberately, not silently"
+        )
+
+    def variants(name_col: str):
+        # identity + every single-character deletion, as ONE
+        # higher-order expression (the Janino-codegen lesson from the
+        # Hamming twin: no unrolled per-position concat chains).
+        c = F.col(name_col)
+        return F.concat(
+            F.array(c),
+            F.transform(
+                F.sequence(F.lit(1), F.length(c)),
+                lambda i: F.concat(
+                    c.substr(F.lit(1), i - F.lit(1)),
+                    c.substr(i + F.lit(1), F.length(c)),
+                ),
+            ),
+        )
+
+    lv = left.select(F.col(left_id).alias("_lid"), F.col(left_name).alias("_ln")).select(
+        "_lid", "_ln", F.explode(variants("_ln")).alias("_v")
+    )
+    rv = right.select(
+        F.col(right_id).alias("_rid"), F.col(right_name).alias("_rn")
+    ).select("_rid", "_rn", F.explode(variants("_rn")).alias("_v"))
+    cand = lv.join(rv, "_v").select("_lid", "_ln", "_rid", "_rn").distinct()
+    return (
+        cand.withColumn(
+            "edit_distance", F.levenshtein(F.col("_ln"), F.col("_rn")).cast("long")
+        )
+        .filter(F.col("edit_distance") <= max_edit)
+        .select(
+            F.col("_lid").alias("left_id"),
+            F.col("_rid").alias("right_id"),
+            "edit_distance",
+        )
+    )

@@ -729,6 +729,57 @@ def test_hamming_neighborhood_join_ground_truth(spark):
     # id 3 (ham 2 from ABCD), id 4 (length 3), and XXXX (ham>=3) never match
 
 
+def test_levenshtein_neighborhood_join_ground_truth(spark):
+    """Deletion-neighborhood blocking recall proof: substitution,
+    insertion, deletion, and exact-dup pairs (ED<=1) are all found; an
+    ED-2 pair and an unrelated string are excluded; and the candidate
+    tier's cross-position variant collisions ('aab' vs 'abb': delete
+    pos 2 vs pos 3 both give 'ab') are confirmed away or kept per the
+    EXACT distance, matching a brute-force pairwise check."""
+    import itertools
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.joins import (
+        levenshtein_neighborhood_join,
+    )
+
+    lrows = [(1, "market"), (2, "marke"), (3, "marXet"), (4, "maXrket"), (5, "aab")]
+    rrows = [(10, "market"), (11, "abb"), (12, "zzzzzz"), (13, "mrkt")]
+    left = spark.createDataFrame(lrows, "id long, name string")
+    right = spark.createDataFrame(rrows, "rid long, rname string")
+    out = levenshtein_neighborhood_join(
+        left, right, "id", "rid", "name", "rname"
+    ).collect()
+    got = {(r["left_id"], r["right_id"]): r["edit_distance"] for r in out}
+
+    def ed(a, b):  # classic DP, test-side oracle
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    want = {
+        (lid, rid): ed(ln, rn)
+        for (lid, ln), (rid, rn) in itertools.product(lrows, rrows)
+        if ed(ln, rn) <= 1
+    }
+    assert got == want
+    assert (1, 10) in got and got[(1, 10)] == 0      # exact dup
+    assert (2, 10) in got and got[(2, 10)] == 1      # deletion
+    assert (3, 10) in got and got[(3, 10)] == 1      # substitution
+    assert (4, 10) in got and got[(4, 10)] == 1      # insertion
+    assert (5, 11) in got and got[(5, 11)] == 1      # cross-position collision kept: ED('aab','abb')=1
+    assert all(rid != 12 for (_, rid) in got)        # unrelated never matches
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        levenshtein_neighborhood_join(
+            left, right, "id", "rid", "name", "rname", max_edit=2
+        )
+
+
 def test_ranked_top_n_matches_window_row_number(spark):
     """topk.ranked_top_n (TakeOrderedAndProject + window-free relational
     rank — the r5-verdict replacement for unpartitioned row_number) must
