@@ -10645,6 +10645,175 @@ FROM dirty d JOIN customer c
 """
 
 
+def text_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — nodes are corpus tokens, edges
+    connect tokens ADJACENT in some document — surfaces the corpus's
+    structurally central vocabulary (a keyword list no frequency count
+    can produce: a token ranks high for co-occurring with many
+    DISTINCT well-connected tokens, not for raw count). Composition of
+    two proven tiers: the bigram edge list is built map-side with a
+    higher-order transform (the text_top_bigrams kernel — no per-token
+    shuffle; only the distinct (u, v) canonical pair aggregate
+    shuffles, vocabulary²-bounded) and feeds
+    operators/graph.pagerank_integer (3 unrolled iterations, BIGINT
+    micro-unit ranks, order-independent sums — the engine-exact form
+    the DuckDB oracle replays to the last unit). Top-20 via
+    operators/topk.ranked_top_n — TakeOrderedAndProject + rank within
+    the 20 survivors, no unpartitioned window."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.graph import (
+        pagerank_integer,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.topk import (
+        ranked_top_n,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.least(F.element_at(toks, i), F.element_at(toks, i + 1)).alias("u"),
+                F.greatest(F.element_at(toks, i), F.element_at(toks, i + 1)).alias("v"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+    edges = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.u", "p.v")
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    pr = pagerank_integer(edges, src_col="u", dst_col="v", iterations=3)
+    top = ranked_top_n(pr, [("rank_micro", True), ("node", False)], 20)
+    return top.select(F.col("node").alias("token"), "rank_micro", "rk")
+
+
+_TEXTRANK_SQL = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+),
+bg AS (
+  SELECT least(toks[i], toks[i + 1]) AS u, greatest(toks[i], toks[i + 1]) AS v
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+  WHERE len(toks) >= 2
+),
+pairs AS (SELECT DISTINCT u AS id_a, v AS id_b FROM bg WHERE u < v),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT deg.u, 1000000000 // nn.n AS r FROM deg CROSS JOIN nn),
+s1 AS (SELECT sym.v AS u, SUM(r0.r // deg.d) AS s
+       FROM sym JOIN deg ON deg.u = sym.u JOIN r0 ON r0.u = sym.u GROUP BY sym.v),
+r1 AS (SELECT deg.u, (15 * (1000000000 // nn.n)) // 100 + (85 * COALESCE(s1.s, 0)) // 100 AS r
+       FROM deg CROSS JOIN nn LEFT JOIN s1 ON s1.u = deg.u),
+s2 AS (SELECT sym.v AS u, SUM(r1.r // deg.d) AS s
+       FROM sym JOIN deg ON deg.u = sym.u JOIN r1 ON r1.u = sym.u GROUP BY sym.v),
+r2 AS (SELECT deg.u, (15 * (1000000000 // nn.n)) // 100 + (85 * COALESCE(s2.s, 0)) // 100 AS r
+       FROM deg CROSS JOIN nn LEFT JOIN s2 ON s2.u = deg.u),
+s3 AS (SELECT sym.v AS u, SUM(r2.r // deg.d) AS s
+       FROM sym JOIN deg ON deg.u = sym.u JOIN r2 ON r2.u = sym.u GROUP BY sym.v),
+r3 AS (SELECT deg.u, (15 * (1000000000 // nn.n)) // 100 + (85 * COALESCE(s3.s, 0)) // 100 AS r
+       FROM deg CROSS JOIN nn LEFT JOIN s3 ON s3.u = deg.u)
+SELECT u AS token, CAST(r AS BIGINT) AS rank_micro,
+       CAST(row_number() OVER (ORDER BY r DESC, u) AS BIGINT) AS rk
+FROM r3 ORDER BY r DESC, u LIMIT 20
+"""
+
+
+def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the part co-purchase graph (parts are connected when
+    some order contains both): the dense backbone a recommender or
+    community-detection pass should run on, after peeling away leaf
+    and bridge parts (operators/graph.kcore_peel — 8 fixed peel
+    rounds, converged flag certifies the fixpoint). k is DERIVED from
+    the data — 70% of the average degree, computed as a one-row
+    broadcast frame (never collected) — so the same query is
+    meaningful at every scale factor and the oracle recomputes the
+    identical k (at full average degree the peel cascades to an empty
+    core on this degree-concentrated graph: measured deg ∈ [42, 206],
+    mean 115.7 at sf0.01 — k=116 empties it, k=81 keeps an 1857-node
+    core after a 6-round cascade). The edge
+    list is the distinct same-order part-pair self-join (C(items,2)
+    per order, never a cross product — the basket_part_pair_lift
+    shape) and only (u, v) pairs shuffle."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    sym_nodes = (
+        pairs.select("u")
+        .unionAll(pairs.select(F.col("v").alias("u")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("_nv"))
+    )
+    k_df = (
+        pairs.agg(F.count(F.lit(1)).cast("long").alias("_ne"))
+        .crossJoin(F.broadcast(sym_nodes))
+        .select(F.expr("(70 * 2 * _ne) div (100 * _nv)").cast("long").alias("k"))
+    )
+    out = kcore_peel(pairs, k_df, rounds=8)
+    return out.orderBy("node")
+
+
+def _kcore_sql(rounds: int = 8) -> str:
+    # Every a{r} is referenced TWICE by round r+1 (both endpoint
+    # restrictions) — un-materialized CTE inlining would double the
+    # expression tree per round (2^rounds copies of the pairs join);
+    # MATERIALIZED pins each round to run once, like the Spark side's
+    # per-round localCheckpoint.
+    head = """
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+kk AS MATERIALIZED (
+  SELECT CAST((70 * 2 * (SELECT count(*) FROM pairs))
+              // (100 * (SELECT count(DISTINCT u) FROM sym)) AS BIGINT) AS k
+),
+a0 AS MATERIALIZED (SELECT DISTINCT u FROM sym)"""
+    body = []
+    for r in range(1, rounds + 1):
+        body.append(
+            f""",
+d{r} AS MATERIALIZED (SELECT e.u, CAST(count(*) AS BIGINT) AS d
+       FROM sym e JOIN a{r-1} x ON x.u = e.u JOIN a{r-1} y ON y.u = e.v
+       GROUP BY e.u),
+a{r} AS MATERIALIZED (SELECT d{r}.u FROM d{r} CROSS JOIN kk WHERE d{r}.d >= kk.k)"""
+        )
+    tail = f""",
+core AS (SELECT e.u, CAST(count(*) AS BIGINT) AS core_degree
+         FROM sym e JOIN a{rounds} x ON x.u = e.u JOIN a{rounds} y ON y.u = e.v
+         GROUP BY e.u),
+flag AS (SELECT CAST(CASE WHEN (SELECT count(*) FROM a{rounds-1})
+                             = (SELECT count(*) FROM a{rounds})
+                     THEN 1 ELSE 0 END AS BIGINT) AS converged)
+SELECT core.u AS node, core.core_degree, kk.k, flag.converged
+FROM core CROSS JOIN kk CROSS JOIN flag ORDER BY node"""
+    return head + "".join(body) + tail
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -10959,6 +11128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_pii_scan": privacy_pii_scan,
         "diag_snapshot_diff": diag_snapshot_diff,
         "join_levenshtein_dirty_customers": join_levenshtein_dirty_customers,
+        "text_keyword_textrank": text_keyword_textrank,
+        "graph_kcore_copurchase": graph_kcore_copurchase,
     }
 
 
@@ -11208,4 +11379,6 @@ def oracle_sql() -> dict[str, str]:
         "privacy_pii_scan": _pii_sql(),
         "diag_snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "join_levenshtein_dirty_customers": _JOIN_LEVENSHTEIN_SQL,
+        "text_keyword_textrank": _TEXTRANK_SQL,
+        "graph_kcore_copurchase": _kcore_sql(),
     }

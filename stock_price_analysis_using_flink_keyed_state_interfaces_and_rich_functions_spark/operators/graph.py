@@ -166,3 +166,81 @@ def pagerank_integer(
     sym.unpersist()
     nodes.unpersist()
     return out
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k_df: DataFrame,
+    rounds: int = 8,
+    src_col: str = "u",
+    dst_col: str = "v",
+) -> DataFrame:
+    """k-core peeling over an undirected simple graph (unique
+    (small-id, large-id) edge pairs): repeatedly remove nodes of
+    degree < k until the k-core remains (Seidman 1983) — the density
+    screen a graph curator runs before community detection or before
+    trusting co-occurrence edges (a node outside the 2-core is a
+    bridge/leaf; a high-k core is a tightly knit cluster).
+
+    ``k_df`` is a one-row frame with a BIGINT column ``k`` — passed as
+    a frame (broadcast-joined, never collected) so callers can DERIVE
+    k from the data (e.g. average degree + 1) and the oracle can
+    recompute the identical k.
+
+    FIXED-ROUND form: exactly ``rounds`` peel passes, each one
+    (edges ⋉ alive ⋉ alive) semi-restriction + one degree groupBy,
+    with per-round lazy localCheckpoints cutting lineage (the
+    pagerank_integer lesson: an uncut loop re-embeds the edge
+    derivation every round). A fixed round count keeps the plan static
+    and the DuckDB oracle an unrolled replay; the emitted ``converged``
+    flag (1 iff the last round removed nothing) certifies fixpoint at
+    the tested scale instead of raising mid-plan — peeling cascades in
+    O(log n)-ish rounds on non-adversarial graphs, and a false flag is
+    a visible red row, not a silent truncation.
+
+    Output: one row per surviving node with its degree INSIDE the
+    final core, plus the constant ``k`` and ``converged`` columns.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    kb = F.broadcast(k_df.select(F.col("k").cast("long").alias("k")))
+    alive = sym.select("u").distinct()
+    prev_alive = alive
+    for _ in range(rounds):
+        prev_alive = alive
+        deg = (
+            sym.join(alive, "u")
+            .join(alive.select(F.col("u").alias("v")), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        alive = (
+            deg.crossJoin(kb).filter(F.col("d") >= F.col("k")).select("u")
+        ).localCheckpoint(eager=False)
+    core_deg = (
+        sym.join(alive, "u")
+        .join(alive.select(F.col("u").alias("v")), "v")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    flag = (
+        prev_alive.agg(F.count(F.lit(1)).alias("_np"))
+        .crossJoin(alive.agg(F.count(F.lit(1)).alias("_na")))
+        .select(
+            (F.col("_np") == F.col("_na")).cast("long").alias("converged")
+        )
+    )
+    out = (
+        core_deg.crossJoin(kb)
+        .crossJoin(F.broadcast(flag))
+        .select(F.col("u").alias("node"), "core_degree", "k", "converged")
+        .localCheckpoint(eager=True)
+    )
+    sym.unpersist()
+    return out

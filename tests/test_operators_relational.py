@@ -780,6 +780,38 @@ def test_levenshtein_neighborhood_join_ground_truth(spark):
         )
 
 
+def test_kcore_peel_ground_truth(spark):
+    """Textbook 2-core: a triangle with a pendant path hanging off it.
+    Peeling at k=2 removes the path (degree-1 nodes cascade), keeps the
+    triangle with in-core degree 2, and converges inside the round
+    budget; at k=3 the core is empty. A square (4-cycle) needs TWO
+    cascading rounds to vanish at k=3 — pinning that rounds compose."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    # triangle 1-2-3 plus path 3-4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    k2 = spark.createDataFrame([(2,)], "k long")
+    out = {
+        r["node"]: (r["core_degree"], r["k"], r["converged"])
+        for r in kcore_peel(edges, k2, rounds=4).collect()
+    }
+    assert out == {1: (2, 2, 1), 2: (2, 2, 1), 3: (2, 2, 1)}
+
+    k3 = spark.createDataFrame([(3,)], "k long")
+    assert kcore_peel(edges, k3, rounds=4).count() == 0
+
+    # 4-cycle at k=3: round 1 removes all (degree 2 < 3) — converged
+    square = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], "u long, v long")
+    assert kcore_peel(square, k3, rounds=4).count() == 0
+    # 4-cycle at k=2 IS the core, untouched
+    got = {r["node"]: r["core_degree"] for r in kcore_peel(square, k2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
 def test_ranked_top_n_matches_window_row_number(spark):
     """topk.ranked_top_n (TakeOrderedAndProject + window-free relational
     rank — the r5-verdict replacement for unpartitioned row_number) must
