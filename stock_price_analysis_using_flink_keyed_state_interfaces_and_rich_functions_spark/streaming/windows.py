@@ -624,3 +624,63 @@ def read_fuzzy_matches(spark, root: str) -> DataFrame:
     if not dirs:
         raise FileNotFoundError(f"no fuzzy-match batches under {root}")
     return spark.read.parquet(*dirs).distinct()
+
+
+def streaming_skyline(
+    df: DataFrame,
+    root: str,
+    min_col: str,
+    max_col: str,
+) -> None:
+    """Incremental 2-D SKYLINE maintenance over a point stream — the
+    streaming face of ``operators/topk.skyline_2d``: after each
+    micro-batch the store holds the exact Pareto frontier of EVERYTHING
+    ingested so far. Correct because the skyline is an idempotent
+    monotone reduction — skyline(A ∪ B) = skyline(skyline(A) ∪ B):
+    dominance is transitive, so any point dominated within A ∪ B is
+    dominated by a point that survives A's own skyline; state is the
+    frontier (typically ≪ the stream), never the stream itself.
+
+    Each micro-batch unions its (distinct) points with the LATEST
+    prior frontier and re-runs the linear sort-based reduction — one
+    |frontier| + |batch| input per trigger. Retry-idempotent: batch
+    ``b`` overwrites ``root/b=<b>`` and reads only frontier dirs with
+    batch id < b, so a replayed micro-batch can't see its own
+    half-written output (the signature-store contract)."""
+    import glob
+    import os
+
+    from ..operators.topk import skyline_2d
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pts = batch_df.select(min_col, max_col).distinct()
+        prior_dirs = [
+            p
+            for p in glob.glob(os.path.join(root, "b=*"))
+            if int(p.rsplit("=", 1)[1]) < batch_id
+        ]
+        if prior_dirs:
+            latest = max(prior_dirs, key=lambda p: int(p.rsplit("=", 1)[1]))
+            pts = pts.unionByName(
+                spark.read.parquet(latest).select(min_col, max_col)
+            ).distinct()
+        frontier = skyline_2d(pts, min_col, max_col)
+        frontier.write.mode("overwrite").parquet(os.path.join(root, f"b={batch_id}"))
+
+    run_stream_foreach_batch(df, _ingest, output_mode="append")
+
+
+def read_skyline_frontier(spark, root: str) -> DataFrame:
+    """Read the current frontier of a :func:`streaming_skyline` run
+    (highest ``b=`` dir — each dir is the full frontier as of that
+    micro-batch)."""
+    import glob
+    import os
+
+    dirs = sorted(
+        glob.glob(os.path.join(root, "b=*")), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    if not dirs:
+        raise FileNotFoundError(f"no skyline frontier batches under {root}")
+    return spark.read.parquet(dirs[-1])

@@ -1641,3 +1641,52 @@ def test_python_streaming_datasource_drains_to_batch_equivalence(spark):
         for r in spark.read.format("synthetic_quotes").option("rows", "57").load().collect()
     }
     assert got == want and len(got) == 57
+
+
+def test_streaming_skyline_matches_batch(spark, tmp_path):
+    """Cross-batch frontier maintenance: the streamed skyline after 3
+    micro-batches must equal the one-shot batch skyline over the
+    unioned points — including a point that enters the frontier in
+    batch 1 and is dominated OUT by a batch-3 arrival, pinning that the
+    store really is re-reduced, not append-only. A replay into a fresh
+    root reproduces the identical frontier (determinism contract)."""
+    import os
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.topk import (
+        skyline_2d,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.windows import (
+        read_skyline_frontier,
+        streaming_skyline,
+    )
+
+    # (price, size): lower price better, higher size better
+    b1 = [(50, 5), (40, 3), (60, 9)]            # frontier: (40,3),(50,5),(60,9)
+    b2 = [(45, 5), (70, 9)]                     # (45,5) evicts (50,5); (70,9) dominated
+    b3 = [(35, 6), (80, 2)]                     # (35,6) evicts (40,3),(45,5); (80,2) dominated
+    schema = "price long, sz long"
+    in_dir = str(tmp_path / "pts_in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate([b1, b2, b3], 1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"f{i}")
+        )
+        os.utime(os.path.join(in_dir, f"f{i}"), (1_000_000 * i, 1_000_000 * i))
+
+    def run(root):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(in_dir, "*"))
+        )
+        streaming_skyline(stream, root, "price", "sz")
+        return {
+            (r["price"], r["sz"])
+            for r in read_skyline_frontier(spark, root).collect()
+        }
+
+    got = run(str(tmp_path / "sky_a"))
+    allpts = spark.createDataFrame(b1 + b2 + b3, schema)
+    want = {(r["price"], r["sz"]) for r in skyline_2d(allpts, "price", "sz").collect()}
+    assert got == want == {(35, 6), (60, 9)}
+    assert run(str(tmp_path / "sky_b")) == got
