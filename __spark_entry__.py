@@ -10754,11 +10754,15 @@ def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # Lazy lineage cut: k_df's eager materialization inside kcore_peel
+    # computes the self-join once and caches it; sym and the flag then
+    # read the cached pairs instead of re-running the fact-table join.
     pairs = (
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sym_nodes = (
         pairs.select("u")
@@ -10812,6 +10816,115 @@ flag AS (SELECT CAST(CASE WHEN (SELECT count(*) FROM a{rounds-1})
 SELECT core.u AS node, core.core_degree, kk.k, flag.converged
 FROM core CROSS JOIN kk CROSS JOIN flag ORDER BY node"""
     return head + "".join(body) + tail
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity census — k-anonymity's sharper sibling (Machanavajjhala
+    et al. 2007): a class of 50 identical quasi-identifier rows is
+    k-anonymous yet leaks everything if all 50 share one sensitive
+    value. Under the (nation, balance-band) quasi-identifier with the
+    market segment as the sensitive attribute, reports per diversity
+    level l = |distinct sensitive values in the class|: how many
+    classes, how many rows, and the release's l (the MIN over classes)
+    on every row. Two map-side groupBys (rows → classes with
+    count_distinct → l levels); the min rides the documented bounded
+    unpartitioned window (≤|segments| rows)."""
+    c = _t(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        F.col("c_nationkey").alias("qi_nation"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("qi_balance_k"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.countDistinct("c_mktsegment").cast("long").alias("l_div"),
+    )
+    levels = classes.groupBy("l_div").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return levels.withColumn(
+        "l_diversity", F.min("l_div").over(w).cast("long")
+    ).orderBy("l_div")
+
+
+_L_DIVERSITY_SQL = """
+WITH classes AS (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_k,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+  FROM customer GROUP BY 1, 2
+), levels AS (
+  SELECT l_div, CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(sum(class_size) AS BIGINT) AS n_rows
+  FROM classes GROUP BY 1
+)
+SELECT l_div, n_classes, n_rows, CAST(min(l_div) OVER () AS BIGINT) AS l_diversity
+FROM levels ORDER BY l_div
+"""
+
+
+def diag_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-checksum manifest of the orders table, one row per
+    order-year partition: row count plus an ORDER-INDEPENDENT content
+    checksum (the exact BIGINT SUM of each row's md5-prefix, over every
+    business column) — the drift detector two warehouse copies compare
+    without moving data (a reconciliation's cheap first pass before
+    diag_snapshot_diff does row-level work). Sum-of-hashes is the
+    standard commutative checksum: insertion order, partitioning, and
+    shuffle layout cannot change it, and any single-row change almost
+    surely does (md5 uniformity). Pure map-side aggregate — only
+    (year, count, sum) rows shuffle. The per-row 56-bit prefix sums
+    past int64 within a few thousand rows, so the SUM is carried as
+    DECIMAL(38,0) (HUGEINT in the oracle — room for 10²¹ rows per
+    partition; Spark's ANSI-mode long sum raises on the overflow
+    instead of silently wrapping, which is how this was caught) and
+    the emitted checksum is the sum MOD 2⁶¹−1 (Mersenne prime —
+    modding the exact total preserves commutativity and lands back in
+    BIGINT; a raw HUGEINT reaches pandas as a lossy float)."""
+    o = _t(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "\x1f",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.to_date("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(row_repr), 1, 14), 16, 10).cast("long")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(h.cast("decimal(38,0)")).alias("_s"),
+        )
+        .select(
+            "order_year",
+            "n_rows",
+            F.expr(
+                "CAST(_s % CAST(2305843009213693951 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("content_checksum"),
+        )
+        .orderBy("order_year")
+    )
+
+
+_TABLE_CHECKSUM_SQL = r"""
+WITH h AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         ('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || chr(31) ||
+           CAST(o_custkey AS VARCHAR) || chr(31) ||
+           o_orderstatus || chr(31) ||
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || chr(31) ||
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || chr(31) ||
+           o_orderpriority), 1, 14))::BIGINT AS hp
+  FROM orders
+)
+SELECT order_year, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(hp) % CAST(2305843009213693951 AS HUGEINT) AS BIGINT) AS content_checksum
+FROM h GROUP BY 1 ORDER BY 1
+"""
 
 
 # --------------------------------------------------------------------------
@@ -11130,6 +11243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_levenshtein_dirty_customers": join_levenshtein_dirty_customers,
         "text_keyword_textrank": text_keyword_textrank,
         "graph_kcore_copurchase": graph_kcore_copurchase,
+        "privacy_l_diversity": privacy_l_diversity,
+        "diag_table_checksum": diag_table_checksum,
     }
 
 
@@ -11381,4 +11496,6 @@ def oracle_sql() -> dict[str, str]:
         "join_levenshtein_dirty_customers": _JOIN_LEVENSHTEIN_SQL,
         "text_keyword_textrank": _TEXTRANK_SQL,
         "graph_kcore_copurchase": _kcore_sql(),
+        "privacy_l_diversity": _L_DIVERSITY_SQL,
+        "diag_table_checksum": _TABLE_CHECKSUM_SQL,
     }

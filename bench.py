@@ -149,6 +149,17 @@ HEADLINE = [
     "agg_skyline_parts",
     "text_tfidf_doc_similarity",
     "events_next_higher_value",
+    # round-7 additions: one trend anchor per new family — inequality
+    # statistics (distributed-running-sum kernel), privacy scan
+    # (multi-table regex aggregate), edit-distance join (deletion-
+    # neighborhood explode), TextRank (integer PageRank over the
+    # co-occurrence graph), k-core (8-round peel loop); rows above
+    # remain unchanged for cross-round comparability.
+    "agg_gini_revenue",
+    "privacy_pii_scan",
+    "join_levenshtein_dirty_customers",
+    "text_keyword_textrank",
+    "graph_kcore_copurchase",
 ]
 
 

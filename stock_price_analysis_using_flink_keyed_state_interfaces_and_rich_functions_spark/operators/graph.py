@@ -209,7 +209,14 @@ def kcore_peel(
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    kb = F.broadcast(k_df.select(F.col("k").cast("long").alias("k")))
+    # Materialize k ONCE: k_df usually derives from the same edge
+    # lineage (e.g. average degree), and without the eager cut every
+    # round's filter would re-run that derivation — measured 66 s →
+    # ~8 s at sf0.01 for the co-purchase query, whose edge list is a
+    # fact-table self-join.
+    kb = F.broadcast(
+        k_df.select(F.col("k").cast("long").alias("k")).localCheckpoint(eager=True)
+    )
     alive = sym.select("u").distinct()
     prev_alive = alive
     for _ in range(rounds):
