@@ -1324,3 +1324,98 @@ def test_ks_and_chi2_against_scipy_free_references(spark):
     n = sum(r.obs for r in chi)
     # expected counts sum back to n (in micro-units, within per-cell rounding)
     assert abs(sum(r.exp_micro for r in chi) - n * 1_000_000) <= len(chi)
+
+
+def test_round7_stats_plain_python_references(spark):
+    """Gini / weighted median / lag-1 autocorr / trend slope / source
+    entropy vs plain-Python recomputation from the same parquet — the
+    scipy-free independence check (both the Spark plan AND the DuckDB
+    oracle were written by the same hands; this replay was not derived
+    from either)."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cents = (orders.o_totalprice * 100).round().astype("int64")
+
+    # --- Gini over per-customer revenue
+    per_cust = (
+        pd.DataFrame({"k": orders.o_custkey, "c": cents})
+        .groupby("k", as_index=False)["c"].sum()
+        .sort_values(["c", "k"]).reset_index(drop=True)
+    )
+    n, sx = len(per_cust), int(per_cust.c.sum())
+    swx = sum((i + 1) * int(c) for i, c in enumerate(per_cust.c))
+    want_gini = math.floor(1_000_000.0 * (2 * swx - (n + 1) * sx) / (n * sx))
+    row = entrymod.agg_gini_revenue(spark, SF_DIR).collect()[0]
+    assert (row.n_customers, row.total_cents, row.gini_micro) == (n, sx, want_gini)
+
+    # --- quantity-weighted median over lineitem
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    pv = (
+        pd.DataFrame({
+            "p": (li.l_extendedprice * 100).round().astype("int64"),
+            "w": li.l_quantity.astype("int64"),
+        })
+        .groupby("p", as_index=False)["w"].sum()
+        .sort_values("p").reset_index(drop=True)
+    )
+    W = int(pv.w.sum())
+    cum = pv.w.cumsum()
+    want_med = int(pv.p[cum * 2 >= W].iloc[0])
+    row = entrymod.agg_weighted_median_price(spark, SF_DIR).collect()[0]
+    assert (row.weighted_median_cents, row.total_weight) == (want_med, W)
+
+    # --- lag-1 autocorrelation of daily revenue
+    daily = (
+        pd.DataFrame({"d": orders.o_orderdate, "c": cents})
+        .groupby("d", as_index=False)["c"].sum()
+        .sort_values("d").reset_index(drop=True)
+    )
+    a = daily.c[:-1].to_numpy(dtype="int64")
+    b = daily.c[1:].to_numpy(dtype="int64")
+    np_ = float(len(a))
+    num = np_ * float(sum(int(x) * int(y) for x, y in zip(a, b))) - float(a.sum()) * float(b.sum())
+    den = math.sqrt(
+        (np_ * float(sum(int(x) * int(x) for x in a)) - float(a.sum()) ** 2)
+        * (np_ * float(sum(int(y) * int(y) for y in b)) - float(b.sum()) ** 2)
+    )
+    want_r1 = math.floor(1_000_000.0 * num / den)
+    row = entrymod.agg_autocorr_daily_revenue(spark, SF_DIR).collect()[0]
+    assert (row.n_pairs, row.sa, row.sb) == (len(a), int(a.sum()), int(b.sum()))
+    assert row.r1_micro == want_r1
+
+    # --- per-nation trend slope (exact integer numerator/denominator)
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    nat = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    j = orders.assign(c=cents, yr=pd.to_datetime(orders.o_orderdate).dt.year).merge(
+        cust[["c_custkey", "c_nationkey"]], left_on="o_custkey", right_on="c_custkey"
+    ).merge(nat[["n_nationkey", "n_name"]], left_on="c_nationkey", right_on="n_nationkey")
+    got = {
+        r.n_name: (r.n_years, r.slope_num, r.slope_den)
+        for r in entrymod.agg_trend_slope_nation(spark, SF_DIR).collect()
+    }
+    for name, g in j.groupby("n_name"):
+        yearly = g.groupby("yr")["c"].sum()
+        ny = len(yearly)
+        sx_, sy_ = int(yearly.index.to_series().sum()), int(yearly.sum())
+        sxy = int(sum(int(y) * int(v) for y, v in yearly.items()))
+        sxx = int(sum(int(y) * int(y) for y in yearly.index))
+        assert got[name] == (ny, ny * sxy - sx_ * sy_, ny * sxx - sx_ * sx_), name
+
+    # --- source-mix entropy
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    counts = docs.groupby("source").size()
+    ntot = int(counts.sum())
+    contribs = {
+        s: int(round(-(c / ntot) * math.log(c / ntot) * 1_000_000))
+        for s, c in counts.items()
+    }
+    total = sum(contribs.values())
+    for r in entrymod.agg_entropy_source_mix(spark, SF_DIR).collect():
+        assert r.contrib_micronats == contribs[r.source], r.source
+        assert r.entropy_micronats == total
