@@ -10927,6 +10927,125 @@ FROM h GROUP BY 1 ORDER BY 1
 """
 
 
+def events_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long each funnel step takes: exact min/p50/p90/max of the
+    per-user latency between funnel stages (first view → first
+    qualifying click → first qualifying purchase — the
+    events_funnel_conversion stage semantics), in whole seconds. The
+    scale-aware exact-percentile shape: per-user latencies collapse to
+    the (step, latency_s) VALUE-DOMAIN aggregate first (whole seconds
+    are bounded by the dataset's time span, not its row count), the
+    cumulative count runs per step over that bounded table, and the
+    percentile is the smallest latency whose cumulative count clears
+    the exact integer threshold (2·cum ≥ n for p50, 10·cum ≥ 9·n for
+    p90 — lower percentile, no interpolation, no per-group value
+    buffering like a percentile() agg would need)."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+        .localCheckpoint(eager=False)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint(eager=False)
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "c_ts"), "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat_s = lambda a, b: F.expr(  # noqa: E731
+        f"timestampdiff(MICROSECOND, {a}, {b}) div 1000000"
+    ).cast("long")
+    lats = c.select(
+        F.lit("1_view_to_click").alias("step"), lat_s("v_ts", "c_ts").alias("lat_s")
+    ).unionByName(
+        p.join(c.select("user_id", "c_ts"), "user_id").select(
+            F.lit("2_click_to_purchase").alias("step"),
+            lat_s("c_ts", "p_ts").alias("lat_s"),
+        )
+    )
+    pv = lats.groupBy("step", "lat_s").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("step").orderBy("lat_s")
+    cum = pv.withColumn("cum", F.sum("cnt").over(w))
+    tot = pv.groupBy("step").agg(
+        F.sum("cnt").cast("long").alias("n_users"),
+        F.min("lat_s").cast("long").alias("min_s"),
+        F.max("lat_s").cast("long").alias("max_s"),
+    )
+    j = cum.join(F.broadcast(tot), "step")
+    p50 = (
+        j.filter(2 * F.col("cum") >= F.col("n_users"))
+        .groupBy("step")
+        .agg(F.min("lat_s").cast("long").alias("p50_s"))
+    )
+    p90 = (
+        j.filter(10 * F.col("cum") >= 9 * F.col("n_users"))
+        .groupBy("step")
+        .agg(F.min("lat_s").cast("long").alias("p90_s"))
+    )
+    return (
+        tot.join(F.broadcast(p50), "step")
+        .join(F.broadcast(p90), "step")
+        .select("step", "n_users", "min_s", "p50_s", "p90_s", "max_s")
+        .orderBy("step")
+    )
+
+
+_FUNNEL_LATENCY_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, v.v_ts, min(e.ts) AS c_ts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+  GROUP BY 1, 2
+), p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+  GROUP BY 1
+), lats AS (
+  SELECT '1_view_to_click' AS step,
+         (epoch_us(CAST(c_ts AS TIMESTAMP)) - epoch_us(CAST(v_ts AS TIMESTAMP))) // 1000000 AS lat_s
+  FROM c
+  UNION ALL
+  SELECT '2_click_to_purchase' AS step,
+         (epoch_us(CAST(p.p_ts AS TIMESTAMP)) - epoch_us(CAST(c.c_ts AS TIMESTAMP))) // 1000000 AS lat_s
+  FROM p JOIN c ON c.user_id = p.user_id
+), pv AS (
+  SELECT step, CAST(lat_s AS BIGINT) AS lat_s, CAST(count(*) AS BIGINT) AS cnt
+  FROM lats GROUP BY 1, 2
+), cum AS (
+  SELECT step, lat_s, cnt,
+         sum(cnt) OVER (PARTITION BY step ORDER BY lat_s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pv
+), tot AS (
+  SELECT step, CAST(sum(cnt) AS BIGINT) AS n_users,
+         CAST(min(lat_s) AS BIGINT) AS min_s, CAST(max(lat_s) AS BIGINT) AS max_s
+  FROM pv GROUP BY 1
+), p50 AS (
+  SELECT c.step, CAST(min(c.lat_s) AS BIGINT) AS p50_s
+  FROM cum c JOIN tot t ON t.step = c.step WHERE 2 * c.cum >= t.n_users GROUP BY 1
+), p90 AS (
+  SELECT c.step, CAST(min(c.lat_s) AS BIGINT) AS p90_s
+  FROM cum c JOIN tot t ON t.step = c.step WHERE 10 * c.cum >= 9 * t.n_users GROUP BY 1
+)
+SELECT t.step, t.n_users, t.min_s, p50.p50_s, p90.p90_s, t.max_s
+FROM tot t JOIN p50 ON p50.step = t.step JOIN p90 ON p90.step = t.step
+ORDER BY t.step
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -11245,6 +11364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore_copurchase": graph_kcore_copurchase,
         "privacy_l_diversity": privacy_l_diversity,
         "diag_table_checksum": diag_table_checksum,
+        "events_funnel_step_latency": events_funnel_step_latency,
     }
 
 
@@ -11498,4 +11618,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore_copurchase": _kcore_sql(),
         "privacy_l_diversity": _L_DIVERSITY_SQL,
         "diag_table_checksum": _TABLE_CHECKSUM_SQL,
+        "events_funnel_step_latency": _FUNNEL_LATENCY_SQL,
     }
