@@ -11046,6 +11046,108 @@ ORDER BY t.step
 """
 
 
+def agg_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between lineitem price and quantity —
+    the robust companion to agg_price_qty_corr's Pearson (rank
+    correlation sees monotone association Pearson misses and shrugs at
+    outliers). Exact end to end via the Mann–Whitney midrank trick:
+    tie-averaged ranks are carried as DOUBLED integers (2·avgrank(v) =
+    2·prefix(v) + cnt(v) + 1, all BIGINT) built on the DISTINCT-value
+    aggregates of each variable — prefix counts ride
+    operators/windows.distributed_running_sum for the data-growing
+    price domain (the ~50-value quantity domain broadcasts) — then one
+    fact-side join per variable attaches per-row midranks, and
+    Spearman is Pearson over the midrank pairs: every sum exact (the
+    doubled-rank PRODUCTS go through DECIMAL(38,0)/HUGEINT — at 10¹¹
+    rows a product alone is ~10²⁴), one fixed-order double at the end,
+    micro-snapped. The ×2 scaling cancels in the correlation."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("a"),
+        F.col("l_quantity").cast("long").alias("b"),
+    )
+
+    def midrank2_map(col: str) -> DataFrame:
+        pv = rows.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        rs = distributed_running_sum(pv, [(col, False)], "cnt", out_col="cum")
+        return rs.select(
+            col,
+            (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+            .cast("long")
+            .alias(f"mr2_{col}"),
+        )
+
+    ranked = rows.join(midrank2_map("a"), "a").join(
+        F.broadcast(midrank2_map("b")), "b"
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("mr2_a").cast("long").alias("sa"),
+        F.sum("mr2_b").cast("long").alias("sb"),
+        F.sum(dec("mr2_a") * dec("mr2_b")).alias("_sab"),
+        F.sum(dec("mr2_a") * dec("mr2_a")).alias("_saa"),
+        F.sum(dec("mr2_b") * dec("mr2_b")).alias("_sbb"),
+    )
+    n = F.col("n_rows").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    num = n * F.col("_sab").cast("double") - sa * sb
+    den = F.sqrt(
+        (n * F.col("_saa").cast("double") - sa * sa)
+        * (n * F.col("_sbb").cast("double") - sb * sb)
+    )
+    return sums.select(
+        "n_rows",
+        "sa",
+        "sb",
+        F.floor(F.lit(1000000.0) * num / den).cast("long").alias("spearman_micro"),
+    )
+
+
+_SPEARMAN_SQL = """
+WITH rows_ AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS a,
+         CAST(l_quantity AS BIGINT) AS b
+  FROM lineitem
+), mra AS (
+  SELECT a, 2 * (CAST(sum(cnt) OVER (ORDER BY a
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt)
+            + cnt + 1 AS mr2_a
+  FROM (SELECT a, CAST(count(*) AS BIGINT) AS cnt FROM rows_ GROUP BY 1)
+), mrb AS (
+  SELECT b, 2 * (CAST(sum(cnt) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt)
+            + cnt + 1 AS mr2_b
+  FROM (SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM rows_ GROUP BY 1)
+), ranked AS (
+  SELECT mra.mr2_a, mrb.mr2_b
+  FROM rows_ r JOIN mra ON mra.a = r.a JOIN mrb ON mrb.b = r.b
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(mr2_a) AS BIGINT) AS sa, CAST(sum(mr2_b) AS BIGINT) AS sb,
+         sum(CAST(mr2_a AS HUGEINT) * CAST(mr2_b AS HUGEINT)) AS sab,
+         sum(CAST(mr2_a AS HUGEINT) * CAST(mr2_a AS HUGEINT)) AS saa,
+         sum(CAST(mr2_b AS HUGEINT) * CAST(mr2_b AS HUGEINT)) AS sbb
+  FROM ranked
+)
+SELECT n_rows, sa, sb,
+       CAST(floor(1000000.0
+            * (CAST(n_rows AS DOUBLE) * CAST(sab AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+            / sqrt((CAST(n_rows AS DOUBLE) * CAST(saa AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                   * (CAST(n_rows AS DOUBLE) * CAST(sbb AS DOUBLE)
+                      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))))
+            AS BIGINT) AS spearman_micro
+FROM sums
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -11365,6 +11467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_l_diversity": privacy_l_diversity,
         "diag_table_checksum": diag_table_checksum,
         "events_funnel_step_latency": events_funnel_step_latency,
+        "agg_spearman_price_qty": agg_spearman_price_qty,
     }
 
 
@@ -11619,4 +11722,5 @@ def oracle_sql() -> dict[str, str]:
         "privacy_l_diversity": _L_DIVERSITY_SQL,
         "diag_table_checksum": _TABLE_CHECKSUM_SQL,
         "events_funnel_step_latency": _FUNNEL_LATENCY_SQL,
+        "agg_spearman_price_qty": _SPEARMAN_SQL,
     }
