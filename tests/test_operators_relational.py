@@ -1407,6 +1407,29 @@ def test_round7_stats_plain_python_references(spark):
         sxx = int(sum(int(y) * int(y) for y in yearly.index))
         assert got[name] == (ny, ny * sxy - sx_ * sy_, ny * sxx - sx_ * sx_), name
 
+    # --- Spearman via doubled midranks
+    a_ = (li.l_extendedprice * 100).round().astype("int64")
+    b_ = li.l_quantity.astype("int64")
+
+    def mr2(series):
+        cnt = series.value_counts().sort_index()
+        prefix = cnt.cumsum() - cnt
+        return {v: 2 * int(p) + int(c) + 1 for v, p, c in zip(cnt.index, prefix, cnt)}
+
+    ma, mb = mr2(a_), mr2(b_)
+    ra = [ma[v] for v in a_]
+    rb = [mb[v] for v in b_]
+    nsp = float(len(ra))
+    sa_, sb_ = sum(ra), sum(rb)
+    num_s = nsp * float(sum(x * y for x, y in zip(ra, rb))) - float(sa_) * float(sb_)
+    den_s = math.sqrt(
+        (nsp * float(sum(x * x for x in ra)) - float(sa_) ** 2)
+        * (nsp * float(sum(y * y for y in rb)) - float(sb_) ** 2)
+    )
+    row = entrymod.agg_spearman_price_qty(spark, SF_DIR).collect()[0]
+    assert (row.n_rows, row.sa, row.sb) == (int(nsp), sa_, sb_)
+    assert row.spearman_micro == math.floor(1_000_000.0 * num_s / den_s)
+
     # --- source-mix entropy
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
     counts = docs.groupby("source").size()
