@@ -5641,11 +5641,14 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = tokens("text")
+    # shifted-slice zip, not transform+element_at (the per-element
+    # re-split trap — see text_keyword_textrank); output bit-identical.
     bigrams = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
@@ -7712,13 +7715,14 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_rows = docs.select(F.explode(toks).alias("w"))
     uni = tok_rows.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_w"))
     n_uni = uni.agg(F.sum("c_w").cast("long").alias("_nu"))
+    # shifted-slice zip, not transform+element_at (the per-element
+    # re-split trap — see text_keyword_textrank); output bit-identical.
     bigrams = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
-            ),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bg = (
@@ -8198,14 +8202,20 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = tokens("text")
+    # three shifted slices zipped (arrays_zip names expression fields
+    # "0"/"1"/"2"; the transform renames via the LAMBDA variable, so no
+    # re-split) — not transform+element_at, the per-element re-split
+    # trap (see text_keyword_textrank); output bit-identical.
     tris = F.when(
         F.size(toks) >= 3,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-                F.element_at(toks, i + 2).alias("w3"),
+            F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 2),
+                F.slice(toks, 2, F.size(toks) - 2),
+                F.slice(toks, 3, F.size(toks) - 2),
+            ),
+            lambda s: F.struct(
+                s["0"].alias("w1"), s["1"].alias("w2"), s["2"].alias("w3")
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
@@ -10673,13 +10683,20 @@ def text_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = tokens("text")
+    # zip_with(slice, slice), NOT transform+element_at: Catalyst inlines
+    # the tokens() split into every element_at reference (CollapseProject
+    # defeats a staging select), so the element-indexed form re-splits
+    # the text PER ELEMENT — O(len²) work per doc, measured 24 s for the
+    # edge derivation at sf0.1. The zip of two shifted slices references
+    # the split a CONSTANT number of times per row: 24 s → ~2 s, output
+    # bit-identical.
     pairs = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.least(F.element_at(toks, i), F.element_at(toks, i + 1)).alias("u"),
-                F.greatest(F.element_at(toks, i), F.element_at(toks, i + 1)).alias("v"),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.struct(
+                F.least(x, y).alias("u"), F.greatest(x, y).alias("v")
             ),
         ),
     ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))

@@ -203,13 +203,17 @@ def with_repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str =
     ).otherwise(F.lit(0.0))
     base = df.withColumn("n_tokens", n_tok).withColumn("dup_token_frac", dup_frac)
 
+    # zip_with(slice, slice), NOT transform+element_at: Catalyst inlines
+    # the tokens() split into every element_at reference, so the
+    # element-indexed form re-splits the text PER ELEMENT — O(len²)
+    # work per doc. The shifted-slice zip references the split a
+    # constant number of times per row; output bit-identical.
     bigrams = F.when(
         n_tok >= 2,
-        F.transform(
-            F.sequence(F.lit(1), (n_tok - 1).cast("int")),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
-            ),
+        F.zip_with(
+            F.slice(toks, 1, (n_tok - 1).cast("int")),
+            F.slice(toks, 2, (n_tok - 1).cast("int")),
+            lambda x, y: F.concat_ws(" ", x, y),
         ),
     ).otherwise(F.array().cast("array<string>"))
     top = (
@@ -954,14 +958,14 @@ def bigram_interp_logprob_scores(
     tok_rows = df.select(F.explode(toks).alias("w"))
     uni = tok_rows.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_w"))
     nu = uni.agg(F.sum("c_w").cast("long").alias("_nu"))
+    # shifted-slice zip, not transform+element_at (the per-element
+    # re-split trap — see with_repetition_stats); output bit-identical.
     bigrams = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bgr = df.select(F.col(id_col), F.explode(bigrams).alias("b")).select(
