@@ -109,17 +109,24 @@ def _tokens(text_col: str) -> Column:
 
 def _word_shingles(text_col: str, k: int) -> Column:
     """Distinct word k-shingles as strings (docs shorter than k words
-    contribute their full token string as a single shingle)."""
+    contribute their full token string as a single shingle).
+
+    Built as k shifted slices zipped together, NOT transform over an
+    index sequence with a per-element slice(toks, i+1, k): Catalyst
+    inlines the tokenize split into every element-indexed reference,
+    so that form re-splits the whole text per shingle — O(len²) per
+    doc (the text_keyword_textrank bench finding). arrays_zip names
+    expression fields "0"/"1"/…; the transform concatenates via the
+    lambda variable, so the split is referenced a constant number of
+    times per row. Output bit-identical."""
     toks = _tokens(text_col)
     n = F.size(toks)
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, n - k + 1) for j in range(k)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
+    )
     return F.array_distinct(
-        F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
     )
 
 
