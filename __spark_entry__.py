@@ -11165,6 +11165,100 @@ FROM sums
 """
 
 
+def window_holtwinters_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters additive triple smoothing of the global daily
+    revenue series with a 7-slot weekly seasonal ring
+    (operators/stateful.holt_winters_integer) — the top of the integer
+    smoothing ladder (EWMA → Holt → Holt–Winters): level tracks where
+    revenue sits, trend where it is heading, and the seasonal state
+    what day-of-week effect to subtract before believing either. All
+    three states are BIGINTs under pure floor-division recurrences, so
+    the DuckDB oracle — a recursive CTE carrying (L, T, S₀..S₆) with
+    lateral column aliases for the shared subexpressions and the
+    remainder-subtraction floor on every division — replays the fold
+    to the unit. The daily aggregate is calendar-bounded (~2.5k rows
+    here; it grows with TIME, not data volume), so the single-key fold
+    is the documented bounded-input exception, same as the day-spine
+    census queries."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        holt_winters_integer,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").cast("string").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("_g", F.lit(1))
+    )
+    out = holt_winters_integer(
+        daily,
+        ["_g"],
+        ["day"],
+        "cents",
+        period=7,
+        alpha_pct=20,
+        beta_pct=10,
+        gamma_pct=10,
+    )
+    return out.select(
+        "day",
+        F.col("level_int").alias("level_cents"),
+        F.col("trend_int").alias("trend_cents"),
+        F.col("season_int").alias("season_cents"),
+    )
+
+
+def _holtwinters_sql(m: int = 7, a: int = 20, b: int = 10, g: int = 10) -> str:
+    """Unrolled-state recursive-CTE replay of holt_winters_integer:
+    one column per seasonal slot, DuckDB LATERAL COLUMN ALIASES for
+    the shared L'/T'/S' subexpressions (an alias defined by an earlier
+    select item is referenced by later ones — the feature that keeps
+    the three-state recurrence from expanding combinatorially), and
+    the remainder-subtraction floor on every division. Recursive-CTE
+    column NAMES come from the anchor, so the recursive arm only has
+    to match positions; the anchor carries zero-filled slots for the
+    intermediate alias columns so both UNION ALL arms agree on arity."""
+    fdiv = lambda e: f"(({e}) - ((({e}) % 100) + 100) % 100) // 100"  # noqa: E731
+    szero = ", ".join(f"CAST(0 AS BIGINT) AS s{j}" for j in range(m))
+    sold = (
+        f"(CASE r.rn % {m} "
+        + " ".join(f"WHEN {j} THEN r.s{j}" for j in range(m))
+        + " END)"
+    )
+    supd = ", ".join(
+        f"CASE WHEN r.rn % {m} = {j} THEN snewx ELSE r.s{j} END" for j in range(m)
+    )
+    lx = fdiv(f"{a} * (b.x - {sold}) + {100 - a} * (r.l + r.t)")
+    tx = fdiv(f"{b} * (lx - r.l) + {100 - b} * r.t")
+    snewx = fdiv(f"{g} * (b.x - lx) + {100 - g} * {sold}")
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily
+), rec AS (
+  SELECT day, rn, x AS l, CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS semit,
+         {szero}
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.day, b.rn,
+         {lx} AS lx,
+         {tx} AS tx,
+         {snewx} AS snewx,
+         {supd}
+  FROM rec r JOIN base b ON b.rn = r.rn + 1
+)
+SELECT day, l AS level_cents, t AS trend_cents, semit AS season_cents
+FROM rec
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -11485,6 +11579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_table_checksum": diag_table_checksum,
         "events_funnel_step_latency": events_funnel_step_latency,
         "agg_spearman_price_qty": agg_spearman_price_qty,
+        "window_holtwinters_daily_revenue": window_holtwinters_daily_revenue,
     }
 
 
@@ -11740,4 +11835,5 @@ def oracle_sql() -> dict[str, str]:
         "diag_table_checksum": _TABLE_CHECKSUM_SQL,
         "events_funnel_step_latency": _FUNNEL_LATENCY_SQL,
         "agg_spearman_price_qty": _SPEARMAN_SQL,
+        "window_holtwinters_daily_revenue": _holtwinters_sql(),
     }

@@ -917,6 +917,129 @@ def holt_linear_integer(
     return rep.mapInPandas(_scan, schema=out_schema)
 
 
+def holt_winters_integer(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    period: int = 7,
+    alpha_pct: int = 20,
+    beta_pct: int = 10,
+    gamma_pct: int = 10,
+    level_col: str = "level_int",
+    trend_col: str = "trend_int",
+    season_col: str = "season_int",
+) -> DataFrame:
+    """ORACLE-EXACT integer Holt–Winters additive triple smoothing —
+    the three-state top of the smoothing ladder (ewma_integer →
+    holt_linear_integer → this): level + linear trend + a ``period``-
+    slot additive seasonal ring, all BIGINT, every step pure integer
+    floor division so the DuckDB recursive-CTE oracle replays it to
+    the unit. With i = n mod period (n counts non-NULL values per
+    key)::
+
+        n = 0:  L = x, T = 0, S[*] = 0
+        n > 0:  L' = (a·(x − S[i]) + (100−a)·(L+T))  fdiv 100
+                T' = (b·(L' − L) + (100−b)·T)        fdiv 100
+                S[i]' = (g·(x − L') + (100−g)·S[i])  fdiv 100
+
+    Seasonals start at ZERO (no moving-average bootstrap): the gamma
+    recurrence converges them within a few periods, every emitted row
+    is still deterministic from step one, and the oracle needs no
+    special-cased init block. Emitted per row: the updated level,
+    trend, and THIS slot's updated seasonal. NULL values emit the
+    carried (L, T) with a NULL seasonal and do not advance n (the
+    holt_linear_integer NULL contract).
+
+    fdiv portability: Python ``//`` floors; the oracle subtracts the
+    positive remainder before DuckDB's truncating ``//`` — load-
+    bearing on every downswing (trend) and on every below-level value
+    (seasonal deltas go negative by construction).
+
+    Topology: identical to holt_linear_integer — one hash exchange +
+    in-partition sort + ONE mapInPandas scan with a per-key carry that
+    survives Arrow batches. State is 2 + ``period`` BIGINTs per key.
+    """
+    if not 1 <= alpha_pct <= 100:
+        raise ValueError(f"alpha_pct in [1,100] required, got {alpha_pct}")
+    if not 0 <= beta_pct <= 100 or not 0 <= gamma_pct <= 100:
+        raise ValueError("beta_pct and gamma_pct in [0,100] required")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"holt_winters_integer needs an integer value column, got {vtype.simpleString()}"
+        )
+    keys = _key_names(key_cols, "holt_winters_integer")
+    order = _key_names(order_cols, "holt_winters_integer")
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(level_col, LongType(), True),
+            StructField(trend_col, LongType(), True),
+            StructField(season_col, LongType(), True),
+        ]
+    )
+    a, b, g, m = int(alpha_pct), int(beta_pct), int(gamma_pct), int(period)
+
+    def _scan(batches):
+        import pandas as _pd
+
+        state: dict = {}  # key -> [L, T, [S_0..S_{m-1}], n]
+        for pdf in batches:
+            lv, tv, sv = [], [], []
+            kcols = [pdf[k] for k in keys]
+            xs = pdf["_hx"]
+            nulls = pdf["_hn"]
+            for i in range(len(pdf)):
+                k = tuple(c.iloc[i] for c in kcols)
+                st = state.get(k)
+                if bool(nulls.iloc[i]):
+                    lv.append(st[0] if st else None)
+                    tv.append(st[1] if st else None)
+                    sv.append(None)
+                    continue
+                x = int(xs.iloc[i])
+                if st is None:
+                    st = [x, 0, [0] * m, 1]
+                    lv.append(x)
+                    tv.append(0)
+                    sv.append(0)
+                    state[k] = st
+                    continue
+                L, T, S, n = st
+                idx = n % m
+                L2 = (a * (x - S[idx]) + (100 - a) * (L + T)) // 100
+                T2 = (b * (L2 - L) + (100 - b) * T) // 100
+                S[idx] = (g * (x - L2) + (100 - g) * S[idx]) // 100
+                st[0], st[1], st[3] = L2, T2, n + 1
+                lv.append(L2)
+                tv.append(T2)
+                sv.append(S[idx])
+            pdf[level_col] = _pd.array(lv, dtype="Int64")
+            pdf[trend_col] = _pd.array(tv, dtype="Int64")
+            pdf[season_col] = _pd.array(sv, dtype="Int64")
+            yield pdf.drop(columns=["_hx", "_hn"])
+
+    if "_hx" in df.columns or "_hn" in df.columns:
+        raise ValueError("input already has a _hx/_hn column (reserved staging names)")
+    staged = df.withColumn(
+        "_hx", F.coalesce(F.col(value_col).cast("long"), F.lit(0).cast("long"))
+    ).withColumn("_hn", F.col(value_col).isNull())
+    rep = staged.repartition(*keys).sortWithinPartitions(*(keys + order))
+    return rep.mapInPandas(_scan, schema=out_schema)
+
+
 def cusum_integer(
     df: DataFrame,
     key_cols: Sequence[str],

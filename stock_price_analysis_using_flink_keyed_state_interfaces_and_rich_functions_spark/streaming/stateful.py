@@ -604,6 +604,120 @@ def holt_integer_stream(
     )
 
 
+def holt_winters_integer_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    period: int = 7,
+    alpha_pct: int = 20,
+    beta_pct: int = 10,
+    gamma_pct: int = 10,
+    level_col: str = "level_int",
+    trend_col: str = "trend_int",
+    season_col: str = "season_int",
+) -> DataFrame:
+    """Streaming twin of ``operators/stateful.py:holt_winters_integer``
+    — additive triple smoothing with (2 + period) BIGINTs of carried
+    state per key (level, trend, the seasonal ring serialized as a
+    CSV string — GroupState rows keep to scalar fields — plus the
+    non-NULL step counter that addresses the ring), one output row per
+    input row, bit-identical to the batch fold at any micro-batch
+    chunking (pure integer arithmetic: chunked replay IS the unchunked
+    fold). NULLs emit the carried (level, trend) with a NULL seasonal
+    and advance nothing, the batch contract."""
+    if not 1 <= alpha_pct <= 100:
+        raise ValueError(f"alpha_pct in [1,100] required, got {alpha_pct}")
+    if not 0 <= beta_pct <= 100 or not 0 <= gamma_pct <= 100:
+        raise ValueError("beta_pct and gamma_pct in [0,100] required")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType
+
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, LongType) and vtype.simpleString() not in ("int", "smallint", "tinyint"):
+        raise TypeError(
+            f"holt_winters_integer_stream needs an integer value column, got {vtype.simpleString()}"
+        )
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [
+            StructField(value_col, LongType()),
+            StructField(level_col, LongType()),
+            StructField(trend_col, LongType()),
+            StructField(season_col, LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("l", LongType()),
+            StructField("t", LongType()),
+            StructField("n", LongType()),
+            StructField("s", StringType()),
+        ]
+    )
+    keys = list(key_cols)
+    order = list(order_cols)
+    a, b, g, m = int(alpha_pct), int(beta_pct), int(gamma_pct), int(period)
+    vcol = value_col
+
+    def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            L, T, n, s_csv = state.get
+            L, T, n = int(L), int(T), int(n)
+            S = [int(v) for v in s_csv.split(",")]
+        else:
+            L = T = None
+            n = 0
+            S = [0] * m
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
+            xs_out, lv, tv, sv = [], [], [], []
+            for xf, xn in zip(pdf["_hx"], pdf["_hn"]):
+                if bool(xn):
+                    xs_out.append(None)
+                    lv.append(L)
+                    tv.append(T)
+                    sv.append(None)
+                    continue
+                x = int(xf)
+                if L is None:
+                    L, T, n = x, 0, 1
+                    xs_out.append(x)
+                    lv.append(L)
+                    tv.append(T)
+                    sv.append(0)
+                    continue
+                idx = n % m
+                L2 = (a * (x - S[idx]) + (100 - a) * (L + T)) // 100
+                T = (b * (L2 - L) + (100 - b) * T) // 100
+                S[idx] = (g * (x - L2) + (100 - g) * S[idx]) // 100
+                L = L2
+                n += 1
+                xs_out.append(x)
+                lv.append(L)
+                tv.append(T)
+                sv.append(S[idx])
+            out = pd.DataFrame({k: [kv] * len(pdf) for k, kv in zip(keys, key)})
+            out[vcol] = pd.array(xs_out, dtype="Int64")
+            out[level_col] = pd.array(lv, dtype="Int64")
+            out[trend_col] = pd.array(tv, dtype="Int64")
+            out[season_col] = pd.array(sv, dtype="Int64")
+            yield out
+        state.update((L, T, n, ",".join(str(v) for v in S)))
+
+    if "_hx" in df.columns or "_hn" in df.columns:
+        raise ValueError("input already has a _hx/_hn column (reserved staging names)")
+    staged = df.withColumn(
+        "_hx", F.coalesce(F.col(vcol).cast("long"), F.lit(0).cast("long"))
+    ).withColumn("_hn", F.col(vcol).isNull())
+    return staged.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def cusum_integer_stream(
     df: DataFrame,
     key_cols: Sequence[str],
