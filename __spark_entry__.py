@@ -11259,6 +11259,85 @@ FROM rec
 """
 
 
+def window_rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day trailing Pearson correlation between daily revenue and
+    daily order count — the co-movement monitor ("is revenue growth
+    just volume?") a finance dashboard draws as a band. Exact
+    integer-sum formulation over the calendar-bounded daily aggregate:
+    the five trailing sums (Σx, Σy, Σxy, Σx², Σy²) run in one RANGE
+    window over integer epoch-days (so gaps count as missing days, not
+    missing rows), every sum is BIGINT (cents×count products stay
+    ≤10¹⁸ for any 30-day window), and each day's r is ONE fixed-order
+    double over its exact sums, micro-snapped. Days with a degenerate
+    window (zero variance, e.g. a single-day window) emit NULL. One
+    unpartitioned RANGE window over ~2.5k calendar rows — the
+    documented time-domain-bounded exception."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("epoch_day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+    w = Window.orderBy("epoch_day").rangeBetween(-29, 0)
+    sums = daily.select(
+        "epoch_day",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    varx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vary = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    r = F.when(
+        (varx > 0) & (vary > 0),
+        F.floor(F.lit(1000000.0) * num / F.sqrt(varx * vary)).cast("long"),
+    )
+    return sums.select("epoch_day", "n_days", r.alias("r30_micro")).orderBy("epoch_day")
+
+
+_ROLLING_CORR_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), sums AS (
+  SELECT epoch_day,
+         CAST(count(*) OVER w AS BIGINT) AS n_days,
+         CAST(sum(x) OVER w AS BIGINT) AS sx,
+         CAST(sum(y) OVER w AS BIGINT) AS sy,
+         CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(sum(y * y) OVER w AS BIGINT) AS syy
+  FROM daily
+  WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT epoch_day, n_days,
+       CASE WHEN (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN CAST(floor(1000000.0
+                 * (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)
+       END AS r30_micro
+FROM sums ORDER BY epoch_day
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -11580,6 +11659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_step_latency": events_funnel_step_latency,
         "agg_spearman_price_qty": agg_spearman_price_qty,
         "window_holtwinters_daily_revenue": window_holtwinters_daily_revenue,
+        "window_rolling_corr_daily": window_rolling_corr_daily,
     }
 
 
@@ -11836,4 +11916,5 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel_step_latency": _FUNNEL_LATENCY_SQL,
         "agg_spearman_price_qty": _SPEARMAN_SQL,
         "window_holtwinters_daily_revenue": _holtwinters_sql(),
+        "window_rolling_corr_daily": _ROLLING_CORR_SQL,
     }

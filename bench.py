@@ -160,6 +160,13 @@ HEADLINE = [
     "join_levenshtein_dirty_customers",
     "text_keyword_textrank",
     "graph_kcore_copurchase",
+    # round-7 late batch: smoothing-ladder top, rank correlation,
+    # funnel latency, rolling co-movement — rows above remain
+    # unchanged for cross-round comparability.
+    "window_holtwinters_daily_revenue",
+    "agg_spearman_price_qty",
+    "events_funnel_step_latency",
+    "window_rolling_corr_daily",
 ]
 
 
