@@ -11338,6 +11338,96 @@ FROM sums ORDER BY epoch_day
 """
 
 
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix for the n-gram language
+    identifier against the labeled ``lang`` column — the quality report
+    a curation pipeline publishes before trusting a heuristic filter:
+    one row per (true, predicted) cell with the cell count, the true-
+    class and predicted-class totals, per-cell recall/precision micro
+    ratios, and the overall accuracy on every row. Everything happens
+    on the |langs|² cell aggregate after one groupBy of the scored
+    docs (marginals are two more groupBys of the CELLS, never the
+    docs; the accuracy total rides the documented bounded
+    unpartitioned window)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        language_id,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = language_id(docs, "text").select("lang", "predicted_lang")
+    cells = scored.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    rt = cells.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("true_total"))
+    ct = cells.groupBy("predicted_lang").agg(
+        F.sum("n_docs").cast("long").alias("pred_total")
+    )
+    j = cells.join(F.broadcast(rt), "lang").join(F.broadcast(ct), "predicted_lang")
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hit = F.when(F.col("lang") == F.col("predicted_lang"), F.col("n_docs")).otherwise(
+        F.lit(0)
+    )
+    return (
+        j.withColumn(
+            "recall_micro", F.expr("CAST((n_docs * 1000000) div true_total AS BIGINT)")
+        )
+        .withColumn(
+            "precision_micro",
+            F.expr("CAST((n_docs * 1000000) div pred_total AS BIGINT)"),
+        )
+        .withColumn(
+            "accuracy_micro",
+            F.expr(
+                "CAST((sum(CASE WHEN lang = predicted_lang THEN n_docs ELSE 0 END)"
+                " OVER () * 1000000) div (sum(n_docs) OVER ()) AS BIGINT)"
+            ),
+        )
+        .select(
+            "lang",
+            "predicted_lang",
+            "n_docs",
+            "true_total",
+            "pred_total",
+            "recall_micro",
+            "precision_micro",
+            "accuracy_micro",
+        )
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+_LANGID_CONFUSION_SQL = """
+WITH t AS (
+  SELECT lang, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), s AS (
+  SELECT lang,
+    CAST(len(list_intersect(tok, ['der','die','und','das','ist'])) AS VARCHAR) || 'de' AS s_de,
+    CAST(len(list_intersect(tok, ['the','and','of','to','is'])) AS VARCHAR) || 'en' AS s_en,
+    CAST(len(list_intersect(tok, ['el','la','de','que','es'])) AS VARCHAR) || 'es' AS s_es,
+    CAST(len(list_intersect(tok, ['le','la','et','les','est'])) AS VARCHAR) || 'fr' AS s_fr,
+    CAST(len(list_intersect(tok, ['的','是','了','在','和'])) AS VARCHAR) || 'zh' AS s_zh
+  FROM t
+), scored AS (
+  SELECT lang,
+         CASE WHEN substr(greatest(s_de, s_en, s_es, s_fr, s_zh), 1, 1) = '0' THEN 'und'
+              ELSE substr(greatest(s_de, s_en, s_es, s_fr, s_zh), 2) END AS predicted_lang
+  FROM s
+), cells AS (
+  SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM scored GROUP BY 1, 2
+), rt AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS true_total FROM cells GROUP BY 1),
+ct AS (SELECT predicted_lang, CAST(sum(n_docs) AS BIGINT) AS pred_total FROM cells GROUP BY 1)
+SELECT c.lang, c.predicted_lang, c.n_docs, rt.true_total, ct.pred_total,
+       CAST((c.n_docs * 1000000) // rt.true_total AS BIGINT) AS recall_micro,
+       CAST((c.n_docs * 1000000) // ct.pred_total AS BIGINT) AS precision_micro,
+       CAST((sum(CASE WHEN c.lang = c.predicted_lang THEN c.n_docs ELSE 0 END) OVER ()
+             * 1000000) // (sum(c.n_docs) OVER ()) AS BIGINT) AS accuracy_micro
+FROM cells c JOIN rt USING (lang) JOIN ct USING (predicted_lang)
+ORDER BY c.lang, c.predicted_lang
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -11660,6 +11750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_spearman_price_qty": agg_spearman_price_qty,
         "window_holtwinters_daily_revenue": window_holtwinters_daily_revenue,
         "window_rolling_corr_daily": window_rolling_corr_daily,
+        "text_langid_confusion": text_langid_confusion,
     }
 
 
@@ -11917,4 +12008,5 @@ def oracle_sql() -> dict[str, str]:
         "agg_spearman_price_qty": _SPEARMAN_SQL,
         "window_holtwinters_daily_revenue": _holtwinters_sql(),
         "window_rolling_corr_daily": _ROLLING_CORR_SQL,
+        "text_langid_confusion": _LANGID_CONFUSION_SQL,
     }
