@@ -11428,6 +11428,90 @@ ORDER BY c.lang, c.predicted_lang
 """
 
 
+def agg_welch_ttest_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the 1995-vs-1996 order-price
+    split — the parametric companion to the KS and Mann–Whitney tests
+    on the same shift: t = (x̄₁−x̄₂)/√(s₁²/n₁ + s₂²/n₂) with the
+    Welch–Satterthwaite degrees of freedom. Both groups reduce to
+    exactly three numbers each — n (BIGINT), Σx (BIGINT), Σx²
+    (DECIMAL(38,0)/HUGEINT: cents² terms pass 10¹⁸ within ~10⁴ rows) —
+    in ONE map-side-combinable aggregate over the fact scan, and t and
+    df are each one fixed-order double over those exact sums,
+    micro-snapped. The whole statistic ships as a single row."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    g = o.filter(yr.isin(1995, 1996)).select(
+        (yr == 1995).cast("long").alias("is1"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    sums = g.agg(
+        F.sum("is1").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("is1")).cast("long").alias("n2"),
+        F.sum(F.col("is1") * F.col("v")).cast("long").alias("s1"),
+        F.sum((F.lit(1) - F.col("is1")) * F.col("v")).cast("long").alias("s2"),
+        F.sum(
+            (F.col("is1") * F.col("v") * F.col("v")).cast("decimal(38,0)")
+        ).alias("_q1"),
+        F.sum(
+            ((F.lit(1) - F.col("is1")) * F.col("v") * F.col("v")).cast("decimal(38,0)")
+        ).alias("_q2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    var1 = (F.col("_q1").cast("double") - n1 * m1 * m1) / (n1 - 1)
+    var2 = (F.col("_q2").cast("double") - n2 * m2 * m2) / (n2 - 1)
+    a = var1 / n1
+    b = var2 / n2
+    t = (m1 - m2) / F.sqrt(a + b)
+    df = (a + b) * (a + b) / (a * a / (n1 - 1) + b * b / (n2 - 1))
+    return sums.select(
+        "n1",
+        "n2",
+        F.floor(F.lit(100.0) * m1).cast("long").alias("mean1_microcents_x100"),
+        F.floor(F.lit(100.0) * m2).cast("long").alias("mean2_microcents_x100"),
+        F.floor(F.lit(1000000.0) * t).cast("long").alias("t_micro"),
+        F.floor(F.lit(1000000.0) * df).cast("long").alias("df_micro"),
+    )
+
+
+def _welch_sql() -> str:
+    """Generated so the t/df expressions can name the shared a/b terms
+    with DuckDB lateral column aliases and square with explicit
+    self-multiplication — pow(x, 2) is NOT bit-guaranteed to equal
+    x*x, and the Spark side multiplies. Expression association order
+    mirrors the Spark column expressions exactly."""
+    return """
+WITH g AS (
+  SELECT CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END AS is1,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+), sums AS (
+  SELECT CAST(sum(is1) AS BIGINT) AS n1, CAST(sum(1 - is1) AS BIGINT) AS n2,
+         CAST(sum(is1 * v) AS BIGINT) AS s1, CAST(sum((1 - is1) * v) AS BIGINT) AS s2,
+         sum(CAST(is1 AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q1,
+         sum(CAST(1 - is1 AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q2
+  FROM g
+), terms AS (
+  SELECT n1, n2, s1, s2,
+         CAST(n1 AS DOUBLE) AS dn1, CAST(n2 AS DOUBLE) AS dn2,
+         CAST(s1 AS DOUBLE) / dn1 AS m1,
+         CAST(s2 AS DOUBLE) / dn2 AS m2,
+         ((CAST(q1 AS DOUBLE) - dn1 * m1 * m1) / (dn1 - 1)) / dn1 AS a,
+         ((CAST(q2 AS DOUBLE) - dn2 * m2 * m2) / (dn2 - 1)) / dn2 AS b
+  FROM sums
+)
+SELECT n1, n2,
+       CAST(floor(100.0 * m1) AS BIGINT) AS mean1_microcents_x100,
+       CAST(floor(100.0 * m2) AS BIGINT) AS mean2_microcents_x100,
+       CAST(floor(1000000.0 * ((m1 - m2) / sqrt(a + b))) AS BIGINT) AS t_micro,
+       CAST(floor(1000000.0 * ((a + b) * (a + b)
+                  / (a * a / (dn1 - 1) + b * b / (dn2 - 1)))) AS BIGINT) AS df_micro
+FROM terms
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -11751,6 +11835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_holtwinters_daily_revenue": window_holtwinters_daily_revenue,
         "window_rolling_corr_daily": window_rolling_corr_daily,
         "text_langid_confusion": text_langid_confusion,
+        "agg_welch_ttest_price_shift": agg_welch_ttest_price_shift,
     }
 
 
@@ -12009,4 +12094,5 @@ def oracle_sql() -> dict[str, str]:
         "window_holtwinters_daily_revenue": _holtwinters_sql(),
         "window_rolling_corr_daily": _ROLLING_CORR_SQL,
         "text_langid_confusion": _LANGID_CONFUSION_SQL,
+        "agg_welch_ttest_price_shift": _welch_sql(),
     }
