@@ -48,11 +48,15 @@ def pair_lift(
     counts), ``support_micro`` (c_ab/N in micro-units) and
     ``lift_micro`` (micro-units). Unordered — callers rank/limit.
     """
+    # Lazy lineage cut: the distinct (basket, item) table feeds FOUR
+    # consumers (basket count, item counts, both self-join sides) —
+    # uncut, each one re-runs the fact scan + distinct shuffle.
     items = (
         df.select(
             F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_baskets = items.select("_basket").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("_n")

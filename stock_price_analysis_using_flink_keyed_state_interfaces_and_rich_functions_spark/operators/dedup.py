@@ -761,10 +761,14 @@ def containment_prefix_pairs(
     sides, matching the oracle's ``len(toks) >= k`` guard.
     """
     toks = _tokens(text_col)
+    # k zipped shifted slices, not transform + per-element slice (the
+    # per-element re-split trap — see _word_shingles); bit-identical.
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, F.size(toks) - shingle_k + 1) for j in range(shingle_k)]
+    )
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - shingle_k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_k)),
+            zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(shingle_k)])
         )
     )
     sh = (
