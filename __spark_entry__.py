@@ -11512,6 +11512,95 @@ FROM terms
 """
 
 
+def agg_theilsen_slope_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per nation: the MEDIAN of all pairwise
+    yearly-revenue slopes — the estimator that shrugs at one anomalous
+    year where least squares (agg_trend_slope_nation, its fragile
+    companion) gets dragged. The pairwise set is VALUE-DOMAIN bounded:
+    C(|years|, 2) ≈ 21 fractions per nation regardless of data volume,
+    so the per-nation ranking window is the documented bounded
+    exception. Each slope stays an exact BIGINT fraction (dy, dx with
+    dx > 0); the ordering key is the one fixed-order double dy/dx
+    (identical IEEE division in both engines) with the exact (dy, dx)
+    pair as tiebreak, and the LOWER median (⌈n/2⌉-th) is emitted as
+    numerator/denominator plus the micro ratio — no float ever decides
+    anything except via that bit-identical division."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n_ = _t(spark, sf_dir, "nation")
+    yearly = (
+        o.join(c.select("c_custkey", "c_nationkey"), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n_.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    a = yearly.select("n_name", F.col("yr").alias("x1"), F.col("cents").alias("y1"))
+    b = yearly.select("n_name", F.col("yr").alias("x2"), F.col("cents").alias("y2"))
+    pairs = (
+        a.join(b, "n_name")
+        .filter(F.col("x1") < F.col("x2"))
+        .select(
+            "n_name",
+            (F.col("y2") - F.col("y1")).cast("long").alias("dy"),
+            (F.col("x2") - F.col("x1")).cast("long").alias("dx"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        (F.col("dy").cast("double") / F.col("dx").cast("double")).asc(),
+        F.asc("dy"),
+        F.asc("dx"),
+    )
+    ranked = pairs.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_pairs", F.count(F.lit(1)).over(Window.partitionBy("n_name"))
+    )
+    med = ranked.filter(2 * F.col("rk") == F.col("n_pairs") + (F.col("n_pairs") % 2))
+    return med.select(
+        "n_name",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("dy").alias("slope_num"),
+        F.col("dx").alias("slope_den"),
+        F.floor(F.lit(1000000.0) * F.col("dy").cast("double") / F.col("dx").cast("double"))
+        .cast("long")
+        .alias("theilsen_micro_cents_per_year"),
+    ).orderBy("n_name")
+
+
+_THEILSEN_SQL = """
+WITH yearly AS (
+  SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.n_name,
+         CAST(b.cents - a.cents AS BIGINT) AS dy,
+         CAST(b.yr - a.yr AS BIGINT) AS dx
+  FROM yearly a JOIN yearly b ON a.n_name = b.n_name AND a.yr < b.yr
+), ranked AS (
+  SELECT n_name, dy, dx,
+         CAST(row_number() OVER (PARTITION BY n_name
+              ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE), dy, dx) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n_pairs
+  FROM pairs
+)
+SELECT n_name, n_pairs, dy AS slope_num, dx AS slope_den,
+       CAST(floor(1000000.0 * CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE)) AS BIGINT)
+         AS theilsen_micro_cents_per_year
+FROM ranked
+WHERE 2 * rk = n_pairs + (n_pairs % 2)
+ORDER BY n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -11836,6 +11925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rolling_corr_daily": window_rolling_corr_daily,
         "text_langid_confusion": text_langid_confusion,
         "agg_welch_ttest_price_shift": agg_welch_ttest_price_shift,
+        "agg_theilsen_slope_nation": agg_theilsen_slope_nation,
     }
 
 
@@ -12095,4 +12185,5 @@ def oracle_sql() -> dict[str, str]:
         "window_rolling_corr_daily": _ROLLING_CORR_SQL,
         "text_langid_confusion": _LANGID_CONFUSION_SQL,
         "agg_welch_ttest_price_shift": _welch_sql(),
+        "agg_theilsen_slope_nation": _THEILSEN_SQL,
     }
