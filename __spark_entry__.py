@@ -11601,6 +11601,120 @@ ORDER BY n_name
 """
 
 
+def similarity_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier eval on the embeddings table — the
+    "are these labels even separable" sanity report an embedding
+    pipeline runs before training anything: assign every vector to the
+    label whose (self-inclusive) centroid it is most cosine-similar
+    to, then emit the (true, predicted) confusion cells with class
+    totals and overall accuracy (the text_langid_confusion shape on a
+    vector column).
+
+    Portability scheme: components snap to exact milli-units
+    (floor(x·1000) — BIGINT), per-(label, dim) centroid SUMS are exact
+    integer aggregates (sums, not means: cosine is scale-invariant so
+    the count division cancels from the argmax), per-(vector, label)
+    dots and per-label norms² are exact BIGINTs, and the ranking score
+    dot/√(norm²) is one fixed-order double over identical integers in
+    both engines — the argmax (label ASC tiebreak) therefore cannot
+    diverge. Cost shape: |vectors|·dims·|labels| scored rows with
+    |labels| bounded (the label-domain centroid table broadcasts);
+    the per-vector argmax window holds |labels| rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ve = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode(
+            F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+            )
+        ).alias("i", "xi"),
+    )
+    cent = ve.groupBy(F.col("true_label").alias("c_label"), "i").agg(
+        F.sum("xi").cast("long").alias("s")
+    )
+    cl2 = cent.groupBy("c_label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("c2")
+    )
+    dots = (
+        ve.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "true_label", "c_label")
+        .agg(F.sum(F.col("xi") * F.col("s")).cast("long").alias("dot"))
+        .join(F.broadcast(cl2), "c_label")
+    )
+    score = F.col("dot").cast("double") / F.sqrt(F.col("c2").cast("double"))
+    w = Window.partitionBy("vec_id").orderBy(score.desc(), F.asc("c_label"))
+    pred = (
+        dots.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("true_label", F.col("c_label").alias("pred_label"))
+    )
+    cells = pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    rt = cells.groupBy("true_label").agg(
+        F.sum("n_vecs").cast("long").alias("true_total")
+    )
+    return (
+        cells.join(F.broadcast(rt), "true_label")
+        .withColumn(
+            "recall_micro", F.expr("CAST((n_vecs * 1000000) div true_total AS BIGINT)")
+        )
+        .withColumn(
+            "accuracy_micro",
+            F.expr(
+                "CAST((sum(CASE WHEN true_label = pred_label THEN n_vecs ELSE 0 END)"
+                " OVER () * 1000000) div (sum(n_vecs) OVER ()) AS BIGINT)"
+            ),
+        )
+        .select(
+            "true_label",
+            "pred_label",
+            "n_vecs",
+            "true_total",
+            "recall_micro",
+            "accuracy_micro",
+        )
+        .orderBy("true_label", "pred_label")
+    )
+
+
+_CENTROID_CONFUSION_SQL = """
+WITH ve AS (
+  SELECT vec_id, label AS true_label, i - 1 AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS xi
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+), cent AS (
+  SELECT true_label AS c_label, i, CAST(sum(xi) AS BIGINT) AS s
+  FROM ve GROUP BY 1, 2
+), cl2 AS (
+  SELECT c_label, CAST(sum(s * s) AS BIGINT) AS c2 FROM cent GROUP BY 1
+), dots AS (
+  SELECT ve.vec_id, ve.true_label, cent.c_label,
+         CAST(sum(ve.xi * cent.s) AS BIGINT) AS dot
+  FROM ve JOIN cent ON cent.i = ve.i
+  GROUP BY 1, 2, 3
+), pred AS (
+  SELECT true_label, c_label AS pred_label
+  FROM dots JOIN cl2 USING (c_label)
+  QUALIFY row_number() OVER (
+      PARTITION BY vec_id
+      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(c2 AS DOUBLE)) DESC, c_label) = 1
+), cells AS (
+  SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM pred GROUP BY 1, 2
+), rt AS (
+  SELECT true_label, CAST(sum(n_vecs) AS BIGINT) AS true_total FROM cells GROUP BY 1
+)
+SELECT c.true_label, c.pred_label, c.n_vecs, rt.true_total,
+       CAST((c.n_vecs * 1000000) // rt.true_total AS BIGINT) AS recall_micro,
+       CAST((sum(CASE WHEN c.true_label = c.pred_label THEN c.n_vecs ELSE 0 END) OVER ()
+             * 1000000) // (sum(c.n_vecs) OVER ()) AS BIGINT) AS accuracy_micro
+FROM cells c JOIN rt USING (true_label)
+ORDER BY c.true_label, c.pred_label
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -11926,6 +12040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_confusion": text_langid_confusion,
         "agg_welch_ttest_price_shift": agg_welch_ttest_price_shift,
         "agg_theilsen_slope_nation": agg_theilsen_slope_nation,
+        "similarity_centroid_confusion": similarity_centroid_confusion,
     }
 
 
@@ -12186,4 +12301,5 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_confusion": _LANGID_CONFUSION_SQL,
         "agg_welch_ttest_price_shift": _welch_sql(),
         "agg_theilsen_slope_nation": _THEILSEN_SQL,
+        "similarity_centroid_confusion": _CENTROID_CONFUSION_SQL,
     }
