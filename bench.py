@@ -167,6 +167,8 @@ HEADLINE = [
     "agg_spearman_price_qty",
     "events_funnel_step_latency",
     "window_rolling_corr_daily",
+    "agg_theilsen_slope_nation",
+    "similarity_centroid_confusion",
 ]
 
 

@@ -684,3 +684,77 @@ def read_skyline_frontier(spark, root: str) -> DataFrame:
     if not dirs:
         raise FileNotFoundError(f"no skyline frontier batches under {root}")
     return spark.read.parquet(dirs[-1])
+
+
+def streaming_k_anonymity(
+    df: DataFrame,
+    root: str,
+    qi_cols: Sequence[str],
+) -> None:
+    """Streaming k-anonymity monitor: after each micro-batch the store
+    holds the quasi-identifier equivalence-class census of EVERYTHING
+    ingested so far — the privacy gate a release pipeline keeps next
+    to its ingest, so a batch that would drop the release's k below
+    policy is visible the moment it lands. Class counts are additive
+    (count(A ∪ B) = count(A) + count(B) per class), so state is the
+    QI-domain-bounded class-count table, never the rows: each
+    micro-batch aggregates itself map-side, full-outer-merges with the
+    latest prior census, and overwrites ``root/b=<batch_id>``
+    (retry-idempotent: a batch reads only censuses with id < its own —
+    the signature-store contract). Read the current k with
+    :func:`read_k_anonymity`."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    cols = list(qi_cols)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = batch_df.groupBy(*cols).agg(
+            F.count(F.lit(1)).cast("long").alias("class_size")
+        )
+        prior_dirs = [
+            p
+            for p in glob.glob(os.path.join(root, "b=*"))
+            if int(p.rsplit("=", 1)[1]) < batch_id
+        ]
+        if prior_dirs:
+            latest = max(prior_dirs, key=lambda p: int(p.rsplit("=", 1)[1]))
+            prev = spark.read.parquet(latest)
+            cur = (
+                cur.withColumnRenamed("class_size", "_new")
+                .join(prev.withColumnRenamed("class_size", "_old"), cols, "full_outer")
+                .select(
+                    *cols,
+                    (
+                        F.coalesce(F.col("_new"), F.lit(0))
+                        + F.coalesce(F.col("_old"), F.lit(0))
+                    ).cast("long").alias("class_size"),
+                )
+            )
+        cur.write.mode("overwrite").parquet(os.path.join(root, f"b={batch_id}"))
+
+    run_stream_foreach_batch(df, _ingest, output_mode="append")
+
+
+def read_k_anonymity(spark, root: str) -> DataFrame:
+    """Current census of a :func:`streaming_k_anonymity` run (highest
+    ``b=`` dir) with the release's k — min class size — on every row."""
+    import glob
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    dirs = sorted(
+        glob.glob(os.path.join(root, "b=*")), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    if not dirs:
+        raise FileNotFoundError(f"no k-anonymity censuses under {root}")
+    census = spark.read.parquet(dirs[-1])
+    w = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return census.withColumn(
+        "k_anonymity", F.min("class_size").over(w).cast("long")
+    )

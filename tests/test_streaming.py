@@ -1776,3 +1776,58 @@ def test_holt_winters_integer_stream_parity_with_batch(spark):
         for (k, seq, v) in rows:
             batch_by_value[(k, v)] = batch[(k, seq)]
         assert streamed == batch_by_value
+
+
+def test_streaming_k_anonymity_matches_batch(spark, tmp_path):
+    """Cross-batch census maintenance: the streamed k-anonymity census
+    after 3 micro-batches equals the one-shot batch census over the
+    unioned rows — including a class whose k rises above 1 only once a
+    later batch lands (the additive-merge path), and replay
+    determinism into a fresh root."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.windows import (
+        read_k_anonymity,
+        streaming_k_anonymity,
+    )
+
+    b1 = [("DE", "AUTO"), ("DE", "AUTO"), ("FR", "FOOD")]
+    b2 = [("FR", "FOOD"), ("US", "TECH")]       # FR/FOOD leaves k=1; US/TECH enters at 1
+    b3 = [("US", "TECH"), ("DE", "AUTO")]
+    schema = "nation string, segment string"
+    in_dir = str(tmp_path / "rows_in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate([b1, b2, b3], 1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"f{i}")
+        )
+        os.utime(os.path.join(in_dir, f"f{i}"), (1_000_000 * i, 1_000_000 * i))
+
+    def run(root):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(in_dir, "*"))
+        )
+        streaming_k_anonymity(stream, root, ["nation", "segment"])
+        return {
+            (r["nation"], r["segment"]): (r["class_size"], r["k_anonymity"])
+            for r in read_k_anonymity(spark, root).collect()
+        }
+
+    got = run(str(tmp_path / "ka_a"))
+    allrows = spark.createDataFrame(b1 + b2 + b3, schema)
+    batch = {
+        (r["nation"], r["segment"]): r["n"]
+        for r in allrows.groupBy("nation", "segment").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    k = min(batch.values())
+    want = {cls: (n, k) for cls, n in batch.items()}
+    assert got == want == {
+        ("DE", "AUTO"): (3, 2), ("FR", "FOOD"): (2, 2), ("US", "TECH"): (2, 2),
+    }
+    assert run(str(tmp_path / "ka_b")) == got
