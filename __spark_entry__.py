@@ -11743,7 +11743,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (MinHash-LSH/HLL/KLL/EWMA/zlib) live past the window, pinned by
     pytest and exercised by bench. The rotation-policy test
     (tests/test_entry_contract.py) enforces all of this mechanically
-    against the committed artifacts.
+    against the committed artifacts — counting only GREEN rows as
+    coverage, so a crashed/red row keeps its claim on a slot.
+
+    ROUND-7 NOTE: no round-6 correctness artifact ever landed, so the
+    round-6 window below is still the live never-checked backlog head
+    and stays in place; the 26 round-7 oracled additions queue PAST
+    the window (all gate-green under tools/check_correctness.py) and
+    form the next rotation's backlog together with it.
     """
     return {
         # ====== ROUND-6 DRIVER CHECK WINDOW (first 50 entries) ======
