@@ -67,14 +67,38 @@ EXTRA = [
 
 def _has_unpartitioned_window(simple: str) -> bool:
     """True if any WindowExec in the plan has an EMPTY partition spec —
-    the single-task global-sort shape the r5 verdict flagged. In simple
-    explain a Window line prints '[functions], [partition], [order]'
-    (two top-level '], [' separators) when partitioned and only
-    '[functions], [order]' (one separator) when not."""
-    for line in simple.splitlines():
-        if re.search(r"\bWindow \[", line):
-            if line.count("], [") < 2:
-                return True
+    the single-task global-sort shape the r5 verdict flagged.
+
+    Counting '], [' separators is NOT enough: a partitioned-but-
+    UNORDERED window ('[funcs], [partition]') prints one separator,
+    exactly like a global ordered one ('[funcs], [order]') — the
+    round-7 Theil–Sen count-over-partition window false-positived on
+    that. Parse each windowspecdefinition instead: the args before
+    specifiedwindowframe are partition columns then order columns;
+    order columns are the ones carrying ASC/DESC markers, so the spec
+    is unpartitioned iff that prefix is empty or every top-level arg
+    is order-marked."""
+    for m in re.finditer(r"windowspecdefinition\((.*?)specifiedwindowframe", simple):
+        prefix = m.group(1).strip().rstrip(",").strip()
+        if not prefix:
+            return True
+        args, depth, cur = [], 0, ""
+        for ch in prefix:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                args.append(cur.strip())
+                cur = ""
+            else:
+                cur += ch
+        if cur.strip():
+            args.append(cur.strip())
+        if args and all(
+            a.endswith("NULLS FIRST") or a.endswith("NULLS LAST") for a in args
+        ):
+            return True
     return False
 
 
