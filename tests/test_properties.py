@@ -709,3 +709,49 @@ def test_ewma_integer_matches_python_reference_and_crosses_batches(spark):
     bad = spark.createDataFrame([("a", 1, 1.5)], "k string, i long, x double")
     with _pytest.raises(TypeError, match="integer value column"):
         ewma_integer(bad, ["k"], ["i"], "x")
+
+
+_lev_words = st.lists(
+    st.text(alphabet="abcx", min_size=0, max_size=6), min_size=1, max_size=12
+)
+
+
+@_settings
+@given(left_words=_lev_words, right_words=_lev_words)
+def test_levenshtein_neighborhood_join_recall_1_property(
+    spark, left_words, right_words
+):
+    """The Symmetric-Delete candidate tier must find EVERY pair at
+    ED <= 1 (recall 1) and the confirm must keep nothing past it —
+    checked against a brute-force DP over random short strings from a
+    tiny alphabet (maximizing collisions, empty strings included)."""
+    import itertools
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.joins import (
+        levenshtein_neighborhood_join,
+    )
+
+    def ed(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    lrows = list(enumerate(left_words))
+    rrows = [(100 + i, w) for i, w in enumerate(right_words)]
+    left = spark.createDataFrame(lrows, "id long, name string")
+    right = spark.createDataFrame(rrows, "rid long, rname string")
+    got = {
+        (r["left_id"], r["right_id"]): r["edit_distance"]
+        for r in levenshtein_neighborhood_join(
+            left, right, "id", "rid", "name", "rname"
+        ).collect()
+    }
+    want = {
+        (lid, rid): ed(lw, rw)
+        for (lid, lw), (rid, rw) in itertools.product(lrows, rrows)
+        if ed(lw, rw) <= 1
+    }
+    assert got == want
