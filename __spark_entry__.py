@@ -11715,6 +11715,82 @@ ORDER BY c.true_label, c.pred_label
 """
 
 
+def agg_hhi_region_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per region: the
+    sum of squared percentage revenue shares of the region's nations
+    (0–10 000 scale, the antitrust convention) — the one-number
+    "is this market a monopoly" companion to the Gini/Pareto
+    inequality reports. Per (region, nation) revenue is an exact-cent
+    aggregate; each nation's squared-share term is ONE fixed-order
+    double over exact BIGINTs, snapped to micro-points BEFORE the
+    per-region total (the chi-square scheme — the total is an exact
+    integer sum over nation-domain-bounded cells, summation order
+    moot). Two broadcast dimension hops, marginals from the cell
+    aggregate, nothing data-sized windows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n_ = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cells = (
+        o.join(c.select("c_custkey", "c_nationkey"), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n_.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = cells.groupBy("r_name").agg(F.sum("cents").cast("long").alias("rtot"))
+    share = F.col("cents").cast("double") / F.col("rtot")
+    scored = cells.join(F.broadcast(tot), "r_name").select(
+        "r_name",
+        "n_name",
+        "cents",
+        F.round(share * F.lit(100.0) * (share * F.lit(100.0)) * 1000000)
+        .cast("long")
+        .alias("sq_share_micropts"),
+    )
+    out = scored.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.sum("cents").cast("long").alias("region_cents"),
+        F.sum("sq_share_micropts").cast("long").alias("hhi_micropts"),
+    )
+    return out.orderBy("r_name")
+
+
+_HHI_SQL = """
+WITH cells AS (
+  SELECT r.r_name, n.n_name,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT r_name, CAST(sum(cents) AS BIGINT) AS rtot FROM cells GROUP BY 1
+), scored AS (
+  SELECT c.r_name, c.n_name, c.cents,
+         CAST(round((CAST(c.cents AS DOUBLE) / t.rtot * 100.0)
+                    * (CAST(c.cents AS DOUBLE) / t.rtot * 100.0)
+                    * 1000000) AS BIGINT) AS sq_share_micropts
+  FROM cells c JOIN tot t USING (r_name)
+)
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(cents) AS BIGINT) AS region_cents,
+       CAST(sum(sq_share_micropts) AS BIGINT) AS hhi_micropts
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -12049,6 +12125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_welch_ttest_price_shift": agg_welch_ttest_price_shift,
         "agg_theilsen_slope_nation": agg_theilsen_slope_nation,
         "similarity_centroid_confusion": similarity_centroid_confusion,
+        "agg_hhi_region_concentration": agg_hhi_region_concentration,
     }
 
 
@@ -12310,4 +12387,5 @@ def oracle_sql() -> dict[str, str]:
         "agg_welch_ttest_price_shift": _welch_sql(),
         "agg_theilsen_slope_nation": _THEILSEN_SQL,
         "similarity_centroid_confusion": _CENTROID_CONFUSION_SQL,
+        "agg_hhi_region_concentration": _HHI_SQL,
     }
