@@ -11791,6 +11791,113 @@ FROM scored GROUP BY 1 ORDER BY 1
 """
 
 
+def text_countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–Min sketch with EXPLICIT counters, fully oracle-replayable
+    — the portable-HLL precedent applied to frequency estimation
+    (Cormode & Muthukrishnan 2005): d=4 md5-derived hash rows × w=256
+    counters built in ONE groupBy of the exploded token stream (the
+    sketch is 1024 BIGINT cells regardless of corpus size — the
+    mergeable summary a 1000-executor job reduces map-side), then each
+    of the exact top-20 tokens is estimated as the MIN over its 4
+    cells and emitted next to its exact count and the guaranteed-
+    non-negative overestimate. Rows-only sketches (KLL/GK) exist where
+    replay is impossible; Count–Min's counters are plain modular-
+    bucketed sums, so DuckDB recomputes the identical sketch and the
+    driver hash-checks estimate == estimate, not just shape. Top-20 via
+    ranked_top_n (no unpartitioned window); the estimate join touches
+    20×4 broadcast cells."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.topk import (
+        ranked_top_n,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    rows_ = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    hashed = tok.select("token", rows_).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("token"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 256,
+    )
+    cm = hashed.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cell")
+    )
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    top = ranked_top_n(exact, [("exact_n", True), ("token", False)], 20)
+    est = (
+        top.select(
+            "token",
+            "exact_n",
+            "rk",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r"),
+        )
+        .withColumn(
+            "bucket",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("r").cast("string"), F.lit(":"), F.col("token"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256,
+        )
+        .join(F.broadcast(cm), ["r", "bucket"])
+        .groupBy("token", "exact_n", "rk")
+        .agg(F.min("cell").cast("long").alias("cm_estimate"))
+    )
+    return est.select(
+        "token",
+        "exact_n",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_n")).cast("long").alias("overestimate"),
+        "rk",
+    ).orderBy("rk")
+
+
+_COUNTMIN_SQL = r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+), hashed AS (
+  SELECT token, r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 8))::BIGINT % 256 AS bucket
+  FROM tok, unnest([0, 1, 2, 3]) AS u(r)
+), cm AS (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cell FROM hashed GROUP BY 1, 2
+), exact_ AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY 1
+), top AS (
+  SELECT token, exact_n,
+         CAST(row_number() OVER (ORDER BY exact_n DESC, token) AS BIGINT) AS rk
+  FROM exact_ ORDER BY exact_n DESC, token LIMIT 20
+), est AS (
+  SELECT t.token, t.exact_n, t.rk, CAST(min(cm.cell) AS BIGINT) AS cm_estimate
+  FROM top t, unnest([0, 1, 2, 3]) AS u(r)
+  JOIN cm ON cm.r = u.r
+         AND cm.bucket = ('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' || t.token), 1, 8))::BIGINT % 256
+  GROUP BY 1, 2, 3
+)
+SELECT token, exact_n, cm_estimate,
+       CAST(cm_estimate - exact_n AS BIGINT) AS overestimate, rk
+FROM est ORDER BY rk
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -12126,6 +12233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_theilsen_slope_nation": agg_theilsen_slope_nation,
         "similarity_centroid_confusion": similarity_centroid_confusion,
         "agg_hhi_region_concentration": agg_hhi_region_concentration,
+        "text_countmin_token_freq": text_countmin_token_freq,
     }
 
 
@@ -12388,4 +12496,5 @@ def oracle_sql() -> dict[str, str]:
         "agg_theilsen_slope_nation": _THEILSEN_SQL,
         "similarity_centroid_confusion": _CENTROID_CONFUSION_SQL,
         "agg_hhi_region_concentration": _HHI_SQL,
+        "text_countmin_token_freq": _COUNTMIN_SQL,
     }
