@@ -66,6 +66,8 @@ __all__ = [
     "cusum_integer_stream",
     "last_touch_attribution_stream",
     "conversion_paths_stream",
+    "holt_winters_integer_stream",
+    "funnel_stage_stream",
 ]
 
 
@@ -1027,5 +1029,77 @@ def conversion_paths_stream(
         state.update(tuple(padded[:depth]))
 
     return df.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def funnel_stage_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    type_col: str,
+    stages: Sequence[str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming funnel stage machine — the on-ingest face of the batch
+    events_funnel_conversion semantics: per key, stage k is entered by
+    the FIRST event of stage-k type at/after the stage-(k−1) entry
+    (stage 0 by its first event, full stop). State is one epoch-micros
+    BIGINT per stage; each micro-batch emits the key's CURRENT stage
+    snapshot (one row per key per batch that touched it — take the last
+    per key for the final funnel table). Events of a stage type that
+    arrive before the prior stage's entry do NOT advance the machine
+    (the batch contract: a click before the first view doesn't count),
+    and chunked replay equals the one-shot fold because entries are
+    first-hit latches over a total order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    n_stages = len(stages)
+    if n_stages < 2:
+        raise ValueError("need at least two stages")
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [StructField(f"stage{i}_us", LongType()) for i in range(n_stages)]
+        + [StructField("stage_reached", LongType())]
+    )
+    state_schema = StructType(
+        [StructField(f"s{i}", LongType()) for i in range(n_stages)]
+    )
+    keys = list(key_cols)
+    order = list(order_cols)
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        st = [None] * n_stages
+        if state.exists:
+            st = [None if v is None else int(v) for v in state.get]
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
+            for ts_us, etype in zip(pdf["_f_us"], pdf[type_col]):
+                i = stage_of.get(etype)
+                if i is None:
+                    continue
+                t = int(ts_us)
+                if i == 0:
+                    if st[0] is None:
+                        st[0] = t
+                elif st[i] is None and st[i - 1] is not None and t >= st[i - 1]:
+                    st[i] = t
+            out = pd.DataFrame({k: [kv] for k, kv in zip(keys, key)})
+            for i in range(n_stages):
+                out[f"stage{i}_us"] = pd.array([st[i]], dtype="Int64")
+            reached = 0
+            for i in range(n_stages):
+                if st[i] is not None:
+                    reached = i + 1
+            out["stage_reached"] = pd.array([reached], dtype="Int64")
+            yield out
+        state.update(tuple(st))
+
+    if "_f_us" in df.columns:
+        raise ValueError("input already has a _f_us column (reserved staging name)")
+    staged = df.withColumn("_f_us", F.unix_micros(F.col(order[0]).cast("timestamp")))
+    return staged.groupBy(*keys).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

@@ -1831,3 +1831,80 @@ def test_streaming_k_anonymity_matches_batch(spark, tmp_path):
         ("DE", "AUTO"): (3, 2), ("FR", "FOOD"): (2, 2), ("US", "TECH"): (2, 2),
     }
     assert run(str(tmp_path / "ka_b")) == got
+
+
+def test_funnel_stage_stream_matches_reference_fold(spark, tmp_path):
+    """Streaming funnel stage machine: first-hit latches per stage with
+    the batch qualifying rule (a stage-k event counts only at/after the
+    stage-(k-1) entry — a click BEFORE the first view is ignored), state
+    carried across 3 micro-batches, final snapshot per user equal to a
+    plain-Python fold of the ordered events."""
+    import datetime
+    import os
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.stateful import (
+        funnel_stage_stream,
+    )
+
+    T = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: click BEFORE view (ignored), then full funnel
+        (1, T(1), "click"), (1, T(2), "view"), (1, T(3), "click"), (1, T(4), "purchase"),
+        # u2: view only in batch 1, click arrives in batch 3 (cross-batch latch)
+        (2, T(1), "view"), (2, T(9), "click"),
+        # u3: purchase with no prior click — stays at stage 1
+        (3, T(2), "view"), (3, T(5), "purchase"),
+        # u4: never views — stage 0, clicks ignored
+        (4, T(1), "click"), (4, T(6), "click"),
+    ]
+    schema_str = "user_id long, ts timestamp, event_type string"
+    in_dir = str(tmp_path / "ev_in")
+    os.makedirs(in_dir)
+    batches = [rows[:4], rows[4:7], rows[7:]]
+    for i, chunk in enumerate(batches, 1):
+        spark.createDataFrame(chunk, schema_str).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"f{i}")
+        )
+        os.utime(os.path.join(in_dir, f"f{i}"), (1_000_000 * i, 1_000_000 * i))
+
+    stream = spark.readStream.schema(schema_str).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(os.path.join(in_dir, "*"))
+    out = funnel_stage_stream(stream, ["user_id"], ["ts"], "event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_par")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snaps = spark.sql(
+        "SELECT * FROM funnel_par"
+    ).collect()
+    # final snapshot = the row with the highest stage_reached per user
+    # (snapshots are monotone; ties pick either)
+    final = {}
+    for r in snaps:
+        cur = final.get(r["user_id"])
+        if cur is None or r["stage_reached"] >= cur["stage_reached"]:
+            final[r["user_id"]] = r
+
+    # plain-Python reference fold over the ordered events
+    want = {}
+    for uid in {u for u, _, _ in rows}:
+        ev = sorted([(ts, t) for u, ts, t in rows if u == uid])
+        st = [None, None, None]
+        for ts, t in ev:
+            i = {"view": 0, "click": 1, "purchase": 2}.get(t)
+            if i == 0 and st[0] is None:
+                st[0] = ts
+            elif i and st[i] is None and st[i - 1] is not None and ts >= st[i - 1]:
+                st[i] = ts
+        want[uid] = sum(1 for v in st if v is not None) if st[0] is not None else 0
+        # stage_reached counts the contiguous prefix; latches enforce that
+    assert {u: r["stage_reached"] for u, r in final.items()} == want == {
+        1: 3, 2: 2, 3: 1, 4: 0,
+    }
+    # cross-batch latch: u2's click (batch 3) must attach to the view (batch 2)
+    assert final[2]["stage1_us"] is not None and final[2]["stage0_us"] is not None
