@@ -11898,6 +11898,79 @@ FROM est ORDER BY rk
 """
 
 
+def agg_jsd_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the 1995 and 1996 order-
+    priority mixes — the CATEGORICAL drift statistic next to KS
+    (numeric ECDFs) and chi-square (independence): symmetric, bounded
+    by ln 2, zero iff the mixes match. Per priority cell, p = c₁/n₁
+    and q = c₂/n₂ are exact ratios, m = (p+q)/2, and the cell's
+    ½(p·ln(p/m) + q·ln(q/m)) contribution is ONE fixed-order double
+    over exact BIGINTs, snapped to micro-nats BEFORE the total (the
+    entropy/chi-square scheme — the JSD total is an exact integer sum
+    over the |priorities| cells). Zero-count cells contribute their
+    surviving term only (x·ln x → 0 as x → 0). The total rides the
+    documented bounded unpartitioned window (≤5 rows)."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    cells = (
+        o.filter(yr.isin(1995, 1996))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum((yr == 1995).cast("long")).cast("long").alias("c1"),
+            F.sum((yr == 1996).cast("long")).cast("long").alias("c2"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    p = F.col("c1").cast("double") / F.col("n1")
+    q = F.col("c2").cast("double") / F.col("n2")
+    m = (p + q) / 2
+    term = lambda x: F.when(x > 0, x * F.log(x / m)).otherwise(F.lit(0.0))  # noqa: E731
+    contrib = (term(p) + term(q)) / 2
+    scored = j.select(
+        "o_orderpriority",
+        "c1",
+        "c2",
+        F.round(contrib * 1000000).cast("long").alias("contrib_micronats"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return scored.withColumn(
+        "jsd_micronats", F.sum("contrib_micronats").over(w).cast("long")
+    ).orderBy("o_orderpriority")
+
+
+_JSD_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority,
+         CAST(sum(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM cells
+), scored AS (
+  SELECT o_orderpriority, c1, c2,
+         CAST(round((
+           (CASE WHEN CAST(c1 AS DOUBLE) / n1 > 0
+                 THEN (CAST(c1 AS DOUBLE) / n1)
+                      * ln((CAST(c1 AS DOUBLE) / n1)
+                           / ((CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2) / 2))
+                 ELSE 0.0 END
+            + CASE WHEN CAST(c2 AS DOUBLE) / n2 > 0
+                   THEN (CAST(c2 AS DOUBLE) / n2)
+                        * ln((CAST(c2 AS DOUBLE) / n2)
+                             / ((CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2) / 2))
+                   ELSE 0.0 END) / 2 * 1000000)) AS BIGINT) AS contrib_micronats
+  FROM cells CROSS JOIN tot
+)
+SELECT o_orderpriority, c1, c2, contrib_micronats,
+       CAST(sum(contrib_micronats) OVER () AS BIGINT) AS jsd_micronats
+FROM scored ORDER BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -12234,6 +12307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_centroid_confusion": similarity_centroid_confusion,
         "agg_hhi_region_concentration": agg_hhi_region_concentration,
         "text_countmin_token_freq": text_countmin_token_freq,
+        "agg_jsd_priority_shift": agg_jsd_priority_shift,
     }
 
 
@@ -12497,4 +12571,5 @@ def oracle_sql() -> dict[str, str]:
         "similarity_centroid_confusion": _CENTROID_CONFUSION_SQL,
         "agg_hhi_region_concentration": _HHI_SQL,
         "text_countmin_token_freq": _COUNTMIN_SQL,
+        "agg_jsd_priority_shift": _JSD_SQL,
     }
