@@ -755,3 +755,49 @@ def test_levenshtein_neighborhood_join_recall_1_property(
         if ed(lw, rw) <= 1
     }
     assert got == want
+
+
+_kcore_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw_edges=_kcore_edges, k=st.integers(1, 4))
+def test_kcore_peel_matches_brute_force_property(spark, raw_edges, k):
+    """Fixed-round peeling must equal the fixpoint of brute-force
+    peeling on random small graphs (10 nodes ≤ 25 edges converge well
+    inside 6 rounds), including in-core degrees and the converged
+    flag."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges})
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for u in [u for u, s in adj.items() if len(s) < k]:
+            for v in adj[u]:
+                adj[v].discard(u)
+            del adj[u]
+            changed = True
+    want = {u: len(s) for u, s in adj.items()}
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    kdf = spark.createDataFrame([(k,)], "k long")
+    rows = kcore_peel(df, kdf, rounds=6).collect()
+    got = {r["node"]: r["core_degree"] for r in rows}
+    assert got == want
+    # converged whenever a core exists (6 rounds >> the cascade depth here)
+    assert all(r["converged"] == 1 for r in rows)
