@@ -11971,6 +11971,61 @@ FROM scored ORDER BY o_orderpriority
 """
 
 
+def orders_customer_growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per order-day, total orders, NEW customers
+    (first-ever order that day) and the cumulative distinct customer
+    count — the acquisition curve every growth dashboard opens with.
+    Scale shape: "new" is a first-occurrence flag from one per-customer
+    MIN-date aggregate (never a running count-distinct over the fact
+    stream); the cumulative count is then a running SUM of the daily
+    new-customer aggregate via operators/windows.distributed_running_sum
+    (range partition + broadcast offsets — and the input is the
+    calendar-bounded day table anyway). One fact scan feeds both the
+    per-day order counts and the first-order derivation."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate").cast("string")
+    per_day = o.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    first_day = o.groupBy("o_custkey").agg(
+        F.min(day).alias("day")
+    )
+    new_per_day = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_customers")
+    )
+    joined = per_day.join(new_per_day, "day", "left").select(
+        "day",
+        "n_orders",
+        F.coalesce("n_new_customers", F.lit(0)).cast("long").alias("n_new_customers"),
+    )
+    return distributed_running_sum(
+        joined, [("day", False)], "n_new_customers", out_col="cum_customers"
+    ).select("day", "n_orders", "n_new_customers", F.col("cum_customers").cast("long").alias("cum_customers"))
+
+
+_CUSTOMER_GROWTH_SQL = """
+WITH per_day AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), first_day AS (
+  SELECT o_custkey, min(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS day
+  FROM orders GROUP BY 1
+), new_per_day AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_new_customers FROM first_day GROUP BY 1
+)
+SELECT p.day, p.n_orders,
+       CAST(coalesce(n.n_new_customers, 0) AS BIGINT) AS n_new_customers,
+       CAST(sum(coalesce(n.n_new_customers, 0)) OVER (ORDER BY p.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_customers
+FROM per_day p LEFT JOIN new_per_day n USING (day)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -12308,6 +12363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_hhi_region_concentration": agg_hhi_region_concentration,
         "text_countmin_token_freq": text_countmin_token_freq,
         "agg_jsd_priority_shift": agg_jsd_priority_shift,
+        "orders_customer_growth_daily": orders_customer_growth_daily,
     }
 
 
@@ -12572,4 +12628,5 @@ def oracle_sql() -> dict[str, str]:
         "agg_hhi_region_concentration": _HHI_SQL,
         "text_countmin_token_freq": _COUNTMIN_SQL,
         "agg_jsd_priority_shift": _JSD_SQL,
+        "orders_customer_growth_daily": _CUSTOMER_GROWTH_SQL,
     }
