@@ -12026,6 +12026,96 @@ FROM per_day p LEFT JOIN new_per_day n USING (day)
 """
 
 
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PASS sorted-neighborhood ER — the recall patch the
+    single-pass query's honest-recall contract promises: pass 1 sorts
+    by the name, pass 2 by the REVERSED name, so a corruption at the
+    FIRST character (which sorts far from its original under pass 1 —
+    the pytest-pinned deliberately-missed case) lands adjacent under
+    pass 2. Candidates are the union of both windows; pairs are
+    canonicalized (least id first — the two passes orient pairs by
+    their own sort order) and confirmed at levenshtein ≤ 1, which is
+    reversal-invariant, so pass 2 confirms on reversed keys without
+    re-joining the originals. ``n_passes`` says which tier(s) found
+    each pair — the single-pass misses surface as n_passes = 1 rows
+    whose corruption position is 0. Same linear candidate shape ×2
+    (two global ranks via distributed_global_rank, two bounded
+    explodes) — multi-pass SNM from the record-linkage literature
+    (Hernández & Stolfo 1995)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    dirty_nm = F.concat(
+        F.expr("substring(c_name, 1, CAST(c_custkey % 18 AS INT))"),
+        F.lit("X"),
+        F.expr(
+            "substring(c_name, CAST(c_custkey % 18 AS INT) + 2, 18 - CAST(c_custkey % 18 AS INT) - 1)"
+        ),
+    )
+    recs = cust.select(
+        F.concat(F.lit("c#"), F.col("c_custkey").cast("string")).alias("rec_id"),
+        F.col("c_name").alias("nm"),
+    ).unionAll(
+        cust.select(
+            F.concat(F.lit("d#"), F.col("c_custkey").cast("string")).alias("rec_id"),
+            dirty_nm.alias("nm"),
+        )
+    )
+
+    def one_pass(frame: DataFrame) -> DataFrame:
+        cand = sorted_neighborhood_pairs(frame, "rec_id", "nm", window=4)
+        lev = F.levenshtein("a_key", "b_key")
+        return cand.filter(lev <= 1).select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            lev.cast("long").alias("lev"),
+        )
+
+    p1 = one_pass(recs)
+    p2 = one_pass(recs.select("rec_id", F.reverse("nm").alias("nm")))
+    return (
+        p1.withColumn("_p", F.lit(1))
+        .unionAll(p2.withColumn("_p", F.lit(2)))
+        .groupBy("a_id", "b_id", "lev")
+        .agg(F.countDistinct("_p").cast("long").alias("n_passes"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+_SNM_MULTIPASS_SQL = """
+WITH recs AS (
+  SELECT 'c#' || c_custkey AS rec_id, c_name AS nm FROM customer
+  UNION ALL
+  SELECT 'd#' || c_custkey AS rec_id,
+         substr(c_name, 1, CAST(c_custkey % 18 AS INT))
+         || 'X'
+         || substr(c_name, CAST(c_custkey % 18 AS INT) + 2,
+                   18 - CAST(c_custkey % 18 AS INT) - 1) AS nm
+  FROM customer
+), r1 AS (
+  SELECT rec_id, nm, row_number() OVER (ORDER BY nm, rec_id) AS rnk FROM recs
+), r2 AS (
+  SELECT rec_id, reverse(nm) AS nm,
+         row_number() OVER (ORDER BY reverse(nm), rec_id) AS rnk
+  FROM recs
+), pairs AS (
+  SELECT least(a.rec_id, b.rec_id) AS a_id, greatest(a.rec_id, b.rec_id) AS b_id,
+         CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS lev, 1 AS p
+  FROM r1 a JOIN r1 b ON b.rnk - a.rnk BETWEEN 1 AND 3
+  WHERE levenshtein(a.nm, b.nm) <= 1
+  UNION ALL
+  SELECT least(a.rec_id, b.rec_id), greatest(a.rec_id, b.rec_id),
+         CAST(levenshtein(a.nm, b.nm) AS BIGINT), 2
+  FROM r2 a JOIN r2 b ON b.rnk - a.rnk BETWEEN 1 AND 3
+  WHERE levenshtein(a.nm, b.nm) <= 1
+)
+SELECT a_id, b_id, lev, CAST(count(DISTINCT p) AS BIGINT) AS n_passes
+FROM pairs GROUP BY 1, 2, 3 ORDER BY a_id, b_id
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -12364,6 +12454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_countmin_token_freq": text_countmin_token_freq,
         "agg_jsd_priority_shift": agg_jsd_priority_shift,
         "orders_customer_growth_daily": orders_customer_growth_daily,
+        "dedup_snm_multipass": dedup_snm_multipass,
     }
 
 
@@ -12629,4 +12720,5 @@ def oracle_sql() -> dict[str, str]:
         "text_countmin_token_freq": _COUNTMIN_SQL,
         "agg_jsd_priority_shift": _JSD_SQL,
         "orders_customer_growth_daily": _CUSTOMER_GROWTH_SQL,
+        "dedup_snm_multipass": _SNM_MULTIPASS_SQL,
     }
