@@ -758,3 +758,89 @@ def read_k_anonymity(spark, root: str) -> DataFrame:
     return census.withColumn(
         "k_anonymity", F.min("class_size").over(w).cast("long")
     )
+
+
+def streaming_countmin(
+    df: DataFrame,
+    root: str,
+    token_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> None:
+    """Streaming Count–Min sketch: after each micro-batch the store
+    holds the d×w counter table of EVERYTHING ingested so far —
+    Count–Min is a linear sketch (counters are plain sums), so the
+    cross-batch merge is cell-wise addition, the textbook mergeable-
+    summary property that lets 1000 executors (or 1000 micro-batches)
+    build one sketch without ever exchanging tokens. Each micro-batch
+    aggregates its own d×w cells map-side and full-outer-adds the
+    latest prior sketch (the k-anonymity census-store shape:
+    retry-idempotent, batch b overwrites ``root/b=<b>``, reads only
+    dirs < b). Hash rows use the same md5-modular buckets as the batch
+    query (text_countmin_token_freq), so a drained stream's sketch is
+    BIT-IDENTICAL to the one-shot batch sketch — pytest-pinned. Read
+    with :func:`read_countmin`; point-estimate = min over a token's
+    d cells."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = batch_df.select(F.col(token_col).alias("_tok")).select(
+            "_tok",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+        ).withColumn(
+            "bucket",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("_tok"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width,
+        )
+        cur = hashed.groupBy("r", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("cell")
+        )
+        prior_dirs = [
+            p
+            for p in glob.glob(os.path.join(root, "b=*"))
+            if int(p.rsplit("=", 1)[1]) < batch_id
+        ]
+        if prior_dirs:
+            latest = max(prior_dirs, key=lambda p: int(p.rsplit("=", 1)[1]))
+            prev = spark.read.parquet(latest)
+            cur = (
+                cur.withColumnRenamed("cell", "_new")
+                .join(prev.withColumnRenamed("cell", "_old"), ["r", "bucket"], "full_outer")
+                .select(
+                    "r",
+                    "bucket",
+                    (
+                        F.coalesce(F.col("_new"), F.lit(0))
+                        + F.coalesce(F.col("_old"), F.lit(0))
+                    ).cast("long").alias("cell"),
+                )
+            )
+        cur.write.mode("overwrite").parquet(os.path.join(root, f"b={batch_id}"))
+
+    run_stream_foreach_batch(df, _ingest, output_mode="append")
+
+
+def read_countmin(spark, root: str) -> DataFrame:
+    """Current (r, bucket, cell) sketch of a :func:`streaming_countmin`
+    run (highest ``b=`` dir)."""
+    import glob
+    import os
+
+    dirs = sorted(
+        glob.glob(os.path.join(root, "b=*")), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    if not dirs:
+        raise FileNotFoundError(f"no count-min sketches under {root}")
+    return spark.read.parquet(dirs[-1])

@@ -1908,3 +1908,75 @@ def test_funnel_stage_stream_matches_reference_fold(spark, tmp_path):
     }
     # cross-batch latch: u2's click (batch 3) must attach to the view (batch 2)
     assert final[2]["stage1_us"] is not None and final[2]["stage0_us"] is not None
+
+
+def test_streaming_countmin_bit_identical_to_batch(spark, tmp_path):
+    """Count-Min is a linear sketch: the drained stream's counter table
+    (3 micro-batches, cell-wise additive merges) must be BIT-IDENTICAL
+    to the one-shot sketch over the unioned tokens, and point estimates
+    (min over a token's cells) must upper-bound exact counts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.windows import (
+        read_countmin,
+        streaming_countmin,
+    )
+
+    b1 = [("spark",), ("flink",), ("spark",)]
+    b2 = [("duck",), ("spark",)]
+    b3 = [("flink",), ("goose",), ("spark",)]
+    schema = "token string"
+    in_dir = str(tmp_path / "tok_in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate([b1, b2, b3], 1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"f{i}")
+        )
+        os.utime(os.path.join(in_dir, f"f{i}"), (1_000_000 * i, 1_000_000 * i))
+
+    root = str(tmp_path / "cm")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    streaming_countmin(stream, root, "token", depth=4, width=64)
+    streamed = {
+        (r["r"], r["bucket"]): r["cell"] for r in read_countmin(spark, root).collect()
+    }
+
+    allrows = spark.createDataFrame(b1 + b2 + b3, schema)
+    hashed = allrows.select(
+        "token", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("token"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 64,
+    )
+    batch = {
+        (r["r"], r["bucket"]): r["cell"]
+        for r in hashed.groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell"))
+        .collect()
+    }
+    assert streamed == batch
+    # point estimates upper-bound exact counts
+    exact = {"spark": 4, "flink": 2, "duck": 1, "goose": 1}
+    import hashlib
+
+    for tok, n in exact.items():
+        est = min(
+            streamed[(r, int(hashlib.md5(f"{r}:{tok}".encode()).hexdigest()[:8], 16) % 64)]
+            for r in range(4)
+        )
+        assert est >= n
