@@ -169,6 +169,15 @@ HEADLINE = [
     "window_rolling_corr_daily",
     "agg_theilsen_slope_nation",
     "similarity_centroid_confusion",
+    # round-7 final batch: replayable Count-Min, categorical drift,
+    # growth accounting, multi-pass SNM, dup-rate curve — all
+    # trend-verified at sf0.1 before joining; rows above remain
+    # unchanged for cross-round comparability.
+    "text_countmin_token_freq",
+    "agg_jsd_priority_shift",
+    "orders_customer_growth_daily",
+    "dedup_snm_multipass",
+    "dedup_rate_threshold_curve",
 ]
 
 
