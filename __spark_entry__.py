@@ -12168,6 +12168,68 @@ FROM ({_jaccard_pairs_sql(thr, shingle_k=3)})"""
     return "\nUNION ALL\n".join(selects) + "\nORDER BY threshold_pct"
 
 
+_PK_AUDIT = [
+    ("region", ["r_regionkey"]),
+    ("nation", ["n_nationkey"]),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+]
+
+
+def diag_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the star schema: per table,
+    row count, distinct declared-key count, and the duplicate surplus —
+    the constraint check a warehouse runs before anyone writes a MERGE
+    keyed on those columns. One count-distinct aggregate per table,
+    unioned into a constant-size report. This testbed's lineitem
+    DELIBERATELY fails its textbook (l_orderkey, l_linenumber) key
+    (FIXTURES.md — why every window in this repo orders by the
+    verified-unique _LI_ORDER tuple instead); the audit surfaces that
+    documented quirk as DATA, a nonzero duplicate_rows row the oracle
+    must reproduce."""
+    parts = []
+    for table, key in _PK_AUDIT:
+        t = _t(spark, sf_dir, table)
+        parts.append(
+            t.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct(*[F.col(k) for k in key])
+                .cast("long")
+                .alias("n_distinct_keys"),
+            ).select(
+                F.lit(table).alias("table_name"),
+                F.lit(",".join(key)).alias("declared_key"),
+                "n_rows",
+                "n_distinct_keys",
+                (F.col("n_rows") - F.col("n_distinct_keys"))
+                .cast("long")
+                .alias("duplicate_rows"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+def _pk_audit_sql() -> str:
+    selects = []
+    for table, key in _PK_AUDIT:
+        klist = ", ".join(key)
+        kexpr = key[0] if len(key) == 1 else "(" + klist + ")"
+        selects.append(
+            f"""SELECT '{table}' AS table_name, '{",".join(key)}' AS declared_key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {kexpr}) AS BIGINT) AS n_distinct_keys,
+       CAST(count(*) - count(DISTINCT {kexpr}) AS BIGINT) AS duplicate_rows
+FROM {table}"""
+        )
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY table_name"
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -12508,6 +12570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_customer_growth_daily": orders_customer_growth_daily,
         "dedup_snm_multipass": dedup_snm_multipass,
         "dedup_rate_threshold_curve": dedup_rate_threshold_curve,
+        "diag_pk_uniqueness_audit": diag_pk_uniqueness_audit,
     }
 
 
@@ -12775,4 +12838,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_growth_daily": _CUSTOMER_GROWTH_SQL,
         "dedup_snm_multipass": _SNM_MULTIPASS_SQL,
         "dedup_rate_threshold_curve": _dedup_curve_sql(),
+        "diag_pk_uniqueness_audit": _pk_audit_sql(),
     }
