@@ -12230,6 +12230,123 @@ FROM {table}"""
     return "\nUNION ALL\n".join(selects) + "\nORDER BY table_name"
 
 
+def agg_seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical monthly seasonality index: each calendar month's share
+    of total revenue against the uniform 1/12 expectation, in micro
+    units (index 1 000 000 = exactly average month) — the descriptive
+    companion to window_holtwinters_daily_revenue's adaptive seasonal
+    state. Month cells are exact-cent aggregates; the index is one
+    fixed-order double over exact BIGINTs per cell (12 rows,
+    value-domain bounded; the total comes from a broadcast one-row
+    aggregate of the cells)."""
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy(F.month("o_orderdate").cast("long").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = cells.agg(F.sum("cents").cast("long").alias("t"))
+    idx = (
+        F.col("cents").cast("double")
+        / F.col("t")
+        * F.lit(12.0)
+        * F.lit(1000000.0)
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select("month", "cents", F.round(idx).cast("long").alias("seasonal_index_micro"))
+        .orderBy("month")
+    )
+
+
+_SEASONAL_INDEX_SQL = """
+WITH cells AS (
+  SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM cells)
+SELECT month, cents,
+       CAST(round(CAST(cents AS DOUBLE) / tot.t * 12.0 * 1000000.0) AS BIGINT)
+         AS seasonal_index_micro
+FROM cells CROSS JOIN tot ORDER BY month
+"""
+
+
+def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token BURSTINESS for the corpus's top-20 tokens: the variance-
+    to-mean ratio of per-document counts (VMR 1 ≈ Poisson scatter;
+    ≫1 = the token clumps into few documents — content words burst,
+    function words don't; Church & Gale 1995). Per token the exact
+    integers (total count, docs containing it, Σ per-doc count²)
+    come from one (doc, token) aggregate + one token rollup; VMR =
+    (Σc²/N − μ²)/μ with μ = c/N over the FULL doc count N (zero-count
+    docs included via N, never materialized) is one fixed-order double
+    over exact BIGINTs, micro-snapped. Top-20 via ranked_top_n."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.topk import (
+        ranked_top_n,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    per_doc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_tok = per_doc.groupBy("token").agg(
+        F.sum("c").cast("long").alias("total_n"),
+        F.count(F.lit(1)).cast("long").alias("docs_with"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+    )
+    top = ranked_top_n(per_tok, [("total_n", True), ("token", False)], 20)
+    n = F.col("n_docs").cast("double")
+    mu = F.col("total_n").cast("double") / n
+    vmr = (F.col("ssq").cast("double") / n - mu * mu) / mu
+    return (
+        top.crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            "total_n",
+            "docs_with",
+            F.round(vmr * 1000000).cast("long").alias("vmr_micro"),
+            "rk",
+        )
+        .orderBy("rk")
+    )
+
+
+_BURSTINESS_SQL = r"""
+WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+per_doc AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+  ) GROUP BY 1, 2
+), per_tok AS (
+  SELECT token, CAST(sum(c) AS BIGINT) AS total_n,
+         CAST(count(*) AS BIGINT) AS docs_with,
+         CAST(sum(c * c) AS BIGINT) AS ssq
+  FROM per_doc GROUP BY 1
+), top AS (
+  SELECT token, total_n, docs_with, ssq,
+         CAST(row_number() OVER (ORDER BY total_n DESC, token) AS BIGINT) AS rk
+  FROM per_tok ORDER BY total_n DESC, token LIMIT 20
+)
+SELECT token, total_n, docs_with,
+       CAST(round((CAST(ssq AS DOUBLE) / nd.n_docs
+                   - (CAST(total_n AS DOUBLE) / nd.n_docs)
+                     * (CAST(total_n AS DOUBLE) / nd.n_docs))
+                  / (CAST(total_n AS DOUBLE) / nd.n_docs) * 1000000) AS BIGINT)
+         AS vmr_micro,
+       rk
+FROM top CROSS JOIN nd ORDER BY rk
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -12571,6 +12688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_snm_multipass": dedup_snm_multipass,
         "dedup_rate_threshold_curve": dedup_rate_threshold_curve,
         "diag_pk_uniqueness_audit": diag_pk_uniqueness_audit,
+        "agg_seasonal_index_monthly": agg_seasonal_index_monthly,
+        "text_token_burstiness": text_token_burstiness,
     }
 
 
@@ -12839,4 +12958,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_snm_multipass": _SNM_MULTIPASS_SQL,
         "dedup_rate_threshold_curve": _dedup_curve_sql(),
         "diag_pk_uniqueness_audit": _pk_audit_sql(),
+        "agg_seasonal_index_monthly": _SEASONAL_INDEX_SQL,
+        "text_token_burstiness": _BURSTINESS_SQL,
     }
