@@ -32,6 +32,7 @@ pinned by pytest instead (tests/).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -183,6 +184,45 @@ def _verified_edges(spark: SparkSession, sf_dir: str, threshold: float) -> DataF
         )
     _EDGE_MEMO[key] = (spark, edges)
     return edges
+
+
+# Session-scoped co-purchase pair supplier (r7 verdict item 4). The
+# part co-purchase pair table — distinct (u, v), u < v, parts sharing
+# an order — is the lineitem self-join graph_kcore_copurchase peels
+# and the same distinct-items shape the basket family aggregates; at
+# sf0.1 the derivation is ~half the 8.1 s kcore bench row. Same
+# explicit lifecycle as _EDGE_MEMO: keyed by sf_dir, derived EAGERLY
+# on first use (eager localCheckpoint — the cost lands in the supplier
+# row, pair_supplier_derive in bench.py, never in a consumer's
+# timing), held for the deriving SparkSession's life.
+_PAIR_MEMO: dict = {}
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared distinct (u, v) part co-purchase pair table over
+    `lineitem` (u < v; parts co-occurring in at least one order).
+
+    Scale shape: distinct (orderkey, partkey) projection first (order
+    lines collapse), then a self-join ON THE ORDER KEY — multiplicity
+    per order is C(k,2) with k ≤ 7 lineitems, so the join output is
+    linear in orders — then a pair-level distinct. Only (u, v) longs
+    ever shuffle; the C(|parts|,2) matrix is never materialized."""
+    key = os.path.abspath(sf_dir)
+    hit = _PAIR_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _PAIR_MEMO[key] = (spark, pairs)
+    return pairs
 
 
 # --------------------------------------------------------------------------
@@ -10760,27 +10800,17 @@ def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical k (at full average degree the peel cascades to an empty
     core on this degree-concentrated graph: measured deg ∈ [42, 206],
     mean 115.7 at sf0.01 — k=116 empties it, k=81 keeps an 1857-node
-    core after a 6-round cascade). The edge
-    list is the distinct same-order part-pair self-join (C(items,2)
-    per order, never a cross product — the basket_part_pair_lift
-    shape) and only (u, v) pairs shuffle."""
+    core after a 6-round cascade). The edge list is the shared
+    session-scoped co-purchase pair table (_copurchase_pairs — the
+    distinct same-order part-pair self-join, the
+    basket_part_pair_lift shape, derived once per session; bench
+    bills the derivation as its own pair_supplier_derive row) and
+    only (u, v) pairs shuffle."""
     from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.graph import (
         kcore_peel,
     )
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    # Lazy lineage cut: k_df's eager materialization inside kcore_peel
-    # computes the self-join once and caches it; sym and the flag then
-    # read the cached pairs instead of re-running the fact-table join.
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     sym_nodes = (
         pairs.select("u")
         .unionAll(pairs.select(F.col("v").alias("u")))
@@ -11266,9 +11296,12 @@ def window_rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-sum formulation over the calendar-bounded daily aggregate:
     the five trailing sums (Σx, Σy, Σxy, Σx², Σy²) run in one RANGE
     window over integer epoch-days (so gaps count as missing days, not
-    missing rows), every sum is BIGINT (cents×count products stay
-    ≤10¹⁸ for any 30-day window), and each day's r is ONE fixed-order
-    double over its exact sums, micro-snapped. Days with a degenerate
+    missing rows); Σx/Σy stay BIGINT while the product sums compute
+    each product in DECIMAL(38,0) (daily cents beyond ~3·10⁹ — large
+    scale factors — would silently wrap an int64 x·x; DuckDB's side is
+    HUGEINT, matching agg_autocorr_daily_revenue's exact-sum route),
+    and each day's r is ONE fixed-order double over its exact sums,
+    micro-snapped. Days with a degenerate
     window (zero variance, e.g. a single-day window) emit NULL. One
     unpartitioned RANGE window over ~2.5k calendar rows — the
     documented time-domain-bounded exception."""
@@ -11284,14 +11317,16 @@ def window_rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("y"),
     )
     w = Window.orderBy("epoch_day").rangeBetween(-29, 0)
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     sums = daily.select(
         "epoch_day",
         F.count(F.lit(1)).over(w).cast("long").alias("n_days"),
         F.sum("x").over(w).cast("long").alias("sx"),
         F.sum("y").over(w).cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("syy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).over(w).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).over(w).alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,0)")).over(w).alias("syy"),
     )
     n = F.col("n_days").cast("double")
     num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
@@ -11315,9 +11350,9 @@ WITH daily AS (
          CAST(count(*) OVER w AS BIGINT) AS n_days,
          CAST(sum(x) OVER w AS BIGINT) AS sx,
          CAST(sum(y) OVER w AS BIGINT) AS sy,
-         CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
-         CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
-         CAST(sum(y * y) OVER w AS BIGINT) AS syy
+         CAST(sum(CAST(x AS HUGEINT) * y) OVER w AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) OVER w AS HUGEINT) AS syy
   FROM daily
   WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
 )
@@ -12348,6 +12383,376 @@ FROM top CROSS JOIN nd ORDER BY rk
 
 
 # --------------------------------------------------------------------------
+# round 8: drift monitoring, vocabulary growth, graph mixing, CV folds,
+# drawdown
+# --------------------------------------------------------------------------
+
+
+def agg_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the 1995 and 1996 order-price
+    distributions — THE production ML-monitoring drift statistic (a
+    model's scoring feature is re-binned into the training deciles;
+    PSI < 0.1 stable, > 0.25 retrain), completing the drift family
+    beside KS (ECDF sup-distance) and JSD (categorical mixes).
+
+    Bin edges are the EXACT 1995 deciles as order statistics (rank
+    (k·n) div 10 via operators/windows.distributed_global_rank — range
+    partition + broadcast offsets, no single-task sort, no float
+    interpolation); both years then bin by "edges ≤ v" count against
+    the broadcast 9-element edge array (a pure scan), and the 10-bin
+    cell table aggregates map-side. Per bin, p = c_a/n_a and q =
+    c_b/n_b are exact ratios and the PSI term (q−p)·ln(q/p) is ONE
+    fixed-order double over exact BIGINTs, snapped to micro-units
+    BEFORE the total (the JSD/entropy scheme — the total is an exact
+    integer sum over the 10 bounded cells; a bin empty in either year
+    yields NULL and drops from the total, both engines). The total
+    rides the documented bounded unpartitioned window (10 rows)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    base = o.filter(yr.isin(1995, 1996)).select(
+        (yr == 1995).cast("long").alias("is_a"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        "o_orderkey",
+    )
+    a = base.filter(F.col("is_a") == 1)
+    ranked = distributed_global_rank(
+        a, [("v", False), ("o_orderkey", False)], rank_col="rk"
+    ).select("v", "rk")
+    na = a.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    targets = na.select(
+        F.explode(F.array(*[F.lit(k) for k in range(1, 10)])).alias("k"), "n"
+    ).select(F.expr("CAST((k * n) div 10 AS BIGINT)").alias("rk"))
+    edges = (
+        ranked.join(F.broadcast(targets), "rk")
+        .agg(F.sort_array(F.collect_list("v")).alias("edges"))
+    )
+    binned = base.crossJoin(F.broadcast(edges)).select(
+        "is_a",
+        F.expr(
+            "aggregate(edges, 0L, (acc, e) -> acc + CASE WHEN v >= e THEN 1L ELSE 0L END)"
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("is_a").cast("long").alias("c_a"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("long").alias("c_b"),
+    )
+    tot = cells.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    p = F.col("c_a").cast("double") / F.col("n_a")
+    q = F.col("c_b").cast("double") / F.col("n_b")
+    term = F.when(
+        (F.col("c_a") > 0) & (F.col("c_b") > 0),
+        F.round((q - p) * F.log(q / p) * 1000000).cast("long"),
+    )
+    scored = j.select("bin", "c_a", "c_b", term.alias("psi_micro"))
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return scored.withColumn(
+        "psi_total_micro", F.sum("psi_micro").over(w).cast("long")
+    ).orderBy("bin")
+
+
+def _psi_sql() -> str:
+    ranks = ", ".join(f"(({k} * n) // 10)" for k in range(1, 10))
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995 THEN 1 ELSE 0 END AS is_a,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderkey
+  FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+), a AS (
+  SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rk
+  FROM base WHERE is_a = 1
+), na AS (SELECT count(*) AS n FROM base WHERE is_a = 1),
+edges AS (
+  SELECT list_sort(list(v)) AS es FROM a CROSS JOIN na
+  WHERE rk IN ({ranks})
+), binned AS (
+  SELECT is_a, CAST(len(list_filter(es, e -> v >= e)) AS BIGINT) AS bin
+  FROM base CROSS JOIN edges
+), cells AS (
+  SELECT bin, CAST(sum(is_a) AS BIGINT) AS c_a,
+         CAST(sum(1 - is_a) AS BIGINT) AS c_b
+  FROM binned GROUP BY 1
+), tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a, CAST(sum(c_b) AS BIGINT) AS n_b FROM cells),
+scored AS (
+  SELECT bin, c_a, c_b,
+         CASE WHEN c_a > 0 AND c_b > 0 THEN CAST(round(
+           (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+           * ln((CAST(c_b AS DOUBLE) / n_b) / (CAST(c_a AS DOUBLE) / n_a))
+           * 1000000) AS BIGINT) END AS psi_micro
+  FROM cells CROSS JOIN tot
+)
+SELECT bin, c_a, c_b, psi_micro,
+       CAST(sum(psi_micro) OVER () AS BIGINT) AS psi_total_micro
+FROM scored ORDER BY bin
+"""
+
+
+_PSI_SQL = _psi_sql()
+
+
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): distinct-token count of
+    the corpus prefix ending at each document, in doc_id order — the
+    diminishing-returns diagnostic a pretraining-data pipeline reads
+    before paying for more of the same source (a flattening curve
+    means new data adds tokens, not vocabulary).
+
+    Never a cumulative DISTINCT: each token's FIRST document is one
+    vocabulary-sized min-aggregate, the per-doc new-token count is a
+    second, and the cumulative curve is the two-phase
+    operators/windows.distributed_running_sum over the unique doc_id
+    order (range partition + broadcast offsets — no single-task sort,
+    no corpus-sized window)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    first = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    newc = first.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("new_tokens")
+    )
+    spine = (
+        docs.select("doc_id")
+        .join(newc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_tokens", F.lit(0)).cast("long").alias("new_tokens"),
+        )
+    )
+    return (
+        distributed_running_sum(
+            spine, [("doc_id", False)], "new_tokens", out_col="vocab_size"
+        )
+        .select("doc_id", "new_tokens", "vocab_size")
+        .orderBy("doc_id")
+    )
+
+
+_VOCAB_GROWTH_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+), first AS (
+  SELECT token, min(doc_id) AS doc_id FROM tk GROUP BY 1
+), newc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS new_tokens FROM first GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n.new_tokens, 0) AS BIGINT) AS new_tokens,
+       CAST(sum(coalesce(n.new_tokens, 0)) OVER (ORDER BY d.doc_id) AS BIGINT)
+         AS vocab_size
+FROM documents d LEFT JOIN newc n ON n.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def graph_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph — the Newman
+    mixing coefficient (Pearson correlation of endpoint degrees over
+    the directed edge list): positive = hubs buy with hubs (a
+    rich-club catalogue), negative = hubs anchor leaves (hub-and-
+    spoke). The second consumer of the shared session-scoped
+    _copurchase_pairs supplier (with graph_kcore_copurchase), so the
+    lineitem self-join is paid once per session.
+
+    One degree aggregate + one edge-degree join + one exact-sum
+    reduce: counts and degree sums are BIGINT, the three product sums
+    compute each product in BIGINT (degree ≤ |parts|, squares far
+    inside int64) and SUM as DECIMAL(38,0) (HUGEINT in the oracle —
+    the autocorr scheme), and r is ONE fixed-order double over the
+    exact sums, micro-snapped."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    sym = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    e = (
+        sym.join(deg.select(F.col("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("y")), "v")
+    )
+    sums = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("_sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("_syy"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n = F.col("n_edges").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("_sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (n * F.col("_sxx").cast("double") - sx * sx)
+        * (n * F.col("_syy").cast("double") - sy * sy)
+    )
+    return sums.crossJoin(F.broadcast(nodes)).select(
+        "n_edges",
+        "n_nodes",
+        F.floor(F.lit(1000000.0) * num / den).cast("long").alias("assortativity_micro"),
+    )
+
+
+_ASSORTATIVITY_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+e AS (
+  SELECT dx.d AS x, dy.d AS y
+  FROM sym JOIN deg dx ON dx.u = sym.u JOIN deg dy ON dy.u = sym.v
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM e
+),
+nodes AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT n_edges, n_nodes,
+       CAST(floor(1000000.0
+            * (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)
+         AS assortativity_micro
+FROM sums CROSS JOIN nodes
+"""
+
+
+def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment over the
+    document corpus — the CV counterpart of the train/val/test split:
+    every doc lands in exactly one fold by seeded md5 band (folds
+    never migrate as the corpus grows — the property that keeps CV
+    comparable across snapshots), and the report is the per-fold
+    balance check (doc count, char volume, language coverage) a
+    pipeline runs before trusting fold-averaged metrics. Pure scan +
+    a 5-row aggregate; no shuffle beyond the fold groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    folds = hash_split(
+        docs,
+        {f"fold{i}": 0.2 for i in range(5)},
+        ["doc_id"],
+        seed=_MIX_SEED,
+        out_col="fold",
+    )
+    return (
+        folds.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("fold")
+    )
+
+
+def _kfold_sql() -> str:
+    bucket = (
+        "substr(md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' "
+        f"|| CAST(doc_id AS VARCHAR) || '{_MIX_SEED}'), 1, 8)"
+    )
+    whens = "\n         ".join(
+        f"WHEN {bucket} < '{rate_to_hex(0.2 * (i + 1))}' THEN 'fold{i}'"
+        for i in range(4)
+    )
+    return f"""
+WITH assigned AS (
+  SELECT CASE
+         {whens}
+         ELSE 'fold4'
+       END AS fold, n_chars, lang
+  FROM documents
+)
+SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM assigned GROUP BY fold ORDER BY fold
+"""
+
+
+_KFOLD_SQL = _kfold_sql()
+
+
+def window_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown of the daily-revenue series — the
+    finance-standard "how far below the high-water mark" band (max
+    drawdown is its sup): per calendar day, revenue cents, the running
+    peak, the absolute drawdown, and the relative drawdown in
+    micro-units ((peak−v)·10⁶ div peak — integer division over exact
+    BIGINTs, so no float CDF anywhere). One unpartitioned running-max
+    window over the ~2.5k calendar-day aggregate — the documented
+    time-domain-bounded exception (daily rows grow with years, not
+    with data)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("epoch_day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("epoch_day").rowsBetween(Window.unboundedPreceding, 0)
+    out = daily.select(
+        "epoch_day",
+        "cents",
+        F.max("cents").over(w).cast("long").alias("peak_cents"),
+    )
+    return out.select(
+        "epoch_day",
+        "cents",
+        "peak_cents",
+        (F.col("peak_cents") - F.col("cents")).cast("long").alias("drawdown_cents"),
+        F.expr(
+            "CAST(((peak_cents - cents) * 1000000) div peak_cents AS BIGINT)"
+        ).alias("drawdown_micro"),
+    ).orderBy("epoch_day")
+
+
+_DRAWDOWN_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), peaks AS (
+  SELECT epoch_day, cents,
+         CAST(max(cents) OVER (ORDER BY epoch_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak_cents
+  FROM daily
+)
+SELECT epoch_day, cents, peak_cents,
+       CAST(peak_cents - cents AS BIGINT) AS drawdown_cents,
+       CAST(((peak_cents - cents) * 1000000) // peak_cents AS BIGINT) AS drawdown_micro
+FROM peaks ORDER BY epoch_day
+"""
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -12378,18 +12783,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against the committed artifacts — counting only GREEN rows as
     coverage, so a crashed/red row keeps its claim on a slot.
 
-    ROUND-7 NOTE: no round-6 correctness artifact ever landed, so the
-    round-6 window below is still the live never-checked backlog head
-    and stays in place; the 21 round-7 oracled additions queue PAST
-    the window (all gate-green under tools/check_correctness.py — the
-    round-7 full-gate run was 262/262, zero failures) and form the
-    next rotation's backlog together with it.
+    ROUND-8 NOTE (the r7 verdict's item #1, executed at session start):
+    CORRECTNESS_r07 landed on the round-6/7 window, so the window below
+    is rotated onto the 46-query never-green backlog — the 45 round-6/7
+    oracled additions the driver never reached plus agg_approx_distinct
+    (its only driver row is the r2 `no_oracle` one, predating its
+    oracle). All 46 were judge-gate green in the round-7 verdict
+    (tools/check_correctness.py, identical checks), so the rotation is
+    zero-risk. Slots 47-50 re-check the oldest (r2) green rows and are
+    displaced by round-8 oracled additions as they land.
     """
     return {
-        # ====== ROUND-6 DRIVER CHECK WINDOW (first 50 entries) ======
-        # Slots 1-26: the full oracled backlog — every oracled query that
-        # has never received a driver correctness row (r5 verdict item 2).
-        # After this round, EVERY oracled query has a driver row.
+        # ====== ROUND-8 DRIVER CHECK WINDOW (first 50 entries) ======
+        # Slots 1-46: the full never-green oracled backlog — every
+        # oracled query with no green driver row in any committed
+        # CORRECTNESS_r*.json (45 round-6/7 additions the driver never
+        # reached because the round-6 artifact never landed and round
+        # 7's window re-checked the queued r6 backlog, plus
+        # agg_approx_distinct whose only driver row is the r2 no_oracle
+        # one predating its oracle). All 46 are judge-gate green
+        # (VERDICT r7: tools/check_correctness.py 54/54 ok).
+        "agg_approx_distinct": agg_approx_distinct,
+        "agg_skyline_parts": agg_skyline_parts,
+        "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
+        "text_tfidf_doc_similarity": text_tfidf_doc_similarity,
+        "events_next_higher_value": events_next_higher_value,
+        "agg_exact_global_percentiles": agg_exact_global_percentiles,
+        "window_holt_trend_orders": window_holt_trend_orders,
+        "orders_activity_spans": orders_activity_spans,
+        "events_cusum_drift": events_cusum_drift,
+        "agg_equidepth_histogram": agg_equidepth_histogram,
+        "events_wau_hll_rolling": events_wau_hll_rolling,
+        "orders_survival_reorder": orders_survival_reorder,
+        "agg_ks_price_shift": agg_ks_price_shift,
+        "agg_chi2_priority_status": agg_chi2_priority_status,
+        "agg_mannwhitney_price_shift": agg_mannwhitney_price_shift,
+        "diag_benford_price_audit": diag_benford_price_audit,
+        "agg_gini_revenue": agg_gini_revenue,
+        "agg_weighted_median_price": agg_weighted_median_price,
+        "agg_entropy_source_mix": agg_entropy_source_mix,
+        "agg_autocorr_daily_revenue": agg_autocorr_daily_revenue,
+        "agg_trend_slope_nation": agg_trend_slope_nation,
+        "privacy_k_anonymity": privacy_k_anonymity,
+        "privacy_pii_scan": privacy_pii_scan,
+        "diag_snapshot_diff": diag_snapshot_diff,
+        "join_levenshtein_dirty_customers": join_levenshtein_dirty_customers,
+        "text_keyword_textrank": text_keyword_textrank,
+        "graph_kcore_copurchase": graph_kcore_copurchase,
+        "privacy_l_diversity": privacy_l_diversity,
+        "diag_table_checksum": diag_table_checksum,
+        "events_funnel_step_latency": events_funnel_step_latency,
+        "agg_spearman_price_qty": agg_spearman_price_qty,
+        "window_holtwinters_daily_revenue": window_holtwinters_daily_revenue,
+        "window_rolling_corr_daily": window_rolling_corr_daily,
+        "text_langid_confusion": text_langid_confusion,
+        "agg_welch_ttest_price_shift": agg_welch_ttest_price_shift,
+        "agg_theilsen_slope_nation": agg_theilsen_slope_nation,
+        "similarity_centroid_confusion": similarity_centroid_confusion,
+        "agg_hhi_region_concentration": agg_hhi_region_concentration,
+        "text_countmin_token_freq": text_countmin_token_freq,
+        "agg_jsd_priority_shift": agg_jsd_priority_shift,
+        "orders_customer_growth_daily": orders_customer_growth_daily,
+        "dedup_snm_multipass": dedup_snm_multipass,
+        "dedup_rate_threshold_curve": dedup_rate_threshold_curve,
+        "diag_pk_uniqueness_audit": diag_pk_uniqueness_audit,
+        "agg_seasonal_index_monthly": agg_seasonal_index_monthly,
+        "text_token_burstiness": text_token_burstiness,
+        # Slots 47-50: round-8 oracled additions (never checked, so
+        # window-mandatory — they displaced the planned oldest-green
+        # re-checks): PSI drift, Heaps-law vocab growth, degree
+        # assortativity (2nd _copurchase_pairs consumer), drawdown.
+        "agg_psi_price_drift": agg_psi_price_drift,
+        "text_vocab_growth": text_vocab_growth,
+        "graph_copurchase_assortativity": graph_copurchase_assortativity,
+        "window_drawdown_daily": window_drawdown_daily,
+        # ====== end of the driver 50-entry check window ======
+        # Round-8 oracled additions past the sealed window — they head
+        # the round-9 rotation backlog (the contract test's >=50-backlog
+        # branch keeps the window itself untouched).
+        "sample_kfold_assignment": sample_kfold_assignment,
+        "q1_pricing_summary": q1_pricing_summary,
+        "w1_running_max_price": w1_running_max_price,
+        "w1_final_max_per_year": w1_final_max_per_year,
+        "w2_count_window_avg": w2_count_window_avg,
         "topk_orders_page": topk_orders_page,
         "setops_union_all_nationkeys": setops_union_all_nationkeys,
         "setops_except_all_nationkeys": setops_except_all_nationkeys,
@@ -12416,15 +12892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_posting_lists": text_posting_lists,
         "pack_padding_waste": pack_padding_waste,
         "events_variant_props": events_variant_props,
-        # Slot 27: re-slot — agg_nations_per_region (r5 driver-
-        # canonicalizer crash on its then-array output; now a '|'-joined
-        # string). agg_approx_distinct ceded its planned re-slot to the
-        # round's last never-checked addition (see past-window note).
         "agg_nations_per_region": agg_nations_per_region,
-        # Round-6 additions (never checked, so window-mandatory per the
-        # rotation test): split-leakage audit + repair, PMI collocations,
-        # RAG chunking, A-Res weighted sampling, embedding dim stats,
-        # degree histogram, radius-2 fuzzy join, rollup-with-rank.
         "dedup_split_leakage": dedup_split_leakage,
         "text_bigram_pmi": text_bigram_pmi,
         "text_chunk_overlap": text_chunk_overlap,
@@ -12434,9 +12902,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_histogram": graph_degree_histogram,
         "join_fuzzy2_dirty_customers": join_fuzzy2_dirty_customers,
         "sql_nation_year_rank_rollup": sql_nation_year_rank_rollup,
-        # Round-6 late additions (same window-mandatory rule): market-
-        # basket pair lift, last-touch attribution, posting-list phrase
-        # search.
         "basket_part_pair_lift": basket_part_pair_lift,
         "events_last_touch_attribution": events_last_touch_attribution,
         "text_phrase_search": text_phrase_search,
@@ -12451,20 +12916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm_logprob": text_bigram_lm_logprob,
         "sample_waterfill_budget": sample_waterfill_budget,
         "events_seasonal_anomaly": events_seasonal_anomaly,
-        # Past the window (position 51+): agg_approx_distinct lost its
-        # re-slot to this round's final oracled addition — the window can
-        # hold 49 never-checked + the mandated agg_nations_per_region
-        # red-row re-slot, and the rotation policy prioritizes
-        # never-checked queries; its oracle stays registered for a later
-        # round's window.
-        "agg_approx_distinct": agg_approx_distinct,
-        # Remaining slots: re-checks of the OLDEST green rows (r2, in their
-        # original order) per the stated policy: once the backlog is
-        # absorbed, spare slots re-verify the oldest coverage first.
-        "q1_pricing_summary": q1_pricing_summary,
-        "w1_running_max_price": w1_running_max_price,
-        "w1_final_max_per_year": w1_final_max_per_year,
-        "w2_count_window_avg": w2_count_window_avg,
         "w3_rows_between_breaches": w3_rows_between_breaches,
         "w4_running_max_month": w4_running_max_month,
         "join_orders_customer": join_orders_customer,
@@ -12480,12 +12931,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_except_nation_keys": setops_except_nation_keys,
         "dedup_keep_first_per_nation": dedup_keep_first_per_nation,
         "rollup_order_status": rollup_order_status,
-        # ====== end of the driver 50-entry check window ======
         "pivot_status_by_priority": pivot_status_by_priority,
         "cube_order_status": cube_order_status,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
-        # Below: previously driver-checked queries (green rows in
-        # CORRECTNESS_r02-r05) and the rows-only sketches (pytest-pinned).
         "events_value_increase_streaks": events_value_increase_streaks,
         "events_fill_forward_value": events_fill_forward_value,
         "agg_modal_event_type": agg_modal_event_type,
@@ -12639,57 +13087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ewma_segmented": window_ewma_segmented,
         "text_compression_ratio": text_compression_ratio,
         "text_bpe_merges": text_bpe_merges,
-        # Oracled additions landed AFTER this round's 50-slot window was
-        # sealed: they form the head of NEXT round's rotation backlog
-        # (the contract test's >=50-backlog branch keeps the window
-        # itself untouched).
-        "agg_skyline_parts": agg_skyline_parts,
-        "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
-        "text_tfidf_doc_similarity": text_tfidf_doc_similarity,
-        "events_next_higher_value": events_next_higher_value,
-        "agg_exact_global_percentiles": agg_exact_global_percentiles,
-        "window_holt_trend_orders": window_holt_trend_orders,
-        "orders_activity_spans": orders_activity_spans,
-        "events_cusum_drift": events_cusum_drift,
-        "agg_equidepth_histogram": agg_equidepth_histogram,
-        "events_wau_hll_rolling": events_wau_hll_rolling,
-        "orders_survival_reorder": orders_survival_reorder,
-        "agg_ks_price_shift": agg_ks_price_shift,
-        "agg_chi2_priority_status": agg_chi2_priority_status,
-        "agg_mannwhitney_price_shift": agg_mannwhitney_price_shift,
-        "diag_benford_price_audit": diag_benford_price_audit,
-        # Round-7 oracled additions (past the sealed round-6 window —
-        # they join the rotation backlog for the next window):
-        "agg_gini_revenue": agg_gini_revenue,
-        "agg_weighted_median_price": agg_weighted_median_price,
-        "agg_entropy_source_mix": agg_entropy_source_mix,
-        "agg_autocorr_daily_revenue": agg_autocorr_daily_revenue,
-        "agg_trend_slope_nation": agg_trend_slope_nation,
-        "privacy_k_anonymity": privacy_k_anonymity,
-        "privacy_pii_scan": privacy_pii_scan,
-        "diag_snapshot_diff": diag_snapshot_diff,
-        "join_levenshtein_dirty_customers": join_levenshtein_dirty_customers,
-        "text_keyword_textrank": text_keyword_textrank,
-        "graph_kcore_copurchase": graph_kcore_copurchase,
-        "privacy_l_diversity": privacy_l_diversity,
-        "diag_table_checksum": diag_table_checksum,
-        "events_funnel_step_latency": events_funnel_step_latency,
-        "agg_spearman_price_qty": agg_spearman_price_qty,
-        "window_holtwinters_daily_revenue": window_holtwinters_daily_revenue,
-        "window_rolling_corr_daily": window_rolling_corr_daily,
-        "text_langid_confusion": text_langid_confusion,
-        "agg_welch_ttest_price_shift": agg_welch_ttest_price_shift,
-        "agg_theilsen_slope_nation": agg_theilsen_slope_nation,
-        "similarity_centroid_confusion": similarity_centroid_confusion,
-        "agg_hhi_region_concentration": agg_hhi_region_concentration,
-        "text_countmin_token_freq": text_countmin_token_freq,
-        "agg_jsd_priority_shift": agg_jsd_priority_shift,
-        "orders_customer_growth_daily": orders_customer_growth_daily,
-        "dedup_snm_multipass": dedup_snm_multipass,
-        "dedup_rate_threshold_curve": dedup_rate_threshold_curve,
-        "diag_pk_uniqueness_audit": diag_pk_uniqueness_audit,
-        "agg_seasonal_index_monthly": agg_seasonal_index_monthly,
-        "text_token_burstiness": text_token_burstiness,
     }
 
 
@@ -12960,4 +13357,10 @@ def oracle_sql() -> dict[str, str]:
         "diag_pk_uniqueness_audit": _pk_audit_sql(),
         "agg_seasonal_index_monthly": _SEASONAL_INDEX_SQL,
         "text_token_burstiness": _BURSTINESS_SQL,
+        # round-8 additions
+        "agg_psi_price_drift": _PSI_SQL,
+        "text_vocab_growth": _VOCAB_GROWTH_SQL,
+        "graph_copurchase_assortativity": _ASSORTATIVITY_SQL,
+        "window_drawdown_daily": _DRAWDOWN_SQL,
+        "sample_kfold_assignment": _KFOLD_SQL,
     }

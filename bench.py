@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Emits
+per-query timings as JSONL lines plus a BENCH_DETAIL.json sidecar, and
+the LAST stdout line is ONE compact JSON summary {"metric": ...,
+"value": total_sec, "unit": "sec", "n_queries": N, "queries":
+{<first-30 comparability anchors>}, "sf": ...} asserted < 1900 chars
+(the driver captures a 2 000-char tail — see the round-8 note at the
+final print).
 
 Each query is forced with a count() (no driver-side row materialization —
 the measurement is plan execution, not toPandas transfer). Steady-state
@@ -178,6 +182,17 @@ HEADLINE = [
     "orders_customer_growth_daily",
     "dedup_snm_multipass",
     "dedup_rate_threshold_curve",
+    # round-8 additions: PSI drift (exact-decile rank kernel), vocab
+    # growth (two-phase running sum), degree assortativity (2nd
+    # consumer of the shared co-purchase pair supplier), drawdown
+    # (calendar-bounded running max), k-fold CV assignment (pure-scan
+    # hash banding) — rows above remain unchanged for cross-round
+    # comparability.
+    "agg_psi_price_drift",
+    "text_vocab_growth",
+    "graph_copurchase_assortativity",
+    "window_drawdown_daily",
+    "sample_kfold_assignment",
 ]
 
 
@@ -220,6 +235,17 @@ def main() -> None:
         entrymod._verified_edges(spark, sf_dir, thr).count()
     edge_derive_sec = round(time.time() - t0, 3)
 
+    # Round-8: the co-purchase pair supplier (consumed by
+    # graph_kcore_copurchase; the same derivation the basket family's
+    # distinct-items table starts from) gets the identical treatment —
+    # one untimed pass for codegen, memo cleared, one timed derivation
+    # billed as its own row.
+    entrymod._copurchase_pairs(spark, sf_dir).count()
+    entrymod._PAIR_MEMO.clear()
+    t0 = time.time()
+    entrymod._copurchase_pairs(spark, sf_dir).count()
+    pair_derive_sec = round(time.time() - t0, 3)
+
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -234,19 +260,53 @@ def main() -> None:
     # New row at the end (headline-30 prefix unchanged for
     # cross-round comparability).
     per_query["edge_supplier_derive"] = edge_derive_sec
+    per_query["pair_supplier_derive"] = pair_derive_sec
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
+
+    # OUTPUT FORMAT (round-8 fix, VERDICT r7 item #2): through round 7
+    # the full per-query dict lived on the single final JSON line; at
+    # ~90 queries that line outgrew the driver's 2 000-char tail
+    # capture and BENCH_r07.json recorded `parsed: null`. Now the
+    # per-query detail is emitted as individual JSONL lines (and the
+    # complete document is written to BENCH_DETAIL.json alongside this
+    # script), while the LAST stdout line is a compact summary whose
+    # size is independent of query count — asserted < 1900 chars so it
+    # always fits the tail capture. The first-30 comparability anchors
+    # (the headline prefix unchanged since round 3) ride along in the
+    # summary's "queries" key for round-over-round trend reads; if even
+    # that overflows, the anchors are dropped rather than the parse.
+    detail = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    for name, sec in per_query.items():
+        print(json.dumps({"query": name, "sec": sec}))
+
+    anchors = {n: per_query[n] for n in HEADLINE[:30] if n in per_query}
+    summary = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(per_query),
+        "queries": anchors,
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary)
+    if len(line) >= 1900:
+        summary.pop("queries")
+        line = json.dumps(summary)
+    assert len(line) < 1900, f"summary line {len(line)} chars — must fit tail capture"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -804,6 +804,23 @@ def containment_prefix_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # LENGTH FILTER (recall-preserving, the SSJoin size bound): a
+    # qualifying b contains ≥ o = ceil(t·n_a) DISTINCT shingles of a,
+    # so n_b ≥ o — any shorter b cannot qualify and is pruned BEFORE
+    # the exact-confirm join pays |cand|·n_a rows. Pure candidate
+    # pruning: the surviving-pair set (and the output hash) is
+    # identical; only the confirm volume shrinks.
+    cand = (
+        cand.join(n.select(F.col("_id").alias("doc_a"), "n_a"), "doc_a")
+        .join(
+            n.select(F.col("_id").alias("doc_b"), F.col("n_a").alias("_n_b")),
+            "doc_b",
+        )
+        .filter(
+            F.col("_n_b") >= F.expr(f"CAST(({threshold_pct} * n_a + 99) div 100 AS BIGINT)")
+        )
+        .select("doc_a", "doc_b")
+    )
     sha = sh.select(F.col("_id").alias("doc_a"), "_sh")
     shb = sh.select(F.col("_id").alias("doc_b"), "_sh")
     inter = (

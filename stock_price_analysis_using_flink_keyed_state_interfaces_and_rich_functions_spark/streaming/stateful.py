@@ -667,7 +667,13 @@ def holt_winters_integer_stream(
     def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
             L, T, n, s_csv = state.get
-            L, T, n = int(L), int(T), int(n)
+            # A key whose first micro-batch held only NULL values stores
+            # L=T=None (n=0); restore must keep them None — int(None)
+            # would kill the streaming query (same guard as
+            # holt_integer_stream above).
+            if L is not None:
+                L, T = int(L), int(T)
+            n = int(n)
             S = [int(v) for v in s_csv.split(",")]
         else:
             L = T = None
@@ -1078,7 +1084,12 @@ def funnel_stage_stream(
             pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
             for ts_us, etype in zip(pdf["_f_us"], pdf[type_col]):
                 i = stage_of.get(etype)
-                if i is None:
+                if i is None or pd.isna(ts_us):
+                    # NULL order-timestamp → NULL _f_us; int(pd.NA)
+                    # would raise and kill the stream (every other
+                    # kernel in this file stages an explicit null
+                    # mask). A stage event with no timestamp cannot
+                    # order, so it is skipped.
                     continue
                 t = int(ts_us)
                 if i == 0:

@@ -723,16 +723,27 @@ def streaming_k_anonymity(
         if prior_dirs:
             latest = max(prior_dirs, key=lambda p: int(p.rsplit("=", 1)[1]))
             prev = spark.read.parquet(latest)
-            cur = (
-                cur.withColumnRenamed("class_size", "_new")
-                .join(prev.withColumnRenamed("class_size", "_old"), cols, "full_outer")
-                .select(
-                    *cols,
-                    (
-                        F.coalesce(F.col("_new"), F.lit(0))
-                        + F.coalesce(F.col("_old"), F.lit(0))
-                    ).cast("long").alias("class_size"),
-                )
+            # Null-safe merge: a plain equi-join never matches NULL QI
+            # values, so a NULL-valued class would accumulate duplicate
+            # partial rows instead of one summed class_size (the batch
+            # sibling's groupBy treats NULL as one class — this must
+            # too). eqNullSafe per QI column; unmatched rows have the
+            # other side all-NULL, so per-column coalesce reconstructs
+            # the key exactly (including genuinely-NULL values).
+            new = cur.withColumnRenamed("class_size", "_new").alias("n")
+            old = prev.withColumnRenamed("class_size", "_old").alias("o")
+            cond = F.lit(True)
+            for c in cols:
+                cond = cond & F.col(f"n.{c}").eqNullSafe(F.col(f"o.{c}"))
+            cur = new.join(old, cond, "full_outer").select(
+                *[
+                    F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+                    for c in cols
+                ],
+                (
+                    F.coalesce(F.col("n._new"), F.lit(0))
+                    + F.coalesce(F.col("o._old"), F.lit(0))
+                ).cast("long").alias("class_size"),
             )
         cur.write.mode("overwrite").parquet(os.path.join(root, f"b={batch_id}"))
 

@@ -1980,3 +1980,169 @@ def test_streaming_countmin_bit_identical_to_batch(spark, tmp_path):
             for r in range(4)
         )
         assert est >= n
+
+
+def test_holt_winters_stream_survives_null_only_first_batch(spark, tmp_path):
+    """Round-8 regression (advisor, medium): a key whose FIRST
+    micro-batch contains only NULL values stores L=T=None; the next
+    batch's state restore must keep them None instead of raising
+    TypeError on int(None) and killing the query (the
+    holt_integer_stream guard, mirrored). The post-restore fold must
+    still equal the batch twin."""
+    import os
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.stateful import (
+        holt_winters_integer,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.stateful import (
+        holt_winters_integer_stream,
+    )
+
+    rows = [
+        ("z", 1, None), ("z", 2, None),          # batch 1: NULLs only
+        ("z", 3, 500), ("z", 4, 700),            # batch 2: state restores L=None
+        ("z", 5, 900),                           # batch 3: normal carry
+    ]
+    schema = "k string, seq long, v long"
+    in_dir = str(tmp_path / "hw_null_in")
+    os.makedirs(in_dir)
+    for i, chunk in enumerate([rows[:2], rows[2:4], rows[4:]], 1):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"f{i}")
+        )
+        os.utime(os.path.join(in_dir, f"f{i}"), (1_000_000 * i, 1_000_000 * i))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(os.path.join(in_dir, "*"))
+    out = holt_winters_integer_stream(
+        stream, ["k"], ["seq"], "v", period=3, alpha_pct=20, beta_pct=10,
+        gamma_pct=10,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hw_null_first")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None  # pre-fix: TypeError killed the query here
+    streamed = {
+        (r["k"], r["v"]): (r["level_int"], r["trend_int"], r["season_int"])
+        for r in spark.table("hw_null_first").collect()
+        if r["v"] is not None
+    }
+    df = spark.createDataFrame(rows, schema)
+    batch = {
+        (r["k"], r["v"]): (r["level_int"], r["trend_int"], r["season_int"])
+        for r in holt_winters_integer(
+            df, ["k"], ["seq"], "v", period=3, alpha_pct=20, beta_pct=10,
+            gamma_pct=10,
+        ).collect()
+        if r["v"] is not None
+    }
+    assert streamed == batch
+    assert streamed[("z", 500)] == (500, 0, 0)  # first real value seeds the level
+
+
+def test_funnel_stage_stream_skips_null_timestamps(spark, tmp_path):
+    """Round-8 regression (advisor, low): a stage event whose
+    order-timestamp is NULL yields a NULL staged _f_us; the fold must
+    skip it (it cannot order) instead of raising on int(pd.NA) and
+    killing the stream. Non-NULL rows still latch normally."""
+    import datetime
+    import os
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.stateful import (
+        funnel_stage_stream,
+    )
+
+    T = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, None, "view"),                       # NULL ts — must be skipped
+        (1, T(2), "view"), (1, T(3), "click"),
+        (2, T(1), "view"), (2, None, "click"),   # NULL ts click ignored
+    ]
+    schema_str = "user_id long, ts timestamp, event_type string"
+    in_dir = str(tmp_path / "fn_null_in")
+    os.makedirs(in_dir)
+    for i, chunk in enumerate([rows[:3], rows[3:]], 1):
+        spark.createDataFrame(chunk, schema_str).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"f{i}")
+        )
+        os.utime(os.path.join(in_dir, f"f{i}"), (1_000_000 * i, 1_000_000 * i))
+
+    stream = spark.readStream.schema(schema_str).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(os.path.join(in_dir, "*"))
+    out = funnel_stage_stream(stream, ["user_id"], ["ts"], "event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fn_null_ts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None  # pre-fix: int(pd.NA) killed the query
+    final = {}
+    for r in spark.table("fn_null_ts").collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["stage_reached"] >= cur["stage_reached"]:
+            final[r["user_id"]] = r
+    # u1: NULL view skipped, T(2) view + T(3) click latch → stage 2
+    # u2: view latches, NULL click skipped → stage 1
+    assert {u: r["stage_reached"] for u, r in final.items()} == {1: 2, 2: 1}
+
+
+def test_streaming_k_anonymity_null_qi_merges_as_one_class(spark, tmp_path):
+    """Round-8 regression (advisor, low): NULL QI values form ONE
+    equivalence class across micro-batches — the census merge is
+    null-safe (eqNullSafe), so a NULL-valued class sums its partials
+    instead of accumulating duplicate rows and skewing k. Must equal
+    the batch groupBy census (which already treats NULL as one class)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.windows import (
+        read_k_anonymity,
+        streaming_k_anonymity,
+    )
+
+    b1 = [(None, "AUTO"), ("DE", "AUTO"), (None, None)]
+    b2 = [(None, "AUTO"), (None, None), ("DE", "AUTO")]
+    b3 = [(None, "AUTO"), ("DE", None)]
+    schema = "nation string, segment string"
+    in_dir = str(tmp_path / "ka_null_in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate([b1, b2, b3], 1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"f{i}")
+        )
+        os.utime(os.path.join(in_dir, f"f{i}"), (1_000_000 * i, 1_000_000 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    root = str(tmp_path / "ka_null_root")
+    streaming_k_anonymity(stream, root, ["nation", "segment"])
+    census = read_k_anonymity(spark, root).collect()
+    got = {(r["nation"], r["segment"]): (r["class_size"], r["k_anonymity"]) for r in census}
+    # one row per class — pre-fix the (None, 'AUTO') class appeared 3×
+    assert len(census) == len(got)
+    allrows = spark.createDataFrame(b1 + b2 + b3, schema)
+    batch = {
+        (r["nation"], r["segment"]): r["n"]
+        for r in allrows.groupBy("nation", "segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    k = min(batch.values())
+    assert got == {cls: (n, k) for cls, n in batch.items()} == {
+        (None, "AUTO"): (3, 1), ("DE", "AUTO"): (2, 1),
+        (None, None): (2, 1), ("DE", None): (1, 1),
+    }
