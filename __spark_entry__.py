@@ -12752,6 +12752,163 @@ FROM peaks ORDER BY epoch_day
 """
 
 
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot / abuse detection over the event log: each user's maximum
+    event count inside any trailing 60-second window — super-human
+    burst rates are the first data-cleaning signal a behavioral
+    pipeline filters on before training. Per-user time-RANGE frame
+    over integer epoch seconds (partitioned by user — bounded by one
+    user's history, never corpus-wide), one per-user max aggregate,
+    top-20 via TakeOrderedAndProject + the window-free relational
+    rank. Second-truncation applies on BOTH sides so peer groups are
+    identical (the trailing-hour-sum convention)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.topk import (
+        ranked_top_n,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy(epoch).rangeBetween(-59, 0)
+    burst = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).cast("long").alias("b")
+    )
+    per_user = burst.groupBy("user_id").agg(
+        F.max("b").cast("long").alias("max_burst_60s"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return ranked_top_n(
+        per_user, [("max_burst_60s", True), ("user_id", False)], 20, rank_col="rk"
+    ).select("user_id", "max_burst_60s", "n_events", "rk")
+
+
+_RATE_ANOMALY_SQL = """
+WITH b AS (
+  SELECT user_id,
+         CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY date_trunc('second', ts)
+             RANGE BETWEEN INTERVAL 59 SECONDS PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS b
+  FROM events
+), per_user AS (
+  SELECT user_id, CAST(max(b) AS BIGINT) AS max_burst_60s,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM b GROUP BY 1
+)
+SELECT user_id, max_burst_60s, n_events,
+       CAST(row_number() OVER (ORDER BY max_burst_60s DESC, user_id) AS BIGINT) AS rk
+FROM per_user ORDER BY max_burst_60s DESC, user_id LIMIT 20
+"""
+
+
+def text_dedup_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ablation report — the corpus-curation summary a
+    pretraining pipeline publishes with every release: documents and
+    tokens surviving each dedup tier, independently applied to the raw
+    corpus: `raw` (nothing), `exact` (one survivor per identical
+    text, md5 groups), `near` (one canonical survivor per verified
+    3-gram-Jaccard-0.8 connected component — the third consumer of the
+    shared session-scoped _verified_edges supplier, after the graph
+    family and the rate/leakage reports).
+
+    Tier aggregates are two corpus scans plus one anti-join against
+    the (cluster-member, non-canonical) id set from the checkpointed
+    label propagation; token counts ride the exact integer
+    `token_count`. Oracle: md5 QUALIFY + the quadratic exact-Jaccard
+    reachability closure (oracle-duty-only, the dup_clusters
+    precedent)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        dup_clusters,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", token_count("text").alias("ntok"), F.md5("text").alias("h")
+    )
+
+    def _tier(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        ).select(F.lit(name).alias("tier"), "n_docs", "n_tokens")
+
+    exact = base.groupBy("h").agg(F.min(F.struct("doc_id", "ntok")).alias("s"))
+    exact = exact.select(F.col("s.ntok").alias("ntok"))
+    drop = (
+        dup_clusters(_verified_edges(spark, sf_dir, 0.8))
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    near = base.join(drop, "doc_id", "left_anti")
+    return (
+        _tier(base, "raw")
+        .unionByName(_tier(exact, "exact"))
+        .unionByName(_tier(near, "near"))
+        .orderBy("tier")
+    )
+
+
+# The raw/exact tiers are one-scan aggregates; the near tier reuses the
+# all-pairs exact-Jaccard + recursive reachability closure from
+# _DUP_CLUSTERS_SQL (oracle-duty-only quadratic, as documented there).
+_DEDUP_ABLATION_SQL = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+         md5(text) AS h
+  FROM documents
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(tk) >= 3
+              THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+              ELSE [array_to_string(tk, ' ')] END) AS shs
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shs) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, len(shs) AS sz FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), r(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.label FROM edges e JOIN r rr ON rr.id = e.dst
+), reach AS (
+  SELECT id, min(label) AS cluster_id FROM r GROUP BY id
+), drop_ids AS (
+  SELECT id AS doc_id FROM reach WHERE id != cluster_id
+), exact_surv AS (
+  SELECT ntok FROM base
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id ASC) = 1
+)
+SELECT 'raw' AS tier, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens FROM base
+UNION ALL
+SELECT 'exact', CAST(count(*) AS BIGINT), CAST(sum(ntok) AS BIGINT) FROM exact_surv
+UNION ALL
+SELECT 'near', CAST(count(*) AS BIGINT), CAST(sum(ntok) AS BIGINT)
+FROM base WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
+ORDER BY tier
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -12862,6 +13019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-9 rotation backlog (the contract test's >=50-backlog
         # branch keeps the window itself untouched).
         "sample_kfold_assignment": sample_kfold_assignment,
+        "events_rate_anomaly": events_rate_anomaly,
+        "text_dedup_ablation": text_dedup_ablation,
         "q1_pricing_summary": q1_pricing_summary,
         "w1_running_max_price": w1_running_max_price,
         "w1_final_max_per_year": w1_final_max_per_year,
@@ -13363,4 +13522,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_copurchase_assortativity": _ASSORTATIVITY_SQL,
         "window_drawdown_daily": _DRAWDOWN_SQL,
         "sample_kfold_assignment": _KFOLD_SQL,
+        "events_rate_anomaly": _RATE_ANOMALY_SQL,
+        "text_dedup_ablation": _DEDUP_ABLATION_SQL,
     }

@@ -193,6 +193,11 @@ HEADLINE = [
     "graph_copurchase_assortativity",
     "window_drawdown_daily",
     "sample_kfold_assignment",
+    # round-8 late batch: burst-rate anomaly (per-user time-RANGE
+    # frame) and the dedup ablation report (3rd _verified_edges
+    # consumer); rows above remain unchanged for comparability.
+    "events_rate_anomaly",
+    "text_dedup_ablation",
 ]
 
 

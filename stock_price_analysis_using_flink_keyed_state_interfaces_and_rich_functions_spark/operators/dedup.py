@@ -759,6 +759,19 @@ def containment_prefix_pairs(
     one document's shingle set, never corpus-sized). Docs with fewer
     than ``shingle_k`` tokens have no k-shingles and drop out of both
     sides, matching the oracle's ``len(toks) >= k`` guard.
+
+    SCALE NOTE (round-8 decade probe, SCALE.md): on a FIXED-vocabulary
+    corpus every shingle's df grows ∝ N, making Σ prefix·df = Θ(N²/V)
+    — measured ×15.6 at ×5 docs on the 31-word synthetic corpus. A
+    df-cap CANNOT recover linearity without losing recall 1 (the
+    asc-df prefix is already the optimal recall-1 probe subset by the
+    pigeonhole argument above). Under natural Heaps-law vocabulary
+    growth rare-shingle dfs stay near-flat and the join is
+    near-linear. If a corpus is genuinely vocabulary-saturated, the
+    levers are SEMANTIC and should be chosen explicitly: raise
+    ``shingle_k`` (shingle space grows exponentially, collapsing df)
+    or block by source/language before the join — both change the
+    query definition, never silently cap it.
     """
     toks = _tokens(text_col)
     # k zipped shifted slices, not transform + per-element slice (the

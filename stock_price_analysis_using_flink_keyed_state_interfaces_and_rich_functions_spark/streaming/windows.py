@@ -33,6 +33,8 @@ __all__ = [
     "read_heavy_hitters",
     "streaming_upsert_snapshot",
     "read_snapshot",
+    "streaming_psi_census",
+    "read_psi",
     "run_stream_foreach_batch",
     "run_stream_to_memory",
 ]
@@ -855,3 +857,112 @@ def read_countmin(spark, root: str) -> DataFrame:
     if not dirs:
         raise FileNotFoundError(f"no count-min sketches under {root}")
     return spark.read.parquet(dirs[-1])
+
+
+def streaming_psi_census(
+    df: DataFrame,
+    root: str,
+    value_col: str,
+    edges: Sequence[int],
+) -> None:
+    """Streaming PSI bin census — the live half of the drift monitor
+    (the batch statistic is ``agg_psi_price_drift``): the serving
+    distribution's bin counts are maintained across micro-batches
+    against FIXED training-time bin edges (deciles are frozen when the
+    model ships — exactly why PSI streams well: only the 10-bin census
+    is state, never the values). Bin assignment is the same
+    "edges ≤ v" count as the batch query (a pure scan against the
+    broadcast edge array); the cross-batch merge is cell-wise addition
+    (the Count-Min/k-anonymity census-store shape: batch b overwrites
+    ``root/b=<b>``, reads only dirs < b — retry-idempotent). A drained
+    stream's census is BIT-IDENTICAL to the one-shot batch binning —
+    pytest-pinned. Read the statistic with :func:`read_psi`."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    edge_arr = F.array(*[F.lit(int(e)).cast("long") for e in edges])
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = (
+            batch_df.select(F.col(value_col).cast("long").alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .select(
+                F.aggregate(
+                    edge_arr,
+                    F.lit(0).cast("long"),
+                    lambda acc, e: acc + F.when(F.col("_v") >= e, 1).otherwise(0),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        prior_dirs = [
+            p
+            for p in glob.glob(os.path.join(root, "b=*"))
+            if int(p.rsplit("=", 1)[1]) < batch_id
+        ]
+        if prior_dirs:
+            latest = max(prior_dirs, key=lambda p: int(p.rsplit("=", 1)[1]))
+            prev = spark.read.parquet(latest)
+            cur = (
+                cur.withColumnRenamed("c", "_new")
+                .join(prev.withColumnRenamed("c", "_old"), ["bin"], "full_outer")
+                .select(
+                    "bin",
+                    (
+                        F.coalesce(F.col("_new"), F.lit(0))
+                        + F.coalesce(F.col("_old"), F.lit(0))
+                    ).cast("long").alias("c"),
+                )
+            )
+        cur.write.mode("overwrite").parquet(os.path.join(root, f"b={batch_id}"))
+
+    run_stream_foreach_batch(df, _ingest, output_mode="append")
+
+
+def read_psi(spark, root: str, reference: DataFrame) -> DataFrame:
+    """PSI of a :func:`streaming_psi_census` run against a reference
+    census (columns ``bin``, ``c`` — the training-period bin counts).
+    Per bin the term (q−p)·ln(q/p) is the batch query's fixed-order
+    double over exact BIGINT counts, micro-snapped BEFORE the bounded
+    total; a bin empty on either side yields NULL and drops from the
+    total (both identical to ``agg_psi_price_drift``)."""
+    import glob
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    dirs = sorted(
+        glob.glob(os.path.join(root, "b=*")), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    if not dirs:
+        raise FileNotFoundError(f"no psi censuses under {root}")
+    live = spark.read.parquet(dirs[-1]).select(
+        "bin", F.col("c").alias("c_b")
+    )
+    ref = reference.select("bin", F.col("c").alias("c_a"))
+    cells = ref.join(live, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("c_a", F.lit(0)).cast("long").alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).cast("long").alias("c_b"),
+    )
+    tot = cells.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    p = F.col("c_a").cast("double") / F.col("n_a")
+    q = F.col("c_b").cast("double") / F.col("n_b")
+    term = F.when(
+        (F.col("c_a") > 0) & (F.col("c_b") > 0),
+        F.round((q - p) * F.log(q / p) * 1000000).cast("long"),
+    )
+    scored = j.select("bin", "c_a", "c_b", term.alias("psi_micro"))
+    w = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return scored.withColumn(
+        "psi_total_micro", F.sum("psi_micro").over(w).cast("long")
+    ).orderBy("bin")

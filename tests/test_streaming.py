@@ -2146,3 +2146,76 @@ def test_streaming_k_anonymity_null_qi_merges_as_one_class(spark, tmp_path):
         (None, "AUTO"): (3, 1), ("DE", "AUTO"): (2, 1),
         (None, None): (2, 1), ("DE", None): (1, 1),
     }
+
+
+def test_streaming_psi_census_matches_batch(spark, tmp_path):
+    """Streaming drift monitor: the PSI bin census after 3 micro-batches
+    (fixed training-time edges, additive cell merges) is bit-identical
+    to the one-shot batch binning of the unioned values, and read_psi
+    against a reference census equals a plain-Python PSI computed with
+    the batch query's exact formula (term-snapped micro-units)."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.windows import (
+        read_psi,
+        streaming_psi_census,
+    )
+
+    edges = [100, 200, 300]
+    b1 = [(50,), (150,), (250,), (None,)]
+    b2 = [(350,), (120,), (80,)]
+    b3 = [(200,), (300,), (99,)]          # boundary values: >= edge rule
+    schema = "v long"
+    in_dir = str(tmp_path / "psi_in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate([b1, b2, b3], 1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"f{i}")
+        )
+        os.utime(os.path.join(in_dir, f"f{i}"), (1_000_000 * i, 1_000_000 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    root = str(tmp_path / "psi_root")
+    streaming_psi_census(stream, root, "v", edges)
+
+    import glob
+
+    latest = max(
+        glob.glob(os.path.join(root, "b=*")), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    got = {
+        r["bin"]: r["c"] for r in spark.read.parquet(latest).collect()
+    }
+    # batch binning: bin = #edges <= v, NULLs dropped
+    vals = [v for (v,) in b1 + b2 + b3 if v is not None]
+    want = {}
+    for v in vals:
+        b = sum(1 for e in edges if v >= e)
+        want[b] = want.get(b, 0) + 1
+    assert got == want == {0: 3, 1: 2, 2: 2, 3: 2}
+
+    # PSI vs a reference census (bin -> count), exact formula parity
+    ref_counts = {0: 5, 1: 2, 2: 2, 3: 1}
+    ref = spark.createDataFrame(
+        [(b, c) for b, c in ref_counts.items()], "bin long, c long"
+    )
+    out = {r["bin"]: (r["psi_micro"], r["psi_total_micro"]) for r in read_psi(spark, root, ref).collect()}
+    n_a = sum(ref_counts.values())
+    n_b = sum(want.values())
+    terms = {}
+    for b in sorted(set(ref_counts) | set(want)):
+        ca, cb = ref_counts.get(b, 0), want.get(b, 0)
+        terms[b] = (
+            round((cb / n_b - ca / n_a) * math.log((cb / n_b) / (ca / n_a)) * 1e6)
+            if ca > 0 and cb > 0
+            else None
+        )
+    total = sum(t for t in terms.values() if t is not None)
+    assert out == {b: (t, total) for b, t in terms.items()}
