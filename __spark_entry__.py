@@ -12909,6 +12909,407 @@ ORDER BY tier
 """
 
 
+def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the growth-analytics engagement
+    ratio ("what share of the monthly audience shows up today"). Both
+    distinct counts are exact via the WAU fanout kernel: deduped
+    (day, user) pairs replicate to the window-end days they support
+    (1 for DAU, 30 for MAU — bounded fanout, no self-join), one
+    count-distinct per day each, then a day equi-join. Stickiness is
+    integer micro-units (dau·10⁶ div mau — exact BIGINT division).
+    Shuffle volume is 31·|daily-active pairs|, never events."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    bounds = daily.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+    dau = daily.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    fan = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("_off"), "day", "user_id"
+    ).select(F.date_add("day", F.col("_off")).alias("day"), "user_id")
+    mau = (
+        fan.crossJoin(F.broadcast(bounds))
+        .filter((F.col("day") >= F.col("_lo")) & (F.col("day") <= F.col("_hi")))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            F.expr("CAST((dau * 1000000) div mau AS BIGINT)").alias(
+                "stickiness_micro"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+_STICKINESS_SQL = """
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM daily GROUP BY 1
+), fan AS (
+  SELECT day + CAST(o AS INT) AS day, user_id
+  FROM daily CROSS JOIN (SELECT unnest(range(0, 30)) AS o)
+), mau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM fan CROSS JOIN bounds WHERE day >= lo AND day <= hi GROUP BY day
+)
+SELECT strftime(CAST(dau.day AS DATE), '%Y-%m-%d') AS day, dau, mau,
+       CAST((dau * 1000000) // mau AS BIGINT) AS stickiness_micro
+FROM dau JOIN mau ON dau.day = mau.day
+ORDER BY day
+"""
+
+
+def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level Shannon entropy screen over the binary payload
+    column (operators/multimodal.payload_byte_entropy) — the
+    content-type/corruption check a multimodal ingest runs before
+    decode. The payload plumbing is the real production shape (opaque
+    binary + typed metadata); per-cell micro-bit snapping makes the
+    double exactly portable (JSD scheme), so this is the multimodal
+    family's fully ORACLED query beside the decode/resize fakes."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.multimodal import (
+        attach_payload,
+        payload_byte_entropy,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return payload_byte_entropy(attach_payload(docs, "text")).orderBy("doc_id")
+
+
+_PAYLOAD_ENTROPY_SQL = """
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+  WHERE octet_length(encode(text)) > 0
+), cells AS (
+  SELECT doc_id, substr(hx, CAST(2 * i - 1 AS BIGINT), 2) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM p CROSS JOIN LATERAL (SELECT unnest(range(1, length(hx) // 2 + 1)) AS i)
+  GROUP BY 1, 2
+), totals AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1
+)
+SELECT cells.doc_id,
+       CAST(max(n) AS BIGINT) AS n_bytes,
+       CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+       CAST(sum(CAST(round(CAST(c AS DOUBLE) / n * log2(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT)) AS BIGINT)
+         AS entropy_microbits
+FROM cells JOIN totals ON totals.doc_id = cells.doc_id
+GROUP BY cells.doc_id
+ORDER BY cells.doc_id
+"""
+
+
+def dedup_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-tier QA: agreement matrix between the two verified
+    near-dup tiers — SimHash (hamming ≤ 3 on portable 32-bit
+    signatures) vs 3-gram Jaccard ≥ 0.8 (the shared _verified_edges
+    table, 4th consumer) — the eval a pipeline owner reads before
+    choosing which tier gates ingest. Pairs in both / SimHash-only /
+    Jaccard-only, via one full-outer pair join; counts are exact.
+    Oracle recomputes BOTH tiers quadratically-by-identity (portable
+    md5 signatures + exact shingle Jaccard)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        simhash,
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sim = simhash_pairs(
+        simhash(docs, "doc_id", "text", bits=32, portable=True),
+        "doc_id",
+        max_hamming=3,
+        bits=32,
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+    jac = _verified_edges(spark, sf_dir, 0.8).select("id_a", "id_b")
+    s = sim.withColumn("_in_sim", F.lit(True))
+    q = jac.withColumn("_in_jac", F.lit(True))
+    j = s.join(q, ["id_a", "id_b"], "full_outer")
+    tier = (
+        F.when(F.col("_in_sim") & F.col("_in_jac"), F.lit("both"))
+        .when(F.col("_in_sim"), F.lit("simhash_only"))
+        .otherwise(F.lit("jaccard_only"))
+    )
+    return (
+        j.select(tier.alias("tier"))
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("tier")
+    )
+
+
+def _tier_agreement_sql() -> str:
+    sim = _simhash_verified_sql()
+    jac = _jaccard_pairs_sql(0.8, shingle_k=3)
+    return f"""
+WITH sim AS ({sim}),
+jac AS ({jac}),
+j AS (
+  SELECT CASE WHEN s.id_a IS NOT NULL AND q.id_a IS NOT NULL THEN 'both'
+              WHEN s.id_a IS NOT NULL THEN 'simhash_only'
+              ELSE 'jaccard_only' END AS tier
+  FROM sim s FULL OUTER JOIN jac q ON s.id_a = q.id_a AND s.id_b = q.id_b
+)
+SELECT tier, CAST(count(*) AS BIGINT) AS n_pairs FROM j GROUP BY tier ORDER BY tier
+"""
+
+
+_TIER_AGREEMENT_SQL = _tier_agreement_sql()
+
+
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness census — the third rung of the release-privacy
+    ladder (k-anonymity → l-diversity → t-closeness, Li et al. 2007):
+    a class can be k-anonymous AND l-diverse yet still leak if its
+    sensitive-value MIX differs sharply from the population's. Under
+    the same (nation, balance-band) quasi-identifier and market-segment
+    sensitive attribute as the siblings, each class's distance to the
+    global distribution is the variational distance (categorical EMD)
+    ½·Σ|p_i − q_i|, computed EXACTLY: the numerator Σ|c_i·N − g_i·n| is
+    integer (DECIMAL(38,0) products — c_i·N reaches ~10¹⁸ at large
+    scale factors), micro-snapped only by the final integer division.
+    Zero cells participate via the bounded class×segment spine
+    (|classes|·|segments| — segment domain is bounded). Output: the 20
+    farthest classes plus the release's t (the MAX over classes — the
+    rank-1 row's value, a bounded 20-row window)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.topk import (
+        ranked_top_n,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    qi = [
+        F.col("c_nationkey").alias("qi_nation"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("qi_balance_k"),
+    ]
+    cls = c.groupBy(*qi).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    segs = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("g")
+    )
+    # "n_total", not "N": Spark resolution is case-insensitive by
+    # default, so a column named N collides with the class-size n.
+    tot = c.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    cells = c.groupBy(*qi, F.col("c_mktsegment")).agg(
+        F.count(F.lit(1)).cast("long").alias("ci")
+    )
+    frame = (
+        cls.crossJoin(F.broadcast(segs))
+        .join(cells, ["qi_nation", "qi_balance_k", "c_mktsegment"], "left")
+        .select(
+            "qi_nation",
+            "qi_balance_k",
+            "n",
+            "g",
+            F.coalesce("ci", F.lit(0)).cast("long").alias("ci"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    num = F.abs(
+        F.col("ci").cast("decimal(19,0)") * F.col("n_total").cast("decimal(19,0)")
+        - F.col("g").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    scored = (
+        frame.groupBy("qi_nation", "qi_balance_k", "n", "n_total")
+        .agg(F.sum(num).alias("_num"))
+        .select(
+            "qi_nation",
+            "qi_balance_k",
+            "n",
+            F.floor(
+                F.col("_num") * 1000000
+                / (
+                    F.lit(2).cast("decimal(19,0)")
+                    * F.col("n").cast("decimal(19,0)")
+                    * F.col("n_total").cast("decimal(19,0)")
+                )
+            )
+            .cast("long")
+            .alias("tv_micro"),
+        )
+    )
+    top = ranked_top_n(
+        scored,
+        [("tv_micro", True), ("qi_nation", False), ("qi_balance_k", False)],
+        20,
+        rank_col="rk",
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return top.withColumn(
+        "t_closeness_micro", F.max("tv_micro").over(w).cast("long")
+    ).select(
+        "qi_nation", "qi_balance_k", "n", "tv_micro", "rk", "t_closeness_micro"
+    ).orderBy("rk")
+
+
+_T_CLOSENESS_SQL = """
+WITH cls AS (
+  SELECT c_nationkey AS qi_nation,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS qi_balance_k,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+), segs AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS g FROM customer GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM customer),
+cells AS (
+  SELECT c_nationkey AS qi_nation,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS qi_balance_k,
+         c_mktsegment, CAST(count(*) AS BIGINT) AS ci
+  FROM customer GROUP BY 1, 2, 3
+), frame AS (
+  SELECT cls.qi_nation, cls.qi_balance_k, cls.n, segs.g,
+         CAST(coalesce(cells.ci, 0) AS BIGINT) AS ci
+  FROM cls CROSS JOIN segs
+  LEFT JOIN cells ON cells.qi_nation = cls.qi_nation
+                 AND cells.qi_balance_k = cls.qi_balance_k
+                 AND cells.c_mktsegment = segs.c_mktsegment
+), scored AS (
+  SELECT qi_nation, qi_balance_k, n,
+         CAST((sum(abs(CAST(ci AS HUGEINT) * n_total - CAST(g AS HUGEINT) * n)) * 1000000)
+              // (2 * CAST(n AS HUGEINT) * n_total) AS BIGINT) AS tv_micro
+  FROM frame CROSS JOIN tot
+  GROUP BY qi_nation, qi_balance_k, n, n_total
+), ranked AS (
+  SELECT qi_nation, qi_balance_k, n, tv_micro,
+         CAST(row_number() OVER (ORDER BY tv_micro DESC, qi_nation, qi_balance_k)
+              AS BIGINT) AS rk
+  FROM scored
+  ORDER BY tv_micro DESC, qi_nation, qi_balance_k LIMIT 20
+)
+SELECT qi_nation, qi_balance_k, n, tv_micro, rk,
+       CAST(max(tv_micro) OVER () AS BIGINT) AS t_closeness_micro
+FROM ranked ORDER BY rk
+"""
+
+
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between SOURCE unigram
+    distributions — the corpus-mixing QA a pretraining pipeline reads
+    before weighting sources (two crawls with near-zero JSD are
+    redundant; a high-JSD source adds distributional coverage). The
+    top-20 most divergent source pairs.
+
+    The per-(source, token) count table is vocabulary-sized; the pair
+    frame is |sources|²·|vocab| — sources are a bounded domain (the
+    corpus catalog), so the spine is bounded-fanout, never
+    corpus-sized. Zero cells participate via the spine (a token absent
+    from one source still contributes its surviving JSD term). Every
+    cell term is ONE fixed-order double over exact BIGINTs snapped to
+    micro-nats BEFORE the per-pair total (the JSD scheme); final rank
+    via TakeOrderedAndProject + relational rank."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.topk import (
+        ranked_top_n,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("token"))
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    sn = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    vocab = tok.select("token").distinct()
+    pairs = (
+        sn.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+        .crossJoin(
+            sn.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    spine = pairs.crossJoin(vocab)
+    frame = (
+        spine.join(
+            st.select(
+                F.col("source").alias("source_a"),
+                "token",
+                F.col("c").alias("c_a"),
+            ),
+            ["source_a", "token"],
+            "left",
+        )
+        .join(
+            st.select(
+                F.col("source").alias("source_b"),
+                "token",
+                F.col("c").alias("c_b"),
+            ),
+            ["source_b", "token"],
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce("c_a", F.lit(0)).cast("long").alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).cast("long").alias("c_b"),
+        )
+    )
+    p = F.col("c_a").cast("double") / F.col("n_a")
+    q = F.col("c_b").cast("double") / F.col("n_b")
+    m = (p + q) / 2
+    term = lambda x: F.when(x > 0, x * F.log(x / m)).otherwise(F.lit(0.0))  # noqa: E731
+    contrib = F.round((term(p) + term(q)) / 2 * 1000000).cast("long")
+    scored = frame.groupBy("source_a", "source_b").agg(
+        F.sum(contrib).cast("long").alias("jsd_micronats")
+    )
+    return ranked_top_n(
+        scored,
+        [("jsd_micronats", True), ("source_a", False), ("source_b", False)],
+        20,
+        rank_col="rk",
+    ).select("source_a", "source_b", "jsd_micronats", "rk")
+
+
+_SOURCE_DIVERGENCE_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+), st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), sn AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1
+), vocab AS (SELECT DISTINCT token FROM tok),
+pairs AS (
+  SELECT a.source AS source_a, a.n AS n_a, b.source AS source_b, b.n AS n_b
+  FROM sn a JOIN sn b ON a.source < b.source
+), frame AS (
+  SELECT p.source_a, p.source_b, p.n_a, p.n_b, v.token,
+         CAST(coalesce(ca.c, 0) AS BIGINT) AS c_a,
+         CAST(coalesce(cb.c, 0) AS BIGINT) AS c_b
+  FROM pairs p CROSS JOIN vocab v
+  LEFT JOIN st ca ON ca.source = p.source_a AND ca.token = v.token
+  LEFT JOIN st cb ON cb.source = p.source_b AND cb.token = v.token
+), cellterms AS (
+  SELECT source_a, source_b,
+         CAST(round((
+           (CASE WHEN c_a > 0 THEN (CAST(c_a AS DOUBLE) / n_a)
+                 * ln((CAST(c_a AS DOUBLE) / n_a)
+                      / ((CAST(c_a AS DOUBLE) / n_a + CAST(c_b AS DOUBLE) / n_b) / 2))
+                 ELSE 0.0 END
+          + CASE WHEN c_b > 0 THEN (CAST(c_b AS DOUBLE) / n_b)
+                 * ln((CAST(c_b AS DOUBLE) / n_b)
+                      / ((CAST(c_a AS DOUBLE) / n_a + CAST(c_b AS DOUBLE) / n_b) / 2))
+                 ELSE 0.0 END) / 2 * 1000000)) AS BIGINT) AS t
+  FROM frame
+), scored AS (
+  SELECT source_a, source_b, CAST(sum(t) AS BIGINT) AS jsd_micronats
+  FROM cellterms GROUP BY 1, 2
+)
+SELECT source_a, source_b, jsd_micronats,
+       CAST(row_number() OVER (ORDER BY jsd_micronats DESC, source_a, source_b)
+            AS BIGINT) AS rk
+FROM scored ORDER BY jsd_micronats DESC, source_a, source_b LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -13021,6 +13422,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_kfold_assignment": sample_kfold_assignment,
         "events_rate_anomaly": events_rate_anomaly,
         "text_dedup_ablation": text_dedup_ablation,
+        "events_stickiness_dau_mau": events_stickiness_dau_mau,
+        "multimodal_payload_entropy": multimodal_payload_entropy,
+        "dedup_tier_agreement": dedup_tier_agreement,
+        "privacy_t_closeness": privacy_t_closeness,
+        "text_source_divergence": text_source_divergence,
         "q1_pricing_summary": q1_pricing_summary,
         "w1_running_max_price": w1_running_max_price,
         "w1_final_max_per_year": w1_final_max_per_year,
@@ -13524,4 +13930,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_kfold_assignment": _KFOLD_SQL,
         "events_rate_anomaly": _RATE_ANOMALY_SQL,
         "text_dedup_ablation": _DEDUP_ABLATION_SQL,
+        "events_stickiness_dau_mau": _STICKINESS_SQL,
+        "multimodal_payload_entropy": _PAYLOAD_ENTROPY_SQL,
+        "dedup_tier_agreement": _TIER_AGREEMENT_SQL,
+        "privacy_t_closeness": _T_CLOSENESS_SQL,
+        "text_source_divergence": _SOURCE_DIVERGENCE_SQL,
     }

@@ -198,6 +198,16 @@ HEADLINE = [
     # consumer); rows above remain unchanged for comparability.
     "events_rate_anomaly",
     "text_dedup_ablation",
+    # round-8 final batch: DAU/MAU stickiness (30-day fanout kernel),
+    # payload byte entropy (hex-gram histogram — the multimodal
+    # family's oracled row), SimHash-vs-Jaccard tier agreement (4th
+    # _verified_edges consumer); rows above remain unchanged for
+    # comparability.
+    "events_stickiness_dau_mau",
+    "multimodal_payload_entropy",
+    "dedup_tier_agreement",
+    "privacy_t_closeness",
+    "text_source_divergence",
 ]
 
 

@@ -29,6 +29,7 @@ __all__ = [
     "decode_features",
     "frame_sample",
     "resize_payload",
+    "payload_byte_entropy",
     "FAKE_FEATURE_DIM",
 ]
 
@@ -186,3 +187,53 @@ def resize_payload(
             )
 
     return narrow.mapInPandas(_resize, schema=out_schema)
+
+
+def payload_byte_entropy(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Byte-level Shannon entropy of each binary payload — the
+    content-type/corruption screen a multimodal ingest runs before
+    decode (near-zero entropy = padding/constant fill; ~8 bits/byte =
+    already-compressed or encrypted; text sits in between). Pure
+    Catalyst: positions explode map-side (bounded by payload length),
+    the per-(payload, byte) histogram is an exact BIGINT aggregate
+    keyed by the byte's HEX string (portable across engines — no
+    binary collation in the group key), and each cell's
+    (c/n)·log2(n/c) term is snapped to integer micro-bits BEFORE the
+    per-doc total (the JSD/entropy determinism scheme). Output:
+    (id, n_bytes, n_distinct_bytes, entropy_microbits)."""
+    # Bytes are addressed through the payload's HEX string (2 chars per
+    # byte) — the one byte-accessor both engines share (DuckDB has no
+    # BLOB substring), and hex() is uppercase in both. The gram array
+    # comes from ONE regexp_extract_all pass, not per-position
+    # substring over an exploded sequence — Catalyst inlines the hex()
+    # into every positional reference (the n-gram re-split trap,
+    # SCALE.md round 7), turning O(len) into O(len²) per payload.
+    cells = (
+        df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_p"))
+        .filter(F.octet_length("_p") > 0)
+        .select(
+            "_id",
+            F.explode(
+                F.regexp_extract_all(F.hex(F.col("_p")), F.lit(".."), 0)
+            ).alias("_b"),
+        )
+        .groupBy("_id", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    totals = cells.groupBy("_id").agg(F.sum("_c").cast("long").alias("_n"))
+    c = F.col("_c").cast("double")
+    n = F.col("_n").cast("double")
+    term = F.round(c / n * F.log2(n / c) * 1000000).cast("long")
+    return (
+        cells.join(totals, "_id")
+        .select("_id", "_n", term.alias("_t"))
+        .groupBy("_id")
+        .agg(
+            F.max("_n").cast("long").alias("n_bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_bytes"),
+            F.sum("_t").cast("long").alias("entropy_microbits"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
