@@ -13310,6 +13310,226 @@ FROM scored ORDER BY jsd_micronats DESC, source_a, source_b LIMIT 20
 """
 
 
+def window_bollinger_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily-revenue series: 20-day trailing
+    mean ± 2σ (population), plus the %B position of each day inside
+    its band — the mean-reversion monitor beside the drawdown and
+    rolling-correlation rows. The two trailing sums (Σx, Σx²) run in
+    one RANGE window over integer epoch-days (gaps = missing days, not
+    rows; Σx² in DECIMAL(38,0) — the rolling-corr overflow rule), and
+    each day's mean/σ/%B are fixed-order doubles over its exact sums,
+    micro-snapped (σ via variance = Σx²/n − μ², population form;
+    sqrt is IEEE-exact in both engines). Days with n < 2 or zero
+    variance emit NULL %B. One unpartitioned RANGE window over the
+    calendar-bounded daily aggregate — the documented exception."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("epoch_day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w = Window.orderBy("epoch_day").rangeBetween(-19, 0)
+    xd = F.col("x").cast("decimal(19,0)")
+    sums = daily.select(
+        "epoch_day",
+        "x",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum((xd * xd).cast("decimal(38,0)")).over(w).alias("sxx"),
+    )
+    n = F.col("n_days").cast("double")
+    mu = F.col("sx").cast("double") / n
+    var = F.col("sxx").cast("double") / n - mu * mu
+    sigma = F.sqrt(F.when(var > 0, var).otherwise(F.lit(0.0)))
+    upper = mu + 2 * sigma
+    lower = mu - 2 * sigma
+    pct_b = F.when(
+        (F.col("n_days") >= 2) & (var > 0),
+        F.floor((F.col("x").cast("double") - lower) / (upper - lower) * 1000000)
+        .cast("long"),
+    )
+    return sums.select(
+        "epoch_day",
+        "x",
+        "n_days",
+        F.floor(mu).cast("long").alias("mean_floor_cents"),
+        F.floor(sigma * 1000).cast("long").alias("sigma_milli"),
+        pct_b.alias("pct_b_micro"),
+    ).orderBy("epoch_day")
+
+
+_BOLLINGER_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), sums AS (
+  SELECT epoch_day, x,
+         CAST(count(*) OVER w AS BIGINT) AS n_days,
+         CAST(sum(x) OVER w AS BIGINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS sxx
+  FROM daily
+  WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 19 PRECEDING AND CURRENT ROW)
+), scored AS (
+  SELECT epoch_day, x, n_days,
+         CAST(sx AS DOUBLE) / n_days AS mu,
+         CAST(sxx AS DOUBLE) / n_days
+           - (CAST(sx AS DOUBLE) / n_days) * (CAST(sx AS DOUBLE) / n_days) AS var
+  FROM sums
+)
+SELECT epoch_day, x, n_days,
+       CAST(floor(mu) AS BIGINT) AS mean_floor_cents,
+       CAST(floor(sqrt(CASE WHEN var > 0 THEN var ELSE 0.0 END) * 1000) AS BIGINT)
+         AS sigma_milli,
+       CASE WHEN n_days >= 2 AND var > 0 THEN
+         CAST(floor((CAST(x AS DOUBLE) - (mu - 2 * sqrt(var)))
+                    / ((mu + 2 * sqrt(var)) - (mu - 2 * sqrt(var))) * 1000000)
+              AS BIGINT)
+       END AS pct_b_micro
+FROM scored ORDER BY epoch_day
+"""
+
+
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by lineitem revenue: class
+    A = parts covering the top 80% of cumulative revenue (in revenue-
+    descending order), B = the next 15%, C = the tail — the standard
+    warehouse stratification that decides cycle-count frequency. The
+    cumulative share rides operators/windows.distributed_running_sum
+    over the part-revenue aggregate (range partition + broadcast
+    offsets — never an unpartitioned window over |parts|); class
+    boundaries compare exact integer cents against the broadcast total
+    (cum·100 ≤ total·80 — no float thresholds). Output: per-class part
+    count, revenue cents, and exact micro-share."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    run = distributed_running_sum(
+        per_part,
+        [("cents", True), ("l_partkey", False)],
+        "cents",
+        out_col="cum_cents",
+    )
+    tot = per_part.agg(F.sum("cents").cast("long").alias("total_cents"))
+    cls = (
+        run.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
+            .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            "cents",
+            "total_cents",
+        )
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.expr(
+                "CAST((sum(cents) * 1000000) div max(total_cents) AS BIGINT)"
+            ).alias("share_micro"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+_ABC_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+), run AS (
+  SELECT cents,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+  FROM per_part
+), tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM per_part),
+cls AS (
+  SELECT CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+              WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         cents, total_cents
+  FROM run CROSS JOIN tot
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST((sum(cents) * 1000000) // max(total_cents) AS BIGINT) AS share_micro
+FROM cls GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity screen: per-user Shannon entropy of the
+    event-type mix — near-zero entropy (one repeated action) is the
+    scripted-client signal complementing the burst-rate anomaly. Cell
+    terms (c/n)·log2(n/c) over exact BIGINT counts, micro-bit-snapped
+    BEFORE the per-user sum (the JSD/entropy scheme; event-type domain
+    is bounded, so cells are |users|·|types|). Top-20 most-active
+    low-entropy users: ranked by (entropy asc, events desc) via
+    TakeOrderedAndProject + relational rank."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.topk import (
+        ranked_top_n,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = cells.groupBy("user_id").agg(F.sum("c").cast("long").alias("n"))
+    c = F.col("c").cast("double")
+    n = F.col("n").cast("double")
+    term = F.round(c / n * F.log2(n / c) * 1000000).cast("long")
+    scored = (
+        cells.join(totals, "user_id")
+        .select("user_id", "n", term.alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.sum("t").cast("long").alias("entropy_microbits"),
+        )
+    )
+    return ranked_top_n(
+        scored,
+        [("entropy_microbits", False), ("n_events", True), ("user_id", False)],
+        20,
+        rank_col="rk",
+    ).select("user_id", "n_events", "entropy_microbits", "rk")
+
+
+_USER_ENTROPY_SQL = """
+WITH cells AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), totals AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1
+), scored AS (
+  SELECT cells.user_id,
+         CAST(max(n) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(CAST(c AS DOUBLE) / n * log2(CAST(n AS DOUBLE) / c)
+                             * 1000000) AS BIGINT)) AS BIGINT) AS entropy_microbits
+  FROM cells JOIN totals ON totals.user_id = cells.user_id
+  GROUP BY cells.user_id
+)
+SELECT user_id, n_events, entropy_microbits,
+       CAST(row_number() OVER (ORDER BY entropy_microbits ASC, n_events DESC, user_id)
+            AS BIGINT) AS rk
+FROM scored ORDER BY entropy_microbits ASC, n_events DESC, user_id LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -13427,6 +13647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tier_agreement": dedup_tier_agreement,
         "privacy_t_closeness": privacy_t_closeness,
         "text_source_divergence": text_source_divergence,
+        "window_bollinger_bands_daily": window_bollinger_bands_daily,
+        "orders_abc_classification": orders_abc_classification,
+        "events_user_entropy": events_user_entropy,
         "q1_pricing_summary": q1_pricing_summary,
         "w1_running_max_price": w1_running_max_price,
         "w1_final_max_per_year": w1_final_max_per_year,
@@ -13935,4 +14158,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_tier_agreement": _TIER_AGREEMENT_SQL,
         "privacy_t_closeness": _T_CLOSENESS_SQL,
         "text_source_divergence": _SOURCE_DIVERGENCE_SQL,
+        "window_bollinger_bands_daily": _BOLLINGER_SQL,
+        "orders_abc_classification": _ABC_SQL,
+        "events_user_entropy": _USER_ENTROPY_SQL,
     }

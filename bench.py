@@ -208,6 +208,9 @@ HEADLINE = [
     "dedup_tier_agreement",
     "privacy_t_closeness",
     "text_source_divergence",
+    "window_bollinger_bands_daily",
+    "orders_abc_classification",
+    "events_user_entropy",
 ]
 
 
