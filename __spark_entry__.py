@@ -13530,6 +13530,66 @@ FROM scored ORDER BY entropy_microbits ASC, n_events DESC, user_id LIMIT 20
 """
 
 
+def similarity_hubness_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic of the embedding space: the in-degree
+    histogram of the exact k=5 nearest-neighbor graph — in high
+    dimensions a few "hub" vectors appear in everyone's neighbor list
+    (skewed in-degree), which silently degrades kNN retrieval and
+    dedup; ANN QA reads this histogram before trusting top-k results.
+    Zero-in-degree vectors (anti-hubs) are counted via the left join
+    against the full id set. EVAL-SAMPLE TIER: the all-vs-all cosine
+    pass is quadratic in the embeddings table by definition of exact
+    kNN — the table is the bounded eval sample (2 000 vectors at
+    sf0.1); production hubness runs over an IVF/LSH candidate graph
+    (the ivf_topk path), traded explicitly, never silently. The kernel
+    is operators/similarity.self_knn_topk — per-partition partial
+    top-k with the query matrix in a closure (each vector crosses
+    Arrow once, not once per pair; the join form measured 23 s at
+    sf0.1, this ~2 s), equivalence-pinned against brute_force_topk in
+    pytest."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.similarity import (
+        self_knn_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nn = self_knn_topk(emb, "vec_id", "embedding", k=5)
+    ind = nn.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("indeg")
+    )
+    full = (
+        emb.select(F.col("vec_id").alias("neighbor_id"))
+        .join(ind, "neighbor_id", "left")
+        .select(F.coalesce("indeg", F.lit(0)).cast("long").alias("indegree"))
+    )
+    return (
+        full.groupBy("indegree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("indegree")
+    )
+
+
+_HUBNESS_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND({_COS_SQL_FRAGMENT.format(a="q.embedding", b="e.embedding")}, 4) AS cosine
+  FROM embeddings e CROSS JOIN embeddings q
+  WHERE e.vec_id <> q.vec_id
+), nn AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rk
+  FROM scored QUALIFY rk <= 5
+), ind AS (
+  SELECT neighbor_id, CAST(count(*) AS BIGINT) AS indeg FROM nn GROUP BY 1
+), full_set AS (
+  SELECT CAST(coalesce(ind.indeg, 0) AS BIGINT) AS indegree
+  FROM embeddings LEFT JOIN ind ON ind.neighbor_id = embeddings.vec_id
+)
+SELECT indegree, CAST(count(*) AS BIGINT) AS n_vectors
+FROM full_set GROUP BY indegree ORDER BY indegree
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -13650,6 +13710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_bollinger_bands_daily": window_bollinger_bands_daily,
         "orders_abc_classification": orders_abc_classification,
         "events_user_entropy": events_user_entropy,
+        "similarity_hubness_indegree": similarity_hubness_indegree,
         "q1_pricing_summary": q1_pricing_summary,
         "w1_running_max_price": w1_running_max_price,
         "w1_final_max_per_year": w1_final_max_per_year,
@@ -14161,4 +14222,5 @@ def oracle_sql() -> dict[str, str]:
         "window_bollinger_bands_daily": _BOLLINGER_SQL,
         "orders_abc_classification": _ABC_SQL,
         "events_user_entropy": _USER_ENTROPY_SQL,
+        "similarity_hubness_indegree": _HUBNESS_SQL,
     }

@@ -211,6 +211,7 @@ HEADLINE = [
     "window_bollinger_bands_daily",
     "orders_abc_classification",
     "events_user_entropy",
+    "similarity_hubness_indegree",
 ]
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType
 
 __all__ = [
+    "self_knn_topk",
     "dot_expr",
     "norm_expr",
     "cosine_expr",
@@ -810,3 +811,97 @@ def portable_simhash_dup_pairs(
                 f"guarantee was violated (implementation bug, not data)"
             )
     return confirmed
+
+
+def self_knn_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact self-kNN (query set == corpus): top-k cosine neighbors of
+    EVERY vector — the all-vs-all eval pass behind hubness/recall
+    diagnostics. Same output schema and numerics as
+    :func:`brute_force_topk` with ``queries=vectors``, restructured
+    for the all-queries case:
+
+    - The query matrix rides a CLOSURE (the IVF-codebook precedent:
+      the embeddings table is the bounded eval sample — at true corpus
+      scale the exact tier is replaced by IVF/LSH candidates, traded
+      explicitly). Each corpus vector then crosses the Python boundary
+      ONCE per partition, not once per (query, vector) pair — the
+      join formulation ships |V|·|Q| 64-dim arrays through Arrow
+      (~4 GB at 2 000², the measured 23 s), this ships |V|.
+    - Each partition emits only its PARTIAL top-k per query
+      (|Q|·k rows), so the final global top-k window sees
+      |Q|·k·|partitions| skinny rows instead of |V|·|Q|.
+    - Per-pair cosine math is IDENTICAL to cosine_pairs_udf —
+      ``(V*q).sum(axis=1)`` row-sums and norm-product-then-divide in
+      the same operand order — so the 4-dp rounded scores (and the
+      DuckDB oracle hash) are unchanged. Zero-norm vectors never score
+      (matching the NULL-cosine semantics).
+    """
+    import numpy as np
+
+    rows = vectors.select(id_col, vec_col).collect()
+    q_ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    Qm = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
+    q_norm = np.linalg.norm(Qm, axis=1)
+    kk, dp = int(k), int(round_dp)
+    _bm = _make_batch_matrix()
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def _partial(batches):
+        import pandas as pdl
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V, vmask = _bm(pdf[vec_col])
+            n_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v_norm = np.linalg.norm(V, axis=1)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(q_ids)):
+                den = v_norm * q_norm[j]
+                ok = vmask & (den > 0) & (n_ids != q_ids[j])
+                if not ok.any():
+                    continue
+                num = (V * Qm[j]).sum(axis=1)
+                cos = np.divide(num, den, out=np.zeros_like(num), where=ok)
+                # SELECTION key uses a half-away-from-zero 4-dp round
+                # (approximating Catalyst's HALF_UP) so partial top-k
+                # agrees with the final (F.round desc, id asc) window
+                # ordering across rounding ties; the EMITTED cosine is
+                # RAW — the final plan applies F.round, so output
+                # values are Catalyst-rounded exactly like
+                # brute_force_topk (and the DuckDB oracle).
+                scaled = cos * (10.0**dp)
+                key = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+                cand = np.flatnonzero(ok)
+                # partial top-k with the global tiebreak (cosine desc,
+                # neighbor id asc): lexsort is stable least-significant-last
+                order = cand[np.lexsort((n_ids[cand], -key[cand]))][:kk]
+                out_q.extend([q_ids[j]] * len(order))
+                out_n.extend(n_ids[order])
+                out_c.extend(cos[order])
+            yield pdl.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    partial = (
+        vectors.select(id_col, vec_col)
+        .mapInPandas(_partial, out_schema)
+        .withColumn("cosine", F.round(F.col("cosine"), dp))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= kk)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

@@ -1573,3 +1573,68 @@ def test_hll_registers_mergeable_and_accurate(spark):
     tiny = spark.createDataFrame([("t", i) for i in range(40)], ["g", "v"])
     est_tiny = hll_estimate(hll_registers(tiny, ["g"], "v"), ["g"]).collect()[0].est_distinct
     assert abs(est_tiny - 40) <= 4
+
+
+def test_payload_byte_entropy_matches_reference(spark):
+    """payload_byte_entropy equals a plain-Python byte-histogram
+    entropy (per-cell micro-bit snapping replayed literally), counts
+    zero-entropy constant payloads correctly, and drops empty
+    payloads like the oracle's octet_length > 0 guard."""
+    import math
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.multimodal import (
+        payload_byte_entropy,
+    )
+
+    rows = [(1, "abab"), (2, "aaaa"), (3, "abcd"), (4, ""), (5, None)]
+    df = attach_payload(
+        spark.createDataFrame(rows, ["doc_id", "text"]), "text"
+    )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_distinct_bytes"], r["entropy_microbits"])
+        for r in payload_byte_entropy(df).collect()
+    }
+
+    def ref(text):
+        bs = text.encode("utf-8")
+        if not bs:
+            return None
+        hist = {}
+        for b in bs:
+            hist[b] = hist.get(b, 0) + 1
+        n = len(bs)
+        ent = sum(round(c / n * math.log2(n / c) * 1e6) for c in hist.values())
+        return (n, len(hist), ent)
+
+    want = {i: ref(t) for i, t in rows if t}
+    assert got == want
+    assert got[2] == (4, 1, 0)          # constant payload: zero entropy
+    assert got[1] == (4, 2, 1000000)    # two equiprobable bytes: 1 bit
+    assert 4 not in got and 5 not in got
+
+
+def test_self_knn_topk_equals_brute_force(spark):
+    """The partial-top-k self-kNN kernel must reproduce
+    brute_force_topk(vectors, vectors) EXACTLY — same neighbors, same
+    4-dp cosines, same ranks — across partition boundaries (the
+    partial emission must never drop a row the global rounded
+    ordering needs)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.similarity import (
+        brute_force_topk,
+        self_knn_topk,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        read_table,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").repartition(8)
+    want = {
+        (r.query_id, r.rk): (r.neighbor_id, r.cosine)
+        for r in brute_force_topk(emb, emb, "vec_id", "embedding", k=5).collect()
+    }
+    got = {
+        (r.query_id, r.rk): (r.neighbor_id, r.cosine)
+        for r in self_knn_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    assert got == want
+    assert len(got) > 0
