@@ -68,6 +68,7 @@ __all__ = [
     "conversion_paths_stream",
     "holt_winters_integer_stream",
     "funnel_stage_stream",
+    "burst_rate_stream",
 ]
 
 
@@ -1111,6 +1112,102 @@ def funnel_stage_stream(
     if "_f_us" in df.columns:
         raise ValueError("input already has a _f_us column (reserved staging name)")
     staged = df.withColumn("_f_us", F.unix_micros(F.col(order[0]).cast("timestamp")))
+    return staged.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def burst_rate_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    window_s: int = 60,
+) -> DataFrame:
+    """Streaming twin of the burst-rate anomaly screen
+    (events_rate_anomaly): per key, the count of events inside the
+    trailing ``window_s``-second window at each event, plus the
+    running maximum — the live bot detector. State is the per-second
+    count table WITHIN the trailing window (bounded: ≤ window_s
+    entries per key) plus the running max; everything older than the
+    newest second − (window_s − 1) is evicted on every fold, so state
+    never grows with the stream.
+
+    Matches the batch RANGE frame's peer semantics: rows sharing a
+    truncated epoch second all see the count AFTER the whole second
+    arrived (a RANGE frame includes peers). Like the other twins, the
+    fold assumes per-batch order columns replay the stream in event
+    order; NULL timestamps are skipped (NULL burst, carried max)."""
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [
+            StructField("epoch_s", LongType()),
+            StructField("burst", LongType()),
+            StructField("max_burst", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("max_burst", LongType()), StructField("recent", StringType())]
+    )
+    keys = list(key_cols)
+    w = int(window_s)
+
+    def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            max_b, recent_csv = state.get
+            max_b = int(max_b) if max_b is not None else 0
+            recent = (
+                [tuple(int(x) for x in p.split(":")) for p in recent_csv.split(",")]
+                if recent_csv
+                else []
+            )
+        else:
+            max_b, recent = 0, []
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("_b_s")
+            secs, bursts, maxes = [], [], []
+            # group contiguous runs of the same epoch second: peers see
+            # the count after the full second arrived
+            i, vals = 0, pdf["_b_s"].tolist()
+            nulls = pdf["_b_n"].tolist()
+            while i < len(vals):
+                if bool(nulls[i]):
+                    secs.append(None)
+                    bursts.append(None)
+                    maxes.append(max_b)
+                    i += 1
+                    continue
+                t = int(vals[i])
+                j = i
+                while j < len(vals) and not bool(nulls[j]) and int(vals[j]) == t:
+                    j += 1
+                n_here = j - i
+                recent = [(s, c) for (s, c) in recent if s > t - w]
+                recent.append((t, n_here))
+                burst = sum(c for (_, c) in recent)
+                max_b = max(max_b, burst)
+                for _ in range(i, j):
+                    secs.append(t)
+                    bursts.append(burst)
+                    maxes.append(max_b)
+                i = j
+            out = pd.DataFrame({k: [kv] * len(pdf) for k, kv in zip(keys, key)})
+            out["epoch_s"] = pd.array(secs, dtype="Int64")
+            out["burst"] = pd.array(bursts, dtype="Int64")
+            out["max_burst"] = pd.array(maxes, dtype="Int64")
+            yield out
+        state.update(
+            (max_b, ",".join(f"{s}:{c}" for (s, c) in recent))
+        )
+
+    from pyspark.sql import functions as F
+
+    if "_b_s" in df.columns or "_b_n" in df.columns:
+        raise ValueError("input already has a _b_s/_b_n column (reserved staging names)")
+    staged = df.withColumn(
+        "_b_s",
+        F.coalesce(F.unix_timestamp(F.col(ts_col).cast("timestamp")), F.lit(0)),
+    ).withColumn("_b_n", F.col(ts_col).isNull())
     return staged.groupBy(*keys).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

@@ -2219,3 +2219,66 @@ def test_streaming_psi_census_matches_batch(spark, tmp_path):
         )
     total = sum(t for t in terms.values() if t is not None)
     assert out == {b: (t, total) for b, t in terms.items()}
+
+
+def test_burst_rate_stream_matches_batch_range_frame(spark, tmp_path):
+    """Streaming burst-rate twin: per-key trailing-60s counts with
+    RANGE-frame peer semantics (same-second rows all see the full
+    second), state carried across 3 micro-batches with eviction, and
+    the final max per key equal to the batch query's per-user
+    max-burst fold. NULL timestamps skip (NULL burst, carried max)."""
+    import datetime
+    import os
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.stateful import (
+        burst_rate_stream,
+    )
+
+    T = lambda s: datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # u1: 3 events in one second (peers), then a 4th 30s later
+        (1, T(0)), (1, T(0)), (1, T(0)), (1, T(30)),
+        # u1: 61s later the first three leave the window
+        (1, T(61)),
+        # u2: slow drip outside windows + a NULL ts
+        (2, T(0)), (2, None), (2, T(120)),
+    ]
+    schema = "user_id long, ts timestamp"
+    in_dir = str(tmp_path / "br_in")
+    os.makedirs(in_dir)
+    for i, chunk in enumerate([rows[:4], rows[4:6], rows[6:]], 1):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"f{i}")
+        )
+        os.utime(os.path.join(in_dir, f"f{i}"), (1_000_000 * i, 1_000_000 * i))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(os.path.join(in_dir, "*"))
+    out = burst_rate_stream(stream, ["user_id"], "ts", window_s=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("burst_par")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = [
+        (r["user_id"], r["epoch_s"], r["burst"], r["max_burst"])
+        for r in spark.table("burst_par").orderBy("user_id", "epoch_s").collect()
+    ]
+    base = int(T(0).timestamp())
+    # u1: the three peers each see burst 3; T(30) sees 4 (all within
+    # 60s); T(61) sees 2 (T(30) and itself — the second-0 peers left)
+    u1 = [(u, e - base if e is not None else None, b, m) for (u, e, b, m) in got if u == 1]
+    assert sorted(u1) == [(1, 0, 3, 3), (1, 0, 3, 3), (1, 0, 3, 3), (1, 30, 4, 4), (1, 61, 2, 4)]
+    # u2: isolated events burst 1; NULL ts row emits NULL burst, max carried
+    u2 = [(e - base if e is not None else None, b, m) for (u, e, b, m) in got if u == 2]
+    assert sorted(u2, key=lambda x: (x[0] is None, x[0])) == [(0, 1, 1), (120, 1, 1), (None, None, 1)]
+    # final max per user equals the batch RANGE-frame fold
+    finals = {}
+    for (u, e, b, m) in got:
+        finals[u] = max(finals.get(u, 0), m)
+    assert finals == {1: 4, 2: 1}
