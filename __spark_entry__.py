@@ -13590,6 +13590,144 @@ FROM full_set GROUP BY indegree ORDER BY indegree
 """
 
 
+def diag_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness report — the first SLO a warehouse dashboard
+    shows: per nation, the most recent order date and its lag (days)
+    behind the GLOBAL most recent date; a nation whose feed stalls
+    shows a growing lag. One nation-domain aggregate + one broadcast
+    one-row max; integer day arithmetic only."""
+    o = _t(spark, sf_dir, "orders").join(
+        _t(spark, sf_dir, "customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    per_nation = o.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    glob = per_nation.agg(F.max("last_order").alias("_g"))
+    return (
+        per_nation.crossJoin(F.broadcast(glob))
+        .select(
+            "nationkey",
+            F.date_format("last_order", "yyyy-MM-dd").alias("last_order"),
+            "n_orders",
+            F.datediff(F.col("_g"), F.col("last_order"))
+            .cast("long")
+            .alias("lag_days"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_FRESHNESS_SQL = """
+WITH per_nation AS (
+  SELECT c_nationkey AS nationkey,
+         max(CAST(o_orderdate AS DATE)) AS last_order,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+), gmax AS (SELECT max(last_order) AS g FROM per_nation)
+SELECT nationkey, strftime(last_order, '%Y-%m-%d') AS last_order, n_orders,
+       CAST(date_diff('day', last_order, g) AS BIGINT) AS lag_days
+FROM per_nation CROSS JOIN gmax ORDER BY nationkey
+"""
+
+
+def orders_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition of monthly revenue
+    (the moving-average method): trend = centered 12-month MA,
+    detrended = value − trend, seasonal component = the per-calendar-
+    month SUM and COUNT of detrended values across years — emitted as
+    exact integer sums rather than an averaged index, so every cell is
+    engine-exact (a floor-vs-truncate integer division on the possibly
+    NEGATIVE detrended sums is the one thing the two engines disagree
+    on; the consumer divides). Complements the multiplicative
+    seasonality index (agg_seasonal_index_monthly) and the recursive
+    smoother (window_holtwinters_daily_revenue). All windows run over
+    the ~84-row month spine — the documented time-domain-bounded
+    exception."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("ym").rowsBetween(-6, 5)
+    sums = monthly.select(
+        "ym",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("_n"),
+        F.sum("cents").over(w).cast("long").alias("_s"),
+    )
+    # trend only where the full 12-month window exists (centered MA);
+    # milli-cents integer division on a POSITIVE sum (engine-agnostic)
+    trend = F.when(
+        F.col("_n") == 12, F.expr("CAST((_s * 1000) div _n AS BIGINT)")
+    )
+    base = sums.select(
+        "ym",
+        "cents",
+        trend.alias("trend_milli"),
+    ).withColumn(
+        "det_milli",
+        F.when(
+            F.col("trend_milli").isNotNull(),
+            F.col("cents") * 1000 - F.col("trend_milli"),
+        ).cast("long"),
+    )
+    seasonal = (
+        base.filter(F.col("det_milli").isNotNull())
+        .groupBy((F.col("ym") % 100).alias("mon"))
+        .agg(
+            F.sum("det_milli").cast("long").alias("seasonal_sum_milli"),
+            F.count(F.lit(1)).cast("long").alias("n_years"),
+        )
+    )
+    return (
+        base.join(seasonal, F.col("ym") % 100 == F.col("mon"), "left")
+        .select("ym", "cents", "trend_milli", "det_milli",
+                "seasonal_sum_milli", "n_years")
+        .orderBy("ym")
+    )
+
+
+_SEASONAL_DECOMP_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) * 100
+              + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS ym,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), sums AS (
+  SELECT ym, cents,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(cents) OVER w AS BIGINT) AS s
+  FROM monthly
+  WINDOW w AS (ORDER BY ym ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+), base AS (
+  SELECT ym, cents,
+         CASE WHEN n = 12 THEN CAST((s * 1000) // n AS BIGINT) END AS trend_milli
+  FROM sums
+), base2 AS (
+  SELECT ym, cents, trend_milli,
+         CASE WHEN trend_milli IS NOT NULL
+              THEN CAST(cents * 1000 - trend_milli AS BIGINT) END AS det_milli
+  FROM base
+), seasonal AS (
+  SELECT ym % 100 AS mon,
+         CAST(sum(det_milli) AS BIGINT) AS seasonal_sum_milli,
+         CAST(count(*) AS BIGINT) AS n_years
+  FROM base2 WHERE det_milli IS NOT NULL GROUP BY 1
+)
+SELECT ym, cents, trend_milli, det_milli, seasonal_sum_milli, n_years
+FROM base2 LEFT JOIN seasonal ON base2.ym % 100 = seasonal.mon
+ORDER BY ym
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -13711,6 +13849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_abc_classification": orders_abc_classification,
         "events_user_entropy": events_user_entropy,
         "similarity_hubness_indegree": similarity_hubness_indegree,
+        "diag_freshness_lag": diag_freshness_lag,
+        "orders_seasonal_decomposition": orders_seasonal_decomposition,
         "q1_pricing_summary": q1_pricing_summary,
         "w1_running_max_price": w1_running_max_price,
         "w1_final_max_per_year": w1_final_max_per_year,
@@ -14223,4 +14363,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_abc_classification": _ABC_SQL,
         "events_user_entropy": _USER_ENTROPY_SQL,
         "similarity_hubness_indegree": _HUBNESS_SQL,
+        "diag_freshness_lag": _FRESHNESS_SQL,
+        "orders_seasonal_decomposition": _SEASONAL_DECOMP_SQL,
     }

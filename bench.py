@@ -212,6 +212,8 @@ HEADLINE = [
     "orders_abc_classification",
     "events_user_entropy",
     "similarity_hubness_indegree",
+    "diag_freshness_lag",
+    "orders_seasonal_decomposition",
 ]
 
 
