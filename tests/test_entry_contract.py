@@ -128,3 +128,32 @@ def test_cli_list_run_oracle_paths(capsys):
 
     assert main(["run", "window_ewma_orders", "--oracle"]) == 3
     assert main(["run", "does_not_exist"]) == 2
+
+
+def test_bench_summary_line_always_fits_the_driver_tail():
+    """VERDICT r7 item #2 lock: the bench's final stdout line must
+    parse and stay under 1 900 chars (the driver captures a 2 000-char
+    tail) for the CURRENT headline, for a 500-query future headline
+    (anchors dropped rather than the parse), and must keep the
+    metric/value/unit/n_queries/sf keys the driver records."""
+    import json
+
+    import bench
+
+    # current headline shape, worst-case float widths
+    per = {n: 123.456 for n in bench.HEADLINE}
+    per["edge_supplier_derive"] = 99.999
+    per["pair_supplier_derive"] = 99.999
+    line = bench.build_summary_line(per, round(sum(per.values()), 3), 0.1)
+    assert len(line) < 1900
+    parsed = json.loads(line)
+    assert {"metric", "value", "unit", "n_queries", "sf"} <= set(parsed)
+    assert parsed["n_queries"] == len(per)
+    assert len(parsed["queries"]) == 30  # comparability anchors
+
+    # pathological future: 500 queries with long names — still parses
+    big = {f"extremely_long_query_name_number_{i:04d}": 1.0 for i in range(500)}
+    big.update(per)
+    line2 = bench.build_summary_line(big, 500.0, 0.1)
+    assert len(line2) < 1900
+    assert json.loads(line2)["n_queries"] == len(big)
