@@ -13728,6 +13728,91 @@ ORDER BY ym
 """
 
 
+def text_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-QA diagnostic for the portable SimHash tier: per bit
+    position of the 32-bit signature, how many documents set it and
+    the micro-share — a healthy hash family sits near 50% per bit;
+    a skewed bit discriminates nothing and silently inflates the
+    hamming-≤H candidate volume. One signature derivation + a
+    32-way bounded explode; the oracle recomputes the identical md5
+    vote/sign assembly (the dedup_simhash_verified twin) and counts
+    the same bits."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        simhash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = simhash(docs, "doc_id", "text", bits=32, portable=True)
+    n = sigs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    bits = sigs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+        F.col("simhash"),
+    ).select(
+        "bit",
+        # SQL shift (column-valued shift amount — the builder fn only
+        # takes an int literal); signatures are 32-bit non-negative,
+        # so >> and unsigned-shift agree.
+        F.expr("CAST(shiftright(simhash, CAST(bit AS INT)) & 1 AS BIGINT)").alias(
+            "is_set"
+        ),
+    )
+    return (
+        bits.groupBy("bit")
+        .agg(F.sum("is_set").cast("long").alias("n_set"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bit",
+            "n_set",
+            "n_docs",
+            F.expr("CAST((n_set * 1000000) div n_docs AS BIGINT)").alias(
+                "share_micro"
+            ),
+        )
+        .orderBy("bit")
+    )
+
+
+def _simhash_bit_balance_sql() -> str:
+    bits = 32
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM toks
+),
+voted AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {assemble} AS sig FROM voted
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sigs),
+bits AS (
+  SELECT CAST(b AS BIGINT) AS bit,
+         CAST(sum((sig >> CAST(b AS INT)) & 1) AS BIGINT) AS n_set
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+  GROUP BY 1
+)
+SELECT bit, n_set, n_docs,
+       CAST((n_set * 1000000) // n_docs AS BIGINT) AS share_micro
+FROM bits CROSS JOIN n ORDER BY bit
+"""
+
+
+_SIMHASH_BIT_BALANCE_SQL = _simhash_bit_balance_sql()
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -13851,6 +13936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_hubness_indegree": similarity_hubness_indegree,
         "diag_freshness_lag": diag_freshness_lag,
         "orders_seasonal_decomposition": orders_seasonal_decomposition,
+        "text_simhash_bit_balance": text_simhash_bit_balance,
         "q1_pricing_summary": q1_pricing_summary,
         "w1_running_max_price": w1_running_max_price,
         "w1_final_max_per_year": w1_final_max_per_year,
@@ -14365,4 +14451,5 @@ def oracle_sql() -> dict[str, str]:
         "similarity_hubness_indegree": _HUBNESS_SQL,
         "diag_freshness_lag": _FRESHNESS_SQL,
         "orders_seasonal_decomposition": _SEASONAL_DECOMP_SQL,
+        "text_simhash_bit_balance": _SIMHASH_BIT_BALANCE_SQL,
     }

@@ -214,6 +214,7 @@ HEADLINE = [
     "similarity_hubness_indegree",
     "diag_freshness_lag",
     "orders_seasonal_decomposition",
+    "text_simhash_bit_balance",
 ]
 
 
