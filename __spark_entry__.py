@@ -13813,6 +13813,132 @@ FROM bits CROSS JOIN n ORDER BY bit
 _SIMHASH_BIT_BALANCE_SQL = _simhash_bit_balance_sql()
 
 
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate over gap-sessionized activity: the share of
+    sessions (1-hour inactivity gap, the sessionize kernel) containing
+    exactly ONE event, keyed by the session's start day — the classic
+    engagement KPI next to session_stats. Session roll-up is one
+    (user, session) aggregate over the shared prefix-sum session
+    assignment; the day census is bounded by the calendar. Bounce
+    share in exact integer micro-units."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        sessionize_by_gap,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_by_gap(ev, ["user_id"], "ts", 3600, "session_id")
+    per_sess = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("_start"),
+    )
+    return (
+        per_sess.groupBy(
+            F.date_format(F.to_date("_start"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long"))
+            .cast("long")
+            .alias("n_bounces"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            F.expr("CAST((n_bounces * 1000000) div n_sessions AS BIGINT)").alias(
+                "bounce_micro"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+_BOUNCE_RATE_SQL = f"""
+WITH {_SESSION_CTE.strip()},
+per_sess AS (
+  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+         min(ts) AS start_ts
+  FROM sess GROUP BY 1, 2
+)
+SELECT strftime(CAST(start_ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000) // count(*)
+            AS BIGINT) AS bounce_micro
+FROM per_sess
+GROUP BY strftime(CAST(start_ts AS DATE), '%Y-%m-%d')
+ORDER BY day
+"""
+
+
+def events_returning_users_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly returning-user rate: of the users active in week w−1,
+    what share came back in week w — the rolling retention KPI beside
+    the cohort triangle (one number per week instead of a cohort×age
+    matrix). Weeks are epoch-day div 7 (deterministic, no ISO-week
+    engine folklore). Deduped (week, user) pairs; returning = one
+    self-equi-join shifted by a week; rate = exact integer micro-units
+    against the PREVIOUS week's active count."""
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.expr(
+            "CAST(datediff(to_date(ts), DATE '1970-01-01') div 7 AS BIGINT)"
+        ).alias("wk"),
+        "user_id",
+    ).distinct()
+    act = pairs.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("active")
+    )
+    ret = (
+        pairs.join(
+            pairs.select((F.col("wk") + 1).alias("wk"), "user_id"),
+            ["wk", "user_id"],
+        )
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("long").alias("returning"))
+    )
+    prev = act.select((F.col("wk") + 1).alias("wk"), F.col("active").alias("prev_active"))
+    return (
+        act.join(prev, "wk")
+        .join(ret, "wk", "left")
+        .select(
+            "wk",
+            "active",
+            F.coalesce("returning", F.lit(0)).cast("long").alias("returning"),
+            "prev_active",
+            F.expr(
+                "CAST((coalesce(returning, 0) * 1000000) div prev_active AS BIGINT)"
+            ).alias("return_rate_micro"),
+        )
+        .orderBy("wk")
+    )
+
+
+_RETURNING_WEEKLY_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                       AS BIGINT) AS wk,
+         user_id
+  FROM events
+), act AS (
+  SELECT wk, CAST(count(*) AS BIGINT) AS active FROM pairs GROUP BY 1
+), ret AS (
+  SELECT cur.wk, CAST(count(*) AS BIGINT) AS returning
+  FROM pairs cur JOIN pairs prv ON prv.wk + 1 = cur.wk AND prv.user_id = cur.user_id
+  GROUP BY 1
+)
+SELECT act.wk, act.active,
+       CAST(coalesce(ret.returning, 0) AS BIGINT) AS returning,
+       prev.active AS prev_active,
+       CAST((coalesce(ret.returning, 0) * 1000000) // prev.active AS BIGINT)
+         AS return_rate_micro
+FROM act
+JOIN act prev ON prev.wk + 1 = act.wk
+LEFT JOIN ret ON ret.wk = act.wk
+ORDER BY act.wk
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -13937,6 +14063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_freshness_lag": diag_freshness_lag,
         "orders_seasonal_decomposition": orders_seasonal_decomposition,
         "text_simhash_bit_balance": text_simhash_bit_balance,
+        "events_bounce_rate_daily": events_bounce_rate_daily,
+        "events_returning_users_weekly": events_returning_users_weekly,
         "q1_pricing_summary": q1_pricing_summary,
         "w1_running_max_price": w1_running_max_price,
         "w1_final_max_per_year": w1_final_max_per_year,
@@ -14452,4 +14580,6 @@ def oracle_sql() -> dict[str, str]:
         "diag_freshness_lag": _FRESHNESS_SQL,
         "orders_seasonal_decomposition": _SEASONAL_DECOMP_SQL,
         "text_simhash_bit_balance": _SIMHASH_BIT_BALANCE_SQL,
+        "events_bounce_rate_daily": _BOUNCE_RATE_SQL,
+        "events_returning_users_weekly": _RETURNING_WEEKLY_SQL,
     }

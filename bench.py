@@ -215,6 +215,8 @@ HEADLINE = [
     "diag_freshness_lag",
     "orders_seasonal_decomposition",
     "text_simhash_bit_balance",
+    "events_bounce_rate_daily",
+    "events_returning_users_weekly",
 ]
 
 
