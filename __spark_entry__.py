@@ -13939,6 +13939,94 @@ ORDER BY act.wk
 """
 
 
+def diag_outlier_prices_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Tukey-fence outlier census: per part type, the quartiles
+    of retail price (exact ORDER STATISTICS — q1 is the ceil(n/4)-th,
+    q3 the ceil(3n/4)-th value, a type-1 quantile with no
+    interpolation, replayed literally by the oracle instead of
+    trusting two engines' percentile folklore) and how many parts
+    price outside the 1.5·IQR fences. The fence test stays in
+    integers: 2·c < 5·q1 − 3·q3 (low) / 2·c > 5·q3 − 3·q1 (high).
+    Groups sort internally (the per-group exact-median precedent —
+    partitioned by the bounded type domain, never one task); the
+    quartile picks are two broadcast rank joins."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_type",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("c"),
+        "p_partkey",
+    )
+    w = Window.partitionBy("p_type").orderBy("c", "p_partkey")
+    ranked = p.withColumn("rn", F.row_number().over(w).cast("long"))
+    counts = p.groupBy("p_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    targets = counts.select(
+        "p_type",
+        "n",
+        F.expr("CAST((n + 3) div 4 AS BIGINT)").alias("_r1"),
+        F.expr("CAST((3 * n + 3) div 4 AS BIGINT)").alias("_r3"),
+    )
+    q1 = ranked.join(
+        targets.select("p_type", F.col("_r1").alias("rn")), ["p_type", "rn"]
+    ).select("p_type", F.col("c").alias("q1_cents"))
+    q3 = ranked.join(
+        targets.select("p_type", F.col("_r3").alias("rn")), ["p_type", "rn"]
+    ).select("p_type", F.col("c").alias("q3_cents"))
+    fences = targets.select("p_type", "n").join(q1, "p_type").join(q3, "p_type")
+    flagged = p.join(fences, "p_type").select(
+        "p_type",
+        "n",
+        "q1_cents",
+        "q3_cents",
+        (
+            (F.col("c") * 2 < 5 * F.col("q1_cents") - 3 * F.col("q3_cents"))
+            | (F.col("c") * 2 > 5 * F.col("q3_cents") - 3 * F.col("q1_cents"))
+        )
+        .cast("long")
+        .alias("is_out"),
+    )
+    return (
+        flagged.groupBy("p_type", "n", "q1_cents", "q3_cents")
+        .agg(F.sum("is_out").cast("long").alias("n_outliers"))
+        .orderBy("p_type")
+    )
+
+
+_OUTLIER_IQR_SQL = """
+WITH p AS (
+  SELECT p_type, CAST(round(p_retailprice * 100) AS BIGINT) AS c, p_partkey
+  FROM part
+), ranked AS (
+  SELECT p_type, c,
+         CAST(row_number() OVER (PARTITION BY p_type ORDER BY c, p_partkey)
+              AS BIGINT) AS rn
+  FROM p
+), counts AS (
+  SELECT p_type, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1
+), targets AS (
+  SELECT p_type, n,
+         CAST((n + 3) // 4 AS BIGINT) AS r1,
+         CAST((3 * n + 3) // 4 AS BIGINT) AS r3
+  FROM counts
+), q1 AS (
+  SELECT ranked.p_type, c AS q1_cents FROM ranked
+  JOIN targets ON targets.p_type = ranked.p_type AND ranked.rn = targets.r1
+), q3 AS (
+  SELECT ranked.p_type, c AS q3_cents FROM ranked
+  JOIN targets ON targets.p_type = ranked.p_type AND ranked.rn = targets.r3
+), fences AS (
+  SELECT targets.p_type, n, q1_cents, q3_cents
+  FROM targets JOIN q1 ON q1.p_type = targets.p_type
+  JOIN q3 ON q3.p_type = targets.p_type
+)
+SELECT p.p_type, n, q1_cents, q3_cents,
+       CAST(sum(CASE WHEN p.c * 2 < 5 * q1_cents - 3 * q3_cents
+                       OR p.c * 2 > 5 * q3_cents - 3 * q1_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM p JOIN fences ON fences.p_type = p.p_type
+GROUP BY p.p_type, n, q1_cents, q3_cents
+ORDER BY p.p_type
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -14065,6 +14153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_simhash_bit_balance": text_simhash_bit_balance,
         "events_bounce_rate_daily": events_bounce_rate_daily,
         "events_returning_users_weekly": events_returning_users_weekly,
+        "diag_outlier_prices_iqr": diag_outlier_prices_iqr,
         "q1_pricing_summary": q1_pricing_summary,
         "w1_running_max_price": w1_running_max_price,
         "w1_final_max_per_year": w1_final_max_per_year,
@@ -14582,4 +14671,5 @@ def oracle_sql() -> dict[str, str]:
         "text_simhash_bit_balance": _SIMHASH_BIT_BALANCE_SQL,
         "events_bounce_rate_daily": _BOUNCE_RATE_SQL,
         "events_returning_users_weekly": _RETURNING_WEEKLY_SQL,
+        "diag_outlier_prices_iqr": _OUTLIER_IQR_SQL,
     }

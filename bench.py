@@ -217,6 +217,7 @@ HEADLINE = [
     "text_simhash_bit_balance",
     "events_bounce_rate_daily",
     "events_returning_users_weekly",
+    "diag_outlier_prices_iqr",
 ]
 
 
