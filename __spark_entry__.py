@@ -14027,6 +14027,111 @@ ORDER BY p.p_type
 """
 
 
+def part_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration screen: the histogram of distinct
+    suppliers per part observed in the order flow — single-sourced
+    parts (n_suppliers = 1) are the procurement risk a sourcing team
+    tracks. One distinct (part, supplier) projection + two bounded
+    aggregates; the single-source share rides every row in exact
+    integer micro-units."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"))
+    )
+    tot = per_part.agg(F.count(F.lit(1)).cast("long").alias("n_parts_total"))
+    hist = per_part.groupBy("n_suppliers").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    single = per_part.filter(F.col("n_suppliers") == 1).agg(
+        F.count(F.lit(1)).cast("long").alias("_n1")
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(single))
+        .select(
+            "n_suppliers",
+            "n_parts",
+            "n_parts_total",
+            F.expr("CAST((_n1 * 1000000) div n_parts_total AS BIGINT)").alias(
+                "single_source_share_micro"
+            ),
+        )
+        .orderBy("n_suppliers")
+    )
+
+
+_SINGLE_SOURCE_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_parts_total FROM per_part),
+single AS (
+  SELECT CAST(count(*) AS BIGINT) AS n1 FROM per_part WHERE n_suppliers = 1
+)
+SELECT n_suppliers, CAST(count(*) AS BIGINT) AS n_parts, n_parts_total,
+       CAST((n1 * 1000000) // n_parts_total AS BIGINT) AS single_source_share_micro
+FROM per_part CROSS JOIN tot CROSS JOIN single
+GROUP BY n_suppliers, n_parts_total, n1
+ORDER BY n_suppliers
+"""
+
+
+def events_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday behavior split per event type: counts and
+    exact integer-cent value sums for each side, plus the weekend
+    share of events in micro-units — the seasonality sanity check a
+    growth team reads before attributing a lift. weekday(ts) ≡
+    isodow−1 keeps the day-of-week portable (the seasonal-anomaly
+    precedent); one event-type-domain-bounded aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    is_we = (F.weekday("ts") >= 5).cast("long")
+    cells = ev.groupBy("event_type").agg(
+        F.sum(is_we).cast("long").alias("n_weekend"),
+        F.sum(F.lit(1) - is_we).cast("long").alias("n_weekday"),
+        F.sum(
+            F.when(is_we == 1, F.round(F.col("value") * 100).cast("long")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("weekend_cents"),
+        F.sum(
+            F.when(is_we == 0, F.round(F.col("value") * 100).cast("long")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("weekday_cents"),
+    )
+    return cells.select(
+        "event_type",
+        "n_weekend",
+        "n_weekday",
+        "weekend_cents",
+        "weekday_cents",
+        F.expr(
+            "CAST((n_weekend * 1000000) div (n_weekend + n_weekday) AS BIGINT)"
+        ).alias("weekend_share_micro"),
+    ).orderBy("event_type")
+
+
+_WEEKEND_EFFECT_SQL = """
+SELECT event_type,
+       CAST(sum(CASE WHEN isodow(CAST(ts AS DATE)) - 1 >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+       CAST(sum(CASE WHEN isodow(CAST(ts AS DATE)) - 1 >= 5 THEN 0 ELSE 1 END) AS BIGINT) AS n_weekday,
+       CAST(sum(CASE WHEN isodow(CAST(ts AS DATE)) - 1 >= 5
+                     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS weekend_cents,
+       CAST(sum(CASE WHEN isodow(CAST(ts AS DATE)) - 1 >= 5
+                     THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS weekday_cents,
+       CAST((sum(CASE WHEN isodow(CAST(ts AS DATE)) - 1 >= 5 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS weekend_share_micro
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -14154,6 +14259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bounce_rate_daily": events_bounce_rate_daily,
         "events_returning_users_weekly": events_returning_users_weekly,
         "diag_outlier_prices_iqr": diag_outlier_prices_iqr,
+        "part_single_source_risk": part_single_source_risk,
+        "events_weekend_effect": events_weekend_effect,
         "q1_pricing_summary": q1_pricing_summary,
         "w1_running_max_price": w1_running_max_price,
         "w1_final_max_per_year": w1_final_max_per_year,
@@ -14672,4 +14779,6 @@ def oracle_sql() -> dict[str, str]:
         "events_bounce_rate_daily": _BOUNCE_RATE_SQL,
         "events_returning_users_weekly": _RETURNING_WEEKLY_SQL,
         "diag_outlier_prices_iqr": _OUTLIER_IQR_SQL,
+        "part_single_source_risk": _SINGLE_SOURCE_SQL,
+        "events_weekend_effect": _WEEKEND_EFFECT_SQL,
     }

@@ -218,6 +218,8 @@ HEADLINE = [
     "events_bounce_rate_daily",
     "events_returning_users_weekly",
     "diag_outlier_prices_iqr",
+    "part_single_source_risk",
+    "events_weekend_effect",
 ]
 
 
