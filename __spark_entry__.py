@@ -14163,26 +14163,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against the committed artifacts — counting only GREEN rows as
     coverage, so a crashed/red row keeps its claim on a slot.
 
-    ROUND-8 NOTE (the r7 verdict's item #1, executed at session start):
-    CORRECTNESS_r07 landed on the round-6/7 window, so the window below
-    is rotated onto the 46-query never-green backlog — the 45 round-6/7
-    oracled additions the driver never reached plus agg_approx_distinct
-    (its only driver row is the r2 `no_oracle` one, predating its
-    oracle). All 46 were judge-gate green in the round-7 verdict
-    (tools/check_correctness.py, identical checks), so the rotation is
-    zero-risk. Slots 47-50 re-check the oldest (r2) green rows and are
-    displaced by round-8 oracled additions as they land.
+    ROUND-9 NOTE (the r8 verdict's item #1, executed at session start):
+    CORRECTNESS_r08 landed 50/50 green on the round-8 window, so the
+    never-green oracled backlog is down to the 20 round-8 additions
+    that landed past the sealed window (sample_kfold_assignment ..
+    events_weekend_effect, all judge-gate green in the r8 verdict).
+    Backlog (20) < window (50) for the first time, so the rotation
+    test's relaxation clause applies: slots 1-20 take the backlog and
+    slots 21-50 re-check the OLDEST green rows — the r2 set, whose
+    only driver rows are 6 rounds stale. Round-9 oracled additions
+    displace re-check slots from the tail as they land. After this
+    round every oracled query has a driver row.
     """
     return {
-        # ====== ROUND-8 DRIVER CHECK WINDOW (first 50 entries) ======
-        # Slots 1-46: the full never-green oracled backlog — every
-        # oracled query with no green driver row in any committed
-        # CORRECTNESS_r*.json (45 round-6/7 additions the driver never
-        # reached because the round-6 artifact never landed and round
-        # 7's window re-checked the queued r6 backlog, plus
-        # agg_approx_distinct whose only driver row is the r2 no_oracle
-        # one predating its oracle). All 46 are judge-gate green
-        # (VERDICT r7: tools/check_correctness.py 54/54 ok).
+        # ====== ROUND-9 DRIVER CHECK WINDOW (first 50 entries) ======
+        # Slots 1-20: the FULL never-green oracled backlog — the 20
+        # round-8 additions that landed past the sealed round-8 window
+        # (sample_kfold_assignment .. events_weekend_effect). All 20
+        # were judge-gate green in the round-8 verdict
+        # (tools/check_correctness.py 28/28 ok), so the rotation is
+        # zero-risk. Backlog (20) < window (50), so per the rotation
+        # test's relaxation clause the remaining slots re-check the
+        # OLDEST green rows.
+        "sample_kfold_assignment": sample_kfold_assignment,
+        "events_rate_anomaly": events_rate_anomaly,
+        "text_dedup_ablation": text_dedup_ablation,
+        "events_stickiness_dau_mau": events_stickiness_dau_mau,
+        "multimodal_payload_entropy": multimodal_payload_entropy,
+        "dedup_tier_agreement": dedup_tier_agreement,
+        "privacy_t_closeness": privacy_t_closeness,
+        "text_source_divergence": text_source_divergence,
+        "window_bollinger_bands_daily": window_bollinger_bands_daily,
+        "orders_abc_classification": orders_abc_classification,
+        "events_user_entropy": events_user_entropy,
+        "similarity_hubness_indegree": similarity_hubness_indegree,
+        "diag_freshness_lag": diag_freshness_lag,
+        "orders_seasonal_decomposition": orders_seasonal_decomposition,
+        "text_simhash_bit_balance": text_simhash_bit_balance,
+        "events_bounce_rate_daily": events_bounce_rate_daily,
+        "events_returning_users_weekly": events_returning_users_weekly,
+        "diag_outlier_prices_iqr": diag_outlier_prices_iqr,
+        "part_single_source_risk": part_single_source_risk,
+        "events_weekend_effect": events_weekend_effect,
+        # Slots 21-50: oldest-green re-checks — the first 30 (registry
+        # order) of the 45 queries whose only driver row is the
+        # 6-round-stale CORRECTNESS_r02.json. Round-9 oracled additions
+        # displace these from the tail as they land (never-checked =>
+        # window-mandatory).
+        "q1_pricing_summary": q1_pricing_summary,
+        "w1_running_max_price": w1_running_max_price,
+        "w1_final_max_per_year": w1_final_max_per_year,
+        "w2_count_window_avg": w2_count_window_avg,
+        "w3_rows_between_breaches": w3_rows_between_breaches,
+        "w4_running_max_month": w4_running_max_month,
+        "join_orders_customer": join_orders_customer,
+        "join_broadcast_region_rollup": join_broadcast_region_rollup,
+        "join_semi_customers_with_orders": join_semi_customers_with_orders,
+        "join_anti_customers_without_orders": join_anti_customers_without_orders,
+        "join_asof_click_purchase": join_asof_click_purchase,
+        "join_range_price_band": join_range_price_band,
+        "topk_orders_by_price": topk_orders_by_price,
+        "topk_customers_per_segment": topk_customers_per_segment,
+        "setops_union_nation_keys": setops_union_nation_keys,
+        "setops_intersect_custkeys": setops_intersect_custkeys,
+        "setops_except_nation_keys": setops_except_nation_keys,
+        "dedup_keep_first_per_nation": dedup_keep_first_per_nation,
+        "rollup_order_status": rollup_order_status,
+        "pivot_status_by_priority": pivot_status_by_priority,
+        "cube_order_status": cube_order_status,
+        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+        "join_full_outer_order_counts": join_full_outer_order_counts,
+        "agg_grouping_sets": agg_grouping_sets,
+        "agg_order_stats": agg_order_stats,
+        "window_rank_customers": window_rank_customers,
+        "window_sessionize_events": window_sessionize_events,
+        "window_range_frame_sum": window_range_frame_sum,
+        "multimodal_payload_meta": multimodal_payload_meta,
+        "multimodal_decode_features": multimodal_decode_features,
+        # ====== end of the driver 50-entry check window ======
         "agg_approx_distinct": agg_approx_distinct,
         "agg_skyline_parts": agg_skyline_parts,
         "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
@@ -14229,42 +14287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_pk_uniqueness_audit": diag_pk_uniqueness_audit,
         "agg_seasonal_index_monthly": agg_seasonal_index_monthly,
         "text_token_burstiness": text_token_burstiness,
-        # Slots 47-50: round-8 oracled additions (never checked, so
-        # window-mandatory — they displaced the planned oldest-green
-        # re-checks): PSI drift, Heaps-law vocab growth, degree
-        # assortativity (2nd _copurchase_pairs consumer), drawdown.
         "agg_psi_price_drift": agg_psi_price_drift,
         "text_vocab_growth": text_vocab_growth,
         "graph_copurchase_assortativity": graph_copurchase_assortativity,
         "window_drawdown_daily": window_drawdown_daily,
-        # ====== end of the driver 50-entry check window ======
-        # Round-8 oracled additions past the sealed window — they head
-        # the round-9 rotation backlog (the contract test's >=50-backlog
-        # branch keeps the window itself untouched).
-        "sample_kfold_assignment": sample_kfold_assignment,
-        "events_rate_anomaly": events_rate_anomaly,
-        "text_dedup_ablation": text_dedup_ablation,
-        "events_stickiness_dau_mau": events_stickiness_dau_mau,
-        "multimodal_payload_entropy": multimodal_payload_entropy,
-        "dedup_tier_agreement": dedup_tier_agreement,
-        "privacy_t_closeness": privacy_t_closeness,
-        "text_source_divergence": text_source_divergence,
-        "window_bollinger_bands_daily": window_bollinger_bands_daily,
-        "orders_abc_classification": orders_abc_classification,
-        "events_user_entropy": events_user_entropy,
-        "similarity_hubness_indegree": similarity_hubness_indegree,
-        "diag_freshness_lag": diag_freshness_lag,
-        "orders_seasonal_decomposition": orders_seasonal_decomposition,
-        "text_simhash_bit_balance": text_simhash_bit_balance,
-        "events_bounce_rate_daily": events_bounce_rate_daily,
-        "events_returning_users_weekly": events_returning_users_weekly,
-        "diag_outlier_prices_iqr": diag_outlier_prices_iqr,
-        "part_single_source_risk": part_single_source_risk,
-        "events_weekend_effect": events_weekend_effect,
-        "q1_pricing_summary": q1_pricing_summary,
-        "w1_running_max_price": w1_running_max_price,
-        "w1_final_max_per_year": w1_final_max_per_year,
-        "w2_count_window_avg": w2_count_window_avg,
         "topk_orders_page": topk_orders_page,
         "setops_union_all_nationkeys": setops_union_all_nationkeys,
         "setops_except_all_nationkeys": setops_except_all_nationkeys,
@@ -14315,24 +14341,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm_logprob": text_bigram_lm_logprob,
         "sample_waterfill_budget": sample_waterfill_budget,
         "events_seasonal_anomaly": events_seasonal_anomaly,
-        "w3_rows_between_breaches": w3_rows_between_breaches,
-        "w4_running_max_month": w4_running_max_month,
-        "join_orders_customer": join_orders_customer,
-        "join_broadcast_region_rollup": join_broadcast_region_rollup,
-        "join_semi_customers_with_orders": join_semi_customers_with_orders,
-        "join_anti_customers_without_orders": join_anti_customers_without_orders,
-        "join_asof_click_purchase": join_asof_click_purchase,
-        "join_range_price_band": join_range_price_band,
-        "topk_orders_by_price": topk_orders_by_price,
-        "topk_customers_per_segment": topk_customers_per_segment,
-        "setops_union_nation_keys": setops_union_nation_keys,
-        "setops_intersect_custkeys": setops_intersect_custkeys,
-        "setops_except_nation_keys": setops_except_nation_keys,
-        "dedup_keep_first_per_nation": dedup_keep_first_per_nation,
-        "rollup_order_status": rollup_order_status,
-        "pivot_status_by_priority": pivot_status_by_priority,
-        "cube_order_status": cube_order_status,
-        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "events_value_increase_streaks": events_value_increase_streaks,
         "events_fill_forward_value": events_fill_forward_value,
         "agg_modal_event_type": agg_modal_event_type,
@@ -14433,18 +14441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc_hourly": events_ohlc_hourly,
         "events_rolling_zscore": events_rolling_zscore,
         "w1_running_max_segmented": w1_running_max_segmented,
-        "join_full_outer_order_counts": join_full_outer_order_counts,
         "join_salted_skew": join_salted_skew,
         "join_interval_overlap_activity": join_interval_overlap_activity,
-        "agg_grouping_sets": agg_grouping_sets,
-        "agg_order_stats": agg_order_stats,
         "pack_concat_chunks": pack_concat_chunks_docs,
-        "window_rank_customers": window_rank_customers,
-        "window_sessionize_events": window_sessionize_events,
-        "window_range_frame_sum": window_range_frame_sum,
         "window_time_tumbling_events": window_time_tumbling_events,
-        "multimodal_payload_meta": multimodal_payload_meta,
-        "multimodal_decode_features": multimodal_decode_features,
         "events_json_sum": events_json_sum,
         "sample_train_val_test": sample_train_val_test,
         "functions_math_ops": functions_math_ops,
