@@ -12423,9 +12423,18 @@ def agg_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, [("v", False), ("o_orderkey", False)], rank_col="rk"
     ).select("v", "rk")
     na = a.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    targets = na.select(
-        F.explode(F.array(*[F.lit(k) for k in range(1, 10)])).alias("k"), "n"
-    ).select(F.expr("CAST((k * n) div 10 AS BIGINT)").alias("rk"))
+    targets = (
+        na.select(
+            F.explode(F.array(*[F.lit(k) for k in range(1, 10)])).alias("k"), "n"
+        )
+        .select(F.expr("CAST((k * n) div 10 AS BIGINT)").alias("rk"))
+        # Tiny-input parity with the oracle's `rk IN (...)`: IN dedups
+        # repeated targets (n < 10 makes (k*n) div 10 collide) and a
+        # rank-0 target matches nothing (row_number starts at 1) — the
+        # join side must do the same or collect_list duplicates edges.
+        .filter(F.col("rk") >= 1)
+        .distinct()
+    )
     edges = (
         ranked.join(F.broadcast(targets), "rk")
         .agg(F.sort_array(F.collect_list("v")).alias("edges"))
@@ -12605,7 +12614,13 @@ def graph_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFram
     return sums.crossJoin(F.broadcast(nodes)).select(
         "n_edges",
         "n_nodes",
-        F.floor(F.lit(1000000.0) * num / den).cast("long").alias("assortativity_micro"),
+        # den=0 (zero-variance degree distribution, e.g. a pure cycle
+        # graph) makes num/den NaN; Spark floor+cast would silently
+        # emit NULL while DuckDB CAST(floor(NaN) AS BIGINT) errors —
+        # guard so BOTH engines emit NULL on the degenerate graph.
+        F.when(den > 0, F.floor(F.lit(1000000.0) * num / den).cast("long")).alias(
+            "assortativity_micro"
+        ),
     )
 
 
@@ -12631,14 +12646,18 @@ sums AS (
 ),
 nodes AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
 SELECT n_edges, n_nodes,
-       CAST(floor(1000000.0
+       CASE WHEN (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+       THEN CAST(floor(1000000.0
             * (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
             / sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                    * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)
-         AS assortativity_micro
+       ELSE NULL END AS assortativity_micro
 FROM sums CROSS JOIN nodes
 """
 
@@ -13121,16 +13140,16 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qi_nation",
             "qi_balance_k",
             "n",
-            F.floor(
-                F.col("_num") * 1000000
-                / (
-                    F.lit(2).cast("decimal(19,0)")
-                    * F.col("n").cast("decimal(19,0)")
-                    * F.col("n_total").cast("decimal(19,0)")
-                )
-            )
-            .cast("long")
-            .alias("tv_micro"),
+            # `div`, NOT floor(a / b): Spark decimal `/` HALF_UP-rounds
+            # the quotient at result scale before floor, so a true
+            # quotient within ~5e-7 below an integer floors one higher
+            # than DuckDB's exact HUGEINT `//`. IntegralDivide
+            # (divideToIntegralValue) is exact, like the micro-unit
+            # siblings (_num is an abs, so truncate == floor).
+            F.expr(
+                "CAST((_num * 1000000) div (2 * CAST(n AS DECIMAL(19,0))"
+                " * CAST(n_total AS DECIMAL(19,0))) AS BIGINT)"
+            ).alias("tv_micro"),
         )
     )
     top = ranked_top_n(

@@ -882,7 +882,21 @@ def self_knn_topk(
                 cand = np.flatnonzero(ok)
                 # partial top-k with the global tiebreak (cosine desc,
                 # neighbor id asc): lexsort is stable least-significant-last
-                order = cand[np.lexsort((n_ids[cand], -key[cand]))][:kk]
+                order = cand[np.lexsort((n_ids[cand], -key[cand]))]
+                if len(order) > kk:
+                    # The float key approximates Catalyst's BigDecimal
+                    # HALF_UP; the two can disagree by at most ONE
+                    # dp-grid quantum (only when |scaled| sits within
+                    # float error of a .5 boundary). Keep every
+                    # candidate within one quantum of the kth key so a
+                    # boundary disagreement can never drop a row the
+                    # final (F.round desc, id asc) window needed — the
+                    # global row_number pass trims the surplus.
+                    kth_key = key[order[kk - 1]]
+                    keep = kk
+                    while keep < len(order) and key[order[keep]] >= kth_key - 1.0:
+                        keep += 1
+                    order = order[:keep]
                 out_q.extend([q_ids[j]] * len(order))
                 out_n.extend(n_ids[order])
                 out_c.extend(cos[order])

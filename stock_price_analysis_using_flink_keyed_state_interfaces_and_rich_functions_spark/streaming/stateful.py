@@ -1136,7 +1136,13 @@ def burst_rate_stream(
     truncated epoch second all see the count AFTER the whole second
     arrived (a RANGE frame includes peers). Like the other twins, the
     fold assumes per-batch order columns replay the stream in event
-    order; NULL timestamps are skipped (NULL burst, carried max)."""
+    order; NULL timestamps are skipped (NULL burst, carried max).
+    Cross-batch out-of-order events are handled EXPLICITLY: the state
+    carries the high-water second per key, and an event whose second
+    is below it is emitted as late (NULL burst, carried max) instead
+    of folding — otherwise the `s > t - w` eviction would count
+    already-seen FUTURE seconds into the late event's trailing window
+    and corrupt the running max."""
     out_schema = StructType(
         _key_fields(df, key_cols)
         + [
@@ -1146,22 +1152,27 @@ def burst_rate_stream(
         ]
     )
     state_schema = StructType(
-        [StructField("max_burst", LongType()), StructField("recent", StringType())]
+        [
+            StructField("max_burst", LongType()),
+            StructField("recent", StringType()),
+            StructField("hwm", LongType()),
+        ]
     )
     keys = list(key_cols)
     w = int(window_s)
 
     def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
-            max_b, recent_csv = state.get
+            max_b, recent_csv, hwm = state.get
             max_b = int(max_b) if max_b is not None else 0
+            hwm = int(hwm) if hwm is not None else None
             recent = (
                 [tuple(int(x) for x in p.split(":")) for p in recent_csv.split(",")]
                 if recent_csv
                 else []
             )
         else:
-            max_b, recent = 0, []
+            max_b, recent, hwm = 0, [], None
         chunks = [c for c in pdfs if len(c)]
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True).sort_values("_b_s")
@@ -1182,6 +1193,18 @@ def burst_rate_stream(
                 while j < len(vals) and not bool(nulls[j]) and int(vals[j]) == t:
                     j += 1
                 n_here = j - i
+                if hwm is not None and t < hwm:
+                    # late arrival from an earlier second than state
+                    # has already folded past — emitting it as a fold
+                    # would sum future seconds into its window; mark
+                    # it late instead (NULL burst, carried max)
+                    for _ in range(i, j):
+                        secs.append(t)
+                        bursts.append(None)
+                        maxes.append(max_b)
+                    i = j
+                    continue
+                hwm = t
                 recent = [(s, c) for (s, c) in recent if s > t - w]
                 recent.append((t, n_here))
                 burst = sum(c for (_, c) in recent)
@@ -1197,7 +1220,7 @@ def burst_rate_stream(
             out["max_burst"] = pd.array(maxes, dtype="Int64")
             yield out
         state.update(
-            (max_b, ",".join(f"{s}:{c}" for (s, c) in recent))
+            (max_b, ",".join(f"{s}:{c}" for (s, c) in recent), hwm)
         )
 
     from pyspark.sql import functions as F

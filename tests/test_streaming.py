@@ -2282,3 +2282,59 @@ def test_burst_rate_stream_matches_batch_range_frame(spark, tmp_path):
     for (u, e, b, m) in got:
         finals[u] = max(finals.get(u, 0), m)
     assert finals == {1: 4, 2: 1}
+
+
+def test_burst_rate_stream_out_of_order_batch_is_marked_late(spark, tmp_path):
+    """Cross-batch out-of-order protection: a later micro-batch
+    carrying an EARLIER second must not fold — the `s > t - w`
+    eviction would count already-seen future seconds into the late
+    event's trailing window. The late row is emitted with NULL burst
+    and the carried max, and subsequent in-order folds are
+    unaffected."""
+    import datetime
+    import os
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.stateful import (
+        burst_rate_stream,
+    )
+
+    T = lambda s: datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=s)  # noqa: E731
+    schema = "user_id long, ts timestamp"
+    in_dir = str(tmp_path / "br_ooo_in")
+    os.makedirs(in_dir)
+    # batch 1: two events at T(100) — window (41..100] holds count 2
+    # batch 2: a LATE event at T(50) (inside the current window span)
+    #          plus an in-order event at T(110)
+    batches = [
+        [(1, T(100)), (1, T(100))],
+        [(1, T(50)), (1, T(110))],
+    ]
+    for i, chunk in enumerate(batches, 1):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"f{i}")
+        )
+        os.utime(os.path.join(in_dir, f"f{i}"), (1_000_000 * i, 1_000_000 * i))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(os.path.join(in_dir, "*"))
+    out = burst_rate_stream(stream, ["user_id"], "ts", window_s=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("burst_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    base = int(T(0).timestamp())
+    got = sorted(
+        (r["epoch_s"] - base, r["burst"], r["max_burst"])
+        for r in spark.table("burst_ooo").collect()
+    )
+    # T(50) is late (hwm=100): NULL burst, carried max 2 — a naive fold
+    # would have counted the two T(100) events into its window (burst 3,
+    # max 3). T(110) still folds in-order: trailing window (51..110]
+    # holds the two T(100) events plus itself.
+    assert got == [(50, None, 2), (100, 2, 2), (100, 2, 2), (110, 3, 3)]
