@@ -2046,6 +2046,129 @@ SELECT CAST(50 AS BIGINT) AS n_exact,
 """
 
 
+# Pinned-output oracles for the three DETERMINISTIC sketch/ANN queries
+# that DuckDB cannot recompute (xxhash64 MinHash signatures, seeded
+# hyperplanes, seeded IVF codebook sample): each query's full sf0.01
+# output is a constant — seeded hashes, 4-dp rounding, id tiebreaks —
+# so the oracle pins it verbatim (the similarity_lsh_recall /
+# agg_approx_distinct pattern). Any regression in shingling, banding,
+# bucketing, scoring, or ranking moves at least one row and the hash
+# mismatches. Like the other pinned oracles these hold at the driver's
+# gate scale (sf0.01) only. dedup_simhash_pairs stays rows-only: same
+# determinism, but its 1 606-row output is too large to pin as a
+# literal and its portable twin (dedup_simhash_verified) already
+# hash-checks the identical kernel against a recomputing oracle.
+_DEDUP_MINHASH_LSH_PINNED_SQL = """
+SELECT * FROM (VALUES
+  (CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST(0.9609 AS DOUBLE)),
+  (CAST(26 AS BIGINT), CAST(455 AS BIGINT), CAST(0.8984 AS DOUBLE)),
+  (CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST(0.9844 AS DOUBLE)),
+  (CAST(44 AS BIGINT), CAST(446 AS BIGINT), CAST(0.9375 AS DOUBLE)),
+  (CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST(0.9453 AS DOUBLE)),
+  (CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(0.9531 AS DOUBLE)),
+  (CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST(0.9844 AS DOUBLE)),
+  (CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(1.0 AS DOUBLE)),
+  (CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST(0.9922 AS DOUBLE)),
+  (CAST(72 AS BIGINT), CAST(377 AS BIGINT), CAST(0.9766 AS DOUBLE)),
+  (CAST(87 AS BIGINT), CAST(134 AS BIGINT), CAST(0.9688 AS DOUBLE)),
+  (CAST(92 AS BIGINT), CAST(450 AS BIGINT), CAST(0.9531 AS DOUBLE)),
+  (CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST(1.0 AS DOUBLE)),
+  (CAST(107 AS BIGINT), CAST(387 AS BIGINT), CAST(0.9844 AS DOUBLE)),
+  (CAST(120 AS BIGINT), CAST(332 AS BIGINT), CAST(0.9844 AS DOUBLE)),
+  (CAST(152 AS BIGINT), CAST(178 AS BIGINT), CAST(0.9844 AS DOUBLE)),
+  (CAST(166 AS BIGINT), CAST(323 AS BIGINT), CAST(0.9766 AS DOUBLE)),
+  (CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(0.9922 AS DOUBLE)),
+  (CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(0.9844 AS DOUBLE)),
+  (CAST(295 AS BIGINT), CAST(374 AS BIGINT), CAST(0.9766 AS DOUBLE)),
+  (CAST(310 AS BIGINT), CAST(389 AS BIGINT), CAST(0.9688 AS DOUBLE)),
+  (CAST(326 AS BIGINT), CAST(457 AS BIGINT), CAST(0.9688 AS DOUBLE)),
+  (CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST(0.9922 AS DOUBLE)),
+  (CAST(435 AS BIGINT), CAST(486 AS BIGINT), CAST(0.9531 AS DOUBLE)),
+  (CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST(0.9922 AS DOUBLE))
+) AS t(id_a, id_b, est_jaccard)
+"""
+
+_SIM_LSH_TOPK_PINNED_SQL = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(48 AS BIGINT), CAST(0.0893 AS DOUBLE), CAST(3 AS INTEGER)),
+  (CAST(0 AS BIGINT), CAST(131 AS BIGINT), CAST(0.2406 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(0 AS BIGINT), CAST(204 AS BIGINT), CAST(0.1594 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(0 AS BIGINT), CAST(470 AS BIGINT), CAST(0.0544 AS DOUBLE), CAST(4 AS INTEGER)),
+  (CAST(1 AS BIGINT), CAST(63 AS BIGINT), CAST(-0.0863 AS DOUBLE), CAST(3 AS INTEGER)),
+  (CAST(1 AS BIGINT), CAST(203 AS BIGINT), CAST(0.2682 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(1 AS BIGINT), CAST(455 AS BIGINT), CAST(0.1183 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(3 AS BIGINT), CAST(111 AS BIGINT), CAST(0.1291 AS DOUBLE), CAST(4 AS INTEGER)),
+  (CAST(3 AS BIGINT), CAST(192 AS BIGINT), CAST(0.2908 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(3 AS BIGINT), CAST(406 AS BIGINT), CAST(0.2062 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(3 AS BIGINT), CAST(491 AS BIGINT), CAST(0.1628 AS DOUBLE), CAST(3 AS INTEGER)),
+  (CAST(4 AS BIGINT), CAST(207 AS BIGINT), CAST(0.0245 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(4 AS BIGINT), CAST(240 AS BIGINT), CAST(-0.0842 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(5 AS BIGINT), CAST(157 AS BIGINT), CAST(0.3113 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(5 AS BIGINT), CAST(331 AS BIGINT), CAST(-0.0703 AS DOUBLE), CAST(3 AS INTEGER)),
+  (CAST(5 AS BIGINT), CAST(409 AS BIGINT), CAST(0.1371 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(7 AS BIGINT), CAST(380 AS BIGINT), CAST(-0.0692 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(8 AS BIGINT), CAST(183 AS BIGINT), CAST(0.0973 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(8 AS BIGINT), CAST(401 AS BIGINT), CAST(0.2283 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(9 AS BIGINT), CAST(476 AS BIGINT), CAST(0.025 AS DOUBLE), CAST(1 AS INTEGER))
+) AS t(query_id, neighbor_id, cosine, rk)
+"""
+
+_SIM_IVF_TOPK_PINNED_SQL = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(7 AS BIGINT), CAST(0.2928 AS DOUBLE), CAST(3 AS INTEGER)),
+  (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(0.2818 AS DOUBLE), CAST(5 AS INTEGER)),
+  (CAST(0 AS BIGINT), CAST(320 AS BIGINT), CAST(0.2879 AS DOUBLE), CAST(4 AS INTEGER)),
+  (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0.3627 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0.2969 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(1 AS BIGINT), CAST(124 AS BIGINT), CAST(0.3028 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(1 AS BIGINT), CAST(165 AS BIGINT), CAST(0.2439 AS DOUBLE), CAST(5 AS INTEGER)),
+  (CAST(1 AS BIGINT), CAST(363 AS BIGINT), CAST(0.2633 AS DOUBLE), CAST(4 AS INTEGER)),
+  (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.3715 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(1 AS BIGINT), CAST(472 AS BIGINT), CAST(0.2921 AS DOUBLE), CAST(3 AS INTEGER)),
+  (CAST(2 AS BIGINT), CAST(112 AS BIGINT), CAST(0.2453 AS DOUBLE), CAST(5 AS INTEGER)),
+  (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(0.2635 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(2 AS BIGINT), CAST(320 AS BIGINT), CAST(0.255 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(0.254 AS DOUBLE), CAST(3 AS INTEGER)),
+  (CAST(2 AS BIGINT), CAST(471 AS BIGINT), CAST(0.2472 AS DOUBLE), CAST(4 AS INTEGER)),
+  (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(0.2917 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(0.3085 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(3 AS BIGINT), CAST(363 AS BIGINT), CAST(0.2686 AS DOUBLE), CAST(4 AS INTEGER)),
+  (CAST(3 AS BIGINT), CAST(396 AS BIGINT), CAST(0.261 AS DOUBLE), CAST(5 AS INTEGER)),
+  (CAST(3 AS BIGINT), CAST(437 AS BIGINT), CAST(0.2805 AS DOUBLE), CAST(3 AS INTEGER)),
+  (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.3985 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(0.2796 AS DOUBLE), CAST(5 AS INTEGER)),
+  (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(0.2798 AS DOUBLE), CAST(4 AS INTEGER)),
+  (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(0.3228 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(0.3139 AS DOUBLE), CAST(3 AS INTEGER)),
+  (CAST(5 AS BIGINT), CAST(157 AS BIGINT), CAST(0.3113 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(5 AS BIGINT), CAST(225 AS BIGINT), CAST(0.2595 AS DOUBLE), CAST(4 AS INTEGER)),
+  (CAST(5 AS BIGINT), CAST(433 AS BIGINT), CAST(0.2403 AS DOUBLE), CAST(5 AS INTEGER)),
+  (CAST(5 AS BIGINT), CAST(464 AS BIGINT), CAST(0.2709 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(5 AS BIGINT), CAST(487 AS BIGINT), CAST(0.263 AS DOUBLE), CAST(3 AS INTEGER)),
+  (CAST(6 AS BIGINT), CAST(53 AS BIGINT), CAST(0.2337 AS DOUBLE), CAST(4 AS INTEGER)),
+  (CAST(6 AS BIGINT), CAST(145 AS BIGINT), CAST(0.2977 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(6 AS BIGINT), CAST(271 AS BIGINT), CAST(0.2311 AS DOUBLE), CAST(5 AS INTEGER)),
+  (CAST(6 AS BIGINT), CAST(374 AS BIGINT), CAST(0.2476 AS DOUBLE), CAST(3 AS INTEGER)),
+  (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(0.3225 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(7 AS BIGINT), CAST(209 AS BIGINT), CAST(0.3945 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(7 AS BIGINT), CAST(221 AS BIGINT), CAST(0.3247 AS DOUBLE), CAST(5 AS INTEGER)),
+  (CAST(7 AS BIGINT), CAST(334 AS BIGINT), CAST(0.3569 AS DOUBLE), CAST(3 AS INTEGER)),
+  (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(0.4928 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(7 AS BIGINT), CAST(381 AS BIGINT), CAST(0.3452 AS DOUBLE), CAST(4 AS INTEGER)),
+  (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(0.3847 AS DOUBLE), CAST(1 AS INTEGER)),
+  (CAST(8 AS BIGINT), CAST(173 AS BIGINT), CAST(0.302 AS DOUBLE), CAST(3 AS INTEGER)),
+  (CAST(8 AS BIGINT), CAST(321 AS BIGINT), CAST(0.2693 AS DOUBLE), CAST(5 AS INTEGER)),
+  (CAST(8 AS BIGINT), CAST(380 AS BIGINT), CAST(0.3045 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(8 AS BIGINT), CAST(447 AS BIGINT), CAST(0.2807 AS DOUBLE), CAST(4 AS INTEGER)),
+  (CAST(9 AS BIGINT), CAST(198 AS BIGINT), CAST(0.2587 AS DOUBLE), CAST(4 AS INTEGER)),
+  (CAST(9 AS BIGINT), CAST(259 AS BIGINT), CAST(0.2515 AS DOUBLE), CAST(5 AS INTEGER)),
+  (CAST(9 AS BIGINT), CAST(386 AS BIGINT), CAST(0.3221 AS DOUBLE), CAST(3 AS INTEGER)),
+  (CAST(9 AS BIGINT), CAST(414 AS BIGINT), CAST(0.3323 AS DOUBLE), CAST(2 AS INTEGER)),
+  (CAST(9 AS BIGINT), CAST(489 AS BIGINT), CAST(0.3435 AS DOUBLE), CAST(1 AS INTEGER))
+) AS t(query_id, neighbor_id, cosine, rk)
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal (binary payload plumbing)
 # --------------------------------------------------------------------------
@@ -14256,10 +14379,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_order_stats": agg_order_stats,
         "window_rank_customers": window_rank_customers,
         "window_sessionize_events": window_sessionize_events,
+        # Slots 48-50: the three newly PINNED-oracle sketch/ANN queries
+        # (deterministic outputs pinned verbatim this round — their only
+        # driver rows are the r2 no_oracle ones, so they are never-green
+        # and window-mandatory; they displaced three r2 re-checks).
+        "dedup_minhash_lsh": dedup_minhash_lsh_docs,
+        "similarity_lsh_topk": similarity_lsh_topk,
+        "similarity_ivf_topk": similarity_ivf_topk,
+        # ====== end of the driver 50-entry check window ======
+        # r2 re-checks displaced by the pinned-oracle trio:
         "window_range_frame_sum": window_range_frame_sum,
         "multimodal_payload_meta": multimodal_payload_meta,
         "multimodal_decode_features": multimodal_decode_features,
-        # ====== end of the driver 50-entry check window ======
         "agg_approx_distinct": agg_approx_distinct,
         "agg_skyline_parts": agg_skyline_parts,
         "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
@@ -14492,9 +14623,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_distribution": text_lang_distribution,
         "text_fingerprint": text_fingerprint,
         "text_contamination_bloom": text_contamination_bloom,
-        "dedup_minhash_lsh": dedup_minhash_lsh_docs,
-        "similarity_lsh_topk": similarity_lsh_topk,
-        "similarity_ivf_topk": similarity_ivf_topk,
         "similarity_dup_pairs_lsh": similarity_dup_pairs_lsh,
         "multimodal_frame_sample": multimodal_frame_sample,
         "agg_approx_quantiles": agg_approx_quantiles,
@@ -14510,9 +14638,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query. Entries absent here
-    (MinHash/SimHash/LSH/mapInPandas/approx sketches) are not
-    SQL-expressible with engine-identical results; the driver records
-    rows-only checks and pytest pins their semantics."""
+    (SimHash xxhash64 pairs / KLL / EWMA float recursion / zlib / BPE
+    driver loop) are not SQL-expressible with engine-identical results
+    AND too large or non-constant to pin; the driver records rows-only
+    checks and pytest pins their semantics. Deterministic sketch/ANN
+    outputs small enough to pin verbatim carry pinned-literal oracles
+    instead (the similarity_lsh_recall pattern)."""
     return {
         "q1_pricing_summary": _Q1_SQL,
         "w1_running_max_price": _W1_RUNNING_SQL,
@@ -14566,6 +14697,9 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF is exact by construction — brute-force oracle
         "similarity_ivf_full_probe": _SIM_TOPK_SQL,
         "similarity_lsh_recall": _SIM_LSH_RECALL_SQL,
+        "dedup_minhash_lsh": _DEDUP_MINHASH_LSH_PINNED_SQL,
+        "similarity_lsh_topk": _SIM_LSH_TOPK_PINNED_SQL,
+        "similarity_ivf_topk": _SIM_IVF_TOPK_PINNED_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,
         "similarity_semantic_clusters": _SIM_CLUSTERS_SQL,
