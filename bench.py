@@ -45,6 +45,19 @@ that materializes shared intermediates. Comparing r6 consumer rows to
 r5 ones therefore requires adding the derive row once — the r5→r6
 drop in graph-family rows is cost MOVED (and de-duplicated), not cost
 hidden.
+
+SESSION-PRESSURE NOTE (round 9, the r8 verdict's watch item #3):
+rows-only queries whose final step is a bounded DRIVER-SIDE loop over
+collected aggregates (text_bpe_merges is the only one — its merge loop
+re-plans one bounded aggregate per merge, by the BPE recurrence's
+nature) are disproportionately sensitive to accumulated GC/codegen
+pressure late in a ~110-row bench session: r8 measured 10.6 s
+in-session vs 2.5-3.3 s isolated (×3), with sf-sweep ratios flat —
+data volume is NOT the driver. When reading BENCH_r{N}.json trends,
+compare such rows against their ISOLATED cost
+(SPARK_GRAFT_ONLY=text_bpe_merges python bench.py) before calling a
+regression; an in-session move on this row tracks session length, not
+the operator.
 """
 
 from __future__ import annotations
@@ -271,6 +284,36 @@ def main() -> None:
     missing = [n for n in HEADLINE if n not in queries]
     if missing:
         raise SystemExit(f"HEADLINE names missing from queries(): {missing}")
+
+    # SPARK_GRAFT_ONLY=<name>[,<name>...]: isolated re-run of a subset
+    # under the identical steady-state protocol — the SESSION-PRESSURE
+    # NOTE's mechanism for separating a real regression from long-
+    # session GC/codegen drift on driver-loop rows (text_bpe_merges).
+    # Supplier-derivation rows are skipped (they exist to bill shared
+    # session state, which an isolated run doesn't amortize).
+    only_env = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
+    headline = HEADLINE
+    if only_env:
+        names = [n.strip() for n in only_env.split(",") if n.strip()]
+        unknown = [n for n in names if n not in queries]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY names missing from queries(): {unknown}")
+        headline = names
+        per_query: dict[str, float] = {}
+        for name in headline:
+            fn = queries[name]
+            fn(spark, sf_dir).count()
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                times.append(time.time() - t0)
+            per_query[name] = round(sorted(times)[1], 3)
+        total = round(sum(per_query.values()), 3)
+        for name, sec in per_query.items():
+            print(json.dumps({"query": name, "sec": sec}))
+        print(build_summary_line(per_query, total, sf))
+        return
 
     # Once-per-session verified-MinHash edge derivation, measured as its
     # own row (see the MEASUREMENT-HONESTY NOTE). Same steady-state

@@ -183,3 +183,29 @@ def test_copurchase_pair_supplier_memoizes_per_session(spark):
     got = set((r.u, r.v) for r in a.collect())
     assert got == want and len(got) > 0
     assert all(u < v for (u, v) in got)
+
+
+def test_every_oracle_parses_and_binds_in_duckdb():
+    """Static guard (r8 verdict item #8): every oracle_sql() entry must
+    parse AND bind (names/types resolve against the real table schemas)
+    in DuckDB at test time — today a typo'd oracle would only surface
+    when its query rotates into a gate run, possibly rounds later.
+    EXPLAIN plans without executing, so this covers all 286 oracles in
+    seconds against the sf0.001 parquet views."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # noqa: BLE001 - collect every failure
+            bad.append(f"{name}: {str(exc).splitlines()[0]}")
+    assert bad == [], "oracles that fail to parse/bind:\n" + "\n".join(bad)
