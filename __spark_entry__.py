@@ -13053,27 +13053,65 @@ ORDER BY tier
 
 def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU stickiness per day — the growth-analytics engagement
-    ratio ("what share of the monthly audience shows up today"). Both
-    distinct counts are exact via the WAU fanout kernel: deduped
-    (day, user) pairs replicate to the window-end days they support
-    (1 for DAU, 30 for MAU — bounded fanout, no self-join), one
-    count-distinct per day each, then a day equi-join. Stickiness is
-    integer micro-units (dau·10⁶ div mau — exact BIGINT division).
-    Shuffle volume is 31·|daily-active pairs|, never events."""
+    ratio ("what share of the monthly audience shows up today"). DAU
+    is one count over the deduped (day, user) pairs. MAU — distinct
+    users active in the trailing 30 days — is exact via the
+    INTERVAL-DELTA census kernel (the orders_open_backlog_daily
+    precedent, adopted round 9 per the r8 verdict's watch item on the
+    original 30× fanout): each user's activity days merge into
+    disjoint coverage intervals (a new interval starts when the gap
+    exceeds 29 days, so per-user coverage [first, last+29] never
+    overlaps and never double-counts), each interval emits +1 at its
+    start and −1 the day after its coverage ends, deltas aggregate per
+    day, and one running sum over the calendar-bounded (day, delta)
+    table reconstructs the census — evaluated at DAU days via a
+    zero-delta union. Shuffle volume falls from 31·|daily-active
+    pairs| to ~2·|pairs| (the per-user ordering pass plus ≤2 delta
+    rows per interval); the single-partition running sum rides the
+    documented calendar-domain exception. Stickiness is integer
+    micro-units (dau·10⁶ div mau — exact BIGINT division)."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
-    bounds = daily.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
     dau = daily.groupBy("day").agg(
-        F.countDistinct("user_id").cast("long").alias("dau")
+        F.count(F.lit(1)).cast("long").alias("dau")
     )
-    fan = daily.select(
-        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("_off"), "day", "user_id"
-    ).select(F.date_add("day", F.col("_off")).alias("day"), "user_id")
-    mau = (
-        fan.crossJoin(F.broadcast(bounds))
-        .filter((F.col("day") >= F.col("_lo")) & (F.col("day") <= F.col("_hi")))
+    w_u = Window.partitionBy("user_id").orderBy("day")
+    grouped = (
+        daily.withColumn("_prev", F.lag("day").over(w_u))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.datediff("day", F.col("_prev")) > 29),
+                1,
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+        .withColumn(
+            "_grp",
+            F.sum("_new").over(w_u.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    iv = grouped.groupBy("user_id", "_grp").agg(
+        F.min("day").alias("_start"), F.max("day").alias("_end")
+    )
+    deltas = (
+        iv.select(F.col("_start").alias("day"), F.lit(1).cast("long").alias("d"))
+        .unionByName(
+            iv.select(
+                F.date_add("_end", 30).alias("day"),
+                F.lit(-1).cast("long").alias("d"),
+            )
+        )
+        .unionByName(dau.select("day", F.lit(0).cast("long").alias("d")))
         .groupBy("day")
-        .agg(F.countDistinct("user_id").cast("long").alias("mau"))
+        .agg(F.sum("d").cast("long").alias("d"))
+    )
+    w_day = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    mau = (
+        deltas.withColumn("mau", F.sum("d").over(w_day).cast("long"))
+        .select("day", "mau")
     )
     return (
         dau.join(mau, "day")
