@@ -233,6 +233,15 @@ HEADLINE = [
     "diag_outlier_prices_iqr",
     "part_single_source_risk",
     "events_weekend_effect",
+    # round-9 additions: retention triangle (cohort-week rate matrix),
+    # exact session-duration percentiles (sessionize + global-rank
+    # kernels composed), part demand coverage (per-part lag window +
+    # rollup), IDF-weighted containment re-score (confirmed-pair
+    # triage tier) — rows above remain unchanged for comparability.
+    "events_retention_triangle",
+    "events_session_duration_percentiles",
+    "part_demand_coverage",
+    "dedup_containment_idf",
 ]
 
 

@@ -918,3 +918,88 @@ def sorted_neighborhood_pairs(
         left.join(right, "_b_rnk")
         .select("a_id", "a_key", "b_id", "b_key", F.col("rank_gap").cast("long").alias("rank_gap"))
     )
+
+
+def containment_idf_rescore(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_pct: int = 80,
+    min_shingles: int = 5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """IDF-weighted re-scoring of the containment tier — the SEMANTIC
+    mitigation for vocabulary-saturated corpora (the round-8 decade
+    probe's Θ(N²/V) regime): a quote built from boilerplate shingles
+    (high df → near-zero idf) scores low even when its raw containment
+    clears the threshold, so curation can triage candidate quotes by
+    how much RARE material they actually share.
+
+    Candidates come from ``containment_prefix_pairs`` (recall 1 by the
+    prefix-filter pigeonhole; see its docstring) — re-scoring touches
+    only CONFIRMED pairs, so the extra cost is one linear shingle scan
+    plus joins bounded by |pairs|·n_a. Per shingle the weight is
+    idf_micro = round(ln(n_docs / df) · 10⁶) snapped to an integer
+    BEFORE any sum (the JSD/entropy cross-engine float scheme: ln may
+    differ in the last ulp between engines, the per-cell micro snap
+    absorbs it and every downstream sum is exact BIGINT). The weighted
+    score is (Σ_shared idf_micro · 10⁶) div (Σ_a idf_micro); a doc
+    whose every shingle appears in every doc has weight 0 — both
+    engines emit NULL (guarded division).
+    """
+    pairs = containment_prefix_pairs(
+        df, id_col, text_col,
+        threshold_pct=threshold_pct,
+        min_shingles=min_shingles,
+        shingle_k=shingle_k,
+    ).select("doc_a", "doc_b", "n_a", "n_shared", "containment_micro")
+
+    toks = _tokens(text_col)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, F.size(toks) - shingle_k + 1) for j in range(shingle_k)]
+    )
+    grams = F.array_distinct(
+        F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(shingle_k)])
+        )
+    )
+    sh = (
+        df.filter(F.size(toks) >= shingle_k)
+        .select(F.col(id_col).alias("_id"), F.explode(grams).alias("_sh"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = sh.select("_id").distinct().count()
+    weighted = sh.join(
+        sh.groupBy("_sh").agg(F.count(F.lit(1)).cast("long").alias("_df")), "_sh"
+    ).withColumn(
+        "_w",
+        F.round(
+            F.log(F.lit(float(n_docs)) / F.col("_df").cast("double")) * 1000000
+        ).cast("long"),
+    )
+    tot_w = weighted.groupBy("_id").agg(F.sum("_w").cast("long").alias("_wa"))
+    shared_w = (
+        pairs.select("doc_a", "doc_b")
+        .join(weighted.select(F.col("_id").alias("doc_a"), "_sh", "_w"), "doc_a")
+        .join(
+            sh.select(F.col("_id").alias("doc_b"), "_sh"),
+            ["doc_b", "_sh"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("_w").cast("long").alias("_ws"))
+    )
+    return (
+        pairs.join(shared_w, ["doc_a", "doc_b"])
+        .join(tot_w.select(F.col("_id").alias("doc_a"), "_wa"), "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_shared",
+            "containment_micro",
+            F.when(
+                F.col("_wa") > 0,
+                F.expr("CAST((_ws * 1000000) div _wa AS BIGINT)"),
+            ).alias("idf_containment_micro"),
+        )
+    )
