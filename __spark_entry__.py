@@ -14608,6 +14608,218 @@ WHERE na.n_sh >= 5 AND i.ix * 100 >= 80 * na.n_sh
 """
 
 
+def orders_repeat_purchase_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate by acquisition quarter — the retention
+    scorecard on the ORDERS fact (the commerce twin of the events
+    retention triangle): customers cohorted by the quarter of their
+    first order; per cohort the size, the count that ever ordered
+    again, and the repeat rate in integer micro-units. Two shuffles:
+    the per-customer (first date, order count) aggregate and the
+    quarter rollup (cohort domain is calendar-bounded)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("_first"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    return (
+        per_cust.select(
+            (F.year("_first") * 10 + F.quarter("_first"))
+            .cast("long")
+            .alias("cohort_quarter"),
+            (F.col("_n") >= 2).cast("long").alias("_rep"),
+        )
+        .groupBy("cohort_quarter")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("_rep").cast("long").alias("n_repeat"),
+        )
+        .select(
+            "cohort_quarter",
+            "n_customers",
+            "n_repeat",
+            F.expr("CAST((n_repeat * 1000000) div n_customers AS BIGINT)").alias(
+                "repeat_micro"
+            ),
+        )
+        .orderBy("cohort_quarter")
+    )
+
+
+_REPEAT_COHORTS_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(year(first_d) * 10 + quarter(first_d) AS BIGINT) AS cohort_quarter,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+       CAST((sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) * 1000000) // count(*)
+            AS BIGINT) AS repeat_micro
+FROM per_cust
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size histogram: how many DISTINCT parts an order carries,
+    and what share of orders each size represents — the assortment
+    report every commerce dashboard opens with. Distinct (order, part)
+    projection → per-order count → size rollup (size domain is bounded
+    by lines-per-order, ≤7 here); the share rides the documented
+    bounded unpartitioned window (|size domain| rows)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    sizes = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_sz")
+    )
+    hist = sizes.groupBy(F.col("_sz").alias("basket_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        hist.withColumn("_tot", F.sum("n_orders").over(w).cast("long"))
+        .select(
+            "basket_size",
+            "n_orders",
+            F.expr("CAST((n_orders * 1000000) div _tot AS BIGINT)").alias(
+                "share_micro"
+            ),
+        )
+        .orderBy("basket_size")
+    )
+
+
+_BASKET_SIZE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sizes AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS sz FROM li GROUP BY l_orderkey
+),
+hist AS (
+  SELECT sz AS basket_size, CAST(count(*) AS BIGINT) AS n_orders
+  FROM sizes GROUP BY sz
+)
+SELECT basket_size, n_orders,
+       CAST((n_orders * 1000000) // (sum(n_orders) OVER ()) AS BIGINT)
+         AS share_micro
+FROM hist ORDER BY basket_size
+"""
+
+
+def lineitem_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-effect table — the elasticity read: per discount level
+    (a 2-dp grid, 11 domain values) the line count, average quantity,
+    and average discounted revenue per line. Quantities aggregate as
+    exact centi-units and prices as exact decimal products (the Q1
+    factor-cast convention), with per-line averages as integer
+    micro-unit divisions — one map-side-combinable aggregate over the
+    fact table, output bounded by the discount domain."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    cells = li.groupBy(
+        F.round(F.col("l_discount") * 100).cast("long").alias("discount_pct")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_qty_centi"),
+        F.sum(F.round(price * disc_f * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    return cells.select(
+        "discount_pct",
+        "n_lines",
+        "sum_qty_centi",
+        "revenue_cents",
+        F.expr("CAST((sum_qty_centi * 10000) div n_lines AS BIGINT)").alias(
+            "avg_qty_micro"
+        ),
+        F.expr("CAST((revenue_cents * 10000) div n_lines AS BIGINT)").alias(
+            "avg_revenue_micro"
+        ),
+    ).orderBy("discount_pct")
+
+
+_DISCOUNT_EFFECT_SQL = """
+WITH cells AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS sum_qty_centi,
+         CAST(sum(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(1 - l_discount AS DECIMAL(4,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem GROUP BY 1
+)
+SELECT discount_pct, n_lines, sum_qty_centi, revenue_cents,
+       CAST((sum_qty_centi * 10000) // n_lines AS BIGINT) AS avg_qty_micro,
+       CAST((revenue_cents * 10000) // n_lines AS BIGINT) AS avg_revenue_micro
+FROM cells ORDER BY discount_pct
+"""
+
+
+def part_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item similarity by co-purchase — "customers who bought X
+    also bought Y", the collaborative-filter neighborhood table:
+    Jaccard of two parts' ORDER SETS, for part pairs co-occurring in
+    at least 2 orders. Same linear-in-orders shape as the pair
+    supplier (distinct (order, part) projection, self-join on the
+    order key — C(k,2) with k ≤ 7 lines per order — then a pair-level
+    COUNT instead of distinct: the count of co-orders), per-part order
+    counts ride two joins, and jaccard = co·10⁶ div (n_u + n_v − co)
+    is exact BIGINT. The C(|parts|,2) matrix never materializes — only
+    observed co-pairs shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_ord = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_orders"))
+        .filter(F.col("co_orders") >= 2)
+    )
+    return (
+        co.join(n_ord.select(F.col("l_partkey").alias("u"), F.col("_n").alias("n_u")), "u")
+        .join(n_ord.select(F.col("l_partkey").alias("v"), F.col("_n").alias("n_v")), "v")
+        .select(
+            "u",
+            "v",
+            "n_u",
+            "n_v",
+            "co_orders",
+            F.expr(
+                "CAST((co_orders * 1000000) div (n_u + n_v - co_orders) AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+        .orderBy("u", "v")
+    )
+
+
+_COPURCHASE_JACCARD_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_ord AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY l_partkey
+),
+co AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(count(*) AS BIGINT) AS co_orders
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT co.u, co.v, nu.n AS n_u, nv.n AS n_v, co.co_orders,
+       CAST((co.co_orders * 1000000) // (nu.n + nv.n - co.co_orders) AS BIGINT)
+         AS jaccard_micro
+FROM co JOIN n_ord nu ON nu.l_partkey = co.u
+        JOIN n_ord nv ON nv.l_partkey = co.v
+ORDER BY u, v
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -14704,10 +14916,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_intersect_custkeys": setops_intersect_custkeys,
         "setops_except_nation_keys": setops_except_nation_keys,
         "dedup_keep_first_per_nation": dedup_keep_first_per_nation,
-        "rollup_order_status": rollup_order_status,
-        "pivot_status_by_priority": pivot_status_by_priority,
-        "cube_order_status": cube_order_status,
-        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+        # Round-9 batch-2 oracled additions (never checked =>
+        # window-mandatory; displaced four more r2 re-checks).
+        "orders_repeat_purchase_cohorts": orders_repeat_purchase_cohorts,
+        "orders_basket_size_distribution": orders_basket_size_distribution,
+        "lineitem_discount_effect": lineitem_discount_effect,
+        "part_copurchase_jaccard": part_copurchase_jaccard,
         "join_full_outer_order_counts": join_full_outer_order_counts,
         # Slots 44-47: round-9 batch-1 oracled additions (never
         # checked => window-mandatory; displaced four r2 re-checks).
@@ -14724,6 +14938,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": similarity_ivf_topk,
         # ====== end of the driver 50-entry check window ======
         # r2 re-checks displaced by the pinned-oracle trio:
+        "rollup_order_status": rollup_order_status,
+        "pivot_status_by_priority": pivot_status_by_priority,
+        "cube_order_status": cube_order_status,
+        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "agg_grouping_sets": agg_grouping_sets,
         "agg_order_stats": agg_order_stats,
         "window_rank_customers": window_rank_customers,
@@ -15044,6 +15262,10 @@ def oracle_sql() -> dict[str, str]:
         "events_session_duration_percentiles": _SESSION_DURATION_PCT_SQL,
         "part_demand_coverage": _PART_DEMAND_COVERAGE_SQL,
         "dedup_containment_idf": _CONTAINMENT_IDF_SQL,
+        "orders_repeat_purchase_cohorts": _REPEAT_COHORTS_SQL,
+        "orders_basket_size_distribution": _BASKET_SIZE_SQL,
+        "lineitem_discount_effect": _DISCOUNT_EFFECT_SQL,
+        "part_copurchase_jaccard": _COPURCHASE_JACCARD_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,
         "similarity_semantic_clusters": _SIM_CLUSTERS_SQL,

@@ -242,6 +242,13 @@ HEADLINE = [
     "events_session_duration_percentiles",
     "part_demand_coverage",
     "dedup_containment_idf",
+    # round-9 batch 2: repeat-purchase cohorts, basket-size histogram,
+    # discount-effect table, item-item co-purchase Jaccard — rows
+    # above remain unchanged for comparability.
+    "orders_repeat_purchase_cohorts",
+    "orders_basket_size_distribution",
+    "lineitem_discount_effect",
+    "part_copurchase_jaccard",
 ]
 
 
