@@ -14820,6 +14820,258 @@ ORDER BY u, v
 """
 
 
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch marketing attribution — completes the attribution
+    family (last-touch and linear shipped earlier): every purchase is
+    credited to the user's EARLIEST preceding non-purchase event type
+    (no prior touch → 'direct'), aggregated to purchases and revenue
+    per channel. One running first_value(ignore nulls) window along
+    the (ts, event_id) total order per user + one channel-sized
+    groupBy with map-side partials; money is exact integer cents."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    first_ch = F.first(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        ev.withColumn("_ch", first_ch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce("_ch", F.lit("direct")).alias("channel"),
+            F.round(F.col("value") * 100).cast("long").alias("_cents"),
+        )
+    )
+    return (
+        conv.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("_cents").cast("long").alias("value_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+_FIRST_TOUCH_SQL = """
+WITH seq AS (
+  SELECT event_type, value,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+  FROM events
+)
+SELECT coalesce(ch, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM seq WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY channel
+"""
+
+
+def events_intersession_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75/p90 of the INTER-SESSION gap (seconds between
+    a session's start and the previous session's last event, per user)
+    — the visit-frequency distribution next to the duration
+    percentiles: duration says how long they stay, this says how soon
+    they come back. Session bounds from the gap-sessionization kernel
+    (per-user partitions), one lag along the per-user session order,
+    then the distributed-global-rank percentile kernel with the
+    (gap, user, session) unique tiebreak; the type-7 lerp is ONE
+    fixed-order double over exact BIGINTs, replayed in the oracle."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_global_rank,
+        sessionize_by_gap,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_by_gap(ev, ["user_id"], "ts", 3600, "session_id")
+    bounds = s.groupBy("user_id", "session_id").agg(
+        F.floor(F.unix_timestamp(F.min("ts"))).cast("long").alias("_start"),
+        F.floor(F.unix_timestamp(F.max("ts"))).cast("long").alias("_end"),
+    )
+    w = Window.partitionBy("user_id").orderBy("session_id")
+    gaps = (
+        bounds.withColumn("_prev_end", F.lag("_end").over(w))
+        .filter(F.col("_prev_end").isNotNull())
+        .select(
+            (F.col("_start") - F.col("_prev_end")).cast("long").alias("gap"),
+            "user_id",
+            "session_id",
+        )
+    )
+    ranked = distributed_global_rank(
+        gaps,
+        [("gap", False), ("user_id", False), ("session_id", False)],
+        rank_col="rk",
+    ).select("gap", "rk")
+    nrow = gaps.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9))
+    targets = (
+        nrow.select(F.explode(ps).alias("p"), "n")
+        .withColumn("h", (F.col("n") - 1).cast("double") * F.col("p"))
+        .withColumn("lo", (F.floor("h") + 1).cast("long"))
+        .withColumn("hi", F.least(F.floor("h") + 2, F.col("n")).cast("long"))
+        .withColumn("frac", F.col("h") - F.floor("h"))
+    )
+    vlo = ranked.join(
+        F.broadcast(targets.select("p", "frac", F.col("lo").alias("rk"))), "rk"
+    ).select("p", "frac", F.col("gap").alias("v_lo"))
+    vhi = ranked.join(
+        F.broadcast(targets.select("p", F.col("hi").alias("rk"))), "rk"
+    ).select("p", F.col("gap").alias("v_hi"))
+    return (
+        vlo.join(vhi, "p")
+        .select(
+            "p",
+            (
+                (F.lit(1.0) - F.col("frac")) * F.col("v_lo")
+                + F.col("frac") * F.col("v_hi")
+            ).alias("gap_seconds"),
+        )
+        .orderBy("p")
+    )
+
+
+_INTERSESSION_GAP_SQL = f"""
+WITH {_SESSION_CTE},
+bounds AS (
+  SELECT user_id, session_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS s_end
+  FROM sess GROUP BY user_id, session_id
+),
+gaps AS (
+  SELECT s_start - lag(s_end) OVER (PARTITION BY user_id ORDER BY session_id)
+           AS gap,
+         user_id, session_id
+  FROM bounds
+  QUALIFY gap IS NOT NULL
+), n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM gaps),
+ranked AS (
+  SELECT gap, row_number() OVER (ORDER BY gap, user_id, session_id) AS rk
+  FROM gaps
+),
+targets AS (
+  SELECT p, (cnt - 1) * p AS h,
+         CAST(floor((cnt - 1) * p) AS BIGINT) + 1 AS lo,
+         least(CAST(floor((cnt - 1) * p) AS BIGINT) + 2, cnt) AS hi,
+         (cnt - 1) * p - floor((cnt - 1) * p) AS frac
+  FROM (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+               (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE))) t(p)
+  CROSS JOIN n
+)
+SELECT t.p,
+       (CAST(1.0 AS DOUBLE) - t.frac) * lo_r.gap + t.frac * hi_r.gap
+         AS gap_seconds
+FROM targets t
+JOIN ranked lo_r ON lo_r.rk = t.lo
+JOIN ranked hi_r ON hi_r.rk = t.hi
+ORDER BY p
+"""
+
+
+def diag_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-day multi-order audit: customers who placed MORE THAN ONE
+    order on the same calendar day — the double-submission / split-
+    order screen a finance team runs before month close (the stricter
+    same-amount key returns zero groups on this corpus at every sf, a
+    trivially-matching hash; same-customer-same-day is the live
+    signal: 32 groups at sf0.01). One exact-cents groupBy with a
+    HAVING count ≥ 2; min/max order keys anchor each group for
+    investigation. Output is bounded by true duplicate groups."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_custkey",
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("order_date"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+            F.min("o_orderkey").cast("long").alias("first_orderkey"),
+            F.max("o_orderkey").cast("long").alias("last_orderkey"),
+        )
+        .filter(F.col("n_orders") >= 2)
+        .orderBy("o_custkey", "order_date")
+    )
+
+
+_DUP_ORDERS_SQL = """
+SELECT o_custkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS first_orderkey,
+       CAST(max(o_orderkey) AS BIGINT) AS last_orderkey
+FROM orders
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY o_custkey, order_date
+"""
+
+
+def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-price dispersion per part — the procurement-audit question
+    "are we paying consistent prices for the same part?": per part the
+    line count, min/max unit price (milli-cents — exact integral
+    division of line cents by centi-quantity), and the relative spread
+    in micro-units ((max−min)·10⁶ div max). All-integer, so both
+    engines agree bit-for-bit; one map-side-combinable aggregate,
+    output |parts|-bounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit = F.expr(
+        "CAST((CAST(round(l_extendedprice * 100) AS BIGINT) * 100000)"
+        " div CAST(round(l_quantity * 100) AS BIGINT) AS BIGINT)"
+    )
+    agg = li.select(F.col("l_partkey"), unit.alias("_u")).groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.min("_u").cast("long").alias("min_unit_millicents"),
+        F.max("_u").cast("long").alias("max_unit_millicents"),
+    )
+    return agg.select(
+        "l_partkey",
+        "n_lines",
+        "min_unit_millicents",
+        "max_unit_millicents",
+        F.when(
+            F.col("max_unit_millicents") > 0,
+            F.expr(
+                "CAST(((max_unit_millicents - min_unit_millicents) * 1000000)"
+                " div max_unit_millicents AS BIGINT)"
+            ),
+        ).alias("spread_micro"),
+    ).orderBy("l_partkey")
+
+
+_PRICE_DISPERSION_SQL = """
+WITH u AS (
+  SELECT l_partkey,
+         (CAST(round(l_extendedprice * 100) AS BIGINT) * 100000)
+           // CAST(round(l_quantity * 100) AS BIGINT) AS unit_mc
+  FROM lineitem
+),
+agg AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(min(unit_mc) AS BIGINT) AS min_unit_millicents,
+         CAST(max(unit_mc) AS BIGINT) AS max_unit_millicents
+  FROM u GROUP BY l_partkey
+)
+SELECT l_partkey, n_lines, min_unit_millicents, max_unit_millicents,
+       CASE WHEN max_unit_millicents > 0
+            THEN CAST(((max_unit_millicents - min_unit_millicents) * 1000000)
+                      // max_unit_millicents AS BIGINT)
+            ELSE NULL END AS spread_micro
+FROM agg ORDER BY l_partkey
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -14912,10 +15164,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range_price_band": join_range_price_band,
         "topk_orders_by_price": topk_orders_by_price,
         "topk_customers_per_segment": topk_customers_per_segment,
-        "setops_union_nation_keys": setops_union_nation_keys,
-        "setops_intersect_custkeys": setops_intersect_custkeys,
-        "setops_except_nation_keys": setops_except_nation_keys,
-        "dedup_keep_first_per_nation": dedup_keep_first_per_nation,
+        # Round-9 batch-3 oracled additions (never checked =>
+        # window-mandatory; displaced four more r2 re-checks).
+        "events_first_touch_attribution": events_first_touch_attribution,
+        "events_intersession_gap_percentiles": events_intersession_gap_percentiles,
+        "diag_duplicate_orders": diag_duplicate_orders,
+        "part_price_dispersion": part_price_dispersion,
         # Round-9 batch-2 oracled additions (never checked =>
         # window-mandatory; displaced four more r2 re-checks).
         "orders_repeat_purchase_cohorts": orders_repeat_purchase_cohorts,
@@ -14938,6 +15192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": similarity_ivf_topk,
         # ====== end of the driver 50-entry check window ======
         # r2 re-checks displaced by the pinned-oracle trio:
+        "setops_union_nation_keys": setops_union_nation_keys,
+        "setops_intersect_custkeys": setops_intersect_custkeys,
+        "setops_except_nation_keys": setops_except_nation_keys,
+        "dedup_keep_first_per_nation": dedup_keep_first_per_nation,
         "rollup_order_status": rollup_order_status,
         "pivot_status_by_priority": pivot_status_by_priority,
         "cube_order_status": cube_order_status,
@@ -15266,6 +15524,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_basket_size_distribution": _BASKET_SIZE_SQL,
         "lineitem_discount_effect": _DISCOUNT_EFFECT_SQL,
         "part_copurchase_jaccard": _COPURCHASE_JACCARD_SQL,
+        "events_first_touch_attribution": _FIRST_TOUCH_SQL,
+        "events_intersession_gap_percentiles": _INTERSESSION_GAP_SQL,
+        "diag_duplicate_orders": _DUP_ORDERS_SQL,
+        "part_price_dispersion": _PRICE_DISPERSION_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,
         "similarity_semantic_clusters": _SIM_CLUSTERS_SQL,

@@ -249,6 +249,14 @@ HEADLINE = [
     "orders_basket_size_distribution",
     "lineitem_discount_effect",
     "part_copurchase_jaccard",
+    # round-9 batch 3: first-touch attribution (completes the family),
+    # inter-session gap percentiles (visit frequency), same-day
+    # multi-order audit, unit-price dispersion — rows above remain
+    # unchanged for comparability.
+    "events_first_touch_attribution",
+    "events_intersession_gap_percentiles",
+    "diag_duplicate_orders",
+    "part_price_dispersion",
 ]
 
 
