@@ -15072,6 +15072,155 @@ FROM agg ORDER BY l_partkey
 """
 
 
+def events_time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation-latency percentiles — exact p25/p50/p75/p90 of the
+    seconds between a user's FIRST event of any kind and their FIRST
+    purchase (purchasers only): the activation metric growth teams
+    steer onboarding by. One per-user (min ts, min purchase ts)
+    aggregate — both firsts in a single map-side-combinable pass —
+    then the distributed-global-rank percentile kernel with the
+    (latency, user) unique tiebreak; the type-7 lerp is ONE
+    fixed-order double over exact BIGINTs, replayed in the oracle."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_global_rank,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.floor(F.unix_timestamp(F.min("ts"))).cast("long").alias("_first"),
+        F.floor(
+            F.unix_timestamp(
+                F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            )
+        )
+        .cast("long")
+        .alias("_first_buy"),
+    )
+    lats = firsts.filter(F.col("_first_buy").isNotNull()).select(
+        (F.col("_first_buy") - F.col("_first")).cast("long").alias("lat"),
+        "user_id",
+    )
+    ranked = distributed_global_rank(
+        lats, [("lat", False), ("user_id", False)], rank_col="rk"
+    ).select("lat", "rk")
+    nrow = lats.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9))
+    targets = (
+        nrow.select(F.explode(ps).alias("p"), "n")
+        .withColumn("h", (F.col("n") - 1).cast("double") * F.col("p"))
+        .withColumn("lo", (F.floor("h") + 1).cast("long"))
+        .withColumn("hi", F.least(F.floor("h") + 2, F.col("n")).cast("long"))
+        .withColumn("frac", F.col("h") - F.floor("h"))
+    )
+    vlo = ranked.join(
+        F.broadcast(targets.select("p", "frac", F.col("lo").alias("rk"))), "rk"
+    ).select("p", "frac", F.col("lat").alias("v_lo"))
+    vhi = ranked.join(
+        F.broadcast(targets.select("p", F.col("hi").alias("rk"))), "rk"
+    ).select("p", F.col("lat").alias("v_hi"))
+    return (
+        vlo.join(vhi, "p")
+        .select(
+            "p",
+            (
+                (F.lit(1.0) - F.col("frac")) * F.col("v_lo")
+                + F.col("frac") * F.col("v_hi")
+            ).alias("latency_seconds"),
+        )
+        .orderBy("p")
+    )
+
+
+_TIME_TO_FIRST_PURCHASE_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS first_ev,
+         CAST(floor(epoch(min(CASE WHEN event_type = 'purchase' THEN ts END)))
+              AS BIGINT) AS first_buy
+  FROM events GROUP BY user_id
+),
+lats AS (
+  SELECT first_buy - first_ev AS lat, user_id
+  FROM firsts WHERE first_buy IS NOT NULL
+), n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM lats),
+ranked AS (
+  SELECT lat, row_number() OVER (ORDER BY lat, user_id) AS rk FROM lats
+),
+targets AS (
+  SELECT p, (cnt - 1) * p AS h,
+         CAST(floor((cnt - 1) * p) AS BIGINT) + 1 AS lo,
+         least(CAST(floor((cnt - 1) * p) AS BIGINT) + 2, cnt) AS hi,
+         (cnt - 1) * p - floor((cnt - 1) * p) AS frac
+  FROM (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+               (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE))) t(p)
+  CROSS JOIN n
+)
+SELECT t.p,
+       (CAST(1.0 AS DOUBLE) - t.frac) * lo_r.lat + t.frac * hi_r.lat
+         AS latency_seconds
+FROM targets t
+JOIN ranked lo_r ON lo_r.rk = t.lo
+JOIN ranked hi_r ON hi_r.rk = t.hi
+ORDER BY p
+"""
+
+
+def orders_wow_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth — the weekly-business-review twin
+    of the YoY table: revenue per epoch-week (day div 7 — pure integer
+    bucketing, engine-identical) in exact cents, the previous week via
+    one lag over the calendar-bounded week spine (the documented
+    single-partition exception domain), and growth in integer
+    micro-units guarded against a zero prior week (NULL both
+    engines)."""
+    o = _t(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.expr(
+            "CAST(datediff(to_date(o_orderdate), DATE'1970-01-01') div 7 AS BIGINT)"
+        ).alias("week")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    w = Window.orderBy("week")
+    return (
+        weekly.withColumn("prev_cents", F.lag("revenue_cents").over(w).cast("long"))
+        .select(
+            "week",
+            "revenue_cents",
+            "prev_cents",
+            F.when(
+                F.col("prev_cents") > 0,
+                F.expr(
+                    "CAST(((revenue_cents - prev_cents) * 1000000)"
+                    " div prev_cents AS BIGINT)"
+                ),
+            ).alias("wow_growth_micro"),
+        )
+        .orderBy("week")
+    )
+
+
+_WOW_GROWTH_SQL = """
+WITH weekly AS (
+  SELECT CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS BIGINT)
+           AS week,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT week, revenue_cents,
+       CAST(lag(revenue_cents) OVER (ORDER BY week) AS BIGINT) AS prev_cents,
+       CASE WHEN lag(revenue_cents) OVER (ORDER BY week) > 0
+            THEN CAST(((revenue_cents - lag(revenue_cents) OVER (ORDER BY week))
+                       * 1000000)
+                      // lag(revenue_cents) OVER (ORDER BY week) AS BIGINT)
+            ELSE NULL END AS wow_growth_micro
+FROM weekly ORDER BY week
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -15158,8 +15307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_running_max_month": w4_running_max_month,
         "join_orders_customer": join_orders_customer,
         "join_broadcast_region_rollup": join_broadcast_region_rollup,
-        "join_semi_customers_with_orders": join_semi_customers_with_orders,
-        "join_anti_customers_without_orders": join_anti_customers_without_orders,
+        # Round-9 batch-4 oracled additions (never checked =>
+        # window-mandatory; displaced two more r2 re-checks).
+        "events_time_to_first_purchase": events_time_to_first_purchase,
+        "orders_wow_revenue_growth": orders_wow_revenue_growth,
         "join_asof_click_purchase": join_asof_click_purchase,
         "join_range_price_band": join_range_price_band,
         "topk_orders_by_price": topk_orders_by_price,
@@ -15192,6 +15343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": similarity_ivf_topk,
         # ====== end of the driver 50-entry check window ======
         # r2 re-checks displaced by the pinned-oracle trio:
+        "join_semi_customers_with_orders": join_semi_customers_with_orders,
+        "join_anti_customers_without_orders": join_anti_customers_without_orders,
         "setops_union_nation_keys": setops_union_nation_keys,
         "setops_intersect_custkeys": setops_intersect_custkeys,
         "setops_except_nation_keys": setops_except_nation_keys,
@@ -15528,6 +15681,8 @@ def oracle_sql() -> dict[str, str]:
         "events_intersession_gap_percentiles": _INTERSESSION_GAP_SQL,
         "diag_duplicate_orders": _DUP_ORDERS_SQL,
         "part_price_dispersion": _PRICE_DISPERSION_SQL,
+        "events_time_to_first_purchase": _TIME_TO_FIRST_PURCHASE_SQL,
+        "orders_wow_revenue_growth": _WOW_GROWTH_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,
         "similarity_semantic_clusters": _SIM_CLUSTERS_SQL,

@@ -257,6 +257,10 @@ HEADLINE = [
     "events_intersession_gap_percentiles",
     "diag_duplicate_orders",
     "part_price_dispersion",
+    # round-9 batch 4: activation-latency percentiles, week-over-week
+    # revenue growth — rows above remain unchanged for comparability.
+    "events_time_to_first_purchase",
+    "orders_wow_revenue_growth",
 ]
 
 

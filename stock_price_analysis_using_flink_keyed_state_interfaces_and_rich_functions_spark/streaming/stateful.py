@@ -65,6 +65,7 @@ __all__ = [
     "holt_integer_stream",
     "cusum_integer_stream",
     "last_touch_attribution_stream",
+    "first_touch_attribution_stream",
     "conversion_paths_stream",
     "holt_winters_integer_stream",
     "funnel_stage_stream",
@@ -961,6 +962,62 @@ def last_touch_attribution_stream(
                 t = row[type_col]
                 if t != conversion_type:
                     if t is not None:
+                        cur = t
+                else:
+                    rec = {k: kv for k, kv in zip(keys, key)}
+                    for c in order:
+                        rec[c] = row[c]
+                    rec[out_col] = cur if cur is not None else default
+                    emitted.append(rec)
+            if emitted:
+                yield pd.DataFrame(emitted, columns=keys + order + [out_col])
+        state.update((cur,))
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def first_touch_attribution_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    type_col: str,
+    conversion_type: str,
+    out_col: str = "channel",
+    default: str = "direct",
+) -> DataFrame:
+    """Streaming twin of the batch FIRST-touch attribution
+    (__spark_entry__.events_first_touch_attribution's window carry) —
+    state is ONE string per key, LATCHED at the key's earliest
+    non-conversion event and never overwritten; every conversion row
+    is emitted immediately with the channel that first acquired the
+    user (no prior touch ever → ``default``). Chunked replay equals
+    batch replay because a latch is order-insensitive once set — the
+    same carry argument as :func:`last_touch_attribution_stream`, with
+    the write-once direction flipped. Same ordering contract as every
+    per-key replay twin here."""
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [df.schema[c] for c in order_cols]
+        + [StructField(out_col, StringType())]
+    )
+    state_schema = StructType([StructField("first_touch", StringType())])
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def fold(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (cur,) = state.get if state.exists else (None,)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
+            emitted: list[dict] = []
+            for _, row in pdf.iterrows():
+                t = row[type_col]
+                if t != conversion_type:
+                    if t is not None and cur is None:
                         cur = t
                 else:
                     rec = {k: kv for k, kv in zip(keys, key)}

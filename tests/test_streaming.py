@@ -2338,3 +2338,73 @@ def test_burst_rate_stream_out_of_order_batch_is_marked_late(spark, tmp_path):
     # max 3). T(110) still folds in-order: trailing window (51..110]
     # holds the two T(100) events plus itself.
     assert got == [(50, None, 2), (100, 2, 2), (100, 2, 2), (110, 3, 3)]
+
+
+def test_first_touch_attribution_stream_equals_batch(spark, tmp_path):
+    """Streaming FIRST-touch attribution must equal the batch window
+    carry across micro-batch boundaries: the latch set in batch 1 still
+    credits purchases arriving in batch 2 (never overwritten by later
+    touches), and a user whose first event is a purchase credits
+    'direct'."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        first_touch_attribution_stream,
+    )
+
+    root = str(tmp_path / "ft_in")
+    types = ["view", "click", "purchase", "error", "purchase", "signup"]
+    rows = []
+    for i in range(36):
+        user = f"u{i % 3}"
+        rows.append((user, i, types[(i * 5 + i // 3) % len(types)]))
+    # u3: first touch (view) != last touch (click) at the purchase, with
+    # the latch set in batch 1 and the purchase arriving in batch 2 —
+    # the case that distinguishes first- from last-touch semantics AND
+    # exercises the cross-batch latch carry.
+    rows += [("u3", 1, "view"), ("u3", 20, "click"), ("u3", 30, "purchase")]
+    df = spark.createDataFrame(rows, "k string, seq long, t string")
+    for part in range(2):
+        df.filter((F.col("seq") >= part * 18) & (F.col("seq") < (part + 1) * 18)) \
+            .coalesce(1).write.parquet(os.path.join(root, f"part={part}"))
+    batch = spark.read.parquet(os.path.join(root, "part=*")).select("k", "seq", "t")
+
+    stream = (
+        spark.readStream.schema("k string, seq long, t string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "part=*"))
+        .select("k", "seq", "t")
+    )
+    out = _drain(
+        first_touch_attribution_stream(stream, ["k"], ["seq"], "t", "purchase"),
+        "ft_stream",
+    )
+    got = sorted((r["k"], r["seq"], r["channel"]) for r in out.collect())
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").orderBy("seq").rowsBetween(W.unboundedPreceding, 0)
+    first_ch = F.first(
+        F.when(F.col("t") != "purchase", F.col("t")), ignorenulls=True
+    ).over(w)
+    expect = sorted(
+        (r["k"], r["seq"], r["channel"])
+        for r in batch.withColumn("_ch", first_ch)
+        .filter(F.col("t") == "purchase")
+        .select("k", "seq", F.coalesce("_ch", F.lit("direct")).alias("channel"))
+        .collect()
+    )
+    assert got == expect and len(got) > 0
+    channels = {c for _, _, c in got}
+    assert "direct" in channels and len(channels) >= 2
+    # the latch must differ from last-touch on this fixture (first!=last
+    # for at least one purchase) or the test wouldn't distinguish them
+    last_ch = F.last(
+        F.when(F.col("t") != "purchase", F.col("t")), ignorenulls=True
+    ).over(w)
+    last = sorted(
+        (r["k"], r["seq"], r["channel"])
+        for r in batch.withColumn("_ch", last_ch)
+        .filter(F.col("t") == "purchase")
+        .select("k", "seq", F.coalesce("_ch", F.lit("direct")).alias("channel"))
+        .collect()
+    )
+    assert got != last
