@@ -15221,6 +15221,309 @@ FROM weekly ORDER BY week
 """
 
 
+def er_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring (the 1969
+    decision model every production ER system descends from) on top of
+    the deletion-neighborhood blocking tier: a corrupted customer feed
+    (one name substitution always; nation shifted for key%5=0, segment
+    wrecked for key%7=0, balance shifted a band for key%11=0) is
+    blocked against the master at name ED ≤ 1 (recall 1 by the
+    SymSpell argument), then every candidate pair is scored by the sum
+    of per-field agreement/disagreement LOG-LIKELIHOOD WEIGHTS:
+    wa = ln(m/u), wd = ln((1−m)/(1−u)) with fixed m literals and
+    u — the chance-agreement probability — estimated EXACTLY from the
+    master's value frequencies (u = Σf²/N², kept as exact BIGINT/
+    DECIMAL sums; each weight is ONE fixed-order double micro-snapped
+    per field — the JSD float scheme). The emitted is_true_match flag
+    turns the table into its own eval: true pairs separate from
+    name-collision false candidates by score. Scale: blocking is the
+    linear (len+1)·n variant explode; scoring adds three broadcast
+    1-row weight frames and one attribute join per side."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.joins import (
+        levenshtein_neighborhood_join,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    p = "CAST(c_custkey % 18 AS INT)"
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_key"),
+        F.expr(
+            f"concat(substring(c_name, 1, {p}), 'X',"
+            f" substring(c_name, {p} + 2, 17 - {p}))"
+        ).alias("dn"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            (F.col("c_nationkey") + 1) % 25,
+        )
+        .otherwise(F.col("c_nationkey"))
+        .cast("long")
+        .alias("d_nation"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("CORRUPTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_segment"),
+        (
+            F.floor(F.col("c_acctbal") / 1000)
+            + F.when(F.col("c_custkey") % 11 == 0, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("d_balband"),
+    )
+    clean = cust.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("m_nation"),
+        F.col("c_mktsegment").alias("m_segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("m_balband"),
+    )
+    cand = levenshtein_neighborhood_join(
+        dirty, clean, "d_key", "c_custkey", "dn", "c_name", max_edit=1
+    ).select(F.col("left_id").alias("d_key"), F.col("right_id").alias("c_custkey"))
+
+    # u = Σf²/N² per field, exact; weights micro-snapped per field.
+    def _w(field, m_pct):
+        freq = clean.groupBy(field).agg(F.count(F.lit(1)).cast("long").alias("_f"))
+        return freq.agg(
+            F.sum(
+                (F.col("_f").cast("decimal(19,0)") * F.col("_f").cast("decimal(19,0)"))
+                .cast("decimal(38,0)")
+            ).alias("_su"),
+            F.count(F.lit(1)).cast("long").alias("_k"),
+        ).crossJoin(
+            F.broadcast(clean.agg(F.count(F.lit(1)).cast("long").alias("_n")))
+        ).select(
+            F.round(
+                F.log(
+                    F.lit(m_pct / 100.0)
+                    * (F.col("_n").cast("double") * F.col("_n").cast("double"))
+                    / F.col("_su").cast("double")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias(f"wa_{field[2:]}"),
+            F.round(
+                F.log(
+                    F.lit(1.0 - m_pct / 100.0)
+                    * (F.col("_n").cast("double") * F.col("_n").cast("double"))
+                    / (
+                        F.col("_n").cast("double") * F.col("_n").cast("double")
+                        - F.col("_su").cast("double")
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias(f"wd_{field[2:]}"),
+        )
+
+    w_nat = _w("m_nation", 95)
+    w_seg = _w("m_segment", 95)
+    w_bal = _w("m_balband", 90)
+    scored = (
+        cand.join(dirty.select("d_key", "d_nation", "d_segment", "d_balband"), "d_key")
+        .join(
+            clean.select("c_custkey", "m_nation", "m_segment", "m_balband"),
+            "c_custkey",
+        )
+        .crossJoin(F.broadcast(w_nat))
+        .crossJoin(F.broadcast(w_seg))
+        .crossJoin(F.broadcast(w_bal))
+        .select(
+            "d_key",
+            "c_custkey",
+            (F.col("d_nation") == F.col("m_nation")).cast("long").alias("nation_agree"),
+            (F.col("d_segment") == F.col("m_segment")).cast("long").alias("segment_agree"),
+            (F.col("d_balband") == F.col("m_balband")).cast("long").alias("balband_agree"),
+            (
+                F.when(F.col("d_nation") == F.col("m_nation"), F.col("wa_nation"))
+                .otherwise(F.col("wd_nation"))
+                + F.when(F.col("d_segment") == F.col("m_segment"), F.col("wa_segment"))
+                .otherwise(F.col("wd_segment"))
+                + F.when(F.col("d_balband") == F.col("m_balband"), F.col("wa_balband"))
+                .otherwise(F.col("wd_balband"))
+            )
+            .cast("long")
+            .alias("fs_score_micro"),
+            (F.col("d_key") == F.col("c_custkey")).cast("long").alias("is_true_match"),
+        )
+    )
+    return scored.orderBy("d_key", "c_custkey")
+
+
+_FS_SCORES_SQL = """
+WITH clean AS (
+  SELECT c_custkey, c_name,
+         CAST(c_nationkey AS BIGINT) AS m_nation,
+         c_mktsegment AS m_segment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS m_balband
+  FROM customer
+),
+dirty AS (
+  SELECT c_custkey AS d_key,
+         substr(c_name, 1, CAST(c_custkey % 18 AS INT)) || 'X'
+           || substr(c_name, CAST(c_custkey % 18 AS INT) + 2,
+                     17 - CAST(c_custkey % 18 AS INT)) AS dn,
+         CAST(CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 1) % 25
+                   ELSE c_nationkey END AS BIGINT) AS d_nation,
+         CASE WHEN c_custkey % 7 = 0 THEN 'CORRUPTED'
+              ELSE c_mktsegment END AS d_segment,
+         CAST(floor(c_acctbal / 1000)
+              + CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS d_balband
+  FROM customer
+),
+cand AS (
+  SELECT d.d_key, c.c_custkey
+  FROM dirty d JOIN clean c
+    ON length(d.dn) = length(c.c_name) AND levenshtein(d.dn, c.c_name) <= 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM clean),
+wn AS (
+  SELECT CAST(round(ln(0.95 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+                       / CAST(su AS DOUBLE)) * 1000000) AS BIGINT) AS wa,
+         CAST(round(ln(0.05 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+                       / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                          - CAST(su AS DOUBLE))) * 1000000) AS BIGINT) AS wd
+  FROM (SELECT CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS su
+        FROM (SELECT count(*) AS f FROM clean GROUP BY m_nation)) CROSS JOIN n
+),
+ws AS (
+  SELECT CAST(round(ln(0.95 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+                       / CAST(su AS DOUBLE)) * 1000000) AS BIGINT) AS wa,
+         CAST(round(ln(0.05 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+                       / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                          - CAST(su AS DOUBLE))) * 1000000) AS BIGINT) AS wd
+  FROM (SELECT CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS su
+        FROM (SELECT count(*) AS f FROM clean GROUP BY m_segment)) CROSS JOIN n
+),
+wb AS (
+  SELECT CAST(round(ln(0.90 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+                       / CAST(su AS DOUBLE)) * 1000000) AS BIGINT) AS wa,
+         CAST(round(ln(0.10 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+                       / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                          - CAST(su AS DOUBLE))) * 1000000) AS BIGINT) AS wd
+  FROM (SELECT CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS su
+        FROM (SELECT count(*) AS f FROM clean GROUP BY m_balband)) CROSS JOIN n
+)
+SELECT cand.d_key, cand.c_custkey,
+       CAST(CASE WHEN d.d_nation = c.m_nation THEN 1 ELSE 0 END AS BIGINT)
+         AS nation_agree,
+       CAST(CASE WHEN d.d_segment = c.m_segment THEN 1 ELSE 0 END AS BIGINT)
+         AS segment_agree,
+       CAST(CASE WHEN d.d_balband = c.m_balband THEN 1 ELSE 0 END AS BIGINT)
+         AS balband_agree,
+       CAST((CASE WHEN d.d_nation = c.m_nation THEN wn.wa ELSE wn.wd END)
+            + (CASE WHEN d.d_segment = c.m_segment THEN ws.wa ELSE ws.wd END)
+            + (CASE WHEN d.d_balband = c.m_balband THEN wb.wa ELSE wb.wd END)
+            AS BIGINT) AS fs_score_micro,
+       CAST(CASE WHEN cand.d_key = cand.c_custkey THEN 1 ELSE 0 END AS BIGINT)
+         AS is_true_match
+FROM cand
+JOIN dirty d ON d.d_key = cand.d_key
+JOIN clean c ON c.c_custkey = cand.c_custkey
+CROSS JOIN wn CROSS JOIN ws CROSS JOIN wb
+ORDER BY cand.d_key, cand.c_custkey
+"""
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — "where
+    does a user's attention settle": the per-user consecutive-event
+    transition matrix (event-type domain is BOUNDED, 5 values here),
+    row-normalized to integer micro-probabilities, then 12 synchronous
+    power-method steps carried out entirely in integer micro-units
+    (π′[j] = Σ_i π[i]·P[i,j] div 10⁶ — the integer-PageRank scheme:
+    mass may leak < 1 micro-unit per cell per step to floor division,
+    exactness over conservation). The iteration joins a ≤|types|-row
+    vector against a ≤|types|²-cell matrix — nothing data-sized ever
+    re-enters the loop; the one fact-scale pass is the lag-pair count.
+    Oracle: the identical recurrence UNROLLED 12 times in SQL (the
+    PageRank-oracle pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    pairs = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("from_t"), F.col("event_type").alias("to_t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    totals = pairs.groupBy("from_t").agg(F.sum("cnt").cast("long").alias("_tot"))
+    pm = (
+        pairs.join(totals, "from_t")
+        .select(
+            "from_t", "to_t", F.expr("CAST((cnt * 1000000) div _tot AS BIGINT)").alias("p")
+        )
+        .localCheckpoint(eager=True)
+    )
+    types = (
+        pm.select(F.col("from_t").alias("t"))
+        .unionAll(pm.select(F.col("to_t").alias("t")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    k1 = types.agg(F.count(F.lit(1)).cast("long").alias("_k"))
+    pi = types.crossJoin(F.broadcast(k1)).select(
+        "t", F.expr("1000000L div _k").alias("v")
+    )
+    for _ in range(12):
+        step = (
+            pm.join(pi.select(F.col("t").alias("from_t"), "v"), "from_t")
+            .groupBy(F.col("to_t").alias("t"))
+            .agg(F.expr("CAST(sum(v * p) div 1000000 AS BIGINT)").alias("_nv"))
+        )
+        pi = (
+            types.join(step, "t", "left")
+            .select("t", F.coalesce("_nv", F.lit(0)).cast("long").alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    return pi.select(
+        F.col("t").alias("event_type"), F.col("v").alias("stationary_micro")
+    ).orderBy("event_type")
+
+
+def _markov_sql(iterations: int = 12) -> str:
+    head = """
+WITH pairs AS (
+  SELECT prev AS from_t, event_type AS to_t, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev
+    FROM events
+  ) WHERE prev IS NOT NULL
+  GROUP BY 1, 2
+),
+pm AS (
+  SELECT from_t, to_t,
+         CAST((cnt * 1000000) // (sum(cnt) OVER (PARTITION BY from_t))
+              AS BIGINT) AS p
+  FROM pairs
+),
+types AS (
+  SELECT DISTINCT from_t AS t FROM pm UNION SELECT DISTINCT to_t FROM pm
+),
+k AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM types),
+pi0 AS (SELECT t, CAST(1000000 // kk AS BIGINT) AS v FROM types CROSS JOIN k)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+pi{i} AS (
+  SELECT types.t,
+         CAST(coalesce((SELECT CAST(sum(pi{i-1}.v * pm.p) // 1000000 AS BIGINT)
+                        FROM pm JOIN pi{i-1} ON pi{i-1}.t = pm.from_t
+                        WHERE pm.to_t = types.t), 0) AS BIGINT) AS v
+  FROM types
+)""")
+    tail = f"""
+SELECT t AS event_type, v AS stationary_micro
+FROM pi{iterations} ORDER BY event_type
+"""
+    return head + "".join(steps) + tail
+
+
+_MARKOV_STATIONARY_SQL = _markov_sql(12)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -15311,8 +15614,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window-mandatory; displaced two more r2 re-checks).
         "events_time_to_first_purchase": events_time_to_first_purchase,
         "orders_wow_revenue_growth": orders_wow_revenue_growth,
-        "join_asof_click_purchase": join_asof_click_purchase,
-        "join_range_price_band": join_range_price_band,
+        # Round-9 batch-5 oracled additions (never checked =>
+        # window-mandatory; displaced two more r2 re-checks).
+        "er_fellegi_sunter_scores": er_fellegi_sunter_scores,
+        "events_markov_stationary": events_markov_stationary,
         "topk_orders_by_price": topk_orders_by_price,
         "topk_customers_per_segment": topk_customers_per_segment,
         # Round-9 batch-3 oracled additions (never checked =>
@@ -15343,6 +15648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": similarity_ivf_topk,
         # ====== end of the driver 50-entry check window ======
         # r2 re-checks displaced by the pinned-oracle trio:
+        "join_asof_click_purchase": join_asof_click_purchase,
+        "join_range_price_band": join_range_price_band,
         "join_semi_customers_with_orders": join_semi_customers_with_orders,
         "join_anti_customers_without_orders": join_anti_customers_without_orders,
         "setops_union_nation_keys": setops_union_nation_keys,
@@ -15683,6 +15990,8 @@ def oracle_sql() -> dict[str, str]:
         "part_price_dispersion": _PRICE_DISPERSION_SQL,
         "events_time_to_first_purchase": _TIME_TO_FIRST_PURCHASE_SQL,
         "orders_wow_revenue_growth": _WOW_GROWTH_SQL,
+        "er_fellegi_sunter_scores": _FS_SCORES_SQL,
+        "events_markov_stationary": _MARKOV_STATIONARY_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,
         "similarity_semantic_clusters": _SIM_CLUSTERS_SQL,

@@ -261,6 +261,13 @@ HEADLINE = [
     # revenue growth — rows above remain unchanged for comparability.
     "events_time_to_first_purchase",
     "orders_wow_revenue_growth",
+    # round-9 batch 5: Fellegi-Sunter probabilistic linkage scoring
+    # (exact u-probability weights over the deletion-neighborhood
+    # block) and the integer Markov stationary distribution (12
+    # unrolled power steps over the bounded type matrix) — rows above
+    # remain unchanged for comparability.
+    "er_fellegi_sunter_scores",
+    "events_markov_stationary",
 ]
 
 
