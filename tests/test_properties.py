@@ -24,6 +24,8 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
+
 from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
     asof_join,
     range_join_bucketed,
@@ -801,3 +803,65 @@ def test_kcore_peel_matches_brute_force_property(spark, raw_edges, k):
     assert got == want
     # converged whenever a core exists (6 rounds >> the cascade depth here)
     assert all(r["converged"] == 1 for r in rows)
+
+
+def test_fellegi_sunter_scores_separate_true_from_false_matches(spark):
+    """The FS decision model's point: true (dirty→its own master row)
+    candidate pairs must score ABOVE false candidates (name collisions)
+    on average, and agreement weights must be positive / disagreement
+    negative (m > u for every field on this corpus)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.er_fellegi_sunter_scores(spark, SF_DIR)
+    rows = df.collect()
+    true_scores = [r["fs_score_micro"] for r in rows if r["is_true_match"] == 1]
+    false_scores = [r["fs_score_micro"] for r in rows if r["is_true_match"] == 0]
+    assert len(true_scores) > 0
+    # recall 1 on the blocked join: every dirty record's own master row
+    # is a candidate (the name corruption is a single substitution)
+    n_dirty = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert len(true_scores) == n_dirty
+    if false_scores:  # tiny sf may have no collisions
+        mean_t = sum(true_scores) / len(true_scores)
+        mean_f = sum(false_scores) / len(false_scores)
+        assert mean_t > mean_f
+
+
+def test_markov_stationary_is_a_fixed_point_within_floor_leak(spark):
+    """After 12 integer power steps the vector must be (a) a near-unit
+    mass (leak < k micro-units per step · 12 steps), and (b) stable:
+    one MORE step moves no component by more than the floor-leak bound
+    — i.e. the chain has actually converged, the result isn't a
+    mid-transient snapshot."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    pi = {
+        r["event_type"]: r["stationary_micro"]
+        for r in entrymod.events_markov_stationary(spark, SF_DIR).collect()
+    }
+    k = len(pi)
+    assert k >= 2
+    total = sum(pi.values())
+    assert 1_000_000 - 13 * k <= total <= 1_000_000
+    # one more step by hand over the same transition matrix
+    ev = entrymod._t(spark, SF_DIR, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    pairs = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("f"), F.col("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    tot = {}
+    for r in pairs:
+        tot[r["f"]] = tot.get(r["f"], 0) + r["c"]
+    p = {(r["f"], r["t"]): (r["c"] * 1_000_000) // tot[r["f"]] for r in pairs}
+    nxt = {
+        t: sum(pi[f] * p.get((f, t), 0) for f in pi) // 1_000_000 for t in pi
+    }
+    for t in pi:
+        assert abs(nxt[t] - pi[t]) <= k + 1, (t, nxt[t], pi[t])
