@@ -15524,6 +15524,411 @@ FROM pi{iterations} ORDER BY event_type
 _MARKOV_STATIONARY_SQL = _markov_sql(12)
 
 
+def events_lifecycle_census_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly user-lifecycle census — the growth-accounting ledger
+    (new / retained / resurrected / churned per week) every
+    subscription dashboard leads with. One distinct (user, week)
+    projection, one per-user window pass (lag gives the class, lead
+    gives the churn week: a user active in week w and silent in w+1
+    churns AT w+1, clipped to the observed calendar), then a
+    week-domain pivot census. All shuffles are |user-weeks|-bounded;
+    the calendar clip rides a broadcast 1-row max."""
+    ev = _t(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(to_date(ts), DATE'1970-01-01') div 7 AS BIGINT)"
+        ).alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    flagged = weeks.withColumn("_prev", F.lag("week").over(w)).withColumn(
+        "_next", F.lead("week").over(w)
+    )
+    classes = flagged.select(
+        "week",
+        F.when(F.col("_prev").isNull(), F.lit("new"))
+        .when(F.col("_prev") == F.col("week") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("cls"),
+    )
+    maxw = weeks.agg(F.max("week").alias("_maxw"))
+    churns = (
+        flagged.filter(F.col("_next").isNull() | (F.col("_next") > F.col("week") + 1))
+        .crossJoin(F.broadcast(maxw))
+        .filter(F.col("week") + 1 <= F.col("_maxw"))
+        .select((F.col("week") + 1).alias("week"), F.lit("churned").alias("cls"))
+    )
+    return (
+        classes.unionByName(churns)
+        .groupBy("week")
+        .agg(
+            F.sum((F.col("cls") == "new").cast("long")).cast("long").alias("n_new"),
+            F.sum((F.col("cls") == "retained").cast("long"))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum((F.col("cls") == "resurrected").cast("long"))
+            .cast("long")
+            .alias("n_resurrected"),
+            F.sum((F.col("cls") == "churned").cast("long"))
+            .cast("long")
+            .alias("n_churned"),
+        )
+        .orderBy("week")
+    )
+
+
+_LIFECYCLE_CENSUS_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT) AS week
+  FROM events
+),
+flagged AS (
+  SELECT user_id, week,
+         lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev,
+         lead(week) OVER (PARTITION BY user_id ORDER BY week) AS nxt
+  FROM weeks
+),
+maxw AS (SELECT max(week) AS mw FROM weeks),
+labeled AS (
+  SELECT week,
+         CASE WHEN prev IS NULL THEN 'new'
+              WHEN prev = week - 1 THEN 'retained'
+              ELSE 'resurrected' END AS cls
+  FROM flagged
+  UNION ALL
+  SELECT week + 1 AS week, 'churned' AS cls
+  FROM flagged CROSS JOIN maxw
+  WHERE (nxt IS NULL OR nxt > week + 1) AND week + 1 <= mw
+)
+SELECT week,
+       CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resurrected,
+       CAST(sum(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_churned
+FROM labeled
+GROUP BY week ORDER BY week
+"""
+
+
+def part_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification — ABC's standard companion
+    (ABC ranks by revenue, XYZ by forecastability): per part the
+    coefficient of variation of MONTHLY demand over the corpus's month
+    domain, bucketed X (cv < 0.5), Y (< 1.0), Z (volatile). Zero
+    months count WITHOUT a part×month spine: with M the global month
+    count, cv² = (M·Σx² − S²)/S² needs only each part's nonzero-month
+    (S, Σx²) aggregates — Σx² sums as DECIMAL(38,0) (HUGEINT in the
+    oracle), cv is ONE fixed-order double micro-snapped. Two
+    map-side-combinable aggregates, |parts|-bounded output."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long").alias("_ym"),
+    ).agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+        .cast("long")
+        .alias("_q")
+    )
+    m1 = monthly.select("_ym").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_m")
+    )
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_months"),
+        F.sum("_q").cast("long").alias("total_qty_centi"),
+        F.sum(
+            (F.col("_q").cast("decimal(19,0)") * F.col("_q").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        ).alias("_sq"),
+    )
+    # greatest(0, ·): M·Σx² − S² ≥ 0 by Cauchy–Schwarz, but float
+    # cancellation on a zero-variance part could land epsilon-negative
+    # → sqrt NaN → the engines diverge (Spark NULLs, DuckDB errors).
+    cv = F.round(
+        F.sqrt(
+            F.greatest(
+                F.col("_m").cast("double") * F.col("_sq").cast("double")
+                - F.col("total_qty_centi").cast("double")
+                * F.col("total_qty_centi").cast("double"),
+                F.lit(0.0),
+            )
+            / (
+                F.col("total_qty_centi").cast("double")
+                * F.col("total_qty_centi").cast("double")
+            )
+        )
+        * 1000000
+    ).cast("long")
+    return (
+        per_part.crossJoin(F.broadcast(m1))
+        .select(
+            "l_partkey",
+            "n_active_months",
+            "total_qty_centi",
+            F.when(F.col("total_qty_centi") > 0, cv).alias("cv_micro"),
+        )
+        .withColumn(
+            "xyz_class",
+            F.when(F.col("cv_micro") < 500000, F.lit("X"))
+            .when(F.col("cv_micro") < 1000000, F.lit("Y"))
+            .otherwise(F.lit("Z")),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+_XYZ_SQL = """
+WITH monthly AS (
+  SELECT l_partkey,
+         CAST(year(CAST(l_shipdate AS DATE)) * 100
+              + month(CAST(l_shipdate AS DATE)) AS BIGINT) AS ym,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+m1 AS (SELECT CAST(count(DISTINCT ym) AS BIGINT) AS m FROM monthly),
+per_part AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n_active_months,
+         CAST(sum(q) AS BIGINT) AS total_qty_centi,
+         CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sq
+  FROM monthly GROUP BY l_partkey
+),
+scored AS (
+  SELECT l_partkey, n_active_months, total_qty_centi,
+         CASE WHEN total_qty_centi > 0
+              THEN CAST(round(sqrt(
+                     greatest(CAST(m AS DOUBLE) * CAST(sq AS DOUBLE)
+                      - CAST(total_qty_centi AS DOUBLE)
+                        * CAST(total_qty_centi AS DOUBLE), 0.0)
+                     / (CAST(total_qty_centi AS DOUBLE)
+                        * CAST(total_qty_centi AS DOUBLE))) * 1000000)
+                   AS BIGINT)
+              ELSE NULL END AS cv_micro
+  FROM per_part CROSS JOIN m1
+)
+SELECT l_partkey, n_active_months, total_qty_centi, cv_micro,
+       CASE WHEN cv_micro < 500000 THEN 'X'
+            WHEN cv_micro < 1000000 THEN 'Y'
+            ELSE 'Z' END AS xyz_class
+FROM scored ORDER BY l_partkey
+"""
+
+
+def agg_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation FUNCTION (lags 1–10) of the daily-revenue series
+    — the correlogram that generalizes the lag-1 autocorr row: per lag
+    L, Pearson over (day t, day t+L) pairs where both calendar days
+    exist. The daily table is calendar-bounded, the 10 lags ride one
+    broadcast explode, and each lag's five sums are exact
+    BIGINT/DECIMAL(38,0) with r as ONE fixed-order double
+    micro-snapped (the autocorr scheme, ×10 lags)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("c")
+    )
+    lags = spark.range(1, 11).select(F.col("id").cast("long").alias("lag"))
+    a = daily.select(F.col("day").alias("_d"), F.col("c").alias("x"))
+    b = daily.select(F.col("day").alias("_d2"), F.col("c").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("_d2", F.col("_d") + F.col("lag"))
+        .join(b, "_d2")
+    )
+    dec = lambda col: F.col(col).cast("decimal(19,0)")  # noqa: E731
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((dec("x") * dec("y")).cast("decimal(38,0)")).alias("_sxy"),
+        F.sum((dec("x") * dec("x")).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum((dec("y") * dec("y")).cast("decimal(38,0)")).alias("_syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = n * F.col("_sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        (n * F.col("_sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * (n * F.col("_syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return sums.select(
+        "lag",
+        "n_pairs",
+        F.when(den > 0, F.round(F.lit(1000000.0) * num / den).cast("long")).alias(
+            "acf_micro"
+        ),
+    ).orderBy("lag")
+
+
+_ACF_SQL = """
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+lags AS (SELECT unnest(range(1, 11)) AS lag),
+pairs AS (
+  SELECT l.lag, a.c AS x, b.c AS y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.day = a.day + l.lag
+),
+sums AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n_pairs,
+       CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN CAST(round(1000000.0
+                 * (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 AS BIGINT)
+            ELSE NULL END AS acf_micro
+FROM sums ORDER BY lag
+"""
+
+
+def similarity_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette score per label — the clustering-
+    quality eval for the embedding labels (simplified silhouette:
+    a = distance to own centroid, b = nearest other centroid,
+    s = (b−a)/max(a,b)). Engine-exact: centroids are the 4-dp-rounded
+    per-position means (the oracle-green similarity_label_centroids
+    values), each squared distance term snaps to an integer at 1e-8
+    BEFORE summing (per-cell snap + exact BIGINT sum — immune to
+    list-sum association order), the root is ONE double micro-snapped
+    per (vector, label), and a/b/s are pure integer arithmetic.
+    Fanout is |labels| rows per vector (bounded domain, broadcast
+    centroid arrays); output is |labels|-bounded."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select(F.col("label"), F.posexplode("embedding").alias("pos", "_v"))
+        .groupBy("label", "pos")
+        .agg((F.round(F.avg(F.col("_v").cast("double")), 4) + F.lit(0.0)).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("c_arr")
+        )
+        .select(F.col("label").alias("c_label"), "c_arr")
+    )
+    dist2_terms = F.zip_with(
+        F.col("embedding"),
+        F.col("c_arr"),
+        lambda x, y: F.round(
+            (x.cast("double") - y) * (x.cast("double") - y) * 100000000
+        ).cast("long"),
+    )
+    d = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        dist2_terms, F.lit(0).cast("long"), lambda acc, x: acc + x
+                    ).cast("double")
+                    / 100000000
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("dist_micro"),
+        )
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("label") == F.col("c_label"), F.col("dist_micro"))
+        ).alias("_a"),
+        F.min(
+            F.when(F.col("label") != F.col("c_label"), F.col("dist_micro"))
+        ).alias("_b"),
+    )
+    s = ab.select(
+        "label",
+        F.when(
+            F.greatest("_a", "_b") > 0,
+            F.expr("CAST(((_b - _a) * 1000000) div greatest(_a, _b) AS BIGINT)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_s"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.expr("CAST(sum(_s) div count(1) AS BIGINT)").alias(
+                "mean_silhouette_micro"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+_SILHOUETTE_SQL = """
+WITH ex AS (
+  SELECT label, unnest(range(1, len(embedding) + 1)) AS pos, embedding
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS c_label, pos,
+         round(avg(CAST(embedding[pos] AS DOUBLE)), 4) + 0.0 AS c
+  FROM ex GROUP BY 1, 2
+),
+carr AS (
+  SELECT c_label, list(c ORDER BY pos) AS c_arr FROM cent GROUP BY c_label
+),
+d AS (
+  SELECT e.vec_id, e.label, ca.c_label,
+         CAST(round(sqrt(
+           CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(round((CAST(e.embedding[i] AS DOUBLE) - ca.c_arr[i])
+                                * (CAST(e.embedding[i] AS DOUBLE) - ca.c_arr[i])
+                                * 100000000) AS BIGINT))) AS DOUBLE)
+           / 100000000) * 1000000) AS BIGINT) AS dist_micro
+  FROM embeddings e CROSS JOIN carr ca
+),
+ab AS (
+  SELECT vec_id, label,
+         max(CASE WHEN label = c_label THEN dist_micro END) AS a,
+         min(CASE WHEN label <> c_label THEN dist_micro END) AS b
+  FROM d GROUP BY 1, 2
+),
+s AS (
+  SELECT label,
+         CASE WHEN greatest(a, b) > 0
+              THEN CAST(((b - a) * 1000000) // greatest(a, b) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS sv
+  FROM ab
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(sv) // count(*) AS BIGINT) AS mean_silhouette_micro
+FROM s GROUP BY label ORDER BY label
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -15609,7 +16014,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_rows_between_breaches": w3_rows_between_breaches,
         "w4_running_max_month": w4_running_max_month,
         "join_orders_customer": join_orders_customer,
-        "join_broadcast_region_rollup": join_broadcast_region_rollup,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
         "events_time_to_first_purchase": events_time_to_first_purchase,
@@ -15618,8 +16022,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window-mandatory; displaced two more r2 re-checks).
         "er_fellegi_sunter_scores": er_fellegi_sunter_scores,
         "events_markov_stationary": events_markov_stationary,
-        "topk_orders_by_price": topk_orders_by_price,
-        "topk_customers_per_segment": topk_customers_per_segment,
+        # Round-9 batch-6 oracled additions (never checked =>
+        # window-mandatory; displaced four more r2 re-checks).
+        "events_lifecycle_census_weekly": events_lifecycle_census_weekly,
+        "part_xyz_classification": part_xyz_classification,
+        "agg_acf_daily_revenue": agg_acf_daily_revenue,
+        "similarity_silhouette_centroid": similarity_silhouette_centroid,
         # Round-9 batch-3 oracled additions (never checked =>
         # window-mandatory; displaced four more r2 re-checks).
         "events_first_touch_attribution": events_first_touch_attribution,
@@ -15632,7 +16040,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_basket_size_distribution": orders_basket_size_distribution,
         "lineitem_discount_effect": lineitem_discount_effect,
         "part_copurchase_jaccard": part_copurchase_jaccard,
-        "join_full_outer_order_counts": join_full_outer_order_counts,
         # Slots 44-47: round-9 batch-1 oracled additions (never
         # checked => window-mandatory; displaced four r2 re-checks).
         "events_retention_triangle": events_retention_triangle,
@@ -15648,6 +16055,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": similarity_ivf_topk,
         # ====== end of the driver 50-entry check window ======
         # r2 re-checks displaced by the pinned-oracle trio:
+        "join_broadcast_region_rollup": join_broadcast_region_rollup,
+        "join_full_outer_order_counts": join_full_outer_order_counts,
+        "topk_orders_by_price": topk_orders_by_price,
+        "topk_customers_per_segment": topk_customers_per_segment,
         "join_asof_click_purchase": join_asof_click_purchase,
         "join_range_price_band": join_range_price_band,
         "join_semi_customers_with_orders": join_semi_customers_with_orders,
@@ -15992,6 +16403,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_wow_revenue_growth": _WOW_GROWTH_SQL,
         "er_fellegi_sunter_scores": _FS_SCORES_SQL,
         "events_markov_stationary": _MARKOV_STATIONARY_SQL,
+        "events_lifecycle_census_weekly": _LIFECYCLE_CENSUS_SQL,
+        "part_xyz_classification": _XYZ_SQL,
+        "agg_acf_daily_revenue": _ACF_SQL,
+        "similarity_silhouette_centroid": _SILHOUETTE_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,
         "similarity_semantic_clusters": _SIM_CLUSTERS_SQL,

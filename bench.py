@@ -268,6 +268,14 @@ HEADLINE = [
     # remain unchanged for comparability.
     "er_fellegi_sunter_scores",
     "events_markov_stationary",
+    # round-9 batch 6: weekly lifecycle census (growth accounting),
+    # XYZ demand-variability classes (ABC's companion), ACF
+    # correlogram, centroid silhouette (clustering eval) — rows above
+    # remain unchanged for comparability.
+    "events_lifecycle_census_weekly",
+    "part_xyz_classification",
+    "agg_acf_daily_revenue",
+    "similarity_silhouette_centroid",
 ]
 
 
