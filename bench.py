@@ -276,6 +276,11 @@ HEADLINE = [
     "part_xyz_classification",
     "agg_acf_daily_revenue",
     "similarity_silhouette_centroid",
+    # round-9 batch 7: supplier return-rate scorecard, IVF recall-vs-
+    # cost curve (5 probe settings against exact, pinned oracle) —
+    # rows above remain unchanged for comparability.
+    "supplier_return_rate",
+    "similarity_ivf_recall_curve",
 ]
 
 
