@@ -15280,6 +15280,10 @@ def er_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("left_id").alias("d_key"), F.col("right_id").alias("c_custkey"))
 
     # u = Σf²/N² per field, exact; weights micro-snapped per field.
+    # The master row count rides ONE shared 1-row frame (not one count
+    # job per field).
+    n_frame = clean.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+
     def _w(field, m_pct):
         freq = clean.groupBy(field).agg(F.count(F.lit(1)).cast("long").alias("_f"))
         return freq.agg(
@@ -15287,10 +15291,7 @@ def er_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("_f").cast("decimal(19,0)") * F.col("_f").cast("decimal(19,0)"))
                 .cast("decimal(38,0)")
             ).alias("_su"),
-            F.count(F.lit(1)).cast("long").alias("_k"),
-        ).crossJoin(
-            F.broadcast(clean.agg(F.count(F.lit(1)).cast("long").alias("_n")))
-        ).select(
+        ).crossJoin(F.broadcast(n_frame)).select(
             F.round(
                 F.log(
                     F.lit(m_pct / 100.0)

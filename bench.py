@@ -340,15 +340,13 @@ def main() -> None:
     # Supplier-derivation rows are skipped (they exist to bill shared
     # session state, which an isolated run doesn't amortize).
     only_env = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
-    headline = HEADLINE
     if only_env:
         names = [n.strip() for n in only_env.split(",") if n.strip()]
         unknown = [n for n in names if n not in queries]
         if unknown:
             raise SystemExit(f"SPARK_GRAFT_ONLY names missing from queries(): {unknown}")
-        headline = names
         per_query: dict[str, float] = {}
-        for name in headline:
+        for name in names:
             fn = queries[name]
             fn(spark, sf_dir).count()
             times = []
@@ -360,7 +358,15 @@ def main() -> None:
         total = round(sum(per_query.values()), 3)
         for name, sec in per_query.items():
             print(json.dumps({"query": name, "sec": sec}))
-        print(build_summary_line(per_query, total, sf))
+        # DISTINCT metric name: a subset total must never be readable
+        # as the full-headline total by a log scraper or trend diff.
+        print(json.dumps({
+            "metric": "isolated_subset_total",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(per_query),
+            "sf": sf,
+        }))
         return
 
     # Once-per-session verified-MinHash edge derivation, measured as its

@@ -723,6 +723,33 @@ def chunk_dup_ratio(
     )
 
 
+def _containment_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """Shared distinct-word-k-shingle posting table for the containment
+    tiers (one (_id, _sh) row per distinct shingle per doc, docs with
+    fewer than k tokens dropped, eagerly checkpointed). Built as k
+    zipped shifted slices, not transform + per-element slice (the
+    per-element re-split trap — see _word_shingles); bit-identical.
+    Extracted so containment_idf_rescore scores over the SAME pipeline
+    object shape its candidate generator used instead of a drifting
+    copy."""
+    toks = _tokens(text_col)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, F.size(toks) - shingle_k + 1) for j in range(shingle_k)]
+    )
+    grams = F.array_distinct(
+        F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(shingle_k)])
+        )
+    )
+    return (
+        df.filter(F.size(toks) >= shingle_k)
+        .select(F.col(id_col).alias("_id"), F.explode(grams).alias("_sh"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def containment_prefix_pairs(
     df: DataFrame,
     id_col: str,
@@ -773,22 +800,7 @@ def containment_prefix_pairs(
     or block by source/language before the join — both change the
     query definition, never silently cap it.
     """
-    toks = _tokens(text_col)
-    # k zipped shifted slices, not transform + per-element slice (the
-    # per-element re-split trap — see _word_shingles); bit-identical.
-    zipped = F.arrays_zip(
-        *[F.slice(toks, j + 1, F.size(toks) - shingle_k + 1) for j in range(shingle_k)]
-    )
-    grams = F.array_distinct(
-        F.transform(
-            zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(shingle_k)])
-        )
-    )
-    sh = (
-        df.filter(F.size(toks) >= shingle_k)
-        .select(F.col(id_col).alias("_id"), F.explode(grams).alias("_sh"))
-        .localCheckpoint(eager=True)
-    )
+    sh = _containment_shingles(df, id_col, text_col, shingle_k)
     dfreq = sh.groupBy("_sh").agg(F.count(F.lit(1)).cast("long").alias("_df"))
     n = sh.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
     # A-universe: docs big enough to make the score meaningful
@@ -954,28 +966,28 @@ def containment_idf_rescore(
         shingle_k=shingle_k,
     ).select("doc_a", "doc_b", "n_a", "n_shared", "containment_micro")
 
-    toks = _tokens(text_col)
-    zipped = F.arrays_zip(
-        *[F.slice(toks, j + 1, F.size(toks) - shingle_k + 1) for j in range(shingle_k)]
+    # The SAME shared shingle-table helper the candidate generator
+    # used — one pipeline definition, no drifting tokenization copy.
+    # (Each call still materializes its own checkpoint; the heavy win
+    # is correctness-by-construction, and n_docs stays distributed as
+    # a broadcast 1-row frame instead of a blocking driver count.)
+    sh = _containment_shingles(df, id_col, text_col, shingle_k)
+    nd = sh.select("_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_nd")
     )
-    grams = F.array_distinct(
-        F.transform(
-            zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(shingle_k)])
+    weighted = (
+        sh.join(
+            sh.groupBy("_sh").agg(F.count(F.lit(1)).cast("long").alias("_df")),
+            "_sh",
         )
-    )
-    sh = (
-        df.filter(F.size(toks) >= shingle_k)
-        .select(F.col(id_col).alias("_id"), F.explode(grams).alias("_sh"))
-        .localCheckpoint(eager=True)
-    )
-    n_docs = sh.select("_id").distinct().count()
-    weighted = sh.join(
-        sh.groupBy("_sh").agg(F.count(F.lit(1)).cast("long").alias("_df")), "_sh"
-    ).withColumn(
-        "_w",
-        F.round(
-            F.log(F.lit(float(n_docs)) / F.col("_df").cast("double")) * 1000000
-        ).cast("long"),
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "_w",
+            F.round(
+                F.log(F.col("_nd").cast("double") / F.col("_df").cast("double"))
+                * 1000000
+            ).cast("long"),
+        )
     )
     tot_w = weighted.groupBy("_id").agg(F.sum("_w").cast("long").alias("_wa"))
     shared_w = (

@@ -1196,10 +1196,13 @@ def burst_rate_stream(
     order; NULL timestamps are skipped (NULL burst, carried max).
     Cross-batch out-of-order events are handled EXPLICITLY: the state
     carries the high-water second per key, and an event whose second
-    is below it is emitted as late (NULL burst, carried max) instead
-    of folding — otherwise the `s > t - w` eviction would count
-    already-seen FUTURE seconds into the late event's trailing window
-    and corrupt the running max."""
+    is at or below it is emitted as late (NULL burst, carried max)
+    instead of folding — a strictly-earlier second would sum
+    already-seen FUTURE seconds into its trailing window, and a
+    same-second boundary straddle would contradict that second's
+    already-emitted peer rows. The folded sequence is strictly
+    increasing; boundary-straddling seconds surface as late rows
+    (conservative counts, never self-contradictory ones)."""
     out_schema = StructType(
         _key_fields(df, key_cols)
         + [
@@ -1250,11 +1253,20 @@ def burst_rate_stream(
                 while j < len(vals) and not bool(nulls[j]) and int(vals[j]) == t:
                     j += 1
                 n_here = j - i
-                if hwm is not None and t < hwm:
-                    # late arrival from an earlier second than state
-                    # has already folded past — emitting it as a fold
-                    # would sum future seconds into its window; mark
-                    # it late instead (NULL burst, carried max)
+                if hwm is not None and t <= hwm:
+                    # late arrival at or before the second state has
+                    # already folded past. STRICTLY-earlier seconds
+                    # would sum future seconds into their window;
+                    # EQUAL seconds (a second split across micro-batch
+                    # boundaries) would append a duplicate (t, c)
+                    # entry whose rows contradict the already-emitted
+                    # peers of that second (they saw a smaller count).
+                    # Both are marked late (NULL burst, carried max):
+                    # the folded second sequence stays strictly
+                    # increasing, so every emitted burst honors the
+                    # peers-see-the-whole-second contract — counts for
+                    # boundary-straddling seconds are conservative by
+                    # design rather than self-contradictory.
                     for _ in range(i, j):
                         secs.append(t)
                         bursts.append(None)

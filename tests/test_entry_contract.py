@@ -190,8 +190,8 @@ def test_every_oracle_parses_and_binds_in_duckdb():
     parse AND bind (names/types resolve against the real table schemas)
     in DuckDB at test time — today a typo'd oracle would only surface
     when its query rotates into a gate run, possibly rounds later.
-    EXPLAIN plans without executing, so this covers all 286 oracles in
-    seconds against the sf0.001 parquet views."""
+    EXPLAIN plans without executing, so this covers every oracle_sql()
+    entry in seconds against the sf0.001 parquet views."""
     import duckdb
 
     con = duckdb.connect()

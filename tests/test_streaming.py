@@ -2303,11 +2303,14 @@ def test_burst_rate_stream_out_of_order_batch_is_marked_late(spark, tmp_path):
     in_dir = str(tmp_path / "br_ooo_in")
     os.makedirs(in_dir)
     # batch 1: two events at T(100) — window (41..100] holds count 2
-    # batch 2: a LATE event at T(50) (inside the current window span)
-    #          plus an in-order event at T(110)
+    # batch 2: a LATE event at T(50) (inside the current window span),
+    #          a SAME-SECOND straddle at T(100) (equal to the hwm — a
+    #          naive fold would append a duplicate (100, 1) entry and
+    #          emit burst 3, contradicting batch 1's already-emitted
+    #          burst-2 peers), plus an in-order event at T(110)
     batches = [
         [(1, T(100)), (1, T(100))],
-        [(1, T(50)), (1, T(110))],
+        [(1, T(50)), (1, T(100)), (1, T(110))],
     ]
     for i, chunk in enumerate(batches, 1):
         spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
@@ -2330,14 +2333,23 @@ def test_burst_rate_stream_out_of_order_batch_is_marked_late(spark, tmp_path):
     assert q.exception() is None
     base = int(T(0).timestamp())
     got = sorted(
-        (r["epoch_s"] - base, r["burst"], r["max_burst"])
-        for r in spark.table("burst_ooo").collect()
+        ((r["epoch_s"] - base, r["burst"], r["max_burst"])
+         for r in spark.table("burst_ooo").collect()),
+        key=lambda x: (x[0], x[1] is not None, x[1] or 0),
     )
     # T(50) is late (hwm=100): NULL burst, carried max 2 — a naive fold
     # would have counted the two T(100) events into its window (burst 3,
-    # max 3). T(110) still folds in-order: trailing window (51..110]
-    # holds the two T(100) events plus itself.
-    assert got == [(50, None, 2), (100, 2, 2), (100, 2, 2), (110, 3, 3)]
+    # max 3). The T(100) straddle is late too (t == hwm): NULL burst,
+    # no duplicate (100, ·) state entry. T(110) still folds in-order:
+    # trailing window (51..110] holds batch 1's two T(100) events plus
+    # itself (the late straddle never entered state).
+    assert got == [
+        (50, None, 2),
+        (100, None, 2),
+        (100, 2, 2),
+        (100, 2, 2),
+        (110, 3, 3),
+    ]
 
 
 def test_first_touch_attribution_stream_equals_batch(spark, tmp_path):
