@@ -16048,6 +16048,65 @@ SELECT * FROM (VALUES
 """
 
 
+def join_levenshtein2_dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance ≤ 2 dirty-feed entity resolution — the round-9
+    widening of the documented radius-1 scope-out: each master name
+    takes TWO deterministic edits (substitute 'X' at position
+    custkey % 15 + 1, then delete position custkey % 15 + 3 of the
+    edited string), and the feed matches back through the delete-2
+    Symmetric Delete neighborhood (identity + L single + C(L,2) double
+    deletions per side — recall 1 at ED ≤ 2 by the alignment argument,
+    cost bounded by key length, exact JVM levenshtein confirm).
+    Oracle: all-pairs DuckDB levenshtein ≤ 2 with a |length diff| ≤ 2
+    prefilter (the quadratic certify tier)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.joins import (
+        levenshtein_neighborhood_join,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    p = "CAST(c_custkey % 15 AS INT)"
+    sub1 = (
+        f"concat(substring(c_name, 1, {p}), 'X',"
+        f" substring(c_name, {p} + 2, 18 - {p} - 1))"
+    )
+    dirty_nm = F.expr(
+        f"concat(substring({sub1}, 1, {p} + 2),"
+        f" substring({sub1}, {p} + 4, 18 - {p} - 3))"
+    )
+    dirty = cust.select(F.col("c_custkey").alias("d_key"), dirty_nm.alias("dn"))
+    out = levenshtein_neighborhood_join(
+        dirty, cust, "d_key", "c_custkey", "dn", "c_name", max_edit=2
+    )
+    return out.select(
+        F.col("left_id").alias("d_key"),
+        F.col("right_id").alias("c_custkey"),
+        "edit_distance",
+    ).orderBy("d_key", "c_custkey")
+
+
+_JOIN_LEVENSHTEIN2_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS d_key,
+         substr(s1, 1, CAST(c_custkey % 15 AS INT) + 2)
+           || substr(s1, CAST(c_custkey % 15 AS INT) + 4,
+                     18 - CAST(c_custkey % 15 AS INT) - 3) AS dn
+  FROM (
+    SELECT c_custkey,
+           substr(c_name, 1, CAST(c_custkey % 15 AS INT)) || 'X'
+             || substr(c_name, CAST(c_custkey % 15 AS INT) + 2,
+                       18 - CAST(c_custkey % 15 AS INT) - 1) AS s1
+    FROM customer
+  )
+)
+SELECT d.d_key, c.c_custkey,
+       CAST(levenshtein(d.dn, c.c_name) AS BIGINT) AS edit_distance
+FROM dirty d JOIN customer c
+  ON abs(length(d.dn) - length(c.c_name)) <= 2
+ AND levenshtein(d.dn, c.c_name) <= 2
+ORDER BY d_key, c_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -16130,7 +16189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_running_max_price": w1_running_max_price,
         "w2_count_window_avg": w2_count_window_avg,
         "w3_rows_between_breaches": w3_rows_between_breaches,
-        "w4_running_max_month": w4_running_max_month,
+        "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
         "events_time_to_first_purchase": events_time_to_first_purchase,
@@ -16176,6 +16235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_recall_curve": similarity_ivf_recall_curve,
         # ====== end of the driver 50-entry check window ======
         # r2 re-checks displaced by the pinned-oracle trio:
+        "w4_running_max_month": w4_running_max_month,
         "join_orders_customer": join_orders_customer,
         "w1_final_max_per_year": w1_final_max_per_year,
         "join_broadcast_region_rollup": join_broadcast_region_rollup,
@@ -16532,6 +16592,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_silhouette_centroid": _SILHOUETTE_SQL,
         "supplier_return_rate": _SUPPLIER_RETURN_SQL,
         "similarity_ivf_recall_curve": _IVF_RECALL_CURVE_SQL,
+        "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,
         "similarity_semantic_clusters": _SIM_CLUSTERS_SQL,

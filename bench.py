@@ -281,6 +281,10 @@ HEADLINE = [
     # rows above remain unchanged for comparability.
     "supplier_return_rate",
     "similarity_ivf_recall_curve",
+    # round-9 batch 8: edit-distance-2 entity resolution (delete-2
+    # Symmetric Delete neighborhood — closes the documented radius-1
+    # scope-out) — rows above remain unchanged for comparability.
+    "join_levenshtein2_dirty_customers",
 ]
 
 

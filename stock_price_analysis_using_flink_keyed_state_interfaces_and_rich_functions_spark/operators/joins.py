@@ -499,9 +499,12 @@ def levenshtein_neighborhood_join(
     and pos 2 both give 'ab') — harmless false candidates removed by
     the exact JVM-side ``levenshtein`` confirm.
 
-    Radius ≥ 2 would need the delete-2 neighborhood (C(L,2) variants
-    per row) AND a deeper confirm; no current feed needs it — raise
-    instead of silently widening (same contract as the Hamming twin).
+    Radius 2 (round 9) uses the delete-2 neighborhood — identity +
+    L single deletions + C(L,2) ordered double deletions per row, the
+    documented cost, bounded by key length — with the same exact
+    levenshtein confirm; recall 1 by the same alignment argument at
+    depth 2. Radius ≥ 3 still raises (C(L,3) variants) — widen
+    deliberately, not silently (same contract as the Hamming twin).
 
     Scale shape: each side explodes to (len+1)·n variant rows — linear
     in n, never a cross product; the variant string keeps all but one
@@ -509,28 +512,52 @@ def levenshtein_neighborhood_join(
     corpora (shared literal prefixes). Confirm is one built-in
     ``levenshtein`` per candidate pair, JVM-side.
     """
-    if max_edit != 1:
+    if max_edit not in (1, 2):
         raise NotImplementedError(
-            "levenshtein_neighborhood_join implements max_edit = 1; radius "
-            "2 needs the delete-2 neighborhood (C(L,2) variants per row) — "
-            "widen deliberately, not silently"
+            "levenshtein_neighborhood_join implements max_edit in {1, 2}; "
+            "radius 3+ needs the delete-3 neighborhood (C(L,3) variants "
+            "per row) — widen deliberately, not silently"
         )
 
     def variants(name_col: str):
-        # identity + every single-character deletion, as ONE
-        # higher-order expression (the Janino-codegen lesson from the
-        # Hamming twin: no unrolled per-position concat chains).
+        # identity + every single-character deletion (+ every ordered
+        # two-character deletion at max_edit=2), as higher-order
+        # expressions (the Janino-codegen lesson from the Hamming twin:
+        # no unrolled per-position concat chains). Symmetric Delete at
+        # depth k has recall 1 for ED ≤ k: align the ≤k edit ops — a
+        # substitution deletes its position on BOTH sides, an
+        # insertion/deletion deletes the extra char on its long side —
+        # so a common ≤k-deletion string always exists (SymSpell,
+        # Garbe 2012). array_distinct collapses same-variant collisions
+        # (adjacent equal chars) before the explode pays for them.
         c = F.col(name_col)
-        return F.concat(
-            F.array(c),
-            F.transform(
-                F.sequence(F.lit(1), F.length(c)),
-                lambda i: F.concat(
-                    c.substr(F.lit(1), i - F.lit(1)),
-                    c.substr(i + F.lit(1), F.length(c)),
-                ),
+        d1 = F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(
+                c.substr(F.lit(1), i - F.lit(1)),
+                c.substr(i + F.lit(1), F.length(c)),
             ),
         )
+        parts = [F.array(c), d1]
+        if max_edit >= 2:
+            # delete positions i < j: C(L,2) variants per row — the
+            # documented cost of radius 2; bounded by the key length,
+            # never by the corpus.
+            d2 = F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(c) - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + F.lit(1), F.length(c)),
+                        lambda j: F.concat(
+                            c.substr(F.lit(1), i - F.lit(1)),
+                            c.substr(i + F.lit(1), j - i - F.lit(1)),
+                            c.substr(j + F.lit(1), F.length(c)),
+                        ),
+                    ),
+                )
+            )
+            parts.append(d2)
+        return F.array_distinct(F.concat(*parts))
 
     lv = left.select(F.col(left_id).alias("_lid"), F.col(left_name).alias("_ln")).select(
         "_lid", "_ln", F.explode(variants("_ln")).alias("_v")
