@@ -757,6 +757,7 @@ def containment_prefix_pairs(
     threshold_pct: int = 80,
     min_shingles: int = 5,
     shingle_k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric containment join — quote/excerpt detection: ordered
     pairs (a, b) where at least ``threshold_pct``% of a's distinct word
@@ -800,7 +801,14 @@ def containment_prefix_pairs(
     or block by source/language before the join — both change the
     query definition, never silently cap it.
     """
-    sh = _containment_shingles(df, id_col, text_col, shingle_k)
+    # `shingles` lets a caller that has ALREADY materialized the
+    # (_id, _sh) posting table (containment_idf_rescore) share the
+    # checkpoint instead of paying the corpus explode twice.
+    sh = (
+        shingles
+        if shingles is not None
+        else _containment_shingles(df, id_col, text_col, shingle_k)
+    )
     dfreq = sh.groupBy("_sh").agg(F.count(F.lit(1)).cast("long").alias("_df"))
     n = sh.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
     # A-universe: docs big enough to make the score meaningful
@@ -959,19 +967,20 @@ def containment_idf_rescore(
     whose every shingle appears in every doc has weight 0 — both
     engines emit NULL (guarded division).
     """
+    # ONE shingle-table materialization shared by candidate generation
+    # and re-scoring (the round-9 self-review finding): build the
+    # checkpointed posting table once, thread it into
+    # containment_prefix_pairs, and score over the same object. n_docs
+    # stays distributed as a broadcast 1-row frame instead of a
+    # blocking driver count.
+    sh = _containment_shingles(df, id_col, text_col, shingle_k)
     pairs = containment_prefix_pairs(
         df, id_col, text_col,
         threshold_pct=threshold_pct,
         min_shingles=min_shingles,
         shingle_k=shingle_k,
+        shingles=sh,
     ).select("doc_a", "doc_b", "n_a", "n_shared", "containment_micro")
-
-    # The SAME shared shingle-table helper the candidate generator
-    # used — one pipeline definition, no drifting tokenization copy.
-    # (Each call still materializes its own checkpoint; the heavy win
-    # is correctness-by-construction, and n_docs stays distributed as
-    # a broadcast 1-row frame instead of a blocking driver count.)
-    sh = _containment_shingles(df, id_col, text_col, shingle_k)
     nd = sh.select("_id").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("_nd")
     )
