@@ -67,6 +67,7 @@ __all__ = [
     "last_touch_attribution_stream",
     "first_touch_attribution_stream",
     "conversion_paths_stream",
+    "transition_census_stream",
     "holt_winters_integer_stream",
     "funnel_stage_stream",
     "burst_rate_stream",
@@ -1027,6 +1028,70 @@ def first_touch_attribution_stream(
                     emitted.append(rec)
             if emitted:
                 yield pd.DataFrame(emitted, columns=keys + order + [out_col])
+        state.update((cur,))
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def transition_census_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    type_col: str,
+) -> DataFrame:
+    """Streaming twin of the Markov-chain transition NUMERATOR
+    (events_markov_stationary's lag-pair aggregate): per key, emit
+    (from_type, to_type, count) partials per micro-batch, with ONE
+    string of state (the key's last seen type) carrying transitions
+    across batch boundaries — the pair straddling two micro-batches is
+    exactly what a stateless per-batch lag would drop. Partials are
+    ADDITIVE, so the drained stream group-summed equals the batch lag
+    pairs bit-for-bit (the Count-Min/PSI-census additive-merge
+    pattern); the stationary power iteration is batch post-processing
+    over the summed census either way. NULL types are skipped without
+    breaking the chain (the carry survives a NULL row) — note the
+    batch lag treats a NULL type as a value, so parity holds on
+    NULL-free type columns (the events fixture's case); a NULL-bearing
+    feed should filter first on both sides."""
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [
+            StructField("from_t", StringType()),
+            StructField("to_t", StringType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_type", StringType())])
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def fold(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (cur,) = state.get if state.exists else (None,)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order)
+            counts: dict[tuple[str, str], int] = {}
+            for t in pdf[type_col]:
+                if t is None:
+                    continue
+                if cur is not None:
+                    pair = (cur, t)
+                    counts[pair] = counts.get(pair, 0) + 1
+                cur = t
+            if counts:
+                out = pd.DataFrame(
+                    [
+                        {**{k: kv for k, kv in zip(keys, key)},
+                         "from_t": f, "to_t": t2, "cnt": c}
+                        for (f, t2), c in counts.items()
+                    ],
+                    columns=keys + ["from_t", "to_t", "cnt"],
+                )
+                yield out
         state.update((cur,))
 
     return df.groupBy(*keys).applyInPandasWithState(

@@ -2420,3 +2420,56 @@ def test_first_touch_attribution_stream_equals_batch(spark, tmp_path):
         .collect()
     )
     assert got != last
+
+
+def test_transition_census_stream_equals_batch_lag_pairs(spark, tmp_path):
+    """The drained streaming transition census, group-summed, must equal
+    the batch per-user lag-pair aggregate bit-for-bit — including the
+    transition that STRADDLES the micro-batch boundary (the pair a
+    stateless per-batch lag drops)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        transition_census_stream,
+    )
+
+    root = str(tmp_path / "tc_in")
+    types = ["view", "click", "purchase", "view", "signup", "error"]
+    rows = [(f"u{i % 3}", i, types[(i * 5 + i // 2) % len(types)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string, seq long, t string")
+    for part in range(2):
+        df.filter((F.col("seq") >= part * 15) & (F.col("seq") < (part + 1) * 15)) \
+            .coalesce(1).write.parquet(os.path.join(root, f"part={part}"))
+    batch = spark.read.parquet(os.path.join(root, "part=*")).select("k", "seq", "t")
+
+    stream = (
+        spark.readStream.schema("k string, seq long, t string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "part=*"))
+        .select("k", "seq", "t")
+    )
+    out = _drain(
+        transition_census_stream(stream, ["k"], ["seq"], "t"), "tc_stream"
+    )
+    got = sorted(
+        (r["from_t"], r["to_t"], r["c"])
+        for r in out.groupBy("from_t", "to_t")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        .collect()
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").orderBy("seq")
+    expect = sorted(
+        (r["from_t"], r["to_t"], r["c"])
+        for r in batch.withColumn("_prev", F.lag("t").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("from_t"), F.col("t").alias("to_t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    )
+    assert got == expect and len(got) > 0
+    # the boundary-straddling pair must be present: each user's seq-14
+    # neighbor pair crosses the two files
+    total_stream = sum(c for _, _, c in got)
+    n_users = 3
+    n_rows = 30
+    assert total_stream == n_rows - n_users  # every consecutive pair counted
