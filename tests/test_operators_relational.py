@@ -772,11 +772,29 @@ def test_levenshtein_neighborhood_join_ground_truth(spark):
     assert (5, 11) in got and got[(5, 11)] == 1      # cross-position collision kept: ED('aab','abb')=1
     assert all(rid != 12 for (_, rid) in got)        # unrelated never matches
 
+    # Radius 2 (round 9, delete-2 neighborhood): same recall-1 claim
+    # against the brute-force oracle at ED <= 2 — 'mrkt' (two
+    # deletions from 'market') now matches, as does the aab/abb pair
+    # at its exact distance.
+    out2 = levenshtein_neighborhood_join(
+        left, right, "id", "rid", "name", "rname", max_edit=2
+    ).collect()
+    got2 = {(r["left_id"], r["right_id"]): r["edit_distance"] for r in out2}
+    want2 = {
+        (lid, rid): ed(ln, rn)
+        for (lid, ln), (rid, rn) in itertools.product(lrows, rrows)
+        if ed(ln, rn) <= 2
+    }
+    assert got2 == want2
+    assert (1, 13) in got2 and got2[(1, 13)] == 2    # double deletion
+    assert all(rid != 12 for (_, rid) in got2)       # unrelated never matches
+
     import pytest as _pytest
 
+    # Radius 3+ still raises — C(L,3) variants; widen deliberately.
     with _pytest.raises(NotImplementedError):
         levenshtein_neighborhood_join(
-            left, right, "id", "rid", "name", "rname", max_edit=2
+            left, right, "id", "rid", "name", "rname", max_edit=3
         )
 
 
