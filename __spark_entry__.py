@@ -16107,6 +16107,397 @@ ORDER BY d_key, c_custkey
 """
 
 
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the part co-purchase
+    graph — the node-level refinement of graph_triangle_count's single
+    global coefficient: for every part, its degree, the number of
+    triangles through it, and lcc = 2·t / (d·(d−1)) in integer
+    micro-units (0 when d < 2). High-lcc parts sit in tight accessory
+    cliques (bundle candidates); low-lcc high-degree parts are
+    cross-category staples.
+
+    Scale shape: third consumer of the shared session-scoped
+    _copurchase_pairs supplier. Triangles are enumerated ONCE via the
+    degree-ordered orientation (operators/graph.py:triangle_stats —
+    out-degree capped at O(√m), hub-proof wedge join), then each
+    (a,b,c) triangle is credited to its three corners with one explode
+    + count — |parts|-bounded output, no per-node re-enumeration."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    e = pairs.select("u", "v")
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("_du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("_dv")), "v")
+    )
+    u_first = F.struct("_du", "u") < F.struct("_dv", "v")
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("_dv")).otherwise(F.col("_du")).alias("_ddst"),
+    )
+    o1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("_ddst").alias("_db"))
+    o2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("_ddst").alias("_dc"))
+    wedges = o1.join(o2, "a").filter(F.struct("_db", "b") < F.struct("_dc", "c"))
+    closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    node_tri = (
+        tri.select(F.col("a").alias("x"))
+        .unionAll(tri.select(F.col("b").alias("x")))
+        .unionAll(tri.select(F.col("c").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.join(node_tri, "x", "left")
+        .select(
+            F.col("x").alias("partkey"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CAST(CASE WHEN d >= 2"
+                " THEN (coalesce(t, 0) * 2000000) div (d * (d - 1))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("lcc_micro"),
+        )
+        .orderBy("partkey")
+    )
+
+
+_LOCAL_CLUSTERING_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM pairs UNION ALL SELECT v AS x FROM pairs)
+  GROUP BY x
+),
+o AS (
+  SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
+         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst,
+         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN dv.d ELSE du.d END AS ddst
+  FROM pairs p JOIN deg du ON du.x = p.u JOIN deg dv ON dv.x = p.v
+),
+tri AS (
+  SELECT o1.a, o1.b, o2.c
+  FROM (SELECT src AS a, dst AS b, ddst AS db FROM o) o1
+  JOIN (SELECT src AS a, dst AS c, ddst AS dc FROM o) o2 ON o1.a = o2.a
+  JOIN (SELECT src AS b, dst AS c FROM o) cl ON cl.b = o1.b AND cl.c = o2.c
+  WHERE (o1.db, o1.b) < (o2.dc, o2.c)
+),
+nt AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS t
+  FROM (SELECT a AS x FROM tri UNION ALL SELECT b AS x FROM tri
+        UNION ALL SELECT c AS x FROM tri)
+  GROUP BY x
+)
+SELECT deg.x AS partkey, deg.d AS degree,
+       CAST(coalesce(nt.t, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.d >= 2
+                 THEN (coalesce(nt.t, 0) * 2000000) // (deg.d * (deg.d - 1))
+                 ELSE 0 END AS BIGINT) AS lcc_micro
+FROM deg LEFT JOIN nt ON nt.x = deg.x
+ORDER BY partkey
+"""
+
+
+def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The power-user curve — the engagement histogram a product team
+    reads before any retention work: how many users were active on
+    exactly k distinct days over the event log. A heavy right tail =
+    habit-forming product; mass at k = 1 = leaky onboarding. Two
+    map-side-combinable aggregates (distinct user-days → days-per-user
+    → users-per-count); the output is bounded by the calendar span, the
+    intermediate by |users|·|days| long pairs."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    per = days.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("active_days")
+    )
+    return (
+        per.groupBy("active_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("active_days")
+    )
+
+
+_POWER_USER_CURVE_SQL = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS active_days FROM days GROUP BY user_id
+)
+SELECT active_days, CAST(count(*) AS BIGINT) AS n_users
+FROM per GROUP BY active_days ORDER BY active_days
+"""
+
+
+def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram/bigram entropy and the conditional entropy
+    rate H(w_i | w_{i-1}) = H₂ − H₁ — the corpus-diversity diagnostic
+    that separates genuinely varied text from template boilerplate
+    (low conditional entropy = the next token is predictable = likely
+    machine-generated or log-structured; the signal behind
+    repetition-based quality filters, complementing
+    text_repetition_stats' surface n-gram ratios).
+
+    Integer scheme (the unigram_logprob precedent): each count's
+    ln(N/c) is snapped to micro-nats BEFORE the Σ c·ln(N/c) sum, so
+    the aggregation is exact BIGINT math — order-independent and
+    hash-stable across engines; only vocabulary-sized frames shuffle
+    (never documents), and the per-source totals ride broadcast
+    joins."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    )
+    toks = tokens("text")
+    base = docs.select("source", toks.alias("toks"))
+    uni = (
+        base.select("source", F.explode("toks").alias("g"))
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bigrams = F.when(
+        F.size(F.col("toks")) >= 2,
+        F.zip_with(
+            F.slice(F.col("toks"), 1, F.size(F.col("toks")) - 1),
+            F.slice(F.col("toks"), 2, F.size(F.col("toks")) - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        base.select("source", F.explode(bigrams).alias("g"))
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+    def h_micro(counts: DataFrame, n_alias: str, h_alias: str) -> DataFrame:
+        tot = counts.groupBy("source").agg(
+            F.sum("c").cast("long").alias(n_alias)
+        )
+        return (
+            counts.join(F.broadcast(tot), "source")
+            .select(
+                "source",
+                F.col(n_alias),
+                (
+                    F.col("c")
+                    * F.round(
+                        F.log(F.col(n_alias).cast("double") / F.col("c")) * 1e6
+                    ).cast("long")
+                ).alias("term"),
+            )
+            .groupBy("source", n_alias)
+            .agg(
+                F.expr(f"CAST(sum(term) div {n_alias} AS BIGINT)").alias(h_alias)
+            )
+        )
+    h1 = h_micro(uni, "n_tokens", "h1_micro")
+    h2 = h_micro(bi, "n_bigrams", "h2_micro")
+    return (
+        h1.join(h2, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "h1_micro",
+            "n_bigrams",
+            "h2_micro",
+            (F.col("h2_micro") - F.col("h1_micro")).cast("long").alias(
+                "cond_entropy_micro"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_TEXT_ENTROPY_RATE_SQL = r"""
+WITH base AS (
+  SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+),
+uni AS (
+  SELECT source, g, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(toks) AS g FROM base)
+  GROUP BY source, g
+),
+bi AS (
+  SELECT source, g, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT source, toks[i] || ' ' || toks[i + 1] AS g
+    FROM base, unnest(range(1, len(toks))) AS u(i)
+    WHERE len(toks) >= 2
+  )
+  GROUP BY source, g
+),
+h1 AS (
+  SELECT source, n_tokens,
+         CAST(sum(c * lnr) // n_tokens AS BIGINT) AS h1_micro
+  FROM (
+    SELECT u.source, u.c, t.n_tokens,
+           CAST(round(ln(CAST(t.n_tokens AS DOUBLE) / u.c) * 1e6) AS BIGINT) AS lnr
+    FROM uni u JOIN (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens
+                     FROM uni GROUP BY source) t USING (source)
+  )
+  GROUP BY source, n_tokens
+),
+h2 AS (
+  SELECT source, n_bigrams,
+         CAST(sum(c * lnr) // n_bigrams AS BIGINT) AS h2_micro
+  FROM (
+    SELECT b.source, b.c, t.n_bigrams,
+           CAST(round(ln(CAST(t.n_bigrams AS DOUBLE) / b.c) * 1e6) AS BIGINT) AS lnr
+    FROM bi b JOIN (SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams
+                    FROM bi GROUP BY source) t USING (source)
+  )
+  GROUP BY source, n_bigrams
+)
+SELECT h1.source, h1.n_tokens, h1.h1_micro, h2.n_bigrams, h2.h2_micro,
+       CAST(h2.h2_micro - h1.h1_micro AS BIGINT) AS cond_entropy_micro
+FROM h1 JOIN h2 USING (source)
+ORDER BY source
+"""
+
+
+def agg_jackknife_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife confidence interval for the mean
+    order price — the distributed answer to "what error bar goes on
+    this mean?": G = 20 deterministic md5 buckets, leave-one-bucket-out
+    means in exact integer micro-cents, jackknife variance
+    v = (G−1)/G · Σ(m_g − m̄)², and a ±1.96·SE interval. Hash-bucketed
+    (not modulo) so sequential-key artifacts can't correlate with
+    groups; fully reproducible across engines and partitionings.
+
+    One scan → 20-row aggregate; all downstream math is on the 20-row
+    frame. Sums ride DECIMAL(38,0) (HUGEINT in the oracle) so the
+    (S−s_g)·10⁶ products and squared deviations never wrap at any
+    SF; the only double is the final sqrt, floor-snapped to integer
+    micro-cents."""
+    o = _t(spark, sf_dir, "orders")
+    g_n = 20
+    key = F.concat(F.col("o_orderkey").cast("string"), F.lit(":jk7"))
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % g_n
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = (
+        o.select(bucket.alias("g"), cents.alias("cents"))
+        .groupBy("g")
+        .agg(
+            F.sum("cents").cast("decimal(38,0)").alias("s_g"),
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+        )
+    )
+    tot = per.agg(
+        F.sum("s_g").cast("decimal(38,0)").alias("s"),
+        F.sum("n_g").cast("long").alias("n"),
+    )
+    m = per.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CAST(((s - s_g) * CAST(1000000 AS DECIMAL(38,0))) div (n - n_g)"
+            " AS BIGINT)"
+        ).alias("m_micro"),
+        "s",
+        "n",
+    )
+    mbar = m.groupBy("s", "n").agg(
+        F.expr(f"CAST(sum(m_micro) div {g_n} AS BIGINT)").alias("mbar"),
+        F.collect_list("m_micro").alias("_ms"),
+    )
+    dev = mbar.select(
+        "s",
+        "n",
+        F.explode("_ms").alias("m_micro"),
+        F.col("mbar"),
+    ).select(
+        "s",
+        "n",
+        (
+            (F.col("m_micro") - F.col("mbar")).cast("decimal(38,0)")
+            * (F.col("m_micro") - F.col("mbar")).cast("decimal(38,0)")
+        ).alias("d2"),
+    )
+    out = dev.groupBy("s", "n").agg(
+        F.sum("d2").cast("decimal(38,0)").alias("ssd")
+    )
+    se = F.floor(
+        F.sqrt(
+            F.lit(float(g_n - 1))
+            * F.col("ssd").cast("double")
+            / F.lit(float(g_n))
+        )
+    ).cast("long")
+    return out.select(
+        F.col("n").alias("n_orders"),
+        F.lit(g_n).cast("long").alias("n_buckets"),
+        F.expr(
+            "CAST((s * CAST(1000000 AS DECIMAL(38,0))) div n AS BIGINT)"
+        ).alias("mean_micro_cents"),
+        se.alias("jack_se_micro_cents"),
+    ).select(
+        "n_orders",
+        "n_buckets",
+        "mean_micro_cents",
+        "jack_se_micro_cents",
+        (
+            F.col("mean_micro_cents")
+            - F.expr("CAST((jack_se_micro_cents * 196) div 100 AS BIGINT)")
+        ).cast("long").alias("ci_lo_micro_cents"),
+        (
+            F.col("mean_micro_cents")
+            + F.expr("CAST((jack_se_micro_cents * 196) div 100 AS BIGINT)")
+        ).cast("long").alias("ci_hi_micro_cents"),
+    )
+
+
+_JACKKNIFE_CI_SQL = """
+WITH per AS (
+  SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':jk7'), 1, 8))::BIGINT
+           % 20 AS g,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS s_g,
+         CAST(count(*) AS BIGINT) AS n_g
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(s_g) AS HUGEINT) AS s, CAST(sum(n_g) AS BIGINT) AS n FROM per
+),
+m AS (
+  SELECT CAST(((t.s - p.s_g) * 1000000) // (t.n - p.n_g) AS BIGINT) AS m_micro,
+         t.s, t.n
+  FROM per p CROSS JOIN tot t
+),
+mb AS (
+  SELECT s, n, CAST(sum(m_micro) // 20 AS BIGINT) AS mbar FROM m GROUP BY s, n
+),
+ssd AS (
+  SELECT m.s, m.n,
+         CAST(sum(CAST(m.m_micro - mb.mbar AS HUGEINT)
+                  * CAST(m.m_micro - mb.mbar AS HUGEINT)) AS HUGEINT) AS ssd
+  FROM m JOIN mb ON mb.s = m.s AND mb.n = m.n
+  GROUP BY m.s, m.n
+)
+SELECT n AS n_orders,
+       CAST(20 AS BIGINT) AS n_buckets,
+       CAST((s * 1000000) // n AS BIGINT) AS mean_micro_cents,
+       CAST(floor(sqrt(19.0 * CAST(ssd AS DOUBLE) / 20.0)) AS BIGINT)
+         AS jack_se_micro_cents,
+       CAST(CAST((s * 1000000) // n AS BIGINT)
+            - (CAST(floor(sqrt(19.0 * CAST(ssd AS DOUBLE) / 20.0)) AS BIGINT)
+               * 196) // 100 AS BIGINT) AS ci_lo_micro_cents,
+       CAST(CAST((s * 1000000) // n AS BIGINT)
+            + (CAST(floor(sqrt(19.0 * CAST(ssd AS DOUBLE) / 20.0)) AS BIGINT)
+               * 196) // 100 AS BIGINT) AS ci_hi_micro_cents
+FROM ssd
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -16185,10 +16576,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 6-round-stale CORRECTNESS_r02.json. Round-9 oracled additions
         # displace these from the tail as they land (never-checked =>
         # window-mandatory).
-        "q1_pricing_summary": q1_pricing_summary,
-        "w1_running_max_price": w1_running_max_price,
-        "w2_count_window_avg": w2_count_window_avg,
-        "w3_rows_between_breaches": w3_rows_between_breaches,
+        # Round-9 batch-8 oracled additions (never checked =>
+        # window-mandatory; displaced the last four r2 re-checks —
+        # q1/w1/w2/w3 move just past the window).
+        "graph_local_clustering": graph_local_clustering,
+        "events_power_user_curve": events_power_user_curve,
+        "text_entropy_rate": text_entropy_rate,
+        "agg_jackknife_ci_price": agg_jackknife_ci_price,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -16234,6 +16628,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_return_rate": supplier_return_rate,
         "similarity_ivf_recall_curve": similarity_ivf_recall_curve,
         # ====== end of the driver 50-entry check window ======
+        # r2 re-checks displaced by round-9 batch 8:
+        "q1_pricing_summary": q1_pricing_summary,
+        "w1_running_max_price": w1_running_max_price,
+        "w2_count_window_avg": w2_count_window_avg,
+        "w3_rows_between_breaches": w3_rows_between_breaches,
         # r2 re-checks displaced by the pinned-oracle trio:
         "w4_running_max_month": w4_running_max_month,
         "join_orders_customer": join_orders_customer,
@@ -16592,6 +16991,10 @@ def oracle_sql() -> dict[str, str]:
         "similarity_silhouette_centroid": _SILHOUETTE_SQL,
         "supplier_return_rate": _SUPPLIER_RETURN_SQL,
         "similarity_ivf_recall_curve": _IVF_RECALL_CURVE_SQL,
+        "graph_local_clustering": _LOCAL_CLUSTERING_SQL,
+        "events_power_user_curve": _POWER_USER_CURVE_SQL,
+        "text_entropy_rate": _TEXT_ENTROPY_RATE_SQL,
+        "agg_jackknife_ci_price": _JACKKNIFE_CI_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -285,6 +285,14 @@ HEADLINE = [
     # Symmetric Delete neighborhood — closes the documented radius-1
     # scope-out) — rows above remain unchanged for comparability.
     "join_levenshtein2_dirty_customers",
+    # round-9 batch 9: per-node local clustering coefficient (third
+    # co-purchase pair-supplier consumer), power-user engagement
+    # curve, per-source conditional entropy rate, delete-one-group
+    # jackknife CI — rows above remain unchanged for comparability.
+    "graph_local_clustering",
+    "events_power_user_curve",
+    "text_entropy_rate",
+    "agg_jackknife_ci_price",
 ]
 
 
