@@ -16135,11 +16135,16 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg.select(F.col("x").alias("v"), F.col("d").alias("_dv")), "v")
     )
     u_first = F.struct("_du", "u") < F.struct("_dv", "v")
+    # The oriented edge table is referenced THREE times below (both
+    # wedge legs + the closing-edge probe) and the triangle table three
+    # more (one per corner); checkpointing it truncates the 9-fold
+    # logical re-expansion of the deg/orientation subtree — the
+    # kcore/pagerank lineage-cut precedent. m rows of three longs.
     o = ed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("_dv")).otherwise(F.col("_du")).alias("_ddst"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("_ddst").alias("_db"))
     o2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("_ddst").alias("_dc"))
     wedges = o1.join(o2, "a").filter(F.struct("_db", "b") < F.struct("_dc", "c"))
