@@ -225,6 +225,37 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+_CO2_MEMO: dict = {}
+
+
+def _copurchase_co2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared RECURRENT co-purchase table: (u, v, co_orders) for
+    part pairs co-ordered in AT LEAST TWO orders (u < v) — the
+    thresholded sibling of _copurchase_pairs, consumed by
+    part_copurchase_jaccard and graph_link_prediction_cn. Same
+    linear-in-orders shape (distinct (order, part) projection,
+    self-join on the order key, C(k,2) with k ≤ 7 lines per order);
+    the ≥2 filter is what keeps the downstream graph wedge-sparse.
+    Billed as its own bench row (co2_supplier_derive)."""
+    key = os.path.abspath(sf_dir)
+    hit = _CO2_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_orders"))
+        .filter(F.col("co_orders") >= 2)
+        .localCheckpoint(eager=True)
+    )
+    _CO2_MEMO[key] = (spark, co)
+    return co
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -14774,15 +14805,7 @@ def part_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_ord = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("_n")
     )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    co = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("co_orders"))
-        .filter(F.col("co_orders") >= 2)
-    )
+    co = _copurchase_co2(spark, sf_dir)
     return (
         co.join(n_ord.select(F.col("l_partkey").alias("u"), F.col("_n").alias("n_u")), "u")
         .join(n_ord.select(F.col("l_partkey").alias("v"), F.col("_n").alias("n_v")), "v")
@@ -16503,6 +16526,354 @@ FROM ssd
 """
 
 
+def events_funnel_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window-constrained funnel (view → click → purchase, each
+    step within ONE HOUR of the previous) — the funnel variant product
+    teams actually ship: an unconstrained funnel (events_funnel_
+    conversion) credits a purchase three weeks after the click; this
+    one only counts intent that converts within the session-scale
+    window, so the two queries bracket true conversion. Same chained
+    per-user min-aggregate shape as the unconstrained funnel — each
+    stage's table shrinks, no window over the raw stream, no product;
+    the stage tables are lazily checkpointed so each feeds both its
+    count branch and the next stage off one event scan."""
+    ev = _t(spark, sf_dir, "events")
+    one_h = F.expr("INTERVAL 1 HOUR")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+        .localCheckpoint(eager=False)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") >= F.col("v_ts")) & (F.col("ts") <= F.col("v_ts") + one_h))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint(eager=False)
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") >= F.col("c_ts")) & (F.col("ts") <= F.col("c_ts") + one_h))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").cast("long").alias("n_users"))
+        .select(F.lit("1_view").alias("stage"), "n_users")
+        .unionByName(
+            c.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit("2_click_within_1h").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit("3_purchase_within_1h").alias("stage"), "n_users"
+            )
+        )
+    )
+
+
+_FUNNEL_TIME_WINDOW_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+    AND e.ts <= v.v_ts + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+    AND e.ts <= c.c_ts + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+UNION ALL
+SELECT '2_click_within_1h', CAST((SELECT count(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT '3_purchase_within_1h', CAST((SELECT count(*) FROM p) AS BIGINT)
+"""
+
+
+def similarity_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski–Harabasz index for the embedding labels — the third
+    leg of the cluster-quality family (confusion = assignment quality,
+    silhouette = per-point margin, CH = global scatter ratio):
+    CH = (B/(k−1)) / (W/(n−k)) with B the label-weighted squared
+    distance of label centroids to the global centroid and W the
+    within-label squared scatter.
+
+    Engine-exact via the silhouette scheme: centroids are 4-dp-rounded
+    per-position means, every squared term snaps to an integer at 1e-8
+    BEFORE summing (exact BIGINT aggregation — immune to list-sum
+    association order), and the final ratio is exact integer division
+    over DECIMAL(38,0)/HUGEINT products. One equi-join of vectors to
+    their OWN centroid (broadcast, no fanout — cheaper than
+    silhouette's |labels|-way cross); output is one row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select(F.col("label"), F.posexplode("embedding").alias("pos", "_v"))
+    cents = (
+        pos.groupBy("label", "pos")
+        .agg((F.round(F.avg(F.col("_v").cast("double")), 4) + F.lit(0.0)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    c_arr = (
+        cents.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("c_arr")
+        )
+    )
+    g_arr = (
+        pos.groupBy("pos")
+        .agg((F.round(F.avg(F.col("_v").cast("double")), 4) + F.lit(0.0)).alias("g"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "g"))), lambda s: s["g"]
+            ).alias("g_arr")
+        )
+    )
+    dist2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.round(
+                (x.cast("double") - y) * (x.cast("double") - y) * 100000000
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = (
+        emb.join(F.broadcast(c_arr), "label")
+        .select(dist2(F.col("embedding"), F.col("c_arr")).alias("d2"))
+        .agg(
+            F.sum("d2").cast("long").alias("w_1e8"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        )
+    )
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    b = (
+        c_arr.join(F.broadcast(sizes), "label")
+        .crossJoin(F.broadcast(g_arr))
+        .select(
+            (F.col("n_k") * dist2(F.col("c_arr"), F.col("g_arr"))).alias("bterm"),
+        )
+        .agg(
+            F.sum("bterm").cast("long").alias("b_1e8"),
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+        )
+    )
+    return w.crossJoin(F.broadcast(b)).select(
+        "n_vecs",
+        "n_labels",
+        "w_1e8",
+        "b_1e8",
+        F.expr(
+            "CAST(CASE WHEN w_1e8 > 0 AND n_labels > 1 THEN"
+            " (CAST(b_1e8 AS DECIMAL(38,0)) * (n_vecs - n_labels) * 1000000)"
+            " div (CAST(w_1e8 AS DECIMAL(38,0)) * (n_labels - 1))"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("ch_micro"),
+    )
+
+
+_CALINSKI_HARABASZ_SQL = """
+WITH pos AS (
+  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+cent AS (
+  SELECT label, pos, round(avg(v), 4) + 0.0 AS c FROM pos GROUP BY label, pos
+),
+carr AS (
+  SELECT label, list(c ORDER BY pos) AS c_arr FROM cent GROUP BY label
+),
+garr AS (
+  SELECT list(g ORDER BY pos) AS g_arr
+  FROM (SELECT pos, round(avg(v), 4) + 0.0 AS g FROM pos GROUP BY pos)
+),
+w AS (
+  SELECT CAST(sum(d2) AS BIGINT) AS w_1e8, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM (
+    SELECT CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(round((CAST(e.embedding[i] AS DOUBLE) - ca.c_arr[i])
+                             * (CAST(e.embedding[i] AS DOUBLE) - ca.c_arr[i])
+                             * 100000000) AS BIGINT))) AS BIGINT) AS d2
+    FROM embeddings e JOIN carr ca USING (label)
+  )
+),
+sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n_k FROM embeddings GROUP BY label),
+b AS (
+  SELECT CAST(sum(bterm) AS BIGINT) AS b_1e8, CAST(count(*) AS BIGINT) AS n_labels
+  FROM (
+    SELECT s.n_k * CAST(list_sum(list_transform(range(1, len(ca.c_arr) + 1),
+             i -> CAST(round((ca.c_arr[i] - g.g_arr[i])
+                             * (ca.c_arr[i] - g.g_arr[i])
+                             * 100000000) AS BIGINT))) AS BIGINT) AS bterm
+    FROM carr ca JOIN sizes s USING (label) CROSS JOIN garr g
+  )
+)
+SELECT n_vecs, n_labels, w_1e8, b_1e8,
+       CASE WHEN w_1e8 > 0 AND n_labels > 1 THEN
+         CAST((CAST(b_1e8 AS HUGEINT) * (n_vecs - n_labels) * 1000000)
+              // (CAST(w_1e8 AS HUGEINT) * (n_labels - 1)) AS BIGINT)
+       ELSE NULL END AS ch_micro
+FROM w CROSS JOIN b
+"""
+
+
+def graph_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the RECURRENT co-purchase
+    graph (pairs co-ordered ≥ 2 times — the shared session-scoped
+    _copurchase_co2 supplier, with part_copurchase_jaccard, so the
+    lineitem self-join is paid once per session): the top-25 part
+    pairs that are NOT
+    yet edges but share the most co-purchase partners — the classic
+    "aisle gap" recommender candidate list.
+
+    The threshold is the scale lever: the ≥2 filter keeps the graph
+    wedge-sparse (max degree 6 and ~1.4k wedges at sf0.1 — one-off
+    co-occurrence noise is what densifies the raw graph), so wedge
+    enumeration is linear in edges; candidates are wedge endpoints
+    anti-joined against the edge set, then TakeOrderedAndProject."""
+    edges = _copurchase_co2(spark, sf_dir).select("u", "v")
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w1 = sym.select(F.col("u").alias("mid"), F.col("v").alias("x"))
+    w2 = sym.select(F.col("u").alias("mid"), F.col("v").alias("y"))
+    cand = (
+        w1.join(w2, "mid")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    return (
+        cand.join(
+            edges,
+            (cand["x"] == edges["u"]) & (cand["y"] == edges["v"]),
+            "left_anti",
+        )
+        .orderBy(F.desc("common_neighbors"), F.asc("x"), F.asc("y"))
+        .limit(25)
+        .select(
+            F.col("x").alias("part_u"),
+            F.col("y").alias("part_v"),
+            "common_neighbors",
+        )
+    )
+
+
+_LINK_PREDICTION_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+cand AS (
+  SELECT w1.x, w2.y, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM (SELECT u AS mid, v AS x FROM sym) w1
+  JOIN (SELECT u AS mid, v AS y FROM sym) w2 ON w1.mid = w2.mid
+  WHERE w1.x < w2.y
+  GROUP BY w1.x, w2.y
+)
+SELECT c.x AS part_u, c.y AS part_v, c.common_neighbors
+FROM cand c ANTI JOIN edges e ON e.u = c.x AND e.v = c.y
+ORDER BY common_neighbors DESC, part_u ASC, part_v ASC
+LIMIT 25
+"""
+
+
+def window_rolling_skew_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing skewness of daily revenue — the asymmetry
+    monitor that catches "one whale day carried the week" (rolling
+    mean/corr miss it; the third moment is the signal). Exact
+    integer-sum formulation (the rolling_corr scheme): three trailing
+    sums (Σx, Σx², Σx³) over one RANGE window on integer epoch-days,
+    with the square/cube computed per-day in DECIMAL(38,0) (daily
+    cents³ ~ 10²¹ would wrap int64; HUGEINT in the oracle), and each
+    day's skew = (n²·S₃ − 3n·S₁·S₂ + 2·S₁³) / (n·S₂ − S₁²)^1.5 is ONE
+    fixed-order double expression over the exact sums, micro-floored,
+    NULL on a zero-variance or sub-3-day window. One unpartitioned
+    RANGE window over ~2.5k calendar rows — the documented
+    time-domain-bounded exception."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("epoch_day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+    xd = F.col("x").cast("decimal(19,0)")
+    sums = daily.select(
+        "epoch_day",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days"),
+        F.sum("x").over(w).cast("long").alias("s1"),
+        F.sum((xd * xd).cast("decimal(38,0)")).over(w).alias("s2"),
+        F.sum((xd * xd * xd).cast("decimal(38,0)")).over(w).alias("s3"),
+    )
+    n = F.col("n_days").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    var_n2 = n * s2 - s1 * s1
+    num = n * n * s3 - F.lit(3.0) * n * s1 * s2 + F.lit(2.0) * s1 * s1 * s1
+    skew = F.when(
+        (F.col("n_days") >= 3) & (var_n2 > 0),
+        F.floor(F.lit(1000000.0) * num / (var_n2 * F.sqrt(var_n2))).cast("long"),
+    )
+    return sums.select(
+        "epoch_day", "n_days", skew.alias("skew7_micro")
+    ).orderBy("epoch_day")
+
+
+_ROLLING_SKEW_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+           AS epoch_day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+sums AS (
+  SELECT epoch_day,
+         CAST(count(*) OVER w AS BIGINT) AS n_days,
+         CAST(sum(x) OVER w AS BIGINT) AS s1,
+         CAST(sum(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS s2,
+         CAST(sum(CAST(x AS HUGEINT) * x * x) OVER w AS HUGEINT) AS s3
+  FROM daily
+  WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT epoch_day, n_days,
+       CASE WHEN n_days >= 3
+              AND CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0
+       THEN CAST(floor(1000000.0
+            * (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) * CAST(s3 AS DOUBLE)
+               - 3.0 * CAST(n_days AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+               + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            / ((CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               * sqrt(CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))) AS BIGINT)
+       ELSE NULL END AS skew7_micro
+FROM sums ORDER BY epoch_day
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -16588,6 +16959,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_power_user_curve": events_power_user_curve,
         "text_entropy_rate": text_entropy_rate,
         "agg_jackknife_ci_price": agg_jackknife_ci_price,
+        # Round-9 batch-10 oracled additions (never checked =>
+        # window-mandatory; with batch 8+10 the never-checked count
+        # passes 50, so the window is 100% never-checked entries and
+        # the overflow waits past the window for the next rotation).
+        "events_funnel_time_window": events_funnel_time_window,
+        "similarity_calinski_harabasz": similarity_calinski_harabasz,
+        "graph_link_prediction_cn": graph_link_prediction_cn,
+        "window_rolling_skew_daily": window_rolling_skew_daily,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -17000,6 +17379,10 @@ def oracle_sql() -> dict[str, str]:
         "events_power_user_curve": _POWER_USER_CURVE_SQL,
         "text_entropy_rate": _TEXT_ENTROPY_RATE_SQL,
         "agg_jackknife_ci_price": _JACKKNIFE_CI_SQL,
+        "events_funnel_time_window": _FUNNEL_TIME_WINDOW_SQL,
+        "similarity_calinski_harabasz": _CALINSKI_HARABASZ_SQL,
+        "graph_link_prediction_cn": _LINK_PREDICTION_SQL,
+        "window_rolling_skew_daily": _ROLLING_SKEW_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -293,6 +293,14 @@ HEADLINE = [
     "events_power_user_curve",
     "text_entropy_rate",
     "agg_jackknife_ci_price",
+    # round-9 batch 10: time-window funnel, Calinski-Harabasz cluster
+    # quality, common-neighbor link prediction (second co2-supplier
+    # consumer), rolling 7-day skewness — rows above remain unchanged
+    # for comparability.
+    "events_funnel_time_window",
+    "similarity_calinski_harabasz",
+    "graph_link_prediction_cn",
+    "window_rolling_skew_daily",
 ]
 
 
@@ -408,6 +416,15 @@ def main() -> None:
     entrymod._copurchase_pairs(spark, sf_dir).count()
     pair_derive_sec = round(time.time() - t0, 3)
 
+    # Round-9: the recurrent (co ≥ 2) co-purchase supplier (consumed
+    # by part_copurchase_jaccard and graph_link_prediction_cn) —
+    # identical treatment.
+    entrymod._copurchase_co2(spark, sf_dir).count()
+    entrymod._CO2_MEMO.clear()
+    t0 = time.time()
+    entrymod._copurchase_co2(spark, sf_dir).count()
+    co2_derive_sec = round(time.time() - t0, 3)
+
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -423,6 +440,7 @@ def main() -> None:
     # cross-round comparability).
     per_query["edge_supplier_derive"] = edge_derive_sec
     per_query["pair_supplier_derive"] = pair_derive_sec
+    per_query["co2_supplier_derive"] = co2_derive_sec
 
     total = round(sum(per_query.values()), 3)
 
