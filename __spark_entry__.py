@@ -16874,6 +16874,319 @@ FROM sums ORDER BY epoch_day
 """
 
 
+def events_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate monitor with Wilson 95% score intervals — the
+    SRE dashboard row done statistically honestly: a naive p̂ ± z√(p̂q̂/n)
+    band goes negative and over-alerts on quiet hours; Wilson stays in
+    [0,1] and widens correctly at small n. One map-side-combinable
+    aggregate over the event stream (two BIGINTs per hour), then the
+    interval is ONE fixed-order double expression over the exact
+    counts per hour, micro-floored — calendar-bounded output."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("ts_hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    n = F.col("n_events").cast("double")
+    e = F.col("n_errors").cast("double")
+    z2 = F.lit(3.8416)  # z = 1.96
+    p = e / n
+    center = p + z2 / (F.lit(2.0) * n)
+    margin = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + z2 / n
+    return cells.select(
+        "ts_hour",
+        "n_events",
+        "n_errors",
+        F.expr("CAST((n_errors * 1000000) div n_events AS BIGINT)").alias(
+            "p_micro"
+        ),
+        F.floor(F.lit(1000000.0) * (center - margin) / denom)
+        .cast("long")
+        .alias("wilson_lo_micro"),
+        F.floor(F.lit(1000000.0) * (center + margin) / denom)
+        .cast("long")
+        .alias("wilson_hi_micro"),
+    ).orderBy("ts_hour")
+
+
+_ERROR_RATE_WILSON_SQL = """
+WITH cells AS (
+  SELECT date_trunc('hour', ts) AS ts_hour,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors
+  FROM events GROUP BY 1
+)
+SELECT ts_hour, n_events, n_errors,
+       CAST((n_errors * 1000000) // n_events AS BIGINT) AS p_micro,
+       CAST(floor(1000000.0
+            * (CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE)
+               + 3.8416 / (2.0 * CAST(n_events AS DOUBLE))
+               - 1.96 * sqrt(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE)
+                             * (1.0 - CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+                             / CAST(n_events AS DOUBLE)
+                             + 3.8416 / (4.0 * CAST(n_events AS DOUBLE)
+                                         * CAST(n_events AS DOUBLE))))
+            / (1.0 + 3.8416 / CAST(n_events AS DOUBLE))) AS BIGINT)
+         AS wilson_lo_micro,
+       CAST(floor(1000000.0
+            * (CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE)
+               + 3.8416 / (2.0 * CAST(n_events AS DOUBLE))
+               + 1.96 * sqrt(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE)
+                             * (1.0 - CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+                             / CAST(n_events AS DOUBLE)
+                             + 3.8416 / (4.0 * CAST(n_events AS DOUBLE)
+                                         * CAST(n_events AS DOUBLE))))
+            / (1.0 + 3.8416 / CAST(n_events AS DOUBLE))) AS BIGINT)
+         AS wilson_hi_micro
+FROM cells ORDER BY ts_hour
+"""
+
+
+def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand — the grouped
+    bivariate regression a pricing team runs: slope of ln(quantity) on
+    ln(unit price) across a brand's order lines (unit price =
+    extendedprice / quantity, the TPC-H identity). Integer scheme:
+    both logs snap to micro-nats per line, the five sums (n, Σx, Σy,
+    Σxy, Σx²) aggregate exactly — cross-products in DECIMAL(38,0)
+    (micro-nat products ~10¹⁴ per row would wrap int64 summed at fact
+    scale; HUGEINT in the oracle) — and each brand's slope is ONE
+    fixed-order double, micro-floored, NULL on zero price variance.
+    The part dimension broadcasts; output is |brands|-bounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    x = F.round(
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")) * 1e6
+    ).cast("long")
+    y = F.round(F.log(F.col("l_quantity")) * 1e6).cast("long")
+    rows = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select("p_brand", x.alias("x"), y.alias("y"))
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    sums = rows.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+    )
+    n = F.col("n_lines").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    den = n * F.col("sxx").cast("double") - sx * sx
+    return sums.select(
+        "p_brand",
+        "n_lines",
+        F.when(den > 0, F.floor(F.lit(1000000.0) * num / den).cast("long")).alias(
+            "elasticity_micro"
+        ),
+    ).orderBy("p_brand")
+
+
+_PRICE_ELASTICITY_SQL = """
+WITH rows_ AS (
+  SELECT p.p_brand,
+         CAST(round(ln(l_extendedprice / l_quantity) * 1e6) AS BIGINT) AS x,
+         CAST(round(ln(l_quantity) * 1e6) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+sums AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM rows_ GROUP BY p_brand
+)
+SELECT p_brand, n_lines,
+       CASE WHEN CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+       THEN CAST(floor(1000000.0
+            * (CAST(n_lines AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+       ELSE NULL END AS elasticity_micro
+FROM sums ORDER BY p_brand
+"""
+
+
+def events_abandonment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abandonment latency — for users who VIEWED but never purchased
+    after that first view, how long they kept engaging before going
+    silent (last event − first view, in seconds): the number that
+    tells a growth team whether abandoners bounce instantly (UX
+    problem) or browse long and leave (pricing/selection problem).
+    Chained per-user aggregates (first view, any-purchase-after-view
+    anti-join, last event), then exact interpolated percentiles over
+    the abandoner latencies (identical IEEE doubles both engines —
+    the agg_median precedent). One row out."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+        .localCheckpoint(eager=False)
+    )
+    purchased = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .select("user_id")
+        .distinct()
+    )
+    abandoned = v.join(purchased, "user_id", "left_anti")
+    lat = (
+        ev.join(abandoned, "user_id")
+        .groupBy("user_id", "v_ts")
+        .agg(F.max("ts").alias("last_ts"))
+        .select(
+            (
+                F.unix_timestamp("last_ts") - F.unix_timestamp("v_ts")
+            ).cast("long").alias("lat_s")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_abandoned"),
+        F.percentile("lat_s", F.lit(0.25)).alias("p25_s"),
+        F.percentile("lat_s", F.lit(0.5)).alias("p50_s"),
+        F.percentile("lat_s", F.lit(0.9)).alias("p90_s"),
+    )
+
+
+_ABANDONMENT_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+purchased AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+),
+abandoned AS (SELECT * FROM v ANTI JOIN purchased USING (user_id)),
+lat AS (
+  SELECT CAST(date_diff('second', a.v_ts, max(e.ts)) AS BIGINT) AS lat_s
+  FROM events e JOIN abandoned a USING (user_id)
+  GROUP BY e.user_id, a.v_ts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_abandoned,
+       quantile_cont(lat_s, 0.25) AS p25_s,
+       quantile_cont(lat_s, 0.5) AS p50_s,
+       quantile_cont(lat_s, 0.9) AS p90_s
+FROM lat
+"""
+
+
+def sample_negative_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender training — for
+    every customer with purchases, 3 parts they did NOT buy, chosen by
+    seeded md5 so the training set is reproducible across engines,
+    partitionings, and snapshot re-runs (the hash_split property,
+    applied to the classic implicit-feedback negatives problem).
+
+    Mechanism: 10 candidate draws per customer (hash(custkey:j) mod
+    |parts| — the key-domain is contiguous by construction and both
+    engines compute the same 32-bit hex prefix), anti-joined against
+    the customer's positives (orders ⋈ lineitem distinct pairs),
+    de-duplicated per customer keeping the lowest draw index, then
+    the first 3 surviving draws by index. Oversampling 10 for 3 keeps
+    the miss probability negligible while bounding the blow-up to a
+    constant factor; everything shuffles on (custkey, partkey) longs."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    pos = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    npart = part.agg(F.max("p_partkey").cast("long").alias("_maxpk"))
+    cust = pos.select("custkey").distinct()
+    draws = (
+        cust.crossJoin(F.broadcast(npart))
+        .select(
+            "custkey",
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("draw"),
+            F.col("_maxpk"),
+        )
+        .select(
+            "custkey",
+            "draw",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("custkey").cast("string"),
+                                F.lit(":"),
+                                F.col("draw").cast("string"),
+                                F.lit(":ns7"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % (F.col("_maxpk") + 1)
+            ).alias("partkey"),
+        )
+    )
+    neg = draws.join(pos, ["custkey", "partkey"], "left_anti")
+    first_draw = neg.groupBy("custkey", "partkey").agg(
+        F.min("draw").cast("long").alias("draw")
+    )
+    w = Window.partitionBy("custkey").orderBy("draw")
+    return (
+        first_draw.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("custkey", F.col("rk").cast("long").alias("neg_rank"), "partkey")
+        .orderBy("custkey", "neg_rank")
+    )
+
+
+_NEGATIVE_PARTS_SQL = """
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+npart AS (SELECT CAST(max(p_partkey) AS BIGINT) AS maxpk FROM part),
+draws AS (
+  SELECT c.custkey, u.draw,
+         ('0x' || substr(md5(CAST(c.custkey AS VARCHAR) || ':'
+                             || CAST(u.draw AS VARCHAR) || ':ns7'), 1, 8))::BIGINT
+           % (n.maxpk + 1) AS partkey
+  FROM (SELECT DISTINCT custkey FROM pos) c
+  CROSS JOIN npart n
+  CROSS JOIN (SELECT unnest(range(1, 11)) AS draw) u
+),
+neg AS (SELECT * FROM draws ANTI JOIN pos USING (custkey, partkey)),
+first_draw AS (
+  SELECT custkey, partkey, CAST(min(draw) AS BIGINT) AS draw
+  FROM neg GROUP BY custkey, partkey
+)
+SELECT custkey, CAST(rk AS BIGINT) AS neg_rank, partkey
+FROM (
+  SELECT custkey, partkey, draw,
+         row_number() OVER (PARTITION BY custkey ORDER BY draw) AS rk
+  FROM first_draw
+)
+WHERE rk <= 3
+ORDER BY custkey, neg_rank
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -16967,6 +17280,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_calinski_harabasz": similarity_calinski_harabasz,
         "graph_link_prediction_cn": graph_link_prediction_cn,
         "window_rolling_skew_daily": window_rolling_skew_daily,
+        # Round-9 batch-11 oracled additions (never checked — queue
+        # for the next rotation; the window already holds 50
+        # never-checked entries).
+        "events_error_rate_wilson": events_error_rate_wilson,
+        "lineitem_price_elasticity": lineitem_price_elasticity,
+        "events_abandonment_latency": events_abandonment_latency,
+        "sample_negative_parts": sample_negative_parts,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -17383,6 +17703,10 @@ def oracle_sql() -> dict[str, str]:
         "similarity_calinski_harabasz": _CALINSKI_HARABASZ_SQL,
         "graph_link_prediction_cn": _LINK_PREDICTION_SQL,
         "window_rolling_skew_daily": _ROLLING_SKEW_SQL,
+        "events_error_rate_wilson": _ERROR_RATE_WILSON_SQL,
+        "lineitem_price_elasticity": _PRICE_ELASTICITY_SQL,
+        "events_abandonment_latency": _ABANDONMENT_SQL,
+        "sample_negative_parts": _NEGATIVE_PARTS_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -301,6 +301,14 @@ HEADLINE = [
     "similarity_calinski_harabasz",
     "graph_link_prediction_cn",
     "window_rolling_skew_daily",
+    # round-9 batch 11: Wilson error-rate monitor, log-log price
+    # elasticity by brand, abandonment latency percentiles,
+    # deterministic negative sampling — rows above remain unchanged
+    # for comparability.
+    "events_error_rate_wilson",
+    "lineitem_price_elasticity",
+    "events_abandonment_latency",
+    "sample_negative_parts",
 ]
 
 
