@@ -35,6 +35,8 @@ __all__ = [
     "read_snapshot",
     "streaming_psi_census",
     "read_psi",
+    "streaming_error_rate_census",
+    "read_error_rate",
     "run_stream_foreach_batch",
     "run_stream_to_memory",
 ]
@@ -966,3 +968,108 @@ def read_psi(spark, root: str, reference: DataFrame) -> DataFrame:
     return scored.withColumn(
         "psi_total_micro", F.sum("psi_micro").over(w).cast("long")
     ).orderBy("bin")
+
+
+def streaming_error_rate_census(
+    df: DataFrame,
+    root: str,
+    ts_col: str,
+    type_col: str,
+    error_value: str = "error",
+) -> None:
+    """Streaming error-rate census — the live half of the Wilson
+    monitor (the batch statistic is ``events_error_rate_wilson``): per
+    event-hour the (n_events, n_errors) pair is maintained across
+    micro-batches. Only the two-BIGINT hourly census is state — the
+    Wilson interval is a pure read-time function of the counts, so
+    nothing about the confidence math lives in the hot path. Cross-
+    batch merge is cell-wise addition (the PSI/Count-Min census-store
+    shape: batch b overwrites ``root/b=<b>``, reads only dirs < b —
+    retry-idempotent). A drained stream's census is BIT-IDENTICAL to
+    the one-shot batch hourly aggregate — pytest-pinned. Read the
+    intervals with :func:`read_error_rate`."""
+    import glob
+    import os
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = batch_df.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("ts_hour")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col(type_col) == error_value).cast("long"))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        prior_dirs = [
+            p
+            for p in glob.glob(os.path.join(root, "b=*"))
+            if int(p.rsplit("=", 1)[1]) < batch_id
+        ]
+        if prior_dirs:
+            latest = max(prior_dirs, key=lambda p: int(p.rsplit("=", 1)[1]))
+            prev = spark.read.parquet(latest)
+            cur = (
+                cur.withColumnRenamed("n_events", "_ne")
+                .withColumnRenamed("n_errors", "_ee")
+                .join(
+                    prev.withColumnRenamed("n_events", "_no")
+                    .withColumnRenamed("n_errors", "_eo"),
+                    ["ts_hour"],
+                    "full_outer",
+                )
+                .select(
+                    "ts_hour",
+                    (
+                        F.coalesce(F.col("_ne"), F.lit(0))
+                        + F.coalesce(F.col("_no"), F.lit(0))
+                    ).cast("long").alias("n_events"),
+                    (
+                        F.coalesce(F.col("_ee"), F.lit(0))
+                        + F.coalesce(F.col("_eo"), F.lit(0))
+                    ).cast("long").alias("n_errors"),
+                )
+            )
+        cur.write.mode("overwrite").parquet(os.path.join(root, f"b={batch_id}"))
+
+    run_stream_foreach_batch(df, _ingest, output_mode="append")
+
+
+def read_error_rate(spark, root: str) -> DataFrame:
+    """Wilson 95% intervals over a :func:`streaming_error_rate_census`
+    store — the SAME fixed-order double expression as the batch
+    ``events_error_rate_wilson`` query (micro-floored), evaluated on
+    the drained hourly counts, so a drained stream's output is
+    bit-identical to the batch query on the same events."""
+    import glob
+    import os
+
+    dirs = sorted(
+        glob.glob(os.path.join(root, "b=*")), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    if not dirs:
+        raise FileNotFoundError(f"no error-rate censuses under {root}")
+    cells = spark.read.parquet(dirs[-1])
+    n = F.col("n_events").cast("double")
+    e = F.col("n_errors").cast("double")
+    z2 = F.lit(3.8416)
+    p = e / n
+    center = p + z2 / (F.lit(2.0) * n)
+    margin = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + z2 / n
+    return cells.select(
+        "ts_hour",
+        "n_events",
+        "n_errors",
+        F.expr("CAST((n_errors * 1000000) div n_events AS BIGINT)").alias(
+            "p_micro"
+        ),
+        F.floor(F.lit(1000000.0) * (center - margin) / denom)
+        .cast("long")
+        .alias("wilson_lo_micro"),
+        F.floor(F.lit(1000000.0) * (center + margin) / denom)
+        .cast("long")
+        .alias("wilson_hi_micro"),
+    ).orderBy("ts_hour")

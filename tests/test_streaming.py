@@ -2473,3 +2473,77 @@ def test_transition_census_stream_equals_batch_lag_pairs(spark, tmp_path):
     n_users = 3
     n_rows = 30
     assert total_stream == n_rows - n_users  # every consecutive pair counted
+
+
+def test_streaming_error_rate_census_matches_batch(spark, tmp_path):
+    """Streaming Wilson monitor: the hourly (n_events, n_errors)
+    census after 3 micro-batches (additive cell merges, hours
+    straddling batch boundaries) is bit-identical to the one-shot
+    batch hourly aggregate, and read_error_rate emits the SAME rows
+    as the batch events_error_rate_wilson formula over those counts
+    (fixed-order double, micro-floored)."""
+    import datetime as dt
+    import glob
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.windows import (
+        read_error_rate,
+        streaming_error_rate_census,
+    )
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    # hour 10 spans batches 1+2; hour 11 spans 2+3; hour 12 only in 3
+    b1 = [(t(10, 5), "error"), (t(10, 10), "click"), (t(10, 20), "view")]
+    b2 = [(t(10, 40), "error"), (t(11, 0), "click"), (t(11, 30), "error")]
+    b3 = [(t(11, 45), "click"), (t(12, 1), "view"), (t(12, 2), "view")]
+    schema = "ts timestamp, event_type string"
+    in_dir = str(tmp_path / "er_in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate([b1, b2, b3], 1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"f{i}")
+        )
+        os.utime(os.path.join(in_dir, f"f{i}"), (1_000_000 * i, 1_000_000 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    root = str(tmp_path / "er_root")
+    streaming_error_rate_census(stream, root, "ts", "event_type")
+
+    latest = max(
+        glob.glob(os.path.join(root, "b=*")), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    got = {
+        r["ts_hour"]: (r["n_events"], r["n_errors"])
+        for r in spark.read.parquet(latest).collect()
+    }
+    want = {
+        dt.datetime(2024, 1, 1, 10): (4, 2),
+        dt.datetime(2024, 1, 1, 11): (3, 1),
+        dt.datetime(2024, 1, 1, 12): (2, 0),
+    }
+    assert got == want
+
+    # read-time Wilson == plain-Python fixed-order formula
+    out = {
+        r["ts_hour"]: (r["p_micro"], r["wilson_lo_micro"], r["wilson_hi_micro"])
+        for r in read_error_rate(spark, root).collect()
+    }
+    for hour, (n, e) in want.items():
+        p = e / n
+        center = p + 3.8416 / (2.0 * n)
+        margin = 1.96 * math.sqrt(p * (1.0 - p) / n + 3.8416 / (4.0 * n * n))
+        denom = 1.0 + 3.8416 / n
+        assert out[hour] == (
+            (e * 1000000) // n,
+            math.floor(1000000.0 * (center - margin) / denom),
+            math.floor(1000000.0 * (center + margin) / denom),
+        )
