@@ -17187,6 +17187,312 @@ ORDER BY custkey, neg_rank
 """
 
 
+def similarity_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classifier confusion matrix — the fourth leg
+    of the cluster/label QA family (centroid confusion = linear
+    separability, silhouette = margins, CH = scatter ratio, this =
+    local neighborhood consistency): each vector is classified by the
+    majority label of its exact 5 nearest neighbors (ties → smaller
+    label), and the output is the (true, predicted) count matrix.
+
+    EVAL-SAMPLE TIER like similarity_hubness_indegree: exact kNN is
+    quadratic by definition — the embeddings table is the bounded eval
+    sample; production runs this over IVF/LSH candidates. Kernel is
+    self_knn_topk (per-partition partial top-k, query matrix in a
+    closure); the vote and matrix are |vectors|·k skinny rows then
+    |labels|²-bounded output."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.similarity import (
+        self_knn_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nn = self_knn_topk(emb, "vec_id", "embedding", k=5)
+    lbl = emb.select("vec_id", "label")
+    votes = (
+        nn.join(
+            lbl.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"))
+    )
+    return (
+        pred.join(lbl.select(F.col("vec_id").alias("query_id"), "label"), "query_id")
+        .groupBy(F.col("label").alias("true_label"), F.col("pred_label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+_KNN_LABEL_EVAL_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.label AS n_label,
+         ROUND({_COS_SQL_FRAGMENT.format(a="q.embedding", b="e.embedding")}, 4) AS cosine
+  FROM embeddings e CROSS JOIN embeddings q
+  WHERE e.vec_id <> q.vec_id
+), nn AS (
+  SELECT query_id, neighbor_id, n_label,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rk
+  FROM scored QUALIFY rk <= 5
+), votes AS (
+  SELECT query_id, n_label, CAST(count(*) AS BIGINT) AS v
+  FROM nn GROUP BY query_id, n_label
+), pred AS (
+  SELECT query_id, n_label AS pred_label
+  FROM (
+    SELECT query_id, n_label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY v DESC, n_label ASC) AS prk
+    FROM votes
+  ) WHERE prk = 1
+)
+SELECT e.label AS true_label, p.pred_label,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+GROUP BY true_label, pred_label
+ORDER BY true_label, pred_label
+"""
+
+
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality scorecard for entity resolution — the report
+    an ER pipeline publishes before anyone trusts its candidate tier:
+    run SORTED-NEIGHBORHOOD blocking (window 5, name sort key) over
+    the union of the customer master and its deterministically
+    corrupted ED-1 feed (the join_levenshtein_dirty_customers
+    fixture), score it against the exact ED ≤ 1 ground truth (the
+    recall-1 SymSpell neighborhood join with JVM levenshtein confirm),
+    and emit PAIR COMPLETENESS (caught/true — SNM's honest non-1
+    recall: an edit in an early name character moves the record out of
+    its neighborhood) and REDUCTION RATIO (candidates vs the
+    |dirty|·|master| all-pairs space a blocker exists to avoid).
+
+    Scale shape: SNM is the distributed-global-rank + bounded explode
+    path (no single-task sort, no band join); truth is the linear
+    delete-neighborhood join; only the gate-scale DuckDB oracle pays
+    quadratic certify costs."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.joins import (
+        levenshtein_neighborhood_join,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    p = "CAST(c_custkey % 18 AS INT)"
+    dirty_nm = (
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.expr(f"concat(substring(c_name, 1, {p}), substring(c_name, {p} + 2, 17 - {p}))"),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.expr(
+                f"concat(substring(c_name, 1, {p}), 'X', substring(c_name, {p} + 2, 17 - {p}))"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                f"concat(substring(c_name, 1, {p}), 'X', substring(c_name, {p} + 1, 18 - {p}))"
+            )
+        )
+    )
+    off = 1000000000
+    dirty = cust.select(F.col("c_custkey").alias("d_key"), dirty_nm.alias("dn"))
+    recs = cust.select(
+        F.col("c_custkey").cast("long").alias("rid"), F.col("c_name").alias("key")
+    ).unionByName(
+        dirty.select((F.col("d_key") + off).cast("long").alias("rid"), F.col("dn").alias("key"))
+    )
+    cand = sorted_neighborhood_pairs(recs, "rid", "key", window=5)
+    a_dirty = F.col("a_id") >= off
+    cand_pairs = (
+        cand.filter(a_dirty != (F.col("b_id") >= off))
+        .select(
+            F.when(a_dirty, F.col("a_id") - off)
+            .otherwise(F.col("b_id") - off)
+            .alias("d_key"),
+            F.when(a_dirty, F.col("b_id")).otherwise(F.col("a_id")).alias("ck"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    truth = (
+        levenshtein_neighborhood_join(
+            dirty, cust, "d_key", "c_custkey", "dn", "c_name", max_edit=1
+        )
+        .select(F.col("left_id").alias("d_key"), F.col("right_id").alias("ck"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    caught = truth.join(cand_pairs, ["d_key", "ck"])
+    sizes = cust.agg(F.count(F.lit(1)).cast("long").alias("n_master"))
+    stats = (
+        cand_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).cast("long").alias("n_true")))
+        .crossJoin(caught.agg(F.count(F.lit(1)).cast("long").alias("n_caught")))
+        .crossJoin(F.broadcast(sizes))
+    )
+    return stats.select(
+        (F.col("n_master") * 2).cast("long").alias("n_records"),
+        "n_candidates",
+        "n_true",
+        "n_caught",
+        F.expr("CAST((n_caught * 1000000) div n_true AS BIGINT)").alias(
+            "completeness_micro"
+        ),
+        F.expr(
+            "CAST(1000000 - (n_candidates * 1000000)"
+            " div (n_master * n_master) AS BIGINT)"
+        ).alias("reduction_micro"),
+    )
+
+
+_ER_BLOCKING_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS d_key,
+         CASE
+           WHEN c_custkey % 3 = 0 THEN
+             substr(c_name, 1, CAST(c_custkey % 18 AS INT))
+             || substr(c_name, CAST(c_custkey % 18 AS INT) + 2, 17 - CAST(c_custkey % 18 AS INT))
+           WHEN c_custkey % 3 = 1 THEN
+             substr(c_name, 1, CAST(c_custkey % 18 AS INT)) || 'X'
+             || substr(c_name, CAST(c_custkey % 18 AS INT) + 2, 17 - CAST(c_custkey % 18 AS INT))
+           ELSE
+             substr(c_name, 1, CAST(c_custkey % 18 AS INT)) || 'X'
+             || substr(c_name, CAST(c_custkey % 18 AS INT) + 1, 18 - CAST(c_custkey % 18 AS INT))
+         END AS dn
+  FROM customer
+),
+recs AS (
+  SELECT CAST(c_custkey AS BIGINT) AS rid, c_name AS key FROM customer
+  UNION ALL
+  SELECT CAST(d_key + 1000000000 AS BIGINT) AS rid, dn AS key FROM dirty
+),
+ranked AS (
+  SELECT rid, key, row_number() OVER (ORDER BY key, rid) AS rnk FROM recs
+),
+cand AS (
+  SELECT DISTINCT
+         CASE WHEN a.rid >= 1000000000 THEN a.rid - 1000000000
+              ELSE b.rid - 1000000000 END AS d_key,
+         CASE WHEN a.rid >= 1000000000 THEN b.rid ELSE a.rid END AS ck
+  FROM ranked a JOIN ranked b
+    ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4
+  WHERE (a.rid >= 1000000000) <> (b.rid >= 1000000000)
+),
+truth AS (
+  SELECT DISTINCT d.d_key, c.c_custkey AS ck
+  FROM dirty d JOIN customer c
+    ON abs(length(d.dn) - length(c.c_name)) <= 1
+   AND levenshtein(d.dn, c.c_name) <= 1
+),
+caught AS (SELECT * FROM truth t SEMI JOIN cand USING (d_key, ck)),
+sizes AS (SELECT CAST(count(*) AS BIGINT) AS n_master FROM customer)
+SELECT CAST(n_master * 2 AS BIGINT) AS n_records,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM caught) AS BIGINT) AS n_caught,
+       CAST(((SELECT count(*) FROM caught) * 1000000)
+            // (SELECT count(*) FROM truth) AS BIGINT) AS completeness_micro,
+       CAST(1000000 - ((SELECT count(*) FROM cand) * 1000000)
+            // (n_master * n_master) AS BIGINT) AS reduction_micro
+FROM sizes
+"""
+
+
+def pack_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency curve across candidate context lengths
+    (512 / 1024 / 2048 / 4096 tokens) — the table a training-infra
+    team reads to pick a sequence length: for each context size, how
+    many docs truncate, how many pad tokens naive one-doc-per-row
+    batching burns (and its share of the padded volume), the ideal
+    concat-packed bin count, and the row-count saving packing buys.
+    Pure integer arithmetic over ONE token-count scan with a bounded
+    4-way explode (the curve axis is a constant domain, never data);
+    map-side-combinable aggregate, 4-row output."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = token_count("text")
+    rows = (
+        docs.select(n.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            F.explode(F.array(F.lit(512), F.lit(1024), F.lit(2048), F.lit(4096))).alias(
+                "context_len"
+            ),
+            F.col("_n"),
+        )
+    )
+    agg = rows.groupBy("context_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("_n") > F.col("context_len")).cast("long"))
+        .cast("long")
+        .alias("n_truncated"),
+        F.sum(F.least(F.col("_n"), F.col("context_len")))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    return agg.select(
+        F.col("context_len").cast("long"),
+        "n_docs",
+        "n_truncated",
+        (F.col("n_docs") * F.col("context_len") - F.col("kept_tokens"))
+        .cast("long")
+        .alias("naive_pad_tokens"),
+        F.expr(
+            "CAST(((n_docs * context_len - kept_tokens) * 1000000)"
+            " div (n_docs * context_len) AS BIGINT)"
+        ).alias("pad_share_micro"),
+        F.expr(
+            "CAST((kept_tokens + context_len - 1) div context_len AS BIGINT)"
+        ).alias("packed_bins"),
+        F.expr(
+            "CAST((n_docs - (kept_tokens + context_len - 1) div context_len)"
+            " * 1000000 div n_docs AS BIGINT)"
+        ).alias("row_saving_micro"),
+    ).orderBy("context_len")
+
+
+_PACK_EFFICIENCY_SQL = r"""
+WITH toks AS (
+  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+),
+rows_ AS (
+  SELECT c.context_len, t.n
+  FROM toks t CROSS JOIN (SELECT unnest([512, 1024, 2048, 4096]) AS context_len) c
+),
+agg AS (
+  SELECT CAST(context_len AS BIGINT) AS context_len,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n > context_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+         CAST(sum(least(n, context_len)) AS BIGINT) AS kept_tokens
+  FROM rows_ GROUP BY 1
+)
+SELECT context_len, n_docs, n_truncated,
+       CAST(n_docs * context_len - kept_tokens AS BIGINT) AS naive_pad_tokens,
+       CAST(((n_docs * context_len - kept_tokens) * 1000000)
+            // (n_docs * context_len) AS BIGINT) AS pad_share_micro,
+       CAST((kept_tokens + context_len - 1) // context_len AS BIGINT) AS packed_bins,
+       CAST((n_docs - (kept_tokens + context_len - 1) // context_len)
+            * 1000000 // n_docs AS BIGINT) AS row_saving_micro
+FROM agg ORDER BY context_len
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -17287,6 +17593,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_price_elasticity": lineitem_price_elasticity,
         "events_abandonment_latency": events_abandonment_latency,
         "sample_negative_parts": sample_negative_parts,
+        # Round-9 batch-12 oracled additions (never checked — queue
+        # for the next rotation).
+        "similarity_knn_label_eval": similarity_knn_label_eval,
+        "er_blocking_quality": er_blocking_quality,
+        "pack_efficiency_curve": pack_efficiency_curve,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -17707,6 +18018,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_price_elasticity": _PRICE_ELASTICITY_SQL,
         "events_abandonment_latency": _ABANDONMENT_SQL,
         "sample_negative_parts": _NEGATIVE_PARTS_SQL,
+        "similarity_knn_label_eval": _KNN_LABEL_EVAL_SQL,
+        "er_blocking_quality": _ER_BLOCKING_SQL,
+        "pack_efficiency_curve": _PACK_EFFICIENCY_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

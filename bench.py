@@ -309,6 +309,12 @@ HEADLINE = [
     "lineitem_price_elasticity",
     "events_abandonment_latency",
     "sample_negative_parts",
+    # round-9 batch 12: kNN majority-vote label eval, ER blocking-
+    # quality scorecard (SNM vs exact ED<=1 truth), packing-efficiency
+    # curve — rows above remain unchanged for comparability.
+    "similarity_knn_label_eval",
+    "er_blocking_quality",
+    "pack_efficiency_curve",
 ]
 
 
