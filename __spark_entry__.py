@@ -17493,6 +17493,244 @@ FROM agg ORDER BY context_len
 """
 
 
+def events_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — the two-proportion z-test every
+    experimentation platform prints: users are hash-assigned to
+    variants A/B (seeded md5 band on user_id — the hash_split
+    property: assignment is reproducible across engines, partitions,
+    and reruns, and never drifts as data grows), conversion = the user
+    has any purchase event, and z = (p̂_A − p̂_B)/√(p̂(1−p̂)(1/n_A+1/n_B))
+    under the pooled null. Counts are exact BIGINTs off two per-user
+    aggregates; z is ONE fixed-order double, milli-floored. One row
+    out."""
+    ev = _t(spark, sf_dir, "events")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("converted")
+        )
+        .select(
+            "user_id",
+            "converted",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab7"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("variant"),
+        )
+    )
+    cells = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = cells.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv"))).cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv"))).cast("long").alias("conv_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("CAST((conv_a * 1000000) div n_a AS BIGINT)").alias("p_a_micro"),
+        F.expr("CAST((conv_b * 1000000) div n_b AS BIGINT)").alias("p_b_micro"),
+        F.when(se > 0, F.floor(F.lit(1000.0) * (pa - pb) / se).cast("long")).alias(
+            "z_milli"
+        ),
+    )
+
+
+_AB_TEST_SQL = """
+WITH users AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS converted,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab7'), 1, 8))::BIGINT % 2
+           AS variant
+  FROM events GROUP BY user_id
+),
+wide AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 0 THEN converted END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN variant = 1 THEN converted END) AS BIGINT) AS conv_b
+  FROM users
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST((conv_a * 1000000) // n_a AS BIGINT) AS p_a_micro,
+       CAST((conv_b * 1000000) // n_b AS BIGINT) AS p_b_micro,
+       CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0
+       THEN CAST(floor(1000.0
+            * (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+            / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                   * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) AS BIGINT)
+       ELSE NULL END AS z_milli
+FROM wide
+"""
+
+
+def text_filter_reason_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-audit census — WHY documents would be dropped, by
+    language: a curation pipeline never ships a bare keep/drop rate;
+    it ships the per-reason breakdown (too short / low lexical
+    diversity / repetitive top token) so a reviewer can see which
+    filter is doing the cutting and whether a language is being
+    disparately filtered (the multilinguality audit). Reasons are
+    exact integer predicates over one token scan (counts, distinct
+    counts, top-token share in micro-units); a doc can trip several —
+    the census counts each reason independently plus the all-clear
+    rate. |languages|-bounded output."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    )
+    toks = tokens("text")
+    per_tok = docs.select(
+        "doc_id", "lang", F.explode(toks).alias("tok")
+    )
+    counted = (
+        per_tok.groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tc"))
+    )
+    feats = counted.groupBy("doc_id", "lang").agg(
+        F.sum("_tc").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.max("_tc").cast("long").alias("top_count"),
+    )
+    flagged = feats.select(
+        "lang",
+        (F.col("n_tokens") < 10).cast("long").alias("too_short"),
+        F.expr(
+            "CAST(CASE WHEN (n_types * 1000000) div n_tokens < 300000"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("low_diversity"),
+        F.expr(
+            "CAST(CASE WHEN (top_count * 1000000) div n_tokens > 200000"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("repetitive"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("too_short").cast("long").alias("n_too_short"),
+            F.sum("low_diversity").cast("long").alias("n_low_diversity"),
+            F.sum("repetitive").cast("long").alias("n_repetitive"),
+            F.sum(
+                (
+                    (F.col("too_short") + F.col("low_diversity") + F.col("repetitive"))
+                    == 0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_pass"),
+        )
+        .orderBy("lang")
+    )
+
+
+_FILTER_REASON_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+),
+counted AS (
+  SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS tc
+  FROM tok GROUP BY doc_id, lang, tok
+),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(sum(tc) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(max(tc) AS BIGINT) AS top_count
+  FROM counted GROUP BY doc_id, lang
+),
+flagged AS (
+  SELECT lang,
+         CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END AS too_short,
+         CASE WHEN (n_types * 1000000) // n_tokens < 300000 THEN 1 ELSE 0 END
+           AS low_diversity,
+         CASE WHEN (top_count * 1000000) // n_tokens > 200000 THEN 1 ELSE 0 END
+           AS repetitive
+  FROM feats
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(too_short) AS BIGINT) AS n_too_short,
+       CAST(sum(low_diversity) AS BIGINT) AS n_low_diversity,
+       CAST(sum(repetitive) AS BIGINT) AS n_repetitive,
+       CAST(sum(CASE WHEN too_short + low_diversity + repetitive = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM flagged GROUP BY lang ORDER BY lang
+"""
+
+
+def orders_backlog_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report at the data's snapshot date (the global
+    max order date) — the operations view behind every fulfillment
+    stand-up: orders not yet finished ('F'), bucketed by age in 30-day
+    bands, with count and open value per band per status. One scan +
+    a broadcast 1-row max + a small groupBy; integer day/cent math
+    only."""
+    o = _t(spark, sf_dir, "orders")
+    snap = o.agg(F.max(F.to_date("o_orderdate")).alias("_snap"))
+    open_o = o.filter(F.col("o_orderstatus") != "F").crossJoin(F.broadcast(snap))
+    aged = open_o.select(
+        "o_orderstatus",
+        F.expr(
+            "CAST(datediff(_snap, to_date(o_orderdate)) div 30 AS BIGINT)"
+        ).alias("age_bucket_30d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        aged.groupBy("o_orderstatus", "age_bucket_30d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("open_value_cents"),
+        )
+        .orderBy("o_orderstatus", "age_bucket_30d")
+    )
+
+
+_BACKLOG_AGING_SQL = """
+WITH snap AS (SELECT max(CAST(o_orderdate AS DATE)) AS s FROM orders)
+SELECT o_orderstatus,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), snap.s) // 30 AS BIGINT)
+         AS age_bucket_30d,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS open_value_cents
+FROM orders CROSS JOIN snap
+WHERE o_orderstatus <> 'F'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -17598,6 +17836,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_knn_label_eval": similarity_knn_label_eval,
         "er_blocking_quality": er_blocking_quality,
         "pack_efficiency_curve": pack_efficiency_curve,
+        # Round-9 batch-13 oracled additions (never checked — queue
+        # for the next rotation).
+        "events_ab_test_readout": events_ab_test_readout,
+        "text_filter_reason_census": text_filter_reason_census,
+        "orders_backlog_aging_buckets": orders_backlog_aging_buckets,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -18021,6 +18264,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_knn_label_eval": _KNN_LABEL_EVAL_SQL,
         "er_blocking_quality": _ER_BLOCKING_SQL,
         "pack_efficiency_curve": _PACK_EFFICIENCY_SQL,
+        "events_ab_test_readout": _AB_TEST_SQL,
+        "text_filter_reason_census": _FILTER_REASON_SQL,
+        "orders_backlog_aging_buckets": _BACKLOG_AGING_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

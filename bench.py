@@ -315,6 +315,12 @@ HEADLINE = [
     "similarity_knn_label_eval",
     "er_blocking_quality",
     "pack_efficiency_curve",
+    # round-9 batch 13: A/B two-proportion z readout, filter-reason
+    # census by language, open-order aging buckets — rows above remain
+    # unchanged for comparability.
+    "events_ab_test_readout",
+    "text_filter_reason_census",
+    "orders_backlog_aging_buckets",
 ]
 
 
