@@ -17731,6 +17731,128 @@ ORDER BY 1, 2
 """
 
 
+def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning number
+    (licenses, connection pools, autoscaler floors) that hourly-active
+    counts overstate and averages understate. Classic interval-overlap
+    census: gap-3600 sessionization → one ±1 delta per session
+    boundary (end-inclusive: −1 fires at end+1 s) → per-second net
+    deltas (unique key) → EXACT global running sum along time via the
+    two-phase distributed kernel (range partitions + broadcast offset
+    table — never a single-task ORDER BY window over the boundary
+    stream) → max per day. Shuffle volume is 2·|sessions| longs."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_running_sum,
+        sessionize_by_gap,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_by_gap(ev, ["user_id"], "ts", 3600, "session_id")
+    spans = s.groupBy("user_id", "session_id").agg(
+        F.unix_timestamp(F.min("ts")).cast("long").alias("t0"),
+        (F.unix_timestamp(F.max("ts")) + 1).cast("long").alias("t1"),
+    )
+    deltas = (
+        spans.select(F.col("t0").alias("t"), F.lit(1).alias("d"))
+        .unionAll(spans.select(F.col("t1").alias("t"), F.lit(-1).alias("d")))
+        .groupBy("t")
+        .agg(F.sum("d").cast("long").alias("net"))
+    )
+    run = distributed_running_sum(deltas, [("t", False)], "net", out_col="conc")
+    return (
+        run.select(
+            F.to_date(F.from_unixtime("t")).alias("day"), F.col("conc")
+        )
+        .groupBy("day")
+        .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "peak_concurrency")
+        .orderBy("day")
+    )
+
+
+_PEAK_CONCURRENCY_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   > 3600
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+spans AS (
+  SELECT CAST(epoch(min(ts)) AS BIGINT) AS t0,
+         CAST(epoch(max(ts)) + 1 AS BIGINT) AS t1
+  FROM sess GROUP BY user_id, session_id
+),
+deltas AS (
+  SELECT t, CAST(sum(d) AS BIGINT) AS net
+  FROM (SELECT t0 AS t, 1 AS d FROM spans
+        UNION ALL SELECT t1 AS t, -1 AS d FROM spans)
+  GROUP BY t
+),
+run AS (
+  SELECT t, CAST(sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS conc
+  FROM deltas
+)
+SELECT strftime(CAST(to_timestamp(t) AS DATE), '%Y-%m-%d') AS day,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency
+FROM run GROUP BY 1 ORDER BY 1
+"""
+
+
+def customer_category_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment-breadth histogram — how many distinct part TYPES a
+    customer has ever bought, and how many customers sit at each
+    breadth: the merchandising view that separates single-category
+    buyers (cross-sell targets) from full-catalogue accounts. One
+    distinct (customer, type) projection through the
+    lineitem ⋈ orders ⋈ broadcast(part) join tree, then two map-side-
+    combinable aggregates; output bounded by |types|."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .select("o_custkey", "p_type")
+        .distinct()
+    )
+    breadth = pairs.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    return (
+        breadth.groupBy("n_types")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("n_types")
+    )
+
+
+_CATEGORY_BREADTH_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey, p.p_type
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+breadth AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_types
+  FROM pairs GROUP BY o_custkey
+)
+SELECT n_types, CAST(count(*) AS BIGINT) AS n_customers
+FROM breadth GROUP BY n_types ORDER BY n_types
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -17841,6 +17963,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_test_readout": events_ab_test_readout,
         "text_filter_reason_census": text_filter_reason_census,
         "orders_backlog_aging_buckets": orders_backlog_aging_buckets,
+        # Round-9 batch-14 oracled additions (never checked — queue
+        # for the next rotation).
+        "events_peak_concurrency_daily": events_peak_concurrency_daily,
+        "customer_category_breadth": customer_category_breadth,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -18267,6 +18393,8 @@ def oracle_sql() -> dict[str, str]:
         "events_ab_test_readout": _AB_TEST_SQL,
         "text_filter_reason_census": _FILTER_REASON_SQL,
         "orders_backlog_aging_buckets": _BACKLOG_AGING_SQL,
+        "events_peak_concurrency_daily": _PEAK_CONCURRENCY_SQL,
+        "customer_category_breadth": _CATEGORY_BREADTH_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

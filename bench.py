@@ -321,6 +321,11 @@ HEADLINE = [
     "events_ab_test_readout",
     "text_filter_reason_census",
     "orders_backlog_aging_buckets",
+    # round-9 batch 14: daily peak session concurrency (interval-delta
+    # census + distributed running sum), assortment-breadth histogram
+    # — rows above remain unchanged for comparability.
+    "events_peak_concurrency_daily",
+    "customer_category_breadth",
 ]
 
 
