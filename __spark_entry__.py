@@ -17740,7 +17740,13 @@ def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     deltas (unique key) → EXACT global running sum along time via the
     two-phase distributed kernel (range partitions + broadcast offset
     table — never a single-task ORDER BY window over the boundary
-    stream) → max per day. Shuffle volume is 2·|sessions| longs."""
+    stream) → max per day. Concurrency only CHANGES at boundaries, so
+    evaluating the sum at delta points is exact — EXCEPT at a day's
+    start, where a midnight-spanning session carries concurrency into
+    a day that may contain no start delta; a zero-delta midnight spine
+    (calendar-bounded) is unioned in so every day's carried-in value
+    is evaluated too (hand-fixture-pinned in pytest). Shuffle volume
+    is 2·|sessions| longs + |days|."""
     from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
         distributed_running_sum,
         sessionize_by_gap,
@@ -17752,9 +17758,25 @@ def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         F.unix_timestamp(F.min("ts")).cast("long").alias("t0"),
         (F.unix_timestamp(F.max("ts")) + 1).cast("long").alias("t1"),
     )
+    bounds = spans.agg(
+        F.min("t0").alias("_lo"), F.max("t1").alias("_hi")
+    )
+    _start = ((F.expr("_lo div 86400") + 1) * 86400).cast("long")
+    _stop = (F.expr("_hi div 86400") * 86400).cast("long")
+    midnights = bounds.select(
+        F.explode(
+            # Spark sequence() THROWS on start > stop with a positive
+            # step (all activity inside one calendar day); DuckDB range
+            # returns empty — guard so both engines emit no spine rows.
+            F.when(_start <= _stop, F.sequence(_start, _stop, F.lit(86400).cast("long")))
+            .otherwise(F.array().cast("array<bigint>"))
+        ).alias("t"),
+        F.lit(0).alias("d"),
+    )
     deltas = (
         spans.select(F.col("t0").alias("t"), F.lit(1).alias("d"))
         .unionAll(spans.select(F.col("t1").alias("t"), F.lit(-1).alias("d")))
+        .unionAll(midnights)
         .groupBy("t")
         .agg(F.sum("d").cast("long").alias("net"))
     )
@@ -17790,10 +17812,19 @@ spans AS (
          CAST(epoch(max(ts)) + 1 AS BIGINT) AS t1
   FROM sess GROUP BY user_id, session_id
 ),
+bounds AS (SELECT min(t0) AS lo, max(t1) AS hi FROM spans),
+midnights AS (
+  SELECT CAST(unnest(range((lo // 86400 + 1) * 86400,
+                           hi // 86400 * 86400 + 1,
+                           86400)) AS BIGINT) AS t,
+         0 AS d
+  FROM bounds
+),
 deltas AS (
   SELECT t, CAST(sum(d) AS BIGINT) AS net
   FROM (SELECT t0 AS t, 1 AS d FROM spans
-        UNION ALL SELECT t1 AS t, -1 AS d FROM spans)
+        UNION ALL SELECT t1 AS t, -1 AS d FROM spans
+        UNION ALL SELECT t, d FROM midnights)
   GROUP BY t
 ),
 run AS (

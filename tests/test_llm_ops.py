@@ -1638,3 +1638,47 @@ def test_self_knn_topk_equals_brute_force(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_peak_concurrency_hand_fixture(spark, tmp_path):
+    """events_peak_concurrency_daily against a hand-computed fixture —
+    independent of the DuckDB oracle (which mirrors the same plan, so
+    a shared semantic error would pass both engines): overlapping
+    sessions, a gap-split user, and a MIDNIGHT-SPANNING session whose
+    carry-over day has no delta of its own (the zero-delta midnight
+    spine is what makes day 2 report 1, not 0)."""
+    import datetime as dt
+    import os
+
+    import __spark_entry__ as entrymod
+
+    rows = [
+        # user 1: one session 10:00:00 - 10:30:00 (ends 10:30:01)
+        (1, dt.datetime(2024, 3, 1, 10, 0, 0)),
+        (1, dt.datetime(2024, 3, 1, 10, 30, 0)),
+        # user 2: session 10:05 - 10:35 overlapping user 1 and user 3
+        (2, dt.datetime(2024, 3, 1, 10, 5, 0)),
+        (2, dt.datetime(2024, 3, 1, 10, 35, 0)),
+        # user 3: gap > 3600 splits into two sessions
+        (3, dt.datetime(2024, 3, 1, 10, 29, 0)),
+        (3, dt.datetime(2024, 3, 1, 13, 0, 0)),
+        # user 4: session spanning midnight into Mar 2 (gap 31 s)
+        (4, dt.datetime(2024, 3, 1, 23, 59, 59)),
+        (4, dt.datetime(2024, 3, 2, 0, 0, 30)),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "click", 1.0, "{}") for i, (u, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf_dir = str(tmp_path / "fix")
+    os.makedirs(sf_dir)
+    df.coalesce(1).write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    out = {
+        r["day"]: r["peak_concurrency"]
+        for r in entrymod.events_peak_concurrency_daily(spark, sf_dir).collect()
+    }
+    # Mar 1: users 1+2+3 all overlap at 10:29:00 -> peak 3
+    # Mar 2: only user 4's carried-over session -> peak 1 (midnight spine)
+    assert out == {"2024-03-01": 3, "2024-03-02": 1}
