@@ -58,6 +58,17 @@ compare such rows against their ISOLATED cost
 (SPARK_GRAFT_ONLY=text_bpe_merges python bench.py) before calling a
 regression; an in-session move on this row tracks session length, not
 the operator.
+
+The same mechanism hits ITERATIVE queries whose loop bodies re-plan
+per round against localCheckpoint lineage cuts (graph_pagerank_
+dupgraph, dedup_canonical_by_rank, graph_kcore_copurchase): as the
+session's row count grows (133 → 155 rows in round 9's continuation),
+their in-session numbers can inflate several-fold while the isolated
+cost is unchanged — the round-9 continuation bench read pagerank at
+18.7 s in-session vs 2.25 s isolated (and canonical-by-rank 7.9 vs
+3.1), both verified with SPARK_GRAFT_ONLY immediately after the same
+run. Trend comparisons for the iterative rows should always use the
+isolated protocol.
 """
 
 from __future__ import annotations
