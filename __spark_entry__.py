@@ -2200,6 +2200,26 @@ SELECT * FROM (VALUES
 """
 
 
+# Fourth pinned-output oracle (round-9 continuation): the end-to-end
+# pretraining pipeline's 5-row per-language summary is fully
+# deterministic at sf0.01 (xxhash64 MinHash is seeded; cluster
+# resolution keeps min-ids; the quality floor and BPE-ish token count
+# are exact expressions) — verified identical across fresh sessions —
+# so it pins verbatim like the sketch/ANN trio. Any regression in ANY
+# composed stage (exact dedup, LSH banding, cluster resolution, the
+# quality floor, subword counting) moves at least one of these 15
+# numbers. Holds at the driver's gate scale (sf0.01) only.
+_LLM_PRETRAIN_PINNED_SQL = """
+SELECT * FROM (VALUES
+  ('de', CAST(67 AS BIGINT), CAST(3330 AS BIGINT)),
+  ('en', CAST(202 AS BIGINT), CAST(10916 AS BIGINT)),
+  ('es', CAST(70 AS BIGINT), CAST(3865 AS BIGINT)),
+  ('fr', CAST(62 AS BIGINT), CAST(3647 AS BIGINT)),
+  ('zh', CAST(75 AS BIGINT), CAST(4143 AS BIGINT))
+) AS t(lang, n_docs, token_budget)
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal (binary payload plumbing)
 # --------------------------------------------------------------------------
@@ -2914,8 +2934,10 @@ def llm_pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keep exactly the min-id doc per dup cluster — pair-dropping keeps
     extra docs whenever a doc's only smaller neighbor is indirect) →
     quality floor → per-language doc counts and summed BPE-ish token
-    budget. Every stage is the operator users call standalone; rows-only
-    check (MinHash is not SQL-expressible), stages pinned separately."""
+    budget. Every stage is the operator users call standalone. MinHash
+    is not SQL-recomputable, but the composition is DETERMINISTIC, so
+    the oracle pins the verbatim sf0.01 output (see
+    _LLM_PRETRAIN_PINNED_SQL); stages are also pinned separately."""
     from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators import (
         subword_count,
     )
@@ -18384,6 +18406,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _DEDUP_MINHASH_LSH_PINNED_SQL,
         "similarity_lsh_topk": _SIM_LSH_TOPK_PINNED_SQL,
         "similarity_ivf_topk": _SIM_IVF_TOPK_PINNED_SQL,
+        "llm_pipeline_pretrain_corpus": _LLM_PRETRAIN_PINNED_SQL,
         "events_retention_triangle": _RETENTION_TRIANGLE_SQL,
         "events_session_duration_percentiles": _SESSION_DURATION_PCT_SQL,
         "part_demand_coverage": _PART_DEMAND_COVERAGE_SQL,
