@@ -17906,6 +17906,135 @@ FROM breadth GROUP BY n_types ORDER BY n_types
 """
 
 
+def sample_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-estimate calibration — the honesty check behind
+    approximate query answering: estimate total revenue from a
+    deterministic 5% md5-hash sample (scaled ×20), report it NEXT TO
+    the exact total with the signed relative error in micro-units, for
+    each order priority. The table a platform publishes before letting
+    dashboards run on samples: stratified error by segment, not one
+    global average that hides a skewed strata. One scan computes both
+    sides (the sample sum is a conditional aggregate — no second pass);
+    all integer cents until the final exact division."""
+    o = _t(spark, sf_dir, "orders")
+    in_sample = F.substring(
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"), F.lit(":cal7")
+            )
+        ),
+        1,
+        8,
+    ) < F.lit(format(int(0.05 * 16**8), "08x"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cells = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents).cast("long").alias("exact_cents"),
+        F.sum(F.when(in_sample, cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_sample_cents"),
+        F.sum(in_sample.cast("long")).cast("long").alias("n_sampled"),
+    )
+    return cells.select(
+        "o_orderpriority",
+        "n_orders",
+        "n_sampled",
+        "exact_cents",
+        (F.col("_sample_cents") * 20).cast("long").alias("est_cents"),
+        F.expr(
+            "CAST(((_sample_cents * 20 - exact_cents) * 1000000)"
+            " div exact_cents AS BIGINT)"
+        ).alias("rel_err_micro"),
+    ).orderBy("o_orderpriority")
+
+
+_SAMPLE_CALIBRATION_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS exact_cents,
+         CAST(sum(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':cal7'), 1, 8)
+                            < '0ccccccc'
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS sample_cents,
+         CAST(sum(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':cal7'), 1, 8)
+                            < '0ccccccc'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, n_orders, n_sampled, exact_cents,
+       CAST(sample_cents * 20 AS BIGINT) AS est_cents,
+       CAST(((sample_cents * 20 - exact_cents) * 1000000) // exact_cents AS BIGINT)
+         AS rel_err_micro
+FROM cells ORDER BY o_orderpriority
+"""
+
+
+def text_rare_token_tail_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token tail mass per source — the tokenizer-design metric:
+    what share of a source's TOKEN VOLUME is carried by types occurring
+    ≤ 2 times (the long tail a subword vocabulary must absorb as
+    byte-fallback), alongside type counts. High tail mass = noisy or
+    morphologically rich source = bigger vocab or stronger
+    normalization needed. Vocabulary-sized shuffles only (the (source,
+    type, count) frame — Heaps-sublinear); exact integer ratios."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    )
+    counts = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.when(F.col("c") <= 2, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tail_tokens"),
+            F.sum((F.col("c") <= 2).cast("long")).cast("long").alias("tail_types"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "tail_tokens",
+            "tail_types",
+            F.expr("CAST((tail_tokens * 1000000) div n_tokens AS BIGINT)").alias(
+                "tail_mass_micro"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_RARE_TAIL_SQL = r"""
+WITH counts AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+  )
+  GROUP BY source, tok
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN c <= 2 THEN c ELSE 0 END) AS BIGINT) AS tail_tokens,
+       CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS tail_types,
+       CAST((sum(CASE WHEN c <= 2 THEN c ELSE 0 END) * 1000000) // sum(c) AS BIGINT)
+         AS tail_mass_micro
+FROM counts GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -18020,6 +18149,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the next rotation).
         "events_peak_concurrency_daily": events_peak_concurrency_daily,
         "customer_category_breadth": customer_category_breadth,
+        # Round-9 batch-15 oracled additions (never checked — queue
+        # for the next rotation).
+        "sample_estimate_calibration": sample_estimate_calibration,
+        "text_rare_token_tail_mass": text_rare_token_tail_mass,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -18449,6 +18582,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_backlog_aging_buckets": _BACKLOG_AGING_SQL,
         "events_peak_concurrency_daily": _PEAK_CONCURRENCY_SQL,
         "customer_category_breadth": _CATEGORY_BREADTH_SQL,
+        "sample_estimate_calibration": _SAMPLE_CALIBRATION_SQL,
+        "text_rare_token_tail_mass": _RARE_TAIL_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

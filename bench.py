@@ -337,6 +337,11 @@ HEADLINE = [
     # — rows above remain unchanged for comparability.
     "events_peak_concurrency_daily",
     "customer_category_breadth",
+    # round-9 batch 15: sampling-estimate calibration (approximate
+    # query answering error report), rare-token tail mass — rows above
+    # remain unchanged for comparability.
+    "sample_estimate_calibration",
+    "text_rare_token_tail_mass",
 ]
 
 
