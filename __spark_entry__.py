@@ -18035,6 +18035,180 @@ FROM counts GROUP BY source ORDER BY source
 """
 
 
+def customer_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-tier migration matrix — the segment-flow report
+    behind every retention deck: quintile customers by revenue in the
+    early period (orders before 1996) and again in the late period,
+    then count the (tier_early → tier_late) transitions; tier 0 means
+    absent from that period (acquired / lapsed rows live on the matrix
+    margins). Tiers are tier = ((rank−1)·5) div n + 1 over the exact
+    global (revenue desc, custkey) rank — computed with the two-phase
+    DISTRIBUTED rank kernel, never an unpartitioned ntile window (the
+    r5-verdict single-task-sort shape; |customers| grows with the
+    fact tables) — and the oracle computes the IDENTICAL formula from
+    row_number(). Two period aggregates (|customers|-bounded), one
+    full-outer join — the matrix is ≤ 36 cells."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def period(pred, alias):
+        per = (
+            o.filter(pred)
+            .groupBy("o_custkey")
+            .agg(F.sum(cents).cast("long").alias("_rev"))
+        )
+        ranked = distributed_global_rank(
+            per, [("_rev", True), ("o_custkey", False)], rank_col="_rk"
+        )
+        cnt = per.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        return ranked.crossJoin(F.broadcast(cnt)).select(
+            F.col("o_custkey").alias("custkey"),
+            F.expr("CAST(((_rk - 1) * 5) div _n + 1 AS BIGINT)").alias(alias),
+        )
+
+    early = period(F.to_date("o_orderdate") < F.lit("1996-01-01"), "tier_early")
+    late = period(F.to_date("o_orderdate") >= F.lit("1996-01-01"), "tier_late")
+    return (
+        early.join(late, "custkey", "full_outer")
+        .select(
+            F.coalesce("tier_early", F.lit(0)).cast("long").alias("tier_early"),
+            F.coalesce("tier_late", F.lit(0)).cast("long").alias("tier_late"),
+        )
+        .groupBy("tier_early", "tier_late")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("tier_early", "tier_late")
+    )
+
+
+_TIER_MIGRATION_SQL = """
+WITH early_rev AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+  GROUP BY o_custkey
+),
+early AS (
+  SELECT custkey,
+         CAST(((row_number() OVER (ORDER BY rev DESC, custkey ASC) - 1) * 5)
+              // (SELECT count(*) FROM early_rev) + 1 AS BIGINT) AS tier_early
+  FROM early_rev
+),
+late_rev AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  GROUP BY o_custkey
+),
+late AS (
+  SELECT custkey,
+         CAST(((row_number() OVER (ORDER BY rev DESC, custkey ASC) - 1) * 5)
+              // (SELECT count(*) FROM late_rev) + 1 AS BIGINT) AS tier_late
+  FROM late_rev
+)
+SELECT CAST(coalesce(e.tier_early, 0) AS BIGINT) AS tier_early,
+       CAST(coalesce(l.tier_late, 0) AS BIGINT) AS tier_late,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM early e FULL OUTER JOIN late l USING (custkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent reporting off ONE ROLLUP pass — the classic
+    drill-down table (region → nation) where every nation row carries
+    its share of its region and every region row its share of the
+    grand total, all in integer micro-units: a reporting layer
+    computes this from the single rollup result (self-join on the
+    parent key), never by re-aggregating per level. Grouping-total
+    rows are distinguished with GROUPING() (not NULL-punning — a NULL
+    key value would corrupt the join)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    base = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    cube = base.rollup("region", "nation").agg(
+        F.sum("cents").cast("long").alias("rev_cents"),
+        F.grouping("region").cast("long").alias("_gr"),
+        F.grouping("nation").cast("long").alias("_gn"),
+    )
+    total = cube.filter((F.col("_gr") == 1) & (F.col("_gn") == 1)).select(
+        F.col("rev_cents").alias("_grand")
+    )
+    regions = cube.filter((F.col("_gr") == 0) & (F.col("_gn") == 1)).select(
+        F.col("region").alias("_preg"), F.col("rev_cents").alias("_preg_rev")
+    )
+    nations = (
+        cube.filter((F.col("_gr") == 0) & (F.col("_gn") == 0))
+        .join(F.broadcast(regions), F.col("region") == F.col("_preg"))
+        .select(
+            "region",
+            "nation",
+            "rev_cents",
+            F.expr("CAST((rev_cents * 1000000) div _preg_rev AS BIGINT)").alias(
+                "share_of_parent_micro"
+            ),
+        )
+    )
+    region_rows = regions.crossJoin(F.broadcast(total)).select(
+        F.col("_preg").alias("region"),
+        F.lit(None).cast("string").alias("nation"),
+        F.col("_preg_rev").alias("rev_cents"),
+        F.expr("CAST((_preg_rev * 1000000) div _grand AS BIGINT)").alias(
+            "share_of_parent_micro"
+        ),
+    )
+    return nations.unionByName(region_rows).orderBy(
+        "region", F.asc_nulls_first("nation")
+    )
+
+
+_ROLLUP_SHARE_SQL = """
+WITH base AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+cube_ AS (
+  SELECT region, nation, CAST(sum(cents) AS BIGINT) AS rev_cents,
+         CAST(CASE WHEN GROUPING(region) THEN 1 ELSE 0 END AS BIGINT) AS gr,
+         CAST(CASE WHEN GROUPING(nation) THEN 1 ELSE 0 END AS BIGINT) AS gn
+  FROM base GROUP BY ROLLUP (region, nation)
+),
+total AS (SELECT rev_cents AS grand FROM cube_ WHERE gr = 1 AND gn = 1),
+regions AS (
+  SELECT region AS preg, rev_cents AS preg_rev FROM cube_ WHERE gr = 0 AND gn = 1
+)
+SELECT c.region, c.nation, c.rev_cents,
+       CAST((c.rev_cents * 1000000) // r.preg_rev AS BIGINT)
+         AS share_of_parent_micro
+FROM cube_ c JOIN regions r ON c.region = r.preg
+WHERE c.gr = 0 AND c.gn = 0
+UNION ALL
+SELECT r.preg AS region, NULL AS nation, r.preg_rev AS rev_cents,
+       CAST((r.preg_rev * 1000000) // t.grand AS BIGINT)
+         AS share_of_parent_micro
+FROM regions r CROSS JOIN total t
+ORDER BY region, nation NULLS FIRST
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -18153,6 +18327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the next rotation).
         "sample_estimate_calibration": sample_estimate_calibration,
         "text_rare_token_tail_mass": text_rare_token_tail_mass,
+        # Round-9 batch-16 oracled additions (never checked — queue
+        # for the next rotation).
+        "customer_tier_migration": customer_tier_migration,
+        "rollup_share_of_parent": rollup_share_of_parent,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -18584,6 +18762,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_category_breadth": _CATEGORY_BREADTH_SQL,
         "sample_estimate_calibration": _SAMPLE_CALIBRATION_SQL,
         "text_rare_token_tail_mass": _RARE_TAIL_SQL,
+        "customer_tier_migration": _TIER_MIGRATION_SQL,
+        "rollup_share_of_parent": _ROLLUP_SHARE_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

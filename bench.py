@@ -342,6 +342,11 @@ HEADLINE = [
     # remain unchanged for comparability.
     "sample_estimate_calibration",
     "text_rare_token_tail_mass",
+    # round-9 batch 16: value-tier migration matrix (distributed-rank
+    # quintiles), rollup share-of-parent — rows above remain unchanged
+    # for comparability.
+    "customer_tier_migration",
+    "rollup_share_of_parent",
 ]
 
 
