@@ -18209,6 +18209,195 @@ ORDER BY region, nation NULLS FIRST
 """
 
 
+def part_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index by year (base 1995) — the inflation gauge
+    a pricing desk tracks: with base-period quantities frozen, how has
+    the cost of the SAME basket moved?  index_y = Σ(q_base·p_y) /
+    Σ(q_base·p_base), parts priced in both periods only (the matched
+    basket — the index convention that avoids composition drift).
+    Per-(part, year) average unit prices in exact micro-cents
+    (Σcents·10⁶ div Σqty over integer sums), base quantities join back
+    broadcast-small, and each year's two basket sums aggregate in
+    DECIMAL(38,0)/HUGEINT before ONE exact integer division to micro
+    index points. |parts·years|-bounded frames only."""
+    li = _t(spark, sf_dir, "lineitem")
+    yr = F.year(F.to_date("l_shipdate")).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    py = (
+        li.select(yr.alias("y"), F.col("l_partkey").alias("pk"), cents.alias("c"), qty.alias("q"))
+        .groupBy("y", "pk")
+        .agg(
+            F.sum("c").cast("long").alias("sc"),
+            F.sum("q").cast("long").alias("sq"),
+        )
+        .select(
+            "y",
+            "pk",
+            F.expr("CAST((sc * 1000000) div sq AS BIGINT)").alias("p_micro"),
+            "sq",
+        )
+        .localCheckpoint(eager=False)
+    )
+    base = py.filter(F.col("y") == 1995).select(
+        F.col("pk"),
+        F.col("p_micro").alias("p0_micro"),
+        F.col("sq").alias("q0"),
+    )
+    j = py.join(F.broadcast(base), "pk")
+    sums = j.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts_matched"),
+        F.sum((F.col("q0").cast("decimal(19,0)") * F.col("p_micro").cast("decimal(19,0)")).cast("decimal(38,0)")).alias("_num"),
+        F.sum((F.col("q0").cast("decimal(19,0)") * F.col("p0_micro").cast("decimal(19,0)")).cast("decimal(38,0)")).alias("_den"),
+    )
+    return sums.select(
+        F.col("y").alias("year"),
+        "n_parts_matched",
+        F.expr("CAST((_num * 1000000) div _den AS BIGINT)").alias(
+            "laspeyres_index_micro"
+        ),
+    ).orderBy("year")
+
+
+_LASPEYRES_SQL = """
+WITH py AS (
+  SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS y,
+         l_partkey AS pk,
+         CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 1000000)
+              // sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS p_micro,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+  FROM lineitem GROUP BY 1, 2
+),
+base AS (
+  SELECT pk, p_micro AS p0_micro, sq AS q0 FROM py WHERE y = 1995
+),
+sums AS (
+  SELECT py.y,
+         CAST(count(*) AS BIGINT) AS n_parts_matched,
+         CAST(sum(CAST(b.q0 AS HUGEINT) * py.p_micro) AS HUGEINT) AS num,
+         CAST(sum(CAST(b.q0 AS HUGEINT) * b.p0_micro) AS HUGEINT) AS den
+  FROM py JOIN base b USING (pk)
+  GROUP BY py.y
+)
+SELECT y AS year, n_parts_matched,
+       CAST((num * 1000000) // den AS BIGINT) AS laspeyres_index_micro
+FROM sums ORDER BY year
+"""
+
+
+def agg_anova_f_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for order value across weekdays — the
+    k-group generalization of the pairwise Welch test already in the
+    family: F = (SSB/(k−1)) / (SSW/(N−k)) over integer cents, where
+    both scatter terms come from the per-group (n, Σx, Σx²) sufficient
+    statistics — one map-side-combinable aggregate over the fact
+    table, squares in DECIMAL(38,0)/HUGEINT, and F is ONE fixed-order
+    double over the seven-row frame, milli-floored. Day-of-week uses
+    the ISO dayofweek both engines agree on."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = o.select(
+        F.dayofweek(F.to_date("o_orderdate")).cast("long").alias("dow"),
+        cents.alias("x"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    cells = g.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("ss"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("tot_n"),
+        F.sum("s").cast("decimal(38,0)").alias("tot_s"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    # SSB = Σ_g s_g²/n_g − S²/N; SSW = Σ ss_g − Σ s_g²/n_g. Each
+    # s_g²/n_g is floored with EXACT integer division (≤1 unit of
+    # deterministic bias per group, identical in both engines — a
+    # float SUM over the per-group quotients would instead expose
+    # engine summation order), so every scatter term is an exact
+    # DECIMAL(38,0) and F is ONE fixed-order double at the end.
+    # TRAP: Spark `div` returns BIGINT and silently WRAPS when the
+    # true quotient exceeds int64 (s²/n ~ 1.4e19 at sf0.1; S²/N ~
+    # 9.4e18 already at sf0.01) — exact integral division on wide
+    # decimals is (a − pmod(a, b)) / b, which divides a number that
+    # is exactly divisible, so the decimal divide introduces no
+    # rounding. DuckDB's `//` is HUGEINT-exact and needs no rework.
+    terms = j.select(
+        "tot_n",
+        "k",
+        "tot_s",
+        F.expr(
+            "CAST(((s * s) - pmod(s * s, n)) / n AS DECIMAL(38,0))"
+        ).alias("sqn"),
+        F.col("ss"),
+    )
+    agg2 = terms.groupBy("tot_n", "k", "tot_s").agg(
+        F.sum("sqn").cast("decimal(38,0)").alias("sum_sqn"),
+        F.sum("ss").cast("decimal(38,0)").alias("sum_ss"),
+    )
+    ssb = F.col("sum_sqn").cast("double") - F.expr(
+        "CAST(((tot_s * tot_s) - pmod(tot_s * tot_s, tot_n)) / tot_n"
+        " AS DECIMAL(38,0))"
+    ).cast("double")
+    ssw = F.col("sum_ss").cast("double") - F.col("sum_sqn").cast("double")
+    f_stat = F.when(
+        (F.col("k") > 1) & (ssw > 0),
+        F.floor(
+            F.lit(1000.0)
+            * (ssb / (F.col("k").cast("double") - F.lit(1.0)))
+            / (ssw / (F.col("tot_n").cast("double") - F.col("k").cast("double")))
+        ).cast("long"),
+    )
+    return agg2.select(
+        F.col("tot_n").alias("n_orders"),
+        F.col("k").alias("n_groups"),
+        f_stat.alias("f_milli"),
+    )
+
+
+_ANOVA_F_SQL = """
+WITH cells AS (
+  SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+                  * CAST(round(o_totalprice * 100) AS HUGEINT)) AS HUGEINT) AS ss
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS N, CAST(sum(s) AS HUGEINT) AS S,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cells
+),
+terms AS (
+  SELECT t.N, t.k, t.S,
+         CAST((c.s * c.s) // c.n AS HUGEINT) AS sqn,
+         c.ss
+  FROM cells c CROSS JOIN tot t
+),
+agg2 AS (
+  SELECT N, k, S,
+         CAST(sum(sqn) AS HUGEINT) AS sum_sqn,
+         CAST(sum(ss) AS HUGEINT) AS sum_ss
+  FROM terms GROUP BY N, k, S
+)
+SELECT N AS n_orders, k AS n_groups,
+       CASE WHEN k > 1
+             AND CAST(sum_ss AS DOUBLE) - CAST(sum_sqn AS DOUBLE) > 0
+       THEN CAST(floor(1000.0
+            * ((CAST(sum_sqn AS DOUBLE)
+                - CAST(CAST((S * S) // N AS HUGEINT) AS DOUBLE))
+               / (CAST(k AS DOUBLE) - 1.0))
+            / ((CAST(sum_ss AS DOUBLE) - CAST(sum_sqn AS DOUBLE))
+               / (CAST(N AS DOUBLE) - CAST(k AS DOUBLE))))
+            AS BIGINT)
+       ELSE NULL END AS f_milli
+FROM agg2
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -18331,6 +18520,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the next rotation).
         "customer_tier_migration": customer_tier_migration,
         "rollup_share_of_parent": rollup_share_of_parent,
+        # Round-9 batch-17 oracled additions (never checked — queue
+        # for the next rotation).
+        "part_price_index_laspeyres": part_price_index_laspeyres,
+        "agg_anova_f_weekday": agg_anova_f_weekday,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -18764,6 +18957,8 @@ def oracle_sql() -> dict[str, str]:
         "text_rare_token_tail_mass": _RARE_TAIL_SQL,
         "customer_tier_migration": _TIER_MIGRATION_SQL,
         "rollup_share_of_parent": _ROLLUP_SHARE_SQL,
+        "part_price_index_laspeyres": _LASPEYRES_SQL,
+        "agg_anova_f_weekday": _ANOVA_F_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

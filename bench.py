@@ -347,6 +347,11 @@ HEADLINE = [
     # for comparability.
     "customer_tier_migration",
     "rollup_share_of_parent",
+    # round-9 batch 17: Laspeyres price index (matched basket),
+    # one-way ANOVA F over weekday groups — rows above remain
+    # unchanged for comparability.
+    "part_price_index_laspeyres",
+    "agg_anova_f_weekday",
 ]
 
 
