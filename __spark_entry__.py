@@ -18398,6 +18398,155 @@ FROM agg2
 """
 
 
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first reach from the recurrent co-purchase
+    graph's highest-degree part (degree ties → smaller partkey): how
+    many parts sit at hop 1, 2 and 3 — the "blast radius" question
+    behind substitution planning and recall scoping. Frontier
+    expansion is |frontier|-bounded equi-joins against the shared
+    _copurchase_co2 edge supplier with an anti-join against the
+    visited set, localCheckpoint per hop (the kcore/pagerank lineage-
+    cut scheme — 3 bounded rounds, never a transitive closure). The
+    oracle walks the same frontier with a recursive CTE, taking each
+    node's MIN hop."""
+    edges = _copurchase_co2(spark, sf_dir).select("u", "v")
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    root = (
+        deg.orderBy(F.desc("d"), F.asc("u")).limit(1).select(F.col("u").alias("node"))
+    )
+    visited = root.select("node").localCheckpoint(eager=True)
+    frontier = visited
+    out_rows = []
+    for hop in (1, 2, 3):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        out_rows.append(
+            nxt.agg(
+                F.lit(hop).cast("long").alias("hop"),
+                F.count(F.lit(1)).cast("long").alias("n_parts"),
+            )
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("hop")
+
+
+_BFS_REACH_SQL = """
+WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+root AS (SELECT u AS node FROM deg ORDER BY d DESC, u ASC LIMIT 1),
+walk AS (
+  SELECT node, 0 AS hop FROM root
+  UNION
+  SELECT s.v AS node, w.hop + 1 AS hop
+  FROM walk w JOIN sym s ON s.u = w.node
+  WHERE w.hop < 3
+),
+best AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
+SELECT CAST(hop AS BIGINT) AS hop, CAST(count(*) AS BIGINT) AS n_parts
+FROM best WHERE hop >= 1 GROUP BY hop ORDER BY hop
+"""
+
+
+def part_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher ideal price index by year (base 1995) — the geometric
+    mean of the Laspeyres (base-quantity weights) and Paasche
+    (current-quantity weights) indices, the bias-canceling form
+    statistical agencies publish. Reuses the Laspeyres frame shape:
+    per-(part, year) exact micro-cent unit prices, matched-basket
+    joins, all four basket sums exact DECIMAL(38,0)/HUGEINT, and the
+    three indices are fixed-order doubles over the exact sums,
+    micro-floored."""
+    li = _t(spark, sf_dir, "lineitem")
+    yr = F.year(F.to_date("l_shipdate")).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    py = (
+        li.select(yr.alias("y"), F.col("l_partkey").alias("pk"), cents.alias("c"), qty.alias("q"))
+        .groupBy("y", "pk")
+        .agg(F.sum("c").cast("long").alias("sc"), F.sum("q").cast("long").alias("sq"))
+        .select(
+            "y",
+            "pk",
+            F.expr("CAST((sc * 1000000) div sq AS BIGINT)").alias("p_micro"),
+            "sq",
+        )
+        .localCheckpoint(eager=False)
+    )
+    base = py.filter(F.col("y") == 1995).select(
+        F.col("pk"), F.col("p_micro").alias("p0"), F.col("sq").alias("q0")
+    )
+    j = py.join(F.broadcast(base), "pk")
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    sums = j.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts_matched"),
+        F.sum((d("q0") * d("p_micro")).cast("decimal(38,0)")).alias("_l_num"),
+        F.sum((d("q0") * d("p0")).cast("decimal(38,0)")).alias("_l_den"),
+        F.sum((d("sq") * d("p_micro")).cast("decimal(38,0)")).alias("_p_num"),
+        F.sum((d("sq") * d("p0")).cast("decimal(38,0)")).alias("_p_den"),
+    )
+    lasp = F.col("_l_num").cast("double") / F.col("_l_den").cast("double")
+    paas = F.col("_p_num").cast("double") / F.col("_p_den").cast("double")
+    return sums.select(
+        F.col("y").alias("year"),
+        "n_parts_matched",
+        F.floor(F.lit(1000000.0) * lasp).cast("long").alias("laspeyres_micro"),
+        F.floor(F.lit(1000000.0) * paas).cast("long").alias("paasche_micro"),
+        F.floor(F.lit(1000000.0) * F.sqrt(lasp * paas))
+        .cast("long")
+        .alias("fisher_micro"),
+    ).orderBy("year")
+
+
+_FISHER_SQL = """
+WITH py AS (
+  SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS y,
+         l_partkey AS pk,
+         CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 1000000)
+              // sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS p_micro,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+  FROM lineitem GROUP BY 1, 2
+),
+base AS (SELECT pk, p_micro AS p0, sq AS q0 FROM py WHERE y = 1995),
+sums AS (
+  SELECT py.y,
+         CAST(count(*) AS BIGINT) AS n_parts_matched,
+         CAST(sum(CAST(b.q0 AS HUGEINT) * py.p_micro) AS HUGEINT) AS l_num,
+         CAST(sum(CAST(b.q0 AS HUGEINT) * b.p0) AS HUGEINT) AS l_den,
+         CAST(sum(CAST(py.sq AS HUGEINT) * py.p_micro) AS HUGEINT) AS p_num,
+         CAST(sum(CAST(py.sq AS HUGEINT) * b.p0) AS HUGEINT) AS p_den
+  FROM py JOIN base b USING (pk)
+  GROUP BY py.y
+)
+SELECT y AS year, n_parts_matched,
+       CAST(floor(1000000.0 * (CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)))
+            AS BIGINT) AS laspeyres_micro,
+       CAST(floor(1000000.0 * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))
+            AS BIGINT) AS paasche_micro,
+       CAST(floor(1000000.0 * sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+                                   * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))))
+            AS BIGINT) AS fisher_micro
+FROM sums ORDER BY year
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -18524,6 +18673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the next rotation).
         "part_price_index_laspeyres": part_price_index_laspeyres,
         "agg_anova_f_weekday": agg_anova_f_weekday,
+        # Round-9 batch-18 oracled additions (never checked — queue
+        # for the next rotation).
+        "graph_bfs_reach": graph_bfs_reach,
+        "part_price_index_fisher": part_price_index_fisher,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -18959,6 +19112,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_share_of_parent": _ROLLUP_SHARE_SQL,
         "part_price_index_laspeyres": _LASPEYRES_SQL,
         "agg_anova_f_weekday": _ANOVA_F_SQL,
+        "graph_bfs_reach": _BFS_REACH_SQL,
+        "part_price_index_fisher": _FISHER_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -352,6 +352,11 @@ HEADLINE = [
     # unchanged for comparability.
     "part_price_index_laspeyres",
     "agg_anova_f_weekday",
+    # round-9 batch 18: bounded BFS reach (recursive-CTE oracle),
+    # Fisher ideal price index — rows above remain unchanged for
+    # comparability.
+    "graph_bfs_reach",
+    "part_price_index_fisher",
 ]
 
 
