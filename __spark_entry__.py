@@ -18547,6 +18547,101 @@ FROM sums ORDER BY year
 """
 
 
+def orders_sequential_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential market basket — "customers who bought X next bought
+    Y": part pairs where X is in one order and Y is in the SAME
+    customer's NEXT order (by date, orderkey tiebreak), ranked by
+    count — the prior a next-purchase recommender starts from, and the
+    temporal complement of the within-order co-purchase family.
+
+    Scale shape: consecutive order pairs come from ONE lag window per
+    customer (|orders| rows), then the item join multiplies by ≤ 7×7
+    lines per order pair — linear in orders, never a per-customer
+    cross of all their orders. Top-25 with (count desc, a, b)
+    tiebreak via TakeOrderedAndProject."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), F.col("o_orderkey")
+    )
+    seq = (
+        o.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("next_ok", F.lead("o_orderkey").over(w))
+        .filter(F.col("next_ok").isNotNull())
+        .select(F.col("o_orderkey").alias("ok_a"), F.col("next_ok").alias("ok_b"))
+    )
+    a = li.select(F.col("l_orderkey").alias("ok_a"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b"))
+    return (
+        seq.join(a, "ok_a")
+        .join(b, "ok_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sequences"))
+        .orderBy(F.desc("n_sequences"), F.asc("part_a"), F.asc("part_b"))
+        .limit(25)
+    )
+
+
+_SEQUENTIAL_LIFT_SQL = """
+WITH seq AS (
+  SELECT o_orderkey AS ok_a,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+           AS ok_b
+  FROM orders
+),
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_sequences
+FROM seq s
+JOIN li a ON a.l_orderkey = s.ok_a
+JOIN li b ON b.l_orderkey = s.ok_b
+WHERE s.ok_b IS NOT NULL
+GROUP BY 1, 2
+ORDER BY n_sequences DESC, part_a ASC, part_b ASC
+LIMIT 25
+"""
+
+
+def lineitem_qty_price_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D joint histogram of (quantity, unit-price band) — the
+    marginal histograms already in the family can't show whether big
+    orders get cheap units (the interaction a pricing analyst actually
+    looks for); the joint census can. Quantity is its own axis
+    (integer domain), unit price bands are fixed 500-cent bins on the
+    exact micro-cent unit price. One map-side-combinable aggregate;
+    output bounded by |qty domain| × |bands|."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit_micro = F.expr(
+        "CAST((CAST(round(l_extendedprice * 100) AS BIGINT) * 1000000)"
+        " div CAST(l_quantity AS BIGINT) AS BIGINT)"
+    )
+    return (
+        li.select(
+            F.col("l_quantity").cast("long").alias("quantity"),
+            F.expr(
+                "CAST((CAST(round(l_extendedprice * 100) AS BIGINT) * 1000000)"
+                " div CAST(l_quantity AS BIGINT) div 50000000 AS BIGINT)"
+            ).alias("price_band_500"),
+        )
+        .groupBy("quantity", "price_band_500")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+        .orderBy("quantity", "price_band_500")
+    )
+
+
+_QTY_PRICE_HIST2D_SQL = """
+SELECT CAST(l_quantity AS BIGINT) AS quantity,
+       CAST((CAST(round(l_extendedprice * 100) AS BIGINT) * 1000000)
+            // CAST(l_quantity AS BIGINT) // 50000000 AS BIGINT)
+         AS price_band_500,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -18677,6 +18772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the next rotation).
         "graph_bfs_reach": graph_bfs_reach,
         "part_price_index_fisher": part_price_index_fisher,
+        # Round-9 batch-19 oracled additions (never checked — queue
+        # for the next rotation).
+        "orders_sequential_lift": orders_sequential_lift,
+        "lineitem_qty_price_hist2d": lineitem_qty_price_hist2d,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -19114,6 +19213,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_anova_f_weekday": _ANOVA_F_SQL,
         "graph_bfs_reach": _BFS_REACH_SQL,
         "part_price_index_fisher": _FISHER_SQL,
+        "orders_sequential_lift": _SEQUENTIAL_LIFT_SQL,
+        "lineitem_qty_price_hist2d": _QTY_PRICE_HIST2D_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

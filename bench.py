@@ -357,6 +357,11 @@ HEADLINE = [
     # comparability.
     "graph_bfs_reach",
     "part_price_index_fisher",
+    # round-9 batch 19: sequential market-basket lift (next-order
+    # pairs), 2-D qty x unit-price joint histogram — rows above remain
+    # unchanged for comparability.
+    "orders_sequential_lift",
+    "lineitem_qty_price_hist2d",
 ]
 
 
