@@ -18642,6 +18642,163 @@ ORDER BY 1, 2
 """
 
 
+def text_domain_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-fit audit — per source, how much better its own unigram
+    LM explains its documents than the GLOBAL unigram LM does
+    (mean per-token log-likelihood differential, micro-nats): the
+    signal a curator reads to spot sources whose text is NOT like the
+    rest of the corpus (high differential = strongly in-domain /
+    idiosyncratic; near zero = interchangeable with the pool). The
+    in-domain-vs-pool likelihood ratio is the core of classic
+    data-selection (Moore–Lewis); this is its corpus-audit form.
+
+    Integer scheme throughout (the unigram_logprob precedent): both
+    LMs' per-type log-probs snap to micro-nats, each (source, token)
+    count multiplies exact BIGINTs, and the per-source mean is one
+    integral division. Vocabulary-sized frames only."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    )
+    cnt = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    stot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("sn"))
+    gcnt = cnt.groupBy("tok").agg(F.sum("c").cast("long").alias("gc"))
+    gtot = gcnt.agg(F.sum("gc").cast("long").alias("gn"))
+    lp_s = F.round(
+        F.log(F.col("c").cast("double") / F.col("sn")) * 1e6
+    ).cast("long")
+    lp_g = F.round(
+        F.log(F.col("gc").cast("double") / F.col("gn")) * 1e6
+    ).cast("long")
+    j = (
+        cnt.join(F.broadcast(stot), "source")
+        .join(gcnt, "tok")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            F.col("sn"),
+            F.col("c"),
+            (F.col("c") * (lp_s - lp_g)).cast("long").alias("term"),
+        )
+    )
+    return (
+        j.groupBy("source", "sn")
+        .agg(F.expr("CAST(sum(term) div sn AS BIGINT)").alias("mean_diff_micro"))
+        .select(
+            "source",
+            F.col("sn").alias("n_tokens"),
+            "mean_diff_micro",
+        )
+        .orderBy("source")
+    )
+
+
+_DOMAIN_FIT_SQL = r"""
+WITH cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+  )
+  GROUP BY source, tok
+),
+stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS sn FROM cnt GROUP BY source),
+gcnt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS gc FROM cnt GROUP BY tok),
+gtot AS (SELECT CAST(sum(gc) AS BIGINT) AS gn FROM gcnt),
+j AS (
+  SELECT c.source, s.sn,
+         c.c * (CAST(round(ln(CAST(c.c AS DOUBLE) / s.sn) * 1e6) AS BIGINT)
+                - CAST(round(ln(CAST(g.gc AS DOUBLE) / t.gn) * 1e6) AS BIGINT))
+           AS term
+  FROM cnt c
+  JOIN stot s USING (source)
+  JOIN gcnt g USING (tok)
+  CROSS JOIN gtot t
+)
+SELECT source, sn AS n_tokens,
+       CAST(sum(term) // sn AS BIGINT) AS mean_diff_micro
+FROM j GROUP BY source, sn ORDER BY source
+"""
+
+
+def agg_gini_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-revenue Gini per order year — the inequality TREND
+    ("is our revenue getting more whale-concentrated?") that the
+    single global Gini can't show. Exact rank-sum formula
+    G = Σ(2i − n − 1)·x_i / (n·Σx) with i the within-year revenue
+    rank: the window is PARTITIONED by year (parallel, never the
+    unpartitioned global sort), products ride DECIMAL(38,0)/HUGEINT,
+    and each year's G is one exact integral division to micro
+    units."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy(
+        F.year(F.to_date("o_orderdate")).cast("long").alias("y"),
+        F.col("o_custkey"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w = Window.partitionBy("y").orderBy(F.asc("rev"), F.asc("o_custkey"))
+    ranked = per.withColumn("i", F.row_number().over(w).cast("long"))
+    cells = ranked.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("decimal(38,0)").alias("s"),
+        F.sum(
+            (
+                (F.lit(2) * F.col("i")).cast("decimal(19,0)")
+                * F.col("rev").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("wsum"),
+    )
+    # G = (Σ2i·x − (n+1)·Σx) / (n·Σx) in micro units via the exact
+    # wide-decimal integral division (div wraps past int64 — the
+    # agg_anova_f_weekday trap).
+    return cells.select(
+        F.col("y").alias("year"),
+        F.col("n").alias("n_customers"),
+        F.expr(
+            "CAST(CAST((((wsum - (CAST(n AS DECIMAL(19,0)) + 1) * s) * 1000000)"
+            " - pmod((wsum - (CAST(n AS DECIMAL(19,0)) + 1) * s) * 1000000,"
+            "        CAST(n AS DECIMAL(19,0)) * s))"
+            " / (CAST(n AS DECIMAL(19,0)) * s) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("gini_micro"),
+    ).orderBy("year")
+
+
+_GINI_BY_YEAR_SQL = """
+WITH per AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+         o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT y, rev,
+         CAST(row_number() OVER (PARTITION BY y ORDER BY rev ASC, o_custkey ASC)
+              AS BIGINT) AS i
+  FROM per
+),
+cells AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rev) AS HUGEINT) AS s,
+         CAST(sum(CAST(2 * i AS HUGEINT) * rev) AS HUGEINT) AS wsum
+  FROM ranked GROUP BY y
+)
+SELECT y AS year, n AS n_customers,
+       CAST(((wsum - (n + 1) * s) * 1000000) // (n * s) AS BIGINT) AS gini_micro
+FROM cells ORDER BY year
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -18776,6 +18933,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the next rotation).
         "orders_sequential_lift": orders_sequential_lift,
         "lineitem_qty_price_hist2d": lineitem_qty_price_hist2d,
+        # Round-9 batch-20 oracled additions (never checked — queue
+        # for the next rotation).
+        "text_domain_fit_audit": text_domain_fit_audit,
+        "agg_gini_by_year": agg_gini_by_year,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -19215,6 +19376,8 @@ def oracle_sql() -> dict[str, str]:
         "part_price_index_fisher": _FISHER_SQL,
         "orders_sequential_lift": _SEQUENTIAL_LIFT_SQL,
         "lineitem_qty_price_hist2d": _QTY_PRICE_HIST2D_SQL,
+        "text_domain_fit_audit": _DOMAIN_FIT_SQL,
+        "agg_gini_by_year": _GINI_BY_YEAR_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

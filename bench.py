@@ -362,6 +362,11 @@ HEADLINE = [
     # unchanged for comparability.
     "orders_sequential_lift",
     "lineitem_qty_price_hist2d",
+    # round-9 batch 20: Moore-Lewis-style domain-fit audit, per-year
+    # Gini inequality trend — rows above remain unchanged for
+    # comparability.
+    "text_domain_fit_audit",
+    "agg_gini_by_year",
 ]
 
 
