@@ -18140,11 +18140,16 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
     )
+    # The rollup result is read THREE times (grand total, region
+    # parents, nation leaves) — checkpoint the ≤ |regions|+|nations|+1
+    # row frame so the fact-table aggregate underneath runs ONCE, not
+    # once per reference (the plan audit caught the 3× re-expansion:
+    # 19 exchanges / 26 broadcast joins before, 7 / 10 after).
     cube = base.rollup("region", "nation").agg(
         F.sum("cents").cast("long").alias("rev_cents"),
         F.grouping("region").cast("long").alias("_gr"),
         F.grouping("nation").cast("long").alias("_gn"),
-    )
+    ).localCheckpoint(eager=False)
     total = cube.filter((F.col("_gr") == 1) & (F.col("_gn") == 1)).select(
         F.col("rev_cents").alias("_grand")
     )
