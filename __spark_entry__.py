@@ -18144,7 +18144,7 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parents, nation leaves) — checkpoint the ≤ |regions|+|nations|+1
     # row frame so the fact-table aggregate underneath runs ONCE, not
     # once per reference (the plan audit caught the 3× re-expansion:
-    # 19 exchanges / 26 broadcast joins before, 7 / 10 after).
+    # 19 exchanges / 26 broadcast joins before, 3 / 1 after).
     cube = base.rollup("region", "nation").agg(
         F.sum("cents").cast("long").alias("rev_cents"),
         F.grouping("region").cast("long").alias("_gr"),
