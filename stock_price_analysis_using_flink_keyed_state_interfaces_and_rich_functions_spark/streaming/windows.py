@@ -37,6 +37,8 @@ __all__ = [
     "read_psi",
     "streaming_error_rate_census",
     "read_error_rate",
+    "streaming_concurrency_census",
+    "read_peak_concurrency",
     "run_stream_foreach_batch",
     "run_stream_to_memory",
 ]
@@ -1073,3 +1075,114 @@ def read_error_rate(spark, root: str) -> DataFrame:
         .cast("long")
         .alias("wilson_hi_micro"),
     ).orderBy("ts_hour")
+
+
+def streaming_concurrency_census(
+    df: DataFrame,
+    root: str,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    gap: str = "3600 seconds",
+    watermark: str = "10 seconds",
+) -> None:
+    """Streaming session-concurrency census — the live half of
+    events_peak_concurrency_daily: CLOSED sessions (gap + event-time
+    timer emission via session_close_stream — the only correct
+    streaming source of session spans, since an open session's end is
+    unknown) are folded into a per-second ±1 boundary-delta census
+    (end-inclusive: −1 at last+1 s, the batch convention). Only the
+    (second → net delta) table is state; cross-batch merge is
+    cell-wise addition (the PSI/error-rate census-store shape —
+    retry-idempotent). Once every session has closed (watermark past
+    last+gap), the drained census is BIT-IDENTICAL to the batch
+    query's delta table — pytest-pinned with a sentinel-key drain.
+    Read the daily peaks with :func:`read_peak_concurrency`."""
+    import glob
+    import os
+
+    from .stateful import session_close_stream
+
+    closed = session_close_stream(
+        df, key_cols, ts_col, value_col, gap=gap, watermark=watermark
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spans = batch_df.select(
+            F.unix_timestamp("first_ts").cast("long").alias("t0"),
+            (F.unix_timestamp("last_ts") + 1).cast("long").alias("t1"),
+        )
+        cur = (
+            spans.select(F.col("t0").alias("t"), F.lit(1).alias("d"))
+            .unionAll(spans.select(F.col("t1").alias("t"), F.lit(-1).alias("d")))
+            .groupBy("t")
+            .agg(F.sum("d").cast("long").alias("net"))
+        )
+        prior_dirs = [
+            p
+            for p in glob.glob(os.path.join(root, "b=*"))
+            if int(p.rsplit("=", 1)[1]) < batch_id
+        ]
+        if prior_dirs:
+            latest = max(prior_dirs, key=lambda p: int(p.rsplit("=", 1)[1]))
+            prev = spark.read.parquet(latest)
+            cur = (
+                cur.withColumnRenamed("net", "_new")
+                .join(prev.withColumnRenamed("net", "_old"), ["t"], "full_outer")
+                .select(
+                    "t",
+                    (
+                        F.coalesce(F.col("_new"), F.lit(0))
+                        + F.coalesce(F.col("_old"), F.lit(0))
+                    ).cast("long").alias("net"),
+                )
+            )
+        cur.write.mode("overwrite").parquet(os.path.join(root, f"b={batch_id}"))
+
+    run_stream_foreach_batch(closed, _ingest, output_mode="append")
+
+
+def read_peak_concurrency(spark, root: str) -> DataFrame:
+    """Daily peak concurrency over a :func:`streaming_concurrency_census`
+    store — the SAME running-sum + zero-delta-midnight-spine + max-per-
+    day pipeline as the batch events_peak_concurrency_daily, evaluated
+    on the drained census (the two-phase distributed running-sum
+    kernel; never a single-task sort over the boundary stream)."""
+    import glob
+    import os
+
+    from ..operators.windows import distributed_running_sum
+
+    dirs = sorted(
+        glob.glob(os.path.join(root, "b=*")), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    if not dirs:
+        raise FileNotFoundError(f"no concurrency censuses under {root}")
+    deltas = spark.read.parquet(dirs[-1]).filter(F.col("net") != 0)
+    bounds = deltas.agg(F.min("t").alias("_lo"), F.max("t").alias("_hi"))
+    _start = ((F.expr("_lo div 86400") + 1) * 86400).cast("long")
+    _stop = (F.expr("_hi div 86400") * 86400).cast("long")
+    midnights = bounds.select(
+        F.explode(
+            F.when(
+                _start <= _stop,
+                F.sequence(_start, _stop, F.lit(86400).cast("long")),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("t"),
+        F.lit(0).cast("long").alias("net"),
+    )
+    merged = (
+        deltas.select("t", "net")
+        .unionByName(midnights)
+        .groupBy("t")
+        .agg(F.sum("net").cast("long").alias("net"))
+    )
+    run = distributed_running_sum(merged, [("t", False)], "net", out_col="conc")
+    return (
+        run.select(F.to_date(F.from_unixtime("t")).alias("day"), F.col("conc"))
+        .groupBy("day")
+        .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "peak_concurrency")
+        .orderBy("day")
+    )

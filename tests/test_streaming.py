@@ -2547,3 +2547,77 @@ def test_streaming_error_rate_census_matches_batch(spark, tmp_path):
             math.floor(1000000.0 * (center - margin) / denom),
             math.floor(1000000.0 * (center + margin) / denom),
         )
+
+
+def test_streaming_concurrency_census_matches_batch(spark, tmp_path):
+    """Streaming peak-concurrency twin: closed sessions (gap + event-
+    time timers) fold into an additive ±1 boundary census, and once a
+    sentinel key has advanced the watermark past every real session's
+    last+gap, read_peak_concurrency equals the BATCH
+    events_peak_concurrency_daily on the same (real) events — sessions
+    still open (the sentinel's own) are honestly absent from both
+    sides."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.windows import (
+        read_peak_concurrency,
+        streaming_concurrency_census,
+    )
+
+    def t(d, h, m):
+        return dt.datetime(2024, 3, d, h, m)
+
+    real = [
+        (1, t(1, 10, 0)), (1, t(1, 10, 30)),       # session [10:00, 10:30:01)
+        (2, t(1, 10, 5)), (2, t(1, 10, 35)),       # overlaps user 1
+        (3, t(1, 10, 29)),                         # 3-way overlap at 10:29
+        (4, t(1, 23, 59)), (4, t(2, 0, 20)),       # spans midnight into Mar 2
+    ]
+    sentinel = [
+        (99, dt.datetime(2024, 3, 12, 0, 0, 0)),
+        (99, dt.datetime(2024, 3, 12, 0, 1, 0)),
+    ]
+    in_dir = str(tmp_path / "conc_in")
+    os.makedirs(in_dir)
+    files = [real[:4], real[4:], sentinel[:1], sentinel[1:]]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(
+            [(u, ts, 1.0) for (u, ts) in rows], "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"f{i}"))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "f*"))
+    )
+    root = str(tmp_path / "conc_root")
+    streaming_concurrency_census(
+        stream, root, ["user_id"], "ts", "value",
+        gap="3600 seconds", watermark="10 seconds",
+    )
+    got = {
+        r["day"]: r["peak_concurrency"]
+        for r in read_peak_concurrency(spark, root).collect()
+    }
+
+    # batch side over the REAL events only (the sentinel's session
+    # never closed, so the stream never saw its span either)
+    sf_dir = str(tmp_path / "conc_fix")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, ts, u, "click", 1.0, "{}") for i, (u, ts) in enumerate(real)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "events.parquet"))
+    want = {
+        r["day"]: r["peak_concurrency"]
+        for r in entrymod.events_peak_concurrency_daily(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want["2024-03-01"] == 3 and want["2024-03-02"] == 1
