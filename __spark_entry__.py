@@ -18804,6 +18804,252 @@ FROM cells ORDER BY year
 """
 
 
+def events_funnel_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion split by experiment variant — what an A/B
+    readout actually ships when the metric is a multi-stage funnel
+    (the scalar two-proportion z in events_ab_test_readout can't say
+    WHICH stage moved): per hash-assigned variant, the
+    view → click-after-view → purchase-after-click stage counts and
+    per-stage pass-through rates in micro-units. Same chained
+    per-user min-aggregate shape as the base funnel with the variant
+    label carried through; the md5 band assignment is reproducible
+    across engines and reruns."""
+    ev = _t(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab7"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+        .select("user_id", "v_ts", variant.alias("variant"))
+        .localCheckpoint(eager=False)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v.select("user_id", "v_ts"), "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint(eager=False)
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    cells = (
+        v.select("user_id", "variant")
+        .join(c.select("user_id", F.lit(1).alias("_c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("_p")), "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_view"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("long").alias("n_click"),
+            F.sum(F.coalesce(F.col("_p"), F.lit(0))).cast("long").alias("n_purchase"),
+        )
+    )
+    return cells.select(
+        "variant",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.expr("CAST((n_click * 1000000) div n_view AS BIGINT)").alias(
+            "click_rate_micro"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n_click > 0"
+            " THEN (n_purchase * 1000000) div n_click END AS BIGINT)"
+        ).alias("purchase_rate_micro"),
+    ).orderBy("variant")
+
+
+_FUNNEL_BY_VARIANT_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab7'), 1, 8))::BIGINT % 2
+           AS variant
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+  GROUP BY e.user_id
+),
+cells AS (
+  SELECT v.variant,
+         CAST(count(*) AS BIGINT) AS n_view,
+         CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_click,
+         CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchase
+  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+  GROUP BY v.variant
+)
+SELECT variant, n_view, n_click, n_purchase,
+       CAST((n_click * 1000000) // n_view AS BIGINT) AS click_rate_micro,
+       CASE WHEN n_click > 0
+            THEN CAST((n_purchase * 1000000) // n_click AS BIGINT)
+       END AS purchase_rate_micro
+FROM cells ORDER BY variant
+"""
+
+
+def part_list_vs_realized_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-vs-realized price audit by brand — the merchandising
+    question the catalogue's p_retailprice exists to answer: how far
+    below list does each brand actually SELL (realized unit price =
+    extendedprice/quantity, exact micro-cents), and what share of
+    lines sell above list (the repricing-lag signal). Realized side is
+    one fact aggregate; the list side broadcasts; all ratios are exact
+    integral divisions on DECIMAL(38,0)/HUGEINT sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    list_cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", list_cents.alias("list_c"))),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        cents.alias("c"),
+        qty.alias("q"),
+        "list_c",
+        # above-list iff realized unit micro > list micro: compare
+        # c·10⁶ > list_c·10⁶·q in exact integers (no division).
+        (
+            cents.cast("decimal(19,0)") * 1000000
+            > F.col("list_c").cast("decimal(19,0)") * 1000000 * qty
+        ).cast("long").alias("above"),
+        (F.col("list_c").cast("decimal(19,0)") * qty).cast("decimal(38,0)").alias("lq"),
+    )
+    cells = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("c").cast("decimal(38,0)").alias("sc"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum("lq").cast("decimal(38,0)").alias("slq"),
+        F.sum("above").cast("long").alias("n_above_list"),
+    )
+    return cells.select(
+        "p_brand",
+        "n_lines",
+        F.expr("CAST((sc * 1000000) div sq AS BIGINT)").alias(
+            "realized_unit_micro"
+        ),
+        F.expr("CAST((slq * 1000000) div sq AS BIGINT)").alias(
+            "list_unit_micro"
+        ),
+        F.expr("CAST((sc * 1000000) div slq AS BIGINT)").alias(
+            "realization_ratio_micro"
+        ),
+        "n_above_list",
+    ).orderBy("p_brand")
+
+
+_LIST_REALIZED_SQL = """
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(p.p_retailprice * 100) AS BIGINT) AS list_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+cells AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS sc,
+         CAST(sum(q) AS BIGINT) AS sq,
+         CAST(sum(CAST(list_c AS HUGEINT) * q) AS HUGEINT) AS slq,
+         CAST(sum(CASE WHEN CAST(c AS HUGEINT) * 1000000
+                            > CAST(list_c AS HUGEINT) * 1000000 * q
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_above_list
+  FROM j GROUP BY p_brand
+)
+SELECT p_brand, n_lines,
+       CAST((sc * 1000000) // sq AS BIGINT) AS realized_unit_micro,
+       CAST((slq * 1000000) // sq AS BIGINT) AS list_unit_micro,
+       CAST((sc * 1000000) // slq AS BIGINT) AS realization_ratio_micro,
+       n_above_list
+FROM cells ORDER BY p_brand
+"""
+
+
+def orders_winback_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win-back census — reactivations per order year: orders placed
+    after the same customer had been silent for MORE than 180 days
+    (the lapsed threshold), the volume a win-back campaign would claim
+    credit for, next to each year's total orders and the reactivation
+    share. One lag window per customer (|orders| rows), then a
+    year-domain census."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), F.col("o_orderkey")
+    )
+    lagged = o.select(
+        F.year(F.to_date("o_orderdate")).cast("long").alias("year"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+        ).cast("long").alias("gap_days"),
+    )
+    return (
+        lagged.groupBy("year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum((F.col("gap_days") > 180).cast("long"))
+            .cast("long")
+            .alias("n_winbacks"),
+        )
+        .select(
+            "year",
+            "n_orders",
+            "n_winbacks",
+            F.expr("CAST((n_winbacks * 1000000) div n_orders AS BIGINT)").alias(
+                "winback_share_micro"
+            ),
+        )
+        .orderBy("year")
+    )
+
+
+_WINBACK_SQL = """
+WITH lagged AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS year,
+         date_diff('day',
+                   lag(CAST(o_orderdate AS DATE)) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN gap_days > 180 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_winbacks,
+       CAST((sum(CASE WHEN gap_days > 180 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS winback_share_micro
+FROM lagged GROUP BY year ORDER BY year
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -18942,6 +19188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the next rotation).
         "text_domain_fit_audit": text_domain_fit_audit,
         "agg_gini_by_year": agg_gini_by_year,
+        # Round-9 batch-21 oracled additions (never checked — queue
+        # for the next rotation).
+        "events_funnel_by_variant": events_funnel_by_variant,
+        "part_list_vs_realized_price": part_list_vs_realized_price,
+        "orders_winback_census": orders_winback_census,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -19383,6 +19634,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_qty_price_hist2d": _QTY_PRICE_HIST2D_SQL,
         "text_domain_fit_audit": _DOMAIN_FIT_SQL,
         "agg_gini_by_year": _GINI_BY_YEAR_SQL,
+        "events_funnel_by_variant": _FUNNEL_BY_VARIANT_SQL,
+        "part_list_vs_realized_price": _LIST_REALIZED_SQL,
+        "orders_winback_census": _WINBACK_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

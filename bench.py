@@ -367,6 +367,12 @@ HEADLINE = [
     # comparability.
     "text_domain_fit_audit",
     "agg_gini_by_year",
+    # round-9 batch 21: funnel-by-variant A/B readout, list-vs-
+    # realized price audit, win-back census — rows above remain
+    # unchanged for comparability.
+    "events_funnel_by_variant",
+    "part_list_vs_realized_price",
+    "orders_winback_census",
 ]
 
 
