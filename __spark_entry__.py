@@ -19050,6 +19050,133 @@ FROM lagged GROUP BY year ORDER BY year
 """
 
 
+def orders_quarter_end_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-end hockey stick — the sales-ops pathology metric: what
+    share of each quarter's revenue lands in its FINAL FIVE days
+    (pull-forward discounting and quota-push show up as a share far
+    above the ~5.5% a uniform quarter would give). One scan with the
+    quarter key and an in-window flag computed per row (quarter end =
+    quarter start + 3 months − 1 day, engine-portable date math), one
+    |quarters|-bounded census."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    qstart = F.trunc(d, "quarter")
+    qend = F.date_sub(F.add_months(qstart, 3), 1)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rows = o.select(
+        F.date_format(qstart, "yyyy-MM-dd").alias("quarter"),
+        cents.alias("c"),
+        (F.datediff(qend, d) <= 4).cast("long").alias("in_final5"),
+    )
+    return (
+        rows.groupBy("quarter")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("c").cast("long").alias("revenue_cents"),
+            F.sum(F.when(F.col("in_final5") == 1, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("final5_cents"),
+        )
+        .select(
+            "quarter",
+            "n_orders",
+            "revenue_cents",
+            "final5_cents",
+            F.expr(
+                "CAST((final5_cents * 1000000) div revenue_cents AS BIGINT)"
+            ).alias("final5_share_micro"),
+        )
+        .orderBy("quarter")
+    )
+
+
+_QUARTER_END_SQL = """
+WITH rows_ AS (
+  SELECT strftime(date_trunc('quarter', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+           AS quarter,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                   date_trunc('quarter', CAST(o_orderdate AS DATE))
+                     + INTERVAL 3 MONTH - INTERVAL 1 DAY) <= 4
+              THEN 1 ELSE 0 END AS in_final5
+  FROM orders
+)
+SELECT quarter,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(c) AS BIGINT) AS revenue_cents,
+       CAST(sum(CASE WHEN in_final5 = 1 THEN c ELSE 0 END) AS BIGINT)
+         AS final5_cents,
+       CAST((sum(CASE WHEN in_final5 = 1 THEN c ELSE 0 END) * 1000000)
+            // sum(c) AS BIGINT) AS final5_share_micro
+FROM rows_ GROUP BY quarter ORDER BY quarter
+"""
+
+
+def customer_topn_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customer concentration per nation — the account-risk
+    drill the global Pareto can't show: for each nation, the revenue
+    share held by its ten largest customers (key-account dependency).
+    The rank window is PARTITIONED by nation (parallel); totals and
+    top-10 sums come from one conditional aggregate over the ranked
+    |customers|-bounded frame; exact integral shares."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"), F.col("c_custkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("nationkey").orderBy(F.desc("rev"), F.asc("c_custkey"))
+    ranked = per.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+            F.sum(F.when(F.col("rk") <= 10, F.col("rev")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("top10_cents"),
+        )
+        .select(
+            "nationkey",
+            "n_customers",
+            "revenue_cents",
+            "top10_cents",
+            F.expr(
+                "CAST((top10_cents * 1000000) div revenue_cents AS BIGINT)"
+            ).alias("top10_share_micro"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_TOPN_CONCENTRATION_SQL = """
+WITH per AS (
+  SELECT c.c_nationkey AS nationkey, c.c_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nationkey, rev,
+         row_number() OVER (PARTITION BY nationkey
+                            ORDER BY rev DESC, c_custkey ASC) AS rk
+  FROM per
+)
+SELECT nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(rev) AS BIGINT) AS revenue_cents,
+       CAST(sum(CASE WHEN rk <= 10 THEN rev ELSE 0 END) AS BIGINT) AS top10_cents,
+       CAST((sum(CASE WHEN rk <= 10 THEN rev ELSE 0 END) * 1000000)
+            // sum(rev) AS BIGINT) AS top10_share_micro
+FROM ranked GROUP BY nationkey ORDER BY nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -19193,6 +19320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_by_variant": events_funnel_by_variant,
         "part_list_vs_realized_price": part_list_vs_realized_price,
         "orders_winback_census": orders_winback_census,
+        # Round-9 batch-22 oracled additions (never checked — queue
+        # for the next rotation).
+        "orders_quarter_end_effect": orders_quarter_end_effect,
+        "customer_topn_concentration": customer_topn_concentration,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -19637,6 +19768,8 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel_by_variant": _FUNNEL_BY_VARIANT_SQL,
         "part_list_vs_realized_price": _LIST_REALIZED_SQL,
         "orders_winback_census": _WINBACK_SQL,
+        "orders_quarter_end_effect": _QUARTER_END_SQL,
+        "customer_topn_concentration": _TOPN_CONCENTRATION_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

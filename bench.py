@@ -373,6 +373,11 @@ HEADLINE = [
     "events_funnel_by_variant",
     "part_list_vs_realized_price",
     "orders_winback_census",
+    # round-9 batch 22: quarter-end hockey-stick share, per-nation
+    # top-10 customer concentration — rows above remain unchanged for
+    # comparability.
+    "orders_quarter_end_effect",
+    "customer_topn_concentration",
 ]
 
 
