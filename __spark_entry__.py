@@ -19177,6 +19177,164 @@ FROM ranked GROUP BY nationkey ORDER BY nationkey
 """
 
 
+def supplier_cheapest_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-supplier scorecard — for every supplier, on how many of
+    the parts it ships is it the CHEAPEST source (by realized unit
+    price, exact micro-cents, suppkey tiebreak), and what share of its
+    catalogue that is: the procurement view that separates price
+    leaders from price takers. Per-(part, supplier) prices are one
+    fact aggregate; the cheapest flag is a rank window PARTITIONED by
+    part (parallel); the scorecard is one more |part·supplier|-bounded
+    aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sc"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sq"),
+    ).select(
+        "pk",
+        "sk",
+        F.expr("CAST((sc * 1000000) div sq AS BIGINT)").alias("unit_micro"),
+    )
+    w = Window.partitionBy("pk").orderBy(F.asc("unit_micro"), F.asc("sk"))
+    flagged = ps.withColumn("rk", F.row_number().over(w))
+    return (
+        flagged.groupBy(F.col("sk").alias("suppkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts_offered"),
+            F.sum((F.col("rk") == 1).cast("long")).cast("long").alias(
+                "n_parts_cheapest"
+            ),
+        )
+        .select(
+            "suppkey",
+            "n_parts_offered",
+            "n_parts_cheapest",
+            F.expr(
+                "CAST((n_parts_cheapest * 1000000) div n_parts_offered AS BIGINT)"
+            ).alias("cheapest_share_micro"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+_CHEAPEST_SHARE_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 1000000)
+              // sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS unit_micro
+  FROM lineitem GROUP BY 1, 2
+),
+flagged AS (
+  SELECT sk,
+         row_number() OVER (PARTITION BY pk
+                            ORDER BY unit_micro ASC, sk ASC) AS rk
+  FROM ps
+)
+SELECT sk AS suppkey,
+       CAST(count(*) AS BIGINT) AS n_parts_offered,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_parts_cheapest,
+       CAST((sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS cheapest_share_micro
+FROM flagged GROUP BY sk ORDER BY suppkey
+"""
+
+
+def text_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-vs-quality correlation per source — the filter-bias
+    audit: a strongly positive Pearson between token count and the
+    quality score means the quality floor is quietly a LENGTH floor
+    for that source (curation teams check this before blaming content
+    quality for a drop). Score snaps to exact ten-thousandths (it is
+    4-dp by contract), the five sums run exact with DECIMAL(38,0)/
+    HUGEINT cross-products, and r is ONE fixed-order double per
+    source, micro-floored, NULL on zero variance."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.text import (
+        with_quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(docs, "text").filter(F.col("n_tokens") > 0)
+    rows = scored.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("x"),
+        F.round(F.col("quality_score") * 10000).cast("long").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    sums = rows.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("syy"),
+    )
+    n = F.col("n_docs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    varx = n * F.col("sxx").cast("double") - sx * sx
+    vary = n * F.col("syy").cast("double") - sy * sy
+    return sums.select(
+        "source",
+        "n_docs",
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.floor(F.lit(1000000.0) * num / F.sqrt(varx * vary)).cast("long"),
+        ).alias("corr_micro"),
+    ).orderBy("source")
+
+
+_LENGTH_QUALITY_CORR_SQL = """
+WITH toks AS (
+  SELECT source, text,
+         regexp_split_to_array(trim(text), '\\s+') AS tk,
+         CAST(length(text) AS BIGINT) AS n_char
+  FROM documents
+), stats AS (
+  SELECT source,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         ROUND(CAST(n_char - length(regexp_replace(text, '[^\\p{L}\\p{N}_\\s]', '', 'g')) AS DOUBLE) / n_char, 4) AS punct_ratio,
+         ROUND(CAST(n_char - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_char, 4) AS digit_ratio
+  FROM toks
+), rows_ AS (
+  SELECT source, n_tokens AS x,
+         CAST(round(ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+              + 0.5 * (1.0 - least(punct_ratio * 5 + digit_ratio * 5, 1.0)), 4)
+              * 10000) AS BIGINT) AS y
+  FROM stats WHERE n_tokens > 0
+),
+sums AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM rows_ GROUP BY source
+)
+SELECT source, n_docs,
+       CASE WHEN CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+       THEN CAST(floor(1000000.0
+            * (CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)
+       ELSE NULL END AS corr_micro
+FROM sums ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -19324,6 +19482,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the next rotation).
         "orders_quarter_end_effect": orders_quarter_end_effect,
         "customer_topn_concentration": customer_topn_concentration,
+        # Round-9 batch-23 oracled additions (never checked — queue
+        # for the next rotation).
+        "supplier_cheapest_share": supplier_cheapest_share,
+        "text_length_quality_corr": text_length_quality_corr,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -19770,6 +19932,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_winback_census": _WINBACK_SQL,
         "orders_quarter_end_effect": _QUARTER_END_SQL,
         "customer_topn_concentration": _TOPN_CONCENTRATION_SQL,
+        "supplier_cheapest_share": _CHEAPEST_SHARE_SQL,
+        "text_length_quality_corr": _LENGTH_QUALITY_CORR_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -378,6 +378,11 @@ HEADLINE = [
     # comparability.
     "orders_quarter_end_effect",
     "customer_topn_concentration",
+    # round-9 batch 23: cheapest-supplier scorecard, length-vs-quality
+    # filter-bias correlation — rows above remain unchanged for
+    # comparability.
+    "supplier_cheapest_share",
+    "text_length_quality_corr",
 ]
 
 
