@@ -19335,6 +19335,116 @@ FROM sums ORDER BY source
 """
 
 
+def events_type_mix_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly categorical-mix drift monitor — per week, the JSD of the
+    event-TYPE mix against the FIRST week's mix (the baseline a
+    monitoring system freezes at launch): the trend form of the
+    point-in-time JSD/PSI family, the chart that shows drift
+    ACCUMULATING rather than a single before/after verdict. Cells are
+    the |weeks|·|types| census; per-cell contributions follow the
+    exact JSD scheme (fixed-order double over exact BIGINTs,
+    micro-nat-snapped BEFORE the per-week integer sum); the baseline
+    week rides a broadcast join."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.expr(
+        "CAST(datediff(to_date(ts), DATE'1970-01-01') div 7 AS BIGINT)"
+    )
+    cells = ev.groupBy(week.alias("week"), F.col("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wtot = cells.groupBy("week").agg(F.sum("c").cast("long").alias("n"))
+    w0 = wtot.agg(F.min("week").alias("_w0"))
+    base = (
+        cells.join(F.broadcast(w0), cells["week"] == F.col("_w0"))
+        .select(F.col("event_type"), F.col("c").alias("c0"))
+    )
+    base_tot = base.agg(F.sum("c0").cast("long").alias("n0"))
+    # Explicit week × type spine: a type ABSENT from some week still
+    # owes its q·ln(q/m) term that week (a join on observed cells
+    # alone would silently drop it); the spine is |weeks|·|types| —
+    # calendar × bounded domain.
+    types = cells.select("event_type").distinct()
+    spine = wtot.crossJoin(F.broadcast(types))
+    j = (
+        spine.join(cells, ["week", "event_type"], "left")
+        .join(F.broadcast(base), "event_type", "left")
+        .crossJoin(F.broadcast(base_tot))
+        .select(
+            "week",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+            "n",
+            F.coalesce(F.col("c0"), F.lit(0)).cast("long").alias("c0"),
+            "n0",
+        )
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("c0").cast("double") / F.col("n0")
+    m = (p + q) / 2
+    term = lambda x: F.when(x > 0, x * F.log(x / m)).otherwise(F.lit(0.0))  # noqa: E731
+    contrib = (term(p) + term(q)) / 2
+    scored = j.select(
+        "week",
+        "n",
+        F.round(contrib * 1000000).cast("long").alias("cm"),
+    )
+    return (
+        scored.groupBy("week", "n")
+        .agg(F.sum("cm").cast("long").alias("jsd_vs_week0_micronats"))
+        .select(
+            "week",
+            F.col("n").alias("n_events"),
+            "jsd_vs_week0_micronats",
+        )
+        .orderBy("week")
+    )
+
+
+_TYPE_MIX_DRIFT_SQL = """
+WITH cells AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT)
+           AS week,
+         event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+wtot AS (SELECT week, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY week),
+w0 AS (SELECT min(week) AS w0 FROM wtot),
+base AS (
+  SELECT event_type, c AS c0 FROM cells CROSS JOIN w0 WHERE cells.week = w0.w0
+),
+base_tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0 FROM base),
+spine AS (
+  SELECT wt.week, wt.n, t.event_type
+  FROM wtot wt CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+),
+j AS (
+  SELECT sp.week, CAST(coalesce(cl.c, 0) AS BIGINT) AS c, sp.n,
+         CAST(coalesce(b.c0, 0) AS BIGINT) AS c0, bt.n0
+  FROM spine sp
+  LEFT JOIN cells cl USING (week, event_type)
+  LEFT JOIN base b USING (event_type)
+  CROSS JOIN base_tot bt
+),
+scored AS (
+  SELECT week, n,
+         CAST(round(1000000 * (
+           (CASE WHEN CAST(c AS DOUBLE) / n > 0
+                 THEN (CAST(c AS DOUBLE) / n)
+                      * ln((CAST(c AS DOUBLE) / n)
+                           / (((CAST(c AS DOUBLE) / n) + (CAST(c0 AS DOUBLE) / n0)) / 2))
+                 ELSE 0.0 END
+            + CASE WHEN CAST(c0 AS DOUBLE) / n0 > 0
+                   THEN (CAST(c0 AS DOUBLE) / n0)
+                        * ln((CAST(c0 AS DOUBLE) / n0)
+                             / (((CAST(c AS DOUBLE) / n) + (CAST(c0 AS DOUBLE) / n0)) / 2))
+                   ELSE 0.0 END) / 2)) AS BIGINT) AS cm
+  FROM j
+)
+SELECT week, n AS n_events,
+       CAST(sum(cm) AS BIGINT) AS jsd_vs_week0_micronats
+FROM scored GROUP BY week, n ORDER BY week
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -19486,6 +19596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the next rotation).
         "supplier_cheapest_share": supplier_cheapest_share,
         "text_length_quality_corr": text_length_quality_corr,
+        # Round-9 batch-24 oracled addition (never checked — queue
+        # for the next rotation).
+        "events_type_mix_drift_weekly": events_type_mix_drift_weekly,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -19934,6 +20047,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_topn_concentration": _TOPN_CONCENTRATION_SQL,
         "supplier_cheapest_share": _CHEAPEST_SHARE_SQL,
         "text_length_quality_corr": _LENGTH_QUALITY_CORR_SQL,
+        "events_type_mix_drift_weekly": _TYPE_MIX_DRIFT_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -383,6 +383,10 @@ HEADLINE = [
     # comparability.
     "supplier_cheapest_share",
     "text_length_quality_corr",
+    # round-9 batch 24: weekly categorical-mix drift trend (JSD vs
+    # frozen baseline week) — rows above remain unchanged for
+    # comparability.
+    "events_type_mix_drift_weekly",
 ]
 
 
