@@ -19349,9 +19349,12 @@ def events_type_mix_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     week = F.expr(
         "CAST(datediff(to_date(ts), DATE'1970-01-01') div 7 AS BIGINT)"
     )
+    # cells feeds FOUR consumers (week totals, baseline slice, type
+    # domain, the spine join) — checkpoint the |weeks|·|types| frame
+    # so the event scan underneath runs once (16 exchanges → 7).
     cells = ev.groupBy(week.alias("week"), F.col("event_type")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     wtot = cells.groupBy("week").agg(F.sum("c").cast("long").alias("n"))
     w0 = wtot.agg(F.min("week").alias("_w0"))
     base = (
