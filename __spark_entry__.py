@@ -19448,6 +19448,122 @@ FROM scored GROUP BY week, n ORDER BY week
 """
 
 
+def events_entry_type_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point effectiveness — per session ENTRY event type (the
+    first event, event_id tiebreak), how often the session goes on to
+    contain a purchase: the landing-surface comparison a product team
+    reads next to the funnel (funnels condition on a fixed stage
+    sequence; this conditions on how the session STARTED). One
+    sessionize window + one per-session aggregate with a first_value
+    window on the same (user, session) partitioning, then an
+    |event-types|-bounded census."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        sessionize_by_gap,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_by_gap(ev, ["user_id"], "ts", 3600, "session_id")
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    flagged = s.withColumn("entry_type", F.first("event_type").over(w))
+    per = flagged.groupBy("user_id", "session_id", "entry_type").agg(
+        F.max((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("converted")
+    )
+    return (
+        per.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_converted",
+            F.expr(
+                "CAST((n_converted * 1000000) div n_sessions AS BIGINT)"
+            ).alias("conversion_micro"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+_ENTRY_TYPE_CONVERSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   > 3600
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+flagged AS (
+  SELECT user_id, session_id, event_type,
+         first_value(event_type) OVER (PARTITION BY user_id, session_id
+                                       ORDER BY ts, event_id) AS entry_type
+  FROM sess
+),
+per AS (
+  SELECT user_id, session_id, entry_type,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS converted
+  FROM flagged GROUP BY user_id, session_id, entry_type
+)
+SELECT entry_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       CAST((sum(converted) * 1000000) // count(*) AS BIGINT)
+         AS conversion_micro
+FROM per GROUP BY entry_type ORDER BY entry_type
+"""
+
+
+def multimodal_payload_size_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-size profile per source — the storage-ops view of the
+    binary-column plumbing: exact p50/p95 byte length and total bytes
+    per source (shard sizing, outlier-blob detection). One metadata
+    projection through attach_payload + a grouped exact percentile
+    (interpolated doubles identical in both engines — the agg_median
+    precedent)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.multimodal import (
+        attach_payload,
+        payload_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    meta = payload_metadata(attach_payload(docs, "text")).select(
+        "source", F.col("byte_len").cast("long").alias("b")
+    )
+    return (
+        meta.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_payloads"),
+            F.sum("b").cast("long").alias("total_bytes"),
+            F.percentile("b", F.lit(0.5)).alias("p50_bytes"),
+            F.percentile("b", F.lit(0.95)).alias("p95_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+_PAYLOAD_SIZE_PCTL_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_payloads,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       quantile_cont(CAST(octet_length(encode(text)) AS BIGINT), 0.5) AS p50_bytes,
+       quantile_cont(CAST(octet_length(encode(text)) AS BIGINT), 0.95) AS p95_bytes
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -19602,6 +19718,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round-9 batch-24 oracled addition (never checked — queue
         # for the next rotation).
         "events_type_mix_drift_weekly": events_type_mix_drift_weekly,
+        # Round-9 batch-25 oracled additions (never checked — queue
+        # for the next rotation).
+        "events_entry_type_conversion": events_entry_type_conversion,
+        "multimodal_payload_size_percentiles": multimodal_payload_size_percentiles,
         "join_levenshtein2_dirty_customers": join_levenshtein2_dirty_customers,
         # Round-9 batch-4 oracled additions (never checked =>
         # window-mandatory; displaced two more r2 re-checks).
@@ -20051,6 +20171,8 @@ def oracle_sql() -> dict[str, str]:
         "supplier_cheapest_share": _CHEAPEST_SHARE_SQL,
         "text_length_quality_corr": _LENGTH_QUALITY_CORR_SQL,
         "events_type_mix_drift_weekly": _TYPE_MIX_DRIFT_SQL,
+        "events_entry_type_conversion": _ENTRY_TYPE_CONVERSION_SQL,
+        "multimodal_payload_size_percentiles": _PAYLOAD_SIZE_PCTL_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -387,6 +387,11 @@ HEADLINE = [
     # frozen baseline week) — rows above remain unchanged for
     # comparability.
     "events_type_mix_drift_weekly",
+    # round-9 batch 25: session entry-type conversion, payload-size
+    # percentiles per source — rows above remain unchanged for
+    # comparability.
+    "events_entry_type_conversion",
+    "multimodal_payload_size_percentiles",
 ]
 
 
