@@ -392,6 +392,10 @@ HEADLINE = [
     # comparability.
     "events_entry_type_conversion",
     "multimodal_payload_size_percentiles",
+    # round-10 batch 1: cross-border trade balance, within-nation spend
+    # decile bands — rows above remain unchanged for comparability.
+    "supplier_nation_trade_balance",
+    "customer_spend_percentile_bands",
 ]
 
 

@@ -209,3 +209,26 @@ def test_every_oracle_parses_and_binds_in_duckdb():
         except Exception as exc:  # noqa: BLE001 - collect every failure
             bad.append(f"{name}: {str(exc).splitlines()[0]}")
     assert bad == [], "oracles that fail to parse/bind:\n" + "\n".join(bad)
+
+
+def test_pinned_oracle_scale_registry():
+    """The r9 advisor's ask, made machine-readable: every pinned-literal
+    oracle (holds at one scale only — HLL estimates, seeded sketch/ANN
+    rankings, the verbatim pretrain summary) must be listed in
+    PINNED_ORACLE_SF so tooling downgrades it to rows-only at other
+    scales instead of reporting a guaranteed false mismatch. Keys must
+    name real oracled queries; the check tool must parse the scale out
+    of a dir name and skip exactly when scales differ."""
+    pinned = entrymod.PINNED_ORACLE_SF
+    o = entrymod.oracle_sql()
+    assert set(pinned) <= set(o), set(pinned) - set(o)
+    assert all(v == 0.01 for v in pinned.values())  # the driver's gate scale
+    # the known pinned set — a new pin must be registered here too
+    assert "llm_pipeline_pretrain_corpus" in pinned
+    assert "agg_approx_distinct" in pinned
+
+    from tools.check_correctness import _sf_of
+
+    assert _sf_of("/root/testdata/sf0.01") == 0.01
+    assert _sf_of("/root/testdata/sf0.001/") == 0.001
+    assert _sf_of("/tmp/somewhere_else") is None
