@@ -19722,6 +19722,146 @@ FROM banded GROUP BY 1, 2 ORDER BY nation, decile
 """
 
 
+def text_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability profile per language — the classic
+    corpus-quality signal a pretraining pipeline thresholds on next to
+    length/punct ratios (too-low reading ease ≈ boilerplate or tag
+    soup, too-high ≈ fragment lists): per doc, reading ease
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) with a
+    vowel-group syllable proxy, then the per-language census (docs,
+    mean, p50).
+
+    Cross-engine determinism: words / sentence marks / vowel groups
+    are single-pass regexp_extract_all counts (the payload-entropy
+    lesson: never re-split per position); the per-doc double is IEEE-
+    identical in both engines and is frozen to micro units per row, so
+    the aggregate rides exact integer sums. Docs with zero words are
+    excluded by definition. Everything is one projection + one
+    |langs|-bounded aggregate."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    feats = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0)))
+        .cast("double")
+        .alias("w"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))),
+            F.lit(1),
+        )
+        .cast("double")
+        .alias("s"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0)))
+        .cast("double")
+        .alias("sy"),
+    ).filter(F.col("w") > 0)
+    scored = feats.select(
+        "lang",
+        F.round(
+            (
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("w") / F.col("s"))
+                - F.lit(84.6) * (F.col("sy") / F.col("w"))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("ease_micro"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("CAST(sum(ease_micro) div count(1) AS BIGINT)").alias(
+                "mean_ease_micro"
+            ),
+            F.percentile("ease_micro", F.lit(0.5)).alias("p50_ease_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+_READABILITY_SQL = """
+WITH feats AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE) AS w,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS sy
+  FROM documents
+),
+scored AS (
+  SELECT lang,
+         CAST(round((206.835 - 1.015 * (w / s) - 84.6 * (sy / w)) * 1000000)
+              AS BIGINT) AS ease_micro
+  FROM feats WHERE w > 0
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ease_micro) // count(*) AS BIGINT) AS mean_ease_micro,
+       quantile_cont(ease_micro, 0.5) AS p50_ease_micro
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
+def events_session_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry→exit transition matrix — where sessions START vs
+    where they END (the landing/exit-surface table a product team
+    reads next to the entry-conversion census, which only sees the
+    entry side): per (user, session), the first and last event types
+    (ts then event_id tiebreaks, both directions), collapsed to the
+    |types|²-bounded census. One sessionize window, then two
+    first_value windows over the SAME (user, session) partitioning
+    (one exchange serves all three), then the bounded aggregate."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        sessionize_by_gap,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_by_gap(ev, ["user_id"], "ts", 3600, "session_id")
+    wf = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id", "session_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    flagged = s.select(
+        "user_id",
+        "session_id",
+        F.first("event_type").over(wf).alias("entry_type"),
+        F.first("event_type").over(wl).alias("exit_type"),
+    ).distinct()
+    return (
+        flagged.groupBy("entry_type", "exit_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy("entry_type", "exit_type")
+    )
+
+
+_ENTRY_EXIT_MATRIX_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   > 3600
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+flagged AS (
+  SELECT DISTINCT user_id, session_id,
+         first_value(event_type) OVER (PARTITION BY user_id, session_id
+                                       ORDER BY ts, event_id) AS entry_type,
+         first_value(event_type) OVER (PARTITION BY user_id, session_id
+                                       ORDER BY ts DESC, event_id DESC) AS exit_type
+  FROM sess
+)
+SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions
+FROM flagged GROUP BY 1, 2 ORDER BY entry_type, exit_type
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -19818,7 +19958,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window-mandatory; displaced two re-checks past the marker).
         "supplier_nation_trade_balance": supplier_nation_trade_balance,
         "customer_spend_percentile_bands": customer_spend_percentile_bands,
-        # Slots 42-50: oldest-green re-checks — the first 9 (registry
+        # Round-10 batch-2 oracled additions (never checked =>
+        # window-mandatory; displaced two re-checks past the marker).
+        "text_readability_proxy": text_readability_proxy,
+        "events_session_entry_exit_matrix": events_session_entry_exit_matrix,
+        # Slots 44-50: oldest-green re-checks — the first 7 (registry
         # order) of the r2 set, whose only driver rows are 7 rounds
         # stale. Round-10 oracled additions displace these from the
         # tail as they land (never-checked => window-mandatory).
@@ -19829,10 +19973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_running_max_month": w4_running_max_month,
         "join_orders_customer": join_orders_customer,
         "w1_final_max_per_year": w1_final_max_per_year,
+        # ====== end of the driver 50-entry check window ======
+        # r2 re-checks displaced by round-10 batches 1-2:
         "join_broadcast_region_rollup": join_broadcast_region_rollup,
         "join_full_outer_order_counts": join_full_outer_order_counts,
-        # ====== end of the driver 50-entry check window ======
-        # r2 re-checks displaced by round-10 batch 1:
         "topk_orders_by_price": topk_orders_by_price,
         "topk_customers_per_segment": topk_customers_per_segment,
         # The full round-9 window — all 50 green in CORRECTNESS_r09
@@ -20303,6 +20447,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_payload_size_percentiles": _PAYLOAD_SIZE_PCTL_SQL,
         "supplier_nation_trade_balance": _TRADE_BALANCE_SQL,
         "customer_spend_percentile_bands": _SPEND_BANDS_SQL,
+        "text_readability_proxy": _READABILITY_SQL,
+        "events_session_entry_exit_matrix": _ENTRY_EXIT_MATRIX_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

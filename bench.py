@@ -396,6 +396,9 @@ HEADLINE = [
     # decile bands — rows above remain unchanged for comparability.
     "supplier_nation_trade_balance",
     "customer_spend_percentile_bands",
+    # round-10 batch 2: readability profile, session entry/exit matrix.
+    "text_readability_proxy",
+    "events_session_entry_exit_matrix",
 ]
 
 
