@@ -19862,6 +19862,179 @@ FROM flagged GROUP BY 1, 2 ORDER BY entry_type, exit_type
 """
 
 
+def orders_interarrival_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-cadence regularity census — XYZ classification's
+    customer-side companion (part_xyz_classification scores PART demand
+    variability; this scores CUSTOMER purchase rhythm, the signal a
+    replenishment/churn model keys on): per repeat customer (≥3
+    orders → ≥2 gaps), the coefficient of variation of inter-order
+    day gaps, bucketed regular (cv < 0.5) / semi (< 1.0) / irregular,
+    plus each bucket's mean gap.
+
+    All-integer determinism: gaps are exact day diffs from one lag
+    window per customer ((o_orderdate, o_orderkey) total order); with
+    n gaps, S = Σg, Q = Σg², cv² = (nQ − S²)/S², so the bucket tests
+    are the exact integer comparisons 4(nQ − S²) < S² and
+    (nQ − S²) < S² — no float ever materializes. Q rides
+    DECIMAL(38,0)/HUGEINT; output is 3-bounded."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            "o_orderkey",
+        )
+        .select(
+            "o_custkey",
+            F.datediff(
+                "d", F.lag("d").over(Window.partitionBy("o_custkey").orderBy("d", "o_orderkey"))
+            )
+            .cast("long")
+            .alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    per = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("s"),
+        F.sum((F.col("gap") * F.col("gap")).cast("decimal(38,0)")).alias("q"),
+    ).filter((F.col("n") >= 2) & (F.col("s") > 0))
+    classed = per.select(
+        "n",
+        "s",
+        F.expr(
+            "CASE WHEN 4 * (CAST(n AS DECIMAL(38,0)) * q"
+            "          - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))"
+            "        < CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"
+            "     THEN 'regular'"
+            "     WHEN (CAST(n AS DECIMAL(38,0)) * q"
+            "          - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))"
+            "        < CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"
+            "     THEN 'semi' ELSE 'irregular' END"
+        ).alias("regularity"),
+    )
+    return (
+        classed.groupBy("regularity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            # exact integral division on wide decimals — `div` returns
+            # BIGINT and wraps (the agg_anova_f_weekday trap)
+            F.expr(
+                "CAST(CAST((CAST(sum(s) AS DECIMAL(38,0)) * 1000000"
+                " - pmod(CAST(sum(s) AS DECIMAL(38,0)) * 1000000,"
+                "        CAST(sum(n) AS DECIMAL(38,0))))"
+                " / CAST(sum(n) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("mean_gap_days_micro"),
+        )
+        .orderBy("regularity")
+    )
+
+
+_INTERARRIVAL_REGULARITY_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              lag(CAST(o_orderdate AS DATE))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS gap
+  FROM orders
+),
+per AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gap) AS BIGINT) AS s,
+         CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS q
+  FROM gaps WHERE gap IS NOT NULL GROUP BY 1
+),
+classed AS (
+  SELECT n, s,
+         CASE WHEN 4 * (n * q - CAST(s AS HUGEINT) * s)
+                 < CAST(s AS HUGEINT) * s THEN 'regular'
+              WHEN (n * q - CAST(s AS HUGEINT) * s)
+                 < CAST(s AS HUGEINT) * s THEN 'semi'
+              ELSE 'irregular' END AS regularity
+  FROM per WHERE n >= 2 AND s > 0
+)
+SELECT regularity,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(CAST(sum(s) AS HUGEINT) * 1000000 // sum(n) AS BIGINT)
+         AS mean_gap_days_micro
+FROM classed GROUP BY 1 ORDER BY regularity
+"""
+
+
+def part_brand_price_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand price-premium index — the category-management ranking
+    "which brands price above the market and by how much": per brand,
+    catalog size, mean retail price, and the premium of the brand's
+    mean over the GLOBAL mean in micro-units (brand_mean/global_mean,
+    exact integral division).
+
+    The cross-engine trap is the ratio of two averages: both fold to
+    cents longs first, and premium = (brand_cents · global_n · 10⁶)
+    div (global_cents · brand_n) rides DECIMAL(38,0)/HUGEINT (the
+    products pass int64 at catalog scale — the agg_gini_by_year wrap
+    rule). One |brands|-bounded aggregate + one broadcast of the
+    1-row global cell."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    brand = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    glob = brand.agg(
+        F.sum("n_parts").cast("long").alias("gn"),
+        F.sum("sum_cents").cast("long").alias("gs"),
+    )
+    return (
+        brand.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("p_brand").alias("brand"),
+            "n_parts",
+            F.expr("CAST(sum_cents * 1000000 div n_parts AS BIGINT)").alias(
+                "mean_price_micro_cents"
+            ),
+            # numerator ~1e20 at sf0.1 — exact integral division on wide
+            # decimals via the pmod idiom (`div` wraps past int64)
+            F.expr(
+                "CAST(CAST((CAST(sum_cents AS DECIMAL(38,0)) * gn * 1000000"
+                " - pmod(CAST(sum_cents AS DECIMAL(38,0)) * gn * 1000000,"
+                "        CAST(gs AS DECIMAL(38,0)) * n_parts))"
+                " / (CAST(gs AS DECIMAL(38,0)) * n_parts) AS DECIMAL(38,0))"
+                " AS BIGINT)"
+            ).alias("premium_micro"),
+        )
+        .orderBy("brand")
+    )
+
+
+_BRAND_PREMIUM_SQL = """
+WITH p AS (
+  SELECT p_brand, CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part
+),
+brand AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM p GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_parts) AS BIGINT) AS gn,
+         CAST(sum(sum_cents) AS BIGINT) AS gs
+  FROM brand
+)
+SELECT b.p_brand AS brand, b.n_parts,
+       CAST(b.sum_cents * 1000000 // b.n_parts AS BIGINT)
+         AS mean_price_micro_cents,
+       CAST(CAST(b.sum_cents AS HUGEINT) * g.gn * 1000000
+            // (CAST(g.gs AS HUGEINT) * b.n_parts) AS BIGINT) AS premium_micro
+FROM brand b CROSS JOIN tot g
+ORDER BY brand
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -19962,7 +20135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window-mandatory; displaced two re-checks past the marker).
         "text_readability_proxy": text_readability_proxy,
         "events_session_entry_exit_matrix": events_session_entry_exit_matrix,
-        # Slots 44-50: oldest-green re-checks — the first 7 (registry
+        # Round-10 batch-3 oracled additions (never checked =>
+        # window-mandatory; displaced two re-checks past the marker).
+        "orders_interarrival_regularity": orders_interarrival_regularity,
+        "part_brand_price_premium": part_brand_price_premium,
+        # Slots 46-50: oldest-green re-checks — the first 5 (registry
         # order) of the r2 set, whose only driver rows are 7 rounds
         # stale. Round-10 oracled additions displace these from the
         # tail as they land (never-checked => window-mandatory).
@@ -19971,10 +20148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_count_window_avg": w2_count_window_avg,
         "w3_rows_between_breaches": w3_rows_between_breaches,
         "w4_running_max_month": w4_running_max_month,
+        # ====== end of the driver 50-entry check window ======
+        # r2 re-checks displaced by round-10 batches 1-3:
         "join_orders_customer": join_orders_customer,
         "w1_final_max_per_year": w1_final_max_per_year,
-        # ====== end of the driver 50-entry check window ======
-        # r2 re-checks displaced by round-10 batches 1-2:
         "join_broadcast_region_rollup": join_broadcast_region_rollup,
         "join_full_outer_order_counts": join_full_outer_order_counts,
         "topk_orders_by_price": topk_orders_by_price,
@@ -20449,6 +20626,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_spend_percentile_bands": _SPEND_BANDS_SQL,
         "text_readability_proxy": _READABILITY_SQL,
         "events_session_entry_exit_matrix": _ENTRY_EXIT_MATRIX_SQL,
+        "orders_interarrival_regularity": _INTERARRIVAL_REGULARITY_SQL,
+        "part_brand_price_premium": _BRAND_PREMIUM_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -399,6 +399,10 @@ HEADLINE = [
     # round-10 batch 2: readability profile, session entry/exit matrix.
     "text_readability_proxy",
     "events_session_entry_exit_matrix",
+    # round-10 batch 3: order-cadence regularity census, brand price
+    # premium index.
+    "orders_interarrival_regularity",
+    "part_brand_price_premium",
 ]
 
 
