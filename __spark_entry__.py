@@ -20035,6 +20035,315 @@ ORDER BY brand
 """
 
 
+# Poisson(1) CDF thresholds scaled to 2^32 (floor(CDF(k)·2^32), k=0..8):
+# a 32-bit seeded hash u maps to replicate weight k = #{t : u >= t}.
+# P(k>8) < 1.2e-9 — the tail is capped at 9 with negligible bias, and
+# BOTH engines evaluate the identical integer comparisons.
+_POISSON1_THRESHOLDS = [
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+    4292415291, 4294609777, 4294923276, 4294962463,
+]
+
+
+def agg_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean order value — the
+    bootstrap that actually runs at 100 TB (classic resample-n-rows
+    needs global coordination; Poisson(1) per-row replicate weights
+    need none and are the standard industrial substitute): B = 64
+    deterministic replicates, each row's weight in replicate b drawn
+    by inverting the Poisson(1) CDF at a seeded 32-bit hash of
+    (orderkey, b), so the whole resample plan is reproducible across
+    engines, partitions, and reruns (the hash_split property applied
+    to resampling). Output: exact point mean plus the p2.5/p16/p84/
+    p97.5 of the 64 replicate means.
+
+    Scale shape: the orders×64 expansion is generated AND partially
+    aggregated map-side (weights are arithmetic, not state), so the
+    shuffle carries only 64·|partitions| partial cells; the quantile
+    runs over a 64-row frame. Means are exact integral divisions of
+    cents sums; only the final interpolated quantile is a double
+    (identical in both engines — the percentile precedent)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    reps = o.select(
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("b"),
+        "o_orderkey",
+    ).select(
+        "b",
+        "cents",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":boot:"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    k = sum(
+        (F.col("u") >= F.lit(t)).cast("long") for t in _POISSON1_THRESHOLDS
+    ).alias("k")
+    cells = (
+        reps.select("b", "cents", k)
+        .groupBy("b")
+        .agg(
+            F.sum("k").cast("long").alias("n"),
+            F.sum(F.col("k") * F.col("cents")).cast("long").alias("s"),
+        )
+        .select(F.expr("CAST((s * 1000000) div n AS BIGINT)").alias("mean_micro"))
+    )
+    point = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr(
+            "CAST((sum(cents) * 1000000) div count(1) AS BIGINT)"
+        ).alias("point_mean_micro"),
+    )
+    ci = cells.agg(
+        F.percentile("mean_micro", F.lit(0.025)).alias("p025_micro"),
+        F.percentile("mean_micro", F.lit(0.16)).alias("p16_micro"),
+        F.percentile("mean_micro", F.lit(0.84)).alias("p84_micro"),
+        F.percentile("mean_micro", F.lit(0.975)).alias("p975_micro"),
+    )
+    return point.crossJoin(F.broadcast(ci))
+
+
+_BOOTSTRAP_CI_SQL_TEMPLATE = """
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+reps AS (
+  SELECT b.b, o.cents,
+         ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':boot:'
+                             || CAST(b.b AS VARCHAR)), 1, 8))::BIGINT AS u
+  FROM o CROSS JOIN (SELECT unnest(range(1, 65)) AS b) b
+),
+cells AS (
+  SELECT b,
+         CAST(sum({K_EXPR}) AS BIGINT) AS n,
+         CAST(sum({K_EXPR} * cents) AS BIGINT) AS s
+  FROM reps GROUP BY b
+),
+means AS (
+  SELECT CAST((s * 1000000) // n AS BIGINT) AS mean_micro FROM cells
+),
+point AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST((sum(cents) * 1000000) // count(*) AS BIGINT) AS point_mean_micro
+  FROM o
+)
+SELECT p.n_orders, p.point_mean_micro,
+       ci.p025_micro, ci.p16_micro, ci.p84_micro, ci.p975_micro
+FROM point p CROSS JOIN (
+  SELECT quantile_cont(mean_micro, 0.025) AS p025_micro,
+         quantile_cont(mean_micro, 0.16) AS p16_micro,
+         quantile_cont(mean_micro, 0.84) AS p84_micro,
+         quantile_cont(mean_micro, 0.975) AS p975_micro
+  FROM means
+) ci
+"""
+
+_BOOTSTRAP_CI_SQL = _BOOTSTRAP_CI_SQL_TEMPLATE.replace(
+    "{K_EXPR}",
+    "(" + " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _POISSON1_THRESHOLDS
+    ) + ")",
+)
+
+
+def events_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B lift — the industry-standard
+    experiment readout upgrade (events_ab_test_readout prints the raw
+    two-proportion z; CUPED regresses out each user's PRE-period
+    behaviour so the same data yields a tighter interval): the corpus
+    is split at its epoch midpoint into pre/post windows, each user
+    gets x = pre-period value cents and y = post-period value cents,
+    θ = cov(x,y)/var(x) is fit on ALL users (pooled, as prescribed),
+    and each variant's adjusted mean is mean(y_v) − θ·(mean(x_v) −
+    mean(x)). Output: one row with both raw and CUPED lifts plus the
+    theoretical variance-reduction ρ².
+
+    Determinism: every input to the final formula is an exact integer
+    (counts, cents sums, DECIMAL(38,0) cross-products); θ, the lifts,
+    and ρ² are each ONE fixed-order double expression micro-floored —
+    the part_xyz_classification scheme. Two per-user aggregates + a
+    1-row wide cell; variant is the md5 hash band."""
+    ev = _t(spark, sf_dir, "events")
+    # floor-div midpoint (never `/2` + cast: Spark truncates, DuckDB
+    # rounds — an event on the odd-sum cut second would flip windows)
+    span = ev.agg(
+        F.expr(
+            "CAST((min(unix_timestamp(ts)) + max(unix_timestamp(ts))) div 2"
+            " AS LONG)"
+        ).alias("cut")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.when(
+                F.unix_timestamp("ts") < F.col("cut"),
+                F.round(F.col("value") * 100).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("xc"),
+            F.when(
+                F.unix_timestamp("ts") >= F.col("cut"),
+                F.round(F.col("value") * 100).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("yc"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("xc").cast("long").alias("x"),
+            F.sum("yc").cast("long").alias("y"),
+        )
+        .select(
+            "x",
+            "y",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.col("user_id").cast("string"), F.lit(":cuped7"))
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("v"),
+        )
+    )
+    wide = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("v") == 0, F.col("x"))).cast("long").alias("sxa"),
+        F.sum(F.when(F.col("v") == 0, F.col("y"))).cast("long").alias("sya"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("v") == 1, F.col("x"))).cast("long").alias("sxb"),
+        F.sum(F.when(F.col("v") == 1, F.col("y"))).cast("long").alias("syb"),
+    )
+    # one fixed-order double block, micro-floored (identical text in SQL)
+    return wide.selectExpr(
+        "na",
+        "nb",
+        "CAST(floor(1000000.0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) AS BIGINT)"
+        " AS theta_micro",
+        "CAST(floor(1000000.0 * (CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE))) AS BIGINT)"
+        " AS lift_raw_micro",
+        "CAST(floor(1000000.0 * ((CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE))"
+        " - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+        " * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)))) AS BIGINT)"
+        " AS lift_cuped_micro",
+        "CAST(floor(1000000.0 * (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))) AS BIGINT)"
+        " AS rho2_micro",
+    )
+
+
+_CUPED_SQL = """
+WITH span AS (
+  SELECT CAST((min(epoch(ts)) + max(epoch(ts))) // 2 AS BIGINT) AS cut FROM events
+),
+per AS (
+  SELECT e.user_id,
+         CAST(sum(CASE WHEN epoch(e.ts) < s.cut
+                       THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN epoch(e.ts) >= s.cut
+                       THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events e CROSS JOIN span s
+  GROUP BY e.user_id
+),
+tagged AS (
+  SELECT x, y,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':cuped7'), 1, 8))::BIGINT
+           % 2 AS v
+  FROM per
+),
+wide AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN v = 0 THEN x END) AS BIGINT) AS sxa,
+         CAST(sum(CASE WHEN v = 0 THEN y END) AS BIGINT) AS sya,
+         CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN v = 1 THEN x END) AS BIGINT) AS sxb,
+         CAST(sum(CASE WHEN v = 1 THEN y END) AS BIGINT) AS syb
+  FROM tagged
+)
+SELECT na, nb,
+       CAST(floor(1000000.0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) AS BIGINT)
+         AS theta_micro,
+       CAST(floor(1000000.0 * (CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+            - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE))) AS BIGINT)
+         AS lift_raw_micro,
+       CAST(floor(1000000.0 * ((CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+            - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE))
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+            - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)))) AS BIGINT)
+         AS lift_cuped_micro,
+       CAST(floor(1000000.0 * (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+            / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))) AS BIGINT)
+         AS rho2_micro
+FROM wide
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -20139,17 +20448,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window-mandatory; displaced two re-checks past the marker).
         "orders_interarrival_regularity": orders_interarrival_regularity,
         "part_brand_price_premium": part_brand_price_premium,
-        # Slots 46-50: oldest-green re-checks — the first 5 (registry
+        # Round-10 batch-4 oracled additions (never checked =>
+        # window-mandatory; displaced two re-checks past the marker).
+        "agg_bootstrap_ci_revenue": agg_bootstrap_ci_revenue,
+        "events_cuped_adjusted_lift": events_cuped_adjusted_lift,
+        # Slots 48-50: oldest-green re-checks — the first 3 (registry
         # order) of the r2 set, whose only driver rows are 7 rounds
         # stale. Round-10 oracled additions displace these from the
         # tail as they land (never-checked => window-mandatory).
         "q1_pricing_summary": q1_pricing_summary,
         "w1_running_max_price": w1_running_max_price,
         "w2_count_window_avg": w2_count_window_avg,
+        # ====== end of the driver 50-entry check window ======
+        # r2 re-checks displaced by round-10 batches 1-4:
         "w3_rows_between_breaches": w3_rows_between_breaches,
         "w4_running_max_month": w4_running_max_month,
-        # ====== end of the driver 50-entry check window ======
-        # r2 re-checks displaced by round-10 batches 1-3:
         "join_orders_customer": join_orders_customer,
         "w1_final_max_per_year": w1_final_max_per_year,
         "join_broadcast_region_rollup": join_broadcast_region_rollup,
@@ -20628,6 +20941,8 @@ def oracle_sql() -> dict[str, str]:
         "events_session_entry_exit_matrix": _ENTRY_EXIT_MATRIX_SQL,
         "orders_interarrival_regularity": _INTERARRIVAL_REGULARITY_SQL,
         "part_brand_price_premium": _BRAND_PREMIUM_SQL,
+        "agg_bootstrap_ci_revenue": _BOOTSTRAP_CI_SQL,
+        "events_cuped_adjusted_lift": _CUPED_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

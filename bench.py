@@ -403,6 +403,9 @@ HEADLINE = [
     # premium index.
     "orders_interarrival_regularity",
     "part_brand_price_premium",
+    # round-10 batch 4: Poisson-bootstrap CI, CUPED adjusted lift.
+    "agg_bootstrap_ci_revenue",
+    "events_cuped_adjusted_lift",
 ]
 
 
