@@ -20344,6 +20344,192 @@ FROM wide
 """
 
 
+def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding — the missing half of the
+    FAISS-style ANN toolkit (IVF partitions the corpus; PQ compresses
+    the residual vectors to a few bytes so a 100 TB index fits in
+    memory): the 64-dim embedding splits into 4 sub-blocks of 16, each
+    block gets a 16-centroid codebook (the sub-vectors of the first 16
+    vectors by vec_id — the seeded-sample scheme the IVF codebook
+    uses), and every vector's block is assigned to its nearest
+    centroid by exact L2². Output: (vec_id, block, code, dist2) — the
+    code table an ADC scorer would scan.
+
+    Determinism: distances fold SEQUENTIALLY over dimensions in both
+    engines (F.aggregate ↔ list_sum(list_transform), the cosine-oracle
+    scheme), ties break to the smaller centroid id, dist2 rounds to
+    4 dp. Plan: the 64-row codebook broadcasts; the corpus explodes to
+    4 sub-blocks map-side and the argmin is a grouped min over a
+    (dist2, code) struct — corpus×16 comparisons, never a shuffle of
+    the distance matrix."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blocks = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).cast("long").alias("block"),
+                    F.slice("embedding", b * 16 + 1, 16).alias("sub"),
+                )
+                for b in range(4)
+            ])
+        ).alias("sb"),
+    ).select("vec_id", "sb.block", "sb.sub")
+    codebook = (
+        emb.filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).cast("long").alias("block"),
+                        F.slice("embedding", b * 16 + 1, 16).alias("cvec"),
+                    )
+                    for b in range(4)
+                ])
+            ).alias("cb"),
+        )
+        .select("code", "cb.block", "cb.cvec")
+    )
+    dist2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                "sub",
+                "cvec",
+                lambda a, c: (a.cast("double") - c.cast("double"))
+                * (a.cast("double") - c.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    scored = blocks.join(F.broadcast(codebook), "block").select(
+        "vec_id", "block", F.struct(dist2.alias("d"), F.col("code")).alias("dc")
+    )
+    best = scored.groupBy("vec_id", "block").agg(F.min("dc").alias("dc"))
+    return best.select(
+        "vec_id", "block", F.col("dc.code").alias("code"), F.col("dc.d").alias("dist2")
+    ).orderBy("vec_id", "block")
+
+
+_PQ_CODES_SQL = """
+WITH blocks AS (
+  SELECT vec_id, b.block, embedding[b.block * 16 + 1 : b.block * 16 + 16] AS sub
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS block) b
+),
+codebook AS (
+  SELECT vec_id AS code, b.block,
+         embedding[b.block * 16 + 1 : b.block * 16 + 16] AS cvec
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS block) b
+  WHERE vec_id < 16
+),
+scored AS (
+  SELECT bl.vec_id, bl.block, cb.code,
+         ROUND(list_sum(list_transform(range(1, 17),
+               i -> (CAST(bl.sub[i] AS DOUBLE) - CAST(cb.cvec[i] AS DOUBLE))
+                  * (CAST(bl.sub[i] AS DOUBLE) - CAST(cb.cvec[i] AS DOUBLE)))), 4)
+           AS dist2
+  FROM blocks bl JOIN codebook cb ON bl.block = cb.block
+)
+SELECT vec_id, CAST(block AS BIGINT) AS block, code, dist2
+FROM (
+  SELECT vec_id, block, code, dist2,
+         row_number() OVER (PARTITION BY vec_id, block
+                            ORDER BY dist2 ASC, code ASC) AS rk
+  FROM scored
+)
+WHERE rk = 1
+ORDER BY vec_id, block
+"""
+
+
+def events_markov_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event baseline accuracy — the sanity bar every sequence
+    model must beat (events_markov_stationary fits the chain; this
+    EVALUATES the argmax-transition predictor): for each current event
+    type, the majority next type (count desc, type asc tiebreak) is
+    the prediction, and the output is the per-type accuracy census
+    over all observed transitions. In-sample by construction — it is
+    the Bayes-optimal memorized 1-gram baseline, the number a model
+    card quotes as 'majority baseline'.
+
+    One lead window per user (ts, event_id total order), a |types|²
+    census, an argmax row_number over that bounded census, then a
+    broadcast join back onto the census — the raw pair stream is never
+    shuffled twice. All-integer output."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    census = pairs.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wbest = Window.partitionBy("cur").orderBy(F.desc("cnt"), F.asc("nxt"))
+    pred = (
+        census.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    return (
+        census.join(F.broadcast(pred), "cur")
+        .groupBy("cur", "predicted")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_transitions"),
+            F.sum(F.when(F.col("nxt") == F.col("predicted"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "cur",
+            "predicted",
+            "n_transitions",
+            "n_correct",
+            F.expr("CAST((n_correct * 1000000) div n_transitions AS BIGINT)").alias(
+                "accuracy_micro"
+            ),
+        )
+        .orderBy("cur")
+    )
+
+
+_MARKOV_PRED_EVAL_SQL = """
+WITH pairs AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+census AS (
+  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+pred AS (
+  SELECT cur, nxt AS predicted
+  FROM (
+    SELECT cur, nxt, row_number() OVER (PARTITION BY cur
+                                        ORDER BY cnt DESC, nxt ASC) AS rk
+    FROM census
+  ) WHERE rk = 1
+)
+SELECT c.cur, p.predicted,
+       CAST(sum(c.cnt) AS BIGINT) AS n_transitions,
+       CAST(sum(CASE WHEN c.nxt = p.predicted THEN c.cnt ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST((sum(CASE WHEN c.nxt = p.predicted THEN c.cnt ELSE 0 END) * 1000000)
+            // sum(c.cnt) AS BIGINT) AS accuracy_micro
+FROM census c JOIN pred p ON c.cur = p.cur
+GROUP BY 1, 2 ORDER BY c.cur
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -20452,15 +20638,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window-mandatory; displaced two re-checks past the marker).
         "agg_bootstrap_ci_revenue": agg_bootstrap_ci_revenue,
         "events_cuped_adjusted_lift": events_cuped_adjusted_lift,
-        # Slots 48-50: oldest-green re-checks — the first 3 (registry
+        # Round-10 batch-5 oracled additions (never checked =>
+        # window-mandatory; displaced two re-checks past the marker).
+        "similarity_pq_codes": similarity_pq_codes,
+        "events_markov_prediction_eval": events_markov_prediction_eval,
+        # Slot 50: oldest-green re-check — the first (registry
         # order) of the r2 set, whose only driver rows are 7 rounds
         # stale. Round-10 oracled additions displace these from the
         # tail as they land (never-checked => window-mandatory).
         "q1_pricing_summary": q1_pricing_summary,
+        # ====== end of the driver 50-entry check window ======
+        # r2 re-checks displaced by round-10 batches 1-5:
         "w1_running_max_price": w1_running_max_price,
         "w2_count_window_avg": w2_count_window_avg,
-        # ====== end of the driver 50-entry check window ======
-        # r2 re-checks displaced by round-10 batches 1-4:
         "w3_rows_between_breaches": w3_rows_between_breaches,
         "w4_running_max_month": w4_running_max_month,
         "join_orders_customer": join_orders_customer,
@@ -20943,6 +21133,8 @@ def oracle_sql() -> dict[str, str]:
         "part_brand_price_premium": _BRAND_PREMIUM_SQL,
         "agg_bootstrap_ci_revenue": _BOOTSTRAP_CI_SQL,
         "events_cuped_adjusted_lift": _CUPED_SQL,
+        "similarity_pq_codes": _PQ_CODES_SQL,
+        "events_markov_prediction_eval": _MARKOV_PRED_EVAL_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

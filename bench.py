@@ -406,6 +406,9 @@ HEADLINE = [
     # round-10 batch 4: Poisson-bootstrap CI, CUPED adjusted lift.
     "agg_bootstrap_ci_revenue",
     "events_cuped_adjusted_lift",
+    # round-10 batch 5: product-quantization codes, Markov baseline eval.
+    "similarity_pq_codes",
+    "events_markov_prediction_eval",
 ]
 
 
