@@ -20530,6 +20530,153 @@ GROUP BY 1, 2 ORDER BY c.cur
 """
 
 
+def window_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the eval twin of the
+    Holt-Winters fit (window_holtwinters_daily_revenue FITS a model;
+    a forecasting pipeline also needs the BASELINE it must beat, and
+    seasonal-naive "this month = same month last year" is that
+    baseline): per target year, the MAPE and signed bias of
+    forecasting each month's revenue with the month 12 steps earlier.
+
+    One monthly rollup (map-side combinable), one lag(12) over the
+    month sequence — a single-partition window over the CALENDAR-
+    bounded month spine (the documented exception rule: |months|,
+    never data volume), then a |years|-bounded error census. Errors
+    ride exact cents; MAPE/bias are exact integral micro divisions."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year(F.to_date("o_orderdate")).cast("long").alias("y"),
+        F.month(F.to_date("o_orderdate")).cast("long").alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w = Window.orderBy("y", "m")
+    back = monthly.withColumn("fc", F.lag("rev", 12).over(w)).filter(
+        F.col("fc").isNotNull()
+    )
+    return (
+        back.groupBy(F.col("y").alias("year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+            F.sum(F.abs(F.col("rev") - F.col("fc"))).cast("long").alias("abs_err_cents"),
+            F.sum(F.col("rev") - F.col("fc")).cast("long").alias("err_cents"),
+            F.sum("rev").cast("long").alias("actual_cents"),
+        )
+        .select(
+            "year",
+            "n_months",
+            F.expr("CAST((abs_err_cents * 1000000) div actual_cents AS BIGINT)").alias(
+                "mape_micro"
+            ),
+            F.expr(
+                "CAST((err_cents * 1000000) div actual_cents AS BIGINT)"
+            ).alias("bias_micro"),
+        )
+        .orderBy("year")
+    )
+
+
+_SEASONAL_NAIVE_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+),
+back AS (
+  SELECT y, m, rev, lag(rev, 12) OVER (ORDER BY y, m) AS fc FROM monthly
+)
+SELECT y AS year,
+       CAST(count(*) AS BIGINT) AS n_months,
+       CAST((sum(abs(rev - fc)) * 1000000) // sum(rev) AS BIGINT) AS mape_micro,
+       CAST((sum(rev - fc) * 1000000) // sum(rev) AS BIGINT) AS bias_micro
+FROM back WHERE fc IS NOT NULL
+GROUP BY y ORDER BY year
+"""
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation — what
+    sample_stratified_langs SHOULD draw when strata differ in variance
+    (proportional allocation is optimal only for equal variances; the
+    eval-budget question "how many docs per language" has Neyman's
+    n_h ∝ N_h·σ_h as its minimum-variance answer): per language
+    stratum, the population, the Neyman weight, and the allocated
+    sizes for a 1 000-doc budget, next to proportional allocation for
+    comparison.
+
+    Determinism: N_h·σ_h = √(N_h·ΣX² − (ΣX)²) exactly, so the weight
+    is ONE sqrt of an exact integer (DECIMAL(38,0)/HUGEINT product),
+    micro-floored BEFORE the budget split — the final allocations are
+    exact integral divisions of longs. One |langs|-bounded aggregate,
+    one 1-row total broadcast."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("x")
+    )
+    strata = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("q"),
+    )
+    weighted = strata.select(
+        "lang",
+        "n_pop",
+        F.expr(
+            "CAST(floor(sqrt(CAST(CAST(n_pop AS DECIMAL(38,0)) * q"
+            " - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"
+            " AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("weight_micro"),
+    )
+    tot = weighted.agg(
+        F.sum("weight_micro").cast("long").alias("wt"),
+        F.sum("n_pop").cast("long").alias("nt"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_pop",
+            "weight_micro",
+            F.expr(
+                "CAST(CAST((CAST(weight_micro AS DECIMAL(38,0)) * 1000"
+                " - pmod(CAST(weight_micro AS DECIMAL(38,0)) * 1000,"
+                "        CAST(wt AS DECIMAL(38,0))))"
+                " / CAST(wt AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("n_neyman"),
+            F.expr("CAST((n_pop * 1000) div nt AS BIGINT)").alias("n_proportional"),
+        )
+        .orderBy("lang")
+    )
+
+
+_NEYMAN_SQL = """
+WITH strata AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_pop,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS q
+  FROM documents GROUP BY 1
+),
+weighted AS (
+  SELECT lang, n_pop,
+         CAST(floor(sqrt(CAST(n_pop * q - CAST(s AS HUGEINT) * s AS DOUBLE))
+                    * 1000000) AS BIGINT) AS weight_micro
+  FROM strata
+),
+tot AS (
+  SELECT CAST(sum(weight_micro) AS BIGINT) AS wt,
+         CAST(sum(n_pop) AS BIGINT) AS nt
+  FROM weighted
+)
+SELECT w.lang, w.n_pop, w.weight_micro,
+       CAST(CAST(w.weight_micro AS HUGEINT) * 1000 // t.wt AS BIGINT) AS n_neyman,
+       CAST((w.n_pop * 1000) // t.nt AS BIGINT) AS n_proportional
+FROM weighted w CROSS JOIN tot t
+ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -20642,12 +20789,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window-mandatory; displaced two re-checks past the marker).
         "similarity_pq_codes": similarity_pq_codes,
         "events_markov_prediction_eval": events_markov_prediction_eval,
-        # Slot 50: oldest-green re-check — the first (registry
-        # order) of the r2 set, whose only driver rows are 7 rounds
-        # stale. Round-10 oracled additions displace these from the
-        # tail as they land (never-checked => window-mandatory).
-        "q1_pricing_summary": q1_pricing_summary,
+        # Round-10 batch-6 oracled additions: the first takes slot 50
+        # (displacing the last re-check — the window is now 100%
+        # never-checked entries); the second is never-checked OVERFLOW
+        # and queues just past the marker for the next rotation.
+        "window_seasonal_naive_backtest": window_seasonal_naive_backtest,
         # ====== end of the driver 50-entry check window ======
+        # Round-10 batch-6 never-checked overflow (the backlog now
+        # exceeds the window; next rotation's first pick):
+        "sample_neyman_allocation": sample_neyman_allocation,
+        # r2 re-check displaced by round-10 batch 6:
+        "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
         "w1_running_max_price": w1_running_max_price,
         "w2_count_window_avg": w2_count_window_avg,
@@ -21135,6 +21287,8 @@ def oracle_sql() -> dict[str, str]:
         "events_cuped_adjusted_lift": _CUPED_SQL,
         "similarity_pq_codes": _PQ_CODES_SQL,
         "events_markov_prediction_eval": _MARKOV_PRED_EVAL_SQL,
+        "window_seasonal_naive_backtest": _SEASONAL_NAIVE_SQL,
+        "sample_neyman_allocation": _NEYMAN_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -409,6 +409,9 @@ HEADLINE = [
     # round-10 batch 5: product-quantization codes, Markov baseline eval.
     "similarity_pq_codes",
     "events_markov_prediction_eval",
+    # round-10 batch 6: seasonal-naive backtest, Neyman allocation.
+    "window_seasonal_naive_backtest",
+    "sample_neyman_allocation",
 ]
 
 
