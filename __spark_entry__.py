@@ -20677,6 +20677,176 @@ ORDER BY lang
 """
 
 
+def customer_nation_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-pair trade affinity lift — market-basket lift applied to
+    the macro flow matrix (supplier_nation_trade_balance nets the
+    flows; this asks WHICH supplier→customer nation pairs trade more
+    than independence predicts, the diagonal being the home-bias
+    measurement): lift = flow·grand / (row_total·col_total) in micro
+    units, exact.
+
+    Same single lineitem⋈orders shuffle + broadcast dims as the
+    balance query, collapsed to the ≤|nations|² cell census before any
+    arithmetic; the marginals are window sums over that bounded frame
+    (one pass — the unpartitioned grand window is |nations|²-bounded,
+    the documented exception rule; a join-per-marginal first cut
+    re-ran the big join per branch, ×8 slower) and the lift quotient
+    rides DECIMAL(38,0)/HUGEINT with the exact pmod integral division
+    (numerator ~1e30 at sf0.1)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .groupBy("s_nationkey", "c_nationkey")
+        .agg(F.sum("rev_cents").cast("long").alias("flow"))
+    )
+    # marginals as window sums over the ≤|nations|²-bounded census —
+    # ONE pass, no per-marginal join branch re-running the big join
+    # (the first cut joined cells against three derived frames and
+    # paid the lineitem⋈orders pipeline per branch)
+    marg = cells.select(
+        "s_nationkey",
+        "c_nationkey",
+        "flow",
+        F.sum("flow").over(Window.partitionBy("s_nationkey")).cast("long").alias("row_tot"),
+        F.sum("flow").over(Window.partitionBy("c_nationkey")).cast("long").alias("col_tot"),
+        F.sum("flow").over(Window.partitionBy()).cast("long").alias("grand"),
+    )
+    ns = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    nc = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    return (
+        marg.join(F.broadcast(ns), marg["s_nationkey"] == ns["snk"])
+        .join(F.broadcast(nc), marg["c_nationkey"] == nc["cnk"])
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "flow",
+            F.expr(
+                "CAST(CAST((CAST(flow AS DECIMAL(38,0)) * grand * 1000000"
+                " - pmod(CAST(flow AS DECIMAL(38,0)) * grand * 1000000,"
+                "        CAST(row_tot AS DECIMAL(38,0)) * col_tot))"
+                " / (CAST(row_tot AS DECIMAL(38,0)) * col_tot)"
+                " AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+_AFFINITY_LIFT_SQL = """
+WITH cells AS (
+  SELECT s.s_nationkey, c.c_nationkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS flow
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT s_nationkey AS rk, CAST(sum(flow) AS BIGINT) AS row_tot
+  FROM cells GROUP BY 1
+),
+cols_ AS (
+  SELECT c_nationkey AS ck, CAST(sum(flow) AS BIGINT) AS col_tot
+  FROM cells GROUP BY 1
+),
+tot AS (SELECT CAST(sum(flow) AS BIGINT) AS grand FROM cells)
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, ce.flow,
+       CAST(CAST(ce.flow AS HUGEINT) * t.grand * 1000000
+            // (CAST(r.row_tot AS HUGEINT) * co.col_tot) AS BIGINT) AS lift_micro
+FROM cells ce
+JOIN rows_ r ON ce.s_nationkey = r.rk
+JOIN cols_ co ON ce.c_nationkey = co.ck
+CROSS JOIN tot t
+JOIN nation ns ON ce.s_nationkey = ns.n_nationkey
+JOIN nation nc ON ce.c_nationkey = nc.n_nationkey
+ORDER BY supp_nation, cust_nation
+"""
+
+
+def agg_mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per year — the significance companion
+    to the Theil–Sen slope (agg_theilsen_slope_nation estimates the
+    slope; MK says whether a monotone trend EXISTS, distribution-free):
+    per year, S = Σ_{i<j} sign(x_j − x_i) over that year's daily
+    revenues, and the normal-approximation z with the no-ties
+    variance n(n−1)(2n+5)/18 (exact-cents daily sums make ties
+    vanishingly rare; a tie contributes 0 to S either way).
+
+    The pairwise comparison is a within-year self-join over the
+    CALENDAR-bounded day spine (≤366² cells per year — the documented
+    bounded-input exception, never data volume). S and n are exact
+    integers; z is ONE fixed-order double, milli-floored."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.year(F.to_date("o_orderdate")).cast("long").alias("y"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    a = daily.select(F.col("y"), F.col("d").alias("di"), F.col("rev").alias("xi"))
+    b = daily.select(F.col("y").alias("yb"), F.col("d").alias("dj"), F.col("rev").alias("xj"))
+    pairs = a.join(b, (a["y"] == b["yb"]) & (a["di"] < b["dj"]))
+    cells = pairs.groupBy("y").agg(
+        F.sum(F.signum(F.col("xj") - F.col("xi")).cast("long")).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    ndays = daily.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        cells.join(ndays, "y")
+        .selectExpr(
+            "y AS year",
+            "n AS n_days",
+            "s AS mk_s",
+            "CAST(floor(1000.0 * (CAST(s AS DOUBLE)"
+            " - CAST(sign(CAST(s AS DOUBLE)) AS DOUBLE))"
+            " / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
+            " * (2.0 * CAST(n AS DOUBLE) + 5.0) / 18.0)) AS BIGINT) AS z_milli",
+        )
+        .orderBy("year")
+    )
+
+
+_MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+         CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+),
+cells AS (
+  SELECT a.y,
+         CAST(sum(CAST(sign(b.rev - a.rev) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM daily a JOIN daily b ON a.y = b.y AND a.d < b.d
+  GROUP BY 1
+),
+ndays AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1)
+SELECT c.y AS year, nd.n AS n_days, c.s AS mk_s,
+       CAST(floor(1000.0 * (CAST(c.s AS DOUBLE)
+            - CAST(sign(CAST(c.s AS DOUBLE)) AS DOUBLE))
+            / sqrt(CAST(nd.n AS DOUBLE) * (CAST(nd.n AS DOUBLE) - 1.0)
+            * (2.0 * CAST(nd.n AS DOUBLE) + 5.0) / 18.0)) AS BIGINT) AS z_milli
+FROM cells c JOIN ndays nd ON c.y = nd.y
+ORDER BY year
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -20795,9 +20965,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and queues just past the marker for the next rotation.
         "window_seasonal_naive_backtest": window_seasonal_naive_backtest,
         # ====== end of the driver 50-entry check window ======
-        # Round-10 batch-6 never-checked overflow (the backlog now
-        # exceeds the window; next rotation's first pick):
+        # Round-10 batch-6+ never-checked overflow (the backlog now
+        # exceeds the window; next rotation's first picks):
         "sample_neyman_allocation": sample_neyman_allocation,
+        "customer_nation_affinity_lift": customer_nation_affinity_lift,
+        "agg_mann_kendall_daily_revenue": agg_mann_kendall_daily_revenue,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -21289,6 +21461,8 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_prediction_eval": _MARKOV_PRED_EVAL_SQL,
         "window_seasonal_naive_backtest": _SEASONAL_NAIVE_SQL,
         "sample_neyman_allocation": _NEYMAN_SQL,
+        "customer_nation_affinity_lift": _AFFINITY_LIFT_SQL,
+        "agg_mann_kendall_daily_revenue": _MANN_KENDALL_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -412,6 +412,9 @@ HEADLINE = [
     # round-10 batch 6: seasonal-naive backtest, Neyman allocation.
     "window_seasonal_naive_backtest",
     "sample_neyman_allocation",
+    # round-10 batch 7: nation-pair affinity lift, Mann-Kendall trend.
+    "customer_nation_affinity_lift",
+    "agg_mann_kendall_daily_revenue",
 ]
 
 
