@@ -896,7 +896,17 @@ def session_close_stream(
         if last.tzinfo is None:
             last = last.tz_localize(session_tz)
         deadline = last + datetime.timedelta(milliseconds=gap_ms)
-        state.setTimeoutTimestamp(int(deadline.timestamp() * 1000))
+        deadline_ms = int(deadline.timestamp() * 1000)
+        # If the watermark has ALREADY passed last+gap (a quiet key whose
+        # data arrived in a late micro-batch), setting the timer would
+        # throw INVALID_TIMEOUT_TIMESTAMP — and the session is provably
+        # closed anyway (any future event has ts >= watermark >= last+gap
+        # and would open a NEW session), so emit it now.
+        if deadline_ms <= state.getCurrentWatermarkMs():
+            state.remove()
+            yield emit(*cur)
+            return
+        state.setTimeoutTimestamp(deadline_ms)
 
     return (
         df.withWatermark(ts_col, watermark)
@@ -1367,4 +1377,105 @@ def burst_rate_stream(
     ).withColumn("_b_n", F.col(ts_col).isNull())
     return staged.groupBy(*keys).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def session_entry_exit_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    gap: str = "30 seconds",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Gap-session ENTRY/EXIT tracker — session_close_stream's
+    landing/exit-surface sibling (that one folds counts and sums; this
+    carries the first and last event TYPE so the live system can feed
+    the entry→exit matrix the batch side computes in
+    events_session_entry_exit_matrix): per closed session,
+    (key..., entry_type, exit_type).
+
+    Same event-time-timeout contract as session_close_stream: a
+    session closes by data (next event past gap) or by timer
+    (watermark past last + gap), and open sessions are never emitted.
+    First/last tracking orders by (ts, id) — the SAME total order the
+    batch twin's two first_value windows use — so chunked replay
+    equals batch replay even when a micro-batch splits a tie."""
+    import datetime
+
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [
+            StructField("entry_type", StringType()),
+            StructField("exit_type", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("entry_type", StringType()),
+            StructField("exit_type", StringType()),
+            StructField("first_ts", TimestampType()),
+            StructField("first_id", LongType()),
+            StructField("last_ts", TimestampType()),
+            StructField("last_id", LongType()),
+        ]
+    )
+    keys = list(key_cols)
+    gap_ms = _duration_to_ms(gap)
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+
+    def fold(key, pdfs, state: GroupState):
+        def emit(cur):
+            out = pd.DataFrame({k: [kv] for k, kv in zip(keys, key)})
+            out["entry_type"] = [cur[0]]
+            out["exit_type"] = [cur[1]]
+            return out
+
+        if state.hasTimedOut:
+            cur = list(state.get)
+            state.remove()
+            yield emit(cur)
+            return
+
+        chunks = [c for c in pdfs if len(c)]
+        pdf = pd.concat(chunks, ignore_index=True).sort_values([ts_col, id_col])
+        cur = list(state.get) if state.exists else None
+        for _, row in pdf.iterrows():
+            ts = row[ts_col]
+            eid = int(row[id_col])
+            et = row[type_col]
+            if cur is not None and (ts - cur[4]).total_seconds() * 1000 > gap_ms:
+                yield emit(cur)
+                cur = None
+            if cur is None:
+                cur = [et, et, ts, eid, ts, eid]
+            else:
+                # ties inside one batch are pre-sorted; across batches the
+                # (ts, id) comparison keeps the earliest/latest winner
+                if (ts, eid) < (cur[2], cur[3]):
+                    cur[0], cur[2], cur[3] = et, ts, eid
+                if (ts, eid) >= (cur[4], cur[5]):
+                    cur[1], cur[4], cur[5] = et, ts, eid
+        state.update(tuple(cur))
+        last = cur[4]
+        if last.tzinfo is None:
+            last = last.tz_localize(session_tz)
+        deadline = last + datetime.timedelta(milliseconds=gap_ms)
+        deadline_ms = int(deadline.timestamp() * 1000)
+        # same late-key clamp as session_close_stream: a deadline the
+        # watermark already passed is a provably closed session — emit
+        # now instead of throwing INVALID_TIMEOUT_TIMESTAMP
+        if deadline_ms <= state.getCurrentWatermarkMs():
+            state.remove()
+            yield emit(cur)
+            return
+        state.setTimeoutTimestamp(deadline_ms)
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
     )

@@ -1186,3 +1186,84 @@ def read_peak_concurrency(spark, root: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "peak_concurrency")
         .orderBy("day")
     )
+
+
+def streaming_entry_exit_census(
+    df: DataFrame,
+    root: str,
+    key_cols: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    gap: str = "3600 seconds",
+    watermark: str = "10 seconds",
+) -> None:
+    """Streaming entry→exit matrix — the live half of
+    events_session_entry_exit_matrix: CLOSED sessions (gap + event-time
+    timers via session_entry_exit_stream) fold into an additive
+    (entry_type, exit_type) → count census. Only the |types|²-bounded
+    matrix is state; cross-batch merge is cell-wise addition (the
+    PSI/error-rate census-store shape — retry-idempotent). Once every
+    session has closed, the drained matrix is BIT-IDENTICAL to the
+    batch query's — pytest-pinned with a sentinel-key drain. Read with
+    :func:`read_entry_exit_matrix`."""
+    import glob
+    import os
+
+    from .stateful import session_entry_exit_stream
+
+    closed = session_entry_exit_stream(
+        df, key_cols, ts_col, id_col, type_col, gap=gap, watermark=watermark
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = batch_df.groupBy("entry_type", "exit_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        prior_dirs = [
+            p
+            for p in glob.glob(os.path.join(root, "b=*"))
+            if int(p.rsplit("=", 1)[1]) < batch_id
+        ]
+        if prior_dirs:
+            latest = max(prior_dirs, key=lambda p: int(p.rsplit("=", 1)[1]))
+            prev = spark.read.parquet(latest)
+            cur = (
+                cur.withColumnRenamed("n", "_new")
+                .join(
+                    prev.withColumnRenamed("n", "_old"),
+                    ["entry_type", "exit_type"],
+                    "full_outer",
+                )
+                .select(
+                    "entry_type",
+                    "exit_type",
+                    (
+                        F.coalesce(F.col("_new"), F.lit(0))
+                        + F.coalesce(F.col("_old"), F.lit(0))
+                    ).cast("long").alias("n"),
+                )
+            )
+        cur.write.mode("overwrite").parquet(os.path.join(root, f"b={batch_id}"))
+
+    run_stream_foreach_batch(closed, _ingest, output_mode="append")
+
+
+def read_entry_exit_matrix(spark, root: str) -> DataFrame:
+    """Entry→exit matrix over a :func:`streaming_entry_exit_census`
+    store — the drained census, shaped exactly like the batch
+    events_session_entry_exit_matrix output."""
+    import glob
+    import os
+
+    dirs = sorted(
+        glob.glob(os.path.join(root, "b=*")), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    if not dirs:
+        raise FileNotFoundError(f"no entry/exit censuses under {root}")
+    return (
+        spark.read.parquet(dirs[-1])
+        .select("entry_type", "exit_type", F.col("n").alias("n_sessions"))
+        .orderBy("entry_type", "exit_type")
+    )

@@ -2621,3 +2621,84 @@ def test_streaming_concurrency_census_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert want["2024-03-01"] == 3 and want["2024-03-02"] == 1
+
+
+def test_streaming_entry_exit_census_matches_batch(spark, tmp_path):
+    """Streaming entry→exit twin: closed sessions (gap + event-time
+    timers) fold into an additive (entry, exit) census, and once a
+    sentinel key has advanced the watermark past every real session's
+    last+gap, read_entry_exit_matrix equals the BATCH
+    events_session_entry_exit_matrix on the same (real) events —
+    including a same-timestamp tie broken by event_id on both sides."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    import __spark_entry__ as entrymod
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.windows import (
+        read_entry_exit_matrix,
+        streaming_entry_exit_census,
+    )
+
+    def t(d, h, m):
+        return dt.datetime(2024, 3, d, h, m)
+
+    # (event_id, user, ts, type): user 1 has two sessions (gap > 1h);
+    # user 2's session ENDS on a ts tie (ids 6/7) — exit must be the
+    # HIGHER event_id's type in both engines.
+    real = [
+        (1, 1, t(1, 10, 0), "view"),
+        (2, 1, t(1, 10, 30), "purchase"),
+        (3, 1, t(1, 13, 0), "search"),      # new session (2.5 h gap)
+        (4, 1, t(1, 13, 10), "view"),
+        (5, 2, t(1, 9, 0), "click"),
+        (6, 2, t(1, 9, 20), "view"),
+        (7, 2, t(1, 9, 20), "purchase"),    # tie with id 6
+    ]
+    sentinel = [
+        (98, 99, dt.datetime(2024, 3, 12, 0, 0, 0), "click"),
+        (99, 99, dt.datetime(2024, 3, 12, 0, 1, 0), "click"),
+    ]
+    in_dir = str(tmp_path / "ee_in")
+    os.makedirs(in_dir)
+    files = [real[:4], real[4:], sentinel[:1], sentinel[1:]]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"f{i}"))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "f*"))
+    )
+    root = str(tmp_path / "ee_root")
+    streaming_entry_exit_census(
+        stream, root, ["user_id"], "ts", "event_id", "event_type",
+        gap="3600 seconds", watermark="10 seconds",
+    )
+    got = {
+        (r["entry_type"], r["exit_type"]): r["n_sessions"]
+        for r in read_entry_exit_matrix(spark, root).collect()
+    }
+
+    sf_dir = str(tmp_path / "ee_fix")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, ts, u, et, 1.0, "{}") for (i, u, ts, et) in real],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "events.parquet"))
+    want = {
+        (r["entry_type"], r["exit_type"]): r["n_sessions"]
+        for r in entrymod.events_session_entry_exit_matrix(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want[("view", "purchase")] == 1   # user 1 session 1
+    assert want[("search", "view")] == 1     # user 1 session 2
+    # user 2: exit is the HIGHER event_id of the 9:20 tie (purchase,
+    # id 7 — not view, id 6) on BOTH sides
+    assert want[("click", "purchase")] == 1
