@@ -20847,6 +20847,194 @@ ORDER BY year
 """
 
 
+def diag_cross_table_ratio_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table volume-ratio drift audit — the ingest monitor that
+    catches a HALF-broken pipeline (row counts alone look fine when
+    orders landed but their lineitems didn't; the lineitem/orders
+    RATIO is the invariant): per order month, both row counts, the
+    ratio in micro units, and a flag when the month deviates more than
+    20% from the corpus median ratio.
+
+    Two map-side month censuses (lineitem keyed by its order's month
+    would need the join — shipdate month is the honest per-table
+    partition key each side owns), a full-outer month align, and the
+    median over the CALENDAR-bounded month frame broadcast as one row.
+    The 20% test multiplies out to |5·(r − med)| > med so no division
+    touches the flag."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    om = o.groupBy(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("order_rows"))
+    lm = li.groupBy(
+        F.date_format(F.to_date("l_shipdate"), "yyyy-MM").alias("month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("lineitem_rows"))
+    aligned = om.join(lm, "month", "full_outer").select(
+        "month",
+        F.coalesce("order_rows", F.lit(0)).cast("long").alias("order_rows"),
+        F.coalesce("lineitem_rows", F.lit(0)).cast("long").alias("lineitem_rows"),
+    )
+    ratioed = aligned.withColumn(
+        "ratio_micro",
+        F.expr(
+            "CASE WHEN order_rows > 0"
+            " THEN CAST((lineitem_rows * 1000000) div order_rows AS BIGINT) END"
+        ),
+    )
+    med = ratioed.agg(F.percentile("ratio_micro", F.lit(0.5)).alias("med"))
+    return (
+        ratioed.crossJoin(F.broadcast(med))
+        .select(
+            "month",
+            "order_rows",
+            "lineitem_rows",
+            "ratio_micro",
+            (
+                F.col("ratio_micro").isNull()
+                | (
+                    F.abs(F.lit(5.0) * (F.col("ratio_micro") - F.col("med")))
+                    > F.col("med")
+                )
+            ).alias("drift_flag"),
+        )
+        .orderBy("month")
+    )
+
+
+_CROSS_TABLE_RATIO_SQL = """
+WITH om AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         CAST(count(*) AS BIGINT) AS order_rows
+  FROM orders GROUP BY 1
+),
+lm AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+         CAST(count(*) AS BIGINT) AS lineitem_rows
+  FROM lineitem GROUP BY 1
+),
+aligned AS (
+  SELECT coalesce(om.month, lm.month) AS month,
+         CAST(coalesce(om.order_rows, 0) AS BIGINT) AS order_rows,
+         CAST(coalesce(lm.lineitem_rows, 0) AS BIGINT) AS lineitem_rows
+  FROM om FULL OUTER JOIN lm ON om.month = lm.month
+),
+ratioed AS (
+  SELECT month, order_rows, lineitem_rows,
+         CASE WHEN order_rows > 0
+              THEN CAST((lineitem_rows * 1000000) // order_rows AS BIGINT) END
+           AS ratio_micro
+  FROM aligned
+),
+med AS (SELECT quantile_cont(ratio_micro, 0.5) AS med FROM ratioed)
+SELECT r.month, r.order_rows, r.lineitem_rows, r.ratio_micro,
+       (r.ratio_micro IS NULL
+        OR abs(5.0 * (r.ratio_micro - m.med)) > m.med) AS drift_flag
+FROM ratioed r CROSS JOIN med m
+ORDER BY month
+"""
+
+
+def customer_balance_spend_quadrant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance × realized-spend quadrant census — the quick
+    answer to "does the balance field actually predict revenue?" a
+    CRM team wants before using balance as a targeting feature: each
+    customer with orders lands in a 2×2 quadrant (above/below the
+    median account balance × above/below the median lifetime spend),
+    and the output is the 4-row census with each quadrant's spend
+    share. Independence would put ~25% of customers in each cell;
+    diagonal excess is the predictive signal.
+
+    One per-customer spend rollup + a broadcast 1-row frame carrying
+    BOTH medians (exact interpolated percentiles, identical doubles in
+    both engines); spend share is an exact integral micro division."""
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend_cents")
+        )
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+    )
+    meds = per.agg(
+        F.percentile("bal_cents", F.lit(0.5)).alias("mb"),
+        F.percentile("spend_cents", F.lit(0.5)).alias("ms"),
+    )
+    tagged = per.crossJoin(F.broadcast(meds)).select(
+        F.concat(
+            F.when(F.col("bal_cents") > F.col("mb"), F.lit("hi_bal")).otherwise(
+                F.lit("lo_bal")
+            ),
+            F.lit("/"),
+            F.when(F.col("spend_cents") > F.col("ms"), F.lit("hi_spend")).otherwise(
+                F.lit("lo_spend")
+            ),
+        ).alias("quadrant"),
+        "spend_cents",
+    )
+    cells = tagged.groupBy("quadrant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend_cents").cast("long").alias("quad_cents"),
+    )
+    tot = cells.agg(F.sum("quad_cents").cast("long").alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "quadrant",
+            "n_customers",
+            "quad_cents",
+            F.expr(
+                "CAST(CAST((CAST(quad_cents AS DECIMAL(38,0)) * 1000000"
+                " - pmod(CAST(quad_cents AS DECIMAL(38,0)) * 1000000,"
+                "        CAST(t AS DECIMAL(38,0))))"
+                " / CAST(t AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("spend_share_micro"),
+        )
+        .orderBy("quadrant")
+    )
+
+
+_BALANCE_SPEND_QUADRANT_SQL = """
+WITH per AS (
+  SELECT o.o_custkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents,
+         CAST(round(any_value(c.c_acctbal) * 100) AS BIGINT) AS bal_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+meds AS (
+  SELECT quantile_cont(bal_cents, 0.5) AS mb,
+         quantile_cont(spend_cents, 0.5) AS ms
+  FROM per
+),
+tagged AS (
+  SELECT (CASE WHEN p.bal_cents > m.mb THEN 'hi_bal' ELSE 'lo_bal' END
+          || '/' ||
+          CASE WHEN p.spend_cents > m.ms THEN 'hi_spend' ELSE 'lo_spend' END)
+           AS quadrant,
+         p.spend_cents
+  FROM per p CROSS JOIN meds m
+),
+cells AS (
+  SELECT quadrant, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(spend_cents) AS BIGINT) AS quad_cents
+  FROM tagged GROUP BY 1
+),
+tot AS (SELECT CAST(sum(quad_cents) AS BIGINT) AS t FROM cells)
+SELECT c.quadrant, c.n_customers, c.quad_cents,
+       CAST(CAST(c.quad_cents AS HUGEINT) * 1000000 // t.t AS BIGINT)
+         AS spend_share_micro
+FROM cells c CROSS JOIN tot t
+ORDER BY quadrant
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -20970,6 +21158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_neyman_allocation": sample_neyman_allocation,
         "customer_nation_affinity_lift": customer_nation_affinity_lift,
         "agg_mann_kendall_daily_revenue": agg_mann_kendall_daily_revenue,
+        "diag_cross_table_ratio_audit": diag_cross_table_ratio_audit,
+        "customer_balance_spend_quadrant": customer_balance_spend_quadrant,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -21463,6 +21653,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_neyman_allocation": _NEYMAN_SQL,
         "customer_nation_affinity_lift": _AFFINITY_LIFT_SQL,
         "agg_mann_kendall_daily_revenue": _MANN_KENDALL_SQL,
+        "diag_cross_table_ratio_audit": _CROSS_TABLE_RATIO_SQL,
+        "customer_balance_spend_quadrant": _BALANCE_SPEND_QUADRANT_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -415,6 +415,9 @@ HEADLINE = [
     # round-10 batch 7: nation-pair affinity lift, Mann-Kendall trend.
     "customer_nation_affinity_lift",
     "agg_mann_kendall_daily_revenue",
+    # round-10 batch 8: cross-table ratio audit, balance/spend quadrant.
+    "diag_cross_table_ratio_audit",
+    "customer_balance_spend_quadrant",
 ]
 
 
