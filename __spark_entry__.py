@@ -21035,6 +21035,203 @@ ORDER BY quadrant
 """
 
 
+def orders_growth_accounting_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting waterfall — the decomposition every revenue
+    review runs on the YoY delta (agg_yoy_revenue_growth prints the
+    net; this says WHERE it came from): per consecutive year pair,
+    the delta splits exactly into NEW (customers with revenue this
+    year, none last), CHURNED (the reverse, negative), EXPANSION
+    (existing customers who grew) and CONTRACTION (existing who
+    shrank), with new − churned + expansion − contraction ≡ net by
+    construction.
+
+    One (customer, year) cents rollup, one self-align on (custkey,
+    year+1) — an equi-join on the rollup, never on raw orders — then
+    a |year-pairs|-bounded census. All-integer."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy(
+        F.col("o_custkey").alias("ck"),
+        F.year(F.to_date("o_orderdate")).cast("long").alias("y"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    cur = per.select("ck", F.col("y").alias("yr"), F.col("rev").alias("rc"))
+    prv = per.select("ck", (F.col("y") + 1).alias("yr"), F.col("rev").alias("rp"))
+    aligned = cur.join(prv, ["ck", "yr"], "full_outer").select(
+        "yr",
+        F.coalesce("rc", F.lit(0)).cast("long").alias("rc"),
+        F.coalesce("rp", F.lit(0)).cast("long").alias("rp"),
+    )
+    years = per.agg(
+        F.min("y").cast("long").alias("y0"), F.max("y").cast("long").alias("y1")
+    )
+    return (
+        aligned.crossJoin(F.broadcast(years))
+        .filter((F.col("yr") > F.col("y0")) & (F.col("yr") <= F.col("y1")))
+        .groupBy(F.col("yr").alias("year"))
+        .agg(
+            F.sum(F.when(F.col("rp") == 0, F.col("rc")).otherwise(0))
+            .cast("long")
+            .alias("new_cents"),
+            F.sum(F.when(F.col("rc") == 0, F.col("rp")).otherwise(0))
+            .cast("long")
+            .alias("churned_cents"),
+            F.sum(
+                F.when(
+                    (F.col("rp") > 0) & (F.col("rc") > F.col("rp")),
+                    F.col("rc") - F.col("rp"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("expansion_cents"),
+            F.sum(
+                F.when(
+                    (F.col("rc") > 0) & (F.col("rp") > F.col("rc")),
+                    F.col("rp") - F.col("rc"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("contraction_cents"),
+        )
+        .withColumn(
+            "net_cents",
+            (
+                F.col("new_cents")
+                - F.col("churned_cents")
+                + F.col("expansion_cents")
+                - F.col("contraction_cents")
+            ).cast("long"),
+        )
+        .orderBy("year")
+    )
+
+
+_GROWTH_WATERFALL_SQL = """
+WITH per AS (
+  SELECT o_custkey AS ck,
+         CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+),
+aligned AS (
+  SELECT coalesce(c.yr, p.yr) AS yr,
+         CAST(coalesce(c.rc, 0) AS BIGINT) AS rc,
+         CAST(coalesce(p.rp, 0) AS BIGINT) AS rp
+  FROM (SELECT ck, y AS yr, rev AS rc FROM per) c
+  FULL OUTER JOIN (SELECT ck, y + 1 AS yr, rev AS rp FROM per) p
+    ON c.ck = p.ck AND c.yr = p.yr
+),
+years AS (SELECT CAST(min(y) AS BIGINT) AS y0, CAST(max(y) AS BIGINT) AS y1 FROM per)
+SELECT yr AS year,
+       CAST(sum(CASE WHEN rp = 0 THEN rc ELSE 0 END) AS BIGINT) AS new_cents,
+       CAST(sum(CASE WHEN rc = 0 THEN rp ELSE 0 END) AS BIGINT) AS churned_cents,
+       CAST(sum(CASE WHEN rp > 0 AND rc > rp THEN rc - rp ELSE 0 END) AS BIGINT)
+         AS expansion_cents,
+       CAST(sum(CASE WHEN rc > 0 AND rp > rc THEN rp - rc ELSE 0 END) AS BIGINT)
+         AS contraction_cents,
+       CAST(sum(CASE WHEN rp = 0 THEN rc ELSE 0 END)
+            - sum(CASE WHEN rc = 0 THEN rp ELSE 0 END)
+            + sum(CASE WHEN rp > 0 AND rc > rp THEN rc - rp ELSE 0 END)
+            - sum(CASE WHEN rc > 0 AND rp > rc THEN rp - rc ELSE 0 END) AS BIGINT)
+         AS net_cents
+FROM aligned CROSS JOIN years
+WHERE yr > y0 AND yr <= y1
+GROUP BY yr ORDER BY year
+"""
+
+
+def lineitem_returns_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate p-chart — statistical process control for the
+    returns stream (events_cusum_drift watches a mean; the p-chart is
+    SPC's attribute-data workhorse): per ship month, the return
+    fraction against 3σ binomial control limits around the corpus
+    centre line p̄, flagging out-of-control months. The alarm a
+    quality team pages on, not a dashboard eyeball.
+
+    One map-side month census + the 1-row centre line broadcast;
+    p̄ and the limits are fixed-order doubles off exact integer
+    counts, and the flag compares n·p̂ against n·limit so the only
+    rounding is IEEE-identical multiplication."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_format(F.to_date("l_shipdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("long"))
+        .cast("long")
+        .alias("n_returned"),
+    )
+    centre = monthly.agg(
+        F.sum("n_lines").cast("long").alias("tn"),
+        F.sum("n_returned").cast("long").alias("tr"),
+    )
+    pbar = F.col("tr").cast("double") / F.col("tn").cast("double")
+    sigma = F.sqrt(
+        pbar * (F.lit(1.0) - pbar) / F.col("n_lines").cast("double")
+    )
+    phat = F.col("n_returned").cast("double") / F.col("n_lines").cast("double")
+    return (
+        monthly.crossJoin(F.broadcast(centre))
+        .select(
+            "month",
+            "n_lines",
+            "n_returned",
+            F.expr(
+                "CAST((n_returned * 1000000) div n_lines AS BIGINT)"
+            ).alias("rate_micro"),
+            F.floor(F.lit(1000000.0) * (pbar - F.lit(3.0) * sigma))
+            .cast("long")
+            .alias("lcl_micro"),
+            F.floor(F.lit(1000000.0) * (pbar + F.lit(3.0) * sigma))
+            .cast("long")
+            .alias("ucl_micro"),
+            ((phat > pbar + F.lit(3.0) * sigma) | (phat < pbar - F.lit(3.0) * sigma))
+            .alias("out_of_control"),
+        )
+        .orderBy("month")
+    )
+
+
+_P_CHART_SQL = """
+WITH monthly AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned
+  FROM lineitem GROUP BY 1
+),
+centre AS (
+  SELECT CAST(sum(n_lines) AS BIGINT) AS tn,
+         CAST(sum(n_returned) AS BIGINT) AS tr
+  FROM monthly
+)
+SELECT m.month, m.n_lines, m.n_returned,
+       CAST((m.n_returned * 1000000) // m.n_lines AS BIGINT) AS rate_micro,
+       CAST(floor(1000000.0 * (CAST(c.tr AS DOUBLE) / CAST(c.tn AS DOUBLE)
+            - 3.0 * sqrt(CAST(c.tr AS DOUBLE) / CAST(c.tn AS DOUBLE)
+              * (1.0 - CAST(c.tr AS DOUBLE) / CAST(c.tn AS DOUBLE))
+              / CAST(m.n_lines AS DOUBLE)))) AS BIGINT) AS lcl_micro,
+       CAST(floor(1000000.0 * (CAST(c.tr AS DOUBLE) / CAST(c.tn AS DOUBLE)
+            + 3.0 * sqrt(CAST(c.tr AS DOUBLE) / CAST(c.tn AS DOUBLE)
+              * (1.0 - CAST(c.tr AS DOUBLE) / CAST(c.tn AS DOUBLE))
+              / CAST(m.n_lines AS DOUBLE)))) AS BIGINT) AS ucl_micro,
+       (CAST(m.n_returned AS DOUBLE) / CAST(m.n_lines AS DOUBLE)
+          > CAST(c.tr AS DOUBLE) / CAST(c.tn AS DOUBLE)
+            + 3.0 * sqrt(CAST(c.tr AS DOUBLE) / CAST(c.tn AS DOUBLE)
+              * (1.0 - CAST(c.tr AS DOUBLE) / CAST(c.tn AS DOUBLE))
+              / CAST(m.n_lines AS DOUBLE))
+        OR CAST(m.n_returned AS DOUBLE) / CAST(m.n_lines AS DOUBLE)
+          < CAST(c.tr AS DOUBLE) / CAST(c.tn AS DOUBLE)
+            - 3.0 * sqrt(CAST(c.tr AS DOUBLE) / CAST(c.tn AS DOUBLE)
+              * (1.0 - CAST(c.tr AS DOUBLE) / CAST(c.tn AS DOUBLE))
+              / CAST(m.n_lines AS DOUBLE))) AS out_of_control
+FROM monthly m CROSS JOIN centre c
+ORDER BY month
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -21160,6 +21357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mann_kendall_daily_revenue": agg_mann_kendall_daily_revenue,
         "diag_cross_table_ratio_audit": diag_cross_table_ratio_audit,
         "customer_balance_spend_quadrant": customer_balance_spend_quadrant,
+        "orders_growth_accounting_waterfall": orders_growth_accounting_waterfall,
+        "lineitem_returns_p_chart": lineitem_returns_p_chart,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -21655,6 +21854,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_mann_kendall_daily_revenue": _MANN_KENDALL_SQL,
         "diag_cross_table_ratio_audit": _CROSS_TABLE_RATIO_SQL,
         "customer_balance_spend_quadrant": _BALANCE_SPEND_QUADRANT_SQL,
+        "orders_growth_accounting_waterfall": _GROWTH_WATERFALL_SQL,
+        "lineitem_returns_p_chart": _P_CHART_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -418,6 +418,9 @@ HEADLINE = [
     # round-10 batch 8: cross-table ratio audit, balance/spend quadrant.
     "diag_cross_table_ratio_audit",
     "customer_balance_spend_quadrant",
+    # round-10 batch 9: growth-accounting waterfall, returns p-chart.
+    "orders_growth_accounting_waterfall",
+    "lineitem_returns_p_chart",
 ]
 
 
