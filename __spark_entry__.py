@@ -21232,6 +21232,148 @@ ORDER BY month
 """
 
 
+def llm_pipeline_sft_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SFT-mixture prep, FULLY oracled (the pretrain
+    pipeline's xxhash64 MinHash tier forces a pinned oracle; this
+    composition is built entirely from portable stages so DuckDB
+    replays the whole DAG): exact dedup → quality floor (≥ 0.5) →
+    sqrt-temperature budget split of 500 docs across languages
+    (upweights tail languages, the standard mixture trick) with a
+    deterministic md5-ranked selection — emitted as the per-language
+    FUNNEL table (raw → deduped → quality → selected → selected
+    tokens) a data-mixture review reads.
+
+    One documents scan computes every stage flag (dedup keeper via a
+    per-content row_number, the quality score on the same pass); the
+    selection rank is a second window over the SAME lang partitioning;
+    the sqrt weights are micro-snapped before the integer budget
+    split, so every output cell is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(docs, "text").select(
+        "doc_id", "lang", "n_tokens", "quality_score", "text"
+    )
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flagged = scored.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.row_number().over(wdup) == 1).alias("keeper"),
+        (F.col("quality_score") >= 0.5).alias("qual_ok"),
+        F.md5(F.concat("text", F.lit(":sft7"))).alias("rkey"),
+    )
+    # the selection rank must be DENSE over survivors, so filter before
+    # ranking (a rank over all rows would skip numbers at dropped docs)
+    wsel = Window.partitionBy("lang").orderBy("rkey", "doc_id")
+    survivors = flagged.filter(F.col("keeper") & F.col("qual_ok")).withColumn(
+        "rn", F.row_number().over(wsel)
+    )
+    funnel = flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum(F.col("keeper").cast("long")).cast("long").alias("n_dedup"),
+        F.sum((F.col("keeper") & F.col("qual_ok")).cast("long"))
+        .cast("long")
+        .alias("n_quality"),
+    )
+    weights = funnel.select(
+        "lang",
+        "n_quality",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_quality AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("w"),
+    )
+    tot = weights.agg(F.sum("w").cast("long").alias("wt"))
+    alloc = weights.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.col("n_quality"),
+            F.expr(
+                "CAST(CAST((CAST(w AS DECIMAL(38,0)) * 500"
+                " - pmod(CAST(w AS DECIMAL(38,0)) * 500, CAST(wt AS DECIMAL(38,0))))"
+                " / CAST(wt AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        ).alias("n_selected"),
+    )
+    picked = survivors.join(F.broadcast(alloc), "lang").filter(
+        F.col("rn") <= F.col("n_selected")
+    )
+    sel = picked.groupBy("lang").agg(
+        F.sum("n_tokens").cast("long").alias("tokens_selected")
+    )
+    return (
+        funnel.join(F.broadcast(alloc), "lang")
+        .join(F.broadcast(sel), "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            "n_dedup",
+            "n_quality",
+            "n_selected",
+            F.coalesce("tokens_selected", F.lit(0))
+            .cast("long")
+            .alias("tokens_selected"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SFT_MIXTURE_SQL = """
+WITH stats AS (
+  SELECT doc_id, lang, text,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_char,
+         ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}_\\s]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+         ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text), 4) AS digit_ratio
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, lang, n_tokens,
+         (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1)
+           AS keeper,
+         (ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+                + 0.5 * (1.0 - least(punct_ratio * 5 + digit_ratio * 5, 1.0)), 4)
+          >= 0.5) AS qual_ok,
+         md5(text || ':sft7') AS rkey
+  FROM stats
+),
+survivors AS (
+  SELECT lang, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY rkey, doc_id) AS rn
+  FROM flagged WHERE keeper AND qual_ok
+),
+funnel AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(sum(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+         CAST(sum(CASE WHEN keeper AND qual_ok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality
+  FROM flagged GROUP BY 1
+),
+weights AS (
+  SELECT lang, n_quality,
+         CAST(floor(sqrt(CAST(n_quality AS DOUBLE)) * 1000000) AS BIGINT) AS w
+  FROM funnel
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM weights),
+alloc AS (
+  SELECT w.lang,
+         least(w.n_quality,
+               CAST(CAST(w.w AS HUGEINT) * 500 // t.wt AS BIGINT)) AS n_selected
+  FROM weights w CROSS JOIN tot t
+),
+sel AS (
+  SELECT s.lang, CAST(sum(s.n_tokens) AS BIGINT) AS tokens_selected
+  FROM survivors s JOIN alloc a ON s.lang = a.lang
+  WHERE s.rn <= a.n_selected
+  GROUP BY 1
+)
+SELECT f.lang, f.n_raw, f.n_dedup, f.n_quality, a.n_selected,
+       CAST(coalesce(se.tokens_selected, 0) AS BIGINT) AS tokens_selected
+FROM funnel f
+JOIN alloc a ON f.lang = a.lang
+LEFT JOIN sel se ON f.lang = se.lang
+ORDER BY f.lang
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -21359,6 +21501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_spend_quadrant": customer_balance_spend_quadrant,
         "orders_growth_accounting_waterfall": orders_growth_accounting_waterfall,
         "lineitem_returns_p_chart": lineitem_returns_p_chart,
+        "llm_pipeline_sft_mixture": llm_pipeline_sft_mixture,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -21856,6 +21999,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_balance_spend_quadrant": _BALANCE_SPEND_QUADRANT_SQL,
         "orders_growth_accounting_waterfall": _GROWTH_WATERFALL_SQL,
         "lineitem_returns_p_chart": _P_CHART_SQL,
+        "llm_pipeline_sft_mixture": _SFT_MIXTURE_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

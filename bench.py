@@ -421,6 +421,8 @@ HEADLINE = [
     # round-10 batch 9: growth-accounting waterfall, returns p-chart.
     "orders_growth_accounting_waterfall",
     "lineitem_returns_p_chart",
+    # round-10 batch 10: fully-oracled SFT mixture pipeline.
+    "llm_pipeline_sft_mixture",
 ]
 
 
