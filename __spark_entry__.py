@@ -21374,6 +21374,160 @@ ORDER BY f.lang
 """
 
 
+def orders_priority_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-tiered SLA attainment — the fulfilment scorecard
+    (supplier_lead_time_percentiles profiles the latency DISTRIBUTION;
+    operations is paged on the CONTRACT: did the order's FIRST
+    shipment leave within its priority's promised window?): per
+    priority tier, orders measured, orders attained, and the
+    attainment rate, with tiered targets 1-URGENT/2-HIGH: 30 days,
+    3-MEDIUM: 60, else 90.
+
+    The orderkey equi-join collapses lineitem to a min-shipdate
+    per-order rollup BEFORE joining orders (shuffle carries one row
+    per order, not per line); the census is |priorities|-bounded and
+    all-integer."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    first_ship = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.to_date("l_shipdate")).alias("fs"))
+    )
+    target = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(30)
+    ).when(F.col("o_orderpriority") == "3-MEDIUM", F.lit(60)).otherwise(F.lit(90))
+    return (
+        o.join(first_ship, o["o_orderkey"] == first_ship["l_orderkey"])
+        .select(
+            "o_orderpriority",
+            (F.datediff("fs", "od") <= target).cast("long").alias("ok"),
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("ok").cast("long").alias("n_attained"),
+        )
+        .select(
+            "priority",
+            "n_orders",
+            "n_attained",
+            F.expr("CAST((n_attained * 1000000) div n_orders AS BIGINT)").alias(
+                "attainment_micro"
+            ),
+        )
+        .orderBy("priority")
+    )
+
+
+_SLA_ATTAINMENT_SQL = """
+WITH first_ship AS (
+  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS fs
+  FROM lineitem GROUP BY 1
+),
+measured AS (
+  SELECT o.o_orderpriority AS priority,
+         CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), f.fs)
+                   <= (CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 30
+                            WHEN o.o_orderpriority = '3-MEDIUM' THEN 60
+                            ELSE 90 END)
+              THEN 1 ELSE 0 END AS ok
+  FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(ok) AS BIGINT) AS n_attained,
+       CAST((sum(ok) * 1000000) // count(*) AS BIGINT) AS attainment_micro
+FROM measured GROUP BY 1 ORDER BY priority
+"""
+
+
+def agg_quantile_drift_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile drift table — distribution-level drift the
+    fixed-bin PSI can miss (agg_psi_price_drift buckets by FIXED
+    edges, so a pure within-bin shift is invisible; the QQ table
+    compares the distributions AT their own quantiles): order prices
+    split at the corpus median date into old/new halves, and each
+    decile of old is lined up against the same decile of new with the
+    shift in micro units.
+
+    Two grouped exact percentile aggregates (interpolated doubles,
+    identical in both engines) over one scan with a broadcast 1-row
+    epoch-midpoint cut — the CUPED split scheme; output is 9 rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.unix_timestamp(F.to_date("o_orderdate")).cast("long").alias("ep"),
+    )
+    span = o.agg(
+        F.expr("CAST((min(ep) + max(ep)) div 2 AS LONG)").alias("cut")
+    )
+    halves = o.crossJoin(F.broadcast(span)).select(
+        "cents", (F.col("ep") < F.col("cut")).alias("is_old")
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    agg_old = halves.filter(F.col("is_old")).agg(
+        *[F.percentile("cents", F.lit(q)).alias(f"o{i}") for i, q in enumerate(qs, 1)]
+    )
+    agg_new = halves.filter(~F.col("is_old")).agg(
+        *[F.percentile("cents", F.lit(q)).alias(f"n{i}") for i, q in enumerate(qs, 1)]
+    )
+    wide = agg_old.crossJoin(F.broadcast(agg_new))
+    rows = [
+        F.struct(
+            F.lit(i * 10).cast("long").alias("decile_pct"),
+            F.col(f"o{i}").alias("old_cents"),
+            F.col(f"n{i}").alias("new_cents"),
+        )
+        for i in range(1, 10)
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("r"))
+        .select(
+            "r.decile_pct",
+            "r.old_cents",
+            "r.new_cents",
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("r.new_cents") - F.col("r.old_cents"))
+                / F.col("r.old_cents")
+            )
+            .cast("long")
+            .alias("shift_micro"),
+        )
+        .orderBy("decile_pct")
+    )
+
+
+_QQ_DRIFT_SQL = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         epoch(CAST(o_orderdate AS DATE)) AS ep
+  FROM orders
+),
+span AS (SELECT CAST((min(ep) + max(ep)) // 2 AS BIGINT) AS cut FROM o),
+halves AS (
+  SELECT cents, (ep < (SELECT cut FROM span)) AS is_old FROM o
+),
+qq0 AS (
+  SELECT quantile_cont(CASE WHEN is_old THEN cents END,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ol,
+         quantile_cont(CASE WHEN NOT is_old THEN cents END,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS nl
+  FROM halves
+),
+qq AS (
+  SELECT CAST(d.i * 10 AS BIGINT) AS decile_pct,
+         ol[d.i] AS old_cents, nl[d.i] AS new_cents
+  FROM qq0 CROSS JOIN (SELECT CAST(unnest(range(1, 10)) AS INT) AS i) d
+)
+SELECT decile_pct, old_cents, new_cents,
+       CAST(floor(1000000.0 * (new_cents - old_cents) / old_cents) AS BIGINT)
+         AS shift_micro
+FROM qq ORDER BY decile_pct
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -21502,6 +21656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_growth_accounting_waterfall": orders_growth_accounting_waterfall,
         "lineitem_returns_p_chart": lineitem_returns_p_chart,
         "llm_pipeline_sft_mixture": llm_pipeline_sft_mixture,
+        "orders_priority_sla_attainment": orders_priority_sla_attainment,
+        "agg_quantile_drift_qq": agg_quantile_drift_qq,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -22000,6 +22156,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_growth_accounting_waterfall": _GROWTH_WATERFALL_SQL,
         "lineitem_returns_p_chart": _P_CHART_SQL,
         "llm_pipeline_sft_mixture": _SFT_MIXTURE_SQL,
+        "orders_priority_sla_attainment": _SLA_ATTAINMENT_SQL,
+        "agg_quantile_drift_qq": _QQ_DRIFT_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -423,6 +423,9 @@ HEADLINE = [
     "lineitem_returns_p_chart",
     # round-10 batch 10: fully-oracled SFT mixture pipeline.
     "llm_pipeline_sft_mixture",
+    # round-10 batch 11: priority SLA attainment, QQ drift table.
+    "orders_priority_sla_attainment",
+    "agg_quantile_drift_qq",
 ]
 
 
