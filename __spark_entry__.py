@@ -21528,6 +21528,252 @@ FROM qq ORDER BY decile_pct
 """
 
 
+def supplier_substitute_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-substitution shortlist — the sourcing question behind
+    part_single_source_risk ("who ELSE could supply what this vendor
+    supplies?"): suppliers are sets of parts they have shipped, pair
+    overlap comes from the per-part posting self-join (only observed
+    co-supplying pairs ever materialize — the Σk² posting volume, k
+    bounded by a part's supplier fan-out, NEVER the |S|² matrix), and
+    each supplier's top-3 substitutes by exact Jaccard (shared /
+    (n_a + n_b − shared)) are emitted with a deterministic
+    (jaccard desc, other id asc) ranking.
+
+    Jaccard stays an exact integer comparison: rank orders by
+    (shared·denom_other − shared_other·denom) sign equivalently via
+    micro-snapped integral division — shared·10⁶ div union fits int64
+    at any scale."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").distinct()
+    sizes = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = li.select(F.col("l_suppkey").alias("sa"), "l_partkey")
+    b = li.select(F.col("l_suppkey").alias("sb"), "l_partkey")
+    shared = (
+        a.join(b, "l_partkey")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    na = sizes.select(F.col("l_suppkey").alias("sa"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("l_suppkey").alias("sb"), F.col("n").alias("n_b"))
+    scored = (
+        shared.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            "sa",
+            "sb",
+            "shared",
+            F.expr(
+                "CAST((shared * 1000000) div (n_a + n_b - shared) AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+    )
+    sym = scored.select(
+        F.col("sa").alias("supplier"),
+        F.col("sb").alias("substitute"),
+        "shared",
+        "jaccard_micro",
+    ).unionByName(
+        scored.select(
+            F.col("sb").alias("supplier"),
+            F.col("sa").alias("substitute"),
+            "shared",
+            "jaccard_micro",
+        )
+    )
+    w = Window.partitionBy("supplier").orderBy(
+        F.desc("jaccard_micro"), F.asc("substitute")
+    )
+    return (
+        sym.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("supplier", "rk", "substitute", "shared", "jaccard_micro")
+        .orderBy("supplier", "rk")
+    )
+
+
+_SUPPLIER_SUBSTITUTE_SQL = """
+WITH d AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+sizes AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+shared AS (
+  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, CAST(count(*) AS BIGINT) AS shared
+  FROM d a JOIN d b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.sa, s.sb, s.shared,
+         CAST((s.shared * 1000000) // (na.n + nb.n - s.shared) AS BIGINT)
+           AS jaccard_micro
+  FROM shared s
+  JOIN sizes na ON s.sa = na.l_suppkey
+  JOIN sizes nb ON s.sb = nb.l_suppkey
+),
+sym AS (
+  SELECT sa AS supplier, sb AS substitute, shared, jaccard_micro FROM scored
+  UNION ALL
+  SELECT sb AS supplier, sa AS substitute, shared, jaccard_micro FROM scored
+)
+SELECT supplier, CAST(rk AS BIGINT) AS rk, substitute, shared, jaccard_micro
+FROM (
+  SELECT supplier, substitute, shared, jaccard_micro,
+         row_number() OVER (PARTITION BY supplier
+                            ORDER BY jaccard_micro DESC, substitute ASC) AS rk
+  FROM sym
+)
+WHERE rk <= 3
+ORDER BY supplier, rk
+"""
+
+
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC × XYZ planning matrix — the 9-cell table inventory strategy
+    actually keys policies off (orders_abc_classification strata by
+    revenue, part_xyz_classification by demand volatility; the JOINT
+    census is where 'A-X: automate replenishment, C-Z: make-to-order'
+    comes from): per (abc, xyz) cell, part count and exact revenue
+    share.
+
+    Reuses both kernels verbatim — the distributed running-sum for the
+    cumulative-revenue ABC cut and the zero-month-free cv² identity
+    for XYZ — joined per part (one equi-join of two |parts|-bounded
+    rollups), then the 9-bounded census."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    run = distributed_running_sum(
+        per_part,
+        [("cents", True), ("l_partkey", False)],
+        "cents",
+        out_col="cum_cents",
+    )
+    tot = per_part.agg(F.sum("cents").cast("long").alias("total_cents"))
+    abc = run.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "cents",
+        "total_cents",
+        F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    monthly = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long").alias("_ym"),
+    ).agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("long").alias("_q")
+    )
+    m1 = monthly.select("_ym").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_m")
+    )
+    pp = monthly.groupBy("l_partkey").agg(
+        F.sum("_q").cast("long").alias("tq"),
+        F.sum(
+            (F.col("_q").cast("decimal(19,0)") * F.col("_q").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        ).alias("sq"),
+    )
+    cv = F.round(
+        F.sqrt(
+            F.greatest(
+                F.col("_m").cast("double") * F.col("sq").cast("double")
+                - F.col("tq").cast("double") * F.col("tq").cast("double"),
+                F.lit(0.0),
+            )
+            / (F.col("tq").cast("double") * F.col("tq").cast("double"))
+        )
+        * 1000000
+    ).cast("long")
+    xyz = pp.crossJoin(F.broadcast(m1)).select(
+        "l_partkey",
+        F.when(F.col("tq") > 0, cv).alias("cv_micro"),
+    ).select(
+        "l_partkey",
+        F.when(F.col("cv_micro") < 500000, F.lit("X"))
+        .when(F.col("cv_micro") < 1000000, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.expr(
+                "CAST((sum(cents) * 1000000) div max(total_cents) AS BIGINT)"
+            ).alias("share_micro"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+_ABC_XYZ_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+run AS (
+  SELECT l_partkey, cents,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+  FROM per_part
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM per_part),
+abc AS (
+  SELECT l_partkey, cents, total_cents,
+         CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+              WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM run CROSS JOIN tot
+),
+monthly AS (
+  SELECT l_partkey,
+         CAST(year(CAST(l_shipdate AS DATE)) * 100
+              + month(CAST(l_shipdate AS DATE)) AS BIGINT) AS ym,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+m1 AS (SELECT CAST(count(DISTINCT ym) AS BIGINT) AS m FROM monthly),
+pp AS (
+  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tq,
+         CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sq
+  FROM monthly GROUP BY 1
+),
+xyz AS (
+  SELECT l_partkey,
+         CASE WHEN cv_micro < 500000 THEN 'X'
+              WHEN cv_micro < 1000000 THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM (
+    SELECT l_partkey,
+           CASE WHEN tq > 0
+                THEN CAST(round(sqrt(
+                       greatest(CAST(m AS DOUBLE) * CAST(sq AS DOUBLE)
+                        - CAST(tq AS DOUBLE) * CAST(tq AS DOUBLE), 0.0)
+                       / (CAST(tq AS DOUBLE) * CAST(tq AS DOUBLE))) * 1000000)
+                     AS BIGINT)
+                ELSE NULL END AS cv_micro
+    FROM pp CROSS JOIN m1
+  )
+)
+SELECT a.abc_class, x.xyz_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(a.cents) AS BIGINT) AS revenue_cents,
+       CAST((sum(a.cents) * 1000000) // max(a.total_cents) AS BIGINT)
+         AS share_micro
+FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey
+GROUP BY 1, 2 ORDER BY abc_class, xyz_class
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -21658,6 +21904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_pipeline_sft_mixture": llm_pipeline_sft_mixture,
         "orders_priority_sla_attainment": orders_priority_sla_attainment,
         "agg_quantile_drift_qq": agg_quantile_drift_qq,
+        "supplier_substitute_jaccard_topk": supplier_substitute_jaccard_topk,
+        "part_abc_xyz_matrix": part_abc_xyz_matrix,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -22158,6 +22406,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_pipeline_sft_mixture": _SFT_MIXTURE_SQL,
         "orders_priority_sla_attainment": _SLA_ATTAINMENT_SQL,
         "agg_quantile_drift_qq": _QQ_DRIFT_SQL,
+        "supplier_substitute_jaccard_topk": _SUPPLIER_SUBSTITUTE_SQL,
+        "part_abc_xyz_matrix": _ABC_XYZ_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -426,6 +426,9 @@ HEADLINE = [
     # round-10 batch 11: priority SLA attainment, QQ drift table.
     "orders_priority_sla_attainment",
     "agg_quantile_drift_qq",
+    # round-10 batch 12: supplier substitution shortlist, ABC x XYZ matrix.
+    "supplier_substitute_jaccard_topk",
+    "part_abc_xyz_matrix",
 ]
 
 
