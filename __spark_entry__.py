@@ -21774,6 +21774,149 @@ GROUP BY 1, 2 ORDER BY abc_class, xyz_class
 """
 
 
+def events_audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix — "do purchasers also search?" as a
+    |types|² table: for every ordered pair of event types, the Jaccard
+    of their USER sets plus the conditional reach P(user does B | user
+    does A) — the numbers an audience planner reads before bundling
+    surfaces.
+
+    The (type, user) dedup shuffles once; the pair overlap is a
+    posting self-join on user_id (Σ per-user type-count², types
+    bounded — never a user×user shape) collapsed straight to the
+    |types|² census. All-integer micro ratios."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    sizes = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    a = ev.select(F.col("event_type").alias("ta"), "user_id")
+    b = ev.select(F.col("event_type").alias("tb"), "user_id")
+    shared = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") != F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    na = sizes.select(F.col("event_type").alias("ta"), F.col("n_users").alias("n_a"))
+    nb = sizes.select(F.col("event_type").alias("tb"), F.col("n_users").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "shared",
+            F.expr(
+                "CAST((shared * 1000000) div (n_a + n_b - shared) AS BIGINT)"
+            ).alias("jaccard_micro"),
+            F.expr("CAST((shared * 1000000) div n_a AS BIGINT)").alias(
+                "cond_reach_micro"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_AUDIENCE_OVERLAP_SQL = """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM d GROUP BY 1),
+shared AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, CAST(count(*) AS BIGINT) AS shared
+  FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+)
+SELECT s.ta AS type_a, s.tb AS type_b, s.shared,
+       CAST((s.shared * 1000000) // (na.n_users + nb.n_users - s.shared) AS BIGINT)
+         AS jaccard_micro,
+       CAST((s.shared * 1000000) // na.n_users AS BIGINT) AS cond_reach_micro
+FROM shared s
+JOIN sizes na ON s.ta = na.event_type
+JOIN sizes nb ON s.tb = nb.event_type
+ORDER BY type_a, type_b
+"""
+
+
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-budget decision table
+    (text_vocab_growth fits Heaps' law, text_rare_token_tail_mass
+    weighs the tail; vocabulary SIZING reads the head: what share of
+    total token MASS do the top 100 / 1 000 / 10 000 types cover?):
+    per K, the covered token count and exact micro share.
+
+    One token census (vocabulary-sized shuffle), one two-phase
+    distributed_global_rank over the frequency-ranked vocabulary
+    (range partition + broadcast offsets — never an unpartitioned
+    window over |vocab|), then ONE aggregate with three conditional
+    sums — which also handles a vocabulary smaller than K exactly
+    (the conditional sum saturates at total mass). Rank ties break on
+    the token string."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        distributed_global_rank,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    census = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ranked = distributed_global_rank(
+        census, [("cnt", True), ("tok", False)], rank_col="rk"
+    )
+    ks = [100, 1000, 10000]
+    wide = ranked.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        *[
+            F.sum(F.when(F.col("rk") <= k, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias(f"c{k}")
+            for k in ks
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(k).cast("long").alias("top_k"),
+            F.col(f"c{k}").alias("covered_tokens"),
+        )
+        for k in ks
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("r"), "total")
+        .select(
+            "r.top_k",
+            "r.covered_tokens",
+            F.expr("CAST((covered_tokens * 1000000) div total AS BIGINT)").alias(
+                "coverage_micro"
+            ),
+        )
+        .orderBy("top_k")
+    )
+
+
+_VOCAB_COVERAGE_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+),
+census AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY 1
+),
+ranked AS (
+  SELECT cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rk
+  FROM census
+)
+SELECT k.top_k,
+       CAST(sum(CASE WHEN r.rk <= k.top_k THEN r.cnt ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       CAST((sum(CASE WHEN r.rk <= k.top_k THEN r.cnt ELSE 0 END) * 1000000)
+            // sum(r.cnt) AS BIGINT) AS coverage_micro
+FROM (SELECT CAST(unnest([100, 1000, 10000]) AS BIGINT) AS top_k) k
+CROSS JOIN ranked r
+GROUP BY k.top_k
+ORDER BY top_k
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -21906,6 +22049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantile_drift_qq": agg_quantile_drift_qq,
         "supplier_substitute_jaccard_topk": supplier_substitute_jaccard_topk,
         "part_abc_xyz_matrix": part_abc_xyz_matrix,
+        "events_audience_overlap_jaccard": events_audience_overlap_jaccard,
+        "text_vocab_coverage_curve": text_vocab_coverage_curve,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -22408,6 +22553,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_quantile_drift_qq": _QQ_DRIFT_SQL,
         "supplier_substitute_jaccard_topk": _SUPPLIER_SUBSTITUTE_SQL,
         "part_abc_xyz_matrix": _ABC_XYZ_SQL,
+        "events_audience_overlap_jaccard": _AUDIENCE_OVERLAP_SQL,
+        "text_vocab_coverage_curve": _VOCAB_COVERAGE_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -429,6 +429,9 @@ HEADLINE = [
     # round-10 batch 12: supplier substitution shortlist, ABC x XYZ matrix.
     "supplier_substitute_jaccard_topk",
     "part_abc_xyz_matrix",
+    # round-10 batch 13: audience overlap matrix, vocab coverage curve.
+    "events_audience_overlap_jaccard",
+    "text_vocab_coverage_curve",
 ]
 
 
