@@ -19602,17 +19602,38 @@ def supplier_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("s_nationkey", "c_nationkey")
         .agg(F.sum("rev_cents").cast("long").alias("flow_cents"))
     )
-    exports = cells.groupBy(F.col("s_nationkey").alias("nk")).agg(
-        F.sum("flow_cents").cast("long").alias("export_cents")
-    )
-    imports = cells.groupBy(F.col("c_nationkey").alias("nk")).agg(
-        F.sum("flow_cents").cast("long").alias("import_cents")
+    # both legs from ONE pass over the bounded cell census: each cell
+    # explodes into an (nk, role) pair and the per-nation aggregate
+    # splits them back — the separate exports/imports groupBys re-ran
+    # the lineitem⋈orders pipeline per leg (12-exchange plan, caught
+    # by the round-10 PLANS.md audit)
+    legs = cells.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_nationkey").alias("nk"),
+                    F.lit("exp").alias("role"),
+                    F.col("flow_cents").alias("flow"),
+                ),
+                F.struct(
+                    F.col("c_nationkey").alias("nk"),
+                    F.lit("imp").alias("role"),
+                    F.col("flow_cents").alias("flow"),
+                ),
+            )
+        ).alias("leg")
+    ).select("leg.nk", "leg.role", "leg.flow")
+    balances = legs.groupBy("nk").agg(
+        F.sum(F.when(F.col("role") == "exp", F.col("flow")).otherwise(0))
+        .cast("long")
+        .alias("export_cents"),
+        F.sum(F.when(F.col("role") == "imp", F.col("flow")).otherwise(0))
+        .cast("long")
+        .alias("import_cents"),
     )
     return (
         F.broadcast(nation)
-        .join(exports, nation["n_nationkey"] == exports["nk"], "left")
-        .drop("nk")
-        .join(imports, nation["n_nationkey"] == imports["nk"], "left")
+        .join(balances, nation["n_nationkey"] == balances["nk"], "left")
         .select(
             F.col("n_name").alias("nation"),
             F.coalesce("export_cents", F.lit(0)).cast("long").alias("export_cents"),
@@ -21917,6 +21938,127 @@ ORDER BY top_k
 """
 
 
+def privacy_dp_histogram_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release — the modern fourth
+    rung of the privacy ladder (k-anonymity → l-diversity →
+    t-closeness → DP): the customers-per-nation histogram released
+    with Laplace(1/ε) noise at ε = 1 (sensitivity 1 for a count),
+    alongside the true count and the absolute error so the utility
+    audit is part of the release.
+
+    The noise is DETERMINISTIC — u = md5(nation || salt)'s 32-bit
+    prefix over 2³², pushed through the Laplace inverse CDF
+    −sign(u−½)·ln(1−2|u−½|) — so the release is reproducible across
+    engines and reruns (the hash_split property applied to noise;
+    real deployments swap in a sampled seed, the calibration is
+    identical). ln parity rides the 4-dp round the entropy/PMI
+    oracles established. One |nations|-bounded aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    counts = (
+        cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("n_name"), F.lit(":dp7"))), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    centered = u - F.lit(0.5)
+    noise_e4 = F.round(
+        (
+            -F.signum(centered)
+            * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+        )
+        * 10000
+    ).cast("long")
+    return counts.select(
+        F.col("n_name").alias("nation"),
+        "n_true",
+        noise_e4.alias("noise_e4"),
+        (F.col("n_true") * 10000 + noise_e4).cast("long").alias("released_e4"),
+        F.abs(noise_e4).alias("abs_err_e4"),
+    ).orderBy("nation")
+
+
+_DP_HISTOGRAM_SQL = """
+WITH counts AS (
+  SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_true
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+),
+noised AS (
+  SELECT nation, n_true,
+         CAST(round(
+           (-sign(('0x' || substr(md5(nation || ':dp7'), 1, 8))::BIGINT
+                  / 4294967296.0 - 0.5)
+            * ln(1.0 - 2.0 * abs(('0x' || substr(md5(nation || ':dp7'), 1, 8))::BIGINT
+                  / 4294967296.0 - 0.5))) * 10000) AS BIGINT) AS noise_e4
+  FROM counts
+)
+SELECT nation, n_true, noise_e4,
+       CAST(n_true * 10000 + noise_e4 AS BIGINT) AS released_e4,
+       CAST(abs(noise_e4) AS BIGINT) AS abs_err_e4
+FROM noised ORDER BY nation
+"""
+
+
+def events_feature_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free label-time feature snapshot — the feature-store
+    correctness op (training labels must see only STRICTLY-PRIOR
+    behaviour; joining current aggregates leaks the future): for every
+    purchase event (the label), the user's event count and value sum
+    over everything BEFORE that purchase, via one per-user window with
+    the 1-preceding frame — the as-of discipline without a second
+    table.
+
+    One exchange on user_id serves both feature frames; the (ts,
+    event_id) ordering is the engine-wide total order, so the snapshot
+    is deterministic under ties."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feats = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_prior_events"),
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w), F.lit(0)
+        )
+        .cast("long")
+        .alias("prior_value_cents"),
+    )
+    return (
+        feats.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "n_prior_events", "prior_value_cents")
+        .orderBy("user_id", "event_id")
+    )
+
+
+_FEATURE_ASOF_SQL = """
+WITH feats AS (
+  SELECT user_id, event_id, event_type,
+         CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+           AS n_prior_events,
+         CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS prior_value_cents
+  FROM events
+)
+SELECT user_id, event_id, n_prior_events, prior_value_cents
+FROM feats WHERE event_type = 'purchase'
+ORDER BY user_id, event_id
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -22051,6 +22193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_abc_xyz_matrix": part_abc_xyz_matrix,
         "events_audience_overlap_jaccard": events_audience_overlap_jaccard,
         "text_vocab_coverage_curve": text_vocab_coverage_curve,
+        "privacy_dp_histogram_release": privacy_dp_histogram_release,
+        "events_feature_asof_snapshot": events_feature_asof_snapshot,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -22555,6 +22699,8 @@ def oracle_sql() -> dict[str, str]:
         "part_abc_xyz_matrix": _ABC_XYZ_SQL,
         "events_audience_overlap_jaccard": _AUDIENCE_OVERLAP_SQL,
         "text_vocab_coverage_curve": _VOCAB_COVERAGE_SQL,
+        "privacy_dp_histogram_release": _DP_HISTOGRAM_SQL,
+        "events_feature_asof_snapshot": _FEATURE_ASOF_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -432,6 +432,9 @@ HEADLINE = [
     # round-10 batch 13: audience overlap matrix, vocab coverage curve.
     "events_audience_overlap_jaccard",
     "text_vocab_coverage_curve",
+    # round-10 batch 14: DP histogram release, leak-free feature snapshot.
+    "privacy_dp_histogram_release",
+    "events_feature_asof_snapshot",
 ]
 
 
