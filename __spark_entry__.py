@@ -22059,6 +22059,127 @@ ORDER BY user_id, event_id
 """
 
 
+def sample_group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP k-fold assignment — the leak-aware cross-validation split
+    (sample_kfold_assignment hashes ROWS into folds, which leaks when
+    correlated rows — one customer's orders — straddle folds; group
+    k-fold keeps each GROUP intact): customers group by nation, nations
+    are size-ranked, and rank r goes to fold (r−1) mod 5 — the
+    deterministic round-robin that near-balances fold sizes without
+    LPT's sequential state. Output: per fold, group count, row count,
+    and the fold's share in micro units (the balance audit IS the
+    deliverable).
+
+    Ranking runs over the |nations|-bounded census; everything else is
+    two bounded aggregates."""
+    cust = _t(spark, sf_dir, "customer")
+    groups = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("c_nationkey"))
+    folded = groups.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % 5).cast("long")
+    )
+    tot = groups.agg(F.sum("n_rows").cast("long").alias("t"))
+    return (
+        folded.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_groups",
+            "n_rows",
+            F.expr("CAST((n_rows * 1000000) div t AS BIGINT)").alias("share_micro"),
+        )
+        .orderBy("fold")
+    )
+
+
+_GROUP_KFOLD_SQL = """
+WITH groups AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows
+  FROM customer GROUP BY 1
+),
+folded AS (
+  SELECT n_rows,
+         CAST((row_number() OVER (ORDER BY n_rows DESC, c_nationkey ASC) - 1) % 5
+              AS BIGINT) AS fold
+  FROM groups
+),
+tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM groups)
+SELECT fold, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST((sum(n_rows) * 1000000) // max(t) AS BIGINT) AS share_micro
+FROM folded CROSS JOIN tot
+GROUP BY fold ORDER BY fold
+"""
+
+
+def events_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the experiment-validity check
+    that runs BEFORE any readout (a biased assignment invalidates
+    events_ab_test_readout and events_cuped_adjusted_lift no matter
+    what they say): the hash-assigned variant counts against the
+    expected 50/50 split, the 1-df chi² in milli units, and the
+    pass/fail flags at α = 0.05 (3.841) and α = 0.01 (6.635).
+
+    chi² for a 50/50 split reduces to (n_a − n_b)²/(n_a + n_b) — an
+    exact integer numerator over an integer denominator, milli-floored
+    with the exact integral division; the flags are pure integer
+    comparisons (chi²·1000 vs the critical constants). One per-user
+    aggregate, 1 row out."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct().select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab7"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant")
+    )
+    wide = users.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    return wide.selectExpr(
+        "n_a",
+        "n_b",
+        "CAST(((n_a - n_b) * (n_a - n_b) * 1000) div (n_a + n_b) AS BIGINT)"
+        " AS chi2_milli",
+        "((n_a - n_b) * (n_a - n_b) * 1000) div (n_a + n_b) > 3841 AS srm_at_05",
+        "((n_a - n_b) * (n_a - n_b) * 1000) div (n_a + n_b) > 6635 AS srm_at_01",
+    )
+
+
+_SRM_GUARDRAIL_SQL = """
+WITH users AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab7'), 1, 8))::BIGINT % 2
+           AS variant
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+wide AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM users
+)
+SELECT n_a, n_b,
+       CAST(((n_a - n_b) * (n_a - n_b) * 1000) // (n_a + n_b) AS BIGINT)
+         AS chi2_milli,
+       (((n_a - n_b) * (n_a - n_b) * 1000) // (n_a + n_b) > 3841) AS srm_at_05,
+       (((n_a - n_b) * (n_a - n_b) * 1000) // (n_a + n_b) > 6635) AS srm_at_01
+FROM wide
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -22195,6 +22316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_coverage_curve": text_vocab_coverage_curve,
         "privacy_dp_histogram_release": privacy_dp_histogram_release,
         "events_feature_asof_snapshot": events_feature_asof_snapshot,
+        "sample_group_kfold_assignment": sample_group_kfold_assignment,
+        "events_srm_guardrail": events_srm_guardrail,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -22701,6 +22824,8 @@ def oracle_sql() -> dict[str, str]:
         "text_vocab_coverage_curve": _VOCAB_COVERAGE_SQL,
         "privacy_dp_histogram_release": _DP_HISTOGRAM_SQL,
         "events_feature_asof_snapshot": _FEATURE_ASOF_SQL,
+        "sample_group_kfold_assignment": _GROUP_KFOLD_SQL,
+        "events_srm_guardrail": _SRM_GUARDRAIL_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

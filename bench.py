@@ -435,6 +435,9 @@ HEADLINE = [
     # round-10 batch 14: DP histogram release, leak-free feature snapshot.
     "privacy_dp_histogram_release",
     "events_feature_asof_snapshot",
+    # round-10 batch 15: group k-fold split audit, SRM guardrail.
+    "sample_group_kfold_assignment",
+    "events_srm_guardrail",
 ]
 
 
