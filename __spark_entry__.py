@@ -22180,6 +22180,182 @@ FROM wide
 """
 
 
+def agg_gumbel_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value return level — capacity planning's statistical
+    backbone ("what daily peak should we provision for once in 100
+    days/years?" is an EVT question, not a percentile question): the
+    yearly block maxima of daily revenue, a Gumbel fit by the method
+    of moments (β = s·√6/π, μ = m − γβ), and the 20- and 100-block
+    return levels μ − β·ln(−ln(1 − 1/T)).
+
+    One daily rollup (map-side), one |years|-bounded max census, then
+    a single wide cell: the maxima's n/Σx/Σx² are exact integers
+    (Σx² in DECIMAL(38,0)/HUGEINT) and every fitted quantity is ONE
+    fixed-order double expression micro-floored — the
+    part_xyz_classification scheme."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    maxima = daily.groupBy(F.year("d").cast("long").alias("y")).agg(
+        F.max("rev").cast("long").alias("mx")
+    )
+    wide = maxima.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("s"),
+        F.sum((F.col("mx").cast("decimal(19,0)") * F.col("mx").cast("decimal(19,0)")).cast("decimal(38,0)")).alias("q"),
+    )
+    # fixed-order doubles off the exact cell; sqrt6/pi and Euler gamma
+    # as literal constants identical in both engines
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("n").cast("double") * F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (F.col("n").cast("double") * F.col("n").cast("double"))
+    beta = F.sqrt(F.greatest(var, F.lit(0.0))) * F.lit(0.7796968012336293)
+    mu = mean - F.lit(0.5772156649015329) * beta
+    def rl(t):
+        return mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / F.lit(float(t))))
+    return wide.select(
+        F.col("n").alias("n_blocks"),
+        F.floor(mu).cast("long").alias("mu_cents"),
+        F.floor(beta).cast("long").alias("beta_cents"),
+        F.floor(rl(20)).cast("long").alias("rl20_cents"),
+        F.floor(rl(100)).cast("long").alias("rl100_cents"),
+    )
+
+
+_GUMBEL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+maxima AS (
+  SELECT CAST(year(d) AS BIGINT) AS y, CAST(max(rev) AS BIGINT) AS mx
+  FROM daily GROUP BY 1
+),
+wide AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(mx) AS BIGINT) AS s,
+         CAST(sum(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS q
+  FROM maxima
+)
+SELECT n AS n_blocks,
+       CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+            - 0.5772156649015329
+              * (sqrt(greatest((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0))
+                 * 0.7796968012336293)) AS BIGINT) AS mu_cents,
+       CAST(floor(sqrt(greatest((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0))
+            * 0.7796968012336293) AS BIGINT) AS beta_cents,
+       CAST(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+            - 0.5772156649015329
+              * (sqrt(greatest((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0))
+                 * 0.7796968012336293))
+            - (sqrt(greatest((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0))
+                 * 0.7796968012336293)
+              * ln(-ln(1.0 - 1.0 / 20.0))) AS BIGINT) AS rl20_cents,
+       CAST(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+            - 0.5772156649015329
+              * (sqrt(greatest((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0))
+                 * 0.7796968012336293))
+            - (sqrt(greatest((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0))
+                 * 0.7796968012336293)
+              * ln(-ln(1.0 - 1.0 / 100.0))) AS BIGINT) AS rl100_cents
+FROM wide
+"""
+
+
+def part_assortment_gap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment gap grid — the merchandising coverage question "which
+    (brand, size-band) cells have NO catalog coverage?" needs the
+    EXPLICIT spine (a join on observed cells alone cannot see an
+    absent cell — the events_type_mix_drift_weekly lesson): brands ×
+    five size bands cross-joined as the spine, left-joined against the
+    observed census, emitting every cell with its part count, gap
+    flag, and the brand's fill rate.
+
+    Both sides of the spine are tiny bounded dims (|brands| ≤ 25,
+    5 bands); the census is one map-side aggregate over part."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.expr("CAST(least(p_size, 49) div 10 AS LONG)").alias("size_band"),
+    )
+    census = p.groupBy("p_brand", "size_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    brands = p.select("p_brand").distinct()
+    bands = spark.range(5).select(F.col("id").cast("long").alias("size_band"))
+    spine = brands.crossJoin(F.broadcast(bands))
+    filled = spine.join(census, ["p_brand", "size_band"], "left").select(
+        F.col("p_brand").alias("brand"),
+        "size_band",
+        F.coalesce("n_parts", F.lit(0)).cast("long").alias("n_parts"),
+    )
+    per_brand = filled.groupBy("brand").agg(
+        F.sum((F.col("n_parts") > 0).cast("long")).cast("long").alias("filled_bands")
+    )
+    return (
+        filled.join(F.broadcast(per_brand), "brand")
+        .select(
+            "brand",
+            "size_band",
+            "n_parts",
+            (F.col("n_parts") == 0).alias("gap"),
+            F.expr("CAST((filled_bands * 1000000) div 5 AS BIGINT)").alias(
+                "brand_fill_micro"
+            ),
+        )
+        .orderBy("brand", "size_band")
+    )
+
+
+_ASSORTMENT_GAP_SQL = """
+WITH p AS (
+  SELECT p_brand, CAST(least(p_size, 49) // 10 AS BIGINT) AS size_band FROM part
+),
+census AS (
+  SELECT p_brand, size_band, CAST(count(*) AS BIGINT) AS n_parts
+  FROM p GROUP BY 1, 2
+),
+spine AS (
+  SELECT b.p_brand, s.size_band
+  FROM (SELECT DISTINCT p_brand FROM p) b
+  CROSS JOIN (SELECT CAST(unnest(range(0, 5)) AS BIGINT) AS size_band) s
+),
+filled AS (
+  SELECT sp.p_brand AS brand, sp.size_band,
+         CAST(coalesce(c.n_parts, 0) AS BIGINT) AS n_parts
+  FROM spine sp LEFT JOIN census c
+    ON sp.p_brand = c.p_brand AND sp.size_band = c.size_band
+),
+per_brand AS (
+  SELECT brand,
+         CAST(sum(CASE WHEN n_parts > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS filled_bands
+  FROM filled GROUP BY 1
+)
+SELECT f.brand, f.size_band, f.n_parts, (f.n_parts = 0) AS gap,
+       CAST((pb.filled_bands * 1000000) // 5 AS BIGINT) AS brand_fill_micro
+FROM filled f JOIN per_brand pb ON f.brand = pb.brand
+ORDER BY f.brand, f.size_band
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -22318,6 +22494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_feature_asof_snapshot": events_feature_asof_snapshot,
         "sample_group_kfold_assignment": sample_group_kfold_assignment,
         "events_srm_guardrail": events_srm_guardrail,
+        "agg_gumbel_return_level": agg_gumbel_return_level,
+        "part_assortment_gap_matrix": part_assortment_gap_matrix,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -22826,6 +23004,8 @@ def oracle_sql() -> dict[str, str]:
         "events_feature_asof_snapshot": _FEATURE_ASOF_SQL,
         "sample_group_kfold_assignment": _GROUP_KFOLD_SQL,
         "events_srm_guardrail": _SRM_GUARDRAIL_SQL,
+        "agg_gumbel_return_level": _GUMBEL_SQL,
+        "part_assortment_gap_matrix": _ASSORTMENT_GAP_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

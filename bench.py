@@ -438,6 +438,9 @@ HEADLINE = [
     # round-10 batch 15: group k-fold split audit, SRM guardrail.
     "sample_group_kfold_assignment",
     "events_srm_guardrail",
+    # round-10 batch 16: Gumbel return levels, assortment gap grid.
+    "agg_gumbel_return_level",
+    "part_assortment_gap_matrix",
 ]
 
 
