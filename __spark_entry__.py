@@ -22356,6 +22356,207 @@ ORDER BY f.brand, f.size_band
 """
 
 
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven attribution
+    model (first/last/linear attribution are positional heuristics;
+    the removal effect asks the COUNTERFACTUAL: how much absorption
+    probability disappears if channel c is deleted from the session
+    chain?): sessions become start → channel → … → conv/null chains
+    (truncated at the first purchase), the transition census defines
+    an absorbing Markov chain, and each channel's attribution is its
+    normalized removal effect 1 − P_removed/P_base.
+
+    Determinism across engines is the hard part: absorption
+    probabilities are a fixed point of p = T·p, and FLOAT iteration
+    would be sum-order-dependent — so both engines iterate 40 steps in
+    INTEGER micro-space (p_new(s) = Σ cnt·p(to) div n(s); absorbing
+    states persist via unit self-loops), which is bit-exact and
+    converges far past 6 decimals for any substochastic chain. Spark
+    collects only the |states|²-bounded census and solves on the
+    driver (the bounded-collect rule — k-centroids precedent); the
+    oracle replays the SAME integer recursion as a recursive CTE.
+    Output per channel: removal-effect and normalized share."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.windows import (
+        sessionize_by_gap,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_by_gap(ev, ["user_id"], "ts", 3600, "session_id")
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    flagged = s.withColumn(
+        "purch_before",
+        F.coalesce(
+            F.sum((F.col("event_type") == "purchase").cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    kept = flagged.filter(F.col("purch_before") == 0)
+    wk = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    stepped = kept.select(
+        "user_id",
+        "session_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.coalesce(F.lag("event_type").over(wk), F.lit("start")).alias("frm"),
+        F.when(F.col("event_type") == "purchase", F.lit("conv"))
+        .otherwise(F.col("event_type"))
+        .alias("to"),
+    )
+    edges = stepped.select("frm", "to")
+    per_sess = kept.groupBy("user_id", "session_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type")).alias("lastrow"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("has_conv"),
+    )
+    nulls = per_sess.filter(F.col("has_conv") == 0).select(
+        F.col("lastrow.event_type").alias("frm"), F.lit("null").alias("to")
+    )
+    census = (
+        edges.unionByName(nulls)
+        .groupBy("frm", "to")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cells = [(r["frm"], r["to"], r["cnt"]) for r in census.collect()]
+
+    # integer fixed-point solve on the bounded census (pure python —
+    # identical arithmetic to the oracle's recursive CTE)
+    cells = cells + [("conv", "conv", 1), ("null", "null", 1)]
+    states = sorted({f for f, _, _ in cells})
+    n_out = {st: sum(c for f, _, c in cells if f == st) for st in states}
+    channels = sorted(
+        {t for _, t, _ in cells if t not in ("conv", "null")} - {"start"}
+    )
+
+    def solve(removed: str) -> int:
+        p = {st: (1000000 if st == "conv" else 0) for st in states}
+        for _ in range(40):
+            p = {
+                st: sum(
+                    c * (0 if t == removed else p.get(t, 0))
+                    for f, t, c in cells
+                    if f == st
+                )
+                // n_out[st]
+                for st in states
+            }
+        return p.get("start", 0)
+
+    pbase = solve("__none__")
+    rows = []
+    for ch in channels:
+        prem = solve(ch)
+        drop = max(pbase - prem, 0)
+        rows.append((ch, pbase, prem, (drop * 1000000) // pbase if pbase else 0))
+    tot = sum(r[3] for r in rows) or 1
+    out = [
+        (ch, pb, pr, eff, (eff * 1000000) // tot) for (ch, pb, pr, eff) in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, p_base_micro long, p_removed_micro long,"
+        " removal_effect_micro long, attribution_micro long",
+    ).orderBy("channel")
+
+
+_MARKOV_ATTRIBUTION_SQL = """
+WITH RECURSIVE marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   > 3600
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+flagged AS (
+  SELECT user_id, session_id, ts, event_id, event_type,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS purch_before
+  FROM sess
+),
+kept AS (SELECT * FROM flagged WHERE purch_before = 0),
+stepped AS (
+  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id, session_id
+                                        ORDER BY ts, event_id), 'start') AS frm,
+         CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS to_
+  FROM kept
+),
+lasts AS (
+  SELECT frm, 'null' AS to_
+  FROM (
+    SELECT event_type AS frm,
+           row_number() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts DESC, event_id DESC) AS rk,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id, session_id) AS has_conv
+    FROM kept
+  ) WHERE rk = 1 AND has_conv = 0
+),
+census0 AS (
+  SELECT frm, to_, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT frm, to_ FROM stepped UNION ALL SELECT frm, to_ FROM lasts)
+  GROUP BY 1, 2
+),
+census AS (
+  SELECT frm, to_, cnt FROM census0
+  UNION ALL SELECT 'conv', 'conv', CAST(1 AS BIGINT)
+  UNION ALL SELECT 'null', 'null', CAST(1 AS BIGINT)
+),
+n AS (SELECT frm, CAST(sum(cnt) AS BIGINT) AS n FROM census GROUP BY 1),
+removals AS (
+  SELECT '__none__' AS removed
+  UNION ALL
+  SELECT DISTINCT to_ FROM census0
+  WHERE to_ NOT IN ('conv', 'null') AND to_ <> 'start'
+),
+iter(it, removed, state, p) AS (
+  SELECT 0, r.removed, s.frm,
+         CAST(CASE WHEN s.frm = 'conv' THEN 1000000 ELSE 0 END AS BIGINT)
+  FROM (SELECT DISTINCT frm FROM census) s CROSS JOIN removals r
+  UNION ALL
+  SELECT v.it + 1, v.removed, c.frm,
+         CAST(sum(c.cnt * CASE WHEN c.to_ = v.removed THEN 0 ELSE v.p END)
+              // max(nn.n) AS BIGINT)
+  FROM iter v
+  JOIN census c ON c.to_ = v.state
+  JOIN n nn ON nn.frm = c.frm
+  WHERE v.it < 40
+  GROUP BY v.it, v.removed, c.frm
+),
+final AS (SELECT removed, p FROM iter WHERE it = 40 AND state = 'start'),
+base AS (SELECT p AS pbase FROM final WHERE removed = '__none__'),
+eff AS (
+  SELECT f.removed AS channel, b.pbase, f.p AS p_removed,
+         CAST((greatest(b.pbase - f.p, 0) * 1000000) // b.pbase AS BIGINT)
+           AS removal_effect_micro
+  FROM final f CROSS JOIN base b
+  WHERE f.removed <> '__none__'
+),
+tot AS (
+  SELECT CASE WHEN sum(removal_effect_micro) = 0 THEN 1
+              ELSE CAST(sum(removal_effect_micro) AS BIGINT) END AS t
+  FROM eff
+)
+SELECT e.channel,
+       CAST(e.pbase AS BIGINT) AS p_base_micro,
+       CAST(e.p_removed AS BIGINT) AS p_removed_micro,
+       e.removal_effect_micro,
+       CAST((e.removal_effect_micro * 1000000) // t.t AS BIGINT)
+         AS attribution_micro
+FROM eff e CROSS JOIN tot t
+ORDER BY channel
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -22496,6 +22697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_srm_guardrail": events_srm_guardrail,
         "agg_gumbel_return_level": agg_gumbel_return_level,
         "part_assortment_gap_matrix": part_assortment_gap_matrix,
+        "events_markov_attribution": events_markov_attribution,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -23006,6 +23208,7 @@ def oracle_sql() -> dict[str, str]:
         "events_srm_guardrail": _SRM_GUARDRAIL_SQL,
         "agg_gumbel_return_level": _GUMBEL_SQL,
         "part_assortment_gap_matrix": _ASSORTMENT_GAP_SQL,
+        "events_markov_attribution": _MARKOV_ATTRIBUTION_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -441,6 +441,8 @@ HEADLINE = [
     # round-10 batch 16: Gumbel return levels, assortment gap grid.
     "agg_gumbel_return_level",
     "part_assortment_gap_matrix",
+    # round-10 batch 17: Markov removal-effect attribution.
+    "events_markov_attribution",
 ]
 
 
