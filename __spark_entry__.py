@@ -22557,6 +22557,161 @@ ORDER BY channel
 """
 
 
+def events_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series readout — causal inference when there is
+    no control group (the A/B tools assume randomization; a launch
+    that hit EVERYONE is read as level/trend breaks at the
+    intervention): daily event value split at the corpus epoch
+    midpoint, an OLS line fit on each segment from exact sufficient
+    statistics (n, Σt, Σy, Σty, Σt² — t is the day index), and the
+    level and slope changes at the cut.
+
+    Two |days|-bounded segment cells off one daily rollup (the CUPED
+    midpoint scheme); slopes/intercepts are fixed-order doubles over
+    exact integer sums, micro-floored. Output is one row: pre/post
+    slope, the trend change, and the level change at the cut."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y")
+    )
+    bounds = daily.agg(
+        F.min(F.unix_timestamp("d")).cast("long").alias("t0"),
+        F.expr(
+            "CAST((min(unix_timestamp(d)) + max(unix_timestamp(d))) div 2 AS LONG)"
+        ).alias("cut"),
+    )
+    idx = daily.crossJoin(F.broadcast(bounds)).select(
+        F.expr("CAST((unix_timestamp(d) - t0) div 86400 AS LONG)").alias("t"),
+        "y",
+        (F.unix_timestamp("d") < F.col("cut")).alias("pre"),
+        F.expr("CAST((cut - t0) div 86400 AS LONG)").alias("tc"),
+    )
+    cells = idx.groupBy("pre").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("t") * F.col("y")).cast("decimal(38,0)")).alias("sty"),
+        F.sum((F.col("t") * F.col("t")).cast("decimal(38,0)")).alias("stt"),
+        F.max("tc").cast("long").alias("tc"),
+    )
+    wide = cells.groupBy().pivot("pre", [True, False]).agg(
+        F.max("n").alias("n"),
+        F.max("st").alias("st"),
+        F.max("sy").alias("sy"),
+        F.max("sty").alias("sty"),
+        F.max("stt").alias("stt"),
+        F.max("tc").alias("tc"),
+    )
+    # slope = (nΣty − ΣtΣy)/(nΣt² − (Σt)²); intercept = (Σy − b·Σt)/n;
+    # level at cut from each side's line — one fixed-order double block
+    def line(side):
+        n = F.col(f"{side}_n").cast("double")
+        st = F.col(f"{side}_st").cast("double")
+        sy = F.col(f"{side}_sy").cast("double")
+        sty = F.col(f"{side}_sty").cast("double")
+        stt = F.col(f"{side}_stt").cast("double")
+        b = (n * sty - st * sy) / (n * stt - st * st)
+        a = (sy - b * st) / n
+        return a, b
+
+    a_pre, b_pre = line("true")
+    a_post, b_post = line("false")
+    tc = F.col("true_tc").cast("double")
+    return wide.select(
+        F.col("true_n").cast("long").alias("n_pre_days"),
+        F.col("false_n").cast("long").alias("n_post_days"),
+        F.floor(b_pre * 1000000).cast("long").alias("slope_pre_micro"),
+        F.floor(b_post * 1000000).cast("long").alias("slope_post_micro"),
+        F.floor((b_post - b_pre) * 1000000).cast("long").alias("trend_change_micro"),
+        F.floor(((a_post + b_post * tc) - (a_pre + b_pre * tc)))
+        .cast("long")
+        .alias("level_change_cents"),
+    )
+
+
+_ITS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+bounds AS (
+  SELECT CAST(min(epoch(d)) AS BIGINT) AS t0,
+         CAST((min(epoch(d)) + max(epoch(d))) // 2 AS BIGINT) AS cut
+  FROM daily
+),
+idx AS (
+  SELECT CAST((epoch(d.d) - b.t0) // 86400 AS BIGINT) AS t, d.y,
+         (epoch(d.d) < b.cut) AS pre,
+         CAST((b.cut - b.t0) // 86400 AS BIGINT) AS tc
+  FROM daily d CROSS JOIN bounds b
+),
+cells AS (
+  SELECT pre, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty,
+         CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+         CAST(max(tc) AS BIGINT) AS tc
+  FROM idx GROUP BY 1
+),
+wide AS (
+  SELECT
+    max(CASE WHEN pre THEN n END) AS pn, max(CASE WHEN pre THEN st END) AS pst,
+    max(CASE WHEN pre THEN sy END) AS psy, max(CASE WHEN pre THEN sty END) AS psty,
+    max(CASE WHEN pre THEN stt END) AS pstt,
+    max(CASE WHEN NOT pre THEN n END) AS qn, max(CASE WHEN NOT pre THEN st END) AS qst,
+    max(CASE WHEN NOT pre THEN sy END) AS qsy, max(CASE WHEN NOT pre THEN sty END) AS qsty,
+    max(CASE WHEN NOT pre THEN stt END) AS qstt,
+    max(CASE WHEN pre THEN tc END) AS tc
+  FROM cells
+)
+SELECT CAST(pn AS BIGINT) AS n_pre_days,
+       CAST(qn AS BIGINT) AS n_post_days,
+       CAST(floor(((CAST(pn AS DOUBLE) * CAST(psty AS DOUBLE)
+            - CAST(pst AS DOUBLE) * CAST(psy AS DOUBLE))
+            / (CAST(pn AS DOUBLE) * CAST(pstt AS DOUBLE)
+            - CAST(pst AS DOUBLE) * CAST(pst AS DOUBLE))) * 1000000) AS BIGINT)
+         AS slope_pre_micro,
+       CAST(floor(((CAST(qn AS DOUBLE) * CAST(qsty AS DOUBLE)
+            - CAST(qst AS DOUBLE) * CAST(qsy AS DOUBLE))
+            / (CAST(qn AS DOUBLE) * CAST(qstt AS DOUBLE)
+            - CAST(qst AS DOUBLE) * CAST(qst AS DOUBLE))) * 1000000) AS BIGINT)
+         AS slope_post_micro,
+       CAST(floor((((CAST(qn AS DOUBLE) * CAST(qsty AS DOUBLE)
+            - CAST(qst AS DOUBLE) * CAST(qsy AS DOUBLE))
+            / (CAST(qn AS DOUBLE) * CAST(qstt AS DOUBLE)
+            - CAST(qst AS DOUBLE) * CAST(qst AS DOUBLE)))
+            - ((CAST(pn AS DOUBLE) * CAST(psty AS DOUBLE)
+            - CAST(pst AS DOUBLE) * CAST(psy AS DOUBLE))
+            / (CAST(pn AS DOUBLE) * CAST(pstt AS DOUBLE)
+            - CAST(pst AS DOUBLE) * CAST(pst AS DOUBLE)))) * 1000000) AS BIGINT)
+         AS trend_change_micro,
+       CAST(floor(
+         ((CAST(qsy AS DOUBLE)
+           - ((CAST(qn AS DOUBLE) * CAST(qsty AS DOUBLE)
+              - CAST(qst AS DOUBLE) * CAST(qsy AS DOUBLE))
+              / (CAST(qn AS DOUBLE) * CAST(qstt AS DOUBLE)
+              - CAST(qst AS DOUBLE) * CAST(qst AS DOUBLE))) * CAST(qst AS DOUBLE))
+            / CAST(qn AS DOUBLE)
+          + ((CAST(qn AS DOUBLE) * CAST(qsty AS DOUBLE)
+              - CAST(qst AS DOUBLE) * CAST(qsy AS DOUBLE))
+              / (CAST(qn AS DOUBLE) * CAST(qstt AS DOUBLE)
+              - CAST(qst AS DOUBLE) * CAST(qst AS DOUBLE))) * CAST(tc AS DOUBLE))
+         - ((CAST(psy AS DOUBLE)
+           - ((CAST(pn AS DOUBLE) * CAST(psty AS DOUBLE)
+              - CAST(pst AS DOUBLE) * CAST(psy AS DOUBLE))
+              / (CAST(pn AS DOUBLE) * CAST(pstt AS DOUBLE)
+              - CAST(pst AS DOUBLE) * CAST(pst AS DOUBLE))) * CAST(pst AS DOUBLE))
+            / CAST(pn AS DOUBLE)
+          + ((CAST(pn AS DOUBLE) * CAST(psty AS DOUBLE)
+              - CAST(pst AS DOUBLE) * CAST(psy AS DOUBLE))
+              / (CAST(pn AS DOUBLE) * CAST(pstt AS DOUBLE)
+              - CAST(pst AS DOUBLE) * CAST(pst AS DOUBLE))) * CAST(tc AS DOUBLE))
+       ) AS BIGINT) AS level_change_cents
+FROM wide
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -22698,6 +22853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_gumbel_return_level": agg_gumbel_return_level,
         "part_assortment_gap_matrix": part_assortment_gap_matrix,
         "events_markov_attribution": events_markov_attribution,
+        "events_interrupted_time_series": events_interrupted_time_series,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -23209,6 +23365,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_gumbel_return_level": _GUMBEL_SQL,
         "part_assortment_gap_matrix": _ASSORTMENT_GAP_SQL,
         "events_markov_attribution": _MARKOV_ATTRIBUTION_SQL,
+        "events_interrupted_time_series": _ITS_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -443,6 +443,8 @@ HEADLINE = [
     "part_assortment_gap_matrix",
     # round-10 batch 17: Markov removal-effect attribution.
     "events_markov_attribution",
+    # round-10 batch 18: interrupted time series.
+    "events_interrupted_time_series",
 ]
 
 

@@ -1479,3 +1479,66 @@ def session_entry_exit_stream(
             fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def feature_asof_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    value_col: str,
+    label_type: str = "purchase",
+) -> DataFrame:
+    """Streaming twin of the batch events_feature_asof_snapshot — the
+    ON-INGEST leak-free feature snapshot: per key the state is exactly
+    the strictly-prior running (count, value-cents sum), and every
+    label row is emitted the moment it arrives with the features AS OF
+    that moment. Because the carried state IS the prefix aggregate,
+    chunked replay equals batch replay (the fill-forward-carry
+    argument); within a batch the fold sorts on (ts, id), the same
+    total order as the batch window.
+
+    Emits (key..., id, n_prior_events, prior_value_cents) per label
+    row. NoTimeout state — the prefix aggregate for a departed key is
+    two integers, the honest minimum."""
+    out_schema = StructType(
+        _key_fields(df, key_cols)
+        + [
+            StructField(id_col, LongType()),
+            StructField("n_prior_events", LongType()),
+            StructField("prior_value_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+    keys = list(key_cols)
+
+    def fold(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values([ts_col, id_col])
+            emitted = []
+            for _, row in pdf.iterrows():
+                if row[type_col] == label_type:
+                    emitted.append(
+                        dict(
+                            zip(keys, key),
+                            **{
+                                id_col: int(row[id_col]),
+                                "n_prior_events": int(n),
+                                "prior_value_cents": int(cents),
+                            },
+                        )
+                    )
+                n += 1
+                cents += int(round(float(row[value_col]) * 100))
+            state.update((int(n), int(cents)))
+            if emitted:
+                yield pd.DataFrame(emitted)
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
