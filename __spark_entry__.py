@@ -22712,6 +22712,232 @@ FROM wide
 """
 
 
+def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model eval — the honest version of
+    text_bigram_lm_logprob (scoring the training corpus with its own
+    counts flatters the model; a data-quality gate needs HELD-OUT
+    likelihood): docs split 50/50 by seeded md5 of doc_id, an add-1
+    bigram LM fits on the train half, and each language's TEST bigrams
+    are scored ln((c(w1,w2)+1)/(c(w1)+V)) — per-language held-out
+    cross-entropy in micro-nats.
+
+    Scale shape: both halves collapse to bigram-TYPE censuses before
+    any join (vocabulary-sized shuffles); the per-type ln is
+    micro-snapped then weighted by the exact test count, so the
+    per-language sum is an integer. OOV contexts flow through the same
+    formula with c(w1) = 0. One broadcast 1-row V cell."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    split = docs.withColumn(
+        "is_train",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":pp7"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        ),
+    )
+    toks = split.select(
+        "lang",
+        "is_train",
+        F.split(F.trim(F.col("text")), r"\s+").alias("tk"),
+    )
+    bigrams = toks.select(
+        "lang",
+        "is_train",
+        F.explode(
+            F.expr("transform(slice(tk, 1, size(tk) - 1), (w, i) -> struct(w AS w1, tk[i + 1] AS w2))")
+        ).alias("bg"),
+    ).select("lang", "is_train", "bg.w1", "bg.w2")
+    train_bi = (
+        bigrams.filter("is_train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    train_uni = (
+        bigrams.filter("is_train")
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
+    v = (
+        bigrams.filter("is_train")
+        .select("w1")
+        .union(bigrams.filter("is_train").select("w2"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    test = bigrams.filter(~F.col("is_train")).groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    scored = (
+        test.join(train_bi, ["w1", "w2"], "left")
+        .join(train_uni, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang",
+            "ct",
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v")).cast("double")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.sum("ct").cast("long").alias("n_test_bigrams"),
+            F.expr("CAST(sum(ct * nll_micro) div sum(ct) AS BIGINT)").alias(
+                "cross_entropy_micronats"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_HELDOUT_PERPLEXITY_SQL = """
+WITH split AS (
+  SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS tk,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pp7'), 1, 8))::BIGINT
+          % 2 = 0) AS is_train
+  FROM documents
+),
+bigrams AS (
+  SELECT lang, is_train, tk[i] AS w1, tk[i + 1] AS w2
+  FROM split, unnest(range(1, len(tk))) AS t(i)
+),
+train_bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+  FROM bigrams WHERE is_train GROUP BY 1, 2
+),
+train_uni AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS cu
+  FROM bigrams WHERE is_train GROUP BY 1
+),
+v AS (
+  SELECT CAST(count(*) AS BIGINT) AS v FROM (
+    SELECT w1 AS w FROM bigrams WHERE is_train
+    UNION
+    SELECT w2 AS w FROM bigrams WHERE is_train
+  )
+),
+test AS (
+  SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS ct
+  FROM bigrams WHERE NOT is_train GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT t.lang, t.ct,
+         CAST(round(-ln((coalesce(tb.cb, 0) + 1)
+              / CAST(coalesce(tu.cu, 0) + v.v AS DOUBLE)) * 1000000) AS BIGINT)
+           AS nll_micro
+  FROM test t
+  LEFT JOIN train_bi tb ON t.w1 = tb.w1 AND t.w2 = tb.w2
+  LEFT JOIN train_uni tu ON t.w1 = tu.w1
+  CROSS JOIN v
+)
+SELECT lang, CAST(sum(ct) AS BIGINT) AS n_test_bigrams,
+       CAST(sum(ct * nll_micro) // sum(ct) AS BIGINT) AS cross_entropy_micronats
+FROM scored GROUP BY 1 ORDER BY lang
+"""
+
+
+def events_bot_score_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/script screening census — the abuse filter a training-data
+    pipeline runs on behavioral streams before anything else (scripted
+    clients poison every downstream metric): per user, peak events in
+    any single hour (rate signal) and event-type entropy (diversity
+    signal — near-zero = one repeated action), collapsed to the 2×2
+    (high-rate × low-entropy) census with both flags' thresholds in
+    the output contract (rate ≥ 20/h, entropy < 0.3 bits with n ≥ 30).
+
+    Two bounded censuses off one scan family: user×hour cells for the
+    peak, user×type cells for the entropy (the events_user_entropy
+    micro-bit scheme — terms snap BEFORE the per-user sum). Output is
+    4 rows."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").cast("long").alias("peak_hourly"))
+    )
+    cells = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = cells.groupBy("user_id").agg(F.sum("c").cast("long").alias("n"))
+    c = F.col("c").cast("double")
+    n = F.col("n").cast("double")
+    term = F.round(c / n * F.log2(n / c) * 1000000).cast("long")
+    ent = (
+        cells.join(totals, "user_id")
+        .select("user_id", "n", term.alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.sum("t").cast("long").alias("entropy_microbits"),
+        )
+    )
+    flagged = ent.join(hourly, "user_id").select(
+        (F.col("peak_hourly") >= 20).alias("high_rate"),
+        (
+            (F.col("entropy_microbits") < 300000) & (F.col("n_events") >= 30)
+        ).alias("low_entropy"),
+        "n_events",
+    )
+    return (
+        flagged.groupBy("high_rate", "low_entropy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("high_rate", "low_entropy")
+    )
+
+
+_BOT_SCORE_SQL = """
+WITH hourly AS (
+  SELECT user_id, CAST(max(c) AS BIGINT) AS peak_hourly
+  FROM (
+    SELECT user_id, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+  ) GROUP BY 1
+),
+cells AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+totals AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+ent AS (
+  SELECT cells.user_id, CAST(max(totals.n) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(CAST(cells.c AS DOUBLE) / totals.n
+              * log2(CAST(totals.n AS DOUBLE) / cells.c) * 1000000) AS BIGINT))
+              AS BIGINT) AS entropy_microbits
+  FROM cells JOIN totals ON cells.user_id = totals.user_id
+  GROUP BY 1
+),
+flagged AS (
+  SELECT (h.peak_hourly >= 20) AS high_rate,
+         (e.entropy_microbits < 300000 AND e.n_events >= 30) AS low_entropy,
+         e.n_events
+  FROM ent e JOIN hourly h ON e.user_id = h.user_id
+)
+SELECT high_rate, low_entropy,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM flagged GROUP BY 1, 2 ORDER BY high_rate, low_entropy
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -22854,6 +23080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_assortment_gap_matrix": part_assortment_gap_matrix,
         "events_markov_attribution": events_markov_attribution,
         "events_interrupted_time_series": events_interrupted_time_series,
+        "text_heldout_perplexity": text_heldout_perplexity,
+        "events_bot_score_census": events_bot_score_census,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -23366,6 +23594,8 @@ def oracle_sql() -> dict[str, str]:
         "part_assortment_gap_matrix": _ASSORTMENT_GAP_SQL,
         "events_markov_attribution": _MARKOV_ATTRIBUTION_SQL,
         "events_interrupted_time_series": _ITS_SQL,
+        "text_heldout_perplexity": _HELDOUT_PERPLEXITY_SQL,
+        "events_bot_score_census": _BOT_SCORE_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -445,6 +445,9 @@ HEADLINE = [
     "events_markov_attribution",
     # round-10 batch 18: interrupted time series.
     "events_interrupted_time_series",
+    # round-10 batch 19: held-out LM eval, bot screening census.
+    "text_heldout_perplexity",
+    "events_bot_score_census",
 ]
 
 
