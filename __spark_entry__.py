@@ -22938,6 +22938,75 @@ FROM flagged GROUP BY 1, 2 ORDER BY high_rate, low_entropy
 """
 
 
+def text_template_prefix_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate screen — the near-dup tiers ask "are two
+    docs alike?"; the TEMPLATE question is "how much of each source is
+    stamped from the same opening?" (form letters, scraped listings,
+    generated pages share a PREFIX even when bodies differ): docs
+    whose first-8-token md5 fingerprint repeats ≥ 5 times are
+    template-family members, reported per source as count and micro
+    share plus the distinct family count.
+
+    One prefix-hash census (shuffle carries 16-byte digests, never
+    text — the exact-dedup discipline), one broadcast-size join back
+    on the digest, one |sources|-bounded census."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pref = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8)
+            )
+        ).alias("fp"),
+    )
+    fams = pref.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    hot = fams.filter(F.col("n_docs") >= 5).select("fp")
+    flagged = pref.join(F.broadcast(hot.withColumn("is_template", F.lit(True))), "fp", "left")
+    per_source = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.coalesce(F.col("is_template"), F.lit(False)).cast("long"))
+        .cast("long")
+        .alias("n_templated"),
+        F.count_distinct(
+            F.when(F.col("is_template"), F.col("fp"))
+        ).cast("long").alias("n_families"),
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_templated",
+        "n_families",
+        F.expr("CAST((n_templated * 1000000) div n_docs AS BIGINT)").alias(
+            "templated_micro"
+        ),
+    ).orderBy("source")
+
+
+_TEMPLATE_PREFIX_SQL = """
+WITH pref AS (
+  SELECT doc_id, source,
+         md5(array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:8], ' '))
+           AS fp
+  FROM documents
+),
+fams AS (SELECT fp, CAST(count(*) AS BIGINT) AS n FROM pref GROUP BY 1),
+hot AS (SELECT fp FROM fams WHERE n >= 5),
+flagged AS (
+  SELECT p.source, p.fp, (h.fp IS NOT NULL) AS is_template
+  FROM pref p LEFT JOIN hot h ON p.fp = h.fp
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN is_template THEN 1 ELSE 0 END) AS BIGINT) AS n_templated,
+       CAST(count(DISTINCT CASE WHEN is_template THEN fp END) AS BIGINT)
+         AS n_families,
+       CAST((sum(CASE WHEN is_template THEN 1 ELSE 0 END) * 1000000) // count(*)
+            AS BIGINT) AS templated_micro
+FROM flagged GROUP BY 1 ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -23082,6 +23151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interrupted_time_series": events_interrupted_time_series,
         "text_heldout_perplexity": text_heldout_perplexity,
         "events_bot_score_census": events_bot_score_census,
+        "text_template_prefix_share": text_template_prefix_share,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -23596,6 +23666,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interrupted_time_series": _ITS_SQL,
         "text_heldout_perplexity": _HELDOUT_PERPLEXITY_SQL,
         "events_bot_score_census": _BOT_SCORE_SQL,
+        "text_template_prefix_share": _TEMPLATE_PREFIX_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -448,6 +448,8 @@ HEADLINE = [
     # round-10 batch 19: held-out LM eval, bot screening census.
     "text_heldout_perplexity",
     "events_bot_score_census",
+    # round-10 batch 20: template/boilerplate prefix screen.
+    "text_template_prefix_share",
 ]
 
 
