@@ -23007,6 +23007,169 @@ FROM flagged GROUP BY 1 ORDER BY source
 """
 
 
+def events_fano_factor_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano-factor dispersion test per event type — the Poissonity
+    check behind every rate alarm (events_rate_anomaly assumes
+    hour-to-hour counts are roughly Poisson; the Fano factor var/mean
+    SAYS whether they are — ≈1 Poisson, ≫1 bursty/clumped, ≪1
+    clock-like): per type, the factor over the hourly count series in
+    micro units.
+
+    Exact end-to-end: with n hours and S=Σc, Q=Σc² (HUGEINT/decimal),
+    var/mean = (nQ − S²)/(n·S) — one integer quotient via the exact
+    pmod division, no float anywhere. Hour cells are a bounded
+    |types|·|hours| census off one map-side aggregate; hours with zero
+    events for a type count via the observed-hour-domain spine
+    (n = |distinct hours in corpus|, the XYZ zero-month identity)."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nh = cells.select("h").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per = cells.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("s"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("q"),
+    )
+    return (
+        per.crossJoin(F.broadcast(nh))
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.col("s").alias("n_events"),
+            F.expr(
+                "CAST(CAST(((CAST(n AS DECIMAL(38,0)) * q"
+                " - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))"
+                " * 1000000"
+                " - pmod((CAST(n AS DECIMAL(38,0)) * q"
+                "   - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))"
+                "   * 1000000,"
+                "   CAST(n AS DECIMAL(38,0)) * s))"
+                " / (CAST(n AS DECIMAL(38,0)) * s) AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("fano_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_FANO_FACTOR_SQL = """
+WITH cells AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+nh AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS n FROM cells),
+per AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+  FROM cells GROUP BY 1
+)
+SELECT p.event_type, nh.n AS n_hours, p.s AS n_events,
+       CAST(((nh.n * p.q - CAST(p.s AS HUGEINT) * p.s) * 1000000)
+            // (CAST(nh.n AS HUGEINT) * p.s) AS BIGINT) AS fano_micro
+FROM per p CROSS JOIN nh
+ORDER BY event_type
+"""
+
+
+def diag_category_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-domain drift audit — the schema-evolution cousin of
+    value drift (PSI/QQ watch a DISTRIBUTION; pipelines also break
+    when a category APPEARS or DISAPPEARS — a new event type, a
+    retired priority): the distinct value set of each monitored
+    column, compared between the epoch-midpoint halves, reported as
+    added/removed/stable counts and the set Jaccard.
+
+    Both columns' censuses union into one (col, value, half) frame —
+    tiny bounded domains — and the old/new alignment is a full-outer
+    join on (col, value). Output: one row per monitored column."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.lit("events.event_type").alias("col"),
+        F.col("event_type").alias("val"),
+        F.unix_timestamp("ts").cast("long").alias("ep"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.lit("orders.o_orderpriority").alias("col"),
+        F.col("o_orderpriority").alias("val"),
+        F.unix_timestamp(F.to_date("o_orderdate")).cast("long").alias("ep"),
+    )
+    both = ev.unionByName(o)
+    cuts = both.groupBy("col").agg(
+        F.expr("CAST((min(ep) + max(ep)) div 2 AS LONG)").alias("cut")
+    )
+    tagged = both.join(F.broadcast(cuts), "col").select(
+        "col", "val", (F.col("ep") < F.col("cut")).alias("is_old")
+    )
+    old = tagged.filter("is_old").select("col", "val").distinct()
+    new = tagged.filter("NOT is_old").select("col", "val").distinct()
+    aligned = (
+        old.withColumn("in_old", F.lit(1))
+        .join(new.withColumn("in_new", F.lit(1)), ["col", "val"], "full_outer")
+        .select(
+            "col",
+            F.coalesce("in_old", F.lit(0)).alias("in_old"),
+            F.coalesce("in_new", F.lit(0)).alias("in_new"),
+        )
+    )
+    return (
+        aligned.groupBy("col")
+        .agg(
+            F.sum(F.expr("CASE WHEN in_old = 0 AND in_new = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_added"),
+            F.sum(F.expr("CASE WHEN in_old = 1 AND in_new = 0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.expr("CASE WHEN in_old = 1 AND in_new = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_stable"),
+            F.expr(
+                "CAST((sum(CASE WHEN in_old = 1 AND in_new = 1 THEN 1 ELSE 0 END)"
+                " * 1000000) div count(1) AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+        .orderBy("col")
+    )
+
+
+_CATEGORY_DRIFT_SQL = """
+WITH both_ AS (
+  SELECT 'events.event_type' AS col, event_type AS val, epoch(ts) AS ep
+  FROM events
+  UNION ALL
+  SELECT 'orders.o_orderpriority' AS col, o_orderpriority AS val,
+         epoch(CAST(o_orderdate AS DATE)) AS ep
+  FROM orders
+),
+cuts AS (
+  SELECT col, CAST((min(ep) + max(ep)) // 2 AS BIGINT) AS cut
+  FROM both_ GROUP BY 1
+),
+tagged AS (
+  SELECT b.col, b.val, (b.ep < c.cut) AS is_old
+  FROM both_ b JOIN cuts c ON b.col = c.col
+),
+old_ AS (SELECT DISTINCT col, val FROM tagged WHERE is_old),
+new_ AS (SELECT DISTINCT col, val FROM tagged WHERE NOT is_old),
+aligned AS (
+  SELECT coalesce(o.col, n.col) AS col,
+         CASE WHEN o.val IS NOT NULL THEN 1 ELSE 0 END AS in_old,
+         CASE WHEN n.val IS NOT NULL THEN 1 ELSE 0 END AS in_new
+  FROM old_ o FULL OUTER JOIN new_ n ON o.col = n.col AND o.val = n.val
+)
+SELECT col,
+       CAST(sum(CASE WHEN in_old = 0 AND in_new = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(sum(CASE WHEN in_old = 1 AND in_new = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN in_old = 1 AND in_new = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stable,
+       CAST((sum(CASE WHEN in_old = 1 AND in_new = 1 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS jaccard_micro
+FROM aligned GROUP BY 1 ORDER BY col
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -23152,6 +23315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heldout_perplexity": text_heldout_perplexity,
         "events_bot_score_census": events_bot_score_census,
         "text_template_prefix_share": text_template_prefix_share,
+        "events_fano_factor_dispersion": events_fano_factor_dispersion,
+        "diag_category_domain_drift": diag_category_domain_drift,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -23667,6 +23832,8 @@ def oracle_sql() -> dict[str, str]:
         "text_heldout_perplexity": _HELDOUT_PERPLEXITY_SQL,
         "events_bot_score_census": _BOT_SCORE_SQL,
         "text_template_prefix_share": _TEMPLATE_PREFIX_SQL,
+        "events_fano_factor_dispersion": _FANO_FACTOR_SQL,
+        "diag_category_domain_drift": _CATEGORY_DRIFT_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -450,6 +450,9 @@ HEADLINE = [
     "events_bot_score_census",
     # round-10 batch 20: template/boilerplate prefix screen.
     "text_template_prefix_share",
+    # round-10 batch 21: Fano dispersion test, categorical-domain drift.
+    "events_fano_factor_dispersion",
+    "diag_category_domain_drift",
 ]
 
 
