@@ -23170,6 +23170,209 @@ FROM aligned GROUP BY 1 ORDER BY col
 """
 
 
+def similarity_label_lang_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster ↔ language alignment — the cross-modal audit
+    the shared doc_id/vec_id key unlocks ("do the embedding labels
+    just rediscover language?" decides whether a dedup/retrieval index
+    needs per-language sharding): the |labels|×|langs| contingency
+    census with each cell's PMI, plus the table-level normalized
+    mutual information repeated per row (the one-pass census IS both
+    deliverables).
+
+    One broadcast-size equi-join on the shared key, one bounded
+    census; PMI/MI terms follow the exact c·ln scheme (micro-snap per
+    CELL, then integer sums — the JSD/entropy discipline), NMI =
+    MI/√(H_label·H_lang) as one fixed-order double micro-floored."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    cells = (
+        emb.join(docs, emb["vec_id"] == docs["doc_id"])
+        .groupBy("label", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rowm = cells.groupBy("label").agg(F.sum("c").cast("long").alias("rl"))
+    colm = cells.groupBy("lang").agg(F.sum("c").cast("long").alias("cl"))
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    joined = (
+        cells.join(F.broadcast(rowm), "label")
+        .join(F.broadcast(colm), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    c = F.col("c").cast("double")
+    rl = F.col("rl").cast("double")
+    cl = F.col("cl").cast("double")
+    n = F.col("n").cast("double")
+    pmi_micro = F.round(F.log(c * n / (rl * cl)) * 1000000).cast("long")
+    mi_term = F.round(c / n * F.log(c * n / (rl * cl)) * 1000000).cast("long")
+    # H terms computed on the marginal frames (one row per label/lang)
+    hlab = rowm.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.round(rl / n * F.log(n / rl) * 1000000).cast("long"))
+        .cast("long")
+        .alias("hl")
+    )
+    hlang = colm.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.round(cl / n * F.log(n / cl) * 1000000).cast("long"))
+        .cast("long")
+        .alias("hg")
+    )
+    mi = joined.agg(F.sum(mi_term).cast("long").alias("mi"))
+    nmi = (
+        mi.crossJoin(F.broadcast(hlab))
+        .crossJoin(F.broadcast(hlang))
+        .select(
+            F.floor(
+                F.col("mi").cast("double")
+                / F.sqrt(F.col("hl").cast("double") * F.col("hg").cast("double"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("nmi_micro")
+        )
+    )
+    return (
+        joined.select("label", "lang", "c", pmi_micro.alias("pmi_micro"))
+        .crossJoin(F.broadcast(nmi))
+        .orderBy("label", "lang")
+    )
+
+
+_LABEL_LANG_NMI_SQL = """
+WITH cells AS (
+  SELECT CAST(e.label AS BIGINT) AS label, d.lang, CAST(count(*) AS BIGINT) AS c
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  GROUP BY 1, 2
+),
+rowm AS (SELECT label, CAST(sum(c) AS BIGINT) AS rl FROM cells GROUP BY 1),
+colm AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+joined AS (
+  SELECT ce.label, ce.lang, ce.c, r.rl, co.cl, t.n
+  FROM cells ce
+  JOIN rowm r ON ce.label = r.label
+  JOIN colm co ON ce.lang = co.lang
+  CROSS JOIN tot t
+),
+mi AS (
+  SELECT CAST(sum(CAST(round(CAST(c AS DOUBLE) / n
+            * ln(CAST(c AS DOUBLE) * n / (CAST(rl AS DOUBLE) * cl)) * 1000000)
+            AS BIGINT)) AS BIGINT) AS mi
+  FROM joined
+),
+hlab AS (
+  SELECT CAST(sum(CAST(round(CAST(rl AS DOUBLE) / t.n
+            * ln(CAST(t.n AS DOUBLE) / rl) * 1000000) AS BIGINT)) AS BIGINT) AS hl
+  FROM rowm CROSS JOIN tot t
+),
+hlang AS (
+  SELECT CAST(sum(CAST(round(CAST(cl AS DOUBLE) / t.n
+            * ln(CAST(t.n AS DOUBLE) / cl) * 1000000) AS BIGINT)) AS BIGINT) AS hg
+  FROM colm CROSS JOIN tot t
+),
+nmi AS (
+  SELECT CAST(floor(CAST(mi.mi AS DOUBLE)
+            / sqrt(CAST(hlab.hl AS DOUBLE) * hlang.hg) * 1000000) AS BIGINT)
+           AS nmi_micro
+  FROM mi CROSS JOIN hlab CROSS JOIN hlang
+)
+SELECT j.label, j.lang, j.c,
+       CAST(round(ln(CAST(j.c AS DOUBLE) * j.n
+            / (CAST(j.rl AS DOUBLE) * j.cl)) * 1000000) AS BIGINT) AS pmi_micro,
+       nmi.nmi_micro
+FROM joined j CROSS JOIN nmi
+ORDER BY label, lang
+"""
+
+
+def similarity_norm_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm vs document-length bias audit — the
+    representation check before cosine-free retrieval (if norm tracks
+    length, MIPS ranking favours long docs and the index needs
+    normalization): Pearson r between n_chars and the L2 norm across
+    the shared doc/vec key — one number that decides the indexing
+    policy.
+
+    The norm folds sequentially over dimensions (the cosine-oracle
+    scheme) and snaps to micro per ROW, so Σy/Σxy/Σy² are exact
+    integer sums (DECIMAL(38,0)/HUGEINT); r is ONE fixed-order double
+    micro-floored. One broadcast-size join on the shared key."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.floor(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        "embedding",
+                        lambda x: x.cast("double") * x.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("norm_micro"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("x")
+    )
+    pairs = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "x", F.col("norm_micro").alias("y")
+    )
+    wide = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    return wide.selectExpr(
+        "n AS n_pairs",
+        "CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        " * 1000000) AS BIGINT) AS pearson_micro",
+    )
+
+
+_NORM_LENGTH_BIAS_SQL = """
+WITH emb AS (
+  SELECT vec_id,
+         CAST(floor(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+              * 1000000) AS BIGINT) AS y
+  FROM embeddings
+),
+pairs AS (
+  SELECT CAST(d.n_chars AS BIGINT) AS x, e.y
+  FROM emb e JOIN documents d ON e.vec_id = d.doc_id
+),
+wide AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM pairs
+)
+SELECT n AS n_pairs,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            * 1000000) AS BIGINT) AS pearson_micro
+FROM wide
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -23317,6 +23520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_template_prefix_share": text_template_prefix_share,
         "events_fano_factor_dispersion": events_fano_factor_dispersion,
         "diag_category_domain_drift": diag_category_domain_drift,
+        "similarity_label_lang_nmi": similarity_label_lang_nmi,
+        "similarity_norm_length_bias": similarity_norm_length_bias,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -23834,6 +24039,8 @@ def oracle_sql() -> dict[str, str]:
         "text_template_prefix_share": _TEMPLATE_PREFIX_SQL,
         "events_fano_factor_dispersion": _FANO_FACTOR_SQL,
         "diag_category_domain_drift": _CATEGORY_DRIFT_SQL,
+        "similarity_label_lang_nmi": _LABEL_LANG_NMI_SQL,
+        "similarity_norm_length_bias": _NORM_LENGTH_BIAS_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

@@ -453,6 +453,9 @@ HEADLINE = [
     # round-10 batch 21: Fano dispersion test, categorical-domain drift.
     "events_fano_factor_dispersion",
     "diag_category_domain_drift",
+    # round-10 batch 22: cross-modal label/lang NMI, norm-length bias.
+    "similarity_label_lang_nmi",
+    "similarity_norm_length_bias",
 ]
 
 
