@@ -23373,6 +23373,216 @@ FROM wide
 """
 
 
+def window_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR individuals control chart — continuous-metric SPC next to
+    the attribute p-chart (lineitem_returns_p_chart watches a
+    fraction; daily revenue needs the individuals chart: centre x̄,
+    limits x̄ ± 2.66·mR̄ from the mean moving range): per day, the
+    revenue, the moving range, and the out-of-control flag.
+
+    One lag window over the CALENDAR-bounded day spine, a 1-row centre
+    cell broadcast back; x̄ and mR̄·2.66 are fixed-order doubles off
+    exact cents sums, and the flag compares those doubles — identical
+    in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w = Window.orderBy("d")
+    mr = daily.withColumn("mr", F.abs(F.col("x") - F.lag("x").over(w)).cast("long"))
+    centre = mr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("mr").cast("long").alias("smr"),
+        F.count("mr").cast("long").alias("nmr"),
+    )
+    xbar = F.col("sx").cast("double") / F.col("n").cast("double")
+    band = (
+        F.lit(2.66)
+        * (F.col("smr").cast("double") / F.col("nmr").cast("double"))
+    )
+    return (
+        mr.crossJoin(F.broadcast(centre))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("x").alias("revenue_cents"),
+            "mr",
+            F.floor(xbar - band).cast("long").alias("lcl_cents"),
+            F.floor(xbar + band).cast("long").alias("ucl_cents"),
+            (
+                (F.col("x").cast("double") > xbar + band)
+                | (F.col("x").cast("double") < xbar - band)
+            ).alias("out_of_control"),
+        )
+        .orderBy("day")
+    )
+
+
+_XMR_CHART_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+mr AS (
+  SELECT d, x, CAST(abs(x - lag(x) OVER (ORDER BY d)) AS BIGINT) AS mr FROM daily
+),
+centre AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(mr) AS BIGINT) AS smr, CAST(count(mr) AS BIGINT) AS nmr
+  FROM mr
+)
+SELECT strftime(m.d, '%Y-%m-%d') AS day,
+       m.x AS revenue_cents, m.mr,
+       CAST(floor(CAST(c.sx AS DOUBLE) / c.n
+            - 2.66 * (CAST(c.smr AS DOUBLE) / c.nmr)) AS BIGINT) AS lcl_cents,
+       CAST(floor(CAST(c.sx AS DOUBLE) / c.n
+            + 2.66 * (CAST(c.smr AS DOUBLE) / c.nmr)) AS BIGINT) AS ucl_cents,
+       (CAST(m.x AS DOUBLE) > CAST(c.sx AS DOUBLE) / c.n
+          + 2.66 * (CAST(c.smr AS DOUBLE) / c.nmr)
+        OR CAST(m.x AS DOUBLE) < CAST(c.sx AS DOUBLE) / c.n
+          - 2.66 * (CAST(c.smr AS DOUBLE) / c.nmr)) AS out_of_control
+FROM mr m CROSS JOIN centre c
+ORDER BY day
+"""
+
+
+def events_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY multi-touch attribution — the family's fourth model
+    (first/last credit endpoints, linear splits equally, Markov is
+    counterfactual; time-decay discounts a touch by half per whole
+    WEEK of age at conversion): every purchase's 10⁶ micro-units split
+    across its window's touches proportionally to w = 10⁶ >> weeks,
+    with the floor-division remainder to the LAST touch — the exact
+    sum(credit) = 10⁶·purchases invariant of the linear model, kept.
+
+    The DISCRETE-week half-life is deliberate: a continuous 2^(−Δ/7d)
+    weight needs pow(), which differs by 1 ulp between engines and
+    broke the hash in the first cut — the integer shift is the same
+    model quantized to the week and bit-exact everywhere. Same
+    window-assignment plan as linear attribution (running
+    conversion-count windows + one equi-join); no float touches the
+    accounting."""
+    ev = _t(spark, sf_dir, "events")
+    is_purch = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.lit(1) - is_purch).alias("is_touch"),
+        F.sum(is_purch).over(w).cast("long").alias("conv_cnt"),
+    )
+    touches = seq.filter(F.col("is_touch") == 1).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("tts"),
+        "event_id",
+        (F.col("conv_cnt") + 1).alias("win"),
+    )
+    purch = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("conv_cnt").alias("win"), F.col("ts").alias("pts")
+    )
+    wt = F.expr(
+        "CAST(1000000 div shiftleft(1,"
+        " CAST(least((unix_timestamp(pts) - unix_timestamp(tts)) div 604800,"
+        " 19) AS INT)) AS LONG)"
+    )
+    weighted = touches.join(purch, ["user_id", "win"]).withColumn("w", wt)
+    ww = Window.partitionBy("user_id", "win")
+    wlast = Window.partitionBy("user_id", "win").orderBy(
+        F.desc("tts"), F.desc("event_id")
+    )
+    credited = weighted.withColumn("tw", F.sum("w").over(ww).cast("long")).withColumn(
+        "rk", F.row_number().over(wlast)
+    )
+    base = credited.withColumn(
+        "credit", F.expr("CAST((w * 1000000) div tw AS BIGINT)")
+    )
+    rema = base.withColumn(
+        "rem_credit",
+        F.when(
+            F.col("rk") == 1,
+            F.lit(1000000)
+            - F.sum("credit").over(ww).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        rema.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum(F.col("credit") + F.col("rem_credit"))
+            .cast("long")
+            .alias("credit_micro"),
+        )
+        .orderBy("channel")
+    )
+
+
+_TIME_DECAY_ATTRIBUTION_SQL = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS is_touch,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS conv_cnt
+  FROM events
+),
+touches AS (
+  SELECT user_id, event_type AS channel, ts AS tts, event_id,
+         conv_cnt + 1 AS win
+  FROM seq WHERE is_touch = 1
+),
+purch AS (
+  SELECT user_id, conv_cnt AS win, ts AS pts FROM seq
+  WHERE event_type = 'purchase'
+),
+weighted AS (
+  SELECT t.channel, t.user_id, t.win, t.tts, t.event_id,
+         -- floor each side to whole seconds FIRST (epoch() is a
+         -- fractional DOUBLE here; Spark's unix_timestamp truncates
+         -- per-timestamp), then integer floor-div — double // is
+         -- plain division and double->INT CAST rounds half-even
+         CAST(1000000 // (1 << CAST(least(
+              (CAST(floor(epoch(p.pts)) AS BIGINT)
+               - CAST(floor(epoch(t.tts)) AS BIGINT)) // 604800,
+              19) AS INT)) AS BIGINT) AS w
+  FROM touches t JOIN purch p ON t.user_id = p.user_id AND t.win = p.win
+),
+credited AS (
+  SELECT channel, user_id, win, tts, event_id, w,
+         CAST(sum(w) OVER (PARTITION BY user_id, win) AS BIGINT) AS tw,
+         row_number() OVER (PARTITION BY user_id, win
+                            ORDER BY tts DESC, event_id DESC) AS rk
+  FROM weighted
+),
+base AS (
+  SELECT channel, user_id, win, rk,
+         CAST((w * 1000000) // tw AS BIGINT) AS credit
+  FROM credited
+),
+rema AS (
+  SELECT channel, credit,
+         CASE WHEN rk = 1
+              THEN 1000000 - CAST(sum(credit)
+                   OVER (PARTITION BY user_id, win) AS BIGINT)
+              ELSE 0 END AS rem_credit
+  FROM base
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(credit + rem_credit) AS BIGINT) AS credit_micro
+FROM rema GROUP BY 1 ORDER BY channel
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -23522,6 +23732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_category_domain_drift": diag_category_domain_drift,
         "similarity_label_lang_nmi": similarity_label_lang_nmi,
         "similarity_norm_length_bias": similarity_norm_length_bias,
+        "window_xmr_control_chart": window_xmr_control_chart,
+        "events_time_decay_attribution": events_time_decay_attribution,
         # r2 re-check displaced by round-10 batch 6:
         "q1_pricing_summary": q1_pricing_summary,
         # r2 re-checks displaced by round-10 batches 1-5:
@@ -24041,6 +24253,8 @@ def oracle_sql() -> dict[str, str]:
         "diag_category_domain_drift": _CATEGORY_DRIFT_SQL,
         "similarity_label_lang_nmi": _LABEL_LANG_NMI_SQL,
         "similarity_norm_length_bias": _NORM_LENGTH_BIAS_SQL,
+        "window_xmr_control_chart": _XMR_CHART_SQL,
+        "events_time_decay_attribution": _TIME_DECAY_ATTRIBUTION_SQL,
         "join_levenshtein2_dirty_customers": _JOIN_LEVENSHTEIN2_SQL,
         "similarity_embedding_dup_pairs": _SIM_DUP_SQL,
         "similarity_dup_pairs_verified": _SIM_VERIFIED_SQL,

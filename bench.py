@@ -456,6 +456,9 @@ HEADLINE = [
     # round-10 batch 22: cross-modal label/lang NMI, norm-length bias.
     "similarity_label_lang_nmi",
     "similarity_norm_length_bias",
+    # round-10 batch 23: XmR control chart, time-decay attribution.
+    "window_xmr_control_chart",
+    "events_time_decay_attribution",
 ]
 
 
