@@ -459,6 +459,8 @@ HEADLINE = [
     # round-10 batch 23: XmR control chart, time-decay attribution.
     "window_xmr_control_chart",
     "events_time_decay_attribution",
+    # round-10 batch 24: brand modularity of the co-purchase graph.
+    "graph_brand_modularity",
 ]
 
 
