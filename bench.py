@@ -461,6 +461,8 @@ HEADLINE = [
     "events_time_decay_attribution",
     # round-10 batch 24: brand modularity of the co-purchase graph.
     "graph_brand_modularity",
+    # round-10 batch 25: split-conformal prediction intervals.
+    "agg_conformal_interval_orders",
 ]
 
 
