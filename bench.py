@@ -463,6 +463,8 @@ HEADLINE = [
     "graph_brand_modularity",
     # round-10 batch 25: split-conformal prediction intervals.
     "agg_conformal_interval_orders",
+    # round-10 batch 26: out-of-order ingest audit.
+    "diag_ingest_order_inversions",
 ]
 
 
