@@ -465,6 +465,8 @@ HEADLINE = [
     "agg_conformal_interval_orders",
     # round-10 batch 26: out-of-order ingest audit.
     "diag_ingest_order_inversions",
+    # round-10 batch 27: discrete-time churn hazard table.
+    "events_churn_hazard_weekly",
 ]
 
 
