@@ -506,11 +506,27 @@ def levenshtein_neighborhood_join(
     depth 2. Radius ≥ 3 still raises (C(L,3) variants) — widen
     deliberately, not silently (same contract as the Hamming twin).
 
-    Scale shape: each side explodes to (len+1)·n variant rows — linear
-    in n, never a cross product; the variant string keeps all but one
-    character of key entropy, so buckets stay selective on low-entropy
-    corpora (shared literal prefixes). Confirm is one built-in
-    ``levenshtein`` per candidate pair, JVM-side.
+    Scale shape: each side explodes to (len+1)·n variant rows (radius
+    1) or (1+L+C(L,2))·n (radius 2) — linear in n, never a cross
+    product. Round-11 shuffle-payload fix (VERDICT r10 item #3): the
+    exploded rows carry (id, xxhash64(variant)) — 16 bytes — instead
+    of (id, name, variant) ≈ 60+ bytes of low-entropy string (fixed-
+    format keys share long literal prefixes, so the string form is
+    both fat AND slow to compare as a shuffle key). Candidates are
+    de-duplicated as bare (left_id, right_id) pairs, then ONE
+    join-back per side re-attaches the names for the exact JVM-side
+    ``levenshtein`` confirm — which also removes any xxhash64
+    collision false-positives, so recall AND precision are unchanged
+    (hash equality is implied by string equality; inequality only ever
+    ADDS candidates the confirm rejects). Measured at sf0.1:
+    13.1 s → 4.0 s isolated for the radius-2 entity-resolution row
+    (explode-first codegen + hashed join keys + SHUFFLE_HASH).
+
+    Contract: ``left_id``/``right_id`` must functionally determine
+    ``left_name``/``right_name`` (true of every call site — they are
+    key columns); the join-back re-derives the name per id, so a
+    duplicated id with CONFLICTING names would confirm against every
+    copy rather than its own row's copy.
     """
     if max_edit not in (1, 2):
         raise NotImplementedError(
@@ -519,55 +535,121 @@ def levenshtein_neighborhood_join(
             "per row) — widen deliberately, not silently"
         )
 
-    def variants(name_col: str):
-        # identity + every single-character deletion (+ every ordered
-        # two-character deletion at max_edit=2), as higher-order
-        # expressions (the Janino-codegen lesson from the Hamming twin:
-        # no unrolled per-position concat chains). Symmetric Delete at
-        # depth k has recall 1 for ED ≤ k: align the ≤k edit ops — a
-        # substitution deletes its position on BOTH sides, an
-        # insertion/deletion deletes the extra char on its long side —
-        # so a common ≤k-deletion string always exists (SymSpell,
-        # Garbe 2012). array_distinct collapses same-variant collisions
-        # (adjacent equal chars) before the explode pays for them.
-        c = F.col(name_col)
-        d1 = F.transform(
-            F.sequence(F.lit(1), F.length(c)),
-            lambda i: F.concat(
-                c.substr(F.lit(1), i - F.lit(1)),
-                c.substr(i + F.lit(1), F.length(c)),
-            ),
+    def variant_hashes(src: DataFrame, id_col: str, name_col: str, out_id: str):
+        # EXPLODE-FIRST variant generation (round 11): the round-10
+        # form built the whole neighborhood per row inside nested
+        # higher-order ``transform`` lambdas — and Spark evaluates HOF
+        # lambdas INTERPRETED, outside whole-stage codegen, which made
+        # the two explodes the dominant cost of the radius-2 join
+        # (~2.6 s per side at sf0.1 for ~2.6 M variants). Exploding
+        # delete-position indices first and computing ONE variant per
+        # row with plain substring/concat/CASE keeps the entire
+        # scan → explode → hash pipeline inside a single
+        # WholeStageCodegen span: 0.23 s for the same 2.6 M variants
+        # (11x). Encoding: (_i=0, _j=0) = identity; 1 ≤ _i = _j =
+        # single delete at _i; 1 ≤ _i < _j = double delete at (_i,_j)
+        # (positions in the ORIGINAL string).
+        #
+        # RUN-CANONICAL DEDUP replaces array_distinct (exact, not
+        # heuristic): delete_i(s) == delete_j(s) for i < j iff
+        # s[i..j] is one run of equal characters, so duplicate
+        # variants arise ONLY from runs, and keeping the run-initial
+        # positions keeps exactly one representative per class —
+        # single deletes keep i run-initial; double deletes keep
+        # (i, j) with i run-initial and j either run-initial or i+1
+        # (two deletions inside one run canonicalize to its first two
+        # positions). Cheap codegen'd char compares instead of an
+        # O(V²) per-row distinct pass.
+        c = F.col("_n")
+        base = src.select(
+            F.col(id_col).alias(out_id),
+            F.col(name_col).alias("_n"),
+            F.length(name_col).alias("_L"),
         )
-        parts = [F.array(c), d1]
-        if max_edit >= 2:
-            # delete positions i < j: C(L,2) variants per row — the
-            # documented cost of radius 2; bounded by the key length,
-            # never by the corpus.
-            d2 = F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(c) - 1),
-                    lambda i: F.transform(
-                        F.sequence(i + F.lit(1), F.length(c)),
-                        lambda j: F.concat(
-                            c.substr(F.lit(1), i - F.lit(1)),
-                            c.substr(i + F.lit(1), j - i - F.lit(1)),
-                            c.substr(j + F.lit(1), F.length(c)),
-                        ),
-                    ),
+        run_initial_i = (F.col("_i") <= 1) | (
+            F.expr("substring(_n, _i, 1) != substring(_n, _i - 1, 1)")
+        )
+        if max_edit == 1:
+            exp = base.select(
+                out_id, "_n", "_L",
+                F.explode(F.sequence(F.lit(0), F.col("_L"))).alias("_i"),
+            ).filter((F.col("_i") == 0) | run_initial_i)
+            var = F.when(F.col("_i") == 0, c).otherwise(
+                F.concat(
+                    F.expr("substring(_n, 1, _i - 1)"),
+                    F.expr("substring(_n, _i + 1, _L)"),
                 )
             )
-            parts.append(d2)
-        return F.array_distinct(F.concat(*parts))
+        else:
+            run_initial_or_adjacent_j = (
+                F.expr("substring(_n, _j, 1) != substring(_n, _j - 1, 1)")
+                | (F.col("_j") == F.col("_i") + 1)
+            )
+            exp = (
+                base.select(
+                    out_id, "_n", "_L",
+                    F.explode(F.sequence(F.lit(0), F.col("_L"))).alias("_i"),
+                )
+                .filter((F.col("_i") == 0) | run_initial_i)
+                .select(
+                    out_id, "_n", "_L", "_i",
+                    F.explode(F.sequence(F.col("_i"), F.col("_L"))).alias("_j"),
+                )
+                .filter(
+                    ((F.col("_i") == 0) & (F.col("_j") == 0))
+                    | (
+                        (F.col("_i") >= 1)
+                        & (
+                            (F.col("_j") == F.col("_i"))
+                            | run_initial_or_adjacent_j
+                        )
+                    )
+                )
+            )
+            var = (
+                F.when(F.col("_i") == 0, c)
+                .when(
+                    F.col("_i") == F.col("_j"),
+                    F.concat(
+                        F.expr("substring(_n, 1, _i - 1)"),
+                        F.expr("substring(_n, _i + 1, _L)"),
+                    ),
+                )
+                .otherwise(
+                    F.concat(
+                        F.expr("substring(_n, 1, _i - 1)"),
+                        F.expr("substring(_n, _i + 1, _j - _i - 1)"),
+                        F.expr("substring(_n, _j + 1, _L)"),
+                    )
+                )
+            )
+        return exp.select(out_id, F.xxhash64(var).alias("_h"))
 
-    lv = left.select(F.col(left_id).alias("_lid"), F.col(left_name).alias("_ln")).select(
-        "_lid", "_ln", F.explode(variants("_ln")).alias("_v")
+    lv = variant_hashes(left, left_id, left_name, "_lid")
+    rv = variant_hashes(right, right_id, right_name, "_rid")
+    # SHUFFLE_HASH, explicitly: Catalyst's size estimate for an
+    # exploded side is the BASE table's, so it happily broadcasts a
+    # (1+L+C(L,2))·n-row variant stream — a single-threaded ~1.6 M-row
+    # map build at sf0.1 (the dominant stage at ~3 s) and a
+    # non-starter on a real cluster where the exploded side scales
+    # with the corpus. Partitioned hash join builds 32 small maps in
+    # parallel and is the honest shape at every scale (both sides
+    # shuffle on the 8-byte hash; AQE skew-split still applies).
+    pairs = (
+        lv.join(rv.hint("SHUFFLE_HASH"), "_h").select("_lid", "_rid").distinct()
     )
-    rv = right.select(
-        F.col(right_id).alias("_rid"), F.col(right_name).alias("_rn")
-    ).select("_rid", "_rn", F.explode(variants("_rn")).alias("_v"))
-    cand = lv.join(rv, "_v").select("_lid", "_ln", "_rid", "_rn").distinct()
     return (
-        cand.withColumn(
+        pairs.join(
+            left.select(F.col(left_id).alias("_lid"), F.col(left_name).alias("_ln")),
+            "_lid",
+        )
+        .join(
+            right.select(
+                F.col(right_id).alias("_rid"), F.col(right_name).alias("_rn")
+            ),
+            "_rid",
+        )
+        .withColumn(
             "edit_distance", F.levenshtein(F.col("_ln"), F.col("_rn")).cast("long")
         )
         .filter(F.col("edit_distance") <= max_edit)
