@@ -36,6 +36,7 @@ DaysSincePriceThreshold.java:73-79).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator, Sequence
 from typing import Any
 
@@ -867,6 +868,13 @@ def session_close_stream(
             return
 
         chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            # Defensive (r10 ADVICE): Spark shouldn't invoke a
+            # non-timed-out key with only empty chunks, but if it ever
+            # does, pd.concat([]) raises ValueError. Nothing to fold —
+            # return without touching state; the state row (and any
+            # event-time timer stored with it) persists unchanged.
+            return
         pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
         cur = list(state.get) if state.exists else None
         for _, row in pdf.iterrows():
@@ -1439,6 +1447,13 @@ def session_entry_exit_stream(
             return
 
         chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            # Defensive (r10 ADVICE): Spark shouldn't invoke a
+            # non-timed-out key with only empty chunks, but if it ever
+            # does, pd.concat([]) raises ValueError. Nothing to fold —
+            # return without touching state; the state row (and any
+            # event-time timer stored with it) persists unchanged.
+            return
         pdf = pd.concat(chunks, ignore_index=True).sort_values([ts_col, id_col])
         cur = list(state.get) if state.exists else None
         for _, row in pdf.iterrows():
@@ -1534,7 +1549,14 @@ def feature_asof_stream(
                         )
                     )
                 n += 1
-                cents += int(round(float(row[value_col]) * 100))
+                # HALF_UP, not Python round()'s half-to-even: the batch
+                # twin (events_feature_asof_snapshot) and its DuckDB
+                # oracle both round half AWAY from zero (Spark F.round /
+                # DuckDB round), so a value whose *100 lands exactly on
+                # .5 must go up here too or bit-parity breaks (r10
+                # ADVICE). math.floor(v*100+0.5) == HALF_UP for the
+                # non-negative cent amounts this fold sees.
+                cents += int(math.floor(float(row[value_col]) * 100 + 0.5))
             state.update((int(n), int(cents)))
             if emitted:
                 yield pd.DataFrame(emitted)
