@@ -476,6 +476,10 @@ HEADLINE = [
     "diag_ingest_order_inversions",
     # round-10 batch 27: discrete-time churn hazard table.
     "events_churn_hazard_weekly",
+    # round-11 batch 1: segment-level uplift readout, watermark
+    # recommendation from measured ingest lateness.
+    "events_uplift_by_segment",
+    "diag_watermark_recommendation",
 ]
 
 
