@@ -571,6 +571,75 @@ def ivf_topk(
     )
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    num_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[list[float]]":
+    """Train (sample) an IVF codebook EXACTLY as :func:`ivf_topk`'s
+    index build does — seeded uniform sample via a one-pass
+    TakeOrdered on ``xxhash64(seed, id)``, unit-normalized so dot
+    ranks as cosine — but exposed as a standalone step so the
+    codebook can be trained OFFLINE and handed to the incremental
+    maintenance path (:func:`~..streaming.windows.
+    ivf_index_maintain_stream`), the production IVF lifecycle:
+    codebook frozen at train time, postings updated continuously.
+    Returns plain nested lists (JSON/broadcast-friendly, no numpy
+    types leak to callers)."""
+    import numpy as np
+
+    sample = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.lit(str(seed)), F.col(id_col)))
+        .limit(num_cells)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("train_ivf_centroids: vectors DataFrame is empty")
+    cents = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    norms = np.linalg.norm(cents, axis=1)
+    norms[norms == 0] = 1.0
+    return (cents / norms[:, None]).tolist()
+
+
+def ivf_assign_cells(
+    df: DataFrame,
+    centroids: "list[list[float]]",
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Map-side IVF cell assignment against a FROZEN codebook — the
+    same Arrow-vectorized nearest-centroid argmax :func:`ivf_topk`
+    runs inline (similarity.py:498-510), factored out so batch
+    one-shot indexing and streaming incremental maintenance share one
+    definition (their parity test is exact equality). Stateless per
+    row, so it works unchanged on a STREAMING DataFrame: one scan, no
+    shuffle, codebook rides the closure (cells×dim, broadcast-sized
+    by construction). NULL/ragged vectors assign NULL cell."""
+    import numpy as np
+
+    carr = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(carr, axis=1)
+    norms[norms == 0] = 1.0
+    carr = carr / norms[:, None]
+    _bm = _make_batch_matrix()
+
+    @F.pandas_udf(LongType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mat, mask = _bm(vecs)
+        if mat.size == 0:
+            return pd.Series([None] * len(vecs), dtype="Int64")
+        vn = np.linalg.norm(mat, axis=1)
+        vn[vn == 0] = 1.0
+        s = pd.Series(((mat / vn[:, None]) @ carr.T).argmax(axis=1)).astype("Int64")
+        s[~mask] = pd.NA
+        return s
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
 def hard_negative_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -167,6 +167,53 @@ def streaming_upsert_snapshot(
     run_stream_foreach_batch(df, _merge, output_mode="append")
 
 
+def ivf_index_maintain_stream(
+    df: DataFrame,
+    root: str,
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    order_cols: Sequence[str] = ("seq",),
+) -> None:
+    """Incremental IVF index maintenance — the streaming twin of the
+    batch one-shot assignment (VERDICT r10 item #4's foreachBatch
+    candidate): each micro-batch of (id, embedding, order...) rows is
+    assigned its cell MAP-SIDE against the FROZEN codebook
+    (:func:`~..operators.similarity.ivf_assign_cells` — the exact
+    production IVF lifecycle: centroids trained offline via
+    :func:`~..operators.similarity.train_ivf_centroids`, postings
+    updated continuously without retraining), then folded
+    latest-per-key into the versioned parquet snapshot
+    (:func:`streaming_upsert_snapshot` — idempotent on batch_id
+    replay, snapshot-sized state, never log-sized). A re-embedded
+    vector therefore MOVES cells atomically with the snapshot
+    version — no tombstone pass.
+
+    The snapshot stores (id, order..., cell) — the postings map; the
+    raw embedding is dropped (rerank tiers re-read it from the lake,
+    the honest IVF-Flat split). Read back with :func:`read_snapshot`;
+    monitor balance with :func:`ivf_cell_stats` (skewed cells are the
+    probe-cost hazard at scale)."""
+    from ..operators.similarity import ivf_assign_cells
+
+    assigned = ivf_assign_cells(df, centroids, vec_col=vec_col).drop(vec_col)
+    streaming_upsert_snapshot(assigned, root, [id_col], list(order_cols))
+
+
+def ivf_cell_stats(spark, root: str) -> DataFrame:
+    """Cell-occupancy census of a maintained IVF index snapshot —
+    (cell, n_vectors), the balance report probe planning reads (a
+    cell holding half the corpus makes nprobe cost unpredictable;
+    retrain or split when max/median drifts). One grouped aggregate
+    over the snapshot."""
+    return (
+        read_snapshot(spark, root)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
 def read_snapshot(spark, root: str) -> DataFrame:
     """Read the current version of a :func:`streaming_upsert_snapshot`
     directory (highest ``v=`` dir)."""

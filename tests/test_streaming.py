@@ -2760,3 +2760,83 @@ def test_feature_asof_stream_matches_batch(spark, tmp_path):
         for r in entrymod.events_feature_asof_snapshot(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_ivf_index_maintenance_equals_batch_assignment(spark, tmp_path):
+    """The incrementally-maintained IVF index must equal the batch
+    one-shot assignment over the final corpus state: a vector
+    re-embedded in a LATER micro-batch must MOVE to its new cell
+    (latest-per-key upsert), batch-1-only vectors carry forward, and
+    the cell-occupancy census matches a batch groupBy over the same
+    assignment — all against ONE frozen codebook, the production IVF
+    lifecycle (train offline, update postings continuously)."""
+    import os
+    import random
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.similarity import (
+        ivf_assign_cells,
+        train_ivf_centroids,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        ivf_cell_stats,
+        ivf_index_maintain_stream,
+        read_snapshot,
+    )
+
+    rng = random.Random(7)
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(8)]
+
+    b0 = [(i, 0, vec()) for i in range(20)]
+    # re-embed ids 3 and 7 with NEW vectors in batch 2, add 20..24
+    b1 = [(3, 1, vec()), (7, 1, vec())] + [(i, 1, vec()) for i in range(20, 25)]
+    schema = "vec_id long, seq long, embedding array<double>"
+
+    in_dir = str(tmp_path / "vecs_in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((b0, b1)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"f{i}")
+        )
+    os.utime(os.path.join(in_dir, "f0"), (1_000_000, 1_000_000))
+    os.utime(os.path.join(in_dir, "f1"), (2_000_000, 2_000_000))
+
+    # FINAL corpus state (latest seq per id) — the batch truth
+    latest = {r[0]: r for r in b0}
+    for r in b1:
+        latest[r[0]] = r
+    final_df = spark.createDataFrame(sorted(latest.values()), schema)
+
+    cents = train_ivf_centroids(final_df, num_cells=4, seed=42)
+    assert all(isinstance(c, list) for c in cents)  # plain lists, no numpy leak
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "f*"))
+    )
+    snap = str(tmp_path / "ivf_snap")
+    ivf_index_maintain_stream(stream, snap, cents, order_cols=("seq",))
+
+    got = {
+        r["vec_id"]: (r["seq"], r["cell"])
+        for r in read_snapshot(spark, snap).collect()
+    }
+    exp_cells = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_cells(final_df, cents).collect()
+    }
+    assert set(got) == set(exp_cells) and len(got) == 25
+    for vid, cell in exp_cells.items():
+        want_seq = 1 if vid in (3, 7) or vid >= 20 else 0
+        assert got[vid] == (want_seq, cell), vid
+
+    # census equals a batch groupBy over the same assignment
+    got_stats = {
+        r["cell"]: r["n_vectors"] for r in ivf_cell_stats(spark, snap).collect()
+    }
+    exp_stats: dict = {}
+    for c in exp_cells.values():
+        exp_stats[c] = exp_stats.get(c, 0) + 1
+    assert got_stats == exp_stats
