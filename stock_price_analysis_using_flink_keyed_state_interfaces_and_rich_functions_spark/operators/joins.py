@@ -389,10 +389,16 @@ def hamming_neighborhood_join(
     filtered plan-side.
 
     Scale shape: each side explodes to ``length``·n (radius 1) or
-    C(length,2)·n (radius 2) (variant, masked) rows — linear in n,
-    never a cross product; confirm is one integer fold over ``length``
-    char comparisons per candidate. The masking char is \\x01 —
-    guaranteed absent from printable fixed-format keys.
+    C(length,2)·n (radius 2) variant rows — linear in n, never a
+    cross product — carried as 16-byte (id, xxhash64(positions,
+    masked)) rows through a SHUFFLE_HASH equi-join (round-11 rewrite,
+    same as the Levenshtein twin: explode-first codegen'd variants,
+    hashed join keys, candidate pairs de-duplicated as bare ids and
+    names re-attached by ONE join-back per side); confirm is one
+    integer fold over ``length`` char comparisons per candidate. The
+    masking char is \\x01 — guaranteed absent from printable
+    fixed-format keys. Contract (shared with the Levenshtein twin):
+    ids must functionally determine names.
     """
     if max_hamming not in (1, 2):
         raise NotImplementedError(
@@ -401,55 +407,78 @@ def hamming_neighborhood_join(
             "variants per row — past the explode budget for fixed-format keys"
         )
 
-    def masked(name_col: str):
-        # ONE higher-order expression, not `length` unrolled concats:
-        # the unrolled form generates ~70 substring exprs whose
-        # whole-stage codegen Janino-compiles for seconds PER PLAN
-        # SHAPE (measured 105 s end-to-end at sf0.01); the lambda form
-        # is a single small codegen unit evaluated per element.
-        c = F.col(name_col)
-        if max_hamming == 1:
-            return F.transform(
-                F.sequence(F.lit(0), F.lit(length - 1)),
-                lambda i: F.concat(
-                    c.substr(F.lit(1), i),
-                    F.lit("\x01"),
-                    c.substr(i + F.lit(2), F.lit(length) - i - F.lit(1)),
-                ),
-            )
-        # radius 2: every position pair (i < j) masked; posexplode's
-        # position column then identifies the pair, so the join key is
-        # (variant index, masked string) exactly like radius 1.
-        return F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(length - 2)),
-                lambda i: F.transform(
-                    F.sequence(i + F.lit(1), F.lit(length - 1)),
-                    lambda j: F.concat(
-                        c.substr(F.lit(1), i),
-                        F.lit("\x01"),
-                        c.substr(i + F.lit(2), j - i - F.lit(1)),
-                        F.lit("\x01"),
-                        c.substr(j + F.lit(2), F.lit(length) - j - F.lit(1)),
-                    ),
-                ),
-            )
+    def masked_hashes(src: DataFrame, id_col: str, name_col: str, out_id: str):
+        # EXPLODE-FIRST masked-variant generation (round 11, same
+        # lesson as the Levenshtein twin below): the round-10 form
+        # built the whole C(L,2) variant array per row inside nested
+        # higher-order ``transform`` lambdas, which Spark evaluates
+        # INTERPRETED — the dominant cost of the radius-2 join.
+        # (An earlier round tried UNROLLED per-position concats: ~70
+        # substring exprs per plan shape Janino-compiled for ~105 s at
+        # sf0.01 — also wrong.) Exploding mask-position indices and
+        # building ONE variant per row with plain substring/concat
+        # keeps scan → explode → hash in a single WholeStageCodegen
+        # span. The join key is xxhash64(mask positions, masked
+        # string) — 8 bytes through the shuffle instead of the ~L-char
+        # masked string, with the positions baked into the digest so
+        # only like-masked variants can meet (the (_pos, _m) key of
+        # the old form). Hash-collision false candidates are removed
+        # by the exact Hamming confirm; recall 1 is untouched.
+        base = src.filter(F.length(name_col) == length).select(
+            F.col(id_col).alias(out_id), F.col(name_col).alias("_n")
         )
+        if max_hamming == 1:
+            exp = base.select(
+                out_id, "_n",
+                F.explode(F.sequence(F.lit(0), F.lit(length - 1))).alias("_i"),
+            )
+            m = F.concat(
+                F.expr("substring(_n, 1, _i)"),
+                F.lit("\x01"),
+                F.expr(f"substring(_n, _i + 2, {length} - _i - 1)"),
+            )
+            h = F.xxhash64(F.col("_i"), m)
+        else:
+            exp = base.select(
+                out_id, "_n",
+                F.explode(F.sequence(F.lit(0), F.lit(length - 2))).alias("_i"),
+            ).select(
+                out_id, "_n", "_i",
+                F.explode(
+                    F.sequence(F.col("_i") + 1, F.lit(length - 1))
+                ).alias("_j"),
+            )
+            m = F.concat(
+                F.expr("substring(_n, 1, _i)"),
+                F.lit("\x01"),
+                F.expr("substring(_n, _i + 2, _j - _i - 1)"),
+                F.lit("\x01"),
+                F.expr(f"substring(_n, _j + 2, {length} - _j - 1)"),
+            )
+            h = F.xxhash64(F.col("_i"), F.col("_j"), m)
+        return exp.select(out_id, h.alias("_h"))
 
-    lv = (
-        left.filter(F.length(left_name) == length)
-        .select(F.col(left_id).alias("_lid"), F.col(left_name).alias("_ln"))
-        .select("_lid", "_ln", F.posexplode(masked("_ln")).alias("_pos", "_m"))
-    )
-    rv = (
-        right.filter(F.length(right_name) == length)
-        .select(F.col(right_id).alias("_rid"), F.col(right_name).alias("_rn"))
-        .select("_rid", "_rn", F.posexplode(masked("_rn")).alias("_pos", "_m"))
+    lv = masked_hashes(left, left_id, left_name, "_lid")
+    rv = masked_hashes(right, right_id, right_name, "_rid")
+    # SHUFFLE_HASH for the same reason as the Levenshtein twin:
+    # Catalyst sizes the exploded side from its base table and would
+    # broadcast an L·n (or C(L,2)·n) row stream.
+    pairs = (
+        lv.join(rv.hint("SHUFFLE_HASH"), "_h").select("_lid", "_rid").distinct()
     )
     cand = (
-        lv.join(rv, ["_pos", "_m"])
-        .select("_lid", "_ln", "_rid", "_rn")
-        .distinct()
+        pairs.join(
+            left.filter(F.length(left_name) == length).select(
+                F.col(left_id).alias("_lid"), F.col(left_name).alias("_ln")
+            ),
+            "_lid",
+        )
+        .join(
+            right.filter(F.length(right_name) == length).select(
+                F.col(right_id).alias("_rid"), F.col(right_name).alias("_rn")
+            ),
+            "_rid",
+        )
     )
     ham = F.aggregate(
         F.sequence(F.lit(1), F.lit(length)),
