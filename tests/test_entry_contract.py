@@ -42,34 +42,35 @@ def test_oracles_have_matching_queries():
     assert not set(o) - set(q), "oracle_sql() keys must be a subset of queries()"
 
 
-def test_every_oracle_parses_and_binds_in_duckdb():
-    """Static oracle guard (round 11, VERDICT r10 item #7): EXPLAIN
-    every ``oracle_sql()`` entry against DuckDB with the ten driver
-    views registered over the sf0.001 parquet. EXPLAIN runs the full
-    parser + binder + planner without executing, so a typo'd column,
-    misspelled function, or syntax slip in ANY oracle fails here in
-    milliseconds instead of surfacing only when that query rotates
-    into a driver gate run (previously a typo could sit latent for
-    rounds). Pinned-literal oracles (PINNED_ORACLE_SF) still parse at
-    any scale — only their VALUES are scale-bound — so no exemption
-    is needed."""
-    import duckdb
+def test_no_duplicate_module_level_oracle_constants():
+    """A redefined module-level ``_*_SQL`` constant silently rebinds
+    EVERY oracle_sql() entry referencing the name to the LAST
+    definition (module execution order) — the round-11 near miss: a
+    new ``_COHORT_LTV_SQL`` shadowed the round-6 one and corrupted the
+    old query's oracle while both gate runs stayed individually
+    plausible. AST-scan the entry module for duplicate top-level
+    assignments so the collision fails in milliseconds instead of at
+    the shadowed query's next gate run. (The EXPLAIN binder test below
+    cannot catch this — both SQLs bind fine; only the PAIRING is
+    wrong.)"""
+    import ast
+    from collections import Counter
 
-    con = duckdb.connect()
-    for t in (
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    ):
-        p = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    bad = {}
-    for name, sql in entrymod.oracle_sql().items():
-        try:
-            con.execute("EXPLAIN " + sql)
-        except Exception as exc:  # noqa: BLE001 — collecting every failure
-            bad[name] = str(exc).splitlines()[0]
-    assert not bad, f"oracles that fail DuckDB EXPLAIN: {bad}"
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "__spark_entry__.py",
+    )
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    names = Counter(
+        t.id
+        for node in tree.body
+        if isinstance(node, ast.Assign)
+        for t in node.targets
+        if isinstance(t, ast.Name) and t.id.endswith("_SQL")
+    )
+    dups = {n: c for n, c in names.items() if c > 1}
+    assert not dups, f"module-level SQL constants defined more than once: {dups}"
 
 
 def test_entry_runs(spark):
