@@ -2840,3 +2840,44 @@ def test_streaming_ivf_index_maintenance_equals_batch_assignment(spark, tmp_path
     for c in exp_cells.values():
         exp_stats[c] = exp_stats.get(c, 0) + 1
     assert got_stats == exp_stats
+
+
+def test_feature_asof_stream_rounds_half_up_like_batch(spark, tmp_path):
+    """Exact-.5 cent edge (r10 ADVICE): a value whose *100 lands
+    exactly on .5 (0.125 -> 12.5 cents) must round HALF-UP (13) like
+    the batch twin's F.round / the DuckDB oracle's round — Python
+    round() would give 12 (half-to-even) and break bit-parity. One
+    key, three events: the purchase must see prior cents 13 + 38 (0.125 and 0.375 are
+    exactly representable doubles, so *100 lands on .5 precisely;
+    Python round() would emit 12 for the first)."""
+    import os
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.stateful import (
+        feature_asof_stream,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:01", 7, "view", 0.125),   # 12.5 -> 13 HALF_UP
+        (2, "2024-01-01 00:00:02", 7, "click", 0.375),  # 37.5 -> 38 (exact binary)
+        (3, "2024-01-01 00:00:03", 7, "purchase", 9.99),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value")
+    in_dir = str(tmp_path / "halfup_in")
+    os.makedirs(in_dir)
+    df.coalesce(1).write.parquet(os.path.join(in_dir, "f0"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "f*"))
+    )
+    out = feature_asof_stream(
+        stream, ["user_id"], "ts", "event_id", "event_type", "value"
+    )
+    got = run_stream_to_memory(out, "halfup_mem", output_mode="append").collect()
+    assert len(got) == 1
+    assert (got[0]["n_prior_events"], got[0]["prior_value_cents"]) == (2, 51)
