@@ -200,6 +200,114 @@ def ivf_index_maintain_stream(
     streaming_upsert_snapshot(assigned, root, [id_col], list(order_cols))
 
 
+def streaming_lateness_census(
+    df: DataFrame,
+    root: str,
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> None:
+    """Online ingest-lateness census — the STREAMING twin of the batch
+    diag_watermark_recommendation: as data arrives, each event's
+    lateness (running event-time frontier at its ingest position,
+    minus its own event-time, clamped at 0) is folded into an
+    additive (late_s, n) histogram, so the watermark recommendation
+    can be read continuously instead of from a nightly batch scan.
+
+    State is the value-domain census plus ONE frontier row — never
+    the stream: per micro-batch the within-batch strictly-prior
+    frontier comes from the distributed_running_max kernel (range
+    partitions + broadcast offsets, no single-task sort), the carried
+    cross-batch frontier joins in as a broadcast scalar, and the two
+    compose exactly because max is associative (greatest(carried,
+    within-batch prefix) IS the global prefix over the concatenated
+    ingest order). Census merges are additive group-sums — batch_id
+    versioned directories, retry-idempotent like every foreachBatch
+    store here. Drained census == the batch histogram over the same
+    total ingest order (pytest-pinned, including cross-batch
+    frontier carry on out-of-order data)."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators.windows import distributed_running_max
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = sorted(
+            glob.glob(os.path.join(root, "v=*")),
+            key=lambda p: int(p.rsplit("=", 1)[1]),
+        )
+        prev_census = None
+        carried = None
+        if versions:
+            prev = spark.read.parquet(versions[-1])
+            prev_census = prev.filter(F.col("kind") == "census").select(
+                "late_s", "n"
+            )
+            carried_rows = (
+                prev.filter(F.col("kind") == "frontier").select("late_s").collect()
+            )
+            carried = carried_rows[0][0] if carried_rows else None
+        ep = (
+            batch_df.select(
+                F.col(order_col).alias("_oid"),
+                F.unix_timestamp(ts_col).cast("long").alias("_ep"),
+            )
+        )
+        fr = distributed_running_max(
+            ep, [("_oid", False)], "_ep", out_col="_fr", exclusive=True
+        )
+        if carried is not None:
+            fr = fr.withColumn(
+                "_fr", F.greatest(F.col("_fr"), F.lit(int(carried)).cast("long"))
+            )
+        late = fr.select(
+            F.when(
+                F.col("_fr").isNotNull(),
+                F.greatest(F.col("_fr") - F.col("_ep"), F.lit(0)),
+            )
+            .cast("long")
+            .alias("late_s")
+        ).filter(F.col("late_s").isNotNull())
+        census = late.groupBy("late_s").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        if prev_census is not None:
+            census = (
+                census.unionByName(prev_census)
+                .groupBy("late_s")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        batch_max = ep.agg(F.max("_ep").alias("m")).collect()[0][0]
+        new_frontier = max(
+            x for x in (carried, batch_max, None) if x is not None
+        ) if (carried is not None or batch_max is not None) else None
+        out = census.withColumn("kind", F.lit("census"))
+        if new_frontier is not None:
+            out = out.unionByName(
+                spark.createDataFrame(
+                    [(int(new_frontier), int(-1), "frontier")], "late_s long, n long, kind string"
+                )
+            )
+        out.write.mode("overwrite").parquet(os.path.join(root, f"v={batch_id}"))
+        for old in versions:
+            if int(old.rsplit("=", 1)[1]) != batch_id:
+                shutil.rmtree(old, ignore_errors=True)
+
+    run_stream_foreach_batch(df, _merge, output_mode="append")
+
+
+def read_lateness_census(spark, root: str) -> DataFrame:
+    """Current (late_s, n) histogram of a
+    :func:`streaming_lateness_census` store — the input to a
+    nearest-rank percentile read (recommended watermark = the p99
+    lateness, the batch recommender's policy)."""
+    return (
+        read_snapshot(spark, root)
+        .filter(F.col("kind") == "census")
+        .select("late_s", "n")
+        .orderBy("late_s")
+    )
+
+
 def ivf_cell_stats(spark, root: str) -> DataFrame:
     """Cell-occupancy census of a maintained IVF index snapshot —
     (cell, n_vectors), the balance report probe planning reads (a

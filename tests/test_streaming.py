@@ -2881,3 +2881,71 @@ def test_feature_asof_stream_rounds_half_up_like_batch(spark, tmp_path):
     got = run_stream_to_memory(out, "halfup_mem", output_mode="append").collect()
     assert len(got) == 1
     assert (got[0]["n_prior_events"], got[0]["prior_value_cents"]) == (2, 51)
+
+
+def test_streaming_lateness_census_matches_batch_over_full_ingest_order(
+    spark, tmp_path
+):
+    """Drained streaming lateness census == the batch histogram of
+    greatest(0, strictly-prior frontier − event-time) over the SAME
+    total ingest order — on deliberately OUT-OF-ORDER data, with a
+    late event whose frontier was set in an EARLIER micro-batch (the
+    cross-batch carry the one-row frontier state exists for)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        read_lateness_census,
+        streaming_lateness_census,
+    )
+
+    # ingest order = event_id; event-times jump backward twice:
+    # id 2 is 30 s late vs id 1's frontier (in-batch), id 4 is 100 s
+    # late vs id 3's frontier carried from batch 1 into batch 2.
+    rows = [
+        (1, "2024-01-01 00:10:00"),
+        (2, "2024-01-01 00:09:30"),   # 30 s late (same batch)
+        (3, "2024-01-01 00:20:00"),
+        (4, "2024-01-01 00:18:20"),   # 100 s late (cross-batch carry)
+        (5, "2024-01-01 00:21:00"),
+        (6, "2024-01-01 00:21:00"),   # tie: 0 s late
+    ]
+    schema = "event_id long, ts string"
+    df = spark.createDataFrame(rows, schema).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    in_dir = str(tmp_path / "late_in")
+    os.makedirs(in_dir)
+    df.filter("event_id <= 3").coalesce(1).write.parquet(os.path.join(in_dir, "f0"))
+    df.filter("event_id > 3").coalesce(1).write.parquet(os.path.join(in_dir, "f1"))
+    os.utime(os.path.join(in_dir, "f0"), (1_000_000, 1_000_000))
+    os.utime(os.path.join(in_dir, "f1"), (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "f*"))
+    )
+    root = str(tmp_path / "late_census")
+    streaming_lateness_census(stream, root)
+
+    got = {
+        r["late_s"]: r["n"] for r in read_lateness_census(spark, root).collect()
+    }
+    # batch truth: events 2..6 have a prior frontier; lateness 30 (id 2),
+    # 0 (id 3), 100 (id 4), 0 (id 5), 0 (id 6)
+    assert got == {0: 3, 30: 1, 100: 1}
+
+    # replay into a fresh root reproduces the identical census
+    stream2 = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "f*"))
+    )
+    root2 = str(tmp_path / "late_census_2")
+    streaming_lateness_census(stream2, root2)
+    got2 = {
+        r["late_s"]: r["n"] for r in read_lateness_census(spark, root2).collect()
+    }
+    assert got2 == got
