@@ -70,6 +70,16 @@ cost is unchanged — the round-9 continuation bench read pagerank at
 run. Trend comparisons for the iterative rows should always use the
 isolated protocol.
 
+SUPPLIER-ROW NOISE (round 11): the three *_supplier_derive rows are
+single-pass by design (a one-time cost has no meaningful median), so
+they can read up to ~2x high on a cold pipeline — this round's 8.0 s
+edge_supplier_derive reading re-measured at 4.1/4.1/4.1 s
+median-of-3 in a fresh session (r7-r10 history: 3.9-4.7 s). Diff
+these rows against their history band, not a single reading; the
+mechanical isolation below deliberately EXCLUDES them (an isolated
+run cannot amortize shared session state the way the bench session
+does).
+
 MECHANICAL ISOLATION (round 11, VERDICT r10 item #2): the manual
 protocol above is now automatic. After the in-session pass, any row
 whose median exceeds 2.5x its previous-round value (read from the
