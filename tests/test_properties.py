@@ -759,6 +759,55 @@ def test_levenshtein_neighborhood_join_recall_1_property(
     assert got == want
 
 
+_lev2_words = st.lists(
+    st.text(alphabet="ab", min_size=0, max_size=5), min_size=1, max_size=8
+)
+
+
+@_settings
+@given(left_words=_lev2_words, right_words=_lev2_words)
+def test_levenshtein2_recall_1_on_run_heavy_strings_property(
+    spark, left_words, right_words
+):
+    """Radius-2 recall 1 on a BINARY alphabet — the adversarial input
+    for the round-11 run-canonical variant dedup (deleting any char of
+    an equal-char run yields the same variant, so the rewrite prunes
+    to run-initial positions; a pruning bug would LOSE a variant class
+    and surface here as a missed ED<=2 pair). Ground truth is the full
+    DP over every cross pair; the confirm must also keep nothing past
+    distance 2."""
+    import itertools
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.joins import (
+        levenshtein_neighborhood_join,
+    )
+
+    def ed(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    lrows = list(enumerate(left_words))
+    rrows = [(100 + i, w) for i, w in enumerate(right_words)]
+    left = spark.createDataFrame(lrows, "id long, name string")
+    right = spark.createDataFrame(rrows, "rid long, rname string")
+    got = {
+        (r["left_id"], r["right_id"]): r["edit_distance"]
+        for r in levenshtein_neighborhood_join(
+            left, right, "id", "rid", "name", "rname", max_edit=2
+        ).collect()
+    }
+    want = {
+        (lid, rid): ed(lw, rw)
+        for (lid, lw), (rid, rw) in itertools.product(lrows, rrows)
+        if ed(lw, rw) <= 2
+    }
+    assert got == want
+
+
 _kcore_edges = st.lists(
     st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda t: t[0] != t[1]),
     min_size=1,
