@@ -200,6 +200,71 @@ def ivf_index_maintain_stream(
     streaming_upsert_snapshot(assigned, root, [id_col], list(order_cols))
 
 
+def streaming_incremental_rollup(
+    df: DataFrame,
+    root: str,
+    key_cols: Sequence[str],
+    partials: "dict[str, Column]",
+) -> None:
+    """Incremental VIEW MAINTENANCE for keyed additive rollups — the
+    generalization of this engine's specialized additive stores
+    (Count–Min cells, PSI bins, k-anonymity census) to ANY
+    sum/count-shaped aggregate: each micro-batch reduces to per-key
+    partials (one map-side-combined groupBy over BATCH rows only),
+    which merge additively into the versioned snapshot. State is
+    |keys| rows, never the log; a full-history recompute never
+    happens. Derived columns (averages, ratios) belong at READ time
+    over the exact partials — the classic IVM split (maintain the
+    additive core, derive the rest), which is what lets the
+    maintained table stay BIT-IDENTICAL to the batch aggregate: keep
+    DECIMAL partial sums decimal through the store and cast once on
+    read, exactly like the batch query.
+
+    ``partials`` maps output column name → an ADDITIVE aggregate
+    expression (``F.sum(...)``, ``F.count(...)`` — anything with
+    agg(A ∪ B) = agg(A) + agg(B); min/max and distinct counts are NOT
+    additive and don't belong here). Merged columns are cast back to
+    the per-batch aggregate's dtype so the snapshot schema is stable
+    across versions (Spark widens decimal precision on every re-sum
+    otherwise). batch_id-versioned directories — retry-idempotent
+    like every foreachBatch store here. Read back with
+    :func:`read_snapshot`."""
+    import glob
+    import os
+    import shutil
+
+    keys = list(key_cols)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = batch_df.groupBy(*keys).agg(
+            *[c.alias(n) for n, c in partials.items()]
+        )
+        dtypes = {f.name: f.dataType for f in cur.schema.fields}
+        versions = sorted(
+            glob.glob(os.path.join(root, "v=*")),
+            key=lambda p: int(p.rsplit("=", 1)[1]),
+        )
+        if versions:
+            prev = spark.read.parquet(versions[-1])
+            cur = (
+                cur.unionByName(prev)
+                .groupBy(*keys)
+                .agg(
+                    *[
+                        F.sum(n).cast(dtypes[n]).alias(n)
+                        for n in partials
+                    ]
+                )
+            )
+        cur.write.mode("overwrite").parquet(os.path.join(root, f"v={batch_id}"))
+        for old in versions:
+            if int(old.rsplit("=", 1)[1]) != batch_id:
+                shutil.rmtree(old, ignore_errors=True)
+
+    run_stream_foreach_batch(df, _merge, output_mode="append")
+
+
 def streaming_lateness_census(
     df: DataFrame,
     root: str,

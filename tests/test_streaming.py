@@ -2949,3 +2949,73 @@ def test_streaming_lateness_census_matches_batch_over_full_ingest_order(
         r["late_s"]: r["n"] for r in read_lateness_census(spark, root2).collect()
     }
     assert got2 == got
+
+
+def test_streaming_incremental_rollup_is_bit_identical_to_batch_q1(spark, tmp_path):
+    """Incremental view maintenance of the FLAGSHIP aggregate: the
+    sf0.001 lineitem streamed in 3 chunks through
+    streaming_incremental_rollup (decimal partial sums kept decimal
+    through the store), derived on read, must be BIT-IDENTICAL to the
+    one-shot batch q1_pricing_summary — the IVM guarantee (maintain
+    the additive core, derive averages at read time)."""
+    import os
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources.io import (
+        read_table,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        read_snapshot,
+        streaming_incremental_rollup,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = read_table(spark, sf_dir, "lineitem")
+    in_dir = str(tmp_path / "li_in")
+    os.makedirs(in_dir)
+    for i in range(3):
+        li.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) == i).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"f{i}")
+        )
+
+    DEC = "decimal(18,2)"
+    price = F.col("l_extendedprice").cast(DEC)
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax_f = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    partials = {
+        "sum_qty_dec": F.sum(F.col("l_quantity").cast(DEC)),
+        "sum_base_dec": F.sum(price),
+        "sum_disc_dec": F.sum(price * disc_f),
+        "sum_charge_dec": F.sum(price * disc_f * tax_f),
+        "count_order": F.count(F.lit(1)),
+    }
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "f*"))
+    )
+    root = str(tmp_path / "q1_rollup")
+    streaming_incremental_rollup(
+        stream, root, ["l_returnflag", "l_linestatus"], partials
+    )
+
+    derived = read_snapshot(spark, root).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        F.col("sum_base_dec").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_dec").cast("double").alias("sum_disc_price"),
+        F.col("sum_charge_dec").cast("double").alias("sum_charge"),
+        F.round(
+            F.col("sum_qty_dec").cast("double") / F.col("count_order"), 4
+        ).alias("avg_qty"),
+        F.round(
+            F.col("sum_base_dec").cast("double") / F.col("count_order"), 4
+        ).alias("avg_price"),
+        "count_order",
+    )
+    got = {tuple(r) for r in derived.collect()}
+    want = {tuple(r) for r in entrymod.q1_pricing_summary(spark, sf_dir).collect()}
+    assert got == want and len(want) > 0
