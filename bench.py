@@ -490,6 +490,9 @@ HEADLINE = [
     # recommendation from measured ingest lateness.
     "events_uplift_by_segment",
     "diag_watermark_recommendation",
+    # round-11 batch 2: cohort LTV curve, newsvendor reorder points.
+    "orders_cohort_ltv_curve",
+    "part_reorder_point_table",
 ]
 
 
