@@ -31,6 +31,7 @@ so pushdown/pruning behave identically to the Python surface.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -71,11 +72,22 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.io import TABLE_NAMES, read_table
 
         spark = get_spark("sql")
+        skipped: list[str] = []
         for t in TABLE_NAMES:
-            try:
-                read_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
-            except Exception:  # noqa: BLE001 — missing optional table file
+            # Only a MISSING table file is optional; any other read
+            # failure (corrupt parquet, schema error) must surface now
+            # rather than as a confusing TABLE_OR_VIEW_NOT_FOUND when
+            # the user's query later touches the table.
+            if not os.path.exists(os.path.join(args.sf_dir, f"{t}.parquet")):
+                skipped.append(t)
                 continue
+            read_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+        if skipped:
+            print(
+                f"note: tables without a parquet file under {args.sf_dir}, "
+                f"not registered: {', '.join(skipped)}",
+                file=sys.stderr,
+            )
         df = spark.sql(args.query)
         if args.explain:
             df.explain("formatted")

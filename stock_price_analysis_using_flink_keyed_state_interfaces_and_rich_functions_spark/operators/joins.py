@@ -466,17 +466,22 @@ def hamming_neighborhood_join(
     pairs = (
         lv.join(rv.hint("SHUFFLE_HASH"), "_h").select("_lid", "_rid").distinct()
     )
+    # Join-back sides are distinct (id, name) PAIRS: duplicated id rows
+    # with identical names collapse to one, so output multiplicity
+    # matches the pre-explode-rewrite form (one match row per distinct
+    # pair, not per physical input row) — cheap relative to the
+    # variant stream, and deterministic without the id→name FD.
     cand = (
         pairs.join(
             left.filter(F.length(left_name) == length).select(
                 F.col(left_id).alias("_lid"), F.col(left_name).alias("_ln")
-            ),
+            ).distinct(),
             "_lid",
         )
         .join(
             right.filter(F.length(right_name) == length).select(
                 F.col(right_id).alias("_rid"), F.col(right_name).alias("_rn")
-            ),
+            ).distinct(),
             "_rid",
         )
     )
@@ -579,16 +584,18 @@ def levenshtein_neighborhood_join(
         # single delete at _i; 1 ≤ _i < _j = double delete at (_i,_j)
         # (positions in the ORIGINAL string).
         #
-        # RUN-CANONICAL DEDUP replaces array_distinct (exact, not
-        # heuristic): delete_i(s) == delete_j(s) for i < j iff
-        # s[i..j] is one run of equal characters, so duplicate
-        # variants arise ONLY from runs, and keeping the run-initial
-        # positions keeps exactly one representative per class —
-        # single deletes keep i run-initial; double deletes keep
-        # (i, j) with i run-initial and j either run-initial or i+1
-        # (two deletions inside one run canonicalize to its first two
-        # positions). Cheap codegen'd char compares instead of an
-        # O(V²) per-row distinct pass.
+        # RUN-CANONICAL DEDUP replaces array_distinct. For SINGLE
+        # deletes it is exact: delete_i(s) == delete_j(s) for i < j
+        # iff s[i..j] is one run of equal characters, so keeping the
+        # run-initial i keeps exactly one representative per class.
+        # For DOUBLE deletes it is a duplicate REDUCTION, not an
+        # elimination: distinct canonical pairs can still collide
+        # (e.g. 'aba' — deleting {1,2} and {2,3} both survive the
+        # filter and both yield 'a'). Correctness is unaffected — the
+        # candidate pairs are distinct'd and every survivor is
+        # confirmed by an exact levenshtein() — the filter only trims
+        # variant-stream volume. Cheap codegen'd char compares instead
+        # of an O(V²) per-row distinct pass.
         c = F.col("_n")
         base = src.select(
             F.col(id_col).alias(out_id),
@@ -667,15 +674,20 @@ def levenshtein_neighborhood_join(
     pairs = (
         lv.join(rv.hint("SHUFFLE_HASH"), "_h").select("_lid", "_rid").distinct()
     )
+    # Distinct (id, name) join-back pairs: same multiplicity contract
+    # as the Hamming twin — duplicated id rows collapse to one output
+    # row per distinct pair, matching the pre-rewrite distinct form.
     return (
         pairs.join(
-            left.select(F.col(left_id).alias("_lid"), F.col(left_name).alias("_ln")),
+            left.select(
+                F.col(left_id).alias("_lid"), F.col(left_name).alias("_ln")
+            ).distinct(),
             "_lid",
         )
         .join(
             right.select(
                 F.col(right_id).alias("_rid"), F.col(right_name).alias("_rn")
-            ),
+            ).distinct(),
             "_rid",
         )
         .withColumn(

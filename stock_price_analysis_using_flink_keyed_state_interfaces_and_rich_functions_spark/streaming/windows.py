@@ -245,8 +245,17 @@ def streaming_incremental_rollup(
             glob.glob(os.path.join(root, "v=*")),
             key=lambda p: int(p.rsplit("=", 1)[1]),
         )
-        if versions:
-            prev = spark.read.parquet(versions[-1])
+        # Merge source must be the latest version STRICTLY BEFORE this
+        # batch_id: on a foreachBatch retry (write landed, checkpoint
+        # commit didn't) versions[-1] is the replayed batch's own
+        # output, and re-merging it double-counts the additive
+        # partials. Same `< batch_id` filter as every other additive
+        # store in this file.
+        prior = [
+            p for p in versions if int(p.rsplit("=", 1)[1]) < batch_id
+        ]
+        if prior:
+            prev = spark.read.parquet(prior[-1])
             cur = (
                 cur.unionByName(prev)
                 .groupBy(*keys)
@@ -258,9 +267,13 @@ def streaming_incremental_rollup(
                 )
             )
         cur.write.mode("overwrite").parquet(os.path.join(root, f"v={batch_id}"))
-        for old in versions:
-            if int(old.rsplit("=", 1)[1]) != batch_id:
-                shutil.rmtree(old, ignore_errors=True)
+        # Prune everything OLDER than the merge source, but keep
+        # prior[-1] itself: a retry of THIS batch_id must still find
+        # its pre-batch state (once batch_id+1 commits, this version
+        # becomes prunable and batch_id never replays again). State is
+        # therefore at most 2 snapshot directories.
+        for old in prior[:-1]:
+            shutil.rmtree(old, ignore_errors=True)
 
     run_stream_foreach_batch(df, _merge, output_mode="append")
 
@@ -302,10 +315,19 @@ def streaming_lateness_census(
             glob.glob(os.path.join(root, "v=*")),
             key=lambda p: int(p.rsplit("=", 1)[1]),
         )
+        # Carry state from the latest version STRICTLY BEFORE this
+        # batch_id: on a retry versions[-1] can be the replayed batch's
+        # own directory, and merging it double-counts the census (and
+        # advances the frontier with the batch's own rows, changing
+        # within-batch lateness). Same `< batch_id` filter as every
+        # other additive store in this file.
+        prior = [
+            p for p in versions if int(p.rsplit("=", 1)[1]) < batch_id
+        ]
         prev_census = None
         carried = None
-        if versions:
-            prev = spark.read.parquet(versions[-1])
+        if prior:
+            prev = spark.read.parquet(prior[-1])
             prev_census = prev.filter(F.col("kind") == "census").select(
                 "late_s", "n"
             )
@@ -353,11 +375,36 @@ def streaming_lateness_census(
                 )
             )
         out.write.mode("overwrite").parquet(os.path.join(root, f"v={batch_id}"))
-        for old in versions:
-            if int(old.rsplit("=", 1)[1]) != batch_id:
-                shutil.rmtree(old, ignore_errors=True)
+        # Keep the merge source (prior[-1]) so a retry of this
+        # batch_id can re-merge from the pre-batch state; prune only
+        # versions strictly older than it (≤ 2 dirs ever live).
+        for old in prior[:-1]:
+            shutil.rmtree(old, ignore_errors=True)
 
     run_stream_foreach_batch(df, _merge, output_mode="append")
+
+
+def read_maintained_rollup(spark, root: str) -> DataFrame:
+    """Serve the CURRENT state of a :func:`streaming_incremental_rollup`
+    store — the IVM read path: the latest snapshot's exact additive
+    partials plus ``as_of_version`` freshness metadata (the batch_id
+    whose commit produced the snapshot being served — what a consumer
+    logs/joins to know HOW fresh the answer is). Derived columns
+    (averages, ratios) belong here, on top of the exact partials —
+    never in the maintained state (the classic IVM split)."""
+    import glob
+    import os
+
+    versions = sorted(
+        glob.glob(os.path.join(root, "v=*")), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    if not versions:
+        raise FileNotFoundError(f"no rollup versions under {root}")
+    latest = versions[-1]
+    as_of = int(latest.rsplit("=", 1)[1])
+    return spark.read.parquet(latest).withColumn(
+        "as_of_version", F.lit(as_of).cast("long")
+    )
 
 
 def read_lateness_census(spark, root: str) -> DataFrame:
@@ -370,6 +417,48 @@ def read_lateness_census(spark, root: str) -> DataFrame:
         .filter(F.col("kind") == "census")
         .select("late_s", "n")
         .orderBy("late_s")
+    )
+
+
+def recommended_watermark_from_census(spark, root: str, pctl: int = 99) -> int:
+    """Nearest-rank p``pctl`` of a :func:`streaming_lateness_census`
+    store's (late_s, n) histogram — the delay, in seconds, to pass to
+    ``withWatermark``. Same integer-ceil rank policy as the batch
+    recommender (diag_watermark_recommendation: cover ``pctl``% of
+    late data without holding state for stragglers). The collect is a
+    bounded-domain driver fold: the census has one row per DISTINCT
+    lateness second, never per event."""
+    hist = sorted(
+        ((int(r["late_s"]), int(r["n"])) for r in read_lateness_census(spark, root).collect()),
+    )
+    n = sum(cnt for _, cnt in hist)
+    if n == 0:
+        return 0
+    target = (n * pctl + 99) // 100
+    acc = 0
+    for late_s, cnt in hist:
+        acc += cnt
+        if acc >= target:
+            return late_s
+    return hist[-1][0]
+
+
+def watermarked_tumbling_counts(
+    df: DataFrame, ts_col: str, window_duration: str, delay_s: int
+) -> DataFrame:
+    """The recommend→apply LAST MILE of the watermark loop: a live
+    tumbling-window count with the recommended delay applied as the
+    stream's watermark. Append-mode semantics: a window emits once
+    the watermark (running max event time − ``delay_s``) passes its
+    end, and a row arriving after its window closed is DROPPED — so a
+    p99 recommendation bounds the drop share at ~1% by construction,
+    which the end-to-end pytest pins (census → recommendation →
+    withWatermark → measured drop set)."""
+    return (
+        df.withWatermark(ts_col, f"{int(delay_s)} seconds")
+        .groupBy(F.window(ts_col, window_duration).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
     )
 
 

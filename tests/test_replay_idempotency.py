@@ -1,0 +1,384 @@
+"""Mechanical replay-idempotency guard over EVERY foreachBatch store.
+
+Structured Streaming's foreachBatch contract: after a failure between
+the sink write and the checkpoint commit, the SAME batch_id is
+re-delivered with the same rows. Every store in
+``streaming/windows.py`` therefore documents retry-idempotence — this
+test enforces it mechanically so a new store cannot dodge the
+property (the round-11 additive stores shipped with a double-count
+precisely because only ad-hoc per-store replay pins existed).
+
+Method: capture each store's ``_ingest``/``_merge`` closure by
+monkeypatching ``run_stream_foreach_batch`` (the single chokepoint
+every store drains through), drive it with two hand-built micro-batches
+``fn(b0, 0); fn(b1, 1)``, snapshot the ENTIRE on-disk state (every
+parquet leaf directory under the store root, as sorted row multisets),
+then REPLAY ``fn(b1, 1)`` and assert the state is bit-identical. This
+is strictly stronger than any reader-level check: if replay perturbs
+even a pruned-away version directory, it fails.
+"""
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+    stateful as ST,
+)
+from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+    windows as W,
+)
+
+
+def _capture_fn(monkeypatch, invoke):
+    """Run ``invoke()`` with run_stream_foreach_batch stubbed to capture
+    the per-batch closure instead of starting a stream."""
+    box = {}
+
+    def fake_run(df, fn, output_mode="update"):
+        box["fn"] = fn
+
+    monkeypatch.setattr(W, "run_stream_foreach_batch", fake_run)
+    invoke()
+    return box["fn"]
+
+
+def _disk_state(spark, root):
+    """Full on-disk store state: {relative leaf dir: sorted rows}."""
+    state = {}
+    for dirpath, _dirnames, filenames in os.walk(root):
+        if any(f.endswith(".parquet") for f in filenames):
+            rel = os.path.relpath(dirpath, root)
+            df = spark.read.parquet(dirpath)
+            rows = [tuple(r) for r in df.collect()]
+            state[rel] = (tuple(sorted(df.columns)), sorted(rows, key=repr))
+    return state
+
+
+def _ts(col):
+    return F.to_timestamp(col)
+
+
+# ---------------------------------------------------------------------------
+# One case per foreachBatch store: name -> (invoke(spark, root), [b0, b1]).
+# ``invoke`` calls the store's public entry point (so upstream wiring is
+# exercised too); the batches are what foreachBatch would deliver to the
+# captured closure.
+# ---------------------------------------------------------------------------
+
+def _docs(spark, lo, hi):
+    rows = [
+        (i, ("alpha beta gamma delta " * 4) + f"tail{i % 3} " + "omega " * (i % 5))
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _events(spark, lo, hi):
+    rows = [
+        (
+            i,
+            f"2024-01-0{1 + (i % 3)} 0{i % 6}:0{i % 10}:00",
+            "error" if i % 4 == 0 else "view",
+            float((i * 37) % 100),
+            f"u{i % 4}",
+        )
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts_s string, etype string, val double, user string"
+    ).select(
+        "event_id", _ts("ts_s").alias("ts"), "etype", "val", "user"
+    )
+
+
+def _store_cases():
+    """Registry: store name -> builder(spark, root, monkeypatch) ->
+    (captured_fn, [batch0, batch1])."""
+
+    def upsert_snapshot(spark, root, mp):
+        b0 = spark.createDataFrame(
+            [(1, 10, "a"), (2, 11, "b")], "id long, seq long, v string"
+        )
+        b1 = spark.createDataFrame(
+            [(2, 12, "b2"), (3, 13, "c")], "id long, seq long, v string"
+        )
+        fn = _capture_fn(
+            mp, lambda: W.streaming_upsert_snapshot(b0, root, ["id"], ["seq"])
+        )
+        return fn, [b0, b1]
+
+    def ivf_maintain(spark, root, mp):
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        b0 = spark.createDataFrame(
+            [(1, 10, [0.9, 0.1]), (2, 11, [0.2, 0.8])],
+            "vec_id long, seq long, embedding array<double>",
+        )
+        b1 = spark.createDataFrame(
+            [(2, 12, [0.8, 0.1]), (3, 13, [0.1, 0.9])],
+            "vec_id long, seq long, embedding array<double>",
+        )
+        fn = _capture_fn(
+            mp, lambda: W.ivf_index_maintain_stream(b0, root, cents)
+        )
+        return fn, [b0, b1]
+
+    def incremental_rollup(spark, root, mp):
+        b0 = _events(spark, 0, 12)
+        b1 = _events(spark, 12, 24)
+        fn = _capture_fn(
+            mp,
+            lambda: W.streaming_incremental_rollup(
+                b0,
+                root,
+                ["etype"],
+                {
+                    "n": F.count(F.lit(1)).cast("long"),
+                    "sum_val": F.sum("val"),
+                },
+            ),
+        )
+        return fn, [b0, b1]
+
+    def lateness_census(spark, root, mp):
+        b0 = _events(spark, 0, 12)
+        b1 = _events(spark, 12, 24)
+        fn = _capture_fn(
+            mp,
+            lambda: W.streaming_lateness_census(
+                b0, root, ts_col="ts", order_col="event_id"
+            ),
+        )
+        return fn, [b0, b1]
+
+    def minhash_dedup(spark, root, mp):
+        b0 = _docs(spark, 0, 8)
+        b1 = _docs(spark, 8, 16)
+        fn = _capture_fn(
+            mp,
+            lambda: W.streaming_minhash_dedup(
+                b0, root, num_hashes=16, num_bands=8, threshold=0.5
+            ),
+        )
+        return fn, [b0, b1]
+
+    def heavy_hitters(spark, root, mp):
+        # distinct per-key counts -> no eviction tie-breaks to flake on
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(f"k{(i * i) % 5}",) for i in range(lo, hi)], "k string"
+        )
+        b0, b1 = mk(0, 20), mk(20, 40)
+        fn = _capture_fn(
+            mp, lambda: W.streaming_heavy_hitters(b0, root, "k", capacity=3)
+        )
+        return fn, [b0, b1]
+
+    def bm25_stats(spark, root, mp):
+        b0 = _docs(spark, 0, 8)
+        b1 = _docs(spark, 8, 16)
+        fn = _capture_fn(
+            mp,
+            lambda: W.streaming_bm25_stats(b0, root, ["alpha", "tail1"]),
+        )
+        return fn, [b0, b1]
+
+    def weighted_sample(spark, root, mp):
+        b0 = _docs(spark, 0, 10).withColumn("w", F.col("doc_id") + 1.0)
+        b1 = _docs(spark, 10, 20).withColumn("w", F.col("doc_id") + 1.0)
+        fn = _capture_fn(
+            mp,
+            lambda: W.streaming_weighted_sample(b0, root, "w", ["doc_id"], k=5),
+        )
+        return fn, [b0, b1]
+
+    def fuzzy_match(spark, root, mp):
+        master = spark.createDataFrame(
+            [(100, "ABCDE"), (101, "QRSTU")], "mid long, mname string"
+        )
+        b0 = spark.createDataFrame(
+            [(1, "ABCDX"), (2, "ZZZZZ")], "sid long, sname string"
+        )
+        b1 = spark.createDataFrame(
+            [(3, "QRSTV"), (4, "ABCDE")], "sid long, sname string"
+        )
+        fn = _capture_fn(
+            mp,
+            lambda: W.streaming_fuzzy_match(
+                b0, master, root, "sid", "mid", "sname", "mname",
+                length=5, max_hamming=1,
+            ),
+        )
+        return fn, [b0, b1]
+
+    def skyline(spark, root, mp):
+        b0 = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 7.0), (3.0, 4.0)], "cost double, gain double"
+        )
+        b1 = spark.createDataFrame(
+            [(1.5, 8.0), (4.0, 9.0)], "cost double, gain double"
+        )
+        fn = _capture_fn(
+            mp, lambda: W.streaming_skyline(b0, root, "cost", "gain")
+        )
+        return fn, [b0, b1]
+
+    def k_anonymity(spark, root, mp):
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(f"z{i % 3}", None if i % 5 == 0 else f"g{i % 2}") for i in range(lo, hi)],
+            "zip string, grp string",
+        )
+        b0, b1 = mk(0, 12), mk(12, 24)
+        fn = _capture_fn(
+            mp, lambda: W.streaming_k_anonymity(b0, root, ["zip", "grp"])
+        )
+        return fn, [b0, b1]
+
+    def countmin(spark, root, mp):
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(f"tok{(i * 7) % 9}",) for i in range(lo, hi)], "tok string"
+        )
+        b0, b1 = mk(0, 30), mk(30, 60)
+        fn = _capture_fn(
+            mp, lambda: W.streaming_countmin(b0, root, "tok", depth=2, width=16)
+        )
+        return fn, [b0, b1]
+
+    def psi_census(spark, root, mp):
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(float((i * 13) % 50),) for i in range(lo, hi)], "v double"
+        )
+        b0, b1 = mk(0, 25), mk(25, 50)
+        fn = _capture_fn(
+            mp, lambda: W.streaming_psi_census(b0, root, "v", [10, 20, 30, 40])
+        )
+        return fn, [b0, b1]
+
+    def error_rate(spark, root, mp):
+        b0 = _events(spark, 0, 16)
+        b1 = _events(spark, 16, 32)
+        fn = _capture_fn(
+            mp,
+            lambda: W.streaming_error_rate_census(b0, root, "ts", "etype"),
+        )
+        return fn, [b0, b1]
+
+    def concurrency_census(spark, root, mp):
+        # fn consumes CLOSED session spans (first_ts, last_ts); stub the
+        # streaming-only session source with identity so the public
+        # entry point still wires the store.
+        mk = lambda rows: spark.createDataFrame(
+            rows, "user string, n_events long, sum_value double, first_s string, last_s string"
+        ).select(
+            "user", "n_events", "sum_value",
+            _ts("first_s").alias("first_ts"), _ts("last_s").alias("last_ts"),
+        )
+        b0 = mk([("u1", 3, 5.0, "2024-01-01 00:00:00", "2024-01-01 00:10:00"),
+                 ("u2", 2, 1.0, "2024-01-01 00:05:00", "2024-01-01 00:06:00")])
+        b1 = mk([("u1", 1, 2.0, "2024-01-01 01:00:00", "2024-01-01 01:30:00")])
+        mp.setattr(ST, "session_close_stream", lambda df, *a, **k: df)
+        fn = _capture_fn(
+            mp,
+            lambda: W.streaming_concurrency_census(b0, root, ["user"], "ts", "val"),
+        )
+        return fn, [b0, b1]
+
+    def entry_exit_census(spark, root, mp):
+        mk = lambda rows: spark.createDataFrame(
+            rows, "user string, entry_type string, exit_type string"
+        )
+        b0 = mk([("u1", "search", "buy"), ("u2", "ad", "bounce")])
+        b1 = mk([("u3", "search", "bounce"), ("u4", "search", "buy")])
+        mp.setattr(ST, "session_entry_exit_stream", lambda df, *a, **k: df)
+        fn = _capture_fn(
+            mp,
+            lambda: W.streaming_entry_exit_census(
+                b0, root, ["user"], "ts", "event_id", "etype"
+            ),
+        )
+        return fn, [b0, b1]
+
+    return {
+        "upsert_snapshot": upsert_snapshot,
+        "ivf_maintain": ivf_maintain,
+        "incremental_rollup": incremental_rollup,
+        "lateness_census": lateness_census,
+        "minhash_dedup": minhash_dedup,
+        "heavy_hitters": heavy_hitters,
+        "bm25_stats": bm25_stats,
+        "weighted_sample": weighted_sample,
+        "fuzzy_match": fuzzy_match,
+        "skyline": skyline,
+        "k_anonymity": k_anonymity,
+        "countmin": countmin,
+        "psi_census": psi_census,
+        "error_rate": error_rate,
+        "concurrency_census": concurrency_census,
+        "entry_exit_census": entry_exit_census,
+    }
+
+
+_CASES = _store_cases()
+
+
+def test_registry_covers_every_foreachbatch_store():
+    """The registry must track the module: every function in
+    streaming/windows.py that drains through run_stream_foreach_batch
+    needs a replay case here, so a NEW store fails this test until it
+    registers one."""
+    import inspect
+
+    src = inspect.getsource(W)
+    stores = set()
+    cur = None
+    for line in src.splitlines():
+        if line.startswith("def "):
+            cur = line[4:].split("(")[0]
+        if "run_stream_foreach_batch(" in line and cur and cur != "run_stream_foreach_batch":
+            stores.add(cur)
+    # streaming_upsert_snapshot also backs ivf_index_maintain_stream,
+    # which is registered separately (covers the assignment wiring).
+    stores.add("ivf_index_maintain_stream")
+    name_map = {
+        "streaming_upsert_snapshot": "upsert_snapshot",
+        "ivf_index_maintain_stream": "ivf_maintain",
+        "streaming_incremental_rollup": "incremental_rollup",
+        "streaming_lateness_census": "lateness_census",
+        "streaming_minhash_dedup": "minhash_dedup",
+        "streaming_heavy_hitters": "heavy_hitters",
+        "streaming_bm25_stats": "bm25_stats",
+        "streaming_weighted_sample": "weighted_sample",
+        "streaming_fuzzy_match": "fuzzy_match",
+        "streaming_skyline": "skyline",
+        "streaming_k_anonymity": "k_anonymity",
+        "streaming_countmin": "countmin",
+        "streaming_psi_census": "psi_census",
+        "streaming_error_rate_census": "error_rate",
+        "streaming_concurrency_census": "concurrency_census",
+        "streaming_entry_exit_census": "entry_exit_census",
+    }
+    missing = [s for s in stores if name_map.get(s) not in _CASES]
+    assert not missing, f"foreachBatch stores without a replay case: {missing}"
+
+
+@pytest.mark.parametrize("store", sorted(_CASES))
+def test_foreachbatch_store_replay_is_idempotent(
+    spark, tmp_path, monkeypatch, store
+):
+    root = str(tmp_path / store)
+    fn, (b0, b1) = _CASES[store](spark, root, monkeypatch)
+
+    fn(b0, 0)
+    fn(b1, 1)
+    before = _disk_state(spark, root)
+    assert before, f"{store}: store wrote nothing"
+    assert any(rows for _, rows in before.values()), f"{store}: state is empty"
+
+    # simulated retry: Spark re-delivers the SAME batch_id + rows
+    fn(b1, 1)
+    after = _disk_state(spark, root)
+    assert after == before, (
+        f"{store}: replaying batch_id=1 changed on-disk state — "
+        "the store is not retry-idempotent"
+    )

@@ -3019,3 +3019,114 @@ def test_streaming_incremental_rollup_is_bit_identical_to_batch_q1(spark, tmp_pa
     got = {tuple(r) for r in derived.collect()}
     want = {tuple(r) for r in entrymod.q1_pricing_summary(spark, sf_dir).collect()}
     assert got == want and len(want) > 0
+
+
+def test_watermark_recommendation_applied_end_to_end(spark, tmp_path):
+    """VERDICT r11 item #5 — the number→behavior last mile of the
+    watermark loop: (1) an out-of-order feed builds the online
+    lateness census; (2) recommended_watermark_from_census reads its
+    p99 (the batch recommender's policy); (3) the SAME feed re-streams
+    through a tumbling-window count with that delay as withWatermark.
+    Pin: the drained windowed counts equal the batch counts over
+    exactly the events whose lateness is within the recommended bound
+    — the straggler beyond it is dropped (its window state was
+    evicted one batch earlier, the condition under which Spark drops
+    late rows) — and the measured drop share respects the 1-p99
+    budget the recommendation promises."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        recommended_watermark_from_census,
+        streaming_lateness_census,
+        watermarked_tumbling_counts,
+    )
+
+    base = 1_700_000_000  # any epoch-second anchor
+    # ingest order = event_id. ids 1..100 arrive mostly in order
+    # (ts = base + 10*i), except id 50 runs 20 s late vs id 49\'s
+    # frontier (ep = base + 470 vs frontier base + 490). Then, each in
+    # its own micro-batch: id 101 is 15 s late (within the coming
+    # recommendation), id 102 is a 990 s straggler (beyond it, and its
+    # window\'s state was evicted when batch 101 advanced the
+    # watermark), id 103 is the sentinel that closes every window.
+    rows = []
+    for i in range(1, 101):
+        ep = base + 10 * i - (30 if i == 50 else 0)
+        rows.append((i, ep))
+    rows.append((101, base + 985))       # 15 s late vs frontier base+1000
+    rows.append((102, base + 10))        # straggler: late 990 s
+    rows.append((103, base + 100_000))   # sentinel
+    df = spark.createDataFrame(rows, "event_id long, ep long").select(
+        "event_id", F.timestamp_seconds("ep").alias("ts")
+    )
+    in_dir = str(tmp_path / "wm_in")
+    os.makedirs(in_dir)
+    df.filter("event_id <= 100").coalesce(1).write.parquet(os.path.join(in_dir, "f0"))
+    for i, eid in enumerate((101, 102, 103)):
+        df.filter(f"event_id = {eid}").coalesce(1).write.parquet(
+            os.path.join(in_dir, f"f{i + 1}")
+        )
+    for i in range(4):
+        os.utime(os.path.join(in_dir, f"f{i}"), (1_000_000 * (i + 1),) * 2)
+
+    def _stream():
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(in_dir, "f*"))
+        )
+
+    # (1) census the feed\'s observed lateness
+    census_root = str(tmp_path / "wm_census")
+    streaming_lateness_census(_stream(), census_root)
+
+    # (2) read the recommendation: 99 on-time (incl. sentinel) + 15 s
+    # (id 101) + 20 s (id 50) + 990 s (id 102); nearest-rank p99 over
+    # n=102 is rank 101 -> 20 s: covers 99%, excludes the straggler
+    wm_s = recommended_watermark_from_census(spark, census_root, pctl=99)
+    assert wm_s == 20
+
+    # (3) apply it to a live tumbling count over the same feed
+    out = watermarked_tumbling_counts(_stream(), "ts", "60 seconds", wm_s)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: r["n_events"]
+        for r in spark.table("wm_counts").collect()
+    }
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1  # exactly the straggler
+
+    # batch truth over the recommendation\'s contract set: every event
+    # within the bound counts (id 50 in-batch late, id 101 cross-batch
+    # late-but-within-bound), the straggler (late 990 > 20) drops.
+    # (sentinel window excluded — append mode never emits the final
+    # open window.)
+    kept = df.filter(~F.col("event_id").isin(102, 103))
+    want = {
+        r["w"]: r["n"]
+        for r in kept.groupBy(
+            F.window("ts", "60 seconds").alias("win")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("w"), "n")
+        .collect()
+    }
+    assert got == want and len(want) >= 15
+
+    # drop-share honesty: 1 straggler out of 102 lateness-measured
+    # events <= the (100 - 99)% budget the p99 recommendation promises
+    n_measured, n_dropped = 102, dropped
+    assert n_dropped / n_measured <= (100 - 99) / 100
