@@ -384,6 +384,57 @@ def streaming_lateness_census(
     run_stream_foreach_batch(df, _merge, output_mode="append")
 
 
+def ivf_staleness_report(
+    spark,
+    root: str,
+    corpus: DataFrame,
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell STALENESS of a maintained IVF snapshot
+    (:func:`ivf_index_maintain_stream`) against the current corpus —
+    the live-store sibling of the batch similarity_index_staleness
+    report: every corpus vector is assigned its would-be cell against
+    the SAME frozen codebook (one stateless Arrow scan), left-joined
+    to the snapshot's postings, and rolled up to (cell, n_indexed,
+    n_unindexed, stale_micro, reindex_flag). A cell past ~20%
+    unindexed is the page to re-index or route to the brute-force
+    tier. State read is the |keys|-row snapshot, never the log."""
+    from ..operators.similarity import ivf_assign_cells
+
+    idx = read_snapshot(spark, root).select(
+        F.col(id_col), F.lit(1).alias("_in_index")
+    )
+    cur = ivf_assign_cells(corpus, centroids, vec_col=vec_col).select(
+        id_col, "cell"
+    )
+    return (
+        cur.join(idx, id_col, "left")
+        .groupBy("cell")
+        .agg(
+            F.sum(F.col("_in_index").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_indexed"),
+            F.sum(F.col("_in_index").isNull().cast("long"))
+            .cast("long")
+            .alias("n_unindexed"),
+        )
+        .select(
+            "cell",
+            "n_indexed",
+            "n_unindexed",
+            F.expr(
+                "CAST((n_unindexed * 1000000) div (n_indexed + n_unindexed) AS BIGINT)"
+            ).alias("stale_micro"),
+            (F.expr("(n_unindexed * 1000000) div (n_indexed + n_unindexed)") > 200000)
+            .cast("int")
+            .alias("reindex_flag"),
+        )
+        .orderBy("cell")
+    )
+
+
 def read_maintained_rollup(spark, root: str) -> DataFrame:
     """Serve the CURRENT state of a :func:`streaming_incremental_rollup`
     store — the IVM read path: the latest snapshot's exact additive

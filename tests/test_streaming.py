@@ -3130,3 +3130,134 @@ def test_watermark_recommendation_applied_end_to_end(spark, tmp_path):
     # events <= the (100 - 99)% budget the p99 recommendation promises
     n_measured, n_dropped = 102, dropped
     assert n_dropped / n_measured <= (100 - 99) / 100
+
+
+def test_online_census_percentiles_match_batch_recommender(spark, tmp_path):
+    """Coherence pin between the TWO watermark-evidence paths: the
+    online lateness census (streaming_lateness_census folded over
+    micro-batches) read at p50/p95/p99 must produce EXACTLY the batch
+    recommender's (diag_watermark_recommendation) percentiles over the
+    same total ingest order — same lateness definition (strictly-prior
+    frontier, clamped at 0, first event excluded), same integer-ceil
+    nearest-rank policy. If either side's rank arithmetic or frontier
+    carry drifts, the two numbers split and this fails."""
+    import os
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        recommended_watermark_from_census,
+        streaming_lateness_census,
+    )
+
+    base = 1_700_000_000
+    rows = []
+    for i in range(1, 61):
+        late = (35 * ((i % 3) + 1)) if i % 7 == 0 else 0
+        rows.append((i, base + 10 * i - late, i % 5, "view", float(i), "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ep long, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id", F.timestamp_seconds("ep").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    df.coalesce(1).write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    got_batch = entrymod.diag_watermark_recommendation(spark, sf_dir).collect()[0]
+
+    in_dir = str(tmp_path / "chunks")
+    os.makedirs(in_dir)
+    for j, (lo, hi) in enumerate(((1, 20), (21, 40), (41, 60))):
+        df.filter((F.col("event_id") >= lo) & (F.col("event_id") <= hi)).coalesce(
+            1
+        ).write.parquet(os.path.join(in_dir, f"f{j}"))
+        os.utime(os.path.join(in_dir, f"f{j}"), (1_000_000 * (j + 1),) * 2)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "f*"))
+    )
+    root = str(tmp_path / "census")
+    streaming_lateness_census(stream, root, ts_col="ts", order_col="event_id")
+
+    for pctl, col in ((50, "p50_late_s"), (95, "p95_late_s"), (99, "p99_late_s")):
+        online = recommended_watermark_from_census(spark, root, pctl=pctl)
+        assert online == got_batch[col], (pctl, online, got_batch[col])
+    assert recommended_watermark_from_census(spark, root) == got_batch["watermark_s"]
+    assert got_batch["p99_late_s"] > 0  # distribution is non-trivial
+
+
+def test_ivf_staleness_report_over_maintained_store(spark, tmp_path):
+    """The live-store staleness audit: maintain the IVF index over the
+    FIRST TWO of three embedding micro-batches, then run
+    ivf_staleness_report against the full corpus — the unindexed set
+    must be exactly the third (never-ingested) batch, cell by cell,
+    with stale_micro/reindex_flag derived from those exact counts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.similarity import (
+        ivf_assign_cells,
+        train_ivf_centroids,
+    )
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming import (
+        ivf_index_maintain_stream,
+        ivf_staleness_report,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("seq", F.col("vec_id"))
+    )
+    cents = train_ivf_centroids(emb, num_cells=8)
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+
+    in_dir = str(tmp_path / "emb_in")
+    os.makedirs(in_dir)
+    emb.filter(F.col("vec_id") < cut1).coalesce(1).write.parquet(
+        os.path.join(in_dir, "f0")
+    )
+    emb.filter(
+        (F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2)
+    ).coalesce(1).write.parquet(os.path.join(in_dir, "f1"))
+    os.utime(os.path.join(in_dir, "f0"), (1_000_000, 1_000_000))
+    os.utime(os.path.join(in_dir, "f1"), (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "f*"))
+    )
+    root = str(tmp_path / "ivf_store")
+    ivf_index_maintain_stream(stream, root, cents)
+
+    got = {
+        r["cell"]: (r["n_indexed"], r["n_unindexed"], r["stale_micro"], r["reindex_flag"])
+        for r in ivf_staleness_report(spark, root, emb, cents).collect()
+    }
+
+    # ground truth: assign every vector, split at cut2
+    truth = {}
+    for r in ivf_assign_cells(emb, cents).select("vec_id", "cell").collect():
+        n_idx, n_un = truth.get(r["cell"], (0, 0))
+        if r["vec_id"] < cut2:
+            truth[r["cell"]] = (n_idx + 1, n_un)
+        else:
+            truth[r["cell"]] = (n_idx, n_un + 1)
+    want = {
+        c: (
+            n_idx,
+            n_un,
+            (n_un * 1_000_000) // (n_idx + n_un),
+            int((n_un * 1_000_000) // (n_idx + n_un) > 200_000),
+        )
+        for c, (n_idx, n_un) in truth.items()
+    }
+    assert got == want
+    assert sum(v[1] for v in got.values()) == len([i for i in ids if i >= cut2])
+    assert any(v[3] == 1 for v in got.values())  # ~1/3 unindexed -> flags fire
