@@ -646,6 +646,13 @@ def main() -> None:
                 fn(spark, sf_dir).count()
                 times.append(time.time() - t0)
             per_query[name] = round(sorted(times)[1], 3)
+            # Between-rows JVM GC hint (round 12): the residual chunk-
+            # session inflation is old-gen pressure from earlier rows'
+            # plans/blocks billed to whoever runs next (agg_pareto_8020
+            # read 26 s in a 57-row chunk vs 2.8 s isolated). Collecting
+            # OUTSIDE the timed region makes each row start from a
+            # settled heap; costs ~0.1 s per row of untimed wall.
+            spark.sparkContext._jvm.System.gc()
         total = round(sum(per_query.values()), 3)
         for name, sec in per_query.items():
             print(json.dumps({"query": name, "sec": sec}))
@@ -707,7 +714,11 @@ def main() -> None:
     # the memo on its UNTIMED pass, exactly as the isolation protocol
     # always has. SPARK_GRAFT_SPLIT=1 restores the single-session loop
     # (the pre-r12 behavior) for session-pressure experiments.
-    split = max(1, int(os.environ.get("SPARK_GRAFT_SPLIT", "4")))
+    # Default 6 (~39 rows/chunk): measured ratios in-session/effective
+    # were x1.56 at 227 rows (r11, one session), x1.21 at 58 rows/chunk
+    # — smaller chunks + the per-row GC hint push the headline toward
+    # the isolated truth at ~30 s/chunk JVM-startup cost.
+    split = max(1, int(os.environ.get("SPARK_GRAFT_SPLIT", "6")))
     per_query: dict[str, float] = {}
     if split > 1:
         size = (len(HEADLINE) + split - 1) // split
