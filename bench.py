@@ -70,15 +70,20 @@ cost is unchanged — the round-9 continuation bench read pagerank at
 run. Trend comparisons for the iterative rows should always use the
 isolated protocol.
 
-SUPPLIER-ROW NOISE (round 11): the three *_supplier_derive rows are
-single-pass by design (a one-time cost has no meaningful median), so
-they can read up to ~2x high on a cold pipeline — this round's 8.0 s
-edge_supplier_derive reading re-measured at 4.1/4.1/4.1 s
-median-of-3 in a fresh session (r7-r10 history: 3.9-4.7 s). Diff
-these rows against their history band, not a single reading; the
-mechanical isolation below deliberately EXCLUDES them (an isolated
-run cannot amortize shared session state the way the bench session
-does).
+SUPPLIER-ROW PROTOCOL (round 13, VERDICT r12 item #1; supersedes the
+round-11 noise note): through round 12 the three *_supplier_derive
+rows ran single-pass in the PARENT session — fine while 200+ headline
+rows warmed that JVM first (r11), but the round-12 chunked protocol
+moved every headline row into subprocesses, leaving the parent nearly
+cold, and all three derives doubled (edge 4.97→9.10 s etc.) for
+purely protocol reasons. They now run through the same
+SPARK_GRAFT_ONLY fresh-JVM steady-state path as every other row: one
+untimed pass (fills codegen AND the memo), then THREE timed
+derivations with the memo cleared before each, median reported —
+the very protocol that produced the adjudicated 4.1/4.1/4.1 s band
+when run manually in rounds 11–12. Diff these rows against that
+band; pre-r13 BENCH_DETAIL values for them are parent-session
+single-pass numbers and not comparable without this note.
 
 MECHANICAL ISOLATION (round 11, VERDICT r10 item #2): the manual
 protocol above is now automatic. After the in-session pass, any row
@@ -504,6 +509,48 @@ HEADLINE = [
 ]
 
 
+# Memoized-supplier derivation rows (see the MEASUREMENT-HONESTY NOTE):
+# name -> (runner, memo). Each runner materializes the shared table(s)
+# the graph/basket families consume; the memo is the module-level cache
+# the consumers read. The steady-state protocol for these rows lives in
+# _run_derive (untimed memo-filling pass, then median-of-3 with the
+# memo cleared before each timed derivation).
+_DERIVES = {
+    "edge_supplier_derive": (
+        lambda s, d: [
+            entrymod._verified_edges(s, d, t).count() for t in (0.7, 0.8)
+        ],
+        entrymod._EDGE_MEMO,
+    ),
+    "pair_supplier_derive": (
+        lambda s, d: entrymod._copurchase_pairs(s, d).count(),
+        entrymod._PAIR_MEMO,
+    ),
+    "co2_supplier_derive": (
+        lambda s, d: entrymod._copurchase_co2(s, d).count(),
+        entrymod._CO2_MEMO,
+    ),
+}
+
+
+def _run_derive(spark, sf_dir: str, name: str) -> float:
+    """Steady-state derive timing (round 13, VERDICT r12 item #1): one
+    untimed pass fills the Janino codegen cache AND the memo, then
+    three timed derivations — memo cleared before each, so every
+    timed pass pays the full derivation — report the median. Same
+    shape as the query rows' protocol; the memo clear is what makes a
+    median-of-3 meaningful for a one-time cost."""
+    runner, memo = _DERIVES[name]
+    runner(spark, sf_dir)
+    times = []
+    for _ in range(3):
+        memo.clear()
+        t0 = time.time()
+        runner(spark, sf_dir)
+        times.append(time.time() - t0)
+    return round(sorted(times)[1], 3)
+
+
 def _prev_detail_secs(detail_path: str) -> dict[str, float]:
     """Previous-round per-query seconds from the committed
     BENCH_DETAIL.json (values are floats, or {"sec": ...} objects for
@@ -633,11 +680,26 @@ def main() -> None:
     only_env = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
     if only_env:
         names = [n.strip() for n in only_env.split(",") if n.strip()]
-        unknown = [n for n in names if n not in queries]
+        unknown = [n for n in names if n not in queries and n not in _DERIVES]
         if unknown:
             raise SystemExit(f"SPARK_GRAFT_ONLY names missing from queries(): {unknown}")
+        # Per-chunk double warm-up (round 13, VERDICT r12 item #3): the
+        # first timed rows after a fresh JVM's single untimed pass read
+        # up to ~2x high (r12: w2_count_window_avg 1.42->2.88 s,
+        # graph_bfs_reach 1.90->3.61 s — all early-chunk rows). One
+        # extra untimed pass of the subset's FIRST query settles
+        # JIT/shuffle/broadcast machinery before any timing starts; the
+        # row still gets its own untimed pass in the loop below, so the
+        # first row effectively warms twice.
+        first = next((n for n in names if n in queries), None)
+        if first:
+            queries[first](spark, sf_dir).count()
         per_query: dict[str, float] = {}
         for name in names:
+            if name in _DERIVES:
+                per_query[name] = _run_derive(spark, sf_dir, name)
+                spark.sparkContext._jvm.System.gc()
+                continue
             fn = queries[name]
             fn(spark, sf_dir).count()
             times = []
@@ -667,47 +729,22 @@ def main() -> None:
         }))
         return
 
-    # Once-per-session verified-MinHash edge derivation, measured as its
-    # own row (see the MEASUREMENT-HONESTY NOTE). Same steady-state
-    # protocol as every other row: one untimed pass fills the Janino
-    # codegen cache for the pipeline's generated stages, then the memo
-    # is cleared and the derivation re-runs timed (a one-time cost has
-    # no meaningful median-of-3, so one timed pass). The populated memo
-    # then serves every graph-family consumer below — the production
-    # pipeline shape.
-    for thr in (0.7, 0.8):
-        entrymod._verified_edges(spark, sf_dir, thr).count()
-    entrymod._EDGE_MEMO.clear()
-    t0 = time.time()
-    for thr in (0.7, 0.8):
-        entrymod._verified_edges(spark, sf_dir, thr).count()
-    edge_derive_sec = round(time.time() - t0, 3)
-
-    # Round-8: the co-purchase pair supplier (consumed by
-    # graph_kcore_copurchase; the same derivation the basket family's
-    # distinct-items table starts from) gets the identical treatment —
-    # one untimed pass for codegen, memo cleared, one timed derivation
-    # billed as its own row.
-    entrymod._copurchase_pairs(spark, sf_dir).count()
-    entrymod._PAIR_MEMO.clear()
-    t0 = time.time()
-    entrymod._copurchase_pairs(spark, sf_dir).count()
-    pair_derive_sec = round(time.time() - t0, 3)
-
-    # Round-9: the recurrent (co ≥ 2) co-purchase supplier (consumed
-    # by part_copurchase_jaccard and graph_link_prediction_cn) —
-    # identical treatment.
-    entrymod._copurchase_co2(spark, sf_dir).count()
-    entrymod._CO2_MEMO.clear()
-    t0 = time.time()
-    entrymod._copurchase_co2(spark, sf_dir).count()
-    co2_derive_sec = round(time.time() - t0, 3)
+    # Memoized-supplier derivation rows (see the SUPPLIER-ROW PROTOCOL
+    # note): measured in a fresh-JVM SPARK_GRAFT_ONLY subprocess under
+    # the steady-state derive protocol (_run_derive) — the parent JVM
+    # is nearly cold under the chunked headline and its single-pass
+    # readings doubled in round 12. Subprocess crash/timeout falls back
+    # to the parent protocol so the rows are never dropped.
+    derive_secs = _subset_rerun(list(_DERIVES), sf_dir, timeout=1800)
+    for name in _DERIVES:
+        if name not in derive_secs:
+            derive_secs[name] = _run_derive(spark, sf_dir, name)
 
     # CHUNKED HEADLINE (round 12, VERDICT r11 item #3): at 227 rows a
     # single long-lived JVM accumulates ~55% GC/codegen overhead by the
     # tail of the session (r11: 473 s in-session vs ~303 s effective
     # after isolated substitution), so the query rows now run in
-    # SPARK_GRAFT_SPLIT fresh-JVM chunks (default 4, ~56 rows each)
+    # SPARK_GRAFT_SPLIT fresh-JVM chunks (default 6, ~39 rows each)
     # through the same SPARK_GRAFT_ONLY steady-state protocol the
     # isolation re-runs use. Consumer rows keep their post-derivation
     # semantics: each chunk's first memoized-supplier consumer fills
@@ -720,11 +757,14 @@ def main() -> None:
     # the isolated truth at ~30 s/chunk JVM-startup cost.
     split = max(1, int(os.environ.get("SPARK_GRAFT_SPLIT", "6")))
     per_query: dict[str, float] = {}
+    chunked: set[str] = set()  # rows whose number came from a fresh-JVM chunk
     if split > 1:
         size = (len(HEADLINE) + split - 1) // split
         for i in range(0, len(HEADLINE), size):
             chunk = HEADLINE[i:i + size]
-            per_query.update(_subset_rerun(chunk, sf_dir, timeout=3600))
+            got = _subset_rerun(chunk, sf_dir, timeout=3600)
+            per_query.update(got)
+            chunked.update(got)
     # single-session fallback: SPLIT=1, or rows a chunk subprocess
     # failed to report (crash/timeout) — never drop a row silently.
     for name in HEADLINE:
@@ -741,11 +781,10 @@ def main() -> None:
 
     per_query = {n: per_query[n] for n in HEADLINE}  # stable row order
 
-    # New row at the end (headline-30 prefix unchanged for
+    # Derive rows at the end (headline-30 prefix unchanged for
     # cross-round comparability).
-    per_query["edge_supplier_derive"] = edge_derive_sec
-    per_query["pair_supplier_derive"] = pair_derive_sec
-    per_query["co2_supplier_derive"] = co2_derive_sec
+    for name in _DERIVES:
+        per_query[name] = derive_secs[name]
 
     total = round(sum(per_query.values()), 3)
 
@@ -753,8 +792,8 @@ def main() -> None:
     # previous round's committed BENCH_DETAIL.json; any row >2.5x its
     # prior value AND over the 1 s noise floor is re-measured in a
     # fresh JVM, and both numbers ship in the detail document. The
-    # supplier-derive rows are excluded (one-time session costs by
-    # design — an isolated run cannot amortize them the same way).
+    # supplier-derive rows already carry fresh-JVM steady-state numbers
+    # (round 13) and are not HEADLINE rows, so they never re-trigger.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -764,8 +803,11 @@ def main() -> None:
         if (n in prev and per_query[n] >= 1.0 and per_query[n] > 2.5 * prev[n])
         # any genuinely heavy row always gets an isolated number, so the
         # judge never has to adjudicate a ≥5 s in-session reading with no
-        # fresh-JVM counterpart (VERDICT r11 item #2)
-        or per_query[n] >= 5.0
+        # fresh-JVM counterpart (VERDICT r11 item #2) — unless the number
+        # ALREADY came from a fresh-JVM chunk subprocess, where a second
+        # isolated run would near-equal it (ADVICE r12: redundant run);
+        # the 2.5x regression trigger still applies to every row.
+        or (per_query[n] >= 5.0 and n not in chunked)
     ]
     isolated = _isolated_rerun(movers, sf_dir) if movers else {}
 

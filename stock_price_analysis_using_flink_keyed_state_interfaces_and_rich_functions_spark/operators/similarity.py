@@ -609,6 +609,7 @@ def ivf_assign_cells(
     centroids: "list[list[float]]",
     vec_col: str = "embedding",
     out_col: str = "cell",
+    round_dp: "int | None" = None,
 ) -> DataFrame:
     """Map-side IVF cell assignment against a FROZEN codebook — the
     same Arrow-vectorized nearest-centroid argmax :func:`ivf_topk`
@@ -617,7 +618,17 @@ def ivf_assign_cells(
     definition (their parity test is exact equality). Stateless per
     row, so it works unchanged on a STREAMING DataFrame: one scan, no
     shuffle, codebook rides the closure (cells×dim, broadcast-sized
-    by construction). NULL/ragged vectors assign NULL cell."""
+    by construction). NULL/ragged vectors assign NULL cell.
+
+    ``round_dp`` (ADVICE r12): round the cosine to a fixed number of
+    decimals BEFORE the argmax — the cross-engine float pin for
+    oracled consumers. This kernel computes (v/|v|)·(c/|c|) while a
+    SQL oracle typically computes inner/(|v|·|c|); the two can differ
+    in the last ulp, so a near-exact tie between two cells could
+    assign different cells per engine. Rounding makes the argmax
+    input identical on both sides (argmax tie-break is lowest cell
+    index, matching ORDER BY cos DESC, cell ASC / rk=1). Default None
+    preserves the exact kernel for unoracled/parity consumers."""
     import numpy as np
 
     carr = np.asarray(centroids, dtype=np.float64)
@@ -633,7 +644,10 @@ def ivf_assign_cells(
             return pd.Series([None] * len(vecs), dtype="Int64")
         vn = np.linalg.norm(mat, axis=1)
         vn[vn == 0] = 1.0
-        s = pd.Series(((mat / vn[:, None]) @ carr.T).argmax(axis=1)).astype("Int64")
+        sims = (mat / vn[:, None]) @ carr.T
+        if round_dp is not None:
+            sims = np.round(sims, round_dp)
+        s = pd.Series(sims.argmax(axis=1)).astype("Int64")
         s[~mask] = pd.NA
         return s
 
