@@ -323,20 +323,40 @@ _CASES = _store_cases()
 
 
 def test_registry_covers_every_foreachbatch_store():
-    """The registry must track the module: every function in
-    streaming/windows.py that drains through run_stream_foreach_batch
-    needs a replay case here, so a NEW store fails this test until it
-    registers one."""
+    """The registry must track the WHOLE ENGINE (VERDICT r12 item #4):
+    every function in any package module (or __spark_entry__) that
+    drains through run_stream_foreach_batch or calls .foreachBatch(
+    directly needs a replay case here, so a NEW store fails this test
+    until it registers one — wherever it lands, not just in
+    streaming/windows.py (the pre-r13 scan's only target, which a
+    store added to e.g. streaming/stateful.py would have dodged)."""
+    import importlib
     import inspect
+    import pkgutil
 
-    src = inspect.getsource(W)
+    import __spark_entry__ as entrymod
+    import stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark as pkg
+
+    mods = [entrymod]
+    for modinfo in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+        mods.append(importlib.import_module(modinfo.name))
+
     stores = set()
-    cur = None
-    for line in src.splitlines():
-        if line.startswith("def "):
-            cur = line[4:].split("(")[0]
-        if "run_stream_foreach_batch(" in line and cur and cur != "run_stream_foreach_batch":
-            stores.add(cur)
+    for mod in mods:
+        try:
+            src = inspect.getsource(mod)
+        except (OSError, TypeError):
+            continue
+        cur = None
+        for line in src.splitlines():
+            if line.startswith("def "):
+                cur = line[4:].split("(")[0]
+            if (
+                ("run_stream_foreach_batch(" in line or ".foreachBatch(" in line)
+                and cur
+                and cur != "run_stream_foreach_batch"
+            ):
+                stores.add(cur)
     # streaming_upsert_snapshot also backs ivf_index_maintain_stream,
     # which is registered separately (covers the assignment wiring).
     stores.add("ivf_index_maintain_stream")
