@@ -506,6 +506,13 @@ HEADLINE = [
     "events_exposure_dilution_audit",
     "dedup_rate_sla_trend",
     "similarity_index_staleness",
+    # round-13: the IVM read-path split (VERDICT r12 item #6 — the
+    # scale-free read over the memoized store, build billed to
+    # warehouse_build_derive) and the live-warehouse composition
+    # dashboard (r12 item #7 — one read joining every maintained
+    # store; same billing split).
+    "q1_served_read_path",
+    "warehouse_live_dashboard",
 ]
 
 
@@ -529,6 +536,23 @@ _DERIVES = {
     "co2_supplier_derive": (
         lambda s, d: entrymod._copurchase_co2(s, d).count(),
         entrymod._CO2_MEMO,
+    ),
+    # round-13: the live-warehouse store builds (q1 IVM rollup +
+    # lateness census + maintained IVF postings + the applied-watermark
+    # drain) — the ingest-side cost the q1_served_read_path and
+    # warehouse_live_dashboard read rows deliberately do NOT bill.
+    # Clearing both memos makes each timed pass rebuild the full
+    # warehouse, including the shared q1 store.
+    "warehouse_build_derive": (
+        lambda s, d: entrymod._live_warehouse(s, d),
+        type("_MultiMemo", (), {
+            "clear": staticmethod(
+                lambda: (
+                    entrymod._WAREHOUSE_MEMO.clear(),
+                    entrymod._IVM_STORE_MEMO.clear(),
+                )
+            )
+        })(),
     ),
 }
 

@@ -113,6 +113,7 @@ def test_first_50_queries_follow_the_rotation_policy():
 
     paths = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")), key=_round_no)
     checked: set[str] = set()
+    last_green: dict[str, int] = {}
     for path in paths:
         with open(path) as f:
             rows = json.load(f)
@@ -124,9 +125,10 @@ def test_first_50_queries_follow_the_rotation_policy():
         # query eligible for (indeed needing) a window slot, and an old
         # rows-only `no_oracle` row for a query that has SINCE gained an
         # oracle does not count as oracled coverage either.
-        checked.update(
-            k for k, v in rows.items() if isinstance(v, dict) and v.get("hash_match")
-        )
+        for k, v in rows.items():
+            if isinstance(v, dict) and v.get("hash_match"):
+                checked.add(k)
+                last_green[k] = _round_no(path)
     never_checked = [n for n in q if n in o and n not in checked]
     if len(never_checked) >= 50:
         stale = [n for n in window if n in checked]
@@ -138,6 +140,25 @@ def test_first_50_queries_follow_the_rotation_policy():
         assert set(never_checked) <= set(window), (
             set(never_checked) - set(window)
         )
+        # OLDEST-FIRST re-checks (round 13, VERDICT r12 item #2): the
+        # spare slots must be spent on the queries whose last green
+        # driver row is OLDEST — not just any already-green row.
+        # Threshold rule: with k re-check slots, take the k-th smallest
+        # last-green round among all eligible (oracled + green) queries;
+        # every re-check slot must sit at or below that round (ties at
+        # the threshold leave the choice free, so the assertion can't
+        # flap on which of several equally-old rows got the last slot).
+        recheck = [n for n in window if n not in set(never_checked)]
+        eligible_rounds = sorted(
+            last_green[n] for n in q if n in o and n in last_green
+        )
+        if recheck and eligible_rounds:
+            threshold = eligible_rounds[min(len(recheck), len(eligible_rounds)) - 1]
+            too_new = [n for n in recheck if last_green.get(n, 0) > threshold]
+            assert too_new == [], (
+                f"re-check slots skip older rows (last-green > r{threshold}): "
+                f"{too_new}"
+            )
 
 
 def test_cli_list_run_oracle_paths(capsys):
