@@ -96,9 +96,10 @@ the round-12 and round-13 checkouts read IDENTICAL within noise
 1.6 vs 1.9 s, basket_part_pair_lift 2.4–3.9 vs 3.0–3.2 s) — i.e. the
 shift is the box, not the code. Before calling a broad many-row move
 a regression, A/B the affected rows against the prior round's
-checkout (git worktree add /tmp/rNNcheck <commit>) on the same box
-within the same hour; only a delta that survives that control is
-code. Single-row ONLY-mode numbers also sit structurally ABOVE
+checkout on the same box within the same hour — mechanized as
+`python tools/ab_bench.py --base <prior-round-commit> --queries
+a,b,c` (interleaved fresh-JVM runs of both checkouts, per-query
+medians + ratio); only a delta that survives that control is code. Single-row ONLY-mode numbers also sit structurally ABOVE
 mid-chunk numbers for JIT-heavy shapes (a 39-row chunk JVM is far
 warmer than a 1-row subset JVM: markov reads ~7 s isolated vs 2.5 s
 mid-chunk) — compare isolated to isolated, chunked to chunked.
