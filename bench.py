@@ -89,8 +89,11 @@ BOX-VARIANCE NOTE (round 13): the sandbox VM's effective speed moves
 between rounds by more than the ±20% run-to-run band — a round-13
 builder run measured the full headline at 387 s (common-231 raw
 ×1.15 vs the r12-committed detail, median per-row ratio 1.15 with
-p25 0.93 / p75 1.55) on an IDLE box (load <2, zero CPU/IO pressure),
-and A/B alternation of the same queries through SPARK_GRAFT_ONLY at
+p25 0.93 / p75 1.55) on an IDLE box (load <2, zero CPU/IO pressure);
+a SECOND identical full run ~90 minutes later read 426 s (median
+per-row ratio 1.38 vs r12) with the supplier-derive rows still inside
+their adjudicated band — the drift moves WITHIN a night, not just
+across rounds. A/B alternation of the same queries through SPARK_GRAFT_ONLY at
 the round-12 and round-13 checkouts read IDENTICAL within noise
 (events_markov_stationary 6.9 vs 7.5 s, agg_theilsen_slope_nation
 1.6 vs 1.9 s, basket_part_pair_lift 2.4–3.9 vs 3.0–3.2 s) — i.e. the
@@ -99,7 +102,8 @@ a regression, A/B the affected rows against the prior round's
 checkout on the same box within the same hour — mechanized as
 `python tools/ab_bench.py --base <prior-round-commit> --queries
 a,b,c` (interleaved fresh-JVM runs of both checkouts, per-query
-medians + ratio); only a delta that survives that control is code. Single-row ONLY-mode numbers also sit structurally ABOVE
+medians + ratio); only a delta that survives that control is code.
+Single-row ONLY-mode numbers also sit structurally ABOVE
 mid-chunk numbers for JIT-heavy shapes (a 39-row chunk JVM is far
 warmer than a 1-row subset JVM: markov reads ~7 s isolated vs 2.5 s
 mid-chunk) — compare isolated to isolated, chunked to chunked.
