@@ -66,6 +66,16 @@ def get_spark(
         builder = builder.config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         )
+    # Scale-dependent settings stay PARAMETERIZED (optimization-round
+    # rule: no constants tuned for local[32]): $SPARK_GRAFT_CONF is a
+    # ';'-separated k=v list applied last, so a cluster deployment (or
+    # an A/B experiment) can override any default above without code
+    # edits, e.g. SPARK_GRAFT_CONF="spark.sql.adaptive.advisoryPartitionSizeInBytes=256m".
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
