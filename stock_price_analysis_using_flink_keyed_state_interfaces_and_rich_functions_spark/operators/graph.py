@@ -206,8 +206,28 @@ def kcore_peel(
     from pyspark import StorageLevel
 
     e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # DELTA PEELING (optimization round 13; guide §2.3 "shuffle fewer
+    # bytes" / §2.4 "share one exchange"): the original loop recomputed
+    # every round's degrees from scratch as (sym ⋉ alive ⋉ alive) —
+    # two shuffles of the FULL edge table plus a full-width groupBy per
+    # round, 8×. But degrees only change by the edges incident to the
+    # nodes REMOVED in the previous round: deg_{i+1}(u) = deg_i(u) −
+    # |{v ∈ removed_i : (u,v) ∈ sym}| for surviving u (alive sets are
+    # monotone decreasing). Each round now joins sym against the
+    # (small, usually shrinking) removed set instead of the (large)
+    # alive set, and updates the carried degree table with the delta.
+    # sym is hash-partitioned by v ONCE and persisted, so every
+    # round's delta join shuffles only the removed side (the cached
+    # partitioning satisfies the join's distribution requirement) —
+    # per-round big-table work drops from 2 shuffles + 1 groupBy to a
+    # map-side probe. Output is IDENTICAL: the carried degree table
+    # restricted to the final alive set IS the within-core degree, and
+    # nodes with zero surviving edges are filtered exactly as the
+    # groupBy form dropped them (oracle hash-match re-verified).
+    sym = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(F.col("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Materialize k ONCE: k_df usually derives from the same edge
     # lineage (e.g. average degree), and without the eager cut every
@@ -217,36 +237,49 @@ def kcore_peel(
     kb = F.broadcast(
         k_df.select(F.col("k").cast("long").alias("k")).localCheckpoint(eager=True)
     )
-    alive = sym.select("u").distinct()
-    prev_alive = alive
-    for _ in range(rounds):
-        prev_alive = alive
-        deg = (
-            sym.join(alive, "u")
-            .join(alive.select(F.col("u").alias("v")), "v")
-            .groupBy("u")
-            .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        )
-        alive = (
-            deg.crossJoin(kb).filter(F.col("d") >= F.col("k")).select("u")
-        ).localCheckpoint(eager=False)
-    core_deg = (
-        sym.join(alive, "u")
-        .join(alive.select(F.col("u").alias("v")), "v")
-        .groupBy("u")
-        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    # D_0: full degrees (alive_0 is every node of sym, so the original
+    # first round's alive-restriction was a no-op by construction).
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
     )
-    flag = (
-        prev_alive.agg(F.count(F.lit(1)).alias("_np"))
-        .crossJoin(alive.agg(F.count(F.lit(1)).alias("_na")))
-        .select(
-            (F.col("_np") == F.col("_na")).cast("long").alias("converged")
+    removed = None
+    for _ in range(rounds):
+        dk = deg.crossJoin(kb)
+        removed = dk.filter(F.col("d") < F.col("k")).select("u")
+        survivors = dk.filter(F.col("d") >= F.col("k")).select("u", "d")
+        # Edges lost by survivors = edges whose OTHER endpoint was just
+        # removed (sym holds both directions, so matching on v covers
+        # every incident edge). shuffle_hash: the removed side is the
+        # bounded one; never sort the persisted edge table.
+        delta = (
+            sym.join(removed.hint("shuffle_hash").select(F.col("u").alias("v")), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).cast("long").alias("_dd"))
         )
+        deg = (
+            survivors.join(delta, "u", "left")
+            .select(
+                "u",
+                (F.col("d") - F.coalesce(F.col("_dd"), F.lit(0))).cast("long").alias("d"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    # converged ⇔ the last round removed nothing.
+    flag = removed.agg(
+        (F.count(F.lit(1)) == 0).cast("long").alias("converged")
     )
     out = (
-        core_deg.crossJoin(kb)
+        deg.filter(F.col("d") > 0)
+        .crossJoin(kb)
         .crossJoin(F.broadcast(flag))
-        .select(F.col("u").alias("node"), "core_degree", "k", "converged")
+        .select(
+            F.col("u").alias("node"),
+            F.col("d").alias("core_degree"),
+            "k",
+            "converged",
+        )
         .localCheckpoint(eager=True)
     )
     sym.unpersist()
