@@ -809,7 +809,22 @@ def containment_prefix_pairs(
         if shingles is not None
         else _containment_shingles(df, id_col, text_col, shingle_k)
     )
-    dfreq = sh.groupBy("_sh").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    # BLOCKING RUNS ON 8-BYTE DIGESTS, NOT SHINGLE STRINGS (optimization
+    # round 13; the round-11 "shuffle payload beats shuffle count"
+    # lesson): the df-aggregate, the per-doc rank window, and the
+    # prefix⋈postings candidate join only need shingle IDENTITY, so
+    # they key on xxhash64(_sh) — ~⅓ the shuffle payload of the raw
+    # 3-word strings and long-typed sort/probe keys. Recall 1 is
+    # preserved by construction: the pigeonhole argument holds for ANY
+    # fixed total order over a doc's shingles (the prefix is just the
+    # n_a−o+1 of them whose posting lists get probed; df-ascending is
+    # the volume-optimal choice, and digest-df ordering only perturbs
+    # WHICH recall-1 prefix is used). A digest collision can only MERGE
+    # two posting lists — extra candidates, never a missed one — and
+    # every candidate still passes the exact string-keyed overlap
+    # confirm below, so the output set is bit-identical either way.
+    sh8 = sh.select("_id", F.xxhash64("_sh").alias("_h"))
+    dfreq = sh8.groupBy("_h").agg(F.count(F.lit(1)).cast("long").alias("_df"))
     n = sh.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
     # A-universe: docs big enough to make the score meaningful
     a_docs = n.filter(F.col("n_a") >= min_shingles)
@@ -817,11 +832,11 @@ def containment_prefix_pairs(
     o_min = F.expr(f"CAST(({threshold_pct} * n_a + 99) div 100 AS BIGINT)")
     prefix_len = (F.col("n_a") - o_min + 1).alias("_plen")
     ranked = (
-        sh.join(dfreq, "_sh")
+        sh8.join(dfreq, "_h")
         .withColumn(
             "_rk",
             F.row_number().over(
-                Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_sh"))
+                Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_h"))
             ),
         )
         .drop("_df")
@@ -829,10 +844,10 @@ def containment_prefix_pairs(
     prefixes = (
         ranked.join(a_docs.select("_id", prefix_len), "_id")
         .filter(F.col("_rk") <= F.col("_plen"))
-        .select(F.col("_id").alias("doc_a"), "_sh")
+        .select(F.col("_id").alias("doc_a"), "_h")
     )
     cand = (
-        prefixes.join(sh.select(F.col("_id").alias("doc_b"), "_sh"), "_sh")
+        prefixes.join(sh8.select(F.col("_id").alias("doc_b"), "_h"), "_h")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
