@@ -562,7 +562,12 @@ def dup_clusters(
                 # round (unchecked, round ~15 re-optimizes a 2^15-node tree
                 # and the driver dies before any executor does). On a real
                 # cluster prefer reliable checkpoint() for fault tolerance.
-                .localCheckpoint(eager=True)
+                # LAZY (optimization round 13): the convergence count below
+                # is the round's one action and materializes the checkpoint
+                # as part of the same job — eager=True ran a separate
+                # materialization job first, doubling the per-round driver
+                # round-trips for identical blocks.
+                .localCheckpoint(eager=False)
             )
             changed = new_labels.filter(F.col("_improved")).count()
             if labels is seed_labels:
