@@ -324,23 +324,39 @@ def streaming_lateness_census(
         prior = [
             p for p in versions if int(p.rsplit("=", 1)[1]) < batch_id
         ]
-        prev_census = None
-        carried = None
-        if prior:
-            prev = spark.read.parquet(prior[-1])
-            prev_census = prev.filter(F.col("kind") == "census").select(
-                "late_s", "n"
-            )
-            carried_rows = (
-                prev.filter(F.col("kind") == "frontier").select("late_s").collect()
-            )
-            carried = carried_rows[0][0] if carried_rows else None
         ep = (
             batch_df.select(
                 F.col(order_col).alias("_oid"),
                 F.unix_timestamp(ts_col).cast("long").alias("_ep"),
             )
+            # computed once per batch (optimization round 13): the
+            # stats collect below materializes it; the running-max
+            # kernel and the final write then read blocks instead of
+            # re-scanning the batch source
+            .localCheckpoint(eager=False)
         )
+        # ONE driver round-trip for both scalars the merge needs — the
+        # carried frontier (from the prior snapshot) and this batch's
+        # max event-time — instead of two separate collects per
+        # micro-batch (optimization round 13; values and semantics
+        # unchanged).
+        stats = ep.agg(F.max("_ep").alias("v")).select(
+            F.lit("batch_max").alias("k"), "v"
+        )
+        prev_census = None
+        if prior:
+            prev = spark.read.parquet(prior[-1])
+            prev_census = prev.filter(F.col("kind") == "census").select(
+                "late_s", "n"
+            )
+            stats = stats.unionByName(
+                prev.filter(F.col("kind") == "frontier").select(
+                    F.lit("carried").alias("k"), F.col("late_s").alias("v")
+                )
+            )
+        got = {r["k"]: r["v"] for r in stats.collect() if r["v"] is not None}
+        carried = got.get("carried")
+        batch_max = got.get("batch_max")
         fr = distributed_running_max(
             ep, [("_oid", False)], "_ep", out_col="_fr", exclusive=True
         )
@@ -363,7 +379,6 @@ def streaming_lateness_census(
                 .groupBy("late_s")
                 .agg(F.sum("n").cast("long").alias("n"))
             )
-        batch_max = ep.agg(F.max("_ep").alias("m")).collect()[0][0]
         new_frontier = max(
             x for x in (carried, batch_max, None) if x is not None
         ) if (carried is not None or batch_max is not None) else None
