@@ -19,7 +19,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "default_parallelism"]
+__all__ = ["get_spark", "default_parallelism", "stream_drain_session"]
 
 
 def default_parallelism() -> int:
@@ -66,18 +66,61 @@ def get_spark(
         builder = builder.config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     # Scale-dependent settings stay PARAMETERIZED (optimization-round
     # rule: no constants tuned for local[32]): $SPARK_GRAFT_CONF is a
-    # ';'-separated k=v list applied last, so a cluster deployment (or
-    # an A/B experiment) can override any default above without code
-    # edits, e.g. SPARK_GRAFT_CONF="spark.sql.adaptive.advisoryPartitionSizeInBytes=256m".
+    # ';'-separated k=v list applied LAST — after the defaults above and
+    # after any explicit extra_conf — so a cluster deployment (or an A/B
+    # experiment) can override any default without code edits, e.g.
+    # SPARK_GRAFT_CONF="spark.sql.adaptive.advisoryPartitionSizeInBytes=256m".
+    # Values may not contain ';' (the pair separator); pairs without '='
+    # are ignored.
     env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
     for pair in env_conf.split(";"):
         if "=" in pair:
             k, v = pair.split("=", 1)
             builder = builder.config(k.strip(), v.strip())
-    for k, v in (extra_conf or {}).items():
-        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def stream_drain_session(spark: SparkSession) -> SparkSession:
+    """Child session (shared SparkContext/executors, ISOLATED SQLConf)
+    for the maintained-store micro-batch drains — the deployment knob
+    that lets a cluster scope drain-side shuffle width (and therefore
+    stateful-aggregation state-store partition count) WITHOUT touching
+    batch-query parallelism: set
+    SPARK_GRAFT_CONF="spark.graft.stream.shufflePartitions=N" and only
+    the streams started on this child run at N; the parent session's
+    conf — and every batch read of the drained stores — is untouched.
+
+    The cluster-side rationale for scoping: state-store partition
+    count is fixed at a streaming query's first run and each partition
+    pays open/commit overhead per micro-batch, so for |keys|-sized
+    stores (q1 rollup: 6 groups; lateness census: |distinct lateness
+    seconds|; tumbling counts: |windows|) a 200-or-cluster-width
+    default is mostly metadata churn — on a real cluster N should
+    track a state-size audit, not width.
+
+    Default: INHERIT the parent's shuffle conf. Measured on
+    local[32]/sf0.1 (optimization round 14): forcing N=8 made every
+    drain ~2x SLOWER (warehouse rebuild 11.6-12.3s -> 21.0-25.7s,
+    interleaved A/B) — at this scale the per-batch work (Arrow cell
+    assignment, window kernels over 30-200k batch rows) genuinely
+    uses the cores, and narrowing the reduce side serializes compute,
+    the same failure mode as round 13's rejected
+    coalescePartitions.parallelismFirst experiment. So the local
+    default changes NOTHING; the knob exists for deployments whose
+    state-size audit says otherwise.
+
+    Store contents are partition-count-invariant (additive group sums,
+    keyed upserts, watermark windowing) — pinned by the streaming
+    replay/equivalence tests and the batch oracles.
+    """
+    child = spark.newSession()
+    n = spark.conf.get("spark.graft.stream.shufflePartitions", None)
+    if n:
+        child.conf.set("spark.sql.shuffle.partitions", n)
+    return child

@@ -354,11 +354,26 @@ def streaming_lateness_census(
                     F.lit("carried").alias("k"), F.col("late_s").alias("v")
                 )
             )
-        got = {r["k"]: r["v"] for r in stats.collect() if r["v"] is not None}
+        # Fold by MAX per kind (frontier is a running max, so max is
+        # the right merge even if a snapshot ever carried more than one
+        # frontier row — ADVICE r13: a keyed dict silently took the
+        # last row; batch_max is a single aggregate row either way).
+        got: dict = {}
+        for r in stats.collect():
+            if r["v"] is not None:
+                k, v = r["k"], int(r["v"])
+                got[k] = v if k not in got else max(got[k], v)
         carried = got.get("carried")
         batch_max = got.get("batch_max")
+        # Range-partition count tracks the session's shuffle conf
+        # (scopable per-drain via session.stream_drain_session)
+        # instead of a constant tuned for one box — the kernel is
+        # exact at any partition count.
         fr = distributed_running_max(
-            ep, [("_oid", False)], "_ep", out_col="_fr", exclusive=True
+            ep, [("_oid", False)], "_ep", out_col="_fr", exclusive=True,
+            num_partitions=int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            ),
         )
         if carried is not None:
             fr = fr.withColumn(

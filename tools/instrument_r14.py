@@ -30,7 +30,30 @@ def _timed(label, fn):
 
 
 def warehouse(spark, sf_dir):
-    # one warm pass, then a timed steady-state rebuild with memos cleared
+    # one warm pass, then timed steady-state rebuilds with memos cleared.
+    # Per-leg breakdown via monkeypatched streaming entry points —
+    # _live_warehouse imports them at call time, so patching the
+    # streaming package namespace intercepts each leg's drain.
+    import stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.streaming as streaming_mod
+
+    def _wrap(name, fn):
+        def inner(*a, **k):
+            t0 = time.time()
+            out = fn(*a, **k)
+            print(f"    [{name}] {time.time() - t0:.2f}s", flush=True)
+            return out
+        return inner
+
+    for name in (
+        "streaming_incremental_rollup",
+        "streaming_lateness_census",
+        "ivf_index_maintain_stream",
+        "recommended_watermark_from_census",
+        "run_stream_to_memory",
+    ):
+        setattr(streaming_mod, name, _wrap(name, getattr(streaming_mod, name)))
+    entrymod._q1_ivm_store = _wrap("q1_ivm_store_total", entrymod._q1_ivm_store)
+
     entrymod._live_warehouse(spark, sf_dir)
     for i in range(2):
         entrymod._WAREHOUSE_MEMO.clear()
