@@ -411,3 +411,24 @@ def test_zorder_key_preserves_2d_locality(spark):
         chunk = pdf.iloc[i * quart : (i + 1) * quart]
         assert chunk["x"].max() - chunk["x"].min() <= 16
         assert chunk["y"].max() - chunk["y"].min() <= 16
+
+
+def test_read_table_schema_cache_metadata_only(spark):
+    """The session-scoped schema cache returns identical schemas AND
+    identical data on cached re-reads (metadata-only: every byte still
+    comes from the files), and keys per (session, path)."""
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.sources import io as io_mod
+
+    sf = "/root/testdata/sf0.001"
+    io_mod._SCHEMA_CACHE.clear()
+    first = io_mod.read_table(spark, sf, "nation")
+    key = (spark, os.path.join(sf, "nation.parquet"))
+    assert key in io_mod._SCHEMA_CACHE  # populated by the inferring read
+    second = io_mod.read_table(spark, sf, "nation")
+    assert second.schema == first.schema
+    assert sorted(second.collect()) == sorted(first.collect())
+    # events goes through the nanos path and still caches its source schema
+    ev1 = io_mod.read_table(spark, sf, "events")
+    ev2 = io_mod.read_table(spark, sf, "events")
+    assert ev2.schema == ev1.schema
+    assert ev1.count() == ev2.count() > 0
