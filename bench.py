@@ -560,6 +560,14 @@ _DERIVES = {
         lambda s, d: entrymod._copurchase_co2(s, d).count(),
         entrymod._CO2_MEMO,
     ),
+    # round-14 (VERDICT r13 item #4): the portable-SimHash pair table
+    # both verified-tier consumers read — previously re-derived inside
+    # each consumer's timing; now billed once here, like every other
+    # session supplier. NEW row (additive — nothing removed/renamed).
+    "simhash_supplier_derive": (
+        lambda s, d: entrymod._simhash_pairs_portable(s, d).count(),
+        entrymod._SIMHASH_MEMO,
+    ),
     # round-13: the live-warehouse store builds (q1 IVM rollup +
     # lateness census + maintained IVF postings + the applied-watermark
     # drain) — the ingest-side cost the q1_served_read_path and

@@ -1682,3 +1682,29 @@ def test_peak_concurrency_hand_fixture(spark, tmp_path):
     # Mar 1: users 1+2+3 all overlap at 10:29:00 -> peak 3
     # Mar 2: only user 4's carried-over session -> peak 1 (midnight spine)
     assert out == {"2024-03-01": 3, "2024-03-02": 1}
+
+
+def test_simhash_pairs_portable_supplier_matches_direct(spark):
+    """The session-scoped _simhash_pairs_portable supplier (round 14)
+    returns exactly the rows a direct derivation produces, and is
+    memoized per (session, sf_dir)."""
+    import __spark_entry__ as entrymod
+    from stock_price_analysis_using_flink_keyed_state_interfaces_and_rich_functions_spark.operators.dedup import (
+        simhash,
+        simhash_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    entrymod._SIMHASH_MEMO.clear()
+    got = entrymod._simhash_pairs_portable(spark, sf)
+    again = entrymod._simhash_pairs_portable(spark, sf)
+    assert again is got  # memo hit for the same (session, sf_dir)
+    docs = entrymod._t(spark, sf, "documents")
+    direct = simhash_pairs(
+        simhash(docs, "doc_id", "text", bits=32, portable=True),
+        "doc_id", max_hamming=3, bits=32,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    entrymod._SIMHASH_MEMO.clear()
