@@ -1150,24 +1150,42 @@ def tfidf_doc_cosine_topk(
     )
     dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("dfr"))
     n_docs = df.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # Term-id dictionary (optimization round 14, VERDICT r13 item #5):
+    # the posting self-join below only needs term IDENTITY, so it keys
+    # on an injective surrogate long instead of the raw term string
+    # (3-word shingles here are ~25-40 B/row of shuffle key). The id
+    # rides the tf⋈dfreq join the pipeline already does — zero extra
+    # shuffles — and never reaches the output. Digest keys (xxhash64)
+    # would be cheaper still but a collision would MERGE posting lists
+    # and corrupt dot products (no exact confirm stage here), so the
+    # dictionary must be injective: monotonically_increasing_id over
+    # the filtered vocabulary, EAGERLY materialized because the id
+    # assignment is partition-order-dependent — both join sides must
+    # read the same frozen assignment. Vocabulary-scale (Heaps-law
+    # sublinear), so the materialization is tiny at any corpus size.
+    dfq = (
+        dfreq.filter(F.col("dfr") <= max_df)
+        .withColumn("tid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
     w = (
-        tf.join(dfreq.filter(F.col("dfr") <= max_df), "token")
+        tf.join(dfq, "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "w_milli",
             F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("dfr")) * 1000)
             .cast("long"),
         )
-        .select("doc", "token", "w_milli")
+        .select("doc", "tid", "w_milli")
         .localCheckpoint(eager=False)
     )
     norms = w.groupBy("doc").agg(
         F.sum(F.col("w_milli") * F.col("w_milli")).cast("long").alias("n2")
     ).filter(F.col("n2") > 0)
-    a = w.select(F.col("doc").alias("a_doc"), "token", F.col("w_milli").alias("wa"))
-    b = w.select(F.col("doc").alias("b_doc"), "token", F.col("w_milli").alias("wb"))
+    a = w.select(F.col("doc").alias("a_doc"), "tid", F.col("w_milli").alias("wa"))
+    b = w.select(F.col("doc").alias("b_doc"), "tid", F.col("w_milli").alias("wb"))
     dots = (
-        a.join(b, "token")
+        a.join(b, "tid")
         .filter(F.col("a_doc") < F.col("b_doc"))
         .groupBy("a_doc", "b_doc")
         .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
