@@ -451,21 +451,25 @@ def minhash_verified_pairs(
     the confirm joins shingle ARRAYS only for candidate rows —
     |candidates| × avg-doc-shingles, not corpus².
 
-    Cache lifecycle (r5 advisor): the signature frame is persisted for
-    the candidate+confirm joins, then the RESULT is materialized
-    eagerly (localCheckpoint) and the signature cache is unpersisted
-    before returning — a long-lived session never accumulates cached
-    signature RDDs across invocations, and no "fresh" rebuild of the
-    same logical plan can silently ride a previous invocation's warm
-    cache (CacheManager matches by plan). The returned frame is
-    therefore already materialized: pair-list-sized (|near-dup pairs|),
-    safe to reference any number of times.
+    Cache lifecycle (r5 advisor; amended r14): nothing is persisted —
+    the signature frame's single consumer is the banding, whose
+    localCheckpoint of the banded rows is the one shared artifact; the
+    RESULT is materialized eagerly (localCheckpoint), so a long-lived
+    session never accumulates cached RDDs across invocations and no
+    "fresh" rebuild can ride a previous invocation's warm cache. The
+    returned frame is already materialized: pair-list-sized
+    (|near-dup pairs|), safe to reference any number of times.
     """
-    from pyspark import StorageLevel
-
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # No signature persist (optimization round 14): the signature frame
+    # has exactly ONE consumer — the banding inside
+    # minhash_candidate_pairs, which localCheckpoints the banded rows
+    # (the artifact both self-join sides actually read). Caching the
+    # |corpus| array<long> signatures bought no second read and cost a
+    # full block-store materialization per derive (§5: cache only what
+    # is re-read). The r5 cache-lifecycle concern (warm CacheManager
+    # hits across "fresh" rebuilds) no longer applies — nothing is
+    # cached to hit.
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
     cands = minhash_candidate_pairs(sigs, id_col, num_bands, num_hashes=num_hashes)
     # Confirm ONLY candidate docs: building exact shingle arrays for
     # the whole corpus (and twice — once per join side) is the thing
@@ -499,7 +503,6 @@ def minhash_verified_pairs(
         .select("id_a", "id_b", "jaccard")
         .localCheckpoint(eager=True)
     )
-    sigs.unpersist()
     return out
 
 
