@@ -539,6 +539,11 @@ HEADLINE = [
 ]
 
 
+# Rows that ALWAYS get a fresh-JVM isolated re-measure regardless of
+# triggers (round 14, VERDICT r13 item #8).
+_ALWAYS_ISOLATE = {"q1_served_from_maintained_rollup"}
+
+
 # Memoized-supplier derivation rows (see the MEASUREMENT-HONESTY NOTE):
 # name -> (runner, memo). Each runner materializes the shared table(s)
 # the graph/basket families consume; the memo is the module-level cache
@@ -677,14 +682,30 @@ def _isolated_rerun(movers: list[str], sf_dir: str) -> dict[str, float]:
     return _subset_rerun(movers, sf_dir, timeout=1800)
 
 
-def build_summary_line(per_query: dict[str, float], total: float, sf: float) -> str:
+def build_summary_line(
+    per_query: dict[str, float],
+    total: float,
+    sf: float,
+    total_insession: float | None = None,
+    parallelism: int | None = None,
+    master: str | None = None,
+) -> str:
     """The LAST stdout line: a compact JSON summary guaranteed under
     1 900 chars (the driver captures a 2 000-char tail — BENCH_r07
     recorded `parsed: null` when the full per-query dict outgrew it).
     The first-30 comparability anchors ride along in "queries"; if
     even that overflows, the anchors are dropped rather than the
     parse. Unit-tested in tests/test_entry_contract.py so the format
-    contract cannot silently regress as the headline grows."""
+    contract cannot silently regress as the headline grows.
+
+    Round 14 (declared measurement fixes, VERDICT r13 items #1/#8):
+    "value" is the EFFECTIVE total — per-row min(sec, sec_isolated) —
+    so a >2x in-session JVM artifact on an always-isolated row can no
+    longer inflate the headline; the raw in-session sum is kept
+    alongside as "value_insession" for continuity with pre-r14 rounds.
+    "parallelism"/"master" echo the session's effective core setting so
+    the driver's suspect_cpus_ignored heuristic can be settled by data
+    instead of inference."""
     anchors = {n: per_query[n] for n in HEADLINE[:30] if n in per_query}
     summary = {
         "metric": "headline_total",
@@ -695,6 +716,12 @@ def build_summary_line(per_query: dict[str, float], total: float, sf: float) -> 
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
     }
+    if total_insession is not None and total_insession != total:
+        summary["value_insession"] = total_insession
+    if parallelism is not None:
+        summary["parallelism"] = parallelism
+    if master is not None:
+        summary["master"] = master
     line = json.dumps(summary)
     if len(line) >= 1900:
         summary.pop("queries")
@@ -781,6 +808,11 @@ def main() -> None:
             "unit": "sec",
             "n_queries": len(per_query),
             "sf": sf,
+            # effective core setting (round 14): lets subset consumers
+            # (the scaling tier, the A/B control) verify cores took
+            # effect instead of inferring from timings.
+            "parallelism": spark.sparkContext.defaultParallelism,
+            "master": spark.sparkContext.master,
         }))
         return
 
@@ -863,6 +895,12 @@ def main() -> None:
         # isolated run would near-equal it (ADVICE r12: redundant run);
         # the 2.5x regression trigger still applies to every row.
         or (per_query[n] >= 5.0 and n not in chunked)
+        # PINNED always-isolate (round 14, VERDICT r13 item #8): this
+        # row recorded a 7x in-session artifact (29.27 s vs 4.26 s
+        # isolated) inside a 39-row chunk JVM — the worst on record —
+        # and only crossed the ≥5 s trigger when it spiked. It now
+        # always ships with a fresh-JVM counterpart.
+        or n in _ALWAYS_ISOLATE
     ]
     isolated = _isolated_rerun(movers, sf_dir) if movers else {}
 
@@ -878,6 +916,17 @@ def main() -> None:
     # (the headline prefix unchanged since round 3) ride along in the
     # summary's "queries" key for round-over-round trend reads; if even
     # that overflows, the anchors are dropped rather than the parse.
+    # EFFECTIVE per-row values (round 14, VERDICT r13 item #8): rows
+    # with a fresh-JVM counterpart count as min(sec, sec_isolated)
+    # everywhere a single number is consumed — the summary total, the
+    # anchor dict — so an in-session JVM artifact can never inflate
+    # the headline. Both raw numbers still ship in the detail/JSONL.
+    effective = {
+        name: min(sec, isolated[name]) if name in isolated else sec
+        for name, sec in per_query.items()
+    }
+    total_effective = round(sum(effective.values()), 3)
+
     detail_queries: dict[str, object] = {
         name: (
             {"sec": sec, "sec_isolated": isolated[name]}
@@ -887,11 +936,54 @@ def main() -> None:
     }
     detail = {
         "metric": "headline_total",
-        "value": total,
+        "value": total_effective,
+        "value_insession": total,
         "unit": "sec",
         "queries": detail_queries,
         "sf": sf,
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
     }
+
+    # MECHANIZED MOVER AUDIT (round 14, VERDICT r13 item #7): with
+    # SPARK_GRAFT_AB_BASE=<commit> set, any row that moved >1.5x vs the
+    # previous committed detail (and clears the 1 s floor) is arbitrated
+    # by the interleaved A/B control (tools/ab_bench.py) against that
+    # checkout, and the per-query verdicts ship in the detail document —
+    # the "is it code or the box?" answer becomes a committed artifact
+    # instead of prose. Opt-in by env because it costs 4 fresh-JVM runs
+    # per audited row.
+    ab_base = os.environ.get("SPARK_GRAFT_AB_BASE", "").strip()
+    if ab_base:
+        suspects = [
+            n for n in HEADLINE
+            if n in prev and effective[n] >= 1.0 and effective[n] > 1.5 * prev[n]
+        ][:12]  # bound the audit cost; worst movers first in HEADLINE order
+        if suspects:
+            import subprocess
+
+            try:
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "tools", "ab_bench.py"),
+                        "--base", ab_base,
+                        "--queries", ",".join(suspects),
+                        "--runs", "2",
+                        "--sf-dir", sf_dir,
+                    ],
+                    capture_output=True, text=True, timeout=5400,
+                )
+                for line in reversed(proc.stdout.splitlines()):
+                    try:
+                        detail["ab_audit"] = json.loads(line)
+                        break
+                    except ValueError:
+                        continue
+            except (subprocess.TimeoutExpired, OSError):
+                detail["ab_audit"] = {"error": "ab_bench run failed/timed out"}
+
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     for name, sec in per_query.items():
@@ -900,7 +992,12 @@ def main() -> None:
             row["sec_isolated"] = isolated[name]
         print(json.dumps(row))
 
-    print(build_summary_line(per_query, total, sf))
+    print(build_summary_line(
+        effective, total_effective, sf,
+        total_insession=total,
+        parallelism=spark.sparkContext.defaultParallelism,
+        master=spark.sparkContext.master,
+    ))
 
 
 if __name__ == "__main__":

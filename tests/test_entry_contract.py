@@ -210,6 +210,17 @@ def test_bench_summary_line_always_fits_the_driver_tail():
     assert len(line2) < 1900
     assert json.loads(line2)["n_queries"] == len(big)
 
+    # round-14 measurement keys: effective-vs-insession totals and the
+    # parallelism/master echo all ride the line and it still fits
+    line3 = bench.build_summary_line(
+        per, 100.0, 0.1, total_insession=123.4, parallelism=32,
+        master="local[32]",
+    )
+    assert len(line3) < 1900
+    p3 = json.loads(line3)
+    assert p3["value"] == 100.0 and p3["value_insession"] == 123.4
+    assert p3["parallelism"] == 32 and p3["master"] == "local[32]"
+
 
 def test_copurchase_pair_supplier_memoizes_per_session(spark):
     """The session-scoped co-purchase pair supplier (r7 verdict item 4):
