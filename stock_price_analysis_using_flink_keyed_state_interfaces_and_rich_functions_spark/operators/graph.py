@@ -128,11 +128,18 @@ def pagerank_integer(
     ranks = nodes.select("u", base.alias("r"))
     teleport = F.expr(f"({100 - damping_pct} * ({mass}L div _n)) div 100")
     for _ in range(iterations):
-        contrib = (
-            sym.join(nodes.select("u", "d"), "u")
+        # Join the two |V|-sized tables FIRST (optimization round 14,
+        # guide §3): contribution = r div d depends only on the source
+        # node, so computing it on nodes⋈ranks and joining the |E|-row
+        # sym ONCE replaces the former sym⋈nodes⋈ranks chain — one
+        # edge-sized join per iteration instead of two, identical rows
+        # (both joins were inner on the same key).
+        per_src = (
+            nodes.select("u", "d")
             .join(ranks, "u")
-            .select(F.col("v").alias("u"), F.expr("r div d").alias("c"))
+            .select("u", F.expr("r div d").alias("c"))
         )
+        contrib = sym.join(per_src, "u").select(F.col("v").alias("u"), "c")
         agg = contrib.groupBy("u").agg(F.sum("c").alias("_s"))
         ranks = (
             nodes.join(agg, "u", "left")
