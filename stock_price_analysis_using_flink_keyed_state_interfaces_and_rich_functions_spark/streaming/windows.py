@@ -330,41 +330,32 @@ def streaming_lateness_census(
                 F.unix_timestamp(ts_col).cast("long").alias("_ep"),
             )
             # computed once per batch (optimization round 13): the
-            # stats collect below materializes it; the running-max
-            # kernel and the final write then read blocks instead of
+            # first consumer materializes it; the running-max kernel
+            # and the final write then read blocks instead of
             # re-scanning the batch source
             .localCheckpoint(eager=False)
         )
-        # ONE driver round-trip for both scalars the merge needs — the
-        # carried frontier (from the prior snapshot) and this batch's
-        # max event-time — instead of two separate collects per
-        # micro-batch (optimization round 13; values and semantics
-        # unchanged).
-        stats = ep.agg(F.max("_ep").alias("v")).select(
-            F.lit("batch_max").alias("k"), "v"
-        )
+        # ZERO driver round-trips per micro-batch (optimization round
+        # 14; supersedes round 13's single folded collect): the two
+        # scalars the merge needs — the carried cross-batch frontier
+        # and this batch's max event-time — stay IN THE PLAN as 1-row
+        # aggregate frames, attached where needed via broadcast cross
+        # joins. Values and store contents are unchanged: max-folding
+        # the frontier rows (ADVICE r13) and the None-handling both
+        # translate directly (greatest() ignores NULLs; the frontier
+        # row is emitted only when non-NULL, exactly the old
+        # `new_frontier is not None` guard).
         prev_census = None
+        carried_df = None  # 1-row frame: max prior frontier (NULL if none)
         if prior:
             prev = spark.read.parquet(prior[-1])
             prev_census = prev.filter(F.col("kind") == "census").select(
                 "late_s", "n"
             )
-            stats = stats.unionByName(
-                prev.filter(F.col("kind") == "frontier").select(
-                    F.lit("carried").alias("k"), F.col("late_s").alias("v")
-                )
+            carried_df = (
+                prev.filter(F.col("kind") == "frontier")
+                .agg(F.max("late_s").cast("long").alias("_carried"))
             )
-        # Fold by MAX per kind (frontier is a running max, so max is
-        # the right merge even if a snapshot ever carried more than one
-        # frontier row — ADVICE r13: a keyed dict silently took the
-        # last row; batch_max is a single aggregate row either way).
-        got: dict = {}
-        for r in stats.collect():
-            if r["v"] is not None:
-                k, v = r["k"], int(r["v"])
-                got[k] = v if k not in got else max(got[k], v)
-        carried = got.get("carried")
-        batch_max = got.get("batch_max")
         # Range-partition count tracks the session's shuffle conf
         # (scopable per-drain via session.stream_drain_session)
         # instead of a constant tuned for one box — the kernel is
@@ -375,9 +366,11 @@ def streaming_lateness_census(
                 spark.conf.get("spark.sql.shuffle.partitions", "32")
             ),
         )
-        if carried is not None:
-            fr = fr.withColumn(
-                "_fr", F.greatest(F.col("_fr"), F.lit(int(carried)).cast("long"))
+        if carried_df is not None:
+            fr = (
+                fr.crossJoin(F.broadcast(carried_df))
+                .withColumn("_fr", F.greatest(F.col("_fr"), F.col("_carried")))
+                .drop("_carried")
             )
         late = fr.select(
             F.when(
@@ -394,16 +387,21 @@ def streaming_lateness_census(
                 .groupBy("late_s")
                 .agg(F.sum("n").cast("long").alias("n"))
             )
-        new_frontier = max(
-            x for x in (carried, batch_max, None) if x is not None
-        ) if (carried is not None or batch_max is not None) else None
-        out = census.withColumn("kind", F.lit("census"))
-        if new_frontier is not None:
-            out = out.unionByName(
-                spark.createDataFrame(
-                    [(int(new_frontier), int(-1), "frontier")], "late_s long, n long, kind string"
-                )
+        # New frontier = max(carried, batch max), computed in-plan; the
+        # row is omitted when both are NULL (the old None guard).
+        frontier_new = ep.agg(F.max("_ep").cast("long").alias("_bm"))
+        if carried_df is not None:
+            frontier_new = frontier_new.crossJoin(carried_df).select(
+                F.greatest(F.col("_bm"), F.col("_carried")).alias("_bm")
             )
+        frontier_row = frontier_new.filter(F.col("_bm").isNotNull()).select(
+            F.col("_bm").alias("late_s"),
+            F.lit(-1).cast("long").alias("n"),
+            F.lit("frontier").alias("kind"),
+        )
+        out = census.withColumn("kind", F.lit("census")).unionByName(
+            frontier_row
+        )
         out.write.mode("overwrite").parquet(os.path.join(root, f"v={batch_id}"))
         # Keep the merge source (prior[-1]) so a retry of this
         # batch_id can re-merge from the pre-batch state; prune only
