@@ -1163,6 +1163,12 @@ def tfidf_doc_cosine_topk(
     # assignment is partition-order-dependent — both join sides must
     # read the same frozen assignment. Vocabulary-scale (Heaps-law
     # sublinear), so the materialization is tiny at any corpus size.
+    # The checkpointed frame carries no size stats, so the STATIC plan
+    # falls back to sort-merge for the joins that previously broadcast
+    # on estimate guesses; AQE re-selects broadcast at runtime from
+    # the exact materialized size — and when the vocabulary genuinely
+    # outgrows broadcast at corpus scale, SMJ over 8-byte keys is the
+    # correct shape anyway.
     dfq = (
         dfreq.filter(F.col("dfr") <= max_df)
         .withColumn("tid", F.monotonically_increasing_id())
