@@ -339,14 +339,21 @@ def test_importance_sampling_adds_no_extra_shuffle(spark, q):
     assert plans.shuffle_exchange_count(df) == 0, plans.explain_str(df, "simple")
 
 
-def test_q21_decorrelates_to_semi_and_anti_hash_joins(spark, q):
-    """The Q21 EXISTS/NOT-EXISTS pair must decorrelate to one LeftSemi
-    and one LeftAnti HASH join on l_orderkey — a nested-loop fallback
-    would re-execute a lineitem subquery per row."""
+def test_q21_single_pass_no_subquery_joins(spark, q):
+    """The round-14 single-pass Q21 (per-order aggregates replacing
+    the decorrelated EXISTS/NOT-EXISTS): the plan must carry NO
+    semi/anti subquery joins, exactly ONE lineitem scan — the point of
+    the rewrite (the pre-r14 form scanned lineitem three times) — and
+    still no nested-loop fallback. The per-order aggregate is the
+    load-bearing node."""
     s = plans.explain_str(q["sql_waiting_suppliers"](spark, SF))
-    assert "LeftSemi" in s and "LeftAnti" in s
+    assert "LeftSemi" not in s and "LeftAnti" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "CartesianProduct" not in s
+    # formatted output shows each physical scan's Location once in the
+    # details section — one lineitem scan means one lineitem Location
+    assert s.count("lineitem.parquet]") == 1, s
+    assert "HashAggregate" in s
 
 
 def test_null_safe_join_is_hash_not_nested_loop(spark, q):
